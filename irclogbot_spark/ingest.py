@@ -1,0 +1,186 @@
+"""Ingest core — the reference pipeline as pure DataFrame transforms.
+
+Each function is ``DataFrame -> DataFrame`` and works identically on
+batch frames and Structured Streaming frames (no actions, no
+collect): the operator chain of process_msg/record
+(/root/reference/irclogbot.py:122-142,40-59) re-expressed so Catalyst
+sees one declarative plan — the regex evaluates once per line,
+filters run ahead of any shuffle, and the whole parse stage is a
+single WholeStageCodegen span.
+
+Operator map (SURVEY.md §2):
+  F1 non_empty_lines      irclogbot.py:123-124
+  F2 drop_ping            irclogbot.py:128-130 (control path is connector-internal)
+  P1 parse_privmsg        irclogbot.py:24,131-136 (MSG_PAT, 5 groups)
+  F3 drop_unmatched       irclogbot.py:131-132
+  P3 normalize_action     irclogbot.py:137-138
+  F4 sane_nicks           irclogbot.py:139-141
+  P4 with_posted          irclogbot.py:41 / logbot_roundrobin.py:162
+  H1 with_id              utils.py:125-136 (compat) / scale hash
+  H2 dedup                logbot_roundrobin.py:50-54 (time-free key)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from irclogbot_spark.functions.hashing import blake2b_id, scale_id
+
+#: The parse operator — /root/reference/irclogbot.py:24 (same at
+#: logbot_roundrobin.py:30). Group 1 nick, 2 user, 3 host, 4 channel,
+#: 5 remark; groups 2-3 are discarded by the reference
+#: (irclogbot.py:133-136) but retained here as cheap extras
+#: (excluded from the id hash — SURVEY.md §1.1).
+MSG_PAT = r":([^!]+)!~?([^@]+)@(\S+) PRIVMSG (\S+) :(.+)"
+
+#: F4 bound — nicks of length >= 17 are mis-parsed server lines
+#: (irclogbot.py:139-141).
+MAX_NICK_LEN = 17
+
+#: H2 dedup key — time deliberately excluded so redundant workers
+#: converge on one id (logbot_roundrobin.py:50-54).
+DEDUP_KEY = ["channel", "nick", "remark"]
+
+
+def non_empty_lines(df: DataFrame, col: str = "value") -> DataFrame:
+    """F1: drop blank lines after trim (reference strips ' \\n\\r' then
+    tests falsiness, irclogbot.py:118,123-124)."""
+    trimmed = F.trim(F.col(col))
+    return df.withColumn(col, trimmed).filter(F.length(F.col(col)) > 0)
+
+
+def drop_invalid_utf8(df: DataFrame, col: str = "value") -> DataFrame:
+    """S2: cleanly drop lines that failed UTF-8 decode.
+
+    The reference's except-branch skips the *current* message but then
+    reprocesses the stale previous one (bug at irclogbot.py:112-119);
+    the engine's documented deviation is a clean drop (SURVEY.md §2A
+    S2). Spark's text source passes undecodable bytes through verbatim
+    inside its UTF8String (it does NOT substitute U+FFFD — display
+    does), so the exact predicate for 'this line failed UTF-8 decode'
+    is the builtin byte-level validator.
+    """
+    return df.filter(F.expr(f"is_valid_utf8({col})"))
+
+
+def drop_ping(df: DataFrame, col: str = "value") -> DataFrame:
+    """F2: PING keepalives are control-plane, never recorded
+    (irclogbot.py:128-130). Cheap substring test runs before the regex,
+    preserving the reference's short-circuit ordering (SURVEY.md §4)."""
+    return df.filter(~F.col(col).contains("PING :"))
+
+
+def parse_privmsg(
+    df: DataFrame, col: str = "value", keep_raw: bool = False, passthrough: list[str] | None = None
+) -> DataFrame:
+    """P1+P2: one regex, five groups, projected to named columns.
+
+    Catalyst collapses the five regexp_extract calls into one
+    codegen'd stage; column pruning drops whatever downstream doesn't
+    read — the general form of the reference's parse-time projection
+    (irclogbot.py:133-136).
+    """
+    v = F.col(col)
+    out = df.select(
+        *[F.col(p) for p in (passthrough or [])],
+        *([v.alias("raw")] if keep_raw else []),
+        F.regexp_extract(v, MSG_PAT, 1).alias("nick"),
+        F.regexp_extract(v, MSG_PAT, 2).alias("user"),
+        F.regexp_extract(v, MSG_PAT, 3).alias("host"),
+        F.regexp_extract(v, MSG_PAT, 4).alias("channel"),
+        F.regexp_extract(v, MSG_PAT, 5).alias("remark"),
+    )
+    return out
+
+
+def drop_unmatched(df: DataFrame) -> DataFrame:
+    """F3: non-PRIVMSG lines (server notices, JOIN/QUIT noise) yield
+    empty regex groups and are dropped (irclogbot.py:131-132)."""
+    return df.filter((F.col("nick") != "") & (F.col("channel") != "") & (F.col("remark") != ""))
+
+
+def normalize_action(df: DataFrame, col: str = "remark") -> DataFrame:
+    """P3: CTCP ACTION -> '/me ' rewrite (irclogbot.py:137-138).
+
+    The reference tests startswith('ACTION ') on the already-stripped
+    line (the \\x01 CTCP delimiters are gone by then) and substitutes
+    the 7-char prefix.
+    """
+    c = F.col(col)
+    return df.withColumn(
+        col,
+        F.when(
+            c.startswith("ACTION "),
+            F.concat(F.lit("/me "), F.substring(c, 8, 2**30)),
+        ).otherwise(c),
+    )
+
+
+def sane_nicks(df: DataFrame) -> DataFrame:
+    """F4: len(nick) >= 17 means a mis-parsed server line — drop
+    (irclogbot.py:139-141)."""
+    return df.filter(F.length("nick") < MAX_NICK_LEN)
+
+
+def with_posted(df: DataFrame, ts: Column | None = None) -> DataFrame:
+    """P4: event-time captured at parse time, truncated to whole
+    seconds (logbot_roundrobin.py:162 semantics — capture-at-parse, the
+    roundrobin fix; irclogbot.py:41 for the truncation). Pass ``ts`` to
+    use a data-borne event time (replay/tests); default is processing
+    wall-clock like the reference."""
+    src = ts if ts is not None else F.current_timestamp()
+    return df.withColumn("posted", F.date_trunc("second", src))
+
+
+def with_id(df: DataFrame, compat: bool = False) -> DataFrame:
+    """H1: content-hash id over the time-free dedup key (H2 scope).
+
+    compat=False (default): JVM-side sha2-256 scale hash (see
+    functions.hashing.scale_id). compat=True: byte-exact blake2b-8
+    pandas UDF matching utils.py:125-136 — 16-hex ids identical to the
+    reference's, for drop-in index compatibility.
+    """
+    if compat:
+        return df.withColumn("id", blake2b_id(F.col("channel"), F.col("nick"), F.col("remark")))
+    return df.withColumn("id", scale_id("channel", "nick", "remark"))
+
+
+def dedup(df: DataFrame) -> DataFrame:
+    """H2/H3 batch form: collapse duplicate deliveries on the
+    time-free content key. In the reference this happens implicitly at
+    the sink — ES PUT by content id overwrites (irclogbot.py:50-51);
+    here it is an explicit operator so batch output is deterministic.
+    Streaming uses watermarked dropDuplicates (streaming.pipeline)."""
+    return df.dropDuplicates(DEDUP_KEY)
+
+
+def parse_pipeline(
+    raw: DataFrame,
+    col: str = "value",
+    ts_col: str | None = None,
+    compat_id: bool = False,
+    deduplicate: bool = False,
+) -> DataFrame:
+    """The full per-line operator chain of process_msg+record
+    (irclogbot.py:122-142,40-45): F1 -> F2 -> P1/P2 -> F3 -> P3 -> F4
+    -> P4 -> H1 [-> H2].
+
+    ``ts_col`` names a column of ``raw`` to use as event time
+    (replay/tests); default is processing wall-clock like the
+    reference. Returns the canonical irclog frame:
+    (channel, nick, posted, remark, id, user, host) — FIXTURES.md §A2.
+    """
+    df = non_empty_lines(raw, col)
+    df = drop_invalid_utf8(df, col)
+    df = drop_ping(df, col)
+    df = parse_privmsg(df, col, passthrough=[ts_col] if ts_col else None)
+    df = drop_unmatched(df)
+    df = normalize_action(df)
+    df = sane_nicks(df)
+    df = with_posted(df, ts=F.col(ts_col) if ts_col else None)
+    df = with_id(df, compat=compat_id)
+    df = df.select("channel", "nick", "posted", "remark", "id", "user", "host")
+    if deduplicate:
+        df = dedup(df)
+    return df

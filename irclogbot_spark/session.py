@@ -1,0 +1,64 @@
+"""SparkSession construction and runtime-conf hygiene.
+
+The engine is designed for a multi-executor cluster reading ~100 TB;
+locally it runs on local[N]. All confs here are safe defaults that
+scale: AQE on (runtime re-planning, skew-join handling), Arrow on
+(vectorized Python interop for the few pandas-UDF operators), UTC
+session timezone (so epoch arithmetic matches a naive-UTC oracle).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Confs that can be applied to an existing session at runtime (the
+# driver harness owns session creation, so everything the engine
+# depends on for correctness must be runtime-settable).
+RUNTIME_CONFS: dict[str, str] = {
+    # events.parquet stores TIMESTAMP(NANOS); Spark reads it as a
+    # long when this is set, and sources.tables converts to a real
+    # timestamp column (whole microseconds, verified vs DuckDB).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Epoch arithmetic (unix_micros etc.) over timestamp_ntz data
+    # must be timezone-stable to match the DuckDB oracle.
+    "spark.sql.session.timeZone": "UTC",
+    # Runtime re-planning: coalesce post-shuffle partitions, convert
+    # to broadcast joins late, split skewed shuffle partitions.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Arrow batching for the pandas-UDF operators (hash-compat,
+    # multimodal stubs); 10-100x over row-at-a-time Python UDFs.
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+}
+
+
+def ensure_runtime_confs(spark: SparkSession) -> SparkSession:
+    """Apply the engine's required runtime confs to an existing session."""
+    for k, v in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # immutable in this deployment; defaults must do
+    return spark
+
+
+def get_spark(app_name: str = "sparklog", master: str | None = None) -> SparkSession:
+    """Build (or fetch) a session with the engine's scale-oriented defaults."""
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or f"local[{cpus}]")
+        # On a real cluster this is sized to ~2-3x total cores; for
+        # local[32] over sf<=0.1 keep shuffle fan-out modest.
+        .config("spark.sql.shuffle.partitions", str(int(cpus) if str(cpus).isdigit() else 32))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in RUNTIME_CONFS.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    return ensure_runtime_confs(spark)

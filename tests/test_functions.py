@@ -1,0 +1,44 @@
+"""Scalar function parity tests (SURVEY.md §2G)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from irclogbot_spark.functions.scalar import human_fmt, iso_posted
+
+
+def _reference_human_fmt(num):
+    # transcription of /root/reference/utils.py:106-122 for the test oracle
+    num = int(num)
+    units = list(zip(["bytes", "K", "MB", "GB", "TB", "PB"], [0, 0, 1, 2, 2, 2]))
+    if num > 1:
+        exponent = min(int(math.log(num, 1024)), len(units) - 1)
+        quotient = float(num) / 1024**exponent
+        unit, num_decimals = units[exponent]
+        format_string = "{:.%sf} {}" % (num_decimals)
+        return format_string.format(quotient, unit)
+    if num == 0:
+        return "0 bytes"
+    if num == 1:
+        return "1 byte"
+
+
+CASES = [0, 1, 2, 999, 1023, 1024, 1025, 10_000, 1024**2 - 1, 1024**2, 5 * 1024**2 + 123,
+         1024**3, 7 * 1024**3, 1024**4, 1024**5, 3 * 1024**5, 1024**6, -5]
+
+
+def test_human_fmt_matches_reference(spark):
+    df = spark.createDataFrame([(n,) for n in CASES], "n long")
+    got = {r.n: r.h for r in df.select("n", human_fmt("n").alias("h")).collect()}
+    for n in CASES:
+        assert got[n] == _reference_human_fmt(n), f"n={n}: {got[n]!r} != {_reference_human_fmt(n)!r}"
+
+
+def test_iso_posted_format(spark):
+    df = spark.createDataFrame([("2024-03-04 05:06:07",)], "t string").select(
+        iso_posted(F.to_timestamp("t")).alias("s")
+    )
+    assert df.first().s == "2024-03-04T05:06:07"
