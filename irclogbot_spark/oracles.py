@@ -1,0 +1,403 @@
+"""DuckDB oracle SQL — the ANSI twin of every SQL-expressible query.
+
+Each entry here must stay in lockstep with the same-named Spark
+builder in irclogbot_spark.queries: same column names (the driver
+sorts columns by name before value-hashing), same value semantics.
+
+Cross-engine determinism rules used throughout (see queries.py):
+* Money/measure aggregates go through DECIMAL casts (exact, order-
+  independent) and only the *final* value is cast to DOUBLE — a
+  straight SUM(double) would depend on partition/visit order.
+* Averages are CAST(SUM(decimal) AS DOUBLE) / COUNT — one double
+  division, identical in both engines — never a native AVG.
+* Epoch arithmetic uses whole microseconds as BIGINT.
+* Every LIMIT is preceded by a total ORDER BY (unique tiebreak).
+* DuckDB's '/' on integers is float division; integer division is
+  written '//' here and 'div'/floor on the Spark side.
+"""
+
+from __future__ import annotations
+
+MSG_PAT = r":([^!]+)!~?([^@]+)@(\S+) PRIVMSG (\S+) :(.+)"
+
+# ---------------------------------------------------------------- synth twin
+# Oracle twin of irclogbot_spark.synth.synthesize_irc_lines.
+RAW_LINES_CTE = """
+raw AS (
+  SELECT ts,
+    CASE
+      WHEN event_id % 97 = 13 THEN 'PING :irc.example.net'
+      WHEN event_id % 97 = 27 THEN ':irc.example.net NOTICE * :*** Looking up your hostname...'
+      WHEN event_id % 97 = 41 THEN '   '
+      WHEN event_id % 97 = 55 THEN ':verylongnick12345678!~x@h3.example.com PRIVMSG #noise :dropped'
+      ELSE ':u' || CAST(user_id AS VARCHAR) || '!~u' || CAST(user_id AS VARCHAR)
+           || '@h' || CAST(user_id % 7 AS VARCHAR) || '.example.com PRIVMSG #'
+           || event_type || ' :'
+           || CASE WHEN event_id % 11 = 0 THEN 'ACTION ' || props ELSE props END
+    END AS value
+  FROM events
+)"""
+
+# Oracle twin of ingest.parse_pipeline over the synthesized lines
+# (F1 blank, F2 PING, P1 parse, F3 match, P3 ACTION, F4 nick, P4
+# second-truncated event time, H1 sha-256 scale id).
+IRCLOG_CTE = (
+    RAW_LINES_CTE
+    + f""",
+trimmed AS (
+  SELECT ts, trim(value) AS value FROM raw
+  WHERE length(trim(value)) > 0 AND NOT contains(trim(value), 'PING :')
+),
+parsed AS (
+  SELECT ts,
+    regexp_extract(value, '{MSG_PAT}', 1) AS nick,
+    regexp_extract(value, '{MSG_PAT}', 2) AS usr,
+    regexp_extract(value, '{MSG_PAT}', 3) AS host,
+    regexp_extract(value, '{MSG_PAT}', 4) AS channel,
+    regexp_extract(value, '{MSG_PAT}', 5) AS remark
+  FROM trimmed
+),
+normalized AS (
+  SELECT channel, nick, date_trunc('second', ts) AS posted,
+    CASE WHEN remark LIKE 'ACTION %' THEN '/me ' || substr(remark, 8) ELSE remark END AS remark,
+    usr, host
+  FROM parsed
+  WHERE nick <> '' AND channel <> '' AND remark <> '' AND length(nick) < 17
+),
+irclog AS (
+  SELECT channel, nick, posted, remark,
+    sha256(array_to_string(list_sort([channel, nick, remark]), chr(31))) AS id,
+    usr AS "user", host
+  FROM normalized
+)"""
+)
+
+# ------------------------------------------------------- decimal-sum helpers
+def dsum(expr: str, prec: str = "DECIMAL(12,2)") -> str:
+    return f"CAST(SUM(CAST({expr} AS {prec})) AS DOUBLE)"
+
+
+def dsum_raw(expr: str) -> str:
+    """Sum an already-exact decimal expression; cast only the final
+    result. Never re-round mid-computation: Spark rounds decimal
+    casts HALF_UP, DuckDB HALF_EVEN — per-row rounding of .xx50 ties
+    would diverge."""
+    return f"CAST(SUM({expr}) AS DOUBLE)"
+
+
+def davg(expr: str, prec: str = "DECIMAL(12,2)") -> str:
+    return f"CAST(SUM(CAST({expr} AS {prec})) AS DOUBLE) / COUNT(*)"
+
+
+REVENUE = (
+    "CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))"
+)
+
+HUMAN_FMT_SQL = """CASE
+  WHEN {b} = 0 THEN '0 bytes'
+  WHEN {b} = 1 THEN '1 byte'
+  WHEN {b} > 1 AND {b} < 1024 THEN printf('%.0f', CAST({b} AS DOUBLE)) || ' bytes'
+  WHEN {b} >= 1024 AND {b} < 1048576 THEN printf('%.0f', CAST({b} AS DOUBLE) / 1024.0) || ' K'
+  WHEN {b} >= 1048576 AND {b} < 1073741824 THEN printf('%.1f', CAST({b} AS DOUBLE) / 1048576.0) || ' MB'
+  WHEN {b} >= 1073741824 AND {b} < 1099511627776 THEN printf('%.2f', CAST({b} AS DOUBLE) / 1073741824.0) || ' GB'
+  WHEN {b} >= 1099511627776 AND {b} < 1125899906842624 THEN printf('%.2f', CAST({b} AS DOUBLE) / 1099511627776.0) || ' TB'
+  WHEN {b} >= 1125899906842624 THEN printf('%.2f', CAST({b} AS DOUBLE) / 1125899906842624.0) || ' PB'
+  ELSE NULL END"""
+
+
+ORACLES: dict[str, str] = {}
+
+# ------------------------------------------------------------ ingest family
+ORACLES["ingest_parse"] = f"""
+WITH {IRCLOG_CTE}
+SELECT channel, nick, posted, remark, id, "user", host FROM irclog
+"""
+
+ORACLES["ingest_filter_stats"] = f"""
+WITH {RAW_LINES_CTE},
+t AS (SELECT trim(value) AS value FROM raw)
+SELECT
+  COUNT(*) AS n_raw,
+  COUNT(*) FILTER (WHERE length(value) > 0) AS n_nonempty,
+  COUNT(*) FILTER (WHERE length(value) > 0 AND NOT contains(value, 'PING :')) AS n_data,
+  COUNT(*) FILTER (WHERE length(value) > 0 AND NOT contains(value, 'PING :')
+    AND regexp_extract(value, '{MSG_PAT}', 1) <> ''
+    AND regexp_extract(value, '{MSG_PAT}', 4) <> ''
+    AND regexp_extract(value, '{MSG_PAT}', 5) <> '') AS n_matched,
+  COUNT(*) FILTER (WHERE length(value) > 0 AND NOT contains(value, 'PING :')
+    AND regexp_extract(value, '{MSG_PAT}', 1) <> ''
+    AND regexp_extract(value, '{MSG_PAT}', 4) <> ''
+    AND regexp_extract(value, '{MSG_PAT}', 5) <> ''
+    AND length(regexp_extract(value, '{MSG_PAT}', 1)) < 17) AS n_recorded
+FROM t
+"""
+
+ORACLES["ingest_dedup"] = f"""
+WITH {IRCLOG_CTE}
+SELECT channel, nick, remark, id, COUNT(*) AS n_deliveries, MIN(posted) AS first_posted
+FROM irclog GROUP BY channel, nick, remark, id
+"""
+
+ORACLES["ingest_action_rows"] = f"""
+WITH {IRCLOG_CTE}
+SELECT channel, COUNT(*) AS n_me FROM irclog WHERE remark LIKE '/me %' GROUP BY channel
+"""
+
+ORACLES["channels_catalog"] = f"""
+WITH {IRCLOG_CTE},
+ch AS (SELECT DISTINCT channel FROM irclog)
+SELECT channel,
+  CAST(FLOOR((ROW_NUMBER() OVER (ORDER BY channel) - 1) / 40) AS INT) AS bot_slice
+FROM ch
+"""
+
+# ------------------------------------------------- implied ES query surface
+ORACLES["log_term_filter"] = f"""
+WITH {IRCLOG_CTE}
+SELECT channel, nick, posted, remark, id FROM irclog
+WHERE channel = '#purchase' AND nick = 'u7'
+"""
+
+ORACLES["log_time_range"] = f"""
+WITH {IRCLOG_CTE}
+SELECT channel, nick, posted, remark FROM irclog
+WHERE posted >= TIMESTAMP '2024-01-10 00:00:00' AND posted < TIMESTAMP '2024-01-12 00:00:00'
+"""
+
+ORACLES["log_fulltext"] = f"""
+WITH {IRCLOG_CTE}
+SELECT channel, nick, posted, remark FROM irclog WHERE remark LIKE '%"k": 4%'
+"""
+
+ORACLES["log_point_lookup"] = f"""
+WITH {IRCLOG_CTE}
+SELECT id, channel, nick, remark, COUNT(*) AS n FROM irclog
+WHERE id = (SELECT MIN(id) FROM irclog)
+GROUP BY id, channel, nick, remark
+"""
+
+ORACLES["log_msgs_per_channel_day"] = f"""
+WITH {IRCLOG_CTE}
+SELECT channel, CAST(date_trunc('day', posted) AS DATE) AS day, COUNT(*) AS n_msgs,
+  COUNT(DISTINCT nick) AS n_nicks
+FROM irclog GROUP BY channel, CAST(date_trunc('day', posted) AS DATE)
+"""
+
+ORACLES["log_top_nicks"] = f"""
+WITH {IRCLOG_CTE}
+SELECT nick, COUNT(*) AS n_msgs FROM irclog
+GROUP BY nick ORDER BY n_msgs DESC, nick LIMIT 10
+"""
+
+ORACLES["log_nick_rank_per_channel"] = f"""
+WITH {IRCLOG_CTE},
+cnt AS (SELECT channel, nick, COUNT(*) AS n_msgs FROM irclog GROUP BY channel, nick)
+SELECT channel, nick, n_msgs, rnk FROM (
+  SELECT channel, nick, n_msgs,
+    RANK() OVER (PARTITION BY channel ORDER BY n_msgs DESC, nick) AS rnk
+  FROM cnt
+) WHERE rnk <= 3
+"""
+
+ORACLES["log_inter_message_gap"] = f"""
+WITH {IRCLOG_CTE},
+g AS (
+  SELECT channel,
+    epoch_us(posted) - LAG(epoch_us(posted)) OVER (PARTITION BY channel ORDER BY posted, id) AS gap_us
+  FROM irclog
+)
+SELECT channel, COUNT(gap_us) AS n_gaps,
+  CAST(SUM(gap_us) AS DOUBLE) / COUNT(gap_us) / 1000000.0 AS avg_gap_s,
+  MAX(gap_us) // 1000000 AS max_gap_s
+FROM g WHERE gap_us IS NOT NULL GROUP BY channel
+"""
+
+# --------------------------------------------------------------- TPC-H-ish
+ORACLES["tpch_q1_pricing_summary"] = f"""
+SELECT l_returnflag, l_linestatus,
+  {dsum('l_quantity')} AS sum_qty,
+  {dsum('l_extendedprice')} AS sum_base_price,
+  {dsum_raw(REVENUE)} AS sum_disc_price,
+  {dsum_raw(f"{REVENUE} * (1 + CAST(l_tax AS DECIMAL(4,2)))")} AS sum_charge,
+  {davg('l_quantity')} AS avg_qty,
+  {davg('l_extendedprice')} AS avg_price,
+  {davg('l_discount', 'DECIMAL(4,2)')} AS avg_disc,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+ORACLES["tpch_q3_shipping_priority"] = f"""
+SELECT l_orderkey, {dsum_raw(REVENUE)} AS revenue, o_orderdate, o_orderpriority
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '2000-03-15 00:00:00'
+  AND l_shipdate > TIMESTAMP '1996-03-15 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey LIMIT 10
+"""
+
+ORACLES["tpch_q5_local_supplier"] = f"""
+SELECT n_name, {dsum_raw(REVENUE)} AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY n_name
+"""
+
+ORACLES["join_top_customers"] = f"""
+SELECT c_custkey, c_name, n_name,
+  {dsum('o_totalprice')} AS total_spend, COUNT(*) AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY c_custkey, c_name, n_name
+ORDER BY total_spend DESC, c_custkey LIMIT 10
+"""
+
+ORACLES["join_anti_customers_no_orders"] = """
+SELECT c_custkey, c_name, c_mktsegment FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+ORACLES["join_semi_parts_ordered"] = """
+SELECT p_brand, COUNT(*) AS n_parts FROM part
+WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+GROUP BY p_brand
+"""
+
+ORACLES["agg_rollup"] = f"""
+SELECT l_returnflag, l_linestatus,
+  {dsum('l_quantity')} AS sum_qty, COUNT(*) AS n_items
+FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+"""
+
+ORACLES["agg_distinct"] = f"""
+SELECT o_orderstatus,
+  COUNT(DISTINCT o_custkey) AS n_customers,
+  COUNT(*) AS n_orders,
+  {dsum('o_totalprice')} AS total_value
+FROM orders GROUP BY o_orderstatus
+"""
+
+ORACLES["set_ops"] = """
+SELECT custkey FROM (
+  (SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+   INTERSECT
+   SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 150000)
+  UNION
+  SELECT c_custkey AS custkey FROM customer WHERE c_acctbal < 0
+)
+EXCEPT
+SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 9000
+"""
+
+ORACLES["scalar_human_fmt"] = f"""
+WITH b AS (SELECT CAST(FLOOR(o_totalprice * 1024) AS BIGINT) AS nbytes FROM orders)
+SELECT {HUMAN_FMT_SQL.format(b='nbytes')} AS size_label, COUNT(*) AS n
+FROM b GROUP BY 1
+"""
+
+# ------------------------------------------------------------------- events
+ORACLES["events_sessionize"] = """
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS tus FROM events
+),
+flagged AS (
+  SELECT user_id, event_id, tus,
+    CASE WHEN tus - LAG(tus) OVER w > 1800000000 OR LAG(tus) OVER w IS NULL
+         THEN 1 ELSE 0 END AS new_session
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)
+),
+sessions AS (
+  SELECT user_id, tus,
+    SUM(new_session) OVER (PARTITION BY user_id ORDER BY tus, event_id) AS session_seq
+  FROM flagged
+)
+SELECT user_id, session_seq, COUNT(*) AS n_events,
+  MIN(tus) AS session_start_us, MAX(tus) AS session_end_us,
+  (MAX(tus) - MIN(tus)) // 1000000 AS duration_s
+FROM sessions GROUP BY user_id, session_seq
+"""
+
+ORACLES["events_tumbling_hourly"] = f"""
+SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_ts,
+  COUNT(*) AS n_events, {dsum('value')} AS total_value
+FROM events GROUP BY event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP)
+"""
+
+ORACLES["events_json_extract"] = """
+SELECT event_type,
+  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DOUBLE) / COUNT(*) AS avg_k,
+  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+  COUNT(*) AS n
+FROM events GROUP BY event_type
+"""
+
+# ---------------------------------------------------------------- documents
+TOKENS = r"len(regexp_extract_all(text, '\S+'))"
+STOPS = r"len(regexp_extract_all(lower(text), '\b(the|a|an|and|or|of|to|in|is|it)\b'))"
+
+ORACLES["docs_token_stats"] = f"""
+SELECT lang, COUNT(*) AS n_docs,
+  SUM({TOKENS}) AS total_tokens,
+  CAST(SUM({TOKENS}) AS DOUBLE) / COUNT(*) AS avg_tokens,
+  CAST(SUM(length(text)) AS DOUBLE) / COUNT(*) AS avg_chars
+FROM documents GROUP BY lang
+"""
+
+ORACLES["docs_quality"] = f"""
+SELECT doc_id,
+  {TOKENS} AS n_tokens,
+  {STOPS} AS n_stopwords,
+  CAST({STOPS} AS DOUBLE) / {TOKENS} AS stop_ratio,
+  CASE WHEN {TOKENS} >= 5 AND {TOKENS} <= 2000
+        AND CAST({STOPS} AS DOUBLE) / {TOKENS} > 0.01 THEN 1 ELSE 0 END AS passes
+FROM documents WHERE {TOKENS} > 0
+"""
+
+ORACLES["docs_exact_dedup"] = """
+WITH fp AS (SELECT md5(text) AS fingerprint, COUNT(*) AS n_copies, MIN(doc_id) AS keeper
+            FROM documents GROUP BY md5(text))
+SELECT COUNT(*) AS n_distinct_texts,
+  SUM(n_copies) AS n_docs,
+  SUM(n_copies) - COUNT(*) AS n_duplicate_docs,
+  COUNT(*) FILTER (WHERE n_copies > 1) AS n_dup_groups
+FROM fp
+"""
+
+ORACLES["docs_lang_breakdown"] = """
+SELECT lang, source, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+FROM documents GROUP BY lang, source
+"""
+
+# --------------------------------------------------------------- embeddings
+COS_SQL = """
+WITH q AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0
+),
+scored AS (
+  SELECT vec_id, label,
+    list_dot_product(CAST(embedding AS DOUBLE[]), qv)
+      / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))
+         * sqrt(list_dot_product(qv, qv))) AS cosine
+  FROM embeddings, q WHERE vec_id <> 0
+)
+"""
+
+ORACLES["emb_cosine_topk"] = (
+    COS_SQL + "SELECT vec_id, label, cosine FROM scored ORDER BY cosine DESC, vec_id LIMIT 10"
+)
+
+
+def oracle_sql() -> dict[str, str]:
+    return dict(ORACLES)

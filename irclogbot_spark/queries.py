@@ -1,0 +1,538 @@
+"""Spark query library — one builder per SURVEY.md §2 capability.
+
+Each builder takes (spark, sf_dir) and returns a DataFrame whose
+column names and values match the same-named DuckDB oracle in
+irclogbot_spark.oracles (see that module's determinism rules).
+
+Scale notes baked in:
+* Dimension joins (region/nation/supplier) are explicit broadcasts —
+  no shuffle of the fact side on a 1000-executor cluster.
+* Fact-fact joins (orders x lineitem) shuffle on their join key once;
+  aggregations are expressed so partial (map-side) aggregation
+  applies before the exchange.
+* All money aggregates use DECIMAL accumulation (exact, order-free)
+  and cast the final value to DOUBLE — a plain SUM(double) would be
+  partition-order-dependent and could never hash-match an oracle.
+* Every LIMIT has a total ORDER BY with a unique tiebreak.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from irclogbot_spark import synth
+from irclogbot_spark.functions.scalar import human_fmt
+from irclogbot_spark.session import ensure_runtime_confs
+from irclogbot_spark.sources.tables import load_table
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+QUERIES: dict[str, QueryFn] = {}
+
+
+def query(name: str):
+    def deco(fn: QueryFn) -> QueryFn:
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            ensure_runtime_confs(spark)
+            return fn(spark, sf_dir)
+
+        QUERIES[name] = wrapped
+        return wrapped
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ----------------------------------------------------- determinism helpers
+def dsum(c: Column | str, prec: str = "decimal(12,2)") -> Column:
+    col = F.col(c) if isinstance(c, str) else c
+    return F.sum(col.cast(prec)).cast("double")
+
+
+def dsum_raw(c: Column) -> Column:
+    """Sum an already-exact decimal expression; cast only the final
+    result (Spark rounds decimal casts HALF_UP, DuckDB HALF_EVEN —
+    re-rounding mid-computation would diverge on .xx50 ties)."""
+    return F.sum(c).cast("double")
+
+
+def davg(c: Column | str, prec: str = "decimal(12,2)") -> Column:
+    col = F.col(c) if isinstance(c, str) else c
+    return F.sum(col.cast(prec)).cast("double") / F.count(F.lit(1))
+
+
+def _revenue() -> Column:
+    return F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(4,2)")
+    )
+
+
+def _ntz(lit: str) -> Column:
+    return F.lit(lit).cast("timestamp_ntz")
+
+
+# ------------------------------------------------------------ ingest family
+@query("ingest_parse")
+def ingest_parse(spark, sf_dir):
+    """P1/P2/P3/F1-F4/H1 end-to-end (SURVEY.md §2B/§2C/§2D)."""
+    return synth.irclog(spark, sf_dir)
+
+
+@query("ingest_filter_stats")
+def ingest_filter_stats(spark, sf_dir):
+    """Per-stage survivor counts for the filter chain F1->F2->F3->F4."""
+    from irclogbot_spark.ingest import MSG_PAT
+
+    t = synth.raw_lines(spark, sf_dir).select(F.trim("value").alias("value"))
+    v = F.col("value")
+    nonempty = F.length(v) > 0
+    data = nonempty & ~v.contains("PING :")
+    matched = (
+        data
+        & (F.regexp_extract(v, MSG_PAT, 1) != "")
+        & (F.regexp_extract(v, MSG_PAT, 4) != "")
+        & (F.regexp_extract(v, MSG_PAT, 5) != "")
+    )
+    recorded = matched & (F.length(F.regexp_extract(v, MSG_PAT, 1)) < 17)
+    return t.agg(
+        F.count(F.lit(1)).alias("n_raw"),
+        F.count(F.when(nonempty, 1)).alias("n_nonempty"),
+        F.count(F.when(data, 1)).alias("n_data"),
+        F.count(F.when(matched, 1)).alias("n_matched"),
+        F.count(F.when(recorded, 1)).alias("n_recorded"),
+    )
+
+
+@query("ingest_dedup")
+def ingest_dedup(spark, sf_dir):
+    """H2/H3: collapse duplicate deliveries on the time-free content key;
+    first_posted = deterministic stand-in for the sink's upsert winner."""
+    return (
+        synth.irclog(spark, sf_dir)
+        .groupBy("channel", "nick", "remark", "id")
+        .agg(F.count(F.lit(1)).alias("n_deliveries"), F.min("posted").alias("first_posted"))
+    )
+
+
+@query("ingest_action_rows")
+def ingest_action_rows(spark, sf_dir):
+    """P3 coverage: rows that went through the ACTION -> /me rewrite."""
+    return (
+        synth.irclog(spark, sf_dir)
+        .filter(F.col("remark").startswith("/me "))
+        .groupBy("channel")
+        .agg(F.count(F.lit(1)).alias("n_me"))
+    )
+
+
+@query("channels_catalog")
+def channels_catalog(spark, sf_dir):
+    """S4/D1: channel catalog with static 40-per-bot range sharding
+    (irclogbot.py:215-224). The global window is fine: the catalog is
+    dimension-sized (155 rows in the reference)."""
+    ch = synth.irclog(spark, sf_dir).select("channel").distinct()
+    rn = F.row_number().over(Window.orderBy("channel"))
+    return ch.select(
+        "channel", F.floor((rn - F.lit(1)) / F.lit(40)).cast("int").alias("bot_slice")
+    )
+
+
+# ------------------------------------------------- implied ES query surface
+@query("log_term_filter")
+def log_term_filter(spark, sf_dir):
+    """§2H exact term filter on channel+nick (ES .keyword semantics)."""
+    log = synth.irclog(spark, sf_dir)
+    return log.filter((F.col("channel") == "#purchase") & (F.col("nick") == "u7")).select(
+        "channel", "nick", "posted", "remark", "id"
+    )
+
+
+@query("log_time_range")
+def log_time_range(spark, sf_dir):
+    """§2H time-range scan on posted."""
+    log = synth.irclog(spark, sf_dir)
+    return log.filter(
+        (F.col("posted") >= _ntz("2024-01-10 00:00:00"))
+        & (F.col("posted") < _ntz("2024-01-12 00:00:00"))
+    ).select("channel", "nick", "posted", "remark")
+
+
+@query("log_fulltext")
+def log_fulltext(spark, sf_dir):
+    """§2H full-text search over remark (LIKE form)."""
+    log = synth.irclog(spark, sf_dir)
+    return log.filter(F.col("remark").like('%"k": 4%')).select(
+        "channel", "nick", "posted", "remark"
+    )
+
+
+@query("log_point_lookup")
+def log_point_lookup(spark, sf_dir):
+    """§2H point lookup by content id (keyed PUT analog). The key set
+    is one row — broadcast to every executor, no shuffle of the log."""
+    log = synth.irclog(spark, sf_dir)
+    key = log.agg(F.min("id").alias("id"))
+    return (
+        log.join(F.broadcast(key), "id")
+        .groupBy("id", "channel", "nick", "remark")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query("log_msgs_per_channel_day")
+def log_msgs_per_channel_day(spark, sf_dir):
+    """§2H date-histogram aggregation (msgs + active nicks per day)."""
+    log = synth.irclog(spark, sf_dir)
+    return log.groupBy("channel", F.to_date("posted").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_msgs"), F.countDistinct("nick").alias("n_nicks")
+    )
+
+
+@query("log_top_nicks")
+def log_top_nicks(spark, sf_dir):
+    """§2H terms aggregation: top-k talkers."""
+    log = synth.irclog(spark, sf_dir)
+    return (
+        log.groupBy("nick")
+        .agg(F.count(F.lit(1)).alias("n_msgs"))
+        .orderBy(F.desc("n_msgs"), F.asc("nick"))
+        .limit(10)
+    )
+
+
+@query("log_nick_rank_per_channel")
+def log_nick_rank_per_channel(spark, sf_dir):
+    """Window function: rank nicks by message count within channel."""
+    log = synth.irclog(spark, sf_dir)
+    cnt = log.groupBy("channel", "nick").agg(F.count(F.lit(1)).alias("n_msgs"))
+    w = Window.partitionBy("channel").orderBy(F.desc("n_msgs"), F.asc("nick"))
+    return cnt.withColumn("rnk", F.rank().over(w)).filter(F.col("rnk") <= 3)
+
+
+@query("log_inter_message_gap")
+def log_inter_message_gap(spark, sf_dir):
+    """Window lag: inter-message gap stats per channel (epoch-micros
+    arithmetic; ties broken by id so the lag sequence is stable)."""
+    log = synth.irclog(spark, sf_dir)
+    w = Window.partitionBy("channel").orderBy("posted", "id")
+    us = F.unix_micros(F.col("posted").cast("timestamp"))
+    g = log.select("channel", (us - F.lag(us).over(w)).alias("gap_us")).filter(
+        F.col("gap_us").isNotNull()
+    )
+    return g.groupBy("channel").agg(
+        F.count("gap_us").alias("n_gaps"),
+        (F.sum("gap_us").cast("double") / F.count("gap_us") / F.lit(1000000.0)).alias(
+            "avg_gap_s"
+        ),
+        F.expr("max(gap_us) div 1000000").alias("max_gap_s"),
+    )
+
+
+# ---------------------------------------------------------------- TPC-H-ish
+@query("tpch_q1_pricing_summary")
+def tpch_q1(spark, sf_dir):
+    """TPC-H Q1 shape: scan-filter-aggregate; partial aggregation does
+    the heavy lifting map-side, shuffle carries only group states."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= _ntz("1998-09-02 00:00:00"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            dsum_raw(_revenue()).alias("sum_disc_price"),
+            dsum_raw(_revenue() * (F.lit(1) + F.col("l_tax").cast("decimal(4,2)"))).alias(
+                "sum_charge"
+            ),
+            davg("l_quantity").alias("avg_qty"),
+            davg("l_extendedprice").alias("avg_price"),
+            davg("l_discount", "decimal(4,2)").alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@query("tpch_q3_shipping_priority")
+def tpch_q3(spark, sf_dir):
+    """TPC-H Q3 shape: selective dim filter -> two key joins -> top-k.
+    customer is the small side after its segment filter; orders and
+    lineitem co-shuffle on orderkey."""
+    cu = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < _ntz("2000-03-15 00:00:00"))
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > _ntz("1996-03-15 00:00:00"))
+    return (
+        cu.join(o, cu.c_custkey == o.o_custkey)
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dsum_raw(_revenue()).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@query("tpch_q5_local_supplier")
+def tpch_q5(spark, sf_dir):
+    """TPC-H Q5 shape. nation/region/supplier broadcast (bounded dims);
+    the only shuffles are the two fact joins + final group."""
+    cu = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= _ntz("1996-01-01 00:00:00"))
+        & (F.col("o_orderdate") < _ntz("1998-01-01 00:00:00"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    su = F.broadcast(_t(spark, sf_dir, "supplier"))
+    na = F.broadcast(_t(spark, sf_dir, "nation"))
+    re = F.broadcast(_t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA"))
+    return (
+        cu.join(o, cu.c_custkey == o.o_custkey)
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(su, (F.col("l_suppkey") == F.col("s_suppkey")) & (F.col("c_nationkey") == F.col("s_nationkey")))
+        .join(na, F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(re, F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(dsum_raw(_revenue()).alias("revenue"))
+    )
+
+
+@query("join_top_customers")
+def join_top_customers(spark, sf_dir):
+    """Broadcast dim join + top-k by aggregate."""
+    o = _t(spark, sf_dir, "orders")
+    cu = _t(spark, sf_dir, "customer")
+    na = F.broadcast(_t(spark, sf_dir, "nation"))
+    return (
+        o.join(cu, o.o_custkey == cu.c_custkey)
+        .join(na, F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(dsum("o_totalprice").alias("total_spend"), F.count(F.lit(1)).alias("n_orders"))
+        .orderBy(F.desc("total_spend"), F.asc("c_custkey"))
+        .limit(10)
+    )
+
+
+@query("join_anti_customers_no_orders")
+def join_anti(spark, sf_dir):
+    """Left-anti join (NOT EXISTS)."""
+    cu = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return cu.join(o, cu.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+@query("join_semi_parts_ordered")
+def join_semi(spark, sf_dir):
+    """Left-semi join (EXISTS) + aggregate."""
+    p = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        p.join(li, p.p_partkey == li.l_partkey, "left_semi")
+        .groupBy("p_brand")
+        .agg(F.count(F.lit(1)).alias("n_parts"))
+    )
+
+
+@query("agg_rollup")
+def agg_rollup(spark, sf_dir):
+    """ROLLUP grouping sets."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        dsum("l_quantity").alias("sum_qty"), F.count(F.lit(1)).alias("n_items")
+    )
+
+
+@query("agg_distinct")
+def agg_distinct(spark, sf_dir):
+    """Distinct aggregate alongside plain aggregates."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum("o_totalprice").alias("total_value"),
+    )
+
+
+@query("set_ops")
+def set_ops(spark, sf_dir):
+    """INTERSECT / UNION / EXCEPT composition (all distinct forms)."""
+    cu = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    building = cu.filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("custkey")
+    )
+    big = o.filter(F.col("o_totalprice") > 150000).select(F.col("o_custkey").alias("custkey"))
+    negbal = cu.filter(F.col("c_acctbal") < 0).select(F.col("c_custkey").alias("custkey"))
+    rich = cu.filter(F.col("c_acctbal") > 9000).select(F.col("c_custkey").alias("custkey"))
+    return building.intersect(big).union(negbal).distinct().subtract(rich)
+
+
+@query("scalar_human_fmt")
+def scalar_human_fmt(spark, sf_dir):
+    """X1 human_fmt as a pure CASE expression over derived byte sizes."""
+    o = _t(spark, sf_dir, "orders")
+    b = F.floor(F.col("o_totalprice") * 1024).cast("long")
+    return (
+        o.select(human_fmt(b).alias("size_label"))
+        .groupBy("size_label")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# -------------------------------------------------------------------- events
+@query("events_sessionize")
+def events_sessionize(spark, sf_dir):
+    """Gap-based sessionization (30-min) via lag + running sum — the
+    batch twin of streaming session_window (SURVEY.md §7 M4)."""
+    ev = _t(spark, sf_dir, "events")
+    tus = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+    flagged = ev.select("user_id", "event_id", tus.alias("tus")).withColumn(
+        "new_session",
+        F.when(
+            (F.col("tus") - F.lag("tus").over(w) > 1_800_000_000)
+            | F.lag("tus").over(w).isNull(),
+            1,
+        ).otherwise(0),
+    )
+    sess = flagged.withColumn("session_seq", F.sum("new_session").over(w))
+    return sess.groupBy("user_id", "session_seq").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("tus").alias("session_start_us"),
+        F.max("tus").alias("session_end_us"),
+        F.expr("(max(tus) - min(tus)) div 1000000").alias("duration_s"),
+    )
+
+
+@query("events_tumbling_hourly")
+def events_tumbling_hourly(spark, sf_dir):
+    """Tumbling event-time window aggregation (batch date_trunc form;
+    the streaming twin uses window('1 hour') — streaming/pipeline)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour_ts")
+    ).agg(F.count(F.lit(1)).alias("n_events"), dsum("value").alias("total_value"))
+
+
+@query("events_json_extract")
+def events_json_extract(spark, sf_dir):
+    """Semi-structured extraction from the props JSON payload."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        (F.sum(k).cast("double") / F.count(F.lit(1))).alias("avg_k"),
+        F.max(k).alias("max_k"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+# ----------------------------------------------------------------- documents
+def _tokens() -> Column:
+    return F.size(F.regexp_extract_all(F.col("text"), F.lit(r"\S+"), F.lit(0)))
+
+
+def _stops() -> Column:
+    return F.size(
+        F.regexp_extract_all(
+            F.lower(F.col("text")), F.lit(r"\b(the|a|an|and|or|of|to|in|is|it)\b"), F.lit(0)
+        )
+    )
+
+
+@query("docs_token_stats")
+def docs_token_stats(spark, sf_dir):
+    """Token counting over documents (whitespace tokens, per-lang)."""
+    d = _t(spark, sf_dir, "documents")
+    t = d.select("lang", _tokens().alias("tok"), F.length("text").alias("chars"))
+    return t.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("tok").alias("total_tokens"),
+        (F.sum("tok").cast("double") / F.count(F.lit(1))).alias("avg_tokens"),
+        (F.sum("chars").cast("double") / F.count(F.lit(1))).alias("avg_chars"),
+    )
+
+
+@query("docs_quality")
+def docs_quality(spark, sf_dir):
+    """Per-doc quality scoring: token count, stopword ratio, pass flag."""
+    d = _t(spark, sf_dir, "documents")
+    t = d.select("doc_id", _tokens().alias("n_tokens"), _stops().alias("n_stopwords")).filter(
+        F.col("n_tokens") > 0
+    )
+    ratio = F.col("n_stopwords").cast("double") / F.col("n_tokens")
+    return t.select(
+        "doc_id",
+        "n_tokens",
+        "n_stopwords",
+        ratio.alias("stop_ratio"),
+        F.when(
+            (F.col("n_tokens") >= 5) & (F.col("n_tokens") <= 2000) & (ratio > 0.01), 1
+        )
+        .otherwise(0)
+        .alias("passes"),
+    )
+
+
+@query("docs_exact_dedup")
+def docs_exact_dedup(spark, sf_dir):
+    """Exact dedup via content fingerprint (hash-groupBy — the scale
+    path for exact dedup at 100 TB: one shuffle on the fingerprint)."""
+    d = _t(spark, sf_dir, "documents")
+    fp = d.groupBy(F.md5(F.col("text").cast("binary")).alias("fingerprint")).agg(
+        F.count(F.lit(1)).alias("n_copies"), F.min("doc_id").alias("keeper")
+    )
+    return fp.agg(
+        F.count(F.lit(1)).alias("n_distinct_texts"),
+        F.sum("n_copies").alias("n_docs"),
+        (F.sum("n_copies") - F.count(F.lit(1))).alias("n_duplicate_docs"),
+        F.count(F.when(F.col("n_copies") > 1, 1)).alias("n_dup_groups"),
+    )
+
+
+@query("docs_lang_breakdown")
+def docs_lang_breakdown(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("total_chars")
+    )
+
+
+# ---------------------------------------------------------------- embeddings
+def _dot(a: Column, b: Column) -> Column:
+    """Sequential left-fold dot product — deterministic element order,
+    so the double result is bit-identical to the oracle's loop."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+@query("emb_cosine_topk")
+def emb_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-k against a query vector — the exactness
+    baseline for ANN. Query row broadcasts; one pass over the corpus,
+    no shuffle until the final top-k."""
+    emb = _t(spark, sf_dir, "embeddings")
+    vec = F.col("embedding").cast("array<double>")
+    q = emb.filter(F.col("vec_id") == 0).select(vec.alias("qv"))
+    scored = (
+        emb.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(q))
+        .select(
+            "vec_id",
+            "label",
+            (
+                _dot(vec, F.col("qv"))
+                / (F.sqrt(_dot(vec, vec)) * F.sqrt(_dot(F.col("qv"), F.col("qv"))))
+            ).alias("cosine"),
+        )
+    )
+    return scored.orderBy(F.desc("cosine"), F.asc("vec_id")).limit(10)
+
+
+def queries() -> dict[str, QueryFn]:
+    return dict(QUERIES)

@@ -47,7 +47,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             pass
         df = spark.read.parquet(f"{sf_dir}/events.parquet")
         if dict(df.dtypes)["ts"] == "bigint":
-            df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long")))
+            # integer division: epoch-nanos (~1.8e18) far exceeds the
+            # 2^53 exact range of a double — '/' would drift by ±1us
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
