@@ -1,0 +1,1 @@
+from irclogbot_spark.operators import dedup, multimodal, similarity  # noqa: F401

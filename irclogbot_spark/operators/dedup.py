@@ -1,0 +1,344 @@
+"""Document deduplication operators — exact, shingle-Jaccard,
+MinHash+LSH, SimHash (north-star extensions, SURVEY.md §7 M4).
+
+Everything here is built from JVM-side expressions (no Python UDFs in
+any hot path) and structured for 100 TB:
+
+* exact dedup    — one shuffle on a content fingerprint.
+* jaccard_pairs  — exact n-gram Jaccard via a shingle self-join;
+                   quadratic in shingle collision, so it is the
+                   *verifier*, not the scale path.
+* minhash_lsh    — the scale path: signatures are per-row (map-only),
+                   candidates come from a band-bucket shuffle whose
+                   fan-out is O(rows x bands), and only candidates pay
+                   the exact-Jaccard verification.
+* simhash        — 64-bit weighted fingerprint; near-dup pairs via
+                   the 4x16-bit chunk pigeonhole (hamming<=3 implies
+                   at least one identical chunk).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def tokens(text: Column | str) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_extract_all(c, F.lit(r"\S+"), F.lit(0))
+
+
+def shingles(text: Column | str, n: int = 5) -> Column:
+    """Distinct word n-gram shingles. Docs shorter than n tokens get
+    an empty set (guard needed: sequence(1, k<1) would count down)."""
+    toks = tokens(text)
+    k = F.size(toks) - F.lit(n - 1)
+    grams = F.transform(
+        F.sequence(F.lit(1), k), lambda i: F.concat_ws(" ", F.slice(toks, i, n))
+    )
+    return F.array_distinct(F.when(k >= 1, grams).otherwise(F.array().cast("array<string>")))
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep-first exact dedup on a content fingerprint (H1/H2 at the
+    document level): one hash-partitioned shuffle, no sort."""
+    fp = F.md5(F.col(text_col).cast("binary")).alias("fingerprint")
+    keep = df.groupBy(fp).agg(F.min(id_col).alias(id_col))
+    return df.join(keep, id_col, "left_semi")
+
+
+def _shingle_rows(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    return df.select(
+        F.col(id_col), F.explode(shingles(text_col, n)).alias("shingle")
+    )
+
+
+def _shingle_sizes(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    return df.select(F.col(id_col), F.size(shingles(text_col, n)).alias("n_shingles"))
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity pairs >= threshold.
+
+    Shuffle profile: explode -> join on shingle (both sides hash-
+    partitioned on the shingle) -> pair aggregation. Long shingles
+    (n=5 default) keep bucket collision near-zero on natural text;
+    this is the exactness oracle for MinHash, not the 100 TB path.
+    """
+    sh = _shingle_rows(df, id_col, text_col, n)
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(F.col(f"a.{id_col}").alias("d1"), F.col(f"b.{id_col}").alias("d2"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sizes = _shingle_sizes(df, id_col, text_col, n)
+    jac = F.col("n_common").cast("double") / (
+        F.col("s1.n_shingles") + F.col("s2.n_shingles") - F.col("n_common")
+    )
+    return (
+        inter.join(sizes.alias("s1"), F.col("d1") == F.col(f"s1.{id_col}"))
+        .join(sizes.alias("s2"), F.col("d2") == F.col(f"s2.{id_col}"))
+        .select("d1", "d2", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+#: 31-bit hash space for the affine MinHash permutation family:
+#: products a*h stay < 2^62 (no BIGINT overflow under ANSI mode).
+_MH_PRIME = 2147483647  # 2^31 - 1
+
+
+def _permutation_family(num_perm: int, seed: int = 42) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for h_i(x) = (a_i*x + b_i) mod p —
+    driver-side constants, part of the plan."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    return [
+        (int(rng.randint(1, _MH_PRIME)), int(rng.randint(0, _MH_PRIME)))
+        for _ in range(num_perm)
+    ]
+
+
+def hashed_shingles(text: Column | str, n: int = 5) -> Column:
+    """One xxhash64 per distinct shingle, folded to 31 bits — the only
+    per-shingle hashing MinHash pays; the num_perm signature lanes are
+    multiply-adds over these."""
+    return F.transform(
+        shingles(text, n), lambda s: F.pmod(F.xxhash64(s), F.lit(_MH_PRIME).cast("long"))
+    )
+
+
+def minhash_signature(text: Column | str, num_perm: int = 64, n: int = 5, seed: int = 42) -> Column:
+    """num_perm-wide MinHash signature over n-gram shingles.
+
+    Classic affine family: sig[i] = min over shingles of
+    (a_i*h(shingle)+b_i) mod p. Pure expression, computed map-side;
+    per row cost = |shingles| xxhash + num_perm*|shingles| mul-adds.
+    Docs with no shingles yield NULL lanes — filter upstream.
+    """
+    hs = hashed_shingles(text, n)
+    perms = _permutation_family(num_perm, seed)
+    # Single fold over the shingle hashes: per shingle, compute all
+    # num_perm lane values and take the running elementwise min. The
+    # shingle array is referenced ONCE — a per-lane array_min would
+    # let Catalyst inline (recompute) the shingle construction into
+    # every lane, a ~num_perm x blowup observed in practice.
+    init = F.array_repeat(F.lit(_MH_PRIME + 1).cast("long"), num_perm)
+    # NOTE: a doc with no shingles keeps the sentinel (_MH_PRIME+1)
+    # in every lane — callers must filter shingle-less docs first
+    # (wrapping in a validity CASE here would reference the fold
+    # twice and re-trigger the inlining blowup).
+    return F.aggregate(
+        hs,
+        init,
+        lambda acc, h: F.zip_with(
+            acc,
+            F.array(
+                *[
+                    F.pmod(h * F.lit(a).cast("long") + F.lit(b), F.lit(_MH_PRIME).cast("long"))
+                    for a, b in perms
+                ]
+            ),
+            lambda x, y: F.least(x, y),
+        ),
+    )
+
+
+def _bucket_pairs(keyed: DataFrame, id_col: str, key_cols: list[str], max_bucket: int = 1000) -> DataFrame:
+    """Distinct candidate pairs from bucket membership, via one
+    groupBy + in-bucket pair expansion (no self-join: the upstream
+    signature computation runs once, and the shuffle moves only
+    (key, id) rows).
+
+    Buckets larger than max_bucket are dropped with the degenerate-
+    hash caveat of every LSH implementation: a bucket holding 1% of a
+    100 TB corpus is a hash pathology, not a near-dup cluster. The cap
+    is also the skew guard: pair fan-out is bounded by max_bucket^2.
+    """
+    ids = F.array_sort(F.collect_set(F.col(id_col)))
+    buckets = (
+        keyed.groupBy(*key_cols)
+        .agg(ids.alias("ids"))
+        .filter((F.size("ids") > 1) & (F.size("ids") <= max_bucket))
+    )
+    pairs = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + F.lit(2), F.size(F.col("ids"))),
+                lambda y: F.struct(x.alias("d1"), y.alias("d2")),
+            ),
+        )
+    )
+    return (
+        buckets.select(F.explode(pairs).alias("p"))
+        .select(F.col("p.d1").alias("d1"), F.col("p.d2").alias("d2"))
+        .distinct()
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 64,
+    bands: int = 16,
+    n: int = 5,
+    seed: int = 42,
+) -> DataFrame:
+    """LSH candidate pairs: docs agreeing on at least one signature band.
+
+    bands x (num_perm/bands) split; band key = xxhash64(band_idx,
+    band slice). The signature is materialized in its own projection
+    before banding — inlining it into all `bands` slice expressions
+    would recompute the whole signature per band (and blow up
+    optimizer time). The only shuffle is the band-bucket groupBy; at
+    100 TB this replaces the quadratic shingle join.
+    """
+    assert num_perm % bands == 0
+    rows = num_perm // bands
+    with_shingles = df.filter(F.size(tokens(text_col)) >= n)  # shingle-less docs out
+    sigd = with_shingles.select(
+        F.col(id_col), minhash_signature(text_col, num_perm, n, seed).alias("sig")
+    )
+    banded = sigd.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.xxhash64(F.lit(j), F.slice(F.col("sig"), j * rows + 1, rows))
+                    for j in range(bands)
+                ]
+            )
+        ).alias("band_key"),
+    )
+    return _bucket_pairs(banded, id_col, ["band_key"])
+
+
+def minhash_neardup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 64,
+    bands: int = 16,
+    n: int = 5,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """MinHash LSH candidates, verified with exact Jaccard — only the
+    candidate set pays the verification join."""
+    cand = minhash_lsh_candidates(df, id_col, text_col, num_perm, bands, n)
+    sets = df.select(F.col(id_col), F.array_distinct(shingles(text_col, n)).alias("sh"))
+    inter = F.size(F.array_intersect(F.col("s1.sh"), F.col("s2.sh")))
+    union = F.size(F.col("s1.sh")) + F.size(F.col("s2.sh")) - inter
+    jac = inter.cast("double") / union
+    return (
+        cand.join(sets.alias("s1"), F.col("d1") == F.col(f"s1.{id_col}"))
+        .join(sets.alias("s2"), F.col("d2") == F.col(f"s2.{id_col}"))
+        .select("d1", "d2", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash64(text: Column | str) -> Column:
+    """64-bit SimHash over whitespace tokens (frequency-weighted).
+
+    Classic Charikar construction: each token votes +-1 on each bit of
+    its xxhash64; the fingerprint sets bit j iff the vote sum is
+    positive. Pure fold expression — map-only at any scale.
+    """
+    toks = tokens(text)
+    # One fold builds the 64-lane vote vector (each token hashed once,
+    # bit j of the hash votes +1/-1); a second fold packs sign bits.
+    # Both folds reference their input exactly once — per-bit
+    # element_at access would let Catalyst inline (recompute) the
+    # whole token fold 64x.
+    bit_votes = F.aggregate(
+        toks,
+        F.array_repeat(F.lit(0).cast("long"), 64),
+        lambda acc, t: F.zip_with(
+            acc,
+            F.array(
+                *[
+                    F.when(
+                        F.shiftrightunsigned(F.xxhash64(t), j).bitwiseAND(F.lit(1)) == 1, 1
+                    )
+                    .otherwise(-1)
+                    .cast("long")
+                    for j in range(64)
+                ]
+            ),
+            lambda a, v: a + v,
+        ),
+    )
+    # pack: zip votes against literal bit masks, OR-fold. Mask 63 is
+    # written as its signed-64 value (a 1<<63 Python literal overflows
+    # py4j's signed-long transport).
+    masks = [(1 << j) if j < 63 else -(1 << 63) for j in range(64)]
+    packed = F.aggregate(
+        F.zip_with(
+            bit_votes,
+            F.array(*[F.lit(m).cast("long") for m in masks]),
+            lambda v, m: F.when(v > 0, m).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc.bitwiseOR(x),
+    )
+    return packed
+
+
+def simhash_neardup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-dup pairs with hamming distance <= max_hamming.
+
+    Pigeonhole banding: with 4 chunks of 16 bits, any pair within
+    hamming 3 agrees on >= 1 chunk — candidates come from a chunk-
+    equality join, then the exact bit_count(xor) filter runs only on
+    candidates. max_hamming must stay < number of chunks (4).
+    """
+    assert max_hamming < 4
+    sh = df.select(F.col(id_col), simhash64(text_col).alias("sim"))
+    chunks = sh.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("chunk_idx"),
+                        F.shiftrightunsigned(F.col("sim"), k * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("chunk"),
+                    )
+                    for k in range(4)
+                ]
+            )
+        ).alias("c"),
+    ).select(id_col, "c.chunk_idx", "c.chunk")
+    cand = _bucket_pairs(chunks, id_col, ["chunk_idx", "chunk"])
+    # exact hamming check only on candidates (joins fetch the two sims)
+    s1 = sh.select(F.col(id_col).alias("d1"), F.col("sim").alias("sim1"))
+    s2 = sh.select(F.col(id_col).alias("d2"), F.col("sim").alias("sim2"))
+    return (
+        cand.join(s1, "d1")
+        .join(s2, "d2")
+        .select(
+            "d1", "d2", F.bit_count(F.col("sim1").bitwiseXOR(F.col("sim2"))).alias("hamming")
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -320,7 +320,7 @@ flagged AS (
 ),
 sessions AS (
   SELECT user_id, tus,
-    SUM(new_session) OVER (PARTITION BY user_id ORDER BY tus, event_id) AS session_seq
+    CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY tus, event_id) AS BIGINT) AS session_seq
   FROM flagged
 )
 SELECT user_id, session_seq, COUNT(*) AS n_events,
@@ -349,9 +349,9 @@ STOPS = r"len(regexp_extract_all(lower(text), '\b(the|a|an|and|or|of|to|in|is|it
 
 ORACLES["docs_token_stats"] = f"""
 SELECT lang, COUNT(*) AS n_docs,
-  SUM({TOKENS}) AS total_tokens,
+  CAST(SUM({TOKENS}) AS BIGINT) AS total_tokens,
   CAST(SUM({TOKENS}) AS DOUBLE) / COUNT(*) AS avg_tokens,
-  CAST(SUM(length(text)) AS DOUBLE) / COUNT(*) AS avg_chars
+  CAST(CAST(SUM(length(text)) AS BIGINT) AS DOUBLE) / COUNT(*) AS avg_chars
 FROM documents GROUP BY lang
 """
 
@@ -369,14 +369,14 @@ ORACLES["docs_exact_dedup"] = """
 WITH fp AS (SELECT md5(text) AS fingerprint, COUNT(*) AS n_copies, MIN(doc_id) AS keeper
             FROM documents GROUP BY md5(text))
 SELECT COUNT(*) AS n_distinct_texts,
-  SUM(n_copies) AS n_docs,
-  SUM(n_copies) - COUNT(*) AS n_duplicate_docs,
+  CAST(SUM(n_copies) AS BIGINT) AS n_docs,
+  CAST(SUM(n_copies) - COUNT(*) AS BIGINT) AS n_duplicate_docs,
   COUNT(*) FILTER (WHERE n_copies > 1) AS n_dup_groups
 FROM fp
 """
 
 ORACLES["docs_lang_breakdown"] = """
-SELECT lang, source, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+SELECT lang, source, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
 FROM documents GROUP BY lang, source
 """
 
@@ -397,6 +397,96 @@ scored AS (
 ORACLES["emb_cosine_topk"] = (
     COS_SQL + "SELECT vec_id, label, cosine FROM scored ORDER BY cosine DESC, vec_id LIMIT 10"
 )
+
+ORACLES["emb_knn_join"] = """
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id IN (0, 1, 2)
+),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+    list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv)
+      / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+         * sqrt(list_dot_product(q.qv, q.qv))) AS cosine
+  FROM embeddings e, q WHERE e.vec_id <> q.query_id
+)
+SELECT query_id, vec_id, cosine, knn_rank FROM (
+  SELECT query_id, vec_id, cosine,
+    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS knn_rank
+  FROM scored
+) WHERE knn_rank <= 5
+"""
+
+# ------------------------------------------------- dedup / text operators
+_SHINGLES_CTE = r"""
+t AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS toks FROM documents),
+sh AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+4], ' ') AS shingle
+       FROM t, UNNEST(range(1, greatest(len(toks) - 3, 1))) AS r(i)),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+"""
+
+ORACLES["docs_neardup_jaccard"] = f"""
+WITH {_SHINGLES_CTE}
+SELECT d1, d2, CAST(inter AS DOUBLE) / (s1.n + s2.n - inter) AS jaccard
+FROM pairs
+JOIN sizes s1 ON s1.doc_id = d1
+JOIN sizes s2 ON s2.doc_id = d2
+WHERE CAST(inter AS DOUBLE) / (s1.n + s2.n - inter) >= 0.8
+"""
+
+ORACLES["docs_dedup_keep_first"] = """
+SELECT doc_id, lang, source FROM documents
+WHERE doc_id IN (SELECT MIN(doc_id) FROM documents GROUP BY md5(text))
+"""
+
+
+def _lang_hits(lang_pattern: str) -> str:
+    return rf"len(regexp_extract_all(lower(text), '{lang_pattern}'))"
+
+
+def _lang_id_case() -> str:
+    # must transcribe functions.text.lang_id exactly (alphabetical
+    # priority CASE); patterns come from the same stopword lists
+    from irclogbot_spark.functions.text import LANG_STOPWORDS, lang_stopword_pattern
+
+    langs = sorted(LANG_STOPWORDS)
+    hits = {lg: _lang_hits(lang_stopword_pattern(lg)) for lg in langs}
+    branches = [f"WHEN greatest({', '.join(hits[lg] for lg in langs)}) = 0 THEN 'und'"]
+    for i, lg in enumerate(langs[:-1]):
+        conds = " AND ".join(f"{hits[lg]} >= {hits[o]}" for o in langs[i + 1 :])
+        branches.append(f"WHEN {conds} THEN '{lg}'")
+    return "CASE " + " ".join(branches) + f" ELSE '{langs[-1]}' END"
+
+
+ORACLES["docs_lang_id"] = f"""
+SELECT {_lang_id_case()} AS detected, lang, COUNT(*) AS n_docs
+FROM documents GROUP BY 1, 2
+"""
+
+ORACLES["docs_fingerprint"] = r"""
+WITH t AS (
+  SELECT doc_id, text,
+    list_transform(regexp_extract_all(text, '\S+'),
+                   s -> CAST(length(s) * 131 + ascii(s) AS BIGINT)) AS codes
+  FROM documents
+)
+SELECT doc_id,
+  CASE WHEN len(codes) = 0 THEN 0
+       ELSE list_reduce(codes, (a, b) -> (a * 1000003 + b) % 2147483647)
+  END AS fingerprint,
+  md5(text) AS content_md5
+FROM t
+"""
+
+ORACLES["media_decode_stats"] = """
+SELECT doc_id AS asset_id,
+  CAST(16 + octet_length(encode(text)) % 64 AS INT) AS width,
+  CAST(16 + (octet_length(encode(text)) // 64) % 64 AS INT) AS height
+FROM documents
+"""
 
 
 def oracle_sql() -> dict[str, str]:

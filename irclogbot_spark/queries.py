@@ -211,7 +211,8 @@ def log_nick_rank_per_channel(spark, sf_dir):
     log = synth.irclog(spark, sf_dir)
     cnt = log.groupBy("channel", "nick").agg(F.count(F.lit(1)).alias("n_msgs"))
     w = Window.partitionBy("channel").orderBy(F.desc("n_msgs"), F.asc("nick"))
-    return cnt.withColumn("rnk", F.rank().over(w)).filter(F.col("rnk") <= 3)
+    # rank cast to long: DuckDB window ranks are BIGINT
+    return cnt.withColumn("rnk", F.rank().over(w).cast("long")).filter(F.col("rnk") <= 3)
 
 
 @query("log_inter_message_gap")
@@ -461,9 +462,11 @@ def docs_token_stats(spark, sf_dir):
 def docs_quality(spark, sf_dir):
     """Per-doc quality scoring: token count, stopword ratio, pass flag."""
     d = _t(spark, sf_dir, "documents")
-    t = d.select("doc_id", _tokens().alias("n_tokens"), _stops().alias("n_stopwords")).filter(
-        F.col("n_tokens") > 0
-    )
+    t = d.select(
+        "doc_id",
+        _tokens().cast("long").alias("n_tokens"),  # DuckDB len() is BIGINT
+        _stops().cast("long").alias("n_stopwords"),
+    ).filter(F.col("n_tokens") > 0)
     ratio = F.col("n_stopwords").cast("double") / F.col("n_tokens")
     return t.select(
         "doc_id",
@@ -532,6 +535,113 @@ def emb_cosine_topk(spark, sf_dir):
         )
     )
     return scored.orderBy(F.desc("cosine"), F.asc("vec_id")).limit(10)
+
+
+# ------------------------------------------- dedup / similarity operators
+@query("docs_neardup_jaccard")
+def docs_neardup_jaccard(spark, sf_dir):
+    """Exact 5-gram Jaccard near-dup pairs (the MinHash verifier)."""
+    from irclogbot_spark.operators.dedup import jaccard_pairs
+
+    return jaccard_pairs(_t(spark, sf_dir, "documents"), n=5, threshold=0.8)
+
+
+@query("docs_minhash_neardup")
+def docs_minhash_neardup(spark, sf_dir):
+    """MinHash LSH near-dup pairs (scale path; no SQL oracle — the
+    xxhash64 family has no DuckDB twin. Verified in tests against
+    exact Jaccard; rows-only check in the driver)."""
+    from irclogbot_spark.operators.dedup import minhash_neardup_pairs
+
+    return minhash_neardup_pairs(_t(spark, sf_dir, "documents"), threshold=0.8)
+
+
+@query("docs_simhash_neardup")
+def docs_simhash_neardup(spark, sf_dir):
+    """SimHash near-dup pairs, hamming <= 3 (rows-only check)."""
+    from irclogbot_spark.operators.dedup import simhash_neardup_pairs
+
+    return simhash_neardup_pairs(_t(spark, sf_dir, "documents"))
+
+
+@query("docs_dedup_keep_first")
+def docs_dedup_keep_first(spark, sf_dir):
+    """Exact keep-first dedup on content fingerprint."""
+    from irclogbot_spark.operators.dedup import exact_dedup
+
+    return exact_dedup(_t(spark, sf_dir, "documents")).select("doc_id", "lang", "source")
+
+
+@query("docs_lang_id")
+def docs_lang_id(spark, sf_dir):
+    """Stopword-profile language ID vs the labeled lang column."""
+    from irclogbot_spark.functions.text import lang_id
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(lang_id("text").alias("detected"), "lang").groupBy(
+        "detected", "lang"
+    ).agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+@query("docs_fingerprint")
+def docs_fingerprint(spark, sf_dir):
+    """Order-sensitive rolling-hash + md5 content fingerprints."""
+    from irclogbot_spark.functions.text import rolling_fingerprint
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        rolling_fingerprint("text").alias("fingerprint"),
+        F.md5(F.col("text").cast("binary")).alias("content_md5"),
+    )
+
+
+@query("emb_knn_join")
+def emb_knn_join(spark, sf_dir):
+    """Exact kNN join: 3 query vectors x corpus, top-5 each."""
+    from irclogbot_spark.operators.similarity import knn_join
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id").isin(0, 1, 2)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = knn_join(emb, qs, k=5)
+    return out.withColumn("knn_rank", F.col("knn_rank").cast("long"))
+
+
+@query("emb_ann_topk")
+def emb_ann_topk(spark, sf_dir):
+    """SRP-LSH approximate top-k (rows-only; recall vs exact kNN is
+    asserted in tests/test_operators.py)."""
+    from irclogbot_spark.operators.similarity import ann_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id").isin(0, 1, 2)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ann_topk(emb, qs, k=5)
+
+
+@query("ingest_compat_ids")
+def ingest_compat_ids(spark, sf_dir):
+    """Byte-exact blake2b-8 reference ids (H1 compat mode; no SQL
+    oracle — blake2b is not a DuckDB builtin. Golden-id tests in
+    tests/test_ingest.py pin the algorithm)."""
+    return synth.irclog(spark, sf_dir, compat_id=True).select(
+        "channel", "nick", "remark", "id"
+    ).distinct()
+
+
+@query("media_decode_stats")
+def media_decode_stats(spark, sf_dir):
+    """Multimodal plumbing end-to-end: binary payload column ->
+    Arrow-batched mapInPandas decode (stubbed codec) -> typed stats.
+    The width/height derivation is deterministic, so even the
+    Python-stage output is oracle-checked."""
+    from irclogbot_spark.operators.multimodal import decode_images, synthesize_media
+
+    media = synthesize_media(_t(spark, sf_dir, "documents"))
+    return decode_images(media).select("asset_id", "width", "height")
 
 
 def queries() -> dict[str, QueryFn]:

@@ -1,0 +1,151 @@
+"""Operator-level tests: MinHash vs exact Jaccard, SimHash, ANN
+recall vs brute force, multimodal plumbing (SURVEY.md §5 items 3-4)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from irclogbot_spark.operators import dedup, multimodal, similarity
+from irclogbot_spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return load_table(spark, SF, "documents").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return load_table(spark, SF, "embeddings").cache()
+
+
+def _pairs(df):
+    return {(r.d1, r.d2) for r in df.collect()}
+
+
+def test_minhash_finds_all_high_jaccard_pairs(spark, docs):
+    exact = _pairs(dedup.jaccard_pairs(docs, threshold=0.8))
+    assert exact, "fixture should contain planted near-dups"
+    mh = _pairs(dedup.minhash_neardup_pairs(docs, threshold=0.8))
+    # verification step makes minhash results a subset of exact;
+    # recall must be high (16 bands x 4 rows at j>=0.8 => ~1-1e-9)
+    assert mh.issubset(exact)
+    assert len(mh) >= 0.9 * len(exact), f"recall {len(mh)}/{len(exact)}"
+
+
+def test_minhash_candidates_prune_search_space(spark, docs):
+    n_docs = docs.count()
+    n_cand = dedup.minhash_lsh_candidates(docs).count()
+    assert n_cand < n_docs * (n_docs - 1) / 2 * 0.05, "LSH must prune >95% of pairs"
+
+
+def test_simhash_is_deterministic_and_discriminative(spark, docs):
+    a = dedup.simhash64("text")
+    out1 = docs.select("doc_id", a.alias("s")).collect()
+    out2 = docs.select("doc_id", a.alias("s")).collect()
+    assert sorted(out1) == sorted(out2)
+    assert len({r.s for r in out1}) > 0.9 * len(out1), "simhash should spread"
+
+
+def test_simhash_near_identical_docs_have_close_hashes(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog again and again ok"),
+        (2, "the quick brown fox jumps over the lazy dog again and again yes"),
+        (3, "completely different content about spark shuffle partitions here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.s for r in df.select("doc_id", dedup.simhash64("text").alias("s")).collect()}
+    ham = lambda a, b: bin(a ^ b).count("1")  # noqa: E731
+    assert ham(got[1], got[2]) < ham(got[1], got[3])
+    assert ham(got[1], got[2]) < ham(got[2], got[3])
+
+
+def test_exact_dedup_keeps_one_per_content(spark):
+    df = spark.createDataFrame(
+        [(1, "same text"), (2, "same text"), (3, "other text")], "doc_id long, text string"
+    )
+    kept = sorted(r.doc_id for r in dedup.exact_dedup(df).collect())
+    assert kept == [1, 3]
+
+
+def test_ann_finds_planted_near_duplicates(spark, emb):
+    """SRP-LSH's contract is near-dup retrieval (high-cosine pairs).
+    This corpus' true top-5 neighbors sit at cosine ~0.3 (~72 deg,
+    near-orthogonal) where no LSH both prunes and recalls — so plant
+    near-identical queries (tiny deterministic perturbation) and
+    require the twin at rank 1."""
+    qs = emb.filter(F.col("vec_id") < 10).select(
+        (F.col("vec_id") + 10000).alias("query_id"),
+        F.transform(F.col("embedding"), lambda x: x * 1.01 + F.lit(0.002)).alias(
+            "embedding"
+        ),
+    )
+    got = {
+        r.query_id: r.vec_id
+        for r in similarity.ann_topk(emb, qs, k=1, n_planes=8, probes=9).collect()
+    }
+    hits = sum(1 for qid, vid in got.items() if vid == qid - 10000)
+    assert hits >= 9, f"planted-twin recall {hits}/10: {got}"
+
+
+def test_ann_agrees_with_brute_force_on_neardups(spark, emb):
+    qs = emb.filter(F.col("vec_id") < 5).select(
+        (F.col("vec_id") + 10000).alias("query_id"),
+        F.transform(F.col("embedding"), lambda x: x * 1.01 + F.lit(0.002)).alias(
+            "embedding"
+        ),
+    )
+    exact = {
+        (r.query_id, r.vec_id)
+        for r in similarity.knn_join(emb, qs, k=1).collect()
+    }
+    approx = {
+        (r.query_id, r.vec_id)
+        for r in similarity.ann_topk(emb, qs, k=1, n_planes=8, probes=9).collect()
+    }
+    assert exact == approx
+
+
+def test_ann_is_cheaper_than_brute_force(spark, emb):
+    from irclogbot_spark.operators.similarity import as_double, random_planes, srp_bucket
+
+    planes = random_planes(64, 8)
+    sizes = (
+        emb.select(srp_bucket(as_double("embedding"), planes).alias("b"))
+        .groupBy("b")
+        .count()
+        .collect()
+    )
+    total = sum(r["count"] for r in sizes)
+    biggest = max(r["count"] for r in sizes)
+    assert biggest < total * 0.25, "buckets must partition the corpus"
+
+
+def test_multimodal_decode_plumbing(spark, docs):
+    media = multimodal.synthesize_media(docs)
+    out = multimodal.decode_images(media, n_features=4)
+    rows = out.collect()
+    assert len(rows) == docs.count()
+    r = rows[0]
+    assert 16 <= r.width < 80 and 16 <= r.height < 80 and r.n_channels == 3
+    assert len(r.feature) == 4 and all(isinstance(x, float) for x in r.feature)
+
+
+def test_multimodal_raise_stub_marks_missing_codec(spark, docs):
+    media = multimodal.synthesize_media(docs.limit(2))
+    out = multimodal.decode_images(media, decode_stub="raise")
+    with pytest.raises(Exception, match="NotImplementedError|image library"):
+        out.collect()
+
+
+def test_frame_sample_plan(spark, docs):
+    media = multimodal.synthesize_media(docs.limit(5)).withColumn(
+        "media_type", F.lit("video")
+    )
+    plan = multimodal.frame_sample_plan(media, every_n_seconds=5)
+    rows = plan.collect()
+    assert len(rows) >= 5
+    assert all(r.offset_s % 5 == 0 for r in rows)
