@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from irclogbot_spark.plans.partitioning import ensure_parallelism
+
 
 def tokens(text: Column | str) -> Column:
     c = F.col(text) if isinstance(text, str) else text
@@ -71,6 +73,7 @@ def jaccard_pairs(
     (n=5 default) keep bucket collision near-zero on natural text;
     this is the exactness oracle for MinHash, not the 100 TB path.
     """
+    df = ensure_parallelism(df)
     sh = _shingle_rows(df, id_col, text_col, n)
     a = sh.alias("a")
     b = sh.alias("b")
@@ -194,7 +197,7 @@ def minhash_lsh_candidates(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
-    num_perm: int = 64,
+    num_perm: int = 32,
     bands: int = 16,
     n: int = 5,
     seed: int = 42,
@@ -210,7 +213,7 @@ def minhash_lsh_candidates(
     """
     assert num_perm % bands == 0
     rows = num_perm // bands
-    with_shingles = df.filter(F.size(tokens(text_col)) >= n)  # shingle-less docs out
+    with_shingles = ensure_parallelism(df).filter(F.size(tokens(text_col)) >= n)  # shingle-less docs out
     sigd = with_shingles.select(
         F.col(id_col), minhash_signature(text_col, num_perm, n, seed).alias("sig")
     )
@@ -232,15 +235,24 @@ def minhash_neardup_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
-    num_perm: int = 64,
+    num_perm: int = 32,
     bands: int = 16,
     n: int = 5,
     threshold: float = 0.8,
 ) -> DataFrame:
     """MinHash LSH candidates, verified with exact Jaccard — only the
-    candidate set pays the verification join."""
+    candidate set pays the verification join.
+
+    Defaults: 16 bands x 2 rows — candidate probability j^2 per band
+    gives ~1-(1-0.64)^16 ≈ 1.0 recall at j=0.8 while random pairs
+    (j≈0) stay out. Verification intersects *hashed* shingle sets
+    (31-bit longs): same Jaccard up to negligible collision odds, and
+    long equality beats string equality in the intersect.
+    """
     cand = minhash_lsh_candidates(df, id_col, text_col, num_perm, bands, n)
-    sets = df.select(F.col(id_col), F.array_distinct(shingles(text_col, n)).alias("sh"))
+    sets = ensure_parallelism(df).select(
+        F.col(id_col), F.array_distinct(hashed_shingles(text_col, n)).alias("sh")
+    )
     inter = F.size(F.array_intersect(F.col("s1.sh"), F.col("s2.sh")))
     union = F.size(F.col("s1.sh")) + F.size(F.col("s2.sh")) - inter
     jac = inter.cast("double") / union
@@ -313,7 +325,7 @@ def simhash_neardup_pairs(
     candidates. max_hamming must stay < number of chunks (4).
     """
     assert max_hamming < 4
-    sh = df.select(F.col(id_col), simhash64(text_col).alias("sim"))
+    sh = ensure_parallelism(df).select(F.col(id_col), simhash64(text_col).alias("sim"))
     chunks = sh.select(
         id_col,
         F.explode(

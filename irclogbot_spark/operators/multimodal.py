@@ -19,6 +19,8 @@ from typing import Literal
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from irclogbot_spark.plans.partitioning import ensure_parallelism
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
@@ -108,7 +110,7 @@ def decode_images(
                 }
             )
 
-    return media.filter(F.col("media_type") == "image").mapInPandas(
+    return ensure_parallelism(media.filter(F.col("media_type") == "image")).mapInPandas(
         decode_batches, DECODED_IMAGE_SCHEMA
     )
 

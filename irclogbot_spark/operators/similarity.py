@@ -16,6 +16,8 @@ import numpy as np
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from irclogbot_spark.plans.partitioning import ensure_parallelism
+
 
 def as_double(vec: Column | str) -> Column:
     c = F.col(vec) if isinstance(vec, str) else vec
@@ -47,7 +49,7 @@ def knn_join(
     q = F.broadcast(
         queries.select(F.col(query_id), as_double(vec_col).alias("qv"))
     )
-    scored = corpus.select(F.col(corpus_id), as_double(vec_col).alias("cv")).join(
+    scored = ensure_parallelism(corpus).select(F.col(corpus_id), as_double(vec_col).alias("cv")).join(
         q, F.col(corpus_id) != F.col(query_id)
     )
     w = Window.partitionBy(query_id).orderBy(
@@ -107,7 +109,7 @@ def ann_topk(
     ~probes/2^n_planes of the corpus instead of all of it.
     """
     planes = random_planes(dim, n_planes, seed)
-    c = corpus.select(
+    c = ensure_parallelism(corpus).select(
         F.col(corpus_id),
         as_double(vec_col).alias("cv"),
         srp_bucket(as_double(vec_col), planes).alias("bucket"),

@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from irclogbot_spark.ingest import parse_pipeline
+from irclogbot_spark.plans.partitioning import ensure_parallelism
 from irclogbot_spark.sources.tables import load_table
 
 NOISE_PING = "PING :irc.example.net"
@@ -56,7 +57,10 @@ def synthesize_irc_lines(events: DataFrame) -> DataFrame:
 
 
 def raw_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return synthesize_irc_lines(load_table(spark, sf_dir, "events"))
+    # the corpus ships as one small parquet file = one scan partition;
+    # regex parse + sha is CPU-bound, so spread it (no-op when the
+    # input is already well-split)
+    return synthesize_irc_lines(ensure_parallelism(load_table(spark, sf_dir, "events")))
 
 
 def irclog(spark: SparkSession, sf_dir: str, compat_id: bool = False) -> DataFrame:
