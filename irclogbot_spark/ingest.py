@@ -130,7 +130,10 @@ def with_posted(df: DataFrame, ts: Column | None = None) -> DataFrame:
     use a data-borne event time (replay/tests); default is processing
     wall-clock like the reference."""
     src = ts if ts is not None else F.current_timestamp()
-    return df.withColumn("posted", F.date_trunc("second", src))
+    # canonical posted type is TIMESTAMP_NTZ (naive UTC wall clock,
+    # FIXTURES.md §A2) — date_trunc always returns LTZ, so cast back;
+    # value-preserving because the engine pins the session to UTC
+    return df.withColumn("posted", F.date_trunc("second", src).cast("timestamp_ntz"))
 
 
 def with_id(df: DataFrame, compat: bool = False) -> DataFrame:

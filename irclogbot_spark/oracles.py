@@ -489,5 +489,93 @@ FROM documents
 """
 
 
+# ---------------------------------------------- coverage batteries (round 1)
+ORACLES["agg_cube"] = f"""
+SELECT o_orderstatus, o_orderpriority,
+  {dsum('o_totalprice')} AS total_value, COUNT(*) AS n_orders
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+ORACLES["agg_grouping_sets"] = f"""
+SELECT l_returnflag, l_linestatus,
+  {dsum('l_quantity')} AS sum_qty, COUNT(*) AS n_items
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
+"""
+
+ORACLES["window_running_total"] = """
+SELECT o_custkey, o_orderkey, o_orderdate,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+       OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
+FROM orders
+"""
+
+ORACLES["window_moving_avg"] = """
+SELECT o_custkey, o_orderkey,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+       OVER w AS DOUBLE) / COUNT(*) OVER w AS moving_avg
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+"""
+
+ORACLES["date_functions"] = """
+SELECT o_orderkey,
+  CAST(year(o_orderdate) AS BIGINT) AS yr,
+  CAST(month(o_orderdate) AS BIGINT) AS mo,
+  CAST(dayofweek(o_orderdate) + 1 AS BIGINT) AS dow_sun1,
+  CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS plus30,
+  CAST(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS days_since_95,
+  last_day(CAST(o_orderdate AS DATE)) AS month_end
+FROM orders
+"""
+
+ORACLES["math_functions"] = """
+SELECT l_orderkey, l_linenumber,
+  sqrt(l_quantity) AS qty_sqrt,
+  l_quantity * l_quantity AS qty_sq,
+  abs(l_discount - 0.05) AS disc_dev,
+  CAST(floor(l_extendedprice / 1000.0) AS BIGINT) AS price_k_floor,
+  CAST(ceil(l_extendedprice / 1000.0) AS BIGINT) AS price_k_ceil,
+  sign(l_discount - 0.05) AS disc_sign,
+  l_orderkey % 7 AS okey_mod7
+FROM lineitem
+"""
+
+ORACLES["array_functions"] = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, len(embedding) AS n FROM embeddings)
+SELECT vec_id,
+  CAST(n AS INT) AS n_dims,
+  list_aggregate(v, 'min') AS vmin,
+  list_aggregate(v, 'max') AS vmax,
+  CASE WHEN n = 0 THEN 0.0 ELSE list_reduce(list_prepend(0.0, v), (a, b) -> a + b) END AS vsum,
+  sqrt(list_dot_product(v, v)) AS l2_norm
+FROM e
+"""
+
+ORACLES["log_search_terms"] = f"""
+WITH {IRCLOG_CTE},
+terms AS (SELECT unnest(regexp_extract_all(remark, '\\S+')) AS term FROM irclog)
+SELECT term, COUNT(*) AS n FROM terms
+GROUP BY term ORDER BY n DESC, term LIMIT 20
+"""
+
+ORACLES["docs_bpe_tokens"] = r"""
+SELECT doc_id,
+  len(regexp_extract_all(text, '\w+|[^\w\s]')) AS n_bpe_tokens,
+  len(regexp_extract_all(text, '\S+')) AS n_ws_tokens
+FROM documents
+"""
+
+ORACLES["set_ops_all"] = """
+(SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+ UNION ALL
+ SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 200000)
+EXCEPT ALL
+SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return dict(ORACLES)

@@ -644,5 +644,164 @@ def media_decode_stats(spark, sf_dir):
     return decode_images(media).select("asset_id", "width", "height")
 
 
+# ---------------------------------------------- coverage batteries (round 1)
+@query("agg_cube")
+def agg_cube(spark, sf_dir):
+    """CUBE grouping sets over orders."""
+    o = _t(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        dsum("o_totalprice").alias("total_value"), F.count(F.lit(1)).alias("n_orders")
+    )
+
+
+@query("agg_grouping_sets")
+def agg_grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS (SQL surface — the engine IS Spark SQL)."""
+    return spark.sql(
+        f"""
+        SELECT l_returnflag, l_linestatus,
+          CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+          COUNT(*) AS n_items
+        FROM parquet.`{sf_dir}/lineitem.parquet`
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
+        """
+    )
+
+
+@query("window_running_total")
+def window_running_total(spark, sf_dir):
+    """Running-total window frame (ROWS UNBOUNDED PRECEDING) — the
+    decimal accumulation keeps the prefix sums exact/order-free."""
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.sum(F.col("o_totalprice").cast("decimal(12,2)")).over(w).cast("double").alias(
+            "running_spend"
+        ),
+    )
+
+
+@query("window_moving_avg")
+def window_moving_avg(spark, sf_dir):
+    """Bounded window frame: 3-order moving average per customer."""
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    msum = F.sum(F.col("o_totalprice").cast("decimal(12,2)")).over(w).cast("double")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        (msum / F.count(F.lit(1)).over(w)).alias("moving_avg"),
+    )
+
+
+@query("date_functions")
+def date_functions(spark, sf_dir):
+    """Date/time function battery (year/month/dow/date_add/datediff/
+    last_day), conventions aligned with the oracle (Spark dow is
+    1=Sunday; DuckDB dow is 0=Sunday)."""
+    o = _t(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.year(d).cast("long").alias("yr"),
+        F.month(d).cast("long").alias("mo"),
+        F.dayofweek(d).cast("long").alias("dow_sun1"),
+        F.date_add(d.cast("date"), 30).alias("plus30"),
+        F.datediff(d.cast("date"), F.lit("1995-01-01").cast("date")).cast("long").alias(
+            "days_since_95"
+        ),
+        F.last_day(d).alias("month_end"),
+    )
+
+
+@query("math_functions")
+def math_functions(spark, sf_dir):
+    """Scalar math battery over lineitem (sqrt/abs/floor/ceil/sign/
+    mod — the IEEE-exact subset; ln/exp differ across libms by ulps
+    and stay out of oracle-checked queries)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.sqrt("l_quantity").alias("qty_sqrt"),
+        (F.col("l_quantity") * F.col("l_quantity")).alias("qty_sq"),
+        F.abs(F.col("l_discount") - F.lit(0.05)).alias("disc_dev"),
+        F.floor(F.col("l_extendedprice") / F.lit(1000.0)).alias("price_k_floor"),
+        F.ceil(F.col("l_extendedprice") / F.lit(1000.0)).alias("price_k_ceil"),
+        F.signum(F.col("l_discount") - F.lit(0.05)).alias("disc_sign"),
+        F.pmod(F.col("l_orderkey"), F.lit(7)).alias("okey_mod7"),
+    )
+
+
+@query("array_functions")
+def array_functions(spark, sf_dir):
+    """Array function battery over the embedding column: size, min,
+    max, deterministic fold-sum, L2 norm."""
+    from irclogbot_spark.operators.similarity import as_double, dot
+
+    emb = _t(spark, sf_dir, "embeddings")
+    v = as_double("embedding")
+    fold_sum = F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x)
+    return emb.select(
+        "vec_id",
+        F.size("embedding").alias("n_dims"),
+        F.array_min(v).alias("vmin"),
+        F.array_max(v).alias("vmax"),
+        fold_sum.alias("vsum"),
+        F.sqrt(dot(v, v)).alias("l2_norm"),
+    )
+
+
+@query("log_search_terms")
+def log_search_terms(spark, sf_dir):
+    """Tokenized full-text search surface: top-20 terms in remarks
+    (explode -> count -> top-k), the inverted-index-style form of the
+    ES analyzed-text capability (SURVEY.md §2H)."""
+    log = synth.irclog(spark, sf_dir)
+    terms = log.select(
+        F.explode(F.regexp_extract_all(F.col("remark"), F.lit(r"\S+"), F.lit(0))).alias("term")
+    )
+    return (
+        terms.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("term"))
+        .limit(20)
+    )
+
+
+@query("docs_bpe_tokens")
+def docs_bpe_tokens(spark, sf_dir):
+    """BPE-ish subword counting (word runs | single punctuation)."""
+    from irclogbot_spark.functions.text import BPE_RE
+
+    d = _t(spark, sf_dir, "documents")
+    bpe = F.size(F.regexp_extract_all(F.col("text"), F.lit(BPE_RE), F.lit(0))).cast("long")
+    ws = F.size(F.regexp_extract_all(F.col("text"), F.lit(r"\S+"), F.lit(0))).cast("long")
+    return d.select("doc_id", bpe.alias("n_bpe_tokens"), ws.alias("n_ws_tokens"))
+
+
+@query("set_ops_all")
+def set_ops_all(spark, sf_dir):
+    """Bag-semantics set operations: UNION ALL -> EXCEPT ALL."""
+    o = _t(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("custkey"))
+    b = o.filter(F.col("o_totalprice") > 200000).select(F.col("o_custkey").alias("custkey"))
+    c = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return a.unionAll(b).exceptAll(c)
+
+
 def queries() -> dict[str, QueryFn]:
     return dict(QUERIES)

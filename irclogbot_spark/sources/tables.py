@@ -48,8 +48,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         df = spark.read.parquet(f"{sf_dir}/events.parquet")
         if dict(df.dtypes)["ts"] == "bigint":
             # integer division: epoch-nanos (~1.8e18) far exceeds the
-            # 2^53 exact range of a double — '/' would drift by ±1us
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            # 2^53 exact range of a double — '/' would drift by ±1us.
+            # timestamp_micros yields LTZ; cast to NTZ (UTC session)
+            # to match every other corpus timestamp column.
+            df = df.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
+            )
         return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 

@@ -65,6 +65,10 @@ def streaming_irclog(
     bounds H2 state to the watermark horizon.
     """
     log = parse_pipeline(raw)
+    # watermarks require TIMESTAMP (with zone): the canonical NTZ
+    # posted is cast back for streaming — value-preserving under the
+    # engine's pinned UTC session
+    log = log.withColumn("posted", F.col("posted").cast("timestamp"))
     log = log.withWatermark("posted", watermark)
     if dedup_in_stream:
         log = log.dropDuplicatesWithinWatermark(DEDUP_KEY)

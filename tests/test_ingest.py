@@ -113,6 +113,6 @@ def test_invalid_utf8_dropped_cleanly(spark, tmp_path):
 
 def test_posted_truncated_to_second(spark, raw):
     out = ingest.parse_pipeline(raw).select(
-        (F.unix_micros("posted") % 1_000_000).alias("us")
+        (F.unix_micros(F.col("posted").cast("timestamp")) % 1_000_000).alias("us")
     ).distinct().collect()
     assert [r.us for r in out] == [0]

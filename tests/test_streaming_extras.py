@@ -1,0 +1,129 @@
+"""Streaming extras: event-time windowed aggregation under watermark,
+custom stateful operator (applyInPandasWithState), heartbeat listener
+(E3 ops-plane)."""
+
+from __future__ import annotations
+
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from irclogbot_spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_streaming_tumbling_window_matches_batch(spark, tmp_path):
+    """window('1 hour') under readStream == batch date_trunc counts."""
+    ev = load_table(spark, SF, "events").select(
+        F.col("ts").cast("timestamp").alias("ts"), "event_type"
+    )  # watermarks need LTZ event time
+    src = str(tmp_path / "events_src")
+    ev.write.parquet(src)
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .parquet(src)
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("hour_ts"), "event_type", "n")
+    )
+    out = str(tmp_path / "out")
+    q = (
+        stream.writeStream.outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .format("parquet")
+        .start(out)
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.hour_ts, r.event_type): r.n for r in spark.read.parquet(out).collect()
+    }
+    want = {
+        (r.hour_ts, r.event_type): r.n
+        for r in ev.groupBy(
+            F.date_trunc("hour", "ts").alias("hour_ts"), "event_type"
+        ).agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    # append mode emits only watermark-closed windows; the final
+    # (max-ts) window may be withheld — compare on emitted keys and
+    # require near-complete coverage
+    assert len(got) >= len(want) - 5
+    for k, n in got.items():
+        assert want[k] == n
+
+
+def test_stateful_channel_profiles(spark, tmp_path):
+    from irclogbot_spark.streaming.pipeline import read_raw_lines_stream, streaming_irclog
+    from irclogbot_spark.streaming.stateful import channel_profiles
+
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "a.log").write_text(
+        ":alice!a@h PRIVMSG #nova :one\n"
+        ":bob!b@h PRIVMSG #nova :two\n"
+        ":alice!a@h PRIVMSG #zuul :three\n"
+    )
+    log = streaming_irclog(
+        read_raw_lines_stream(spark, path=str(src)), dedup_in_stream=False
+    )
+    def run(sink: list):
+        log_s = streaming_irclog(
+            read_raw_lines_stream(spark, path=str(src)), dedup_in_stream=False
+        )
+        profiles = channel_profiles(
+            log_s.select("channel", "nick", F.col("posted").cast("timestamp").alias("posted"))
+        )
+        q = (
+            profiles.writeStream.outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .foreachBatch(lambda b, i: sink.extend(b.collect()))
+            .start()
+        )
+        q.awaitTermination(120)
+
+    first: list = []
+    run(first)
+    got = {r.channel: (r.n_msgs, r.n_nicks_seen) for r in first}
+    assert got["#nova"] == (2, 2)
+    assert got["#zuul"] == (1, 1)
+
+    # second run, same checkpoint: state carries across restarts
+    (src / "b.log").write_text(":carol!c@h PRIVMSG #nova :four\n")
+    second: list = []
+    run(second)
+    nova = max((r for r in second if r.channel == "#nova"), key=lambda r: r.n_msgs)
+    assert (nova.n_msgs, nova.n_nicks_seen) == (3, 3)
+
+
+def test_heartbeat_listener(spark, tmp_path):
+    from irclogbot_spark.streaming.monitor import HeartbeatListener, heartbeat_age_seconds
+
+    hb_dir = str(tmp_path / "heartbeats")
+    listener = HeartbeatListener(hb_dir)
+    spark.streams.addListener(listener)
+    try:
+        src = tmp_path / "src"
+        src.mkdir()
+        (src / "a.log").write_text(":a!u@h PRIVMSG #c :hi\n")
+        from irclogbot_spark.streaming.pipeline import read_raw_lines_stream, streaming_irclog
+
+        log = streaming_irclog(read_raw_lines_stream(spark, path=str(src)))
+        q = (
+            log.writeStream.format("noop")
+            .queryName("hb_test")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        time.sleep(1)  # listener events are async
+        age = heartbeat_age_seconds(hb_dir, "hb_test")
+        assert age is not None and age < 60
+    finally:
+        spark.streams.removeListener(listener)
