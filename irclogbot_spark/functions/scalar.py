@@ -48,6 +48,21 @@ def human_fmt(num: Column | str) -> Column:
     return expr.otherwise(F.lit(None).cast("string"))
 
 
+def record_uuid() -> Column:
+    """H4: random v4 UUID (utils.py:64-65 — unused by the bots but
+    part of the utility surface). Non-deterministic by nature: never
+    in an oracle-checked query."""
+    return F.uuid()
+
+
+def logit_line(*cols: Column | str) -> Column:
+    """X2: the reference's log-line format — UTC second-truncated
+    timestamp prefix + space-joined parts (utils.py:35-41)."""
+    parts = [F.col(c).cast("string") if isinstance(c, str) else c.cast("string") for c in cols]
+    ts = F.date_format(F.date_trunc("second", F.current_timestamp()), "yyyy-MM-dd HH:mm:ss")
+    return F.concat_ws(" ", ts, *parts)
+
+
 def iso_posted(posted: Column | str) -> Column:
     """Sink-boundary timestamp format '%Y-%m-%dT%H:%M:%S'
     (/root/reference/irclogbot.py:42). Stored data stays TimestampType;

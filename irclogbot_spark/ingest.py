@@ -71,6 +71,19 @@ def drop_ping(df: DataFrame, col: str = "value") -> DataFrame:
     return df.filter(~F.col(col).contains("PING :"))
 
 
+def contains_any(col: Column | str, needles: list[str]) -> Column:
+    """F5 data-plane analog of wait_for (irclogbot.py:145-157): true
+    when the line contains any of the given substrings. The reference
+    uses this to gate the NickServ handshake while still processing
+    passing traffic; in a declarative plan the 'keep processing'
+    half is free, and this predicate expresses the match half."""
+    c = F.col(col) if isinstance(col, str) else col
+    out = F.lit(False)
+    for n in needles:
+        out = out | c.contains(n)
+    return out
+
+
 def parse_privmsg(
     df: DataFrame, col: str = "value", keep_raw: bool = False, passthrough: list[str] | None = None
 ) -> DataFrame:

@@ -568,6 +568,12 @@ SELECT doc_id,
 FROM documents
 """
 
+ORACLES["log_substring_any"] = f"""
+WITH {IRCLOG_CTE}
+SELECT channel, nick, remark FROM irclog
+WHERE contains(remark, '"k": 7') OR contains(remark, '"k": 13') OR contains(remark, '"k": 42')
+"""
+
 ORACLES["set_ops_all"] = """
 (SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
  UNION ALL

@@ -791,6 +791,18 @@ def docs_bpe_tokens(spark, sf_dir):
     return d.select("doc_id", bpe.alias("n_bpe_tokens"), ws.alias("n_ws_tokens"))
 
 
+@query("log_substring_any")
+def log_substring_any(spark, sf_dir):
+    """F5 data-plane analog: lines matching ANY of a substring set
+    (the wait_for predicate, irclogbot.py:145-157)."""
+    from irclogbot_spark.ingest import contains_any
+
+    log = synth.irclog(spark, sf_dir)
+    return log.filter(contains_any("remark", ['"k": 7', '"k": 13', '"k": 42'])).select(
+        "channel", "nick", "remark"
+    )
+
+
 @query("set_ops_all")
 def set_ops_all(spark, sf_dir):
     """Bag-semantics set operations: UNION ALL -> EXCEPT ALL."""
