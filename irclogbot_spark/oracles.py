@@ -329,6 +329,27 @@ SELECT user_id, session_seq, COUNT(*) AS n_events,
 FROM sessions GROUP BY user_id, session_seq
 """
 
+ORACLES["events_session_window"] = """
+WITH e AS (
+  SELECT user_id, event_id, ts, epoch_us(ts) AS tus FROM events
+),
+flagged AS (
+  SELECT user_id, ts, tus,
+    CASE WHEN tus - LAG(tus) OVER w > 1800000000 OR LAG(tus) OVER w IS NULL
+         THEN 1 ELSE 0 END AS new_session
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)
+),
+sessions AS (
+  SELECT user_id, ts,
+    SUM(new_session) OVER (PARTITION BY user_id ORDER BY tus) AS session_seq
+  FROM flagged
+)
+SELECT user_id, MIN(ts) AS session_start,
+  MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+  COUNT(*) AS n_events
+FROM sessions GROUP BY user_id, session_seq
+"""
+
 ORACLES["events_tumbling_hourly"] = f"""
 SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_ts,
   COUNT(*) AS n_events, {dsum('value')} AS total_value

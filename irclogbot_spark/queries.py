@@ -410,6 +410,22 @@ def events_sessionize(spark, sf_dir):
     )
 
 
+@query("events_session_window")
+def events_session_window(spark, sf_dir):
+    """Spark's native gap-based session_window operator (batch form;
+    the streaming twin is tested in tests/test_streaming_extras.py).
+    Oracle twin reconstructs the same sessions via lag + running sum."""
+    ev = _t(spark, sf_dir, "events")
+    sw = F.session_window(F.col("ts").cast("timestamp"), "30 minutes")
+    out = ev.groupBy(sw.alias("w"), "user_id").agg(F.count(F.lit(1)).alias("n_events"))
+    return out.select(
+        "user_id",
+        F.col("w.start").cast("timestamp_ntz").alias("session_start"),
+        F.col("w.end").cast("timestamp_ntz").alias("session_end"),
+        "n_events",
+    )
+
+
 @query("events_tumbling_hourly")
 def events_tumbling_hourly(spark, sf_dir):
     """Tumbling event-time window aggregation (batch date_trunc form;

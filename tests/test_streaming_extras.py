@@ -57,6 +57,43 @@ def test_streaming_tumbling_window_matches_batch(spark, tmp_path):
         assert want[k] == n
 
 
+def test_streaming_session_window_matches_batch(spark, tmp_path):
+    """session_window under readStream == the batch operator's
+    watermark-closed sessions."""
+    ev = load_table(spark, SF, "events").select(
+        F.col("ts").cast("timestamp").alias("ts"), "user_id"
+    )
+    src = str(tmp_path / "events_src")
+    ev.write.parquet(src)
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .parquet(src)
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("user_id", F.col("w.start").alias("s"), F.col("w.end").alias("e"), "n")
+    )
+    out = str(tmp_path / "out")
+    q = (
+        stream.writeStream.outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .format("parquet")
+        .start(out)
+    )
+    q.awaitTermination(120)
+    got = {(r.user_id, r.s, r.e, r.n) for r in spark.read.parquet(out).collect()}
+    want = {
+        (r.user_id, r.s, r.e, r.n)
+        for r in ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("user_id", F.col("w.start").alias("s"), F.col("w.end").alias("e"), "n")
+        .collect()
+    }
+    assert got.issubset(want)
+    assert len(got) >= len(want) - 15  # open sessions near max-ts withheld
+
+
 def test_stateful_channel_profiles(spark, tmp_path):
     from irclogbot_spark.streaming.pipeline import read_raw_lines_stream, streaming_irclog
     from irclogbot_spark.streaming.stateful import channel_profiles
