@@ -604,5 +604,51 @@ SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
 """
 
 
+_PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+
+ORACLES["agg_percentiles"] = """
+SELECT o_orderstatus,
+  quantile_cont(o_totalprice, 0.5) AS p50,
+  quantile_cont(o_totalprice, 0.9) AS p90,
+  COUNT(*) AS n
+FROM orders GROUP BY o_orderstatus
+"""
+
+ORACLES["agg_stats_exact"] = """
+WITH m AS (
+  SELECT o_orderstatus,
+    SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS s,
+    SUM(CAST(o_totalprice AS DECIMAL(12,2)) * CAST(o_totalprice AS DECIMAL(12,2))) AS ss,
+    COUNT(*) AS n
+  FROM orders GROUP BY o_orderstatus
+)
+SELECT o_orderstatus,
+  CAST(s AS DOUBLE) / n AS mean_price,
+  sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) / (n - 1)) AS stddev_price,
+  n
+FROM m
+"""
+
+ORACLES["agg_pivot"] = f"""
+SELECT o_orderstatus,
+  {", ".join(
+      'COUNT(*) FILTER (WHERE o_orderpriority = ' + chr(39) + p + chr(39) + ') AS "' + p + '"'
+      for p in _PRIORITIES
+  )}
+FROM orders GROUP BY o_orderstatus
+"""
+
+ORACLES["events_asof_join"] = """
+SELECT e.event_id, e.user_id, e.ts AS err_ts,
+  MAX(p.ts) AS last_purchase_ts,
+  COUNT(p.ts) AS n_prior_purchases
+FROM events e
+LEFT JOIN events p
+  ON p.event_type = 'purchase' AND p.user_id = e.user_id AND p.ts <= e.ts
+WHERE e.event_type = 'error'
+GROUP BY e.event_id, e.user_id, e.ts
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return dict(ORACLES)

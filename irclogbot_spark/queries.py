@@ -831,5 +831,78 @@ def set_ops_all(spark, sf_dir):
     return a.unionAll(b).exceptAll(c)
 
 
+_PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+
+
+@query("agg_percentiles")
+def agg_percentiles(spark, sf_dir):
+    """Exact percentiles (sort-based, linearly interpolated)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.percentile("o_totalprice", 0.5).alias("p50"),
+        F.percentile("o_totalprice", 0.9).alias("p90"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query("agg_stats_exact")
+def agg_stats_exact(spark, sf_dir):
+    """Mean/stddev from exact decimal moments — the native stddev
+    aggregates accumulate doubles in visit order and can never hash-
+    match an oracle; sum and sum-of-squares in DECIMAL are exact, and
+    the final double arithmetic is one fixed expression tree."""
+    o = _t(spark, sf_dir, "orders")
+    d = F.col("o_totalprice").cast("decimal(12,2)")
+    agg = o.groupBy("o_orderstatus").agg(
+        F.sum(d).alias("s"), F.sum(d * d).alias("ss"), F.count(F.lit(1)).alias("n")
+    )
+    s, ss, n = F.col("s").cast("double"), F.col("ss").cast("double"), F.col("n")
+    var = (ss - s * s / n) / (n - F.lit(1))
+    return agg.select(
+        "o_orderstatus",
+        (s / n).alias("mean_price"),
+        F.sqrt(var).alias("stddev_price"),
+        "n",
+    )
+
+
+@query("agg_pivot")
+def agg_pivot(spark, sf_dir):
+    """PIVOT: order counts by status x priority (static value list —
+    dynamic pivot values would need a driver-side pass at scale)."""
+    o = _t(spark, sf_dir, "orders")
+    p = o.groupBy("o_orderstatus").pivot("o_orderpriority", _PRIORITIES).agg(
+        F.count(F.lit(1))
+    )
+    return p.select(
+        "o_orderstatus",
+        *[F.coalesce(F.col(f"`{c}`"), F.lit(0)).alias(c) for c in _PRIORITIES],
+    )
+
+
+@query("events_asof_join")
+def events_asof_join(spark, sf_dir):
+    """As-of-style range join: for each error event, the most recent
+    prior purchase by the same user (+ how many preceded it). The
+    range predicate makes this a non-equi join — Spark picks SMJ/BNLJ;
+    at scale this is bucketed by user and sorted by time."""
+    ev = _t(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", F.col("ts").alias("err_ts")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    joined = errors.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user")) & (F.col("p_ts") <= F.col("err_ts")),
+        "left",
+    )
+    return joined.groupBy("event_id", "user_id", "err_ts").agg(
+        F.max("p_ts").alias("last_purchase_ts"),
+        F.count("p_ts").alias("n_prior_purchases"),
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return dict(QUERIES)

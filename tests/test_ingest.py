@@ -98,6 +98,27 @@ def test_scale_id_matches_dedup_semantics(spark, raw):
     assert compat == native == 3
 
 
+def test_midline_match_binds_like_unanchored_regex(spark):
+    # MSG_PAT is unanchored (irclogbot.py:24): a match starting
+    # mid-line must bind at the first possible position, exactly like
+    # regexp_extract would
+    df = spark.createDataFrame(
+        [("junk prefix :alice!~a@h PRIVMSG #c :payload",)], "value string"
+    )
+    r = ingest.parse_pipeline(df).first()
+    assert (r.nick, r.user, r.host, r.channel, r.remark) == (
+        "alice", "a", "h", "#c", "payload"
+    )
+
+
+def test_remark_with_unit_separator_survives(spark):
+    df = spark.createDataFrame(
+        [(":a!~u@h PRIVMSG #c :has \x1f inside",)], "value string"
+    )
+    r = ingest.parse_pipeline(df).first()
+    assert r.remark == "has \x1f inside"
+
+
 def test_invalid_utf8_dropped_cleanly(spark, tmp_path):
     # S2: reference mis-handles decode errors (irclogbot.py:112-119);
     # engine drops the undecodable line, keeps valid neighbors.
