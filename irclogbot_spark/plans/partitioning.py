@@ -24,9 +24,10 @@ from pyspark.sql import DataFrame
 def ensure_parallelism(df: DataFrame, min_fraction: float = 0.5) -> DataFrame:
     """Repartition to defaultParallelism iff the current layout has
     fewer than min_fraction * defaultParallelism partitions."""
-    sc = df.sparkSession.sparkContext
-    target = sc.defaultParallelism
     try:
+        # both accessors raise under Spark Connect, where physical
+        # layout introspection isn't available — fall through unchanged
+        target = df.sparkSession.sparkContext.defaultParallelism
         current = df.rdd.getNumPartitions()
     except Exception:
         return df

@@ -1,0 +1,61 @@
+"""Text-analysis function unit tests (north-star: lang-id, quality,
+fingerprints) on handcrafted multilingual samples."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from irclogbot_spark.functions.text import (
+    lang_id,
+    punct_ratio,
+    rolling_fingerprint,
+    stopword_hits,
+    token_count,
+)
+
+SAMPLES = [
+    (1, "the cat sat on the mat and it is warm in the sun", "en"),
+    (2, "der hund ist nicht klein und die katze ist auf dem dach", "de"),
+    (3, "le chat est dans la maison et il est pour les amis", "fr"),
+    (4, "el perro es grande y la casa es blanca por la noche", "es"),
+    (5, "zzz qqq xxx www", "und"),
+]
+
+
+@pytest.fixture(scope="module")
+def df(spark):
+    return spark.createDataFrame(
+        [(i, t) for i, t, _ in SAMPLES], "doc_id long, text string"
+    )
+
+
+def test_lang_id_on_handcrafted_samples(spark, df):
+    got = {r.doc_id: r.lang for r in df.select("doc_id", lang_id("text").alias("lang")).collect()}
+    for i, _, want in SAMPLES:
+        assert got[i] == want, f"doc {i}: {got[i]} != {want}"
+
+
+def test_stopword_hits_counts(spark, df):
+    r = df.filter(F.col("doc_id") == 1).select(stopword_hits("text", "en").alias("h")).first()
+    assert r.h >= 4  # the x3, and, it, is, in
+
+
+def test_token_count_and_punct_ratio(spark):
+    d = spark.createDataFrame([("Hello, world! How are you?",)], "text string")
+    r = d.select(
+        token_count("text").alias("t"), punct_ratio("text").alias("p")
+    ).first()
+    assert r.t == 5
+    assert 0 < r.p < 0.2
+
+
+def test_rolling_fingerprint_is_order_sensitive(spark):
+    d = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "gamma beta alpha"), (3, "alpha beta gamma"), (4, "")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.f for r in d.select("doc_id", rolling_fingerprint("text").alias("f")).collect()}
+    assert got[1] == got[3]
+    assert got[1] != got[2]  # transposition changes the value (unlike md5-of-set)
+    assert got[4] == 0
