@@ -31,9 +31,13 @@ HEADLINE = [
     "tpch_q3_shipping_priority",
     "tpch_q5_local_supplier",
     "events_sessionize",
+    "events_session_window",
+    "events_asof_join",
     "docs_token_stats",
     "docs_minhash_neardup",
+    "docs_simhash_neardup",
     "emb_cosine_topk",
+    "emb_knn_join",
 ]
 
 
