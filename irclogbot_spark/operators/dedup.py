@@ -271,24 +271,22 @@ def simhash64(text: Column | str) -> Column:
     its xxhash64; the fingerprint sets bit j iff the vote sum is
     positive. Pure fold expression — map-only at any scale.
     """
-    toks = tokens(text)
-    # One fold builds the 64-lane vote vector (each token hashed once,
-    # bit j of the hash votes +1/-1); a second fold packs sign bits.
-    # Both folds reference their input exactly once — per-bit
-    # element_at access would let Catalyst inline (recompute) the
-    # whole token fold 64x.
+    # hash each token ONCE up front (higher-order functions run
+    # interpreted — no codegen subexpression elimination, so an
+    # xxhash64(t) inside the 64-lane array would execute 64x/token),
+    # then fold votes over the hash array with branchless bit math
+    hashes = F.transform(tokens(text), lambda t: F.xxhash64(t))
     bit_votes = F.aggregate(
-        toks,
+        hashes,
         F.array_repeat(F.lit(0).cast("long"), 64),
-        lambda acc, t: F.zip_with(
+        lambda acc, h: F.zip_with(
             acc,
             F.array(
                 *[
-                    F.when(
-                        F.shiftrightunsigned(F.xxhash64(t), j).bitwiseAND(F.lit(1)) == 1, 1
-                    )
-                    .otherwise(-1)
-                    .cast("long")
+                    (
+                        F.shiftrightunsigned(h, j).bitwiseAND(F.lit(1)) * F.lit(2)
+                        - F.lit(1)
+                    ).cast("long")
                     for j in range(64)
                 ]
             ),
@@ -309,6 +307,92 @@ def simhash64(text: Column | str) -> Column:
         lambda acc, x: acc.bitwiseOR(x),
     )
     return packed
+
+
+def neardup_components(pairs: DataFrame, max_iter: int = 10) -> DataFrame:
+    """Connected components over near-dup pairs (d1, d2) -> (doc_id,
+    cluster_id), cluster_id = smallest doc id in the component.
+
+    Iterative min-label propagation: each round every node adopts the
+    minimum label in its neighborhood (including itself); converges in
+    O(component diameter) rounds — near-dup clusters are shallow, so
+    max_iter=10 covers pathological chains of length ~2^10 under the
+    doubling behavior of label propagation. Iterative => no SQL
+    oracle (driver records rows-only); tests pin semantics.
+    """
+    # materialize the edge list once and truncate lineage every round:
+    # without this, iteration i's plan embeds i copies of the whole
+    # upstream pipeline (e.g. MinHash) — the classic iterative-
+    # algorithm lineage blowup; at scale these become checkpoint()s
+    edges = (
+        pairs.select(F.col("d1").alias("a"), F.col("d2").alias("b"))
+        .union(pairs.select(F.col("d2").alias("a"), F.col("d1").alias("b")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.b == labels.node)
+            .groupBy("a")
+            .agg(F.min("label").alias("nmin"))
+        )
+        labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.a, "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias(
+                    "label"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
+def dedup_corpus(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+) -> DataFrame:
+    """End-to-end corpus dedup: exact (content fingerprint) + near-dup
+    (MinHash LSH -> verified pairs -> connected components), keeping
+    the smallest id per cluster. Returns every input row with
+    (kept, dedup_reason) — the full LLM-training-data dedup pass.
+    """
+    fp = F.md5(F.col(text_col).cast("binary"))
+    exact_keeper = df.groupBy(fp.alias("fingerprint")).agg(
+        F.min(id_col).alias("exact_keeper")
+    )
+    with_exact = df.select(F.col(id_col), fp.alias("fingerprint")).join(
+        exact_keeper, "fingerprint"
+    )
+    pairs = minhash_neardup_pairs(df, id_col, text_col, threshold=threshold)
+    comp = neardup_components(pairs).withColumnRenamed("doc_id", "_comp_id")
+    out = (
+        with_exact.join(comp, with_exact[id_col] == comp["_comp_id"], "left")
+        .select(
+            F.col(id_col),
+            F.col("exact_keeper"),
+            F.coalesce(F.col("cluster_id"), F.col(id_col)).alias("cluster_id"),
+        )
+    )
+    keeper = F.least(F.col("exact_keeper"), F.col("cluster_id"))
+    return out.select(
+        id_col,
+        (F.col(id_col) == keeper).alias("kept"),
+        F.when(F.col(id_col) == keeper, F.lit("keeper"))
+        .when(F.col("exact_keeper") < F.col(id_col), F.lit("exact_duplicate"))
+        .otherwise(F.lit("near_duplicate"))
+        .alias("dedup_reason"),
+        keeper.alias("keeper_id"),
+    )
 
 
 def simhash_neardup_pairs(

@@ -580,6 +580,25 @@ def docs_simhash_neardup(spark, sf_dir):
     return simhash_neardup_pairs(_t(spark, sf_dir, "documents"))
 
 
+@query("docs_neardup_clusters")
+def docs_neardup_clusters(spark, sf_dir):
+    """Connected components over MinHash near-dup pairs (iterative
+    label propagation — rows-only check, like all iterative ops)."""
+    from irclogbot_spark.operators.dedup import minhash_neardup_pairs, neardup_components
+
+    pairs = minhash_neardup_pairs(_t(spark, sf_dir, "documents"), threshold=0.8)
+    return neardup_components(pairs)
+
+
+@query("docs_dedup_pipeline")
+def docs_dedup_pipeline(spark, sf_dir):
+    """End-to-end corpus dedup pass: exact + near-dup clustering with
+    keep-smallest-id policy and per-doc verdicts (rows-only)."""
+    from irclogbot_spark.operators.dedup import dedup_corpus
+
+    return dedup_corpus(_t(spark, sf_dir, "documents"))
+
+
 @query("docs_dedup_keep_first")
 def docs_dedup_keep_first(spark, sf_dir):
     """Exact keep-first dedup on content fingerprint."""

@@ -63,6 +63,31 @@ def test_simhash_near_identical_docs_have_close_hashes(spark):
     assert ham(got[1], got[2]) < ham(got[2], got[3])
 
 
+def test_neardup_components_label_propagation(spark):
+    # chain 1-2-3 plus isolated pair 8-9: components {1,2,3} and {8,9}
+    pairs = spark.createDataFrame(
+        [(2, 3), (1, 2), (8, 9)], "d1 long, d2 long"
+    )
+    got = {r.doc_id: r.cluster_id for r in dedup.neardup_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 8: 8, 9: 8}
+
+
+def test_dedup_corpus_end_to_end(spark):
+    base = "the quick brown fox jumps over the lazy dog in the sunny meadow today"
+    rows = [
+        (1, base),
+        (2, base),  # exact duplicate of 1
+        (3, base + " ok"),  # near-dup of 1/2
+        (4, "completely different text about spark shuffles and partitions at scale"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: (r.kept, r.dedup_reason, r.keeper_id) for r in dedup.dedup_corpus(df).collect()}
+    assert got[1] == (True, "keeper", 1)
+    assert got[2] == (False, "exact_duplicate", 1)
+    assert got[3] == (False, "near_duplicate", 1)
+    assert got[4] == (True, "keeper", 4)
+
+
 def test_exact_dedup_keeps_one_per_content(spark):
     df = spark.createDataFrame(
         [(1, "same text"), (2, "same text"), (3, "other text")], "doc_id long, text string"
