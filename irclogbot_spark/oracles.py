@@ -266,7 +266,9 @@ ORDER BY total_spend DESC, c_custkey LIMIT 10
 
 ORACLES["join_anti_customers_no_orders"] = """
 SELECT c_custkey, c_name, c_mktsegment FROM customer
-WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 400000
+)
 """
 
 ORACLES["join_semi_parts_ordered"] = """
@@ -348,6 +350,17 @@ SELECT user_id, MIN(ts) AS session_start,
   MAX(ts) + INTERVAL 30 MINUTE AS session_end,
   COUNT(*) AS n_events
 FROM sessions GROUP BY user_id, session_seq
+"""
+
+ORACLES["events_sliding_2h"] = f"""
+WITH expanded AS (
+  SELECT event_type, value,
+    date_trunc('hour', ts) - k * INTERVAL 1 HOUR AS win_start
+  FROM events, UNNEST([0, 1]) AS u(k)
+)
+SELECT win_start, event_type, COUNT(*) AS n_events,
+  {dsum('value')} AS total_value
+FROM expanded GROUP BY win_start, event_type
 """
 
 ORACLES["events_tumbling_hourly"] = f"""

@@ -319,10 +319,12 @@ def join_top_customers(spark, sf_dir):
 
 @query("join_anti_customers_no_orders")
 def join_anti(spark, sf_dir):
-    """Left-anti join (NOT EXISTS)."""
+    """Left-anti join (NOT EXISTS): customers with no big-ticket
+    orders (the unrestricted variant is empty at every SF — every
+    customer orders — which would make the check degenerate)."""
     cu = _t(spark, sf_dir, "customer")
-    o = _t(spark, sf_dir, "orders")
-    return cu.join(o, cu.c_custkey == o.o_custkey, "left_anti").select(
+    big = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return cu.join(big, cu.c_custkey == big.o_custkey, "left_anti").select(
         "c_custkey", "c_name", "c_mktsegment"
     )
 
@@ -423,6 +425,26 @@ def events_session_window(spark, sf_dir):
         F.col("w.start").cast("timestamp_ntz").alias("session_start"),
         F.col("w.end").cast("timestamp_ntz").alias("session_end"),
         "n_events",
+    )
+
+
+@query("events_sliding_2h")
+def events_sliding_2h(spark, sf_dir):
+    """Sliding event-time windows (2h width, 1h slide): each event
+    lands in two overlapping windows. Oracle reconstructs the window
+    assignment by exploding each event into its two hour-aligned
+    window starts."""
+    ev = _t(spark, sf_dir, "events")
+    w = F.window(F.col("ts").cast("timestamp"), "2 hours", "1 hour")
+    return (
+        ev.groupBy(w.alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value").alias("total_value"))
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("win_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
     )
 
 
