@@ -98,6 +98,18 @@ def test_scale_id_matches_dedup_semantics(spark, raw):
     assert compat == native == 3
 
 
+def test_ctcp_delimited_action_not_rewritten_reference_parity(spark):
+    # The reference strips only ' \n\r' (irclogbot.py:118) and tests
+    # startswith('ACTION ') on the remark (:137): a wire-format CTCP
+    # line with \x01 delimiters does NOT trigger the /me rewrite.
+    # Faithful parity: we preserve that behavior bit-for-bit.
+    df = spark.createDataFrame(
+        [(":a!~u@h PRIVMSG #c :\x01ACTION waves\x01",)], "value string"
+    )
+    r = ingest.parse_pipeline(df).first()
+    assert r.remark == "\x01ACTION waves\x01"
+
+
 def test_midline_match_binds_like_unanchored_regex(spark):
     # MSG_PAT is unanchored (irclogbot.py:24): a match starting
     # mid-line must bind at the first possible position, exactly like
