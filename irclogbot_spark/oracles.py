@@ -637,7 +637,7 @@ WITH m AS (
 )
 SELECT o_orderstatus,
   CAST(s AS DOUBLE) / n AS mean_price,
-  sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) / (n - 1)) AS stddev_price,
+  round(sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) / (n - 1)), 4) AS stddev_price,
   n
 FROM m
 """

@@ -899,10 +899,13 @@ def agg_stats_exact(spark, sf_dir):
     )
     s, ss, n = F.col("s").cast("double"), F.col("ss").cast("double"), F.col("n")
     var = (ss - s * s / n) / (n - F.lit(1))
+    # stddev rounded to 4dp: the sum-of-squares exceeds the exact
+    # double range at larger SFs and the engines' decimal->double
+    # conversions can differ in the last ulp — rounding absorbs it
     return agg.select(
         "o_orderstatus",
         (s / n).alias("mean_price"),
-        F.sqrt(var).alias("stddev_price"),
+        F.round(F.sqrt(var), 4).alias("stddev_price"),
         "n",
     )
 
