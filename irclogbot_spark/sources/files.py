@@ -70,6 +70,23 @@ def read_irclog(spark: SparkSession, path: str, fmt: str = "parquet") -> DataFra
     raise ValueError(f"unsupported format: {fmt}")
 
 
+def write_irclog_bucketed(
+    df: DataFrame, table: str, buckets: int = 64, bucket_col: str = "channel"
+) -> None:
+    """Persist the irclog as a bucketed table: rows co-located by
+    hash(bucket_col) at write time, so every later groupBy/join on
+    that column reads pre-partitioned data and skips its shuffle —
+    the 100 TB answer to 'we aggregate by channel constantly'.
+    (saveAsTable because bucketing metadata lives in the catalog.)"""
+    (
+        df.write.mode("overwrite")
+        .bucketBy(buckets, bucket_col)
+        .sortBy(bucket_col)
+        .format("parquet")
+        .saveAsTable(table)
+    )
+
+
 def read_raw_lines(spark: SparkSession, path: str) -> DataFrame:
     """S1 batch form: raw IRC protocol lines, one per row
     (irclogbot.py:111-119's socket loop, replayed from files)."""

@@ -37,6 +37,21 @@ def test_partitioned_write_prunes(spark, tmp_path, log):
     assert one_day.count() > 0
 
 
+def test_bucketed_write_skips_aggregation_shuffle(spark, log):
+    from irclogbot_spark.sources.files import write_irclog_bucketed
+    from pyspark.sql import functions as F
+
+    write_irclog_bucketed(log, "irclog_bucketed", buckets=8)
+    try:
+        t = spark.table("irclog_bucketed")
+        agg = t.groupBy("channel").agg(F.count(F.lit(1)).alias("n"))
+        plan = agg._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, f"bucketed groupBy must not shuffle:\n{plan}"
+        assert agg.count() == log.select("channel").distinct().count()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS irclog_bucketed")
+
+
 def test_read_channels_catalog(spark, tmp_path):
     p = tmp_path / "channels.txt"
     p.write_text("\n".join(f"#chan{i:03d}" for i in range(85)) + "\n\n  \n")
@@ -46,3 +61,23 @@ def test_read_channels_catalog(spark, tmp_path):
     assert slices["#chan000"] == 0 and slices["#chan039"] == 0
     assert slices["#chan040"] == 1 and slices["#chan079"] == 1
     assert slices["#chan080"] == 2  # 40-per-bot static sharding (D1)
+
+
+def test_salted_join_equals_plain_join(spark):
+    from pyspark.sql import functions as F
+
+    from irclogbot_spark.plans.skew import salted_join
+
+    # skewed left: one hot key carrying most rows
+    left = spark.range(10_000).select(
+        F.when(F.col("id") % 10 < 9, F.lit(1)).otherwise(F.col("id")).alias("k"),
+        F.col("id").alias("v"),
+    )
+    right = spark.range(2_000).select(F.col("id").alias("k"), (F.col("id") * 2).alias("w"))
+    plain = left.join(right, "k").groupBy().agg(
+        F.count(F.lit(1)).alias("n"), F.sum("v").alias("sv"), F.sum("w").alias("sw")
+    ).first()
+    salted = salted_join(left, right, "k").groupBy().agg(
+        F.count(F.lit(1)).alias("n"), F.sum("v").alias("sv"), F.sum("w").alias("sw")
+    ).first()
+    assert (plain.n, plain.sv, plain.sw) == (salted.n, salted.sv, salted.sw)
