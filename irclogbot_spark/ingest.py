@@ -32,7 +32,13 @@ from irclogbot_spark.functions.hashing import blake2b_id, scale_id
 #: 5 remark; groups 2-3 are discarded by the reference
 #: (irclogbot.py:133-136) but retained here as cheap extras
 #: (excluded from the id hash — SURVEY.md §1.1).
+#:
+#: The pattern itself is unanchored, but the reference applies it via
+#: ``MSG_PAT.match()`` (irclogbot.py:131) which anchors at position 0
+#: — a line with junk before the ':' prefix is NOT a message. Every
+#: engine application prepends '^' (ANCHORED_MSG_PAT) to mirror that.
 MSG_PAT = r":([^!]+)!~?([^@]+)@(\S+) PRIVMSG (\S+) :(.+)"
+ANCHORED_MSG_PAT = "^" + MSG_PAT
 
 #: F4 bound — nicks of length >= 17 are mis-parsed server lines
 #: (irclogbot.py:139-141).
@@ -98,15 +104,15 @@ def parse_privmsg(
     # Fast path: 2 regex executions per line instead of 5 (measured
     # 5x on 2M lines). One rlike gates the match; one regexp_replace
     # rewrites the line to its 5 groups joined by US (0x1F). The
-    # lazy '^.*?' prefix consumes anything before the first match
-    # position — exactly where unanchored regexp_extract would bind —
-    # and '(.+)' runs to end-of-line, so nothing survives after the
-    # replacement. split(limit=5) keeps any 0x1F inside the remark
+    # match is anchored at position 0 (reference uses re.match,
+    # irclogbot.py:131) and '(.+)' runs to end-of-line, so the
+    # replacement consumes the whole line and nothing survives around
+    # the groups. split(limit=5) keeps any 0x1F inside the remark
     # intact; a 0x1F inside nick/user/host/channel would mis-split,
     # which IRC framing makes unreachable in practice.
     sep = "\x1f"
-    packed = F.regexp_replace(v, "^.*?" + MSG_PAT, sep.join(f"${i}" for i in range(1, 6)))
-    groups = F.when(v.rlike(MSG_PAT), F.split(packed, sep, 5)).otherwise(
+    packed = F.regexp_replace(v, ANCHORED_MSG_PAT, sep.join(f"${i}" for i in range(1, 6)))
+    groups = F.when(v.rlike(ANCHORED_MSG_PAT), F.split(packed, sep, 5)).otherwise(
         F.array(*[F.lit("")] * 5)
     )
     out = df.select(
@@ -135,15 +141,18 @@ def normalize_action(df: DataFrame, col: str = "remark") -> DataFrame:
     """P3: CTCP ACTION -> '/me ' rewrite (irclogbot.py:137-138).
 
     The reference tests startswith('ACTION ') on the already-stripped
-    line (the \\x01 CTCP delimiters are gone by then) and substitutes
-    the 7-char prefix.
+    line (the \\x01 CTCP delimiters are gone by then) and then runs
+    ``remark.replace("ACTION ", "/me ")`` — which substitutes EVERY
+    occurrence, not just the prefix ('ACTION waves ACTION again' ->
+    '/me waves /me again'). Byte-exact parity matters here because the
+    remark feeds the compat blake2b id (functions.hashing).
     """
     c = F.col(col)
     return df.withColumn(
         col,
         F.when(
             c.startswith("ACTION "),
-            F.concat(F.lit("/me "), F.substring(c, 8, 2**30)),
+            F.regexp_replace(c, F.lit(r"ACTION "), F.lit("/me ")),
         ).otherwise(c),
     )
 

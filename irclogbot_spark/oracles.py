@@ -19,6 +19,9 @@ Cross-engine determinism rules used throughout (see queries.py):
 from __future__ import annotations
 
 MSG_PAT = r":([^!]+)!~?([^@]+)@(\S+) PRIVMSG (\S+) :(.+)"
+#: the reference applies MSG_PAT via re.match() (irclogbot.py:131) —
+#: anchored at position 0; every oracle application mirrors that
+A_MSG_PAT = "^" + MSG_PAT
 
 # ---------------------------------------------------------------- synth twin
 # Oracle twin of irclogbot_spark.synth.synthesize_irc_lines.
@@ -50,16 +53,16 @@ trimmed AS (
 ),
 parsed AS (
   SELECT ts,
-    regexp_extract(value, '{MSG_PAT}', 1) AS nick,
-    regexp_extract(value, '{MSG_PAT}', 2) AS usr,
-    regexp_extract(value, '{MSG_PAT}', 3) AS host,
-    regexp_extract(value, '{MSG_PAT}', 4) AS channel,
-    regexp_extract(value, '{MSG_PAT}', 5) AS remark
+    regexp_extract(value, '{A_MSG_PAT}', 1) AS nick,
+    regexp_extract(value, '{A_MSG_PAT}', 2) AS usr,
+    regexp_extract(value, '{A_MSG_PAT}', 3) AS host,
+    regexp_extract(value, '{A_MSG_PAT}', 4) AS channel,
+    regexp_extract(value, '{A_MSG_PAT}', 5) AS remark
   FROM trimmed
 ),
 normalized AS (
   SELECT channel, nick, date_trunc('second', ts) AS posted,
-    CASE WHEN remark LIKE 'ACTION %' THEN '/me ' || substr(remark, 8) ELSE remark END AS remark,
+    CASE WHEN remark LIKE 'ACTION %' THEN replace(remark, 'ACTION ', '/me ') ELSE remark END AS remark,
     usr, host
   FROM parsed
   WHERE nick <> '' AND channel <> '' AND remark <> '' AND length(nick) < 17
@@ -121,14 +124,14 @@ SELECT
   COUNT(*) FILTER (WHERE length(value) > 0) AS n_nonempty,
   COUNT(*) FILTER (WHERE length(value) > 0 AND NOT contains(value, 'PING :')) AS n_data,
   COUNT(*) FILTER (WHERE length(value) > 0 AND NOT contains(value, 'PING :')
-    AND regexp_extract(value, '{MSG_PAT}', 1) <> ''
-    AND regexp_extract(value, '{MSG_PAT}', 4) <> ''
-    AND regexp_extract(value, '{MSG_PAT}', 5) <> '') AS n_matched,
+    AND regexp_extract(value, '{A_MSG_PAT}', 1) <> ''
+    AND regexp_extract(value, '{A_MSG_PAT}', 4) <> ''
+    AND regexp_extract(value, '{A_MSG_PAT}', 5) <> '') AS n_matched,
   COUNT(*) FILTER (WHERE length(value) > 0 AND NOT contains(value, 'PING :')
-    AND regexp_extract(value, '{MSG_PAT}', 1) <> ''
-    AND regexp_extract(value, '{MSG_PAT}', 4) <> ''
-    AND regexp_extract(value, '{MSG_PAT}', 5) <> ''
-    AND length(regexp_extract(value, '{MSG_PAT}', 1)) < 17) AS n_recorded
+    AND regexp_extract(value, '{A_MSG_PAT}', 1) <> ''
+    AND regexp_extract(value, '{A_MSG_PAT}', 4) <> ''
+    AND regexp_extract(value, '{A_MSG_PAT}', 5) <> ''
+    AND length(regexp_extract(value, '{A_MSG_PAT}', 1)) < 17) AS n_recorded
 FROM t
 """
 

@@ -86,7 +86,7 @@ def ingest_parse(spark, sf_dir):
 @query("ingest_filter_stats")
 def ingest_filter_stats(spark, sf_dir):
     """Per-stage survivor counts for the filter chain F1->F2->F3->F4."""
-    from irclogbot_spark.ingest import MSG_PAT
+    from irclogbot_spark.ingest import ANCHORED_MSG_PAT as PAT
 
     t = synth.raw_lines(spark, sf_dir).select(F.trim("value").alias("value"))
     v = F.col("value")
@@ -94,11 +94,11 @@ def ingest_filter_stats(spark, sf_dir):
     data = nonempty & ~v.contains("PING :")
     matched = (
         data
-        & (F.regexp_extract(v, MSG_PAT, 1) != "")
-        & (F.regexp_extract(v, MSG_PAT, 4) != "")
-        & (F.regexp_extract(v, MSG_PAT, 5) != "")
+        & (F.regexp_extract(v, PAT, 1) != "")
+        & (F.regexp_extract(v, PAT, 4) != "")
+        & (F.regexp_extract(v, PAT, 5) != "")
     )
-    recorded = matched & (F.length(F.regexp_extract(v, MSG_PAT, 1)) < 17)
+    recorded = matched & (F.length(F.regexp_extract(v, PAT, 1)) < 17)
     return t.agg(
         F.count(F.lit(1)).alias("n_raw"),
         F.count(F.when(nonempty, 1)).alias("n_nonempty"),

@@ -110,17 +110,36 @@ def test_ctcp_delimited_action_not_rewritten_reference_parity(spark):
     assert r.remark == "\x01ACTION waves\x01"
 
 
-def test_midline_match_binds_like_unanchored_regex(spark):
-    # MSG_PAT is unanchored (irclogbot.py:24): a match starting
-    # mid-line must bind at the first possible position, exactly like
-    # regexp_extract would
+def test_midline_match_dropped_like_re_match(spark):
+    # MSG_PAT is textually unanchored (irclogbot.py:24) but the
+    # reference applies it via MSG_PAT.match() (irclogbot.py:131),
+    # which anchors at position 0: a line with junk before the ':'
+    # prefix returns None and is never recorded. Parity = drop.
     df = spark.createDataFrame(
-        [("junk prefix :alice!~a@h PRIVMSG #c :payload",)], "value string"
+        [
+            ("junk prefix :alice!~a@h PRIVMSG #c :payload",),
+            (":alice!~a@h PRIVMSG #c :kept",),
+        ],
+        "value string",
     )
-    r = ingest.parse_pipeline(df).first()
-    assert (r.nick, r.user, r.host, r.channel, r.remark) == (
-        "alice", "a", "h", "#c", "payload"
+    out = ingest.parse_pipeline(df).collect()
+    assert [r.remark for r in out] == ["kept"]
+
+
+def test_action_replace_all_occurrences(spark):
+    # reference: remark.replace('ACTION ', '/me ') replaces EVERY
+    # occurrence once the remark starts with 'ACTION '
+    # (irclogbot.py:137-138); a mid-remark 'ACTION ' without the
+    # prefix is untouched
+    df = spark.createDataFrame(
+        [
+            (":a!~u@h PRIVMSG #c :ACTION waves ACTION again",),
+            (":a!~u@h PRIVMSG #c :saw ACTION mid-line",),
+        ],
+        "value string",
     )
+    out = {r.remark for r in ingest.parse_pipeline(df).collect()}
+    assert out == {"/me waves /me again", "saw ACTION mid-line"}
 
 
 def test_remark_with_unit_separator_survives(spark):
