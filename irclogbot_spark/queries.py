@@ -926,25 +926,40 @@ def agg_pivot(spark, sf_dir):
 
 @query("events_asof_join")
 def events_asof_join(spark, sf_dir):
-    """As-of-style range join: for each error event, the most recent
-    prior purchase by the same user (+ how many preceded it). The
-    range predicate makes this a non-equi join — Spark picks SMJ/BNLJ;
-    at scale this is bucketed by user and sorted by time."""
-    ev = _t(spark, sf_dir, "events")
-    errors = ev.filter(F.col("event_type") == "error").select(
-        "event_id", "user_id", F.col("ts").alias("err_ts")
+    """As-of join: for each error event, the most recent prior
+    purchase by the same user (+ how many preceded it).
+
+    Scale shape (the point of this operator): NOT a range join. The
+    naive errors×purchases non-equi join fans out to
+    Σ_user(errors × prior purchases) intermediate rows and forces
+    SMJ/BNLJ; instead, union the two event kinds into ONE stream and
+    take running aggregates over a per-user event-time window —
+    linear in input, exactly one shuffle (on user_id), no join at
+    all. Purchases sort ahead of errors at equal timestamps so a
+    same-instant purchase counts as "prior" (the <= of the join
+    form); event_id makes the order total.
+    """
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("error", "purchase")
     )
-    purchases = ev.filter(F.col("event_type") == "purchase").select(
-        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    is_purchase = (F.col("event_type") == "purchase").cast("long")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts"), F.desc("is_p"), F.col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    joined = errors.join(
-        purchases,
-        (F.col("user_id") == F.col("p_user")) & (F.col("p_ts") <= F.col("err_ts")),
-        "left",
+    running = ev.select(
+        "event_id", "user_id", "ts", "event_type", is_purchase.alias("is_p")
+    ).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.col("ts").alias("err_ts"),
+        F.max(F.when(F.col("is_p") == 1, F.col("ts"))).over(w).alias("last_purchase_ts"),
+        F.sum("is_p").over(w).alias("n_prior_purchases"),
     )
-    return joined.groupBy("event_id", "user_id", "err_ts").agg(
-        F.max("p_ts").alias("last_purchase_ts"),
-        F.count("p_ts").alias("n_prior_purchases"),
+    return running.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "err_ts", "last_purchase_ts", "n_prior_purchases"
     )
 
 
