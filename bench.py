@@ -5,6 +5,13 @@ local[$SPARK_GRAFT_CPUS]; prints ONE JSON line.
 Each query materializes fully through the 'noop' sink — a count()
 would let Catalyst prune exactly the expensive columns (ids,
 signatures) we mean to measure.
+
+Three recorded passes (round 2 bench hygiene, VERDICT r1 #8):
+* queries        — self-contained, at SF_DIR (round-comparable);
+* queries_small  — same set at sf0.01, exposing the scaling slope;
+* queries_cached_irclog — the irclog-derived queries re-timed over a
+  shared materialized irclog, so round-over-round deltas measure the
+  downstream operator instead of the repeated synth+parse+hash.
 """
 
 from __future__ import annotations
@@ -17,6 +24,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+SMALL_DIR = os.environ.get("SPARK_GRAFT_SMALL_DIR", "/root/testdata/sf0.01")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
 #: The headline set: ingest chain + hash (the reference's whole job),
@@ -30,7 +38,6 @@ HEADLINE = [
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",
     "tpch_q5_local_supplier",
-    "events_sessionize",
     "events_session_window",
     "events_asof_join",
     "docs_token_stats",
@@ -38,10 +45,37 @@ HEADLINE = [
     "docs_simhash_neardup",
     "emb_cosine_topk",
     "emb_knn_join",
+    "emb_ann_topk",
+]
+
+#: headline queries that derive from the irclog (re-timed over the
+#: shared cached irclog in the third pass)
+IRCLOG_QUERIES = [
+    "ingest_dedup",
+    "log_msgs_per_channel_day",
+    "log_top_nicks",
 ]
 
 
+def _sf_of(path: str) -> float | str:
+    sf = path.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        return float(sf)
+    except ValueError:
+        return sf
+
+
+def _run(qs, spark, names, sf_dir) -> dict[str, float]:
+    times: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        times[name] = round(time.perf_counter() - t0, 3)
+    return times
+
+
 def main() -> None:
+    from irclogbot_spark import synth
     from irclogbot_spark.queries import queries
     from irclogbot_spark.session import get_spark
 
@@ -51,20 +85,15 @@ def main() -> None:
     # measure the operator, not first-call compilation
     warm_dir = "/root/testdata/sf0.001"
     if os.path.isdir(warm_dir):
-        for name in HEADLINE:
-            qs[name](spark, warm_dir).write.format("noop").mode("overwrite").save()
+        _run(qs, spark, HEADLINE, warm_dir)
 
-    times: dict[str, float] = {}
-    for name in HEADLINE:
-        t0 = time.perf_counter()
-        qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
-        times[name] = round(time.perf_counter() - t0, 3)
+    small = _run(qs, spark, HEADLINE, SMALL_DIR) if os.path.isdir(SMALL_DIR) else {}
+    times = _run(qs, spark, HEADLINE, SF_DIR)
 
-    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    try:
-        sf_val: float | str = float(sf)
-    except ValueError:
-        sf_val = sf
+    synth.cache_irclog(spark, SF_DIR)
+    cached = _run(qs, spark, IRCLOG_QUERIES, SF_DIR)
+    synth.uncache_irclog()
+
     print(
         json.dumps(
             {
@@ -72,7 +101,10 @@ def main() -> None:
                 "value": round(sum(times.values()), 3),
                 "unit": "sec",
                 "queries": times,
-                "sf": sf_val,
+                "sf": _sf_of(SF_DIR),
+                "queries_small": small,
+                "sf_small": _sf_of(SMALL_DIR),
+                "queries_cached_irclog": cached,
             }
         )
     )

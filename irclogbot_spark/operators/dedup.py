@@ -368,11 +368,17 @@ def dedup_corpus(
     id_col: str = "doc_id",
     text_col: str = "text",
     threshold: float = 0.8,
+    pairs: DataFrame | None = None,
 ) -> DataFrame:
     """End-to-end corpus dedup: exact (content fingerprint) + near-dup
-    (MinHash LSH -> verified pairs -> connected components), keeping
-    the smallest id per cluster. Returns every input row with
-    (kept, dedup_reason) — the full LLM-training-data dedup pass.
+    (near-dup pairs -> connected components), keeping the smallest id
+    per cluster. Returns every input row with (kept, dedup_reason) —
+    the full LLM-training-data dedup pass.
+
+    ``pairs`` defaults to MinHash LSH (the 100 TB candidate path);
+    pass an explicit (d1, d2) pair frame to swap the candidate
+    generator — e.g. exact ``jaccard_pairs`` when a SQL-checkable
+    deterministic pair set is wanted (the oracle-paired query does).
     """
     fp = F.md5(F.col(text_col).cast("binary"))
     exact_keeper = df.groupBy(fp.alias("fingerprint")).agg(
@@ -381,7 +387,8 @@ def dedup_corpus(
     with_exact = df.select(F.col(id_col), fp.alias("fingerprint")).join(
         exact_keeper, "fingerprint"
     )
-    pairs = minhash_neardup_pairs(df, id_col, text_col, threshold=threshold)
+    if pairs is None:
+        pairs = minhash_neardup_pairs(df, id_col, text_col, threshold=threshold)
     comp = neardup_components(pairs).withColumnRenamed("doc_id", "_comp_id")
     out = (
         with_exact.join(comp, with_exact[id_col] == comp["_comp_id"], "left")

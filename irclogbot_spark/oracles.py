@@ -155,16 +155,11 @@ FROM ch
 """
 
 # ------------------------------------------------- implied ES query surface
-ORACLES["log_term_filter"] = f"""
+ORACLES["log_term_time_filter"] = f"""
 WITH {IRCLOG_CTE}
 SELECT channel, nick, posted, remark, id FROM irclog
-WHERE channel = '#purchase' AND nick = 'u7'
-"""
-
-ORACLES["log_time_range"] = f"""
-WITH {IRCLOG_CTE}
-SELECT channel, nick, posted, remark FROM irclog
-WHERE posted >= TIMESTAMP '2024-01-10 00:00:00' AND posted < TIMESTAMP '2024-01-12 00:00:00'
+WHERE channel = '#purchase'
+  AND posted >= TIMESTAMP '2024-01-08 00:00:00' AND posted < TIMESTAMP '2024-01-14 00:00:00'
 """
 
 ORACLES["log_fulltext"] = f"""
@@ -295,15 +290,25 @@ FROM orders GROUP BY o_orderstatus
 """
 
 ORACLES["set_ops"] = """
-SELECT custkey FROM (
-  (SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
-   INTERSECT
-   SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 150000)
-  UNION
-  SELECT c_custkey AS custkey FROM customer WHERE c_acctbal < 0
+SELECT 'distinct' AS variant, custkey FROM (
+  SELECT custkey FROM (
+    (SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+     INTERSECT
+     SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 150000)
+    UNION
+    SELECT c_custkey AS custkey FROM customer WHERE c_acctbal < 0
+  )
+  EXCEPT
+  SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 9000
 )
-EXCEPT
-SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 9000
+UNION ALL
+SELECT 'bag' AS variant, custkey FROM (
+  (SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+   UNION ALL
+   SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 200000)
+  EXCEPT ALL
+  SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+)
 """
 
 ORACLES["scalar_human_fmt"] = f"""
@@ -313,27 +318,6 @@ FROM b GROUP BY 1
 """
 
 # ------------------------------------------------------------------- events
-ORACLES["events_sessionize"] = """
-WITH e AS (
-  SELECT user_id, event_id, epoch_us(ts) AS tus FROM events
-),
-flagged AS (
-  SELECT user_id, event_id, tus,
-    CASE WHEN tus - LAG(tus) OVER w > 1800000000 OR LAG(tus) OVER w IS NULL
-         THEN 1 ELSE 0 END AS new_session
-  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)
-),
-sessions AS (
-  SELECT user_id, tus,
-    CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY tus, event_id) AS BIGINT) AS session_seq
-  FROM flagged
-)
-SELECT user_id, session_seq, COUNT(*) AS n_events,
-  MIN(tus) AS session_start_us, MAX(tus) AS session_end_us,
-  (MAX(tus) - MIN(tus)) // 1000000 AS duration_s
-FROM sessions GROUP BY user_id, session_seq
-"""
-
 ORACLES["events_session_window"] = """
 WITH e AS (
   SELECT user_id, event_id, ts, epoch_us(ts) AS tus FROM events
@@ -384,9 +368,12 @@ FROM events GROUP BY event_type
 TOKENS = r"len(regexp_extract_all(text, '\S+'))"
 STOPS = r"len(regexp_extract_all(lower(text), '\b(the|a|an|and|or|of|to|in|is|it)\b'))"
 
+BPE_TOKENS = r"len(regexp_extract_all(text, '\w+|[^\w\s]'))"
+
 ORACLES["docs_token_stats"] = f"""
 SELECT lang, COUNT(*) AS n_docs,
   CAST(SUM({TOKENS}) AS BIGINT) AS total_tokens,
+  CAST(SUM({BPE_TOKENS}) AS BIGINT) AS total_bpe_tokens,
   CAST(SUM({TOKENS}) AS DOUBLE) / COUNT(*) AS avg_tokens,
   CAST(CAST(SUM(length(text)) AS BIGINT) AS DOUBLE) / COUNT(*) AS avg_chars
 FROM documents GROUP BY lang
@@ -454,6 +441,82 @@ SELECT query_id, vec_id, cosine, knn_rank FROM (
 ) WHERE knn_rank <= 5
 """
 
+def _ann_core_ctes(k: int = 5, n_planes: int = 8, probes: int = 9, dim: int = 64) -> str:
+    """CTE text replicating operators.similarity.ann_topk bit-for-bit.
+
+    The SRP hyperplanes are deterministic driver-side constants
+    (seeded Gaussian, part of the plan, not data) — inlined here as
+    double literals (repr() round-trips exactly), which is what makes
+    the approximate path oracle-checkable: bucket assignment is a
+    sign test on the same IEEE dot products, multi-probe is the
+    bucket plus its hamming-1 neighbors, and only candidates are
+    cosine-scored."""
+    from irclogbot_spark.operators.similarity import random_planes
+
+    planes = random_planes(dim, n_planes)
+    lits = ["[" + ", ".join(repr(x) for x in p) + "]" for p in planes]
+
+    def bucket(v: str) -> str:
+        return " + ".join(
+            f"(CASE WHEN list_dot_product({v}, {lits[j]}) > 0 THEN {1 << j} ELSE 0 END)"
+            for j in range(n_planes)
+        )
+
+    probe_elems = ["b"] + [f"xor(b, {1 << j})" for j in range(n_planes)]
+    probe_list = "[" + ", ".join(probe_elems[:probes]) + "]"
+    return f"""
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cb AS (SELECT vec_id, v, {bucket("v")} AS bucket FROM e),
+qb AS (SELECT vec_id AS query_id, v AS qv, {bucket("v")} AS b FROM e WHERE vec_id IN (0, 1, 2)),
+qprobe AS (SELECT query_id, qv, unnest({probe_list}) AS bucket FROM qb),
+ann_scored AS (
+  SELECT DISTINCT p.query_id, c.vec_id,
+    list_dot_product(c.v, p.qv)
+      / (sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(p.qv, p.qv))) AS cosine
+  FROM cb c JOIN qprobe p ON c.bucket = p.bucket AND c.vec_id <> p.query_id
+),
+ann AS (
+  SELECT query_id, vec_id, cosine, knn_rank FROM (
+    SELECT query_id, vec_id, cosine,
+      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS knn_rank
+    FROM ann_scored
+  ) WHERE knn_rank <= {k}
+)"""
+
+
+ORACLES["emb_ann_topk"] = f"""
+WITH {_ann_core_ctes()}
+SELECT query_id, vec_id, cosine, knn_rank FROM ann
+"""
+
+ORACLES["emb_ann_recall"] = f"""
+WITH {_ann_core_ctes()},
+exact_scored AS (
+  SELECT q.query_id, c.vec_id,
+    list_dot_product(c.v, q.qv)
+      / (sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(q.qv, q.qv))) AS cosine
+  FROM e c JOIN qb q ON c.vec_id <> q.query_id
+),
+exact AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS knn_rank
+    FROM exact_scored
+  ) WHERE knn_rank <= 5
+),
+hits AS (
+  SELECT a.query_id, COUNT(*) AS n_hits
+  FROM ann a JOIN exact x ON a.query_id = x.query_id AND a.vec_id = x.vec_id
+  GROUP BY a.query_id
+),
+base AS (SELECT DISTINCT vec_id AS query_id FROM embeddings WHERE vec_id IN (0, 1, 2))
+SELECT base.query_id,
+  COALESCE(n_hits, 0) AS n_hits,
+  CAST(COALESCE(n_hits, 0) AS DOUBLE) / 5.0 AS recall_at_5
+FROM base LEFT JOIN hits ON base.query_id = hits.query_id
+"""
+
+
 # ------------------------------------------------- dedup / text operators
 _SHINGLES_CTE = r"""
 t AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS toks FROM documents),
@@ -472,6 +535,54 @@ FROM pairs
 JOIN sizes s1 ON s1.doc_id = d1
 JOIN sizes s2 ON s2.doc_id = d2
 WHERE CAST(inter AS DOUBLE) / (s1.n + s2.n - inter) >= 0.8
+"""
+
+# Connected components over the exact-Jaccard pair set, as a
+# recursive label propagation: walk enumerates every (node,
+# reachable-label) pair along symmetrized edges; MIN(label) per node
+# is the component minimum — the same fixpoint the engine's
+# iterative min-label propagation (operators.dedup.neardup_components)
+# converges to.
+_COMPONENTS_CTE = f"""
+jac AS (
+  SELECT d1, d2
+  FROM pairs
+  JOIN sizes s1 ON s1.doc_id = d1
+  JOIN sizes s2 ON s2.doc_id = d2
+  WHERE CAST(inter AS DOUBLE) / (s1.n + s2.n - inter) >= 0.8
+),
+sym AS (SELECT d1 AS a, d2 AS b FROM jac UNION SELECT d2 AS a, d1 AS b FROM jac),
+nodes AS (SELECT DISTINCT a AS node FROM sym),
+walk(node, label) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT s.b, w.label FROM walk w JOIN sym s ON s.a = w.node
+),
+comp AS (SELECT node AS doc_id, MIN(label) AS cluster_id FROM walk GROUP BY node)
+"""
+
+ORACLES["docs_neardup_clusters"] = f"""
+WITH RECURSIVE {_SHINGLES_CTE}, {_COMPONENTS_CTE}
+SELECT doc_id, cluster_id FROM comp
+"""
+
+ORACLES["docs_dedup_pipeline"] = f"""
+WITH RECURSIVE {_SHINGLES_CTE}, {_COMPONENTS_CTE},
+fp AS (SELECT doc_id, md5(text) AS fingerprint FROM documents),
+ek AS (SELECT fingerprint, MIN(doc_id) AS exact_keeper FROM fp GROUP BY fingerprint),
+wx AS (
+  SELECT f.doc_id, e.exact_keeper, COALESCE(c.cluster_id, f.doc_id) AS cluster_id
+  FROM fp f
+  JOIN ek e ON f.fingerprint = e.fingerprint
+  LEFT JOIN comp c ON c.doc_id = f.doc_id
+)
+SELECT doc_id,
+  doc_id = LEAST(exact_keeper, cluster_id) AS kept,
+  CASE WHEN doc_id = LEAST(exact_keeper, cluster_id) THEN 'keeper'
+       WHEN exact_keeper < doc_id THEN 'exact_duplicate'
+       ELSE 'near_duplicate' END AS dedup_reason,
+  LEAST(exact_keeper, cluster_id) AS keeper_id
+FROM wx
 """
 
 ORACLES["docs_dedup_keep_first"] = """
@@ -540,21 +651,16 @@ FROM lineitem
 GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
 """
 
-ORACLES["window_running_total"] = """
+ORACLES["window_frames"] = """
 SELECT o_custkey, o_orderkey, o_orderdate,
-  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
-       OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER wrun AS DOUBLE) AS running_spend,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER wmov AS DOUBLE)
+    / COUNT(*) OVER wmov AS moving_avg
 FROM orders
-"""
-
-ORACLES["window_moving_avg"] = """
-SELECT o_custkey, o_orderkey,
-  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
-       OVER w AS DOUBLE) / COUNT(*) OVER w AS moving_avg
-FROM orders
-WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+WINDOW wrun AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+       wmov AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
 """
 
 ORACLES["date_functions"] = """
@@ -568,7 +674,13 @@ SELECT o_orderkey,
 FROM orders
 """
 
-ORACLES["math_functions"] = """
+ORACLES["math_array_functions"] = """
+WITH t AS (
+  SELECT *,
+    [CAST(l_quantity AS DOUBLE), CAST(l_extendedprice AS DOUBLE),
+     CAST(l_discount AS DOUBLE)] AS v
+  FROM lineitem
+)
 SELECT l_orderkey, l_linenumber,
   sqrt(l_quantity) AS qty_sqrt,
   l_quantity * l_quantity AS qty_sq,
@@ -576,69 +688,39 @@ SELECT l_orderkey, l_linenumber,
   CAST(floor(l_extendedprice / 1000.0) AS BIGINT) AS price_k_floor,
   CAST(ceil(l_extendedprice / 1000.0) AS BIGINT) AS price_k_ceil,
   sign(l_discount - 0.05) AS disc_sign,
-  l_orderkey % 7 AS okey_mod7
-FROM lineitem
-"""
-
-ORACLES["array_functions"] = """
-WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, len(embedding) AS n FROM embeddings)
-SELECT vec_id,
-  CAST(n AS INT) AS n_dims,
+  l_orderkey % 7 AS okey_mod7,
   list_aggregate(v, 'min') AS vmin,
   list_aggregate(v, 'max') AS vmax,
-  CASE WHEN n = 0 THEN 0.0 ELSE list_reduce(list_prepend(0.0, v), (a, b) -> a + b) END AS vsum,
+  list_reduce(list_prepend(0.0, v), (a, b) -> a + b) AS vsum,
   sqrt(list_dot_product(v, v)) AS l2_norm
-FROM e
+FROM t
 """
 
 ORACLES["log_search_terms"] = f"""
 WITH {IRCLOG_CTE},
-terms AS (SELECT unnest(regexp_extract_all(remark, '\\S+')) AS term FROM irclog)
+hits AS (
+  SELECT remark FROM irclog
+  WHERE contains(remark, '"k": 7') OR contains(remark, '"k": 13') OR contains(remark, '"k": 42')
+),
+terms AS (SELECT unnest(regexp_extract_all(remark, '\\S+')) AS term FROM hits)
 SELECT term, COUNT(*) AS n FROM terms
 GROUP BY term ORDER BY n DESC, term LIMIT 20
-"""
-
-ORACLES["docs_bpe_tokens"] = r"""
-SELECT doc_id,
-  len(regexp_extract_all(text, '\w+|[^\w\s]')) AS n_bpe_tokens,
-  len(regexp_extract_all(text, '\S+')) AS n_ws_tokens
-FROM documents
-"""
-
-ORACLES["log_substring_any"] = f"""
-WITH {IRCLOG_CTE}
-SELECT channel, nick, remark FROM irclog
-WHERE contains(remark, '"k": 7') OR contains(remark, '"k": 13') OR contains(remark, '"k": 42')
-"""
-
-ORACLES["set_ops_all"] = """
-(SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
- UNION ALL
- SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 200000)
-EXCEPT ALL
-SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
 """
 
 
 _PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
 
-ORACLES["agg_percentiles"] = """
-SELECT o_orderstatus,
-  quantile_cont(o_totalprice, 0.5) AS p50,
-  quantile_cont(o_totalprice, 0.9) AS p90,
-  COUNT(*) AS n
-FROM orders GROUP BY o_orderstatus
-"""
-
-ORACLES["agg_stats_exact"] = """
+ORACLES["agg_stats"] = """
 WITH m AS (
   SELECT o_orderstatus,
+    quantile_cont(o_totalprice, 0.5) AS p50,
+    quantile_cont(o_totalprice, 0.9) AS p90,
     SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS s,
     SUM(CAST(o_totalprice AS DECIMAL(12,2)) * CAST(o_totalprice AS DECIMAL(12,2))) AS ss,
     COUNT(*) AS n
   FROM orders GROUP BY o_orderstatus
 )
-SELECT o_orderstatus,
+SELECT o_orderstatus, p50, p90,
   CAST(s AS DOUBLE) / n AS mean_price,
   round(sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) / (n - 1)), 4) AS stddev_price,
   n

@@ -63,7 +63,36 @@ def raw_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     return synthesize_irc_lines(ensure_parallelism(load_table(spark, sf_dir, "events")))
 
 
+#: opt-in cache of materialized irclog frames keyed by (sf_dir,
+#: compat_id) — bench.py uses it so per-operator timings measure the
+#: operator, not a repeated synth+parse+hash of the same corpus.
+#: Never populated implicitly: every query stays self-contained for
+#: the driver's oracle comparison unless the caller opts in.
+_IRCLOG_CACHE: dict[tuple[str, bool], DataFrame] = {}
+
+
 def irclog(spark: SparkSession, sf_dir: str, compat_id: bool = False) -> DataFrame:
     """The canonical irclog table at a scale factor: synthesized raw
     lines through the full ingest chain, event time from events.ts."""
+    cached = _IRCLOG_CACHE.get((sf_dir.rstrip("/"), compat_id))
+    if cached is not None:
+        return cached
     return parse_pipeline(raw_lines(spark, sf_dir), ts_col="ts", compat_id=compat_id)
+
+
+def cache_irclog(spark: SparkSession, sf_dir: str, compat_id: bool = False) -> DataFrame:
+    """Materialize and pin the irclog for a scale factor; subsequent
+    irclog() calls reuse it until uncache_irclog()."""
+    key = (sf_dir.rstrip("/"), compat_id)
+    if key not in _IRCLOG_CACHE:
+        df = parse_pipeline(raw_lines(spark, sf_dir), ts_col="ts", compat_id=compat_id)
+        df = df.persist()
+        df.count()
+        _IRCLOG_CACHE[key] = df
+    return _IRCLOG_CACHE[key]
+
+
+def uncache_irclog() -> None:
+    for df in _IRCLOG_CACHE.values():
+        df.unpersist()
+    _IRCLOG_CACHE.clear()
