@@ -9,11 +9,11 @@ The reference PUTs one doc per message with the content hash as _id
   every partition streams straight to ES shards, no driver choke
   point. Needs the org.elasticsearch:elasticsearch-spark jar on the
   cluster.
-* ``write_to_elasticsearch``: a foreachBatch/batch fallback using the
-  Python elasticsearch client per partition, gated behind an
-  import-try (the client is not installed in this environment — the
-  call path raises a clear error; everything up to the network call
-  is testable).
+* ``write_to_elasticsearch``: a foreachBatch/batch fallback speaking
+  the ES ``_bulk`` ndjson protocol over stdlib HTTP per partition —
+  no client dependency, so the whole write path (doc shaping, _id =
+  content hash, chunking, bounded retry) executes and is tested
+  against an in-process mock endpoint (tests/test_es_sink.py).
 
 In this repo's test harness the keyed-parquet sink
 (streaming.pipeline.keyed_upsert_batch) stands in for ES — same
@@ -56,27 +56,70 @@ def es_doc(df: DataFrame) -> DataFrame:
     )
 
 
+#: bounded retry, reference parity: MAX_RETRIES = 5, irclogbot.py:22.
+#: Divergence (documented): after the budget the reference silently
+#: DROPS the message (irclogbot.py:52-59); the engine raises, so the
+#: failure surfaces to Spark's task retry / the stream supervisor
+#: instead of losing data.
+MAX_RETRIES = 5
+
+
 def write_to_elasticsearch(
-    df: DataFrame, host: str, index: str = ES_INDEX, chunk_size: int = 500
+    df: DataFrame,
+    host: str,
+    index: str = ES_INDEX,
+    chunk_size: int = 500,
+    max_retries: int = MAX_RETRIES,
 ) -> None:
-    """Fallback bulk writer: per-partition Python client, bulk index
-    with _id = content hash. Raises ImportError where the client is
-    unavailable (this environment) — the document shaping above it is
-    covered by tests."""
+    """Bulk writer: per-partition ``POST /_bulk`` (ndjson) over stdlib
+    HTTP, PUT-semantics index actions with _id = content hash — the
+    exact idempotent keyed write of the reference
+    (es_client.index(id=hashval), irclogbot.py:50-51), executed
+    executor-side so every partition streams to ES without a driver
+    choke point."""
     docs = es_doc(df)
 
     def write_partition(rows) -> None:
-        try:
-            from elasticsearch import Elasticsearch, helpers  # type: ignore
-        except ImportError as e:  # pragma: no cover - env without client
-            raise ImportError(
-                "elasticsearch client not installed; use the es-spark "
-                "connector (es_write_conf) or the keyed parquet sink"
-            ) from e
-        client = Elasticsearch(host)
-        actions = (
-            {"_index": index, "_id": r["id"], "_source": r.asDict()} for r in rows
-        )
-        helpers.bulk(client, actions, chunk_size=chunk_size)
+        import json
+        import time
+        import urllib.request
+
+        url = host.rstrip("/") + "/_bulk"
+
+        def flush(actions: list[str]) -> None:
+            if not actions:
+                return
+            body = "".join(actions).encode("utf-8")
+            attempts = 0
+            while True:
+                req = urllib.request.Request(
+                    url,
+                    data=body,
+                    headers={"Content-Type": "application/x-ndjson"},
+                    method="POST",
+                )
+                try:
+                    with urllib.request.urlopen(req, timeout=30) as resp:
+                        resp.read()
+                    return
+                except Exception:
+                    attempts += 1
+                    if attempts >= max_retries:
+                        raise
+                    time.sleep(min(0.1 * 2**attempts, 2.0))
+
+        buf: list[str] = []
+        for r in rows:
+            d = r.asDict()
+            buf.append(
+                json.dumps({"index": {"_index": index, "_id": d["id"]}})
+                + "\n"
+                + json.dumps(d)
+                + "\n"
+            )
+            if len(buf) >= chunk_size:
+                flush(buf)
+                buf = []
+        flush(buf)
 
     docs.foreachPartition(write_partition)

@@ -4,8 +4,12 @@ The reference's only state is the implicit forever-dedup at the ES
 sink (H2/H3); the engine's streaming layer adds an explicit stateful
 operator the built-ins don't express: a per-channel running profile
 (message count, distinct-nick estimate, last-seen) maintained across
-micro-batches with bounded state and timeout-based eviction — the
-pattern for any custom aggregation a 100 TB stream needs.
+micro-batches with bounded state and processing-time timeout
+eviction — the pattern for any custom aggregation a 100 TB stream
+needs. State is bounded on BOTH axes: per-group (first K distinct
+nicks) and across groups (idle channels evict after the timeout and
+emit a final flagged row, so an unbounded channel universe cannot
+grow state without bound).
 """
 
 from __future__ import annotations
@@ -17,6 +21,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    BooleanType,
     LongType,
     StringType,
     StructField,
@@ -30,6 +35,7 @@ CHANNEL_PROFILE_SCHEMA = StructType(
         StructField("n_msgs", LongType()),
         StructField("n_nicks_seen", LongType()),
         StructField("last_posted", TimestampType()),
+        StructField("evicted", BooleanType()),
     ]
 )
 
@@ -37,45 +43,75 @@ _STATE_SCHEMA = StructType(
     [
         StructField("n_msgs", LongType()),
         StructField("nicks", StringType()),  # bounded: first K distinct, '\x1f'-joined
+        StructField("last_posted", TimestampType()),
     ]
 )
 
-_MAX_TRACKED_NICKS = 1000  # state must stay bounded on a real stream
+_MAX_TRACKED_NICKS = 1000  # per-group state must stay bounded on a real stream
+
+#: default idle eviction horizon — a channel silent this long drops
+#: its state (and emits a final evicted=True profile row)
+DEFAULT_IDLE_TIMEOUT_MS = 30 * 60 * 1000
 
 
-def _update_channel_profile(
-    key: tuple[str], pdfs: Iterator[pd.DataFrame], state: GroupState
-) -> Iterator[pd.DataFrame]:
-    n_msgs, nicks_joined = state.get if state.exists else (0, "")
-    nicks: set[str] = set(nicks_joined.split("\x1f")) - {""} if nicks_joined else set()
-    last_posted: Any = None
-    for pdf in pdfs:
-        n_msgs += len(pdf)
-        for nick in pdf["nick"]:
+def _make_update(idle_timeout_ms: int):
+    def _update_channel_profile(
+        key: tuple[str], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        def row(n_msgs: int, n_nicks: int, last_posted: Any, evicted: bool) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    "channel": [key[0]],
+                    "n_msgs": [n_msgs],
+                    "n_nicks_seen": [n_nicks],
+                    "last_posted": [last_posted],
+                    "evicted": [evicted],
+                }
+            )
+
+        if state.hasTimedOut:
+            # idle eviction: flush the final profile, drop the state
+            n_msgs, nicks_joined, last_posted = state.get
+            n_nicks = nicks_joined.count("\x1f") + 1 if nicks_joined else 0
+            state.remove()
+            yield row(n_msgs, n_nicks, last_posted, True)
+            return
+
+        if state.exists:
+            n_msgs, nicks_joined, last_posted = state.get
+        else:
+            n_msgs, nicks_joined, last_posted = 0, "", None
+        nicks: set[str] = set(nicks_joined.split("\x1f")) - {""} if nicks_joined else set()
+        for pdf in pdfs:
+            n_msgs += len(pdf)
             if len(nicks) < _MAX_TRACKED_NICKS:
-                nicks.add(nick)
-        batch_max = pdf["posted"].max()
-        if last_posted is None or (batch_max is not None and batch_max > last_posted):
-            last_posted = batch_max
-    state.update((n_msgs, "\x1f".join(sorted(nicks))))
-    yield pd.DataFrame(
-        {
-            "channel": [key[0]],
-            "n_msgs": [n_msgs],
-            "n_nicks_seen": [len(nicks)],
-            "last_posted": [last_posted],
-        }
-    )
+                # vectorized: pandas set-membership + first-appearance
+                # order, capped at the state bound
+                fresh = pdf["nick"][~pdf["nick"].isin(nicks)].unique()
+                nicks.update(fresh[: _MAX_TRACKED_NICKS - len(nicks)])
+            batch_max = pdf["posted"].max()
+            if last_posted is None or (batch_max is not None and batch_max > last_posted):
+                last_posted = batch_max
+        state.update((n_msgs, "\x1f".join(sorted(nicks)), last_posted))
+        state.setTimeoutDuration(idle_timeout_ms)
+        yield row(n_msgs, len(nicks), last_posted, False)
+
+    return _update_channel_profile
 
 
-def channel_profiles(log: DataFrame) -> DataFrame:
+def channel_profiles(
+    log: DataFrame, idle_timeout_ms: int = DEFAULT_IDLE_TIMEOUT_MS
+) -> DataFrame:
     """Streaming per-channel running profile via arbitrary stateful
     processing. Update output mode: each batch emits the refreshed
-    profile of every channel it touched."""
+    profile of every channel it touched, plus a final evicted=True
+    row for any channel idle past ``idle_timeout_ms`` (whose state is
+    then dropped — the bound that keeps total state finite on an
+    unbounded channel universe)."""
     return log.groupBy("channel").applyInPandasWithState(
-        _update_channel_profile,
+        _make_update(idle_timeout_ms),
         outputStructType=CHANNEL_PROFILE_SCHEMA,
         stateStructType=_STATE_SCHEMA,
         outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )

@@ -43,6 +43,63 @@ def test_streaming_ingest_end_to_end(spark, tmp_path):
     assert out.count() == out.select("id").distinct().count()
 
 
+def test_upsert_rewrites_only_touched_buckets(spark, tmp_path):
+    """The keyed sink is an id-bucket-scoped merge, not an O(table)
+    rewrite: after a second batch, every bucket the batch's ids do
+    NOT hash into must be byte-identical on disk (same files, same
+    contents) — the per-key PUT cost model of the reference's ES sink
+    (irclogbot.py:50-51)."""
+    import hashlib
+    from pathlib import Path
+
+    from pyspark.sql import functions as F
+
+    from irclogbot_spark.ingest import parse_pipeline
+    from irclogbot_spark.streaming.pipeline import keyed_upsert_batch
+
+    target = str(tmp_path / "keyed")
+    many = [f":u{i}!~u{i}@h PRIVMSG #c{i % 4} :message number {i}" for i in range(200)]
+    log1 = parse_pipeline(spark.createDataFrame([(l,) for l in many], "value string"))
+    keyed_upsert_batch(log1, 0, target)
+
+    def bucket_state(bucket_dir: Path) -> dict[str, str]:
+        return {
+            f.name: hashlib.md5(f.read_bytes()).hexdigest()
+            for f in sorted(bucket_dir.glob("*.parquet"))
+        }
+
+    before = {
+        d.name: bucket_state(d) for d in Path(target).glob("id_bucket=*")
+    }
+    assert len(before) > 1, "need multiple buckets for the assertion to bite"
+
+    # batch 2: one new message + one re-delivery
+    log2 = parse_pipeline(
+        spark.createDataFrame(
+            [(":u0!~u0@h PRIVMSG #c0 :message number 0",),
+             (":newbie!~n@h PRIVMSG #c9 :brand new",)],
+            "value string",
+        )
+    )
+    touched = {
+        r.b
+        for r in log2.select(
+            F.pmod(F.xxhash64("id"), F.lit(16)).cast("int").alias("b")
+        ).collect()
+    }
+    keyed_upsert_batch(log2, 1, target)
+
+    after = {d.name: bucket_state(d) for d in Path(target).glob("id_bucket=*")}
+    untouched = [n for n in before if int(n.split("=")[1]) not in touched]
+    assert untouched, "batch 2 touched every bucket — widen the id space"
+    for name in untouched:
+        assert after[name] == before[name], f"untouched bucket {name} was rewritten"
+    # and the merge itself upserted: one new row, no duplicate ids
+    out = spark.read.parquet(target)
+    assert out.count() == 201
+    assert out.count() == out.select("id").distinct().count()
+
+
 def test_restart_from_checkpoint_is_duplicate_safe(spark, tmp_path):
     """E3: supervision restarts must not duplicate (reference relies on
     content-keyed ES upsert; we rely on checkpoint + keyed sink)."""

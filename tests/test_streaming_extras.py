@@ -138,6 +138,65 @@ def test_stateful_channel_profiles(spark, tmp_path):
     assert (nova.n_msgs, nova.n_nicks_seen) == (3, 3)
 
 
+def test_stateful_idle_channel_evicts_on_timeout(spark, tmp_path):
+    """Processing-time timeout eviction: a channel idle past the
+    horizon emits a final evicted=True profile and its state is
+    dropped — re-arriving data starts a FRESH profile (n_msgs resets),
+    proving the state really left the store."""
+    from irclogbot_spark.streaming.pipeline import read_raw_lines_stream, streaming_irclog
+    from irclogbot_spark.streaming.stateful import channel_profiles
+
+    src = tmp_path / "src"
+    src.mkdir()
+
+    def run(sink: list):
+        log_s = streaming_irclog(
+            read_raw_lines_stream(spark, path=str(src)), dedup_in_stream=False
+        )
+        profiles = channel_profiles(
+            log_s.select(
+                "channel", "nick", F.col("posted").cast("timestamp").alias("posted")
+            ),
+            idle_timeout_ms=500,
+        )
+        q = (
+            profiles.writeStream.outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .foreachBatch(lambda b, i: sink.extend(b.collect()))
+            .start()
+        )
+        q.awaitTermination(120)
+
+    (src / "a.log").write_text(
+        ":alice!a@h PRIVMSG #idle :one\n:bob!b@h PRIVMSG #idle :two\n"
+    )
+    first: list = []
+    run(first)
+    assert ("#idle", 2, False) in {(r.channel, r.n_msgs, r.evicted) for r in first}
+
+    # let #idle's processing-time timeout expire, then trigger a batch
+    # touching only a DIFFERENT channel (the timeout may also fire on
+    # a trailing micro-batch of run 1 — availableNow drains in several
+    # batches — so assert the eviction across both runs)
+    time.sleep(1.5)
+    (src / "b.log").write_text(":carol!c@h PRIVMSG #busy :three\n")
+    second: list = []
+    run(second)
+    assert ("#busy", 1, False) in {(r.channel, r.n_msgs, r.evicted) for r in second}
+    evictions = [
+        (r.channel, r.n_msgs) for r in first + second if r.evicted
+    ]
+    assert ("#idle", 2) in evictions  # final flush on eviction
+
+    # #idle re-appears: state was dropped, profile restarts at 1
+    (src / "c.log").write_text(":dave!d@h PRIVMSG #idle :back\n")
+    third: list = []
+    run(third)
+    idle = [r for r in third if r.channel == "#idle" and not r.evicted]
+    assert [(r.n_msgs, r.n_nicks_seen) for r in idle] == [(1, 1)]
+
+
 def test_heartbeat_listener(spark, tmp_path):
     from irclogbot_spark.streaming.monitor import HeartbeatListener, heartbeat_age_seconds
 
