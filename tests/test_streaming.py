@@ -43,6 +43,65 @@ def test_streaming_ingest_end_to_end(spark, tmp_path):
     assert out.count() == out.select("id").distinct().count()
 
 
+def test_late_duplicate_beyond_watermark_passes_stream_sink_converges(spark, tmp_path):
+    """SURVEY.md §4 documented divergence, pinned: the reference
+    dedups against ALL history (ES PUT by content id); a stream must
+    bound state, so dropDuplicatesWithinWatermark only holds a key
+    until the watermark passes its event time + delay. A duplicate
+    re-delivered BEYOND that horizon passes the in-stream dedup — and
+    whole-history convergence is restored at the keyed sink, exactly
+    like the reference's ES overwrite."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from irclogbot_spark.streaming.pipeline import (
+        keyed_upsert_batch,
+        read_raw_lines_stream,
+        streaming_irclog,
+    )
+
+    src = tmp_path / "src"
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    dup = ":alice!al@h2 PRIVMSG #zuul :ship it"
+
+    def drain():
+        log = streaming_irclog(
+            read_raw_lines_stream(spark, path=str(src)), watermark="2 seconds"
+        )
+        q = (
+            log.writeStream.outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .format("parquet")
+            .start(out)
+        )
+        q.awaitTermination(120)
+
+    _write_lines(src, [dup], "a.log")
+    drain()
+    # advance the watermark past a.log's event time + delay: a newer
+    # message raises max-event-time; posted is processing wall-clock
+    time.sleep(5)
+    _write_lines(src, [":bob!~b@h PRIVMSG #nova :advance the clock"], "b.log")
+    drain()
+    time.sleep(5)
+    _write_lines(src, [dup], "c.log")  # same content, beyond the horizon
+    drain()
+
+    got = spark.read.parquet(out)
+    ship = got.filter(F.col("remark") == "ship it")
+    assert ship.count() == 2, "beyond-horizon duplicate should pass the in-stream dedup"
+    assert ship.select("id").distinct().count() == 1  # same content key (H2)
+
+    # the keyed sink restores whole-history convergence (H3)
+    keyed = str(tmp_path / "keyed")
+    keyed_upsert_batch(got, 0, keyed)
+    merged = spark.read.parquet(keyed)
+    assert merged.filter(F.col("remark") == "ship it").count() == 1
+    assert merged.count() == merged.select("id").distinct().count()
+
+
 def test_upsert_rewrites_only_touched_buckets(spark, tmp_path):
     """The keyed sink is an id-bucket-scoped merge, not an O(table)
     rewrite: after a second batch, every bucket the batch's ids do
