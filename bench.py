@@ -43,7 +43,7 @@ HEADLINE = [
     "docs_token_stats",
     "docs_minhash_neardup",
     "docs_simhash_neardup",
-    "emb_cosine_topk",
+    "emb_cosine_neardup",
     "emb_knn_join",
     "emb_ann_topk",
 ]

@@ -89,6 +89,47 @@ def _probe_buckets(bucket: Column, n_planes: int, probes: int) -> Column:
     return F.array(*buckets[:probes])
 
 
+def cosine_neardup_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    seed: int = 42,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (d1, d2, cosine) for
+    every pair with cosine >= threshold — the semantic-dedup family
+    of an LLM training pipeline (near-identical meaning, different
+    bytes, invisible to MinHash/SimHash).
+
+    Scale shape mirrors the MinHash path: SRP buckets are the
+    candidate generator (same-bucket pairs only — high-cosine pairs
+    land in the same bucket with probability (1 - theta/pi)^planes),
+    the exact cosine runs only on candidates, and the in-bucket pair
+    expansion is capped (a bucket holding a corpus-scale fraction is
+    a projection pathology, not a dup cluster). One shuffle on the
+    bucket key; no all-pairs join anywhere.
+    """
+    from irclogbot_spark.operators.dedup import _bucket_pairs
+
+    planes = random_planes(dim, n_planes, seed)
+    keyed = ensure_parallelism(corpus).select(
+        F.col(id_col), srp_bucket(as_double(vec_col), planes).alias("bucket")
+    )
+    cand = _bucket_pairs(keyed, id_col, ["bucket"], max_bucket=max_bucket)
+    vecs = corpus.select(F.col(id_col), as_double(vec_col).alias("v"))
+    s1 = vecs.select(F.col(id_col).alias("d1"), F.col("v").alias("v1"))
+    s2 = vecs.select(F.col(id_col).alias("d2"), F.col("v").alias("v2"))
+    return (
+        cand.join(s1, "d1")
+        .join(s2, "d2")
+        .select("d1", "d2", cosine(F.col("v1"), F.col("v2")).alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
 def ann_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -114,12 +155,21 @@ def ann_topk(
         as_double(vec_col).alias("cv"),
         srp_bucket(as_double(vec_col), planes).alias("bucket"),
     )
-    q = queries.select(
+    # bucket lands in its own projection and the probes XOR the
+    # COLUMN: passing the srp_bucket expression straight into
+    # _probe_buckets would inline the whole 8-plane fold tree once
+    # per probe (9x), and Catalyst pays that both in optimizer time
+    # and per-row evaluation (expensive expressions referenced N
+    # times are not re-deduplicated)
+    qb = queries.select(
         F.col(query_id),
         as_double(vec_col).alias("qv"),
-        F.explode(
-            _probe_buckets(srp_bucket(as_double(vec_col), planes), n_planes, probes)
-        ).alias("bucket"),
+        srp_bucket(as_double(vec_col), planes).alias("b"),
+    )
+    q = qb.select(
+        F.col(query_id),
+        F.col("qv"),
+        F.explode(_probe_buckets(F.col("b"), n_planes, probes)).alias("bucket"),
     )
     w = Window.partitionBy(query_id).orderBy(F.desc("cosine"), F.asc(corpus_id))
     return (

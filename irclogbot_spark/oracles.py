@@ -405,23 +405,6 @@ FROM documents GROUP BY lang, source
 """
 
 # --------------------------------------------------------------- embeddings
-COS_SQL = """
-WITH q AS (
-  SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0
-),
-scored AS (
-  SELECT vec_id, label,
-    list_dot_product(CAST(embedding AS DOUBLE[]), qv)
-      / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))
-         * sqrt(list_dot_product(qv, qv))) AS cosine
-  FROM embeddings, q WHERE vec_id <> 0
-)
-"""
-
-ORACLES["emb_cosine_topk"] = (
-    COS_SQL + "SELECT vec_id, label, cosine FROM scored ORDER BY cosine DESC, vec_id LIMIT 10"
-)
-
 ORACLES["emb_knn_join"] = """
 WITH q AS (
   SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
@@ -441,16 +424,11 @@ SELECT query_id, vec_id, cosine, knn_rank FROM (
 ) WHERE knn_rank <= 5
 """
 
-def _ann_core_ctes(k: int = 5, n_planes: int = 8, probes: int = 9, dim: int = 64) -> str:
-    """CTE text replicating operators.similarity.ann_topk bit-for-bit.
-
-    The SRP hyperplanes are deterministic driver-side constants
-    (seeded Gaussian, part of the plan, not data) — inlined here as
-    double literals (repr() round-trips exactly), which is what makes
-    the approximate path oracle-checkable: bucket assignment is a
-    sign test on the same IEEE dot products, multi-probe is the
-    bucket plus its hamming-1 neighbors, and only candidates are
-    cosine-scored."""
+def _srp_bucket_sql(dim: int = 64, n_planes: int = 8):
+    """SQL builder for the SRP bucket id of a vector expression: the
+    seeded Gaussian hyperplanes (driver-side plan constants) inlined
+    as double literals (repr() round-trips exactly), sign-tested on
+    the same IEEE dot products the Spark side computes."""
     from irclogbot_spark.operators.similarity import random_planes
 
     planes = random_planes(dim, n_planes)
@@ -462,6 +440,20 @@ def _ann_core_ctes(k: int = 5, n_planes: int = 8, probes: int = 9, dim: int = 64
             for j in range(n_planes)
         )
 
+    return bucket
+
+
+def _ann_core_ctes(k: int = 5, n_planes: int = 8, probes: int = 9, dim: int = 64) -> str:
+    """CTE text replicating operators.similarity.ann_topk bit-for-bit.
+
+    The SRP hyperplanes are deterministic driver-side constants
+    (seeded Gaussian, part of the plan, not data) — inlined here as
+    double literals (repr() round-trips exactly), which is what makes
+    the approximate path oracle-checkable: bucket assignment is a
+    sign test on the same IEEE dot products, multi-probe is the
+    bucket plus its hamming-1 neighbors, and only candidates are
+    cosine-scored."""
+    bucket = _srp_bucket_sql(dim, n_planes)
     probe_elems = ["b"] + [f"xor(b, {1 << j})" for j in range(n_planes)]
     probe_list = "[" + ", ".join(probe_elems[:probes]) + "]"
     return f"""
@@ -487,6 +479,28 @@ ann AS (
 ORACLES["emb_ann_topk"] = f"""
 WITH {_ann_core_ctes()}
 SELECT query_id, vec_id, cosine, knn_rank FROM ann
+"""
+
+_NEARDUP_BUCKET = _srp_bucket_sql()
+
+ORACLES["emb_cosine_neardup"] = f"""
+WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+planted AS (
+  SELECT vec_id + 100000 AS vec_id, list_transform(v, x -> x * 1.001 + 0.001) AS v
+  FROM base WHERE vec_id < 5
+),
+corpus AS (SELECT * FROM base UNION ALL SELECT * FROM planted),
+bkt AS (SELECT vec_id, v, {_NEARDUP_BUCKET("v")} AS bucket FROM corpus),
+bsz AS (SELECT bucket, COUNT(*) AS n FROM bkt GROUP BY bucket)
+SELECT a.vec_id AS d1, b.vec_id AS d2,
+  list_dot_product(a.v, b.v)
+    / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cosine
+FROM bkt a
+JOIN bkt b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+JOIN bsz ON bsz.bucket = a.bucket
+WHERE bsz.n <= 1000
+  AND list_dot_product(a.v, b.v)
+    / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.95
 """
 
 ORACLES["emb_ann_recall"] = f"""

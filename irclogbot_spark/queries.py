@@ -538,35 +538,30 @@ def docs_lang_breakdown(spark, sf_dir):
 
 
 # ---------------------------------------------------------------- embeddings
-def _dot(a: Column, b: Column) -> Column:
-    """Sequential left-fold dot product — deterministic element order,
-    so the double result is bit-identical to the oracle's loop."""
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
-    )
+@query("emb_cosine_neardup")
+def emb_cosine_neardup(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs — the semantic-dedup
+    family (same meaning, different bytes; invisible to MinHash and
+    SimHash). SRP buckets generate candidates, exact cosine verifies.
 
+    The synthetic corpus has no natural near-dups (max pairwise
+    cosine ~0.5), so the query plants deterministic twins — five
+    vectors re-entered under shifted ids with v' = 1.001*v + 0.001
+    (cosine ~0.9998) — a perturbation expressed identically in the
+    DuckDB oracle, keeping the check exact AND non-degenerate. The
+    brute-force cosine baseline formerly registered as
+    emb_cosine_topk lives on inside emb_knn_join (same operator,
+    query set {0,1,2})."""
+    from irclogbot_spark.operators.similarity import as_double, cosine_neardup_pairs
 
-@query("emb_cosine_topk")
-def emb_cosine_topk(spark, sf_dir):
-    """Brute-force cosine top-k against a query vector — the exactness
-    baseline for ANN. Query row broadcasts; one pass over the corpus,
-    no shuffle until the final top-k."""
     emb = _t(spark, sf_dir, "embeddings")
-    vec = F.col("embedding").cast("array<double>")
-    q = emb.filter(F.col("vec_id") == 0).select(vec.alias("qv"))
-    scored = (
-        emb.filter(F.col("vec_id") != 0)
-        .join(F.broadcast(q))
-        .select(
-            "vec_id",
-            "label",
-            (
-                _dot(vec, F.col("qv"))
-                / (F.sqrt(_dot(vec, vec)) * F.sqrt(_dot(F.col("qv"), F.col("qv"))))
-            ).alias("cosine"),
-        )
+    base = emb.select("vec_id", as_double("embedding").alias("v"))
+    planted = base.filter(F.col("vec_id") < 5).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(F.col("v"), lambda x: x * F.lit(1.001) + F.lit(0.001)).alias("v"),
     )
-    return scored.orderBy(F.desc("cosine"), F.asc("vec_id")).limit(10)
+    corpus = base.unionByName(planted)
+    return cosine_neardup_pairs(corpus, threshold=0.95, vec_col="v")
 
 
 # ------------------------------------------- dedup / similarity operators
@@ -638,7 +633,9 @@ def docs_fingerprint(spark, sf_dir):
 
 @query("emb_knn_join")
 def emb_knn_join(spark, sf_dir):
-    """Exact kNN join: 3 query vectors x corpus, top-5 each."""
+    """Exact kNN join: 3 query vectors x corpus, top-5 each — the
+    brute-force cosine exactness baseline (broadcast query set, one
+    corpus scan, per-query partial top-k)."""
     from irclogbot_spark.operators.similarity import knn_join
 
     emb = _t(spark, sf_dir, "embeddings")
