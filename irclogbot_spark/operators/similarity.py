@@ -89,6 +89,131 @@ def _probe_buckets(bucket: Column, n_planes: int, probes: int) -> Column:
     return F.array(*buckets[:probes])
 
 
+def train_ivf_centroids(
+    corpus: DataFrame,
+    n_cells: int = 16,
+    n_iter: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Spherical-ish k-means centroids for an IVF index: assignment is
+    argmax cosine (= argmax dot against UNIT centroids — data vectors
+    need no normalization, cosine cell choice is scale-invariant, so
+    the hot path stays one fold per cell); the update step averages
+    raw member vectors and re-normalizes the mean.
+
+    Distributed shape: assignment and the per-dimension mean are
+    DataFrame ops (posexplode -> groupBy(cell, dim) -> sum); only the
+    k x dim centroid table itself returns to the driver each round —
+    metadata-sized (16x64 doubles here), the same driver traffic every
+    iterative ML trainer pays. Init is deterministic: the first
+    n_cells vectors by id (reproducible plans beat random restarts for
+    an index whose cells only need to be balanced, not optimal).
+    """
+    import numpy as np
+
+    vecs = ensure_parallelism(corpus).select(
+        F.col(id_col), as_double(vec_col).alias("v")
+    )
+    seed_rows = vecs.orderBy(id_col).limit(n_cells).collect()
+    centroids = [
+        (np.array(r.v) / (np.linalg.norm(r.v) or 1.0)).tolist() for r in seed_rows
+    ]
+    dim = len(centroids[0])
+    for _ in range(n_iter):
+        assigned = vecs.select(
+            "v", _cell_dots(F.col("v"), centroids).alias("dots")
+        ).select("v", _argmax_cell(F.col("dots")).alias("cell"))
+        sums = (
+            assigned.select("cell", F.posexplode("v").alias("dim", "x"))
+            .groupBy("cell", "dim")
+            .agg(F.sum("x").alias("s"))
+            .collect()
+        )
+        acc = np.zeros((n_cells, dim))
+        for r in sums:
+            acc[r.cell][r.dim] = r.s
+        for j in range(n_cells):
+            norm = float(np.linalg.norm(acc[j]))
+            if norm > 0:
+                centroids[j] = (acc[j] / norm).tolist()
+            # empty cell: keep the previous centroid (deterministic)
+    return centroids
+
+
+def _cell_dots(v: Column, centroids: list[list[float]]) -> Column:
+    """Per-cell dot products as one array (the vector column is
+    referenced once per cell — column refs are cheap; the folds are
+    the inherent k x dim assignment work)."""
+    return F.array(
+        *[dot(v, F.array(*[F.lit(float(x)) for x in c])) for c in centroids]
+    )
+
+
+def _argmax_cell(dots: Column) -> Column:
+    """argmax over a MATERIALIZED dots column. Callers must alias
+    _cell_dots into its own projection first: array_position +
+    array_max reference the operand twice, and inlining the 16-fold
+    dots expression here would evaluate it twice per row."""
+    return (F.array_position(dots, F.array_max(dots)) - F.lit(1)).cast("int")
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    k: int = 5,
+    n_probe: int = 4,
+    corpus_id: str = "vec_id",
+    query_id: str = "query_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: score only corpus rows in the query's
+    n_probe nearest cells — the inverted-file alternative to SRP-LSH
+    (ann_topk). Same output shape (query_id, vec_id, cosine,
+    knn_rank).
+
+    At scale the cell id is a precomputed partition/bucket column
+    (write once, probe forever); each query touches ~n_probe/n_cells
+    of the corpus. Centroids are plan constants after training, so
+    assignment is map-only — no shuffle until the per-query top-k.
+    """
+    c = ensure_parallelism(corpus).select(
+        F.col(corpus_id),
+        as_double(vec_col).alias("cv"),
+        _cell_dots(as_double(vec_col), centroids).alias("dots"),
+    ).select(
+        F.col(corpus_id), F.col("cv"), _argmax_cell(F.col("dots")).alias("cell")
+    )
+    # per-query probe cells: (-dot, cell) structs sorted ascending,
+    # sliced to n_probe — computed on the broadcast query side.
+    # dot ordering == cosine ordering (unit centroids, fixed query
+    # norm), so no normalization anywhere in the plan
+    qn = queries.select(F.col(query_id), as_double(vec_col).alias("qv"))
+    cell_dots = F.array(
+        *[
+            F.struct(
+                (-dot(F.col("qv"), F.array(*[F.lit(float(x)) for x in c_]))).alias("negdot"),
+                F.lit(j).cast("int").alias("cell"),
+            )
+            for j, c_ in enumerate(centroids)
+        ]
+    )
+    qcells = qn.select(
+        F.col(query_id),
+        F.col("qv"),
+        F.explode(F.slice(F.array_sort(cell_dots), 1, n_probe)).alias("p"),
+    ).select(query_id, "qv", F.col("p.cell").alias("cell"))
+    w = Window.partitionBy(query_id).orderBy(F.desc("cosine"), F.asc(corpus_id))
+    return (
+        c.join(F.broadcast(qcells), "cell")
+        .filter(F.col(corpus_id) != F.col(query_id))
+        .select(query_id, corpus_id, cosine(F.col("cv"), F.col("qv")).alias("cosine"))
+        .withColumn("knn_rank", F.row_number().over(w))
+        .filter(F.col("knn_rank") <= k)
+    )
+
+
 def cosine_neardup_pairs(
     corpus: DataFrame,
     threshold: float = 0.95,

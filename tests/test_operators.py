@@ -149,6 +149,58 @@ def test_ann_is_cheaper_than_brute_force(spark, emb):
     assert biggest < total * 0.25, "buckets must partition the corpus"
 
 
+def test_ivf_finds_planted_near_duplicates(spark, emb):
+    """IVF (spherical k-means cells) is the inverted-file alternative
+    to SRP-LSH: same contract, train once, probe n_probe cells."""
+    centroids = similarity.train_ivf_centroids(emb, n_cells=8, n_iter=3)
+    assert len(centroids) == 8 and len(centroids[0]) == 64
+    qs = emb.filter(F.col("vec_id") < 10).select(
+        (F.col("vec_id") + 10000).alias("query_id"),
+        F.transform(F.col("embedding"), lambda x: x * 1.01 + F.lit(0.002)).alias(
+            "embedding"
+        ),
+    )
+    got = {
+        r.query_id: r.vec_id
+        for r in similarity.ivf_topk(emb, qs, centroids, k=1, n_probe=2).collect()
+    }
+    hits = sum(1 for qid, vid in got.items() if vid == qid - 10000)
+    # a planted twin's nearest cell is its original's cell, so even a
+    # single-probe lookup should find it; n_probe=2 adds margin
+    assert hits >= 9, f"planted-twin recall {hits}/10: {got}"
+
+
+def test_ivf_cells_partition_the_corpus(spark, emb):
+    centroids = similarity.train_ivf_centroids(emb, n_cells=8, n_iter=3)
+    from irclogbot_spark.operators.similarity import _argmax_cell, _cell_dots, as_double
+
+    sizes = (
+        emb.select(_cell_dots(as_double("embedding"), centroids).alias("dots"))
+        .select(_argmax_cell(F.col("dots")).alias("cell"))
+        .groupBy("cell")
+        .count()
+        .collect()
+    )
+    total = sum(r["count"] for r in sizes)
+    biggest = max(r["count"] for r in sizes)
+    assert len(sizes) >= 4, "training collapsed to too few live cells"
+    assert biggest < total * 0.6, "cells must partition the corpus"
+
+
+def test_cosine_neardup_finds_planted_twins_only(spark, emb):
+    base = emb.select("vec_id", similarity.as_double("embedding").alias("v"))
+    planted = base.filter(F.col("vec_id") < 5).select(
+        (F.col("vec_id") + 50000).alias("vec_id"),
+        F.transform(F.col("v"), lambda x: x * 1.001 + F.lit(0.001)).alias("v"),
+    )
+    pairs = similarity.cosine_neardup_pairs(
+        base.unionByName(planted), threshold=0.95, vec_col="v"
+    ).collect()
+    got = {(r.d1, r.d2) for r in pairs}
+    assert got == {(i, i + 50000) for i in range(5)}
+    assert all(r.cosine > 0.999 for r in pairs)
+
+
 def test_multimodal_decode_plumbing(spark, docs):
     media = multimodal.synthesize_media(docs)
     out = multimodal.decode_images(media, n_features=4)
