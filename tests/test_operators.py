@@ -149,6 +149,25 @@ def test_ann_is_cheaper_than_brute_force(spark, emb):
     assert biggest < total * 0.25, "buckets must partition the corpus"
 
 
+def test_simhash_table_equals_fold_form(spark, docs):
+    """The explode+codegen-aggregate SimHash (the fast path) must be
+    bit-identical to the pure-expression fold, including the all-zero
+    fingerprint for token-less docs."""
+    sample = docs.limit(50).union(
+        docs.sparkSession.createDataFrame(
+            [(999999, "", "und", "synthetic", 0)],
+            "doc_id long, text string, lang string, source string, n_chars int",
+        ).select(*docs.columns)
+    )
+    fold = {
+        r.doc_id: r.sim
+        for r in sample.select("doc_id", dedup.simhash64("text").alias("sim")).collect()
+    }
+    fast = {r.doc_id: r.sim for r in dedup.simhash_table(sample).collect()}
+    assert fold == fast
+    assert fast[999999] == 0
+
+
 def test_ivf_finds_planted_near_duplicates(spark, emb):
     """IVF (spherical k-means cells) is the inverted-file alternative
     to SRP-LSH: same contract, train once, probe n_probe cells."""
