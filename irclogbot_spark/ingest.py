@@ -90,8 +90,31 @@ def contains_any(col: Column | str, needles: list[str]) -> Column:
     return out
 
 
+def match_gate(df: DataFrame, col: str = "value") -> DataFrame:
+    """F3+F4 as cheap RAW-line predicates, evaluated before the group
+    projection so Catalyst's predicate pushdown cannot substitute the
+    parse expression into per-group filters (measured: the pushed
+    `nick != '' AND ...` form re-ran the regex ~5x per raw line).
+
+    * F3 drop-unmatched == the anchored rlike itself: when
+      ANCHORED_MSG_PAT matches, every group is >= 1 char, so the
+      post-parse `nick/channel/remark != ''` checks are implied.
+    * F4 nick-length: the nick spans position 2..first '!'
+      (`:([^!]+)!...` anchored), so len(nick) = instr(value,'!') - 2
+      — one byte scan instead of a regex group extraction.
+    """
+    v = F.col(col)
+    return df.filter(
+        v.rlike(ANCHORED_MSG_PAT) & (F.instr(v, "!") < F.lit(2 + MAX_NICK_LEN))
+    )
+
+
 def parse_privmsg(
-    df: DataFrame, col: str = "value", keep_raw: bool = False, passthrough: list[str] | None = None
+    df: DataFrame,
+    col: str = "value",
+    keep_raw: bool = False,
+    passthrough: list[str] | None = None,
+    assume_matched: bool = False,
 ) -> DataFrame:
     """P1+P2: one regex, five groups, projected to named columns.
 
@@ -112,9 +135,14 @@ def parse_privmsg(
     # which IRC framing makes unreachable in practice.
     sep = "\x1f"
     packed = F.regexp_replace(v, ANCHORED_MSG_PAT, sep.join(f"${i}" for i in range(1, 6)))
-    groups = F.when(v.rlike(ANCHORED_MSG_PAT), F.split(packed, sep, 5)).otherwise(
-        F.array(*[F.lit("")] * 5)
-    )
+    if assume_matched:
+        # caller already gated on the match (match_gate): skip the
+        # rlike re-check — one regex execution per line total
+        groups = F.split(packed, sep, 5)
+    else:
+        groups = F.when(v.rlike(ANCHORED_MSG_PAT), F.split(packed, sep, 5)).otherwise(
+            F.array(*[F.lit("")] * 5)
+        )
     out = df.select(
         *[F.col(p) for p in (passthrough or [])],
         *([v.alias("raw")] if keep_raw else []),
@@ -217,10 +245,13 @@ def parse_pipeline(
     df = non_empty_lines(raw, col)
     df = drop_invalid_utf8(df, col)
     df = drop_ping(df, col)
-    df = parse_privmsg(df, col, passthrough=[ts_col] if ts_col else None)
-    df = drop_unmatched(df)
+    # F3+F4 run as raw-line predicates (match_gate) so the group
+    # projection below is the regex's ONLY evaluation site; the
+    # post-parse drop_unmatched/sane_nicks operators remain for
+    # callers filtering already-parsed frames
+    df = match_gate(df, col)
+    df = parse_privmsg(df, col, passthrough=[ts_col] if ts_col else None, assume_matched=True)
     df = normalize_action(df)
-    df = sane_nicks(df)
     df = with_posted(df, ts=F.col(ts_col) if ts_col else None)
     df = with_id(df, compat=compat_id)
     df = df.select("channel", "nick", "posted", "remark", "id", "user", "host")
