@@ -115,6 +115,111 @@ def decode_images(
     )
 
 
+RESIZED_IMAGE_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType()),
+        StructField("media_type", StringType()),
+        StructField("payload", BinaryType()),
+        StructField("format", StringType()),
+        StructField("source_uri", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+    ]
+)
+
+
+def resize_images(
+    media: DataFrame,
+    width: int = 224,
+    height: int = 224,
+    decode_stub: Literal["fake", "raise"] = "fake",
+) -> DataFrame:
+    """Resize image payloads to a target geometry via mapInPandas —
+    the standard normalize-before-training step. Output keeps the
+    MEDIA_SCHEMA columns (payload replaced) plus the new dimensions,
+    so resized tables re-enter any media pipeline unchanged.
+
+    Partition-preserving like decode_images. The stub 'resize'
+    deterministically derives a payload of size width*height//64 from
+    the input bytes (so downstream size-based checks see the new
+    geometry); a real implementation swaps _fake_resize for
+    PIL/cv2.resize on the decoded array and re-encode.
+    """
+
+    def _fake_resize(payload: bytes) -> bytes:
+        n = max(len(payload), 1)
+        out_len = max(width * height // 64, 1)
+        return bytes((payload[i % n] if payload else 0) for i in range(out_len))
+
+    def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if decode_stub == "raise":
+                raise NotImplementedError(
+                    "real image resize requires an image library (PIL/cv2); "
+                    "install one and replace _fake_resize"
+                )
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "media_type": pdf["media_type"],
+                    "payload": [_fake_resize(p if p is not None else b"") for p in pdf["payload"]],
+                    "format": pdf["format"],
+                    "source_uri": pdf["source_uri"],
+                    "width": width,
+                    "height": height,
+                }
+            )
+
+    return ensure_parallelism(media.filter(F.col("media_type") == "image")).mapInPandas(
+        resize_batches, RESIZED_IMAGE_SCHEMA
+    )
+
+
+AUDIO_FEATURE_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType()),
+        StructField("duration_s", FloatType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("feature", ArrayType(FloatType())),
+    ]
+)
+
+
+def extract_audio_features(
+    media: DataFrame,
+    n_features: int = 8,
+    decode_stub: Literal["fake", "raise"] = "fake",
+) -> DataFrame:
+    """Audio feature extraction (MFCC-shaped) via mapInPandas: same
+    Arrow-batched, partition-preserving contract as decode_images;
+    the codec/DSP call is the stubbed seam (librosa/torchaudio in a
+    real deployment)."""
+
+    def feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if decode_stub == "raise":
+                raise NotImplementedError(
+                    "real audio decode requires an audio library "
+                    "(librosa/torchaudio); install one and replace the stub"
+                )
+            payloads = [p if p is not None else b"" for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "duration_s": [float(len(p)) / 16000.0 for p in payloads],
+                    "sample_rate": 16000,
+                    "feature": [
+                        [float(p[i % max(len(p), 1)] if p else 0) / 255.0 for i in range(n_features)]
+                        for p in payloads
+                    ],
+                }
+            )
+
+    return ensure_parallelism(media.filter(F.col("media_type") == "audio")).mapInPandas(
+        feature_batches, AUDIO_FEATURE_SCHEMA
+    )
+
+
 def frame_sample_plan(media: DataFrame, every_n_seconds: int = 5) -> DataFrame:
     """Video frame-sampling *plan*: which (asset, offset) pairs to
     decode. The expansion is pure SQL (explode over a sequence); the

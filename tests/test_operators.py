@@ -237,6 +237,30 @@ def test_multimodal_raise_stub_marks_missing_codec(spark, docs):
         out.collect()
 
 
+def test_multimodal_resize_plumbing(spark, docs):
+    media = multimodal.synthesize_media(docs.limit(20))
+    out = multimodal.resize_images(media, width=64, height=64).collect()
+    assert len(out) == 20
+    for r in out:
+        assert (r.width, r.height) == (64, 64)
+        assert len(r.payload) == 64 * 64 // 64  # stub geometry contract
+        assert r.media_type == "image" and r.source_uri.startswith("synthetic://")
+    # no shuffle: the map stage preserves partitioning
+    plan = multimodal.resize_images(media)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in plan
+
+
+def test_multimodal_audio_features_plumbing(spark, docs):
+    media = multimodal.synthesize_media(docs.limit(10)).withColumn(
+        "media_type", F.lit("audio")
+    )
+    out = multimodal.extract_audio_features(media, n_features=4).collect()
+    assert len(out) == 10
+    r = out[0]
+    assert r.sample_rate == 16000 and r.duration_s > 0
+    assert len(r.feature) == 4 and all(0.0 <= x <= 1.0 for x in r.feature)
+
+
 def test_frame_sample_plan(spark, docs):
     media = multimodal.synthesize_media(docs.limit(5)).withColumn(
         "media_type", F.lit("video")
