@@ -38,7 +38,32 @@ from irclogbot_spark.functions.hashing import blake2b_id, scale_id
 #: — a line with junk before the ':' prefix is NOT a message. Every
 #: engine application prepends '^' (ANCHORED_MSG_PAT) to mirror that.
 MSG_PAT = r":([^!]+)!~?([^@]+)@(\S+) PRIVMSG (\S+) :(.+)"
-ANCHORED_MSG_PAT = "^" + MSG_PAT
+
+#: Python-re whitespace for str patterns: Unicode White_Space PLUS the
+#: legacy information separators \x1c-\x1f. Java's default \s is
+#: ASCII-only ([ \t\n\x0b\f\r]), so a host like 'h\x1fost' matches
+#: Java \S+ but NOT Python's — and the reference's re.match would
+#: drop the line. The engine pattern spells the class out so the
+#: match is byte-identical to CPython's (property-tested against the
+#: re module in tests/test_properties.py).
+_PY_WS = "".join(
+    chr(c)
+    for c in (
+        0x20, 0x09, 0x0A, 0x0D, 0x0B, 0x0C,  # ASCII whitespace
+        0x1C, 0x1D, 0x1E, 0x1F,  # information separators (Python-only)
+        0x85, 0xA0, 0x1680,  # NEL, NBSP, ogham space
+        *range(0x2000, 0x200B),  # en/em/etc spaces
+        0x2028, 0x2029, 0x202F, 0x205F, 0x3000,
+    )
+)
+_PY_NONSPACE = "[^" + _PY_WS + "]"
+
+#: the engine's executable form of MSG_PAT: anchored (reference uses
+#: re.match) and with \S replaced by the Python-exact class above.
+#: The ORACLE keeps the plain pattern (RE2 lacks \uXXXX escapes); the
+#: synth corpus contains none of the divergent characters, so both
+#: engines agree on every oracle-checked row.
+ANCHORED_MSG_PAT = "^" + MSG_PAT.replace(r"\S", _PY_NONSPACE)
 
 #: F4 bound — nicks of length >= 17 are mis-parsed server lines
 #: (irclogbot.py:139-141).
@@ -50,9 +75,12 @@ DEDUP_KEY = ["channel", "nick", "remark"]
 
 
 def non_empty_lines(df: DataFrame, col: str = "value") -> DataFrame:
-    """F1: drop blank lines after trim (reference strips ' \\n\\r' then
-    tests falsiness, irclogbot.py:118,123-124)."""
-    trimmed = F.trim(F.col(col))
+    """F1: drop blank lines after trim. The reference strips EXACTLY
+    ' \\n\\r' then tests falsiness (irclogbot.py:118,123-124) — note
+    tabs survive. Spark's bare trim() removes every char <= 0x20, so
+    the exact-set TRIM(BOTH ... FROM ...) form is what keeps a
+    leading-tab line byte-identical to the reference's."""
+    trimmed = F.expr(f"trim(BOTH concat(' ', chr(10), chr(13)) FROM {col})")
     return df.withColumn(col, trimmed).filter(F.length(F.col(col)) > 0)
 
 

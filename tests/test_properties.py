@@ -38,6 +38,49 @@ def test_compat_hash_matches_reference_algorithm(channel, nick, remark):
     )
 
 
+def test_match_gate_equals_naive_filter_chain(spark):
+    """The optimized raw-line gate (match_gate: anchored rlike +
+    instr nick-length bound, ONE regex eval in the plan) must keep
+    exactly the rows the naive post-parse chain keeps
+    (parse -> drop_unmatched -> sane_nicks) — including reference
+    re.match() semantics (Python re, the ground truth) — over an
+    adversarial line corpus: junk prefixes, 0x1F separators, missing
+    parts, boundary nicks, '!'s in user, empty groups."""
+    import re
+
+    rng = random.Random(42)
+    nicks = ["a", "edleafe", "x" * 16, "x" * 17, "x" * 30, "n!ck"[:2]]
+    users = ["~u", "u", "u!v", "~"]
+    hosts = ["h", "host.example.com", "h\x1fost", "h\xa0st", "h st", "h\tst"]
+    chans = ["#c", "#openstack-nova", "", "#c\x1d"]
+    remarks = ["m", "ACTION waves", "with \x1f sep", ":colons: here", "", "tab\there"]
+    lines = []
+    for _ in range(400):
+        n, u, h, c, r = (rng.choice(x) for x in (nicks, users, hosts, chans, remarks))
+        base = f":{n}!{u}@{h} PRIVMSG {c} :{r}"
+        form = rng.randrange(6)
+        if form == 1:
+            base = "junk " + base
+        elif form == 2:
+            base = base.replace(" PRIVMSG ", " NOTICE ")
+        elif form == 3:
+            base = base.replace("!", "", 1)
+        elif form == 4:
+            base = base.replace("@", "", 1)
+        lines.append(base)
+    df = spark.createDataFrame([(l,) for l in lines], "value string")
+
+    gated = {r.value for r in ingest.match_gate(df).collect()}
+
+    pat = re.compile(ingest.MSG_PAT)
+    expected = set()
+    for l in lines:
+        m = pat.match(l)  # reference anchoring, irclogbot.py:131
+        if m and len(m.group(1)) < ingest.MAX_NICK_LEN:
+            expected.add(l)
+    assert gated == expected
+
+
 @given(channel=text, nick=text, remark=text)
 @settings(max_examples=100, deadline=None)
 def test_hash_is_value_transposition_insensitive(channel, nick, remark):
