@@ -338,19 +338,23 @@ def simhash_table(
     token while the sums stay in one codegen stage).
 
     Docs with zero tokens keep the all-zero fingerprint of the fold
-    form (left join + coalesce).
+    form with no extra work: explode_outer emits their null token,
+    the null-propagating SUM/COUNT make every vote NULL > 0 -> false,
+    and all 64 bits land 0 — no join-back, so the whole operator is
+    one explode + one partial-aggregated shuffle at any scale.
     """
     toks = tokens(text_col)
     if not weighted:
         toks = F.array_distinct(toks)
-    exploded = df.select(F.col(id_col), F.explode(toks).alias("tok")).select(
-        F.col(id_col), F.xxhash64("tok").alias("h")
+    exploded = df.select(F.col(id_col), F.explode_outer(toks).alias("tok")).select(
+        F.col(id_col),
+        F.when(F.col("tok").isNotNull(), F.xxhash64("tok")).alias("h"),
     )
     votes = [
         F.sum(F.shiftrightunsigned("h", j).bitwiseAND(F.lit(1))).alias(f"b{j}")
         for j in range(64)
     ]
-    agg = exploded.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"), *votes)
+    agg = exploded.groupBy(id_col).agg(F.count("h").alias("n"), *votes)
     masks = [(1 << j) if j < 63 else -(1 << 63) for j in range(64)]
     packed = None
     for j, m in enumerate(masks):
@@ -358,10 +362,7 @@ def simhash_table(
             F.col(f"b{j}") * F.lit(2) > F.col("n"), F.lit(m).cast("long")
         ).otherwise(F.lit(0).cast("long"))
         packed = term if packed is None else packed + term  # disjoint bits: + == OR
-    hashed = agg.select(F.col(id_col), packed.alias("sim"))
-    return df.select(F.col(id_col)).join(hashed, id_col, "left").select(
-        F.col(id_col), F.coalesce(F.col("sim"), F.lit(0).cast("long")).alias("sim")
-    )
+    return agg.select(F.col(id_col), packed.alias("sim"))
 
 
 def neardup_components(pairs: DataFrame, max_iter: int = 10) -> DataFrame:
