@@ -701,7 +701,7 @@ SELECT l_orderkey, l_linenumber,
   abs(l_discount - 0.05) AS disc_dev,
   CAST(floor(l_extendedprice / 1000.0) AS BIGINT) AS price_k_floor,
   CAST(ceil(l_extendedprice / 1000.0) AS BIGINT) AS price_k_ceil,
-  sign(l_discount - 0.05) AS disc_sign,
+  CAST(sign(l_discount - 0.05) AS DOUBLE) AS disc_sign,
   l_orderkey % 7 AS okey_mod7,
   list_aggregate(v, 'min') AS vmin,
   list_aggregate(v, 'max') AS vmax,
