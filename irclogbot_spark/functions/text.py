@@ -89,3 +89,64 @@ def rolling_fingerprint(text: Column | str, base: int = 1000003, mod: int = 2147
         F.lit(0).cast("long"),
         lambda acc, t: F.pmod(acc * F.lit(base) + code(t), F.lit(mod).cast("long")),
     )
+
+
+def bm25_rank(
+    df,
+    terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+):
+    """BM25-ranked full-text retrieval: top-k docs for a term set —
+    the scored-search core of the ES surface (SURVEY.md §2H), not
+    just boolean filtering.
+
+    Cross-engine determinism: the idf uses the RATIONAL form
+    (N - df + 0.5)/(df + 0.5) instead of its logarithm — ln() differs
+    across libms in the last ulp and can never value-hash against an
+    oracle; dropping the monotone log changes scores but not the
+    ranking behavior the operator exists for, and every remaining op
+    is plain double arithmetic with an identical expression tree in
+    the DuckDB twin.
+
+    Scale shape: one projection computes per-doc tf/dl (the token
+    array materialized once), one global aggregate produces the
+    corpus stats row (avgdl + per-term df), which broadcasts back —
+    no shuffle of the corpus; the final top-k is a partial
+    TakeOrdered, not a sort.
+    """
+    toks = F.regexp_extract_all(F.col(text_col), F.lit(WORD_RE), F.lit(0))
+
+    def _eq(t: str):
+        return lambda x: x == F.lit(t)
+
+    base = df.select(F.col(id_col), toks.alias("_toks")).select(
+        F.col(id_col),
+        F.size("_toks").alias("dl"),
+        *[F.size(F.filter(F.col("_toks"), _eq(t))).alias(f"tf{i}") for i, t in enumerate(terms)],
+    )
+    stats = base.agg(
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.sum(F.when(F.col(f"tf{i}") > 0, 1).otherwise(0)).alias(f"df{i}")
+            for i in range(len(terms))
+        ],
+    )
+    joined = base.join(F.broadcast(stats))
+    denom_norm = F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("dl") / F.col("avgdl")
+    score = None
+    for i in range(len(terms)):
+        tf, dfc = F.col(f"tf{i}"), F.col(f"df{i}")
+        idf = (F.col("n") - dfc + F.lit(0.5)) / (dfc + F.lit(0.5))
+        tfc = (tf * (F.lit(k1) + F.lit(1.0))) / (tf + F.lit(k1) * denom_norm)
+        term_score = idf * tfc
+        score = term_score if score is None else score + term_score
+    return (
+        joined.select(F.col(id_col), score.alias("score"))
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+    )

@@ -389,14 +389,31 @@ SELECT doc_id,
 FROM documents WHERE {TOKENS} > 0
 """
 
-ORACLES["docs_exact_dedup"] = """
-WITH fp AS (SELECT md5(text) AS fingerprint, COUNT(*) AS n_copies, MIN(doc_id) AS keeper
-            FROM documents GROUP BY md5(text))
-SELECT COUNT(*) AS n_distinct_texts,
-  CAST(SUM(n_copies) AS BIGINT) AS n_docs,
-  CAST(SUM(n_copies) - COUNT(*) AS BIGINT) AS n_duplicate_docs,
-  COUNT(*) FILTER (WHERE n_copies > 1) AS n_dup_groups
-FROM fp
+# BM25 twin — expression tree mirrors functions.text.bm25_rank
+# EXACTLY (association order matters for double equality): rational
+# idf (no ln — libm ulp hazard), per-term tf from list_filter,
+# corpus stats cross-joined as one row.
+ORACLES["docs_bm25_search"] = r"""
+WITH t AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS toks FROM documents),
+base AS (
+  SELECT doc_id, len(toks) AS dl,
+    len(list_filter(toks, x -> x = 'the')) AS tf0,
+    len(list_filter(toks, x -> x = 'data')) AS tf1
+  FROM t
+),
+stats AS (
+  SELECT CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl, COUNT(*) AS n,
+    SUM(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+    SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1
+  FROM base
+)
+SELECT doc_id,
+  ((CAST(n - df0 AS DOUBLE) + 0.5) / (df0 + 0.5))
+    * ((tf0 * CAST(1.2 + 1.0 AS DOUBLE)) / (tf0 + 1.2 * ((1.0 - 0.75) + (0.75 * dl) / avgdl)))
+  + ((CAST(n - df1 AS DOUBLE) + 0.5) / (df1 + 0.5))
+    * ((tf1 * CAST(1.2 + 1.0 AS DOUBLE)) / (tf1 + 1.2 * ((1.0 - 0.75) + (0.75 * dl) / avgdl))) AS score
+FROM base, stats
+ORDER BY score DESC, doc_id LIMIT 10
 """
 
 ORACLES["docs_lang_breakdown"] = """

@@ -513,20 +513,17 @@ def docs_quality(spark, sf_dir):
     )
 
 
-@query("docs_exact_dedup")
-def docs_exact_dedup(spark, sf_dir):
-    """Exact dedup via content fingerprint (hash-groupBy — the scale
-    path for exact dedup at 100 TB: one shuffle on the fingerprint)."""
-    d = _t(spark, sf_dir, "documents")
-    fp = d.groupBy(F.md5(F.col("text").cast("binary")).alias("fingerprint")).agg(
-        F.count(F.lit(1)).alias("n_copies"), F.min("doc_id").alias("keeper")
-    )
-    return fp.agg(
-        F.count(F.lit(1)).alias("n_distinct_texts"),
-        F.sum("n_copies").alias("n_docs"),
-        (F.sum("n_copies") - F.count(F.lit(1))).alias("n_duplicate_docs"),
-        F.count(F.when(F.col("n_copies") > 1, 1)).alias("n_dup_groups"),
-    )
+@query("docs_bm25_search")
+def docs_bm25_search(spark, sf_dir):
+    """BM25-ranked full-text retrieval over documents — the SCORED
+    search at the core of the ES capability (§2H), beyond boolean
+    filters. Rational (log-free) idf keeps the score value-hashable
+    against the DuckDB twin (ln differs across libms by ulps). Exact
+    keep-first dedup coverage moved fully onto docs_dedup_keep_first
+    + docs_dedup_pipeline (round 2: this slot upgraded)."""
+    from irclogbot_spark.functions.text import bm25_rank
+
+    return bm25_rank(_t(spark, sf_dir, "documents"), ["the", "data"], k=10)
 
 
 @query("docs_lang_breakdown")
