@@ -59,3 +59,23 @@ def test_rolling_fingerprint_is_order_sensitive(spark):
     assert got[1] == got[3]
     assert got[1] != got[2]  # transposition changes the value (unlike md5-of-set)
     assert got[4] == 0
+
+
+def test_bm25_ranks_term_density_over_length(spark):
+    from irclogbot_spark.functions.text import bm25_rank
+
+    docs = spark.createDataFrame(
+        [
+            (1, "data data data systems"),          # dense in 'data'
+            (2, "data systems and other things entirely unrelated to it"),
+            (3, "nothing relevant here at all"),
+            (4, "data " * 2 + "padding " * 50),     # long doc, diluted
+        ],
+        "doc_id long, text string",
+    )
+    out = bm25_rank(docs, ["data"], k=4).collect()
+    ranks = [r.doc_id for r in out]
+    scores = {r.doc_id: r.score for r in out}
+    assert ranks[0] == 1, ranks                  # highest density wins
+    assert scores[3] == 0.0                      # no term -> zero score
+    assert scores[1] > scores[4]                 # length normalization bites
