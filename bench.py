@@ -65,13 +65,27 @@ def _sf_of(path: str) -> float | str:
         return sf
 
 
-def _run(qs, spark, names, sf_dir) -> dict[str, float]:
+def _time_one(qs, spark, name, sf_dir) -> float:
+    t0 = time.perf_counter()
+    qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    return round(time.perf_counter() - t0, 3)
+
+
+def _run(qs, spark, names, sf_dir, passes: int = 1) -> dict[str, float]:
+    """Per-query wall time. passes>=3 reports the MEDIAN of `passes`
+    timed runs (round-3 bench hygiene, VERDICT r2 #5: single-shot
+    timings swung ±0.3 s round-over-round, making <15% deltas
+    unattributable). Min/max per query land in _SPREAD."""
     times: dict[str, float] = {}
     for name in names:
-        t0 = time.perf_counter()
-        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        times[name] = round(time.perf_counter() - t0, 3)
+        samples = sorted(_time_one(qs, spark, name, sf_dir) for _ in range(passes))
+        times[name] = samples[len(samples) // 2]
+        if passes > 1:
+            _SPREAD[name] = [samples[0], samples[-1]]
     return times
+
+
+_SPREAD: dict[str, list[float]] = {}
 
 
 def main() -> None:
@@ -88,7 +102,7 @@ def main() -> None:
         _run(qs, spark, HEADLINE, warm_dir)
 
     small = _run(qs, spark, HEADLINE, SMALL_DIR) if os.path.isdir(SMALL_DIR) else {}
-    times = _run(qs, spark, HEADLINE, SF_DIR)
+    times = _run(qs, spark, HEADLINE, SF_DIR, passes=3)
 
     synth.cache_irclog(spark, SF_DIR)
     cached = _run(qs, spark, IRCLOG_QUERIES, SF_DIR)
@@ -101,6 +115,7 @@ def main() -> None:
                 "value": round(sum(times.values()), 3),
                 "unit": "sec",
                 "queries": times,
+                "queries_minmax": _SPREAD,
                 "sf": _sf_of(SF_DIR),
                 "queries_small": small,
                 "sf_small": _sf_of(SMALL_DIR),

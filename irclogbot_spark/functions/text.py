@@ -118,6 +118,8 @@ def bm25_rank(
     no shuffle of the corpus; the final top-k is a partial
     TakeOrdered, not a sort.
     """
+    if not terms:
+        raise ValueError("terms must be non-empty")
     toks = F.regexp_extract_all(F.col(text_col), F.lit(WORD_RE), F.lit(0))
 
     def _eq(t: str):

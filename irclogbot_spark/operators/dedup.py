@@ -49,16 +49,6 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     return df.join(keep, id_col, "left_semi")
 
 
-def _shingle_rows(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
-    return df.select(
-        F.col(id_col), F.explode(shingles(text_col, n)).alias("shingle")
-    )
-
-
-def _shingle_sizes(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
-    return df.select(F.col(id_col), F.size(shingles(text_col, n)).alias("n_shingles"))
-
-
 def jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -72,9 +62,19 @@ def jaccard_pairs(
     partitioned on the shingle) -> pair aggregation. Long shingles
     (n=5 default) keep bucket collision near-zero on natural text;
     this is the exactness oracle for MinHash, not the 100 TB path.
+
+    The (id, shingle-array, size) projection is materialized ONCE
+    (localCheckpoint): it feeds four consumers (explode side a,
+    explode side b, sizes s1, sizes s2), and unmaterialized each
+    would re-parse the corpus — 4x the dominant map stage.
     """
-    df = ensure_parallelism(df)
-    sh = _shingle_rows(df, id_col, text_col, n)
+    base = (
+        ensure_parallelism(df)
+        .select(F.col(id_col), shingles(text_col, n).alias("sh"))
+        .select(F.col(id_col), F.col("sh"), F.size("sh").alias("n_shingles"))
+        .localCheckpoint(eager=True)
+    )
+    sh = base.select(F.col(id_col), F.explode("sh").alias("shingle"))
     a = sh.alias("a")
     b = sh.alias("b")
     inter = (
@@ -86,7 +86,7 @@ def jaccard_pairs(
         .groupBy(F.col(f"a.{id_col}").alias("d1"), F.col(f"b.{id_col}").alias("d2"))
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
-    sizes = _shingle_sizes(df, id_col, text_col, n)
+    sizes = base.select(F.col(id_col), "n_shingles")
     jac = F.col("n_common").cast("double") / (
         F.col("s1.n_shingles") + F.col("s2.n_shingles") - F.col("n_common")
     )
@@ -115,24 +115,44 @@ def _permutation_family(num_perm: int, seed: int = 42) -> list[tuple[int, int]]:
     ]
 
 
-def hashed_shingles(text: Column | str, n: int = 5) -> Column:
-    """One xxhash64 per distinct shingle, folded to 31 bits — the only
+def xxhash31(c: Column) -> Column:
+    """Default shingle hash: one JVM-side xxhash64 folded to 31 bits —
+    the fastest per-shingle hash available, the 100 TB default."""
+    return F.pmod(F.xxhash64(c), F.lit(_MH_PRIME).cast("long"))
+
+
+def md5_hash31(c: Column) -> Column:
+    """Portable 31-bit shingle hash with an exact ANSI twin: the first
+    15 hex digits of md5 parsed base-16 (< 2^60, no overflow), folded
+    mod p. DuckDB twin:
+    ``CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) % p``.
+    Slower than xxhash64 (md5 + substring + string->int parse), so it
+    is the ORACLE-CHECK hash — the scale path stays ``xxhash31``."""
+    h = F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+    return F.pmod(h, F.lit(_MH_PRIME).cast("long"))
+
+
+def hashed_shingles(text: Column | str, n: int = 5, hash_fn=None) -> Column:
+    """One hash per distinct shingle, folded to 31 bits — the only
     per-shingle hashing MinHash pays; the num_perm signature lanes are
-    multiply-adds over these."""
-    return F.transform(
-        shingles(text, n), lambda s: F.pmod(F.xxhash64(s), F.lit(_MH_PRIME).cast("long"))
-    )
+    multiply-adds over these. ``hash_fn: Column -> Column`` defaults
+    to ``xxhash31``; pass ``md5_hash31`` for a DuckDB-checkable
+    pipeline."""
+    hash_fn = hash_fn or xxhash31
+    return F.transform(shingles(text, n), hash_fn)
 
 
-def minhash_signature(text: Column | str, num_perm: int = 64, n: int = 5, seed: int = 42) -> Column:
+def minhash_signature(
+    text: Column | str, num_perm: int = 64, n: int = 5, seed: int = 42, hash_fn=None
+) -> Column:
     """num_perm-wide MinHash signature over n-gram shingles.
 
     Classic affine family: sig[i] = min over shingles of
     (a_i*h(shingle)+b_i) mod p. Pure expression, computed map-side;
-    per row cost = |shingles| xxhash + num_perm*|shingles| mul-adds.
+    per row cost = |shingles| hashes + num_perm*|shingles| mul-adds.
     Docs with no shingles yield NULL lanes — filter upstream.
     """
-    hs = hashed_shingles(text, n)
+    hs = hashed_shingles(text, n, hash_fn)
     perms = _permutation_family(num_perm, seed)
     # Single fold over the shingle hashes: per shingle, compute all
     # num_perm lane values and take the running elementwise min. The
@@ -201,34 +221,56 @@ def minhash_lsh_candidates(
     bands: int = 16,
     n: int = 5,
     seed: int = 42,
+    hash_fn=None,
 ) -> DataFrame:
     """LSH candidate pairs: docs agreeing on at least one signature band.
 
-    bands x (num_perm/bands) split; band key = xxhash64(band_idx,
-    band slice). The signature is materialized in its own projection
-    before banding — inlining it into all `bands` slice expressions
-    would recompute the whole signature per band (and blow up
-    optimizer time). The only shuffle is the band-bucket groupBy; at
-    100 TB this replaces the quadratic shingle join.
+    bands x (num_perm/bands) split. The signature is materialized in
+    its own projection before banding — inlining it into all `bands`
+    slice expressions would recompute the whole signature per band
+    (and blow up optimizer time). The only shuffle is the band-bucket
+    groupBy; at 100 TB this replaces the quadratic shingle join.
+
+    Band key: the default path compacts each (band_idx, band slice)
+    to one xxhash64 long (8-byte shuffle key). With an explicit
+    ``hash_fn`` (the DuckDB-checkable mode) the bucket key is the raw
+    (band_idx, band slice) pair instead, so the whole pipeline stays
+    expressible in ANSI SQL — same buckets, wider key.
     """
     assert num_perm % bands == 0
     rows = num_perm // bands
     with_shingles = ensure_parallelism(df).filter(F.size(tokens(text_col)) >= n)  # shingle-less docs out
     sigd = with_shingles.select(
-        F.col(id_col), minhash_signature(text_col, num_perm, n, seed).alias("sig")
+        F.col(id_col), minhash_signature(text_col, num_perm, n, seed, hash_fn).alias("sig")
     )
+    if hash_fn is None:
+        banded = sigd.select(
+            F.col(id_col),
+            F.explode(
+                F.array(
+                    *[
+                        F.xxhash64(F.lit(j), F.slice(F.col("sig"), j * rows + 1, rows))
+                        for j in range(bands)
+                    ]
+                )
+            ).alias("band_key"),
+        )
+        return _bucket_pairs(banded, id_col, ["band_key"])
     banded = sigd.select(
         F.col(id_col),
         F.explode(
             F.array(
                 *[
-                    F.xxhash64(F.lit(j), F.slice(F.col("sig"), j * rows + 1, rows))
+                    F.struct(
+                        F.lit(j).alias("band_idx"),
+                        F.slice(F.col("sig"), j * rows + 1, rows).alias("band_sig"),
+                    )
                     for j in range(bands)
                 ]
             )
-        ).alias("band_key"),
-    )
-    return _bucket_pairs(banded, id_col, ["band_key"])
+        ).alias("bk"),
+    ).select(F.col(id_col), F.col("bk.band_idx"), F.col("bk.band_sig"))
+    return _bucket_pairs(banded, id_col, ["band_idx", "band_sig"])
 
 
 def minhash_neardup_pairs(
@@ -239,6 +281,7 @@ def minhash_neardup_pairs(
     bands: int = 16,
     n: int = 5,
     threshold: float = 0.8,
+    hash_fn=None,
 ) -> DataFrame:
     """MinHash LSH candidates, verified with exact Jaccard — only the
     candidate set pays the verification join.
@@ -248,11 +291,27 @@ def minhash_neardup_pairs(
     (j≈0) stay out. Verification intersects *hashed* shingle sets
     (31-bit longs): same Jaccard up to negligible collision odds, and
     long equality beats string equality in the intersect.
+
+    Only docs that actually appear in a candidate pair re-shingle for
+    verification (left-semi join against the candidate id set): at
+    100 TB with candidates << corpus, shingling everything twice
+    would double the dominant map stage. The candidate set and the
+    per-candidate shingle sets are each materialized once — the
+    candidate frame feeds three consumers (the id set and both sides
+    of the verify join) and the sets frame two.
     """
-    cand = minhash_lsh_candidates(df, id_col, text_col, num_perm, bands, n)
-    sets = ensure_parallelism(df).select(
-        F.col(id_col), F.array_distinct(hashed_shingles(text_col, n)).alias("sh")
+    cand = minhash_lsh_candidates(
+        df, id_col, text_col, num_perm, bands, n, hash_fn=hash_fn
+    ).localCheckpoint(eager=True)
+    cand_ids = (
+        cand.select(F.col("d1").alias(id_col))
+        .union(cand.select(F.col("d2").alias(id_col)))
+        .distinct()
     )
+    needed = ensure_parallelism(df).join(cand_ids, id_col, "left_semi")
+    sets = needed.select(
+        F.col(id_col), F.array_distinct(hashed_shingles(text_col, n, hash_fn)).alias("sh")
+    ).localCheckpoint(eager=True)
     inter = F.size(F.array_intersect(F.col("s1.sh"), F.col("s2.sh")))
     union = F.size(F.col("s1.sh")) + F.size(F.col("s2.sh")) - inter
     jac = inter.cast("double") / union
@@ -470,9 +529,17 @@ def simhash_neardup_pairs(
     hamming 3 agrees on >= 1 chunk — candidates come from a chunk-
     equality join, then the exact bit_count(xor) filter runs only on
     candidates. max_hamming must stay < number of chunks (4).
+
+    The (id, sim) fingerprint table is materialized ONCE
+    (localCheckpoint, same pattern as neardup_components): it feeds
+    three consumers (chunks, s1, s2), and unmaterialized the
+    explode + 64-SUM + shuffle subtree would run up to 3x — the
+    round-2 bench regression (4.0 s -> 5.7 s at sf0.1).
     """
     assert max_hamming < 4
-    sh = simhash_table(ensure_parallelism(df), id_col, text_col)
+    sh = simhash_table(ensure_parallelism(df), id_col, text_col).localCheckpoint(
+        eager=True
+    )
     chunks = sh.select(
         id_col,
         F.explode(

@@ -109,6 +109,16 @@ def train_ivf_centroids(
     iterative ML trainer pays. Init is deterministic: the first
     n_cells vectors by id (reproducible plans beat random restarts for
     an index whose cells only need to be balanced, not optimal).
+
+    FULLY deterministic, partitioning included: the per-cell
+    accumulation sums floor(x * 2^30) as BIGINT — integer addition is
+    associative, so the result is identical under any partitioning /
+    visit order, unlike a double SUM (the 2^-30 quantization is noise
+    at clustering granularity). That makes the whole trainer a pure
+    function of the corpus, replicable bit-for-bit on the driver
+    (``train_ivf_centroids_local``) — which is what lets ivf_topk
+    carry a value-hashed DuckDB oracle with the learned centroids
+    inlined as literals.
     """
     import numpy as np
 
@@ -127,17 +137,72 @@ def train_ivf_centroids(
         sums = (
             assigned.select("cell", F.posexplode("v").alias("dim", "x"))
             .groupBy("cell", "dim")
-            .agg(F.sum("x").alias("s"))
+            .agg(
+                F.sum(F.floor(F.col("x") * F.lit(float(_IVF_QUANT))).cast("long")).alias(
+                    "s"
+                )
+            )
             .collect()
         )
         acc = np.zeros((n_cells, dim))
         for r in sums:
-            acc[r.cell][r.dim] = r.s
+            acc[r.cell][r.dim] = r.s / _IVF_QUANT
         for j in range(n_cells):
             norm = float(np.linalg.norm(acc[j]))
             if norm > 0:
                 centroids[j] = (acc[j] / norm).tolist()
             # empty cell: keep the previous centroid (deterministic)
+    return centroids
+
+
+#: fixed-point scale for the trainer's order-free integer accumulation
+_IVF_QUANT = 1 << 30
+
+
+def train_ivf_centroids_local(
+    rows: list[tuple[int, list[float]]], n_cells: int = 16, n_iter: int = 5
+) -> list[list[float]]:
+    """Driver-side replica of ``train_ivf_centroids`` — bit-identical
+    by construction, for oracle-building and trainer verification.
+
+    ``rows`` is the full (id, vector) corpus. Every float operation
+    mirrors the Spark expression tree exactly: dot products are
+    sequential left-folds of per-element products (the F.aggregate /
+    zip_with order), assignment takes the FIRST argmax
+    (array_position semantics), accumulation sums floor(x * 2^30) in
+    exact integers, and normalization runs the same numpy calls on
+    the same float64 values.
+    """
+    import math
+
+    import numpy as np
+
+    rows = sorted(rows, key=lambda r: r[0])
+    centroids = [
+        (np.array(v) / (np.linalg.norm(v) or 1.0)).tolist() for _, v in rows[:n_cells]
+    ]
+    dim = len(centroids[0])
+    for _ in range(n_iter):
+        sums = [[0] * dim for _ in range(n_cells)]
+        for _, v in rows:
+            dots = []
+            for c in centroids:
+                acc = 0.0
+                for x, y in zip(v, c):
+                    acc = acc + x * y  # left fold, F.aggregate order
+                dots.append(acc)
+            cell = dots.index(max(dots))  # first argmax, array_position order
+            srow = sums[cell]
+            for d, x in enumerate(v):
+                srow[d] += math.floor(x * float(_IVF_QUANT))
+        acc2 = np.zeros((n_cells, dim))
+        for j in range(n_cells):
+            for d in range(dim):
+                acc2[j][d] = sums[j][d] / _IVF_QUANT
+        for j in range(n_cells):
+            norm = float(np.linalg.norm(acc2[j]))
+            if norm > 0:
+                centroids[j] = (acc2[j] / norm).tolist()
     return centroids
 
 

@@ -23,17 +23,31 @@ def salted_join(
     on: str,
     salt_buckets: int = 16,
     how: str = "inner",
+    salt_on: list[str] | None = None,
 ) -> DataFrame:
     """Equi-join on `on` with the key salted `salt_buckets` ways.
 
-    left (the skewed/probe side) gets a uniform salt per row; right
-    (the build side) is replicated once per salt value — cost
+    left (the skewed/probe side) gets a per-row salt; right (the
+    build side) is replicated once per salt value — cost
     |right| x salt_buckets, the price of splitting the hot key's rows
     across salt_buckets tasks. Semantically identical to
     left.join(right, on, how) for inner/left joins.
+
+    The salt is ``pmod(xxhash64(salt_on...), salt_buckets)`` — a pure
+    function of row content, so task retries and repartitions
+    re-derive the SAME salt (F.rand is only per-plan deterministic:
+    a retried/repartitioned task would re-roll, sending a row to a
+    different build replica mid-job). ``salt_on`` defaults to every
+    left column; pass distinct-valued columns explicitly when left
+    rows can be full duplicates (identical rows share a salt and
+    would keep the skew).
     """
+    salt_cols = salt_on if salt_on is not None else left.columns
     salted_left = left.withColumn(
-        SALT_COL, F.floor(F.rand(seed=42) * salt_buckets).cast("int")
+        SALT_COL,
+        F.pmod(F.xxhash64(*[F.col(c) for c in salt_cols]), F.lit(salt_buckets)).cast(
+            "int"
+        ),
     )
     salted_right = right.withColumn(
         SALT_COL,

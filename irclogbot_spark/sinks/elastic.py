@@ -86,27 +86,65 @@ def write_to_elasticsearch(
 
         url = host.rstrip("/") + "/_bulk"
 
-        def flush(actions: list[str]) -> None:
-            if not actions:
-                return
+        def post(actions: list[str]) -> list[dict]:
+            """One _bulk request; returns the per-item response list."""
             body = "".join(actions).encode("utf-8")
+            req = urllib.request.Request(
+                url,
+                data=body,
+                headers={"Content-Type": "application/x-ndjson"},
+                method="POST",
+            )
+            with urllib.request.urlopen(req, timeout=30) as resp:
+                payload = json.loads(resp.read().decode("utf-8"))
+            if not payload.get("errors"):
+                return []
+            return payload.get("items", [])
+
+        def flush(actions: list[str]) -> None:
+            """Send actions, retrying transport errors AND per-item
+            failures: ES reports mapping errors / item-level 429 queue
+            rejections inside an HTTP 200 with "errors": true — a
+            transport-only retry would silently drop those documents.
+            Only the failed items are resent (idempotent: PUT by _id);
+            the budget exhausts into a raise, so Spark's task retry /
+            the stream supervisor sees the failure instead of losing
+            data (documented divergence from the reference's silent
+            drop after MAX_RETRIES, irclogbot.py:52-59)."""
+            pending = actions
             attempts = 0
-            while True:
-                req = urllib.request.Request(
-                    url,
-                    data=body,
-                    headers={"Content-Type": "application/x-ndjson"},
-                    method="POST",
-                )
+            while pending:
                 try:
-                    with urllib.request.urlopen(req, timeout=30) as resp:
-                        resp.read()
-                    return
+                    items = post(pending)
                 except Exception:
                     attempts += 1
                     if attempts >= max_retries:
                         raise
                     time.sleep(min(0.1 * 2**attempts, 2.0))
+                    continue
+                if not items:
+                    return
+                # items come back in request order; keep the failures
+                failed = [
+                    pending[i]
+                    for i, item in enumerate(items)
+                    if next(iter(item.values())).get("status", 500) >= 300
+                ]
+                if not failed:
+                    return
+                attempts += 1
+                if attempts >= max_retries:
+                    statuses = [
+                        next(iter(item.values())).get("status")
+                        for item in items
+                        if next(iter(item.values())).get("status", 500) >= 300
+                    ]
+                    raise RuntimeError(
+                        f"_bulk: {len(failed)} item(s) still failing after "
+                        f"{max_retries} attempts (statuses {statuses[:5]})"
+                    )
+                time.sleep(min(0.1 * 2**attempts, 2.0))
+                pending = failed
 
         buf: list[str] = []
         for r in rows:

@@ -22,8 +22,6 @@ and whole-history convergence happens at the keyed sink.
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -83,6 +81,68 @@ def streaming_irclog(
 N_ID_BUCKETS = 16
 
 
+def table_layout(spark: SparkSession, target_dir: str) -> str:
+    """Classify the upsert target via the Hadoop FileSystem API (NOT
+    os.path — on HDFS/S3, where a 100 TB table actually lives, a
+    local-FS probe would silently report "no table" and the first
+    merge would overwrite from scratch).
+
+    Returns 'absent' | 'bucketed' (id_bucket= partition dirs) |
+    'flat' (bare .parquet files from a pre-bucketing layout) |
+    'mixed' (both — a corrupted half-migrated state).
+    """
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(target_dir)
+    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(path):
+        return "absent"
+    names = [st.getPath().getName() for st in fs.listStatus(path)]
+    bucketed = any(n.startswith("id_bucket=") for n in names)
+    flat = any(
+        n.endswith(".parquet") and not n.startswith(("_", ".")) for n in names
+    )
+    if bucketed and flat:
+        return "mixed"
+    if bucketed:
+        return "bucketed"
+    if flat:
+        return "flat"
+    return "absent"
+
+
+def migrate_flat_to_bucketed(
+    spark: SparkSession, target_dir: str, n_buckets: int = N_ID_BUCKETS
+) -> None:
+    """One-time migration of a legacy flat parquet table into the
+    id-bucket-partitioned layout keyed_upsert_batch merges into.
+
+    Reads the whole flat table once (O(table) — a migration, not a
+    merge), rewrites it under id_bucket= partitions, then removes the
+    flat files. Crash between write and delete leaves a 'mixed'
+    layout that keyed_upsert_batch refuses loudly — re-running this
+    migration is NOT safe on 'mixed' (the bucketed rows would double);
+    recover by deleting the id_bucket= dirs and re-running.
+    """
+    layout = table_layout(spark, target_dir)
+    if layout != "flat":
+        raise RuntimeError(
+            f"migrate_flat_to_bucketed expects a flat layout, found '{layout}' "
+            f"at {target_dir}"
+        )
+    flat = spark.read.parquet(target_dir).withColumn(
+        "id_bucket", F.pmod(F.xxhash64("id"), F.lit(n_buckets)).cast("int")
+    )
+    flat = flat.localCheckpoint(eager=True)  # sever lineage from the files we replace
+    flat.write.mode("append").partitionBy("id_bucket").parquet(target_dir)
+    path_cls = spark._jvm.org.apache.hadoop.fs.Path
+    root = path_cls(target_dir)
+    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if name.endswith(".parquet") and not name.startswith(("_", ".")):
+            fs.delete(st.getPath(), False)
+
+
 def keyed_upsert_batch(
     batch: DataFrame, batch_id: int, target_dir: str, n_buckets: int = N_ID_BUCKETS
 ) -> None:
@@ -114,10 +174,17 @@ def keyed_upsert_batch(
     incoming = batch.dropDuplicates(["id"]).withColumn(
         "id_bucket", F.pmod(F.xxhash64("id"), F.lit(n_buckets)).cast("int")
     )
-    has_table = os.path.isdir(target_dir) and any(
-        f.startswith("id_bucket=") for f in os.listdir(target_dir)
-    )
-    if has_table:
+    layout = table_layout(spark, target_dir)
+    if layout in ("flat", "mixed"):
+        # a legacy flat table (or a half-migrated one): merging would
+        # write id_bucket= dirs beside the flat files — subsequent
+        # reads would see a conflicting mixed layout. Fail loudly;
+        # migrate_flat_to_bucketed is the explicit one-time fix.
+        raise RuntimeError(
+            f"keyed_upsert_batch: target {target_dir} has a '{layout}' layout; "
+            "run migrate_flat_to_bucketed(spark, target_dir) first"
+        )
+    if layout == "bucketed":
         touched = incoming.select("id_bucket").distinct()
         existing = spark.read.parquet(target_dir).join(
             F.broadcast(touched), "id_bucket", "left_semi"

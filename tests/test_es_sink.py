@@ -34,6 +34,11 @@ class _BulkHandler(BaseHTTPRequestHandler):
     index_of: dict[str, str] = {}
     fail_next: int = 0
     n_requests: int = 0
+    #: per-doc-id item-level failure budget: while >0 the item comes
+    #: back with status 429 inside an HTTP 200 "errors": true body —
+    #: the ES partial-failure mode a transport-only retry would drop.
+    item_fail_budget: dict[str, int] = {}
+    request_sizes: list[int] = []
 
     def do_POST(self):  # noqa: N802 - http.server API
         cls = _BulkHandler
@@ -49,11 +54,20 @@ class _BulkHandler(BaseHTTPRequestHandler):
             self.end_headers()
             return
         lines = [ln for ln in body.split("\n") if ln]
+        cls.request_sizes.append(len(lines) // 2)
+        items = []
         for i in range(0, len(lines), 2):
             action = json.loads(lines[i])["index"]
-            cls.store[action["_id"]] = json.loads(lines[i + 1])
-            cls.index_of[action["_id"]] = action["_index"]
-        payload = json.dumps({"errors": False}).encode()
+            _id = action["_id"]
+            if cls.item_fail_budget.get(_id, 0) > 0:
+                cls.item_fail_budget[_id] -= 1
+                items.append({"index": {"_id": _id, "status": 429}})
+                continue
+            cls.store[_id] = json.loads(lines[i + 1])
+            cls.index_of[_id] = action["_index"]
+            items.append({"index": {"_id": _id, "status": 201}})
+        errors = any(it["index"]["status"] >= 300 for it in items)
+        payload = json.dumps({"errors": errors, "items": items}).encode()
         self.send_response(200)
         self.send_header("Content-Type", "application/json")
         self.send_header("Content-Length", str(len(payload)))
@@ -70,6 +84,8 @@ def mock_es():
     _BulkHandler.index_of = {}
     _BulkHandler.fail_next = 0
     _BulkHandler.n_requests = 0
+    _BulkHandler.item_fail_budget = {}
+    _BulkHandler.request_sizes = []
     server = ThreadingHTTPServer(("127.0.0.1", 0), _BulkHandler)
     t = threading.Thread(target=server.serve_forever, daemon=True)
     t.start()
@@ -127,3 +143,58 @@ def test_bulk_write_gives_up_after_bounded_retries(spark, mock_es):
     with pytest.raises(Exception):
         write_to_elasticsearch(_irclog(spark).coalesce(1), mock_es, max_retries=2)
     assert _BulkHandler.store == {}
+
+
+def test_bulk_item_failures_inside_200_are_retried_item_only(spark, mock_es):
+    """ES reports mapping errors / item 429s inside an HTTP 200 with
+    "errors": true — the writer must parse the body, resend ONLY the
+    failed items, and converge (ADVICE r2 #1)."""
+    failing = "a5449855169a91c7"
+    _BulkHandler.item_fail_budget = {failing: 1}
+    write_to_elasticsearch(_irclog(spark).coalesce(1), mock_es)
+    assert set(_BulkHandler.store) == set(GOLDEN)  # nothing dropped
+    assert _BulkHandler.n_requests == 2
+    # the retry request carried only the one failed item
+    assert _BulkHandler.request_sizes == [3, 1]
+
+
+def test_bulk_item_failures_exhaust_budget_and_raise(spark, mock_es):
+    failing = "a5449855169a91c7"
+    _BulkHandler.item_fail_budget = {failing: 99}
+    with pytest.raises(Exception, match="still failing"):
+        write_to_elasticsearch(_irclog(spark).coalesce(1), mock_es, max_retries=3)
+    # the healthy docs landed; the poisoned one surfaced as a raise
+    # instead of a silent drop
+    assert failing not in _BulkHandler.store
+    assert set(GOLDEN) - {failing} <= set(_BulkHandler.store)
+
+
+def test_bulk_chunking_across_partitions_no_doc_loss(spark, mock_es):
+    """>chunk_size rows across >=2 partitions: every partition flushes
+    ceil(rows/chunk_size) requests and every doc lands exactly once
+    (VERDICT r2 #8: chunk-boundary behavior pinned)."""
+    from pyspark.sql import functions as F
+
+    df = (
+        spark.range(50)
+        .select(
+            F.lit("#chan").alias("channel"),
+            F.lit("nick").alias("nick"),
+            F.lit("2024-01-01 00:00:00").cast("timestamp_ntz").alias("posted"),
+            F.concat(F.lit("msg "), F.col("id")).alias("remark"),
+            F.concat(F.lit("doc"), F.col("id")).alias("id"),
+        )
+        .repartition(2)
+    )
+    part_sizes = [
+        r.n
+        for r in df.groupBy(F.spark_partition_id().alias("p"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    ]
+    assert len(part_sizes) == 2  # the scenario really is multi-partition
+    write_to_elasticsearch(df, mock_es, chunk_size=10)
+    expected_requests = sum(-(-n // 10) for n in part_sizes)
+    assert _BulkHandler.n_requests == expected_requests
+    assert set(_BulkHandler.store) == {f"doc{i}" for i in range(50)}
+    assert sorted(_BulkHandler.request_sizes, reverse=True)[0] <= 10
