@@ -42,10 +42,13 @@ HEADLINE = [
     "events_asof_join",
     "docs_token_stats",
     "docs_minhash_neardup",
+    "docs_minhash_lsh",
+    "docs_decontaminate",
     "docs_simhash_neardup",
     "emb_cosine_neardup",
     "emb_knn_join",
     "emb_ann_topk",
+    "emb_ivf_topk",
 ]
 
 #: headline queries that derive from the irclog (re-timed over the

@@ -1,0 +1,74 @@
+"""Train/test contamination detection over n-gram overlap.
+
+The standard eval-decontamination pass of an LLM data pipeline: a
+test/eval document is contaminated if it shares (enough) long n-grams
+with any training document. Reference pipelines (Dolma, RedPajama,
+GPT-3 appendix C) all reduce to the same relational shape, which Spark
+expresses natively:
+
+    train --shingle+hash--> distinct hashes --+
+                                              |--- hash-equality join
+    test  --shingle+hash--> (doc, hash) ------+        |
+                                                 groupBy test doc
+                                                 overlap counts
+
+Scale design (the 100 TB path):
+- Both sides shingle map-side via ``dedup.hashed_shingles`` (the same
+  tokenizer/shingler the MinHash family uses), so the join moves
+  8-byte hashes, never shingle strings.
+- The train side collapses to DISTINCT hashes before the join: partial
+  aggregation prunes in-partition repeats map-side, and the joined
+  payload is one column. At candidates ≪ corpus the train side
+  dominates; nothing else touches it.
+- The join output is immediately re-aggregated per test doc — no
+  row explosion survives the stage boundary.
+- With a small eval set (the common case) Spark's AQE converts the
+  hash join to broadcast automatically; the train scan then runs
+  join+count in ONE map pass with no shuffle of the corpus at all.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from irclogbot_spark.operators.dedup import hashed_shingles
+
+
+def ngram_contamination(
+    train: DataFrame,
+    test: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_fn=None,
+) -> DataFrame:
+    """Per test-document contamination stats vs a training corpus.
+
+    Returns one row per test doc: ``(id_col, n_ngrams, n_shared,
+    contaminated)`` where n_ngrams counts the doc's distinct hashed
+    n-grams, n_shared counts how many also occur anywhere in train,
+    and contaminated = n_shared > 0. Docs too short to form a single
+    n-gram report (0, 0, false).
+
+    ``hash_fn`` defaults to xxhash31 (scale path); pass
+    ``dedup.md5_hash31`` for the DuckDB-checkable pipeline.
+    """
+    te = test.select(
+        F.col(id_col), hashed_shingles(F.col(text_col), n, hash_fn).alias("hs")
+    ).select(id_col, F.explode_outer("hs").alias("h"))
+    tr = (
+        train.select(hashed_shingles(F.col(text_col), n, hash_fn).alias("hs"))
+        .select(F.explode("hs").alias("h"))
+        .distinct()
+    )
+    hit = F.when(F.col("h").isNotNull() & F.col("hit").isNotNull(), 1).otherwise(0)
+    return (
+        te.join(tr.withColumn("hit", F.lit(1)), "h", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("h").alias("n_ngrams"),
+            F.sum(hit).cast("long").alias("n_shared"),
+        )
+        .withColumn("contaminated", F.col("n_shared") > 0)
+    )

@@ -1,0 +1,147 @@
+"""Deterministic sampling & splitting for training-data pipelines.
+
+Every operator here is a pure function of row content — no F.rand, no
+RDD sampling: at 100 TB a sample must be REPRODUCIBLE (same corpus →
+same sample, regardless of partitioning, task retries, or cluster
+size), and downstream stages (dedup verdicts, eval splits) must be
+able to re-derive membership without storing it. The mechanism is the
+same hash-bucket arithmetic the engine's LSH and salting use:
+``pmod(xxhash64(key, salt), 1_000_000)`` as a uniform draw.
+
+All map-only except the per-group reservoir (one shuffle on the
+group key). Scale notes per operator.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+#: resolution of the uniform draw (1e-6 rate granularity)
+_DENOM = 1_000_000
+
+
+def _draw(key_cols: list[str], salt: str) -> Column:
+    """Uniform integer in [0, _DENOM) derived from row content — the
+    per-row coin that makes every sampler below deterministic."""
+    return F.pmod(
+        F.xxhash64(F.lit(salt), *[F.col(c) for c in key_cols]), F.lit(_DENOM)
+    )
+
+
+def portable_draw(key_cols: list[str], salt: str) -> Column:
+    """Same uniform draw under a hash with an exact ANSI twin (the
+    md5-prefix fold the MinHash oracle mode uses — dedup.md5_hash31):
+    ``CAST('0x' || substr(md5(concat_ws(chr(31), salt, keys...)), 1, 15)
+    AS BIGINT) % 1000000``. Slower than xxhash64 (md5 + string parse),
+    so it is the ORACLE-CHECK draw; production paths keep ``_draw``.
+    Keys are cast to string, joined with an \\x1f separator (never in
+    the data) so the concatenation is injective."""
+    s = F.concat_ws(
+        "\x1f", F.lit(salt), *[F.col(c).cast("string") for c in key_cols]
+    )
+    h = F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+    return F.pmod(h, F.lit(_DENOM).cast("long"))
+
+
+def consistent_sample(
+    df: DataFrame, rate: float, key_cols: list[str], salt: str = "sample", draw_fn=None
+) -> DataFrame:
+    """Bernoulli(rate) sample keyed on row content: map-only, no
+    shuffle, stable under repartition/retry, and CONSISTENT — the
+    same key draws the same verdict in every run and every table,
+    so a document and its derived rows (chunks, embeddings) can be
+    sampled coherently by sharing key_cols. Change ``salt`` to draw
+    an independent sample. ``draw_fn`` swaps the hash (see
+    portable_draw)."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0, 1], got {rate}")
+    return df.filter((draw_fn or _draw)(key_cols, salt) < int(rate * _DENOM))
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    stratum_col: str,
+    key_cols: list[str],
+    default_rate: float = 0.0,
+    salt: str = "sample",
+    draw_fn=None,
+) -> DataFrame:
+    """Per-stratum Bernoulli rates (e.g. downsample boilerplate-heavy
+    sources, keep rare languages at 1.0) — the corpus-mixing knob of
+    an LLM data pipeline. Map-only: the rate lookup is a literal CASE
+    on the stratum column, the draw is the same content hash; no
+    shuffle, no per-stratum pass."""
+    for s, r in rates.items():
+        if not 0.0 <= r <= 1.0:
+            raise ValueError(f"rate for stratum {s!r} must be in [0, 1], got {r}")
+    rate = F.lit(int(default_rate * _DENOM))
+    for s, r in rates.items():
+        rate = F.when(F.col(stratum_col) == s, F.lit(int(r * _DENOM))).otherwise(rate)
+    return df.filter((draw_fn or _draw)(key_cols, salt) < rate)
+
+
+def split_thresholds(weights: dict[str, float]) -> list[tuple[str, int]]:
+    """Cumulative integer draw-thresholds for all but the last split
+    name (the last catches the remainder). Shared by split_columns
+    and the oracle-SQL builder so both sides inherit the SAME float
+    rounding — re-deriving ``int(acc * _DENOM)`` independently risks
+    an off-by-one at e.g. 0.8 + 0.1."""
+    total = sum(weights.values())
+    if total <= 0:
+        raise ValueError("weights must sum to > 0")
+    out = []
+    acc = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        acc += weights[name] / total
+        out.append((name, int(acc * _DENOM)))
+    return out
+
+
+def split_columns(
+    key_cols: list[str], weights: dict[str, float], salt: str = "split", draw_fn=None
+) -> Column:
+    """Label column assigning each row to one split ('train'/'val'/
+    'test'...) by hash range — disjoint, exhaustive, and stable: a
+    row never migrates between splits across runs, the property that
+    keeps eval sets uncontaminated as the corpus grows. Weights are
+    normalized; boundaries are cumulative integer thresholds."""
+    draw = (draw_fn or _draw)(key_cols, salt)
+    expr = None
+    for name, thresh in split_thresholds(weights):
+        cond = draw < thresh
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    last = F.lit(list(weights)[-1])
+    return last if expr is None else expr.otherwise(last)
+
+
+def train_test_split(
+    df: DataFrame,
+    weights: dict[str, float],
+    key_cols: list[str],
+    salt: str = "split",
+    draw_fn=None,
+) -> DataFrame:
+    """df plus a 'split' label column (see split_columns)."""
+    return df.withColumn("split", split_columns(key_cols, weights, salt, draw_fn))
+
+
+def reservoir_per_group(
+    df: DataFrame, group_cols: list[str], k: int, key_cols: list[str], salt: str = "reservoir"
+) -> DataFrame:
+    """Deterministic fixed-size uniform sample per group: rank rows by
+    their content hash inside each group, keep the k smallest — the
+    order statistics of a uniform draw, i.e. a reservoir sample whose
+    membership is reproducible. One shuffle on group_cols; with
+    partial TakeOrdered semantics unavailable per-group, skewed
+    groups are bounded by the rank filter, not collected."""
+    w = Window.partitionBy(*group_cols).orderBy(
+        _draw(key_cols, salt), *[F.col(c) for c in key_cols]
+    )
+    return (
+        df.withColumn("_rs_rank", F.row_number().over(w))
+        .filter(F.col("_rs_rank") <= k)
+        .drop("_rs_rank")
+    )

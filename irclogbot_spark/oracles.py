@@ -275,10 +275,15 @@ WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
 GROUP BY p_brand
 """
 
-ORACLES["agg_rollup"] = f"""
-SELECT l_returnflag, l_linestatus,
+ORACLES["agg_rollup_sets"] = f"""
+SELECT 'rollup' AS variant, l_returnflag, l_linestatus,
   {dsum('l_quantity')} AS sum_qty, COUNT(*) AS n_items
 FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+UNION ALL
+SELECT 'grouping_sets' AS variant, l_returnflag, l_linestatus,
+  {dsum('l_quantity')} AS sum_qty, COUNT(*) AS n_items
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
 """
 
 ORACLES["agg_distinct"] = f"""
@@ -339,21 +344,18 @@ SELECT user_id, MIN(ts) AS session_start,
 FROM sessions GROUP BY user_id, session_seq
 """
 
-ORACLES["events_sliding_2h"] = f"""
-WITH expanded AS (
+ORACLES["events_windows"] = f"""
+SELECT 'tumbling' AS variant, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS win_start,
+  event_type, COUNT(*) AS n_events, {dsum('value')} AS total_value
+FROM events GROUP BY date_trunc('hour', ts), event_type
+UNION ALL
+SELECT 'sliding' AS variant, win_start, event_type, COUNT(*) AS n_events,
+  {dsum('value')} AS total_value
+FROM (
   SELECT event_type, value,
     date_trunc('hour', ts) - k * INTERVAL 1 HOUR AS win_start
   FROM events, UNNEST([0, 1]) AS u(k)
-)
-SELECT win_start, event_type, COUNT(*) AS n_events,
-  {dsum('value')} AS total_value
-FROM expanded GROUP BY win_start, event_type
-"""
-
-ORACLES["events_tumbling_hourly"] = f"""
-SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_ts,
-  COUNT(*) AS n_events, {dsum('value')} AS total_value
-FROM events GROUP BY event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP)
+) GROUP BY win_start, event_type
 """
 
 ORACLES["events_json_extract"] = """
@@ -416,10 +418,6 @@ FROM base, stats
 ORDER BY score DESC, doc_id LIMIT 10
 """
 
-ORACLES["docs_lang_breakdown"] = """
-SELECT lang, source, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
-FROM documents GROUP BY lang, source
-"""
 
 # --------------------------------------------------------------- embeddings
 ORACLES["emb_knn_join"] = """
@@ -520,6 +518,87 @@ WHERE bsz.n <= 1000
     / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.95
 """
 
+def _ivf_topk_sql(
+    k: int = 5, n_cells: int = 16, n_iter: int = 5, n_probe: int = 4
+) -> str:
+    """ANSI twin of operators.similarity.ivf_topk with the LEARNED
+    centroids inlined as double literals. The trainer is a pure
+    function of the corpus (integer-quantized accumulation — see
+    train_ivf_centroids), so re-training via the bit-identical driver
+    replica over the same parquet the driver compares at (sf0.01)
+    yields exactly the centroids the Spark query trains at query
+    time; repr() round-trips the doubles exactly.
+
+    Built lazily inside oracle_sql() (not at import): the training
+    corpus is whatever SF the comparison runs at —
+    $SPARK_GRAFT_ORACLE_SF_DIR, defaulting to the driver's sf0.01;
+    the local parity tests point it at their own SF."""
+    import os
+
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    return _ivf_topk_sql_for(sf_dir, k, n_cells, n_iter, n_probe)
+
+
+def _ivf_topk_sql_for(
+    sf_dir: str, k: int, n_cells: int, n_iter: int, n_probe: int
+) -> str:
+    import os
+
+    if (sf_dir, k, n_cells, n_iter, n_probe) in _IVF_SQL_CACHE:
+        return _IVF_SQL_CACHE[(sf_dir, k, n_cells, n_iter, n_probe)]
+
+    import duckdb
+
+    from irclogbot_spark.operators.similarity import train_ivf_centroids_local
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    rows = duckdb.sql(
+        f"SELECT vec_id, CAST(embedding AS DOUBLE[]) FROM '{path}' ORDER BY vec_id"
+    ).fetchall()
+    cents = train_ivf_centroids_local(
+        [(r[0], list(r[1])) for r in rows], n_cells, n_iter
+    )
+    lits = ["[" + ", ".join(repr(x) for x in c) + "]" for c in cents]
+    dots_list = "[" + ", ".join(f"list_dot_product(v, {l})" for l in lits) + "]"
+    negdot_structs = "[" + ", ".join(
+        f"{{'negdot': -list_dot_product(qv, {lits[j]}), 'cell': {j}}}"
+        for j in range(n_cells)
+    ) + "]"
+    sql = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+ca AS (SELECT vec_id, v, {dots_list} AS dots FROM e),
+cb AS (SELECT vec_id, v,
+         CAST(list_position(dots, list_max(dots)) - 1 AS INT) AS cell FROM ca),
+qd AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id IN (0, 1, 2)),
+qcell AS (SELECT query_id, qv, unnest({negdot_structs}) AS pc FROM qd),
+qprobe AS (
+  SELECT query_id, qv, cell FROM (
+    SELECT query_id, qv, pc.cell AS cell,
+      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY pc.negdot, pc.cell) AS rn
+    FROM qcell
+  ) WHERE rn <= {n_probe}
+),
+ivf_scored AS (
+  SELECT q.query_id, c.vec_id,
+    list_dot_product(c.v, q.qv)
+      / (sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(q.qv, q.qv))) AS cosine
+  FROM cb c JOIN qprobe q ON c.cell = q.cell AND c.vec_id <> q.query_id
+)
+SELECT query_id, vec_id, cosine, knn_rank FROM (
+  SELECT query_id, vec_id, cosine,
+    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS knn_rank
+  FROM ivf_scored
+) WHERE knn_rank <= {k}
+"""
+    _IVF_SQL_CACHE[(sf_dir, k, n_cells, n_iter, n_probe)] = sql
+    return sql
+
+
+#: (sf_dir, params) -> SQL — the replica trainer is a few seconds of
+#: pure-Python float work; build each variant once per process.
+_IVF_SQL_CACHE: dict[tuple, str] = {}
+
+
 ORACLES["emb_ann_recall"] = f"""
 WITH {_ann_core_ctes()},
 exact_scored AS (
@@ -616,6 +695,146 @@ SELECT doc_id,
 FROM wx
 """
 
+def _minhash_lsh_sql(
+    num_perm: int = 32, bands: int = 16, n: int = 5, threshold: float = 0.8
+) -> str:
+    """ANSI twin of the FULL MinHash+LSH pipeline under md5_hash31
+    (operators.dedup.minhash_neardup_pairs with hash_fn=md5_hash31):
+    shingling, 31-bit portable shingle hash, the num_perm affine
+    signature lanes (permutation constants inlined — driver-side plan
+    constants, same as the SRP planes), band grouping, the >1 and
+    <=1000 bucket caps, in-bucket pair expansion, and exact Jaccard
+    over the HASHED shingle sets for candidates only."""
+    from irclogbot_spark.operators.dedup import _MH_PRIME, _permutation_family
+
+    perms = _permutation_family(num_perm, seed=42)
+    rows = num_perm // bands
+    lanes = ",\n    ".join(
+        f"MIN(({a} * h + {b}) % {_MH_PRIME}) AS s{i}" for i, (a, b) in enumerate(perms)
+    )
+
+    def band_key(j: int) -> str:
+        return " || ',' || ".join(
+            f"CAST(s{j * rows + r} AS VARCHAR)" for r in range(rows)
+        )
+
+    band_selects = "\n  UNION ALL\n  ".join(
+        f"SELECT doc_id, {j} AS band_idx, {band_key(j)} AS band_key FROM sig"
+        for j in range(bands)
+    )
+    jac = "CAST(n_common AS DOUBLE) / (s1.ns + s2.ns - n_common)"
+    return rf"""
+WITH t AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS toks FROM documents),
+el AS (SELECT doc_id, toks FROM t WHERE len(toks) >= {n}),
+msh AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+{n - 1}], ' ') AS shingle
+        FROM el, UNNEST(range(1, len(toks) - {n - 2})) AS r(i)),
+hs AS (SELECT DISTINCT doc_id,
+         CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT) % {_MH_PRIME} AS h
+       FROM msh),
+sig AS (SELECT doc_id, {lanes} FROM hs GROUP BY doc_id),
+banded AS (
+  {band_selects}
+),
+bsz AS (SELECT band_idx, band_key, COUNT(*) AS nb FROM banded GROUP BY band_idx, band_key),
+cand AS (
+  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+  FROM banded a
+  JOIN banded b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+               AND a.doc_id < b.doc_id
+  JOIN bsz ON bsz.band_idx = a.band_idx AND bsz.band_key = a.band_key
+  WHERE bsz.nb <= 1000
+),
+inter AS (
+  SELECT c.d1, c.d2, COUNT(*) AS n_common
+  FROM cand c
+  JOIN hs h1 ON h1.doc_id = c.d1
+  JOIN hs h2 ON h2.doc_id = c.d2 AND h2.h = h1.h
+  GROUP BY c.d1, c.d2
+),
+sizes AS (SELECT doc_id, COUNT(*) AS ns FROM hs GROUP BY doc_id)
+SELECT d1, d2, {jac} AS jaccard
+FROM inter
+JOIN sizes s1 ON s1.doc_id = d1
+JOIN sizes s2 ON s2.doc_id = d2
+WHERE {jac} >= {threshold}
+"""
+
+
+ORACLES["docs_minhash_lsh"] = _minhash_lsh_sql()
+
+
+def _portable_draw_sql(salt: str, key_expr: str) -> str:
+    """ANSI twin of sampling.portable_draw for a single key column:
+    md5 of salt || \\x1f || key, first 15 hex digits parsed base-16,
+    mod 1e6."""
+    return (
+        f"CAST('0x' || substr(md5('{salt}' || chr(31) || {key_expr}), 1, 15) "
+        f"AS BIGINT) % 1000000"
+    )
+
+
+def _split_case_sql(weights: dict[str, float], salt: str, key_expr: str) -> str:
+    """ANSI twin of sampling.split_columns, using the SAME
+    sampling.split_thresholds so both sides inherit identical float
+    rounding of the cumulative boundaries."""
+    from irclogbot_spark.operators.sampling import split_thresholds
+
+    draw = _portable_draw_sql(salt, key_expr)
+    whens = " ".join(
+        f"WHEN {draw} < {t} THEN '{name}'" for name, t in split_thresholds(weights)
+    )
+    return f"CASE {whens} ELSE '{list(weights)[-1]}' END"
+
+
+ORACLES["docs_sample_split"] = f"""
+WITH mixed AS (
+  SELECT * FROM documents
+  WHERE {_portable_draw_sql('mix', 'CAST(doc_id AS VARCHAR)')}
+    < CASE lang WHEN 'en' THEN 1000000 WHEN 'zh' THEN 250000 ELSE 500000 END
+),
+labeled AS (
+  SELECT *, {_split_case_sql({'train': 0.8, 'val': 0.1, 'test': 0.1}, 'split',
+                             'CAST(doc_id AS VARCHAR)')} AS split
+  FROM mixed
+)
+SELECT split, lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM labeled GROUP BY split, lang
+"""
+
+# the 8-token shingle twin mirrors the minhash oracle's CTE shapes
+# (regexp \\S+ tokens, inclusive list slice, md5_hash31 fold)
+ORACLES["docs_decontaminate"] = rf"""
+WITH labeled AS (
+  SELECT doc_id, text,
+    {_split_case_sql({'train': 0.9, 'test': 0.1}, 'decon', 'CAST(doc_id AS VARCHAR)')} AS split
+  FROM documents
+),
+t AS (SELECT doc_id, split, regexp_extract_all(text, '\S+') AS toks FROM labeled),
+grams AS (
+  SELECT DISTINCT doc_id, split, array_to_string(toks[i:i+7], ' ') AS shingle
+  FROM t, UNNEST(range(1, len(toks) - 6)) AS r(i)
+  WHERE len(toks) >= 8
+),
+hs AS (SELECT doc_id, split,
+         CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT) % 2147483647 AS h
+       FROM grams),
+trh AS (SELECT DISTINCT h FROM hs WHERE split = 'train'),
+agg AS (
+  SELECT te.doc_id, COUNT(te.h) AS n_ngrams,
+    CAST(SUM(CASE WHEN tr.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_shared
+  FROM (SELECT doc_id, h FROM hs WHERE split = 'test') te
+  LEFT JOIN trh tr ON te.h = tr.h
+  GROUP BY te.doc_id
+)
+SELECT d.doc_id,
+  COALESCE(a.n_ngrams, 0) AS n_ngrams,
+  COALESCE(a.n_shared, 0) AS n_shared,
+  COALESCE(a.n_shared, 0) > 0 AS contaminated
+FROM (SELECT doc_id FROM labeled WHERE split = 'test') d
+LEFT JOIN agg a ON a.doc_id = d.doc_id
+"""
+
+
 ORACLES["docs_dedup_keep_first"] = """
 SELECT doc_id, lang, source FROM documents
 WHERE doc_id IN (SELECT MIN(doc_id) FROM documents GROUP BY md5(text))
@@ -641,8 +860,9 @@ def _lang_id_case() -> str:
 
 
 ORACLES["docs_lang_id"] = f"""
-SELECT {_lang_id_case()} AS detected, lang, COUNT(*) AS n_docs
-FROM documents GROUP BY 1, 2
+SELECT {_lang_id_case()} AS detected, lang, source, COUNT(*) AS n_docs,
+  CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM documents GROUP BY 1, 2, 3
 """
 
 ORACLES["docs_fingerprint"] = r"""
@@ -675,27 +895,11 @@ SELECT o_orderstatus, o_orderpriority,
 FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
 """
 
-ORACLES["agg_grouping_sets"] = f"""
-SELECT l_returnflag, l_linestatus,
-  {dsum('l_quantity')} AS sum_qty, COUNT(*) AS n_items
-FROM lineitem
-GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
-"""
-
-ORACLES["window_frames"] = """
+ORACLES["window_date_functions"] = """
 SELECT o_custkey, o_orderkey, o_orderdate,
   CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER wrun AS DOUBLE) AS running_spend,
   CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER wmov AS DOUBLE)
-    / COUNT(*) OVER wmov AS moving_avg
-FROM orders
-WINDOW wrun AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
-       wmov AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-                ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
-"""
-
-ORACLES["date_functions"] = """
-SELECT o_orderkey,
+    / COUNT(*) OVER wmov AS moving_avg,
   CAST(year(o_orderdate) AS BIGINT) AS yr,
   CAST(month(o_orderdate) AS BIGINT) AS mo,
   CAST(dayofweek(o_orderdate) + 1 AS BIGINT) AS dow_sun1,
@@ -703,6 +907,10 @@ SELECT o_orderkey,
   CAST(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS days_since_95,
   last_day(CAST(o_orderdate AS DATE)) AS month_end
 FROM orders
+WINDOW wrun AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+       wmov AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
 """
 
 ORACLES["math_array_functions"] = """
@@ -780,4 +988,8 @@ GROUP BY e.event_id, e.user_id, e.ts
 
 
 def oracle_sql() -> dict[str, str]:
-    return dict(ORACLES)
+    out = dict(ORACLES)
+    # data-dependent oracle, built lazily so the training corpus
+    # matches the SF the comparison actually runs at
+    out["emb_ivf_topk"] = _ivf_topk_sql()
+    return out

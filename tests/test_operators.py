@@ -189,6 +189,40 @@ def test_ivf_finds_planted_near_duplicates(spark, emb):
     assert hits >= 9, f"planted-twin recall {hits}/10: {got}"
 
 
+def test_minhash_portable_hash_is_equivalent_machinery(spark, docs):
+    """The DuckDB-checkable hash mode (md5_hash31 + raw band keys)
+    runs the SAME signature/banding/bucketing/verification operators:
+    its verified pairs are a subset of exact Jaccard with the same
+    recall bar as the default xxhash64 mode."""
+    exact = _pairs(dedup.jaccard_pairs(docs, threshold=0.8))
+    assert exact
+    mh = _pairs(
+        dedup.minhash_neardup_pairs(docs, threshold=0.8, hash_fn=dedup.md5_hash31)
+    )
+    assert mh.issubset(exact)
+    assert len(mh) >= 0.9 * len(exact), f"recall {len(mh)}/{len(exact)}"
+
+
+def test_ivf_trainer_matches_driver_replica_exactly(spark, emb):
+    """The distributed trainer is a pure function of the corpus
+    (integer-quantized accumulation): the driver-side replica that
+    builds the oracle's centroid literals must agree BIT-FOR-BIT —
+    any partitioning dependence left in the trainer breaks this."""
+    import duckdb
+
+    cents_spark = similarity.train_ivf_centroids(
+        emb.repartition(7), n_cells=8, n_iter=3
+    )
+    rows = duckdb.sql(
+        f"SELECT vec_id, CAST(embedding AS DOUBLE[]) "
+        f"FROM '{SF}/embeddings.parquet' ORDER BY vec_id"
+    ).fetchall()
+    cents_local = similarity.train_ivf_centroids_local(
+        [(r[0], list(r[1])) for r in rows], n_cells=8, n_iter=3
+    )
+    assert cents_spark == cents_local
+
+
 def test_ivf_cells_partition_the_corpus(spark, emb):
     centroids = similarity.train_ivf_centroids(emb, n_cells=8, n_iter=3)
     from irclogbot_spark.operators.similarity import _argmax_cell, _cell_dots, as_double

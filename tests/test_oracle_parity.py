@@ -19,6 +19,9 @@ import pytest
 import __spark_entry__ as entrymod
 
 SF = os.environ.get("PARITY_SF_DIR", "/root/testdata/sf0.001")
+# the IVF oracle trains its centroid literals on the comparison SF —
+# point it at the same dir the Spark queries run against here
+os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = SF
 TABLES = [
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings",

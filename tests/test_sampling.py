@@ -1,0 +1,122 @@
+"""Deterministic sampling/splitting operators: reproducibility under
+repartition (the 100 TB property), rate accuracy, split disjointness,
+stratified behavior, per-group reservoir size."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from irclogbot_spark.operators import sampling
+from irclogbot_spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return load_table(spark, SF, "documents").cache()
+
+
+def _ids(df):
+    return {r.doc_id for r in df.select("doc_id").collect()}
+
+
+def test_consistent_sample_is_partitioning_invariant(spark, docs):
+    a = _ids(sampling.consistent_sample(docs, 0.3, ["doc_id"]))
+    b = _ids(sampling.consistent_sample(docs.repartition(17), 0.3, ["doc_id"]))
+    assert a == b, "sample membership must not depend on partitioning"
+    n = docs.count()
+    assert 0.15 * n < len(a) < 0.45 * n, f"rate far off: {len(a)}/{n}"
+
+
+def test_consistent_sample_salt_gives_independent_draws(spark, docs):
+    a = _ids(sampling.consistent_sample(docs, 0.5, ["doc_id"], salt="s1"))
+    b = _ids(sampling.consistent_sample(docs, 0.5, ["doc_id"], salt="s2"))
+    assert a != b
+    # nested rates: a 0.2 sample is a subset of the same-salt 0.5 sample
+    small = _ids(sampling.consistent_sample(docs, 0.2, ["doc_id"], salt="s1"))
+    assert small <= a
+
+
+def test_consistent_sample_rejects_bad_rate(spark, docs):
+    with pytest.raises(ValueError):
+        sampling.consistent_sample(docs, 1.5, ["doc_id"])
+
+
+def test_stratified_sample_respects_per_stratum_rates(spark, docs):
+    langs = [r.lang for r in docs.select("lang").distinct().collect()]
+    keep, drop = langs[0], langs[1]
+    out = sampling.stratified_sample(
+        docs, {keep: 1.0, drop: 0.0}, "lang", ["doc_id"]
+    )
+    got = {r.lang: r.n for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    want_keep = docs.filter(F.col("lang") == keep).count()
+    assert got.get(keep) == want_keep  # rate 1.0 keeps everything
+    assert drop not in got  # rate 0.0 drops everything
+    assert set(got) <= {keep}  # default_rate=0 drops unlisted strata
+
+
+def test_train_test_split_is_disjoint_exhaustive_and_stable(spark, docs):
+    out = sampling.train_test_split(
+        docs, {"train": 0.8, "val": 0.1, "test": 0.1}, ["doc_id"]
+    )
+    n = docs.count()
+    counts = {r.split: r.n for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert sum(counts.values()) == n  # exhaustive, disjoint by construction
+    assert counts.get("train", 0) > counts.get("val", 0)
+    # stability: recompute under different partitioning → same labels
+    again = sampling.train_test_split(
+        docs.repartition(13), {"train": 0.8, "val": 0.1, "test": 0.1}, ["doc_id"]
+    )
+    a = {(r.doc_id, r.split) for r in out.select("doc_id", "split").collect()}
+    b = {(r.doc_id, r.split) for r in again.select("doc_id", "split").collect()}
+    assert a == b
+
+
+def test_portable_draw_matches_default_draw_properties(spark, docs):
+    """The md5-based oracle draw behaves like the xxhash draw: rates
+    land, splits stay disjoint/exhaustive and partitioning-stable."""
+    a = _ids(
+        sampling.consistent_sample(
+            docs, 0.3, ["doc_id"], draw_fn=sampling.portable_draw
+        )
+    )
+    b = _ids(
+        sampling.consistent_sample(
+            docs.repartition(9), 0.3, ["doc_id"], draw_fn=sampling.portable_draw
+        )
+    )
+    assert a == b
+    n = docs.count()
+    assert 0.15 * n < len(a) < 0.45 * n
+    out = sampling.train_test_split(
+        docs, {"train": 0.8, "val": 0.1, "test": 0.1}, ["doc_id"],
+        draw_fn=sampling.portable_draw,
+    )
+    counts = {r.split: r.n for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert sum(counts.values()) == n
+
+
+def test_split_thresholds_are_cumulative_and_shared(spark):
+    th = sampling.split_thresholds({"train": 0.8, "val": 0.1, "test": 0.1})
+    assert th == [("train", 800000), ("val", 900000)]
+    # weights normalize: same proportions at a different total
+    assert [t for _, t in sampling.split_thresholds({"a": 8, "b": 1, "c": 1})] == [
+        800000,
+        900000,
+    ]
+    with pytest.raises(ValueError):
+        sampling.split_thresholds({"a": 0.0})
+
+
+def test_reservoir_per_group_fixed_size_and_deterministic(spark, docs):
+    out = sampling.reservoir_per_group(docs, ["lang"], k=5, key_cols=["doc_id"])
+    sizes = {r.lang: r.n for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    full = {r.lang: r.n for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    for lang, n in full.items():
+        assert sizes.get(lang, 0) == min(5, n)
+    again = sampling.reservoir_per_group(
+        docs.repartition(11), ["lang"], k=5, key_cols=["doc_id"]
+    )
+    assert _ids(out) == _ids(again)
