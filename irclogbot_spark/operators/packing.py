@@ -1,0 +1,62 @@
+"""Sequence packing: assign documents to fixed-token-budget training
+sequences (north-star extension — the step between a filtered corpus
+and a training dataloader).
+
+Semantics: GPT-style concat-then-chunk. Documents are laid out in a
+deterministic order, their token streams concatenated, and the stream
+cut every ``budget`` tokens; a document's ``seq_id`` is the chunk its
+first token lands in, ``seq_offset`` the position within that chunk.
+Downstream consumers that forbid straddling can re-cut from these
+offsets; the expensive part — a stable global layout — is done here.
+
+Scale shape: a single global ordering would serialize into one task,
+so the layout is sharded: ``shard = pmod(id, shards)`` (content-
+derived — stable under retry/repartition, unlike a random or
+partition-index shard), and packing runs per shard via ONE window
+(partitionBy shard, orderBy id) — one shuffle + per-shard sort, all
+shards in parallel. Each shard yields seqs [0..ceil(shard_tokens/
+budget)); global seq ids are (shard, seq_id) pairs. At 100 TB, pick
+shards ≈ cluster cores × small constant; each sort is 1/shards of
+the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from irclogbot_spark.functions.text import WORD_RE
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget: int,
+    shards: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-doc packing assignment: (id, shard, n_tokens, seq_id,
+    seq_offset), whitespace tokens. Empty docs occupy zero tokens and
+    pack at the current cursor like any zero-length doc.
+    """
+    toks = F.size(
+        F.regexp_extract_all(F.col(text_col), F.lit(WORD_RE), F.lit(0))
+    ).cast("long")
+    base = df.select(
+        F.col(id_col),
+        F.pmod(F.col(id_col), F.lit(shards)).cast("long").alias("shard"),
+        toks.alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    start = (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("tok_start")
+    return base.select(id_col, "shard", "n_tokens", start).select(
+        id_col,
+        "shard",
+        "n_tokens",
+        F.floor(F.col("tok_start") / budget).cast("long").alias("seq_id"),
+        F.pmod(F.col("tok_start"), F.lit(budget).cast("long")).alias("seq_offset"),
+    )

@@ -1,0 +1,118 @@
+"""Gopher-style repetition signals (north-star quality extension).
+
+The repetition filters of Rae et al. 2021 (Gopher, table A1) and the
+Dolma/RedPajama pipelines: documents dominated by a few repeated
+n-grams are low-quality (boilerplate, keyword stuffing, scraper junk)
+and get filtered before training. Two families:
+
+- ``top n-gram char fraction``: how much of the document is the
+  single most repeated n-gram (short n, n=2..4),
+- ``duplicate n-gram char fraction``: how much of the document is
+  covered by n-grams occurring more than once (long n, n=5..10).
+
+Relational shape (the 100 TB path): ONE corpus scan — tokens are
+materialized in a projection so the regex runs once per row, both
+n-gram widths expand from that array map-side — then ONE partially-
+aggregated shuffle on (doc, n, gram): the repeated grams this
+operator exists to find are exactly the rows partial agg collapses
+before the exchange. The per-doc reduction and the keep-every-doc
+left join both hash on doc id. No window, no sort, no driver loop.
+
+Tie-break note: "most frequent n-gram" is ambiguous under count ties,
+so the top-gram signal is defined as max(count * gram_chars) — the
+max char mass any single gram accounts for. Deterministic, and the
+quantity the filter actually thresholds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+TOKEN_RE = r"\S+"
+
+
+def ngrams_of(toks: Column, n: int) -> Column:
+    """Word n-grams over a token array, space-joined; [] when < n
+    tokens. The short-doc case needs an explicit guard: Spark's
+    sequence(1, 0) yields a DESCENDING [1, 0], not the empty list
+    DuckDB's generate_series produces — unguarded it would emit bogus
+    partial grams per short doc."""
+    idx = F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1))
+    grams = F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
+    return F.when(F.size(toks) >= n, grams).otherwise(F.array().cast("array<string>"))
+
+
+def ngrams(text: Column, n: int) -> Column:
+    return ngrams_of(F.regexp_extract_all(text, F.lit(TOKEN_RE), F.lit(0)), n)
+
+
+def repetition_signals(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_n: int = 2,
+    dup_n: int = 5,
+) -> DataFrame:
+    """Per-doc repetition stats: one row per input doc with
+
+    - ``top{top_n}gram_frac``: char mass of the heaviest top_n-gram /
+      total top_n-gram char mass,
+    - ``dup{dup_n}gram_frac``: char mass of duplicated dup_n-grams /
+      total dup_n-gram char mass,
+    - the raw gram counts behind both.
+
+    Docs too short to form a single n-gram report 0 counts and 0.0
+    fractions (kept: the filter downstream must see every doc).
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.regexp_extract_all(F.col(text_col), F.lit(TOKEN_RE), F.lit(0)).alias("_toks"),
+    )
+    def _tag(n: int):
+        # NB: a one-arg lambda is load-bearing — PySpark dispatches
+        # higher-order-function lambdas on arity, so a captured-default
+        # second parameter (lambda g, n=n: ...) would silently receive
+        # the ARRAY INDEX instead of the closure value.
+        return F.transform(
+            ngrams_of(F.col("_toks"), n),
+            lambda g: F.struct(F.lit(n).alias("n"), g.alias("gram")),
+        )
+
+    tagged = F.concat(_tag(top_n), _tag(dup_n))
+    counts = (
+        toks.select(F.col(id_col), F.explode(tagged).alias("x"))
+        .select(id_col, F.col("x.n").alias("n"), F.col("x.gram").alias("gram"))
+        .groupBy(id_col, "n", "gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    mass = F.col("cnt") * F.length("gram")
+    is_top, is_dup = F.col("n") == top_n, F.col("n") == dup_n
+    per_doc = counts.groupBy(id_col).agg(
+        F.sum(F.when(is_top, F.col("cnt")).otherwise(F.lit(0))).alias("n_top"),
+        F.max(F.when(is_top, mass)).alias("top_chars"),
+        F.sum(F.when(is_top, mass).otherwise(F.lit(0))).alias("top_total"),
+        F.sum(F.when(is_dup, F.col("cnt")).otherwise(F.lit(0))).alias("n_dup"),
+        F.sum(F.when(is_dup & (F.col("cnt") > 1), mass).otherwise(F.lit(0))).alias(
+            "dup_chars"
+        ),
+        F.sum(F.when(is_dup, mass).otherwise(F.lit(0))).alias("dup_total"),
+    )
+
+    def frac(num, den):
+        return F.when(
+            F.coalesce(F.col(den), F.lit(0)) > 0,
+            F.col(num).cast("double") / F.col(den).cast("double"),
+        ).otherwise(F.lit(0.0))
+
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_top", F.lit(0)).cast("long").alias("n_top_grams"),
+            frac("top_chars", "top_total").alias(f"top{top_n}gram_frac"),
+            F.coalesce("n_dup", F.lit(0)).cast("long").alias("n_dup_grams"),
+            frac("dup_chars", "dup_total").alias(f"dup{dup_n}gram_frac"),
+        )
+    )

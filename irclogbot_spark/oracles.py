@@ -157,14 +157,12 @@ FROM ch
 # ------------------------------------------------- implied ES query surface
 ORACLES["log_term_time_filter"] = f"""
 WITH {IRCLOG_CTE}
-SELECT channel, nick, posted, remark, id FROM irclog
+SELECT 'term_time' AS variant, channel, nick, posted, remark, id FROM irclog
 WHERE channel = '#purchase'
   AND posted >= TIMESTAMP '2024-01-08 00:00:00' AND posted < TIMESTAMP '2024-01-14 00:00:00'
-"""
-
-ORACLES["log_fulltext"] = f"""
-WITH {IRCLOG_CTE}
-SELECT channel, nick, posted, remark FROM irclog WHERE remark LIKE '%"k": 4%'
+UNION ALL
+SELECT 'fulltext' AS variant, channel, nick, posted, remark, id FROM irclog
+WHERE remark LIKE '%"k": 4%'
 """
 
 ORACLES["log_point_lookup"] = f"""
@@ -280,18 +278,14 @@ SELECT 'rollup' AS variant, l_returnflag, l_linestatus,
   {dsum('l_quantity')} AS sum_qty, COUNT(*) AS n_items
 FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
 UNION ALL
+SELECT 'cube' AS variant, l_returnflag, l_linestatus,
+  {dsum('l_quantity')} AS sum_qty, COUNT(*) AS n_items
+FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+UNION ALL
 SELECT 'grouping_sets' AS variant, l_returnflag, l_linestatus,
   {dsum('l_quantity')} AS sum_qty, COUNT(*) AS n_items
 FROM lineitem
 GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
-"""
-
-ORACLES["agg_distinct"] = f"""
-SELECT o_orderstatus,
-  COUNT(DISTINCT o_custkey) AS n_customers,
-  COUNT(*) AS n_orders,
-  {dsum('o_totalprice')} AS total_value
-FROM orders GROUP BY o_orderstatus
 """
 
 ORACLES["set_ops"] = """
@@ -841,6 +835,86 @@ WHERE doc_id IN (SELECT MIN(doc_id) FROM documents GROUP BY md5(text))
 """
 
 
+def _rep_arm(n: int) -> str:
+    """Per-n gram aggregation CTE body (twin of repetition._per_n)."""
+    return rf"""
+  SELECT doc_id,
+    CAST(SUM(cnt) AS BIGINT) AS n_grams,
+    CAST(MAX(cnt * length(gram)) AS BIGINT) AS top_chars,
+    CAST(SUM(CASE WHEN cnt > 1 THEN cnt * length(gram) ELSE 0 END) AS BIGINT) AS dup_chars,
+    CAST(SUM(cnt * length(gram)) AS BIGINT) AS tot_chars
+  FROM (
+    SELECT doc_id, gram, COUNT(*) AS cnt FROM (
+      SELECT doc_id,
+        unnest(list_transform(generate_series(1, len(t) - {n - 1}),
+               i -> array_to_string(list_slice(t, i, i + {n - 1}), ' '))) AS gram
+      FROM toks WHERE len(t) >= {n}
+    ) GROUP BY doc_id, gram
+  ) GROUP BY doc_id"""
+
+
+ORACLES["docs_repetition"] = rf"""
+WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents),
+a2 AS ({_rep_arm(2)}),
+a5 AS ({_rep_arm(5)})
+SELECT d.doc_id,
+  COALESCE(a2.n_grams, 0) AS n_top_grams,
+  CASE WHEN COALESCE(a2.tot_chars, 0) > 0
+       THEN CAST(a2.top_chars AS DOUBLE) / CAST(a2.tot_chars AS DOUBLE)
+       ELSE 0.0 END AS top2gram_frac,
+  COALESCE(a5.n_grams, 0) AS n_dup_grams,
+  CASE WHEN COALESCE(a5.tot_chars, 0) > 0
+       THEN CAST(a5.dup_chars AS DOUBLE) / CAST(a5.tot_chars AS DOUBLE)
+       ELSE 0.0 END AS dup5gram_frac
+FROM documents d
+LEFT JOIN a2 ON a2.doc_id = d.doc_id
+LEFT JOIN a5 ON a5.doc_id = d.doc_id
+"""
+
+ORACLES["docs_pack_sequences"] = r"""
+WITH base AS (
+  SELECT doc_id, doc_id % 8 AS shard,
+    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, shard, n_tokens,
+    CAST(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS BIGINT)
+      AS tok_start
+  FROM base
+)
+SELECT doc_id, shard, n_tokens,
+  tok_start // 512 AS seq_id,
+  tok_start % 512 AS seq_offset
+FROM c
+"""
+
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+_PII_DIGITS = r"\b\d{6,}\b"
+
+ORACLES["docs_pii_redact"] = rf"""
+WITH enriched AS (
+  SELECT doc_id,
+    text || ' contact user' || CAST(doc_id AS VARCHAR)
+         || '@mail.example.com from 10.0.'
+         || CAST(doc_id % 256 AS VARCHAR) || '.7 acct '
+         || CAST(doc_id + 100000 AS VARCHAR) AS text
+  FROM documents
+)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(text, '{_PII_EMAIL}')) AS BIGINT) AS n_emails,
+  CAST(len(regexp_extract_all(text, '{_PII_IPV4}')) AS BIGINT) AS n_ips,
+  CAST(len(regexp_extract_all(text, '{_PII_DIGITS}')) AS BIGINT) AS n_digit_runs,
+  regexp_replace(regexp_replace(regexp_replace(text,
+    '{_PII_EMAIL}', '<EMAIL>', 'g'),
+    '{_PII_IPV4}', '<IP>', 'g'),
+    '{_PII_DIGITS}', '<NUM>', 'g') AS redacted
+FROM enriched
+"""
+
+
 def _lang_hits(lang_pattern: str) -> str:
     return rf"len(regexp_extract_all(lower(text), '{lang_pattern}'))"
 
@@ -889,12 +963,6 @@ FROM documents
 
 
 # ---------------------------------------------- coverage batteries (round 1)
-ORACLES["agg_cube"] = f"""
-SELECT o_orderstatus, o_orderpriority,
-  {dsum('o_totalprice')} AS total_value, COUNT(*) AS n_orders
-FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
-"""
-
 ORACLES["window_date_functions"] = """
 SELECT o_custkey, o_orderkey, o_orderdate,
   CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER wrun AS DOUBLE) AS running_spend,
@@ -956,13 +1024,16 @@ WITH m AS (
     quantile_cont(o_totalprice, 0.9) AS p90,
     SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS s,
     SUM(CAST(o_totalprice AS DECIMAL(12,2)) * CAST(o_totalprice AS DECIMAL(12,2))) AS ss,
-    COUNT(*) AS n
+    COUNT(*) AS n,
+    COUNT(DISTINCT o_custkey) AS n_customers
   FROM orders GROUP BY o_orderstatus
 )
 SELECT o_orderstatus, p50, p90,
   CAST(s AS DOUBLE) / n AS mean_price,
   round(sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) / (n - 1)), 4) AS stddev_price,
-  n
+  n,
+  n_customers,
+  CAST(s AS DOUBLE) AS total_value
 FROM m
 """
 

@@ -145,24 +145,22 @@ def channels_catalog(spark, sf_dir):
 # ------------------------------------------------- implied ES query surface
 @query("log_term_time_filter")
 def log_term_time_filter(spark, sf_dir):
-    """§2H exact term filter (ES .keyword semantics) combined with the
-    time-range scan on posted — one bool-query analog with both
-    predicates pushed ahead of any shuffle (merged from
-    log_term_filter + log_time_range, round 2)."""
+    """§2H bool-query filter surface, both arms in one result (variant
+    column; merged round 3 from log_term_time_filter + log_fulltext to
+    free a recorded slot for docs_pii_redact): 'term_time' = exact term
+    (ES .keyword semantics) AND time-range scan on posted, 'fulltext' =
+    LIKE full-text over remark. Both predicate sets are pushed ahead of
+    any shuffle, and the two arms share one log scan."""
     log = synth.irclog(spark, sf_dir)
-    return log.filter(
+    tt = log.filter(
         (F.col("channel") == "#purchase")
         & (F.col("posted") >= _ntz("2024-01-08 00:00:00"))
         & (F.col("posted") < _ntz("2024-01-14 00:00:00"))
-    ).select("channel", "nick", "posted", "remark", "id")
-
-
-@query("log_fulltext")
-def log_fulltext(spark, sf_dir):
-    """§2H full-text search over remark (LIKE form)."""
-    log = synth.irclog(spark, sf_dir)
-    return log.filter(F.col("remark").like('%"k": 4%')).select(
-        "channel", "nick", "posted", "remark"
+    )
+    ft = log.filter(F.col("remark").like('%"k": 4%'))
+    cols = ["channel", "nick", "posted", "remark", "id"]
+    return tt.select(F.lit("term_time").alias("variant"), *cols).unionAll(
+        ft.select(F.lit("fulltext").alias("variant"), *cols)
     )
 
 
@@ -338,23 +336,27 @@ def join_semi(spark, sf_dir):
 
 @query("agg_rollup_sets")
 def agg_rollup_sets(spark, sf_dir):
-    """ROLLUP and explicit GROUPING SETS in one result (variant
-    column; merged round 3 from agg_rollup + agg_grouping_sets to
-    free a recorded slot for docs_sample_split — both grouping
-    operators stay exercised, the grouping-sets arm through the raw
-    SQL surface)."""
+    """ROLLUP, CUBE, and explicit GROUPING SETS in one result (variant
+    column; merged round 3 from agg_rollup + agg_grouping_sets +
+    agg_cube to free recorded slots for docs_sample_split and
+    docs_pack_sequences — all three grouping operators stay exercised
+    on the same dims, the grouping-sets arm through the raw SQL
+    surface)."""
     li = _t(spark, sf_dir, "lineitem")
-    r = (
-        li.rollup("l_returnflag", "l_linestatus")
-        .agg(dsum("l_quantity").alias("sum_qty"), F.count(F.lit(1)).alias("n_items"))
-        .select(
-            F.lit("rollup").alias("variant"),
+
+    def arm(grouped, variant):
+        return grouped.agg(
+            dsum("l_quantity").alias("sum_qty"), F.count(F.lit(1)).alias("n_items")
+        ).select(
+            F.lit(variant).alias("variant"),
             "l_returnflag",
             "l_linestatus",
             "sum_qty",
             "n_items",
         )
-    )
+
+    r = arm(li.rollup("l_returnflag", "l_linestatus"), "rollup")
+    cu = arm(li.cube("l_returnflag", "l_linestatus"), "cube")
     gs = spark.sql(
         f"""
         SELECT 'grouping_sets' AS variant, l_returnflag, l_linestatus,
@@ -364,18 +366,7 @@ def agg_rollup_sets(spark, sf_dir):
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
         """
     )
-    return r.unionAll(gs)
-
-
-@query("agg_distinct")
-def agg_distinct(spark, sf_dir):
-    """Distinct aggregate alongside plain aggregates."""
-    o = _t(spark, sf_dir, "orders")
-    return o.groupBy("o_orderstatus").agg(
-        F.countDistinct("o_custkey").alias("n_customers"),
-        F.count(F.lit(1)).alias("n_orders"),
-        dsum("o_totalprice").alias("total_value"),
-    )
+    return r.unionAll(cu).unionAll(gs)
 
 
 @query("set_ops")
@@ -734,6 +725,67 @@ def docs_decontaminate(spark, sf_dir):
     )
 
 
+@query("docs_repetition")
+def docs_repetition(spark, sf_dir):
+    """Gopher-style repetition signals (operators/repetition.py):
+    top-2-gram char fraction + duplicate-5-gram char fraction per doc
+    — the boilerplate/keyword-stuffing filter of the Gopher/Dolma
+    pipelines. Relational shape: map-side n-gram expansion, one
+    partially-aggregated shuffle per n on (doc, gram) — the repeated
+    grams the operator exists to find are exactly what partial agg
+    collapses before the exchange — then a tiny per-doc reduce. The
+    word-salad corpus makes both signals dense and non-degenerate."""
+    from irclogbot_spark.operators.repetition import repetition_signals
+
+    return repetition_signals(_t(spark, sf_dir, "documents"), top_n=2, dup_n=5)
+
+
+@query("docs_pack_sequences")
+def docs_pack_sequences(spark, sf_dir):
+    """Sequence packing (operators/packing.py): GPT-style
+    concat-then-chunk layout of the corpus into 512-token training
+    sequences, sharded 8 ways so the layout window parallelizes —
+    per doc: shard, token count, sequence id, offset. One shuffle +
+    per-shard sort; shard is content-derived (pmod(doc_id)), so the
+    layout is stable under retry/repartition."""
+    from irclogbot_spark.operators.packing import pack_sequences
+
+    return pack_sequences(_t(spark, sf_dir, "documents"), budget=512, shards=8)
+
+
+@query("docs_pii_redact")
+def docs_pii_redact(spark, sf_dir):
+    """PII scrub (functions/pii.py): per-rule match counts + tagged
+    redaction, map-only codegen'd regex expressions, no UDF. The
+    synthetic corpus carries no PII, so the query first enriches each
+    doc with a deterministic doc_id-derived contact line (same
+    concat in the oracle) — the machinery then has real matches to
+    find: one email, one IPv4, one long digit run per doc, while the
+    unmatched octet groups prove the negative cases."""
+    from irclogbot_spark.functions.pii import pii_count, pii_redact
+
+    d = _t(spark, sf_dir, "documents")
+    enriched = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@mail.example.com from 10.0."),
+            F.pmod(F.col("doc_id"), F.lit(256)).cast("string"),
+            F.lit(".7 acct "),
+            (F.col("doc_id") + F.lit(100000)).cast("string"),
+        ).alias("text"),
+    )
+    return enriched.select(
+        "doc_id",
+        pii_count("text", "email").alias("n_emails"),
+        pii_count("text", "ipv4").alias("n_ips"),
+        pii_count("text", "digits").alias("n_digit_runs"),
+        pii_redact("text").alias("redacted"),
+    )
+
+
 @query("emb_knn_join")
 def emb_knn_join(spark, sf_dir):
     """Exact kNN join: 3 query vectors x corpus, top-5 each — the
@@ -835,15 +887,6 @@ def media_decode_stats(spark, sf_dir):
 
 
 # ---------------------------------------------- coverage batteries (round 1)
-@query("agg_cube")
-def agg_cube(spark, sf_dir):
-    """CUBE grouping sets over orders."""
-    o = _t(spark, sf_dir, "orders")
-    return o.cube("o_orderstatus", "o_orderpriority").agg(
-        dsum("o_totalprice").alias("total_value"), F.count(F.lit(1)).alias("n_orders")
-    )
-
-
 @query("window_date_functions")
 def window_date_functions(spark, sf_dir):
     """Window frames + the date/time battery in one per-row pass over
@@ -943,7 +986,9 @@ _PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
 
 @query("agg_stats")
 def agg_stats(spark, sf_dir):
-    """Exact percentiles + mean/stddev per group, in one pass.
+    """Exact percentiles + mean/stddev + distinct aggregate per group,
+    in one pass (merged round 3 from agg_stats + agg_distinct — same
+    grain, same source — to free a recorded slot for docs_repetition).
 
     Percentiles are the sort-based linearly-interpolated exact form.
     Mean/stddev come from exact decimal moments — the native stddev
@@ -951,7 +996,9 @@ def agg_stats(spark, sf_dir):
     match an oracle; sum and sum-of-squares in DECIMAL are exact, and
     the final double arithmetic is one fixed expression tree (stddev
     rounded to 4dp: the engines' decimal->double conversions can
-    differ in the last ulp at large SFs — rounding absorbs it)."""
+    differ in the last ulp at large SFs — rounding absorbs it).
+    countDistinct rides the same shuffle via Spark's expand+two-phase
+    distinct-aggregate rewrite."""
     o = _t(spark, sf_dir, "orders")
     d = F.col("o_totalprice").cast("decimal(12,2)")
     agg = o.groupBy("o_orderstatus").agg(
@@ -960,6 +1007,7 @@ def agg_stats(spark, sf_dir):
         F.sum(d).alias("s"),
         F.sum(d * d).alias("ss"),
         F.count(F.lit(1)).alias("n"),
+        F.countDistinct("o_custkey").alias("n_customers"),
     )
     s, ss, n = F.col("s").cast("double"), F.col("ss").cast("double"), F.col("n")
     var = (ss - s * s / n) / (n - F.lit(1))
@@ -970,6 +1018,8 @@ def agg_stats(spark, sf_dir):
         (s / n).alias("mean_price"),
         F.round(F.sqrt(var), 4).alias("stddev_price"),
         "n",
+        "n_customers",
+        F.col("s").cast("double").alias("total_value"),
     )
 
 

@@ -1,0 +1,121 @@
+"""Behavior tests for the round-3 LLM-pipeline operators: repetition
+signals, sequence packing, PII redaction."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from irclogbot_spark.functions.pii import pii_count, pii_redact
+from irclogbot_spark.operators.packing import pack_sequences
+from irclogbot_spark.operators.repetition import repetition_signals
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+class TestRepetitionSignals:
+    def test_pure_repetition_saturates(self, spark):
+        # "x y x y ..." — every 2-gram is 'x y' or 'y x'; top fraction
+        # is the heavier of the two, dup fraction is 1.0 (every 5-gram
+        # repeats).
+        out = repetition_signals(
+            _docs(spark, [(1, "x y " * 20)]), top_n=2, dup_n=5
+        ).collect()[0]
+        assert out.n_top_grams == 39
+        assert out.top2gram_frac == pytest.approx(20 / 39)
+        assert out.dup5gram_frac == 1.0
+
+    def test_all_distinct_has_zero_dup(self, spark):
+        text = " ".join(f"w{i}" for i in range(30))
+        out = repetition_signals(_docs(spark, [(1, text)])).collect()[0]
+        assert out.n_top_grams == 29
+        assert out.dup5gram_frac == 0.0
+        # every 2-gram unique: top mass = the longest gram's chars / total
+        assert 0 < out.top2gram_frac < 0.1
+
+    def test_short_docs_kept_with_zeros(self, spark):
+        out = {
+            r.doc_id: r
+            for r in repetition_signals(
+                _docs(spark, [(1, "solo"), (2, ""), (3, "a b c")])
+            ).collect()
+        }
+        assert set(out) == {1, 2, 3}
+        assert out[1].n_top_grams == 0 and out[1].top2gram_frac == 0.0
+        assert out[2].n_dup_grams == 0 and out[2].dup5gram_frac == 0.0
+        assert out[3].n_top_grams == 2 and out[3].n_dup_grams == 0
+
+    def test_repartition_invariant(self, spark):
+        rows = [(i, f"tok{i % 3} " * (i % 7 + 2)) for i in range(40)]
+        a = repetition_signals(_docs(spark, rows)).collect()
+        b = repetition_signals(_docs(spark, rows).repartition(7)).collect()
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+class TestPackSequences:
+    def test_contiguous_chunking_within_shard(self, spark):
+        # one shard (shards=1): docs in id order, 512-token budget
+        rows = [(i, "t " * 200) for i in range(6)]  # 200 tokens each
+        out = {
+            r.doc_id: r
+            for r in pack_sequences(
+                _docs(spark, rows), budget=512, shards=1
+            ).collect()
+        }
+        # cumulative starts: 0,200,400,600,800,1000 -> seqs 0,0,0,1,1,1
+        assert [out[i].seq_id for i in range(6)] == [0, 0, 0, 1, 1, 1]
+        assert out[3].seq_offset == 600 - 512
+        assert all(out[i].n_tokens == 200 for i in range(6))
+
+    def test_shards_partition_docs_and_parallelize(self, spark):
+        rows = [(i, "a b c") for i in range(32)]
+        out = pack_sequences(_docs(spark, rows), budget=8, shards=4).collect()
+        assert {r.shard for r in out} == {0, 1, 2, 3}
+        for r in out:
+            assert r.shard == r.doc_id % 4
+        # within a shard, offsets restart every budget tokens
+        shard0 = sorted((r for r in out if r.shard == 0), key=lambda r: r.doc_id)
+        starts = [r.seq_id * 8 + r.seq_offset for r in shard0]
+        assert starts == [3 * i for i in range(len(shard0))]
+
+    def test_empty_doc_packs_at_cursor(self, spark):
+        rows = [(0, "x " * 10), (1, ""), (2, "y " * 5)]
+        out = {r.doc_id: r for r in pack_sequences(_docs(spark, rows), 512, 1).collect()}
+        assert out[1].n_tokens == 0
+        assert out[1].seq_offset == 10 and out[2].seq_offset == 10
+
+
+class TestPii:
+    def test_counts_and_redaction(self, spark):
+        df = _docs(
+            spark,
+            [(1, "mail a.b-c_d@ex-site.org or root@h.io, ip 192.168.0.1, acct 1234567 ok")],
+        )
+        row = df.select(
+            pii_count("text", "email").alias("e"),
+            pii_count("text", "ipv4").alias("i"),
+            pii_count("text", "digits").alias("d"),
+            pii_redact("text").alias("r"),
+        ).collect()[0]
+        assert (row.e, row.i, row.d) == (2, 1, 1)
+        assert row.r == "mail <EMAIL> or <EMAIL>, ip <IP>, acct <NUM> ok"
+
+    def test_negatives_untouched(self, spark):
+        text = "ver 1.2.3 at x@y (no tld dot), short 12345, a.b.c.d"
+        row = _docs(spark, [(1, text)]).select(
+            pii_count("text", "email").alias("e"),
+            pii_count("text", "ipv4").alias("i"),
+            pii_count("text", "digits").alias("d"),
+            pii_redact("text").alias("r"),
+        ).collect()[0]
+        # 'x@y' has no dot-TLD; '12345' is 5 digits; 'a.b.c.d' not numeric
+        assert (row.e, row.i, row.d) == (0, 0, 0)
+        assert row.r == text
+
+    def test_email_redacted_before_digit_rule(self, spark):
+        row = _docs(spark, [(1, "u1234567@ex.com")]).select(
+            pii_redact("text").alias("r")
+        ).collect()[0]
+        assert row.r == "<EMAIL>"
