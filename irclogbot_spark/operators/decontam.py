@@ -33,6 +33,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from irclogbot_spark.operators.dedup import hashed_shingles
+from irclogbot_spark.plans.partitioning import ensure_parallelism
 
 
 def ngram_contamination(
@@ -54,11 +55,16 @@ def ngram_contamination(
     ``hash_fn`` defaults to xxhash31 (scale path); pass
     ``dedup.md5_hash31`` for the DuckDB-checkable pipeline.
     """
-    te = test.select(
+    # ensure_parallelism: the shingle+hash projection is the dominant
+    # CPU stage; a single-file scan would otherwise run it on one core
+    # (at cluster scale the scan already has many partitions and this
+    # is a no-op).
+    te = ensure_parallelism(test).select(
         F.col(id_col), hashed_shingles(F.col(text_col), n, hash_fn).alias("hs")
     ).select(id_col, F.explode_outer("hs").alias("h"))
     tr = (
-        train.select(hashed_shingles(F.col(text_col), n, hash_fn).alias("hs"))
+        ensure_parallelism(train)
+        .select(hashed_shingles(F.col(text_col), n, hash_fn).alias("hs"))
         .select(F.explode("hs").alias("h"))
         .distinct()
     )

@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from irclogbot_spark.functions.text import WORD_RE
+from irclogbot_spark.plans.partitioning import ensure_parallelism
 
 
 def pack_sequences(
@@ -42,7 +43,7 @@ def pack_sequences(
     toks = F.size(
         F.regexp_extract_all(F.col(text_col), F.lit(WORD_RE), F.lit(0))
     ).cast("long")
-    base = df.select(
+    base = ensure_parallelism(df).select(
         F.col(id_col),
         F.pmod(F.col(id_col), F.lit(shards)).cast("long").alias("shard"),
         toks.alias("n_tokens"),

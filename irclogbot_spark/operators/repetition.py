@@ -29,6 +29,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from irclogbot_spark.plans.partitioning import ensure_parallelism
+
 TOKEN_RE = r"\S+"
 
 
@@ -65,7 +67,9 @@ def repetition_signals(
     Docs too short to form a single n-gram report 0 counts and 0.0
     fractions (kept: the filter downstream must see every doc).
     """
-    toks = df.select(
+    # ensure_parallelism: tokenize + n-gram expansion is the dominant
+    # CPU stage — don't let a single-file scan pin it to one core.
+    toks = ensure_parallelism(df).select(
         F.col(id_col),
         F.regexp_extract_all(F.col(text_col), F.lit(TOKEN_RE), F.lit(0)).alias("_toks"),
     )
