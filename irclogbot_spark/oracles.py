@@ -376,13 +376,19 @@ FROM documents GROUP BY lang
 """
 
 ORACLES["docs_quality"] = f"""
-SELECT doc_id,
-  {TOKENS} AS n_tokens,
-  {STOPS} AS n_stopwords,
-  CAST({STOPS} AS DOUBLE) / {TOKENS} AS stop_ratio,
-  CASE WHEN {TOKENS} >= 5 AND {TOKENS} <= 2000
-        AND CAST({STOPS} AS DOUBLE) / {TOKENS} > 0.01 THEN 1 ELSE 0 END AS passes
-FROM documents WHERE {TOKENS} > 0
+WITH {{rep_ctes}},
+q AS (
+  SELECT doc_id,
+    {TOKENS} AS n_tokens,
+    {STOPS} AS n_stopwords,
+    CAST({STOPS} AS DOUBLE) / {TOKENS} AS stop_ratio,
+    CASE WHEN {TOKENS} >= 5 AND {TOKENS} <= 2000
+          AND CAST({STOPS} AS DOUBLE) / {TOKENS} > 0.01 THEN 1 ELSE 0 END AS passes
+  FROM documents WHERE {TOKENS} > 0
+)
+SELECT q.doc_id, q.n_tokens, q.n_stopwords, q.stop_ratio, q.passes,
+  rep.n_top_grams, rep.top2gram_frac, rep.n_dup_grams, rep.dup5gram_frac
+FROM q JOIN rep ON rep.doc_id = q.doc_id
 """
 
 # BM25 twin — expression tree mirrors functions.text.bm25_rank
@@ -853,22 +859,61 @@ def _rep_arm(n: int) -> str:
   ) GROUP BY doc_id"""
 
 
-ORACLES["docs_repetition"] = rf"""
-WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents),
+#: repetition-signals CTE block (twin of repetition.repetition_signals)
+#: — reused by the merged docs_quality oracle.
+_REP_CTES = rf"""toks AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents),
 a2 AS ({_rep_arm(2)}),
-a5 AS ({_rep_arm(5)})
+a5 AS ({_rep_arm(5)}),
+rep AS (
+  SELECT d.doc_id,
+    COALESCE(a2.n_grams, 0) AS n_top_grams,
+    CASE WHEN COALESCE(a2.tot_chars, 0) > 0
+         THEN CAST(a2.top_chars AS DOUBLE) / CAST(a2.tot_chars AS DOUBLE)
+         ELSE 0.0 END AS top2gram_frac,
+    COALESCE(a5.n_grams, 0) AS n_dup_grams,
+    CASE WHEN COALESCE(a5.tot_chars, 0) > 0
+         THEN CAST(a5.dup_chars AS DOUBLE) / CAST(a5.tot_chars AS DOUBLE)
+         ELSE 0.0 END AS dup5gram_frac
+  FROM documents d
+  LEFT JOIN a2 ON a2.doc_id = d.doc_id
+  LEFT JOIN a5 ON a5.doc_id = d.doc_id
+)"""
+
+# docs_quality is declared earlier (next to its family) but needs the
+# repetition CTE block defined just above — substitute it now.
+# .replace, not .format: the SQL carries regex brace quantifiers.
+ORACLES["docs_quality"] = ORACLES["docs_quality"].replace("{rep_ctes}", _REP_CTES)
+
+ORACLES["docs_lm_score"] = r"""
+WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents),
+g AS (
+  SELECT doc_id,
+    unnest(list_transform(generate_series(1, len(t) - 1),
+           i -> array_to_string(list_slice(t, i, i + 1), ' '))) AS gram
+  FROM toks WHERE len(t) >= 2
+),
+vocab AS (
+  SELECT gram, COUNT(*) AS cnt FROM g GROUP BY gram
+  ORDER BY cnt DESC, gram LIMIT 500
+),
+per AS (
+  SELECT g.doc_id,
+    COUNT(g.gram) AS n_bigrams,
+    CAST(SUM(CASE WHEN v.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_familiar,
+    CAST(SUM(COALESCE(v.cnt, 0)) AS BIGINT) AS freq_mass
+  FROM g LEFT JOIN vocab v ON g.gram = v.gram
+  GROUP BY g.doc_id
+)
 SELECT d.doc_id,
-  COALESCE(a2.n_grams, 0) AS n_top_grams,
-  CASE WHEN COALESCE(a2.tot_chars, 0) > 0
-       THEN CAST(a2.top_chars AS DOUBLE) / CAST(a2.tot_chars AS DOUBLE)
-       ELSE 0.0 END AS top2gram_frac,
-  COALESCE(a5.n_grams, 0) AS n_dup_grams,
-  CASE WHEN COALESCE(a5.tot_chars, 0) > 0
-       THEN CAST(a5.dup_chars AS DOUBLE) / CAST(a5.tot_chars AS DOUBLE)
-       ELSE 0.0 END AS dup5gram_frac
-FROM documents d
-LEFT JOIN a2 ON a2.doc_id = d.doc_id
-LEFT JOIN a5 ON a5.doc_id = d.doc_id
+  COALESCE(p.n_bigrams, 0) AS n_bigrams,
+  COALESCE(p.n_familiar, 0) AS n_familiar,
+  CASE WHEN COALESCE(p.n_bigrams, 0) > 0
+       THEN CAST(p.n_familiar AS DOUBLE) / CAST(p.n_bigrams AS DOUBLE)
+       ELSE 0.0 END AS familiar_frac,
+  CASE WHEN COALESCE(p.n_bigrams, 0) > 0
+       THEN CAST(p.freq_mass AS DOUBLE) / CAST(p.n_bigrams AS DOUBLE)
+       ELSE 0.0 END AS avg_gram_freq
+FROM documents d LEFT JOIN per p ON p.doc_id = d.doc_id
 """
 
 ORACLES["docs_pack_sequences"] = r"""

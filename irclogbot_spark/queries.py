@@ -506,7 +506,15 @@ def docs_token_stats(spark, sf_dir):
 
 @query("docs_quality")
 def docs_quality(spark, sf_dir):
-    """Per-doc quality scoring: token count, stopword ratio, pass flag."""
+    """Per-doc quality battery: token count, stopword ratio, pass
+    flag, AND the Gopher repetition signals (top-2-gram / dup-5-gram
+    char fractions, operators/repetition.py) — merged round 3 (same
+    grain, one doc_id-hash join) to free a recorded slot for
+    docs_lm_score. The repetition side is one corpus scan + one
+    partially-aggregated (doc, n, gram) shuffle; the quality side is
+    a map-only projection."""
+    from irclogbot_spark.operators.repetition import repetition_signals
+
     d = _t(spark, sf_dir, "documents")
     t = d.select(
         "doc_id",
@@ -514,7 +522,7 @@ def docs_quality(spark, sf_dir):
         _stops().cast("long").alias("n_stopwords"),
     ).filter(F.col("n_tokens") > 0)
     ratio = F.col("n_stopwords").cast("double") / F.col("n_tokens")
-    return t.select(
+    q = t.select(
         "doc_id",
         "n_tokens",
         "n_stopwords",
@@ -525,6 +533,7 @@ def docs_quality(spark, sf_dir):
         .otherwise(0)
         .alias("passes"),
     )
+    return q.join(repetition_signals(d), "doc_id")
 
 
 @query("docs_bm25_search")
@@ -725,19 +734,18 @@ def docs_decontaminate(spark, sf_dir):
     )
 
 
-@query("docs_repetition")
-def docs_repetition(spark, sf_dir):
-    """Gopher-style repetition signals (operators/repetition.py):
-    top-2-gram char fraction + duplicate-5-gram char fraction per doc
-    — the boilerplate/keyword-stuffing filter of the Gopher/Dolma
-    pipelines. Relational shape: map-side n-gram expansion, one
-    partially-aggregated shuffle per n on (doc, gram) — the repeated
-    grams the operator exists to find are exactly what partial agg
-    collapses before the exchange — then a tiny per-doc reduce. The
-    word-salad corpus makes both signals dense and non-degenerate."""
-    from irclogbot_spark.operators.repetition import repetition_signals
+@query("docs_lm_score")
+def docs_lm_score(spark, sf_dir):
+    """Bigram-LM familiarity scoring (operators/lm.py) — the
+    perplexity-filter analog in exact integer space: train a top-500
+    corpus bigram vocabulary (one partially-aggregated shuffle +
+    TakeOrderedAndProject), then score every doc map-only against the
+    broadcast vocabulary. K=500 against this corpus's ~97-word
+    vocabulary leaves a real unfamiliar tail, keeping the signal
+    non-degenerate."""
+    from irclogbot_spark.operators.lm import lm_familiarity
 
-    return repetition_signals(_t(spark, sf_dir, "documents"), top_n=2, dup_n=5)
+    return lm_familiarity(_t(spark, sf_dir, "documents"), vocab_k=500)
 
 
 @query("docs_pack_sequences")

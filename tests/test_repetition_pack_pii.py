@@ -1,5 +1,5 @@
 """Behavior tests for the round-3 LLM-pipeline operators: repetition
-signals, sequence packing, PII redaction."""
+signals, sequence packing, PII redaction, LM familiarity."""
 
 from __future__ import annotations
 
@@ -7,6 +7,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from irclogbot_spark.functions.pii import pii_count, pii_redact
+from irclogbot_spark.operators.lm import bigram_vocab, lm_familiarity
 from irclogbot_spark.operators.packing import pack_sequences
 from irclogbot_spark.operators.repetition import repetition_signals
 
@@ -119,3 +120,43 @@ class TestPii:
             pii_redact("text").alias("r")
         ).collect()[0]
         assert row.r == "<EMAIL>"
+
+
+class TestLmFamiliarity:
+    def test_outlier_doc_scores_low(self, spark):
+        # 9 docs of common bigrams + 1 doc of singleton bigrams:
+        # with K large enough for every repeated bigram, the outlier's
+        # bigrams still enter the vocab (count 1 each) unless K is
+        # tight — so use a small K to model a trusted-vocab cutoff.
+        rows = [(i, "the cat sat on the mat") for i in range(9)]
+        rows.append((9, "zq xv wk jn pb"))
+        out = {r.doc_id: r for r in lm_familiarity(_docs(spark, rows), vocab_k=5).collect()}
+        assert out[0].familiar_frac == 1.0
+        assert out[9].familiar_frac == 0.0
+        assert out[0].avg_gram_freq == pytest.approx(9.0)
+
+    def test_cross_corpus_scoring(self, spark):
+        # CCNet setup: vocab from a trusted corpus, scored corpus differs
+        trusted = _docs(spark, [(0, "a b c d"), (1, "a b c d")])
+        vocab = bigram_vocab(trusted, vocab_k=10)
+        cand = _docs(spark, [(5, "a b x y")])
+        row = lm_familiarity(cand, vocab=vocab).collect()[0]
+        assert row.n_bigrams == 3 and row.n_familiar == 1
+        assert row.familiar_frac == pytest.approx(1 / 3)
+
+    def test_short_doc_scores_zero(self, spark):
+        row = lm_familiarity(_docs(spark, [(1, "solo")]), vocab_k=5).collect()[0]
+        assert (row.n_bigrams, row.n_familiar, row.familiar_frac, row.avg_gram_freq) == (
+            0, 0, 0.0, 0.0,
+        )
+
+    def test_vocab_boundary_deterministic(self, spark):
+        # ties at the K boundary break on gram ASC — stable under
+        # repartitioning
+        rows = [(i, f"t{i} u{i}") for i in range(20)]  # 20 singleton bigrams
+        v1 = sorted(r.gram for r in bigram_vocab(_docs(spark, rows), 7).collect())
+        v2 = sorted(
+            r.gram
+            for r in bigram_vocab(_docs(spark, rows).repartition(5), 7).collect()
+        )
+        assert v1 == v2 and len(v1) == 7
