@@ -35,26 +35,33 @@ def pack_sequences(
     shards: int = 8,
     id_col: str = "doc_id",
     text_col: str = "text",
+    partition_cols: list[str] | None = None,
 ) -> DataFrame:
-    """Per-doc packing assignment: (id, shard, n_tokens, seq_id,
-    seq_offset), whitespace tokens. Empty docs occupy zero tokens and
-    pack at the current cursor like any zero-length doc.
+    """Per-doc packing assignment: (*partition_cols, id, shard,
+    n_tokens, seq_id, seq_offset), whitespace tokens. Empty docs
+    occupy zero tokens and pack at the current cursor like any
+    zero-length doc. ``partition_cols`` (e.g. a train/val/test split
+    label) scope the layout: each (partition, shard) packs its own
+    independent sequence space.
     """
+    partition_cols = partition_cols or []
     toks = F.size(
         F.regexp_extract_all(F.col(text_col), F.lit(WORD_RE), F.lit(0))
     ).cast("long")
     base = ensure_parallelism(df).select(
+        *partition_cols,
         F.col(id_col),
         F.pmod(F.col(id_col), F.lit(shards)).cast("long").alias("shard"),
         toks.alias("n_tokens"),
     )
     w = (
-        Window.partitionBy("shard")
+        Window.partitionBy(*partition_cols, "shard")
         .orderBy(id_col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     start = (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("tok_start")
-    return base.select(id_col, "shard", "n_tokens", start).select(
+    return base.select(*partition_cols, id_col, "shard", "n_tokens", start).select(
+        *partition_cols,
         id_col,
         "shard",
         "n_tokens",

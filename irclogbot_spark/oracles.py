@@ -941,22 +941,32 @@ _PII_DIGITS = r"\b\d{6,}\b"
 
 ORACLES["docs_pii_redact"] = rf"""
 WITH enriched AS (
-  SELECT doc_id,
+  SELECT doc_id, text AS orig,
     text || ' contact user' || CAST(doc_id AS VARCHAR)
          || '@mail.example.com from 10.0.'
          || CAST(doc_id % 256 AS VARCHAR) || '.7 acct '
          || CAST(doc_id + 100000 AS VARCHAR) AS text
   FROM documents
+),
+fp AS (
+  SELECT doc_id,
+    list_transform(regexp_extract_all(orig, '\S+'),
+                   s -> CAST(length(s) * 131 + ascii(s) AS BIGINT)) AS codes
+  FROM enriched
 )
-SELECT doc_id,
-  CAST(len(regexp_extract_all(text, '{_PII_EMAIL}')) AS BIGINT) AS n_emails,
-  CAST(len(regexp_extract_all(text, '{_PII_IPV4}')) AS BIGINT) AS n_ips,
-  CAST(len(regexp_extract_all(text, '{_PII_DIGITS}')) AS BIGINT) AS n_digit_runs,
-  regexp_replace(regexp_replace(regexp_replace(text,
+SELECT e.doc_id,
+  CAST(len(regexp_extract_all(e.text, '{_PII_EMAIL}')) AS BIGINT) AS n_emails,
+  CAST(len(regexp_extract_all(e.text, '{_PII_IPV4}')) AS BIGINT) AS n_ips,
+  CAST(len(regexp_extract_all(e.text, '{_PII_DIGITS}')) AS BIGINT) AS n_digit_runs,
+  regexp_replace(regexp_replace(regexp_replace(e.text,
     '{_PII_EMAIL}', '<EMAIL>', 'g'),
     '{_PII_IPV4}', '<IP>', 'g'),
-    '{_PII_DIGITS}', '<NUM>', 'g') AS redacted
-FROM enriched
+    '{_PII_DIGITS}', '<NUM>', 'g') AS redacted,
+  CASE WHEN len(fp.codes) = 0 THEN 0
+       ELSE list_reduce(fp.codes, (a, b) -> (a * 1000003 + b) % 2147483647)
+  END AS fingerprint,
+  md5(e.orig) AS content_md5
+FROM enriched e JOIN fp ON fp.doc_id = e.doc_id
 """
 
 
@@ -984,20 +994,73 @@ SELECT {_lang_id_case()} AS detected, lang, source, COUNT(*) AS n_docs,
 FROM documents GROUP BY 1, 2, 3
 """
 
-ORACLES["docs_fingerprint"] = r"""
-WITH t AS (
-  SELECT doc_id, text,
-    list_transform(regexp_extract_all(text, '\S+'),
-                   s -> CAST(length(s) * 131 + ascii(s) AS BIGINT)) AS codes
-  FROM documents
+ORACLES["docs_prep_pipeline"] = rf"""
+WITH toks0 AS (
+  SELECT doc_id, lang, text, regexp_extract_all(text, '\S+') AS t FROM documents
+),
+enough AS (SELECT * FROM toks0 WHERE len(t) >= 5),
+g2 AS (
+  SELECT doc_id,
+    unnest(list_transform(generate_series(1, len(t) - 1),
+           i -> array_to_string(list_slice(t, i, i + 1), ' '))) AS gram
+  FROM enough WHERE len(t) >= 2
+),
+c2 AS (SELECT doc_id, gram, COUNT(*) AS cnt FROM g2 GROUP BY doc_id, gram),
+r2 AS (
+  SELECT doc_id, MAX(cnt * length(gram)) AS topc, SUM(cnt * length(gram)) AS totc
+  FROM c2 GROUP BY doc_id
+),
+gated AS (
+  SELECT e.* FROM enough e
+  WHERE e.doc_id IN (
+    SELECT doc_id FROM r2 WHERE CAST(topc AS DOUBLE) / CAST(totc AS DOUBLE) <= 0.12)
+),
+uniq AS (
+  SELECT * FROM gated
+  WHERE doc_id IN (SELECT MIN(doc_id) FROM gated GROUP BY md5(text))
+),
+labeled AS (
+  SELECT *, {{split_case}} AS split FROM uniq
+),
+grams8 AS (
+  SELECT DISTINCT doc_id, split, array_to_string(t[i:i+7], ' ') AS shingle
+  FROM (SELECT doc_id, split, t FROM labeled WHERE split IN ('train', 'test')) tg,
+       UNNEST(range(1, len(t) - 6)) AS r(i)
+  WHERE len(t) >= 8
+),
+hs AS (
+  SELECT doc_id, split,
+    CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT) % 2147483647 AS h
+  FROM grams8
+),
+contam AS (
+  SELECT DISTINCT tr.doc_id
+  FROM (SELECT doc_id, h FROM hs WHERE split = 'train') tr
+  JOIN (SELECT DISTINCT h FROM hs WHERE split = 'test') te ON tr.h = te.h
+),
+survivors AS (
+  SELECT doc_id, lang, split, doc_id % 8 AS shard, CAST(len(t) AS BIGINT) AS n_tokens
+  FROM labeled
+  WHERE split <> 'train' OR doc_id NOT IN (SELECT doc_id FROM contam)
+),
+c AS (
+  SELECT *, CAST(SUM(n_tokens) OVER (PARTITION BY split, shard ORDER BY doc_id
+       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS BIGINT)
+    AS tok_start
+  FROM survivors
 )
-SELECT doc_id,
-  CASE WHEN len(codes) = 0 THEN 0
-       ELSE list_reduce(codes, (a, b) -> (a * 1000003 + b) % 2147483647)
-  END AS fingerprint,
-  md5(text) AS content_md5
-FROM t
+SELECT split, doc_id, shard, n_tokens,
+  tok_start // 512 AS seq_id,
+  tok_start % 512 AS seq_offset,
+  lang
+FROM c
 """
+ORACLES["docs_prep_pipeline"] = ORACLES["docs_prep_pipeline"].replace(
+    "{split_case}",
+    _split_case_sql(
+        {"train": 0.9, "val": 0.05, "test": 0.05}, "prep", "CAST(doc_id AS VARCHAR)"
+    ),
+)
 
 ORACLES["media_decode_stats"] = """
 SELECT doc_id AS asset_id,

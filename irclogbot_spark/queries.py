@@ -635,16 +635,33 @@ def docs_lang_id(spark, sf_dir):
     )
 
 
-@query("docs_fingerprint")
-def docs_fingerprint(spark, sf_dir):
-    """Order-sensitive rolling-hash + md5 content fingerprints."""
-    from irclogbot_spark.functions.text import rolling_fingerprint
+@query("docs_prep_pipeline")
+def docs_prep_pipeline(spark, sf_dir):
+    """END-TO-END corpus preparation (operators/prep.py) — the
+    composition the operator library exists for, value-hashed as one
+    result: quality gate (min tokens + Gopher top-2-gram cap) ->
+    exact dedup -> content-hash train/val/test split -> GPT-3-style
+    decontamination (drop train docs sharing an 8-gram with the test
+    split) -> per-(split, shard) sequence packing. Runs under the
+    portable hash pair (md5 draw + md5_hash31 shingles) so the whole
+    five-stage pipeline is replicated in ANSI SQL. Returns the
+    prepared-corpus manifest: per surviving doc, its split and packed
+    sequence assignment."""
+    from irclogbot_spark.operators.dedup import md5_hash31
+    from irclogbot_spark.operators.prep import prep_corpus
+    from irclogbot_spark.operators.sampling import portable_draw
 
-    d = _t(spark, sf_dir, "documents")
-    return d.select(
-        "doc_id",
-        rolling_fingerprint("text").alias("fingerprint"),
-        F.md5(F.col("text").cast("binary")).alias("content_md5"),
+    return prep_corpus(
+        _t(spark, sf_dir, "documents"),
+        budget=512,
+        shards=8,
+        min_tokens=5,
+        max_top2gram_frac=0.12,
+        contam_n=8,
+        weights={"train": 0.9, "val": 0.05, "test": 0.05},
+        salt="prep",
+        hash_fn=md5_hash31,
+        draw_fn=portable_draw,
     )
 
 
@@ -773,8 +790,11 @@ def docs_pii_redact(spark, sf_dir):
     from irclogbot_spark.functions.pii import pii_count, pii_redact
 
     d = _t(spark, sf_dir, "documents")
+    from irclogbot_spark.functions.text import rolling_fingerprint
+
     enriched = d.select(
         "doc_id",
+        F.col("text").alias("orig"),
         F.concat(
             F.col("text"),
             F.lit(" contact user"),
@@ -791,6 +811,12 @@ def docs_pii_redact(spark, sf_dir):
         pii_count("text", "ipv4").alias("n_ips"),
         pii_count("text", "digits").alias("n_digit_runs"),
         pii_redact("text").alias("redacted"),
+        # content-fingerprint battery (merged round 3 from
+        # docs_fingerprint — same per-doc map-only grain — to free a
+        # recorded slot for docs_prep_pipeline); both hashes go over
+        # the ORIGINAL text, not the PII-enriched copy
+        rolling_fingerprint(F.col("orig")).alias("fingerprint"),
+        F.md5(F.col("orig").cast("binary")).alias("content_md5"),
     )
 
 

@@ -122,6 +122,62 @@ class TestPii:
         assert row.r == "<EMAIL>"
 
 
+class TestPrepCorpus:
+    def test_stages_compose(self, spark):
+        from irclogbot_spark.operators.prep import prep_corpus
+
+        rows = [(i, f"alpha beta w{i} x{i} y{i} z{i} q{i} r{i} s{i} t{i}", "en") for i in range(20)]
+        rows.append((100, "spam spam spam spam spam spam spam spam", "en"))  # repetition-gated
+        rows.append((101, "tiny doc", "en"))  # min-token-gated
+        rows.append((102, rows[0][1], "en"))  # exact dup of doc 0 -> dropped
+        df = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+        out = prep_corpus(df, budget=16, shards=2, min_tokens=5)
+        got = {r.doc_id: r for r in out.collect()}
+        assert 100 not in got and 101 not in got and 102 not in got
+        assert set(got) <= {r[0] for r in rows}
+        for r in got.values():
+            assert r.shard == r.doc_id % 2
+            assert r.split in {"train", "val", "test"}
+            assert 0 <= r.seq_offset < 16
+
+    def test_contaminated_train_doc_dropped(self, spark):
+        from irclogbot_spark.operators.prep import prep_corpus
+
+        # force a train doc to share its whole text with a test doc:
+        # craft ids whose portable draw lands one in 'test', then give
+        # a train doc the same 8-gram. Use a seeded scan to find ids.
+        from irclogbot_spark.operators.sampling import portable_draw, split_columns
+
+        base = spark.range(0, 200).select(
+            F.col("id").alias("doc_id"),
+            split_columns(["doc_id"], {"train": 0.9, "val": 0.05, "test": 0.05},
+                          "prep", portable_draw).alias("split"),
+        )
+        splits = {r.doc_id: r.split for r in base.collect()}
+        test_id = next(i for i, s in splits.items() if s == "test")
+        train_id = next(i for i, s in splits.items() if s == "train")
+        other_id = next(i for i, s in splits.items() if s == "train" and i != train_id)
+        shared = "one two three four five six seven eight"
+        rows = [
+            (int(test_id), shared + " held out tail", "en"),
+            (int(train_id), shared + " training copy tail", "en"),
+            (int(other_id), "totally different words nothing shared here at all okay", "en"),
+        ]
+        df = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+        # relax the repetition gate: on 10-token docs a single 2-gram
+        # already exceeds 12% of gram mass — this test isolates stage 4
+        out = {
+            r.doc_id: r.split
+            for r in prep_corpus(
+                df, budget=16, shards=1, max_top2gram_frac=1.0,
+                draw_fn=portable_draw,
+            ).collect()
+        }
+        assert int(train_id) not in out          # contaminated -> dropped
+        assert out[int(test_id)] == "test"       # eval set intact
+        assert out[int(other_id)] == "train"     # clean train doc kept
+
+
 class TestLmFamiliarity:
     def test_outlier_doc_scores_low(self, spark):
         # 9 docs of common bigrams + 1 doc of singleton bigrams:
