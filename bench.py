@@ -44,6 +44,8 @@ HEADLINE = [
     "docs_minhash_neardup",
     "docs_minhash_lsh",
     "docs_decontaminate",
+    "docs_lm_score",
+    "docs_prep_pipeline",
     "docs_simhash_neardup",
     "emb_cosine_neardup",
     "emb_knn_join",

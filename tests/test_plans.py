@@ -49,3 +49,41 @@ def test_topk_uses_partial_topk_not_global_sort(spark):
 def test_point_lookup_broadcasts_key(spark):
     plan = _plan(spark, "log_point_lookup")
     assert "BroadcastHashJoin" in plan
+
+
+def test_lm_score_vocab_broadcast_and_topk(spark):
+    """docs_lm_score: the vocabulary must reach the scoring join as a
+    broadcast (the corpus is never shuffled to be scored) and the
+    top-K vocab cut must compile to TakeOrderedAndProject, not a
+    global sort."""
+    plan = _plan(spark, "docs_lm_score")
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_repetition_partial_agg_before_exchange(spark):
+    """docs_quality (merged repetition battery): the (doc, n, gram)
+    count must partially aggregate map-side before its exchange —
+    the repeated grams the operator detects are exactly what the
+    partial agg collapses — and the per-doc signal side must reach
+    the quality projection as a broadcast, not a shuffle join."""
+    plan = _plan(spark, "docs_quality")
+    assert "partial_count" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_pack_sequences_single_shuffle(spark):
+    """docs_pack_sequences: exactly one hash exchange (the shard
+    partition) feeding one window sort — no second data shuffle (the
+    round-robin ensure_parallelism exchange is not a keyed shuffle)."""
+    plan = _plan(spark, "docs_pack_sequences")
+    assert len(re.findall(r"Arguments: hashpartitioning", plan)) == 1
+    assert "Window" in plan
+
+
+def test_pii_redact_map_only(spark):
+    """docs_pii_redact: pure projection — no exchange, no aggregate,
+    no join anywhere in the plan."""
+    plan = _plan(spark, "docs_pii_redact")
+    assert "Exchange" not in plan
+    assert "Join" not in plan
