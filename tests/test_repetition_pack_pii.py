@@ -216,3 +216,77 @@ class TestLmFamiliarity:
             for r in bigram_vocab(_docs(spark, rows).repartition(5), 7).collect()
         )
         assert v1 == v2 and len(v1) == 7
+
+
+class TestProperties:
+    def test_pii_redaction_idempotent(self, spark):
+        # second pass finds nothing: tags carry no digits/addresses
+        import random
+
+        rng = random.Random(7)
+        frag = ["mail", "a@b.co", "10.1.2.3", "x", "1234567", "9.9", "u_1@ex.org", "-"]
+        rows = [
+            (i, " ".join(rng.choice(frag) for _ in range(rng.randint(0, 12))))
+            for i in range(60)
+        ]
+        df = _docs(spark, rows)
+        once = df.select("doc_id", pii_redact("text").alias("r"))
+        twice = once.select("doc_id", pii_redact(F.col("r")).alias("r"))
+        assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
+
+    def test_packing_invariants_random_corpus(self, spark):
+        import random
+
+        rng = random.Random(13)
+        rows = [(i, "w " * rng.randint(0, 40)) for i in range(200)]
+        out = pack_sequences(_docs(spark, rows), budget=64, shards=4).collect()
+        assert len(out) == 200
+        for r in out:
+            assert 0 <= r.seq_offset < 64
+            assert r.shard == r.doc_id % 4
+        # per (shard): seq ids are nondecreasing in doc order and
+        # tok_start reconstructs the exclusive cumulative sum
+        by_shard = {}
+        for r in sorted(out, key=lambda r: (r.shard, r.doc_id)):
+            cursor = by_shard.get(r.shard, 0)
+            assert r.seq_id * 64 + r.seq_offset == cursor
+            by_shard[r.shard] = cursor + r.n_tokens
+
+
+class TestStreamingComposability:
+    def test_pii_scrub_runs_in_structured_streaming(self, spark, tmp_path):
+        """The map-only scrub/quality expressions apply unchanged to a
+        readStream frame — the batch/stream-agnostic contract the
+        ingest chain already honors, proven for the new functions."""
+        import json
+        import os
+
+        src = tmp_path / "in"
+        src.mkdir()
+        (src / "a.json").write_text(
+            "\n".join(
+                json.dumps({"doc_id": i, "text": f"doc {i} mail u{i}@ex.org ip 10.0.0.{i}"})
+                for i in range(5)
+            )
+        )
+        stream = (
+            spark.readStream.schema("doc_id LONG, text STRING")
+            .json(str(src))
+            .select(
+                "doc_id",
+                pii_count("text", "email").alias("n_emails"),
+                pii_redact("text").alias("redacted"),
+            )
+        )
+        q = (
+            stream.writeStream.format("memory")
+            .queryName("scrubbed")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(60)
+        rows = {r.doc_id: r for r in spark.sql("SELECT * FROM scrubbed").collect()}
+        assert len(rows) == 5
+        assert all(r.n_emails == 1 for r in rows.values())
+        assert rows[3].redacted == "doc 3 mail <EMAIL> ip <IP>"
