@@ -46,6 +46,7 @@ HEADLINE = [
     "docs_decontaminate",
     "docs_lm_score",
     "docs_prep_pipeline",
+    "docs_prep_pipeline_fast",
     "docs_simhash_neardup",
     "emb_cosine_neardup",
     "emb_knn_join",

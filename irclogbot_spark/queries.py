@@ -1147,5 +1147,27 @@ def ingest_compat_ids(spark, sf_dir):
     ).distinct()
 
 
+@query("docs_prep_pipeline_fast")
+def docs_prep_pipeline_fast(spark, sf_dir):
+    """Production-hash twin of docs_prep_pipeline: xxhash64 shingle
+    hash and xxhash draw — the path a real deployment runs (no SQL
+    oracle: xxhash64 ∉ DuckDB, so this registers past the driver's
+    50-row cap like the other xxhash-family queries; the portable
+    md5 variant above is the value-hashed one). Benched alongside it
+    so the md5 checkability tax is visible."""
+    from irclogbot_spark.operators.prep import prep_corpus
+
+    return prep_corpus(
+        _t(spark, sf_dir, "documents"),
+        budget=512,
+        shards=8,
+        min_tokens=5,
+        max_top2gram_frac=0.12,
+        contam_n=8,
+        weights={"train": 0.9, "val": 0.05, "test": 0.05},
+        salt="prep",
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
