@@ -36,15 +36,19 @@ def pack_sequences(
     id_col: str = "doc_id",
     text_col: str = "text",
     partition_cols: list[str] | None = None,
+    carry_cols: list[str] | None = None,
 ) -> DataFrame:
     """Per-doc packing assignment: (*partition_cols, id, shard,
-    n_tokens, seq_id, seq_offset), whitespace tokens. Empty docs
-    occupy zero tokens and pack at the current cursor like any
-    zero-length doc. ``partition_cols`` (e.g. a train/val/test split
-    label) scope the layout: each (partition, shard) packs its own
-    independent sequence space.
+    n_tokens, seq_id, seq_offset, *carry_cols), whitespace tokens.
+    Empty docs occupy zero tokens and pack at the current cursor like
+    any zero-length doc. ``partition_cols`` (e.g. a train/val/test
+    split label) scope the layout: each (partition, shard) packs its
+    own independent sequence space. ``carry_cols`` are projected
+    through untouched — cheaper than a join-back when the caller
+    wants per-doc metadata beside the assignment.
     """
     partition_cols = partition_cols or []
+    carry_cols = carry_cols or []
     toks = F.size(
         F.regexp_extract_all(F.col(text_col), F.lit(WORD_RE), F.lit(0))
     ).cast("long")
@@ -53,6 +57,7 @@ def pack_sequences(
         F.col(id_col),
         F.pmod(F.col(id_col), F.lit(shards)).cast("long").alias("shard"),
         toks.alias("n_tokens"),
+        *carry_cols,
     )
     w = (
         Window.partitionBy(*partition_cols, "shard")
@@ -60,11 +65,14 @@ def pack_sequences(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     start = (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("tok_start")
-    return base.select(*partition_cols, id_col, "shard", "n_tokens", start).select(
+    return base.select(
+        *partition_cols, id_col, "shard", "n_tokens", start, *carry_cols
+    ).select(
         *partition_cols,
         id_col,
         "shard",
         "n_tokens",
         F.floor(F.col("tok_start") / budget).cast("long").alias("seq_id"),
         F.pmod(F.col("tok_start"), F.lit(budget).cast("long")).alias("seq_offset"),
+        *carry_cols,
     )

@@ -94,22 +94,17 @@ def prep_corpus(
         .filter(~F.col("contaminated"))
         .select(id_col)
     )
-    # two consumers (packing + lang metadata) — same materialization
-    # rationale; the checkpoint is small (survivor rows only).
-    survivors = (
-        tr.join(clean_ids, id_col, "left_semi")
-        .unionByName(held)
-        .localCheckpoint(eager=True)
-    )
+    survivors = tr.join(clean_ids, id_col, "left_semi").unionByName(held)
 
-    # 5. pack each (split, shard) independently.
-    packed = pack_sequences(
+    # 5. pack each (split, shard) independently; lang rides through as
+    # a carried column — survivors stays singly-referenced, so no
+    # second checkpoint and no join-back.
+    return pack_sequences(
         survivors,
         budget=budget,
         shards=shards,
         id_col=id_col,
         text_col=text_col,
         partition_cols=["split"],
+        carry_cols=["lang"],
     )
-    meta = survivors.select(id_col, "lang")
-    return packed.join(meta, id_col)
