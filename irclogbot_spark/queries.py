@@ -1022,7 +1022,7 @@ _PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
 def agg_stats(spark, sf_dir):
     """Exact percentiles + mean/stddev + distinct aggregate per group,
     in one pass (merged round 3 from agg_stats + agg_distinct — same
-    grain, same source — to free a recorded slot for docs_repetition).
+    grain, same source — to free a recorded slot for a new operator).
 
     Percentiles are the sort-based linearly-interpolated exact form.
     Mean/stddev come from exact decimal moments — the native stddev
