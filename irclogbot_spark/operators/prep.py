@@ -32,7 +32,7 @@ from pyspark.sql import functions as F
 from irclogbot_spark.operators.decontam import ngram_contamination
 from irclogbot_spark.operators.dedup import exact_dedup, tokens
 from irclogbot_spark.operators.packing import pack_sequences
-from irclogbot_spark.operators.repetition import repetition_signals
+from irclogbot_spark.operators.repetition import repetition_stats
 from irclogbot_spark.operators.sampling import train_test_split
 
 
@@ -56,10 +56,12 @@ def prep_corpus(
 
     # 1. quality gate: cheap token-count filter first (map-only,
     # prunes before the repetition shuffle), then the repetition cap
-    # as a left-semi join on ids that pass.
+    # as a left-semi join on ids that pass. The lean repetition_stats
+    # (no keep-all join) suffices: every post-gate doc has >= 2
+    # tokens, so it has a stats row — one corpus scan saved.
     enough = df.filter(F.size(tokens(F.col(text_col))) >= min_tokens)
     rep_ok = (
-        repetition_signals(enough, id_col=id_col, text_col=text_col)
+        repetition_stats(enough, id_col=id_col, text_col=text_col)
         .filter(F.col("top2gram_frac") <= max_top2gram_frac)
         .select(id_col)
     )

@@ -49,24 +49,19 @@ def ngrams(text: Column, n: int) -> Column:
     return ngrams_of(F.regexp_extract_all(text, F.lit(TOKEN_RE), F.lit(0)), n)
 
 
-def repetition_signals(
+def repetition_stats(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     top_n: int = 2,
     dup_n: int = 5,
 ) -> DataFrame:
-    """Per-doc repetition stats: one row per input doc with
-
-    - ``top{top_n}gram_frac``: char mass of the heaviest top_n-gram /
-      total top_n-gram char mass,
-    - ``dup{dup_n}gram_frac``: char mass of duplicated dup_n-grams /
-      total dup_n-gram char mass,
-    - the raw gram counts behind both.
-
-    Docs too short to form a single n-gram report 0 counts and 0.0
-    fractions (kept: the filter downstream must see every doc).
-    """
+    """Per-doc repetition stats for docs that HAVE grams — the lean
+    core (no keep-every-doc join, so one corpus scan): rows only for
+    docs with >= top_n tokens. Callers that already guarantee a
+    minimum token count (e.g. prep_corpus after its min-token gate)
+    use this directly and save a scan; ``repetition_signals`` wraps
+    it with the keep-all join for the general case."""
     # ensure_parallelism: tokenize + n-gram expansion is the dominant
     # CPU stage — don't let a single-file scan pin it to one core.
     toks = ensure_parallelism(df).select(
@@ -103,20 +98,46 @@ def repetition_signals(
         F.sum(F.when(is_dup, mass).otherwise(F.lit(0))).alias("dup_total"),
     )
 
-    def frac(num, den):
-        return F.when(
-            F.coalesce(F.col(den), F.lit(0)) > 0,
-            F.col(num).cast("double") / F.col(den).cast("double"),
-        ).otherwise(F.lit(0.0))
+    return per_doc.select(
+        id_col,
+        F.col("n_top").cast("long").alias("n_top_grams"),
+        _frac("top_chars", "top_total").alias(f"top{top_n}gram_frac"),
+        F.col("n_dup").cast("long").alias("n_dup_grams"),
+        _frac("dup_chars", "dup_total").alias(f"dup{dup_n}gram_frac"),
+    )
 
+
+def _frac(num: str, den: str):
+    return F.when(
+        F.coalesce(F.col(den), F.lit(0)) > 0,
+        F.col(num).cast("double") / F.col(den).cast("double"),
+    ).otherwise(F.lit(0.0))
+
+
+def repetition_signals(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_n: int = 2,
+    dup_n: int = 5,
+) -> DataFrame:
+    """Per-doc repetition stats: one row per INPUT doc —
+    ``repetition_stats`` plus the keep-every-doc left join, so docs
+    too short to form a single n-gram report 0 counts and 0.0
+    fractions (the filter downstream must see every doc)."""
+    stats = repetition_stats(df, id_col, text_col, top_n, dup_n)
     return (
         df.select(id_col)
-        .join(per_doc, id_col, "left")
+        .join(stats, id_col, "left")
         .select(
             id_col,
-            F.coalesce("n_top", F.lit(0)).cast("long").alias("n_top_grams"),
-            frac("top_chars", "top_total").alias(f"top{top_n}gram_frac"),
-            F.coalesce("n_dup", F.lit(0)).cast("long").alias("n_dup_grams"),
-            frac("dup_chars", "dup_total").alias(f"dup{dup_n}gram_frac"),
+            F.coalesce("n_top_grams", F.lit(0)).alias("n_top_grams"),
+            F.coalesce(f"top{top_n}gram_frac", F.lit(0.0)).alias(
+                f"top{top_n}gram_frac"
+            ),
+            F.coalesce("n_dup_grams", F.lit(0)).alias("n_dup_grams"),
+            F.coalesce(f"dup{dup_n}gram_frac", F.lit(0.0)).alias(
+                f"dup{dup_n}gram_frac"
+            ),
         )
     )
