@@ -884,6 +884,37 @@ rep AS (
 # .replace, not .format: the SQL carries regex brace quantifiers.
 ORACLES["docs_quality"] = ORACLES["docs_quality"].replace("{rep_ctes}", _REP_CTES)
 
+# docs_crossdup registers past the driver's 50-row record cap; its
+# oracle is exercised by the local parity suite. DISTINCT is taken
+# over the shingle STRING before hashing (hash collisions must
+# survive, mirroring hashed_shingles = array_distinct -> transform).
+ORACLES["docs_crossdup"] = r"""
+WITH t AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS toks FROM documents),
+g AS (
+  SELECT DISTINCT doc_id, array_to_string(toks[i:i+19], ' ') AS shingle
+  FROM t, UNNEST(range(1, len(toks) - 18)) AS r(i)
+  WHERE len(toks) >= 20
+),
+spans AS (
+  SELECT doc_id,
+    CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT) % 2147483647 AS h
+  FROM g
+),
+d AS (SELECT h, COUNT(*) AS nd FROM spans GROUP BY h),
+per AS (
+  SELECT s.doc_id, COUNT(*) AS n_spans,
+    CAST(SUM(CASE WHEN d.nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared_spans
+  FROM spans s JOIN d ON s.h = d.h GROUP BY s.doc_id
+)
+SELECT doc.doc_id,
+  COALESCE(p.n_spans, 0) AS n_spans,
+  COALESCE(p.n_shared_spans, 0) AS n_shared_spans,
+  CASE WHEN COALESCE(p.n_spans, 0) > 0
+       THEN CAST(p.n_shared_spans AS DOUBLE) / CAST(p.n_spans AS DOUBLE)
+       ELSE 0.0 END AS cross_dup_frac
+FROM documents doc LEFT JOIN per p ON p.doc_id = doc.doc_id
+"""
+
 ORACLES["docs_lm_score"] = r"""
 WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents),
 g AS (

@@ -1147,6 +1147,24 @@ def ingest_compat_ids(spark, sf_dir):
     ).distinct()
 
 
+@query("docs_crossdup")
+def docs_crossdup(spark, sf_dir):
+    """Cross-document duplicate-span signal (operators/crossdup.py) —
+    the Lee et al. exact-substring-dedup metric: per doc, the
+    fraction of its distinct 20-token spans appearing in any OTHER
+    doc. Linear relational shape (one hash shuffle + co-partitioned
+    join back), no pairwise comparison. Portable hash for the ANSI
+    twin; registers past the driver's 50-row cap, value-checked by
+    the local parity suite. The corpus's planted near-dups make the
+    signal dense (≈10% of docs share spans, fractions up to 1.0)."""
+    from irclogbot_spark.operators.crossdup import cross_doc_duplication
+    from irclogbot_spark.operators.dedup import md5_hash31
+
+    return cross_doc_duplication(
+        _t(spark, sf_dir, "documents"), n=20, hash_fn=md5_hash31
+    )
+
+
 @query("docs_prep_pipeline_fast")
 def docs_prep_pipeline_fast(spark, sf_dir):
     """Production-hash twin of docs_prep_pipeline: xxhash64 shingle

@@ -290,3 +290,29 @@ class TestStreamingComposability:
         assert len(rows) == 5
         assert all(r.n_emails == 1 for r in rows.values())
         assert rows[3].redacted == "doc 3 mail <EMAIL> ip <IP>"
+
+
+class TestCrossDocDuplication:
+    def test_shared_span_flagged_both_docs(self, spark):
+        from irclogbot_spark.operators.crossdup import cross_doc_duplication
+
+        shared = " ".join(f"s{i}" for i in range(20))
+        rows = [
+            (1, shared + " unique tail one two three"),
+            (2, "prefix words here " + shared),
+            (3, " ".join(f"u{i}" for i in range(25))),
+            (4, "short doc"),
+        ]
+        out = {r.doc_id: r for r in cross_doc_duplication(_docs(spark, rows), n=20).collect()}
+        assert out[1].n_shared_spans >= 1 and out[2].n_shared_spans >= 1
+        assert out[3].n_shared_spans == 0 and out[3].cross_dup_frac == 0.0
+        assert out[4].n_spans == 0 and out[4].cross_dup_frac == 0.0
+        # doc 3 has 6 distinct 20-gram spans, none shared
+        assert out[3].n_spans == 6
+
+    def test_identical_docs_fully_shared(self, spark):
+        from irclogbot_spark.operators.crossdup import cross_doc_duplication
+
+        text = " ".join(f"w{i}" for i in range(30))
+        out = cross_doc_duplication(_docs(spark, [(1, text), (2, text)]), n=20).collect()
+        assert all(r.cross_dup_frac == 1.0 for r in out)
