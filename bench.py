@@ -45,6 +45,7 @@ HEADLINE = [
     "docs_minhash_lsh",
     "docs_decontaminate",
     "docs_lm_score",
+    "docs_crossdup",
     "docs_prep_pipeline",
     "docs_prep_pipeline_fast",
     "docs_simhash_neardup",
