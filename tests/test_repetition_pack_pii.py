@@ -316,3 +316,97 @@ class TestCrossDocDuplication:
         text = " ".join(f"w{i}" for i in range(30))
         out = cross_doc_duplication(_docs(spark, [(1, text), (2, text)]), n=20).collect()
         assert all(r.cross_dup_frac == 1.0 for r in out)
+
+
+class TestPythonReferenceParity:
+    """Independent pure-Python reference implementations — unlike the
+    DuckDB oracles (which share the relational formulation), these
+    recompute each signal imperatively from first principles."""
+
+    def _rand_docs(self, seed, n_docs=40, vocab=8):
+        import random
+
+        rng = random.Random(seed)
+        return [
+            (i, " ".join(f"w{rng.randrange(vocab)}" for _ in range(rng.randrange(0, 30))))
+            for i in range(n_docs)
+        ]
+
+    def test_repetition_vs_counter_reference(self, spark):
+        from collections import Counter
+
+        rows = self._rand_docs(99)
+        got = {r.doc_id: r for r in repetition_signals(_docs(spark, rows)).collect()}
+        for doc_id, text in rows:
+            toks = text.split()
+            r = got[doc_id]
+            for n, frac_field, count_field in (
+                (2, "top2gram_frac", "n_top_grams"),
+                (5, "dup5gram_frac", "n_dup_grams"),
+            ):
+                grams = [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+                c = Counter(grams)
+                assert getattr(r, count_field) == len(grams)
+                total = sum(cnt * len(g) for g, cnt in c.items())
+                if n == 2:
+                    expect = max((cnt * len(g) for g, cnt in c.items()), default=0)
+                else:
+                    expect = sum(cnt * len(g) for g, cnt in c.items() if cnt > 1)
+                assert getattr(r, frac_field) == pytest.approx(
+                    expect / total if total else 0.0
+                ), (doc_id, n)
+
+    def test_packing_vs_cumsum_reference(self, spark):
+        rows = self._rand_docs(7)
+        budget, shards = 32, 4
+        got = {r.doc_id: r for r in pack_sequences(_docs(spark, rows), budget, shards).collect()}
+        cursors = {}
+        for doc_id, text in sorted(rows):
+            ntok = len(text.split())
+            shard = doc_id % shards
+            start = cursors.get(shard, 0)
+            r = got[doc_id]
+            assert (r.shard, r.n_tokens, r.seq_id, r.seq_offset) == (
+                shard, ntok, start // budget, start % budget,
+            ), doc_id
+            cursors[shard] = start + ntok
+
+    def test_lm_vs_counter_reference(self, spark):
+        from collections import Counter
+
+        rows = self._rand_docs(21, vocab=5)
+        k = 7
+        got = {r.doc_id: r for r in lm_familiarity(_docs(spark, rows), vocab_k=k).collect()}
+        corpus = Counter()
+        for _, text in rows:
+            toks = text.split()
+            corpus.update(" ".join(toks[i : i + 2]) for i in range(len(toks) - 1))
+        vocab = dict(sorted(corpus.items(), key=lambda kv: (-kv[1], kv[0]))[:k])
+        for doc_id, text in rows:
+            toks = text.split()
+            grams = [" ".join(toks[i : i + 2]) for i in range(len(toks) - 1)]
+            r = got[doc_id]
+            assert r.n_bigrams == len(grams)
+            shared = sum(1 for g in grams if g in vocab)
+            mass = sum(vocab.get(g, 0) for g in grams)
+            assert r.n_familiar == shared, doc_id
+            assert r.familiar_frac == pytest.approx(shared / len(grams) if grams else 0.0)
+            assert r.avg_gram_freq == pytest.approx(mass / len(grams) if grams else 0.0)
+
+    def test_crossdup_vs_set_reference(self, spark):
+        from irclogbot_spark.operators.crossdup import cross_doc_duplication
+
+        rows = self._rand_docs(55, n_docs=30, vocab=3)
+        n = 6
+        got = {r.doc_id: r for r in cross_doc_duplication(_docs(spark, rows), n=n).collect()}
+        spans = {
+            doc_id: {" ".join(text.split()[i : i + n])
+                     for i in range(len(text.split()) - n + 1)}
+            for doc_id, text in rows
+        }
+        for doc_id, text in rows:
+            mine = spans[doc_id]
+            others = set().union(*(s for d, s in spans.items() if d != doc_id))
+            r = got[doc_id]
+            assert r.n_spans == len(mine), doc_id
+            assert r.n_shared_spans == len(mine & others), doc_id
