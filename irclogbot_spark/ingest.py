@@ -152,25 +152,84 @@ def parse_privmsg(
     (irclogbot.py:133-136).
     """
     v = F.col(col)
-    # Fast path: 2 regex executions per line instead of 5 (measured
-    # 5x on 2M lines). One rlike gates the match; one regexp_replace
-    # rewrites the line to its 5 groups joined by US (0x1F). The
-    # match is anchored at position 0 (reference uses re.match,
-    # irclogbot.py:131) and '(.+)' runs to end-of-line, so the
-    # replacement consumes the whole line and nothing survives around
-    # the groups. split(limit=5) keeps any 0x1F inside the remark
+    if assume_matched:
+        # ZERO regex executions here (round 3; was one regexp_replace
+        # — still a full second regex pass, ~half the measured parse
+        # cost on 2M lines). When ANCHORED_MSG_PAT has matched, every
+        # group boundary is forced — the regex admits exactly one
+        # decomposition:
+        #   * nick  = [^!]+  -> everything before the FIRST '!';
+        #   * '~?'  greedily eats one '~' after '!' unless the next
+        #     char is '@' (then [^@]+ would be empty and the engine
+        #     backtracks the '~' into user);
+        #   * user  = [^@]+  -> up to the FIRST '@' after that;
+        #   * host  = \S+ followed by literal ' ' -> up to the FIRST
+        #     space after the '@' (\S+ can neither contain the space
+        #     nor stop short of it: the following literal ' ' cannot
+        #     match a non-space);
+        #   * channel = \S+ after ' PRIVMSG ' -> same argument, up to
+        #     the next space, which the match guarantees precedes ':';
+        #   * remark = (.+) -> the rest of the line.
+        # So post-gate, first-occurrence string arithmetic IS the
+        # regex, at byte-scan cost. Property tests pin equivalence
+        # against CPython re over adversarial corpora
+        # (tests/test_properties.py).
+        bang = F.instr(v, "!")
+        after_bang = F.substring(v, bang + F.lit(1), 1)
+        next_after = F.substring(v, bang + F.lit(2), 1)
+        ustart = bang + F.lit(1) + F.when(
+            (after_bang == "~") & (next_after != "@"), F.lit(1)
+        ).otherwise(F.lit(0))
+        out = df.select(
+            *[F.col(p) for p in (passthrough or [])],
+            *([v.alias("raw")] if keep_raw else []),
+            v.alias("_v"),
+            bang.alias("_bang"),
+            ustart.alias("_us"),
+        ).select(
+            *[F.col(p) for p in (passthrough or [])],
+            *([F.col("raw")] if keep_raw else []),
+            "_v",
+            "_bang",
+            "_us",
+            F.expr("locate('@', _v, _us)").alias("_at"),
+        ).select(
+            *[F.col(p) for p in (passthrough or [])],
+            *([F.col("raw")] if keep_raw else []),
+            "_v",
+            "_bang",
+            "_us",
+            "_at",
+            F.expr("locate(' ', _v, _at + 1)").alias("_sp1"),
+        ).select(
+            *[F.col(p) for p in (passthrough or [])],
+            *([F.col("raw")] if keep_raw else []),
+            "_v",
+            "_bang",
+            "_us",
+            "_at",
+            "_sp1",
+            F.expr("locate(' ', _v, _sp1 + 9)").alias("_sp2"),
+        ).select(
+            *[F.col(p) for p in (passthrough or [])],
+            *([F.col("raw")] if keep_raw else []),
+            F.expr("substring(_v, 2, _bang - 2)").alias("nick"),
+            F.expr("substring(_v, _us, _at - _us)").alias("user"),
+            F.expr("substring(_v, _at + 1, _sp1 - _at - 1)").alias("host"),
+            F.expr("substring(_v, _sp1 + 9, _sp2 - _sp1 - 9)").alias("channel"),
+            F.expr("substring(_v, _sp2 + 2)").alias("remark"),
+        )
+        return out
+    # Ungated path: one rlike + one regexp_replace rewriting the line
+    # to its 5 groups joined by US (0x1F); non-matching lines yield
+    # empty groups. split(limit=5) keeps any 0x1F inside the remark
     # intact; a 0x1F inside nick/user/host/channel would mis-split,
     # which IRC framing makes unreachable in practice.
     sep = "\x1f"
     packed = F.regexp_replace(v, ANCHORED_MSG_PAT, sep.join(f"${i}" for i in range(1, 6)))
-    if assume_matched:
-        # caller already gated on the match (match_gate): skip the
-        # rlike re-check — one regex execution per line total
-        groups = F.split(packed, sep, 5)
-    else:
-        groups = F.when(v.rlike(ANCHORED_MSG_PAT), F.split(packed, sep, 5)).otherwise(
-            F.array(*[F.lit("")] * 5)
-        )
+    groups = F.when(v.rlike(ANCHORED_MSG_PAT), F.split(packed, sep, 5)).otherwise(
+        F.array(*[F.lit("")] * 5)
+    )
     out = df.select(
         *[F.col(p) for p in (passthrough or [])],
         *([v.alias("raw")] if keep_raw else []),

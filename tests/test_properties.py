@@ -147,3 +147,42 @@ def test_scale_and_compat_ids_induce_identical_partitions(spark):
         native.withColumnRenamed("id", "nid"), ["channel", "nick", "remark"]
     )
     assert joined.groupBy("cid").agg(F.countDistinct("nid").alias("k")).filter(F.col("k") > 1).count() == 0
+
+
+def test_gated_substring_extraction_equals_re_match_groups(spark):
+    """Round-3 zero-regex extraction: post-gate, parse_privmsg
+    (assume_matched) derives all 5 groups by first-occurrence string
+    arithmetic. Every group must equal CPython re.match's, over an
+    adversarial corpus hitting the forced-boundary edge cases: '~'
+    handling ('!~@' backtrack, '!~~'), '@' inside nick, '!' inside
+    user impossible (nick owns first '!'), spaces in nick, ':' and
+    separators in remark, minimal one-char groups."""
+    import re
+
+    rng = random.Random(1234)
+    nicks = ["a", "edleafe", "a b c", "a@b", "we@ird@nick", "x" * 16]
+    posts = ["~u", "u", "~", "~~u", "~u@x", "uu"]
+    hosts = ["h", "host.example.com", "h-1.v4"]
+    chans = ["#c", "#chan.dot", "#c:colon"]
+    remarks = ["m", "  leading spaces", "with : colon", "a PRIVMSG b :x", "~!@ soup", "."]
+    lines = []
+    for _ in range(500):
+        n, u, h, c, r = (rng.choice(x) for x in (nicks, posts, hosts, chans, remarks))
+        lines.append(f":{n}!{u}@{h} PRIVMSG {c} :{r}")
+    df = spark.createDataFrame([(l,) for l in lines], "value string")
+
+    got = {
+        row.raw: (row.nick, row.user, row.host, row.channel, row.remark)
+        for row in ingest.parse_privmsg(
+            ingest.match_gate(df), keep_raw=True, assume_matched=True
+        ).collect()
+    }
+
+    pat = re.compile(ingest.MSG_PAT)
+    checked = 0
+    for l in lines:
+        m = pat.match(l)
+        if m and len(m.group(1)) < ingest.MAX_NICK_LEN:
+            assert got[l] == m.groups(), l
+            checked += 1
+    assert checked >= 400  # the corpus must actually exercise the path
