@@ -1197,6 +1197,51 @@ GROUP BY e.event_id, e.user_id, e.ts
 """
 
 
+# ANSI twin of queries.docs_c4_clean / operators/cleaning.py: same
+# doc_id-derived enrichment block, same trimmed-line predicates
+# (terminal punctuation, >=3 words, no javascript / lorem ipsum /
+# brace). Plain string, not an f-string — the planted code line
+# contains literal braces.
+ORACLES["docs_c4_clean"] = r"""
+WITH enriched AS (
+  SELECT doc_id,
+    text || chr(10) || 'Sentence number ' || CAST(doc_id % 7 AS VARCHAR) || ' ends properly.'
+    || CASE WHEN doc_id % 2 = 0 THEN chr(10) || 'Another valid line of prose survives here.' ELSE '' END
+    || CASE WHEN doc_id % 3 = 0 THEN chr(10) || 'click here to read more' ELSE '' END
+    || CASE WHEN doc_id % 5 = 0 THEN chr(10) || '* bullet item without punctuation' ELSE '' END
+    || CASE WHEN doc_id % 7 = 0 THEN chr(10) || 'Please enable javascript to view this page.' ELSE '' END
+    || CASE WHEN doc_id % 11 = 0 THEN chr(10) || '{ var x = 1; }' ELSE '' END
+    || CASE WHEN doc_id % 13 = 0 THEN chr(10) || 'Lorem ipsum dolor sit amet.' ELSE '' END
+    || chr(10) || 'No.' AS text
+  FROM documents
+),
+split_docs AS (
+  SELECT doc_id, text,
+    list_transform(string_split(text, chr(10)), l -> trim(l)) AS lines
+  FROM enriched
+),
+kept_docs AS (
+  SELECT doc_id, text, lines,
+    list_filter(lines, l ->
+      regexp_matches(l, '[.!?"]$')
+      AND len(regexp_extract_all(l, '\S+')) >= 3
+      AND NOT contains(lower(l), 'javascript')
+      AND NOT contains(lower(l), 'lorem ipsum')
+      AND NOT contains(l, '{')
+    ) AS kept
+  FROM split_docs
+)
+SELECT doc_id,
+  CAST(len(lines) AS BIGINT) AS n_lines,
+  CAST(len(kept) AS BIGINT) AS n_kept_lines,
+  array_to_string(kept, chr(10)) AS clean_text,
+  CAST(length(array_to_string(kept, chr(10))) AS BIGINT) AS n_chars_out,
+  CAST(length(text) AS BIGINT) AS n_chars_in,
+  CAST(len(kept) >= 1 AS INT) AS doc_kept
+FROM kept_docs
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     out = dict(ORACLES)
     # data-dependent oracle, built lazily so the training corpus

@@ -1187,5 +1187,46 @@ def docs_prep_pipeline_fast(spark, sf_dir):
     )
 
 
+@query("docs_c4_clean")
+def docs_c4_clean(spark, sf_dir):
+    """C4-style line-level cleaning (operators/cleaning.py): split ->
+    higher-order filter -> rejoin, one map-only projection, zero
+    shuffle. The synthetic corpus is single-line prose with no
+    terminal punctuation, so the query first enriches each doc with
+    a deterministic doc_id-derived block of lines (same concat in
+    the oracle): one always-kept sentence, one conditionally-kept
+    sentence, and the full dropped-category battery — no terminal
+    punctuation, bullet fragment, javascript boilerplate, code
+    braces, lorem-ipsum filler, too-few-words. Registers past the
+    driver's 50-row cap; value-checked by the local parity suite."""
+    from irclogbot_spark.operators.cleaning import clean_corpus
+
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+
+    def opt(mod: int, line: str) -> Column:
+        return F.when(F.pmod(did, F.lit(mod)) == 0, F.lit("\n" + line)).otherwise(
+            F.lit("")
+        )
+
+    enriched = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit("\nSentence number "),
+            F.pmod(did, F.lit(7)).cast("string"),
+            F.lit(" ends properly."),
+            opt(2, "Another valid line of prose survives here."),
+            opt(3, "click here to read more"),
+            opt(5, "* bullet item without punctuation"),
+            opt(7, "Please enable javascript to view this page."),
+            opt(11, "{ var x = 1; }"),
+            opt(13, "Lorem ipsum dolor sit amet."),
+            F.lit("\nNo."),
+        ).alias("text"),
+    )
+    return clean_corpus(enriched)
+
+
 def queries() -> dict[str, QueryFn]:
     return dict(QUERIES)

@@ -28,6 +28,7 @@ def test_rows_only_queries_register_after_the_cap():
         "ingest_compat_ids",
         "docs_crossdup",
         "docs_prep_pipeline_fast",
+        "docs_c4_clean",
     }
 
 
