@@ -1242,6 +1242,26 @@ FROM kept_docs
 """
 
 
+# ANSI twin of queries.docs_inverted_index: distinct (doc, term)
+# counts then one term-grouped aggregation; postings ordered by
+# numeric doc_id (the Spark side sorts BEFORE casting to string for
+# the same reason).
+ORACLES["docs_inverted_index"] = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS term FROM documents
+),
+tc AS (
+  SELECT doc_id, term, COUNT(*) AS cnt FROM toks GROUP BY doc_id, term
+)
+SELECT term,
+  CAST(COUNT(*) AS BIGINT) AS doc_freq,
+  CAST(SUM(cnt) AS BIGINT) AS term_freq,
+  string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+FROM tc GROUP BY term
+ORDER BY doc_freq DESC, term LIMIT 20
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     out = dict(ORACLES)
     # data-dependent oracle, built lazily so the training corpus

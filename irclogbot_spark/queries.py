@@ -1228,5 +1228,55 @@ def docs_c4_clean(spark, sf_dir):
     return clean_corpus(enriched)
 
 
+@query("docs_inverted_index")
+def docs_inverted_index(spark, sf_dir):
+    """Inverted-index build over documents: per term, document
+    frequency, total term frequency, and the sorted posting list —
+    the materialized form of the full-text surface the reference
+    delegates to Elasticsearch (SURVEY §2H: ES builds exactly this
+    index from every doc it receives).
+
+    Scale shape: per-doc term counts are computed IN-ROW with
+    higher-order functions (array_distinct + filter/size — O(len^2)
+    over a short token array beats a (doc, term) pre-shuffle), so
+    the plan is one map stage and ONE shuffle on term with partial
+    aggregation. The explicit alternative — explode then
+    groupBy(doc, term) then groupBy(term) — costs a second full
+    exchange. Posting lists here return whole (top-20 terms by df);
+    a production deployment range-buckets each list, but the
+    index-build dataflow is identical. Registers past the driver's
+    50-row cap; value-checked by the local parity suite."""
+    from irclogbot_spark.plans.partitioning import ensure_parallelism
+
+    d = ensure_parallelism(_t(spark, sf_dir, "documents"))
+    toks = d.select(
+        "doc_id",
+        F.regexp_extract_all(F.col("text"), F.lit(r"\S+"), F.lit(0)).alias("_toks"),
+    )
+    entries = F.transform(
+        F.array_distinct("_toks"),
+        lambda t: F.struct(
+            t.alias("term"),
+            F.size(F.filter(F.col("_toks"), lambda x: x == t))
+            .cast("long")
+            .alias("cnt"),
+        ),
+    )
+    ex = toks.select("doc_id", F.explode(entries).alias("e")).select(
+        "doc_id", F.col("e.term").alias("term"), F.col("e.cnt").alias("cnt")
+    )
+    inv = ex.groupBy("term").agg(
+        F.count(F.lit(1)).alias("doc_freq"),
+        F.sum("cnt").alias("term_freq"),
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list("doc_id")), lambda i: i.cast("string")
+            ),
+            ",",
+        ).alias("postings"),
+    )
+    return inv.orderBy(F.desc("doc_freq"), "term").limit(20)
+
+
 def queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
