@@ -1262,6 +1262,120 @@ ORDER BY doc_freq DESC, term LIMIT 20
 """
 
 
+def _incremental_dedup_sql(
+    num_perm: int = 32,
+    bands: int = 16,
+    n: int = 5,
+    threshold: float = 0.8,
+    max_bucket: int = 1000,
+) -> str:
+    """ANSI twin of queries.docs_incremental_dedup /
+    operators/incremental.py under md5_hash31: same history/batch
+    split, md5 exact layer, inlined permutation constants, band
+    index probe (batch x history only), history-bucket cap, exact
+    hashed-shingle Jaccard on candidates, smallest-id partner via
+    ROW_NUMBER."""
+    from irclogbot_spark.operators.dedup import _MH_PRIME, _permutation_family
+
+    perms = _permutation_family(num_perm, seed=42)
+    rows = num_perm // bands
+    lanes = ",\n    ".join(
+        f"MIN(({a} * h + {b}) % {_MH_PRIME}) AS s{i}" for i, (a, b) in enumerate(perms)
+    )
+
+    def band_selects(src: str) -> str:
+        def band_key(j: int) -> str:
+            return " || ',' || ".join(
+                f"CAST(s{j * rows + r} AS VARCHAR)" for r in range(rows)
+            )
+
+        return "\n  UNION ALL\n  ".join(
+            f"SELECT doc_id, {j} AS band_idx, {band_key(j)} AS band_key FROM {src}"
+            for j in range(bands)
+        )
+
+    jac = "CAST(n_common AS DOUBLE) / (s1.ns + s2.ns - n_common)"
+    return rf"""
+WITH hist AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 < 8),
+batch AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 >= 8),
+hfp AS (SELECT md5(text) AS fp, MIN(doc_id) AS hist_dup_of FROM hist GROUP BY md5(text)),
+bfp AS (SELECT doc_id, md5(text) AS fp FROM batch),
+exact_hist AS (SELECT b.doc_id, h.hist_dup_of FROM bfp b JOIN hfp h USING (fp)),
+rem AS (SELECT b.doc_id, b.fp FROM bfp b ANTI JOIN hfp h USING (fp)),
+remw AS (SELECT doc_id, fp, MIN(doc_id) OVER (PARTITION BY fp) AS keep_id FROM rem),
+exact_batch AS (SELECT doc_id, keep_id AS batch_dup_of FROM remw WHERE doc_id != keep_id),
+surv AS (SELECT b.doc_id, b.text FROM batch b JOIN remw r ON r.doc_id = b.doc_id AND r.doc_id = r.keep_id),
+th AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS toks FROM hist),
+tb AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS toks FROM surv),
+elh AS (SELECT doc_id, toks FROM th WHERE len(toks) >= {n}),
+elb AS (SELECT doc_id, toks FROM tb WHERE len(toks) >= {n}),
+mshh AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+{n - 1}], ' ') AS shingle
+         FROM elh, UNNEST(range(1, len(toks) - {n - 2})) AS r(i)),
+mshb AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+{n - 1}], ' ') AS shingle
+         FROM elb, UNNEST(range(1, len(toks) - {n - 2})) AS r(i)),
+hsh AS (SELECT DISTINCT doc_id,
+          CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT) % {_MH_PRIME} AS h
+        FROM mshh),
+hsb AS (SELECT DISTINCT doc_id,
+          CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT) % {_MH_PRIME} AS h
+        FROM mshb),
+sigh AS (SELECT doc_id, {lanes} FROM hsh GROUP BY doc_id),
+sigb AS (SELECT doc_id, {lanes} FROM hsb GROUP BY doc_id),
+bandh AS (
+  {band_selects("sigh")}
+),
+bandb AS (
+  {band_selects("sigb")}
+),
+bszh AS (SELECT band_idx, band_key, COUNT(*) AS nb FROM bandh GROUP BY band_idx, band_key),
+cand AS (
+  SELECT DISTINCT b.doc_id AS bid, h.doc_id AS hid
+  FROM bandb b
+  JOIN bandh h ON h.band_idx = b.band_idx AND h.band_key = b.band_key
+  JOIN bszh ON bszh.band_idx = b.band_idx AND bszh.band_key = b.band_key
+  WHERE bszh.nb <= {max_bucket}
+),
+allhs AS (SELECT doc_id, h FROM hsh UNION SELECT doc_id, h FROM hsb),
+inter AS (
+  SELECT c.bid, c.hid, COUNT(*) AS n_common
+  FROM cand c
+  JOIN allhs h1 ON h1.doc_id = c.bid
+  JOIN allhs h2 ON h2.doc_id = c.hid AND h2.h = h1.h
+  GROUP BY c.bid, c.hid
+),
+sizes AS (SELECT doc_id, COUNT(*) AS ns FROM allhs GROUP BY doc_id),
+near_pairs AS (
+  SELECT bid, hid, {jac} AS jaccard
+  FROM inter
+  JOIN sizes s1 ON s1.doc_id = bid
+  JOIN sizes s2 ON s2.doc_id = hid
+  WHERE {jac} >= {threshold}
+),
+near AS (
+  SELECT bid AS doc_id, hid AS near_dup_of, jaccard AS near_jaccard
+  FROM (SELECT bid, hid, jaccard,
+          ROW_NUMBER() OVER (PARTITION BY bid ORDER BY hid) AS rn
+        FROM near_pairs)
+  WHERE rn = 1
+)
+SELECT b.doc_id,
+  CASE WHEN eh.hist_dup_of IS NOT NULL THEN 'exact_dup_history'
+       WHEN eb.batch_dup_of IS NOT NULL THEN 'exact_dup_batch'
+       WHEN nr.near_dup_of IS NOT NULL THEN 'near_dup_history'
+       ELSE 'new' END AS verdict,
+  COALESCE(eh.hist_dup_of, eb.batch_dup_of, nr.near_dup_of) AS dup_of,
+  CASE WHEN eh.hist_dup_of IS NULL AND eb.batch_dup_of IS NULL
+       THEN nr.near_jaccard END AS jaccard
+FROM batch b
+LEFT JOIN exact_hist eh ON eh.doc_id = b.doc_id
+LEFT JOIN exact_batch eb ON eb.doc_id = b.doc_id
+LEFT JOIN near nr ON nr.doc_id = b.doc_id
+"""
+
+
+ORACLES["docs_incremental_dedup"] = _incremental_dedup_sql()
+
+
 def oracle_sql() -> dict[str, str]:
     out = dict(ORACLES)
     # data-dependent oracle, built lazily so the training corpus

@@ -1278,5 +1278,24 @@ def docs_inverted_index(spark, sf_dir):
     return inv.orderBy(F.desc("doc_freq"), "term").limit(20)
 
 
+@query("docs_incremental_dedup")
+def docs_incremental_dedup(spark, sf_dir):
+    """Incremental dedup (operators/incremental.py): the batch-vs-
+    history shape a continuous pipeline runs — docs with
+    doc_id % 10 < 8 are the accumulated HISTORY, the rest are the
+    arriving BATCH (deterministic split, same WHERE in the oracle).
+    Exact layer via md5 fingerprints, near layer via the portable-
+    hash MinHash band index (batch probes history; history never
+    self-joins). Registers past the driver's 50-row cap;
+    value-checked by the local parity suite."""
+    from irclogbot_spark.operators.dedup import md5_hash31
+    from irclogbot_spark.operators.incremental import incremental_dedup
+
+    d = _t(spark, sf_dir, "documents")
+    history = d.filter(F.pmod(F.col("doc_id"), F.lit(10)) < 8)
+    batch = d.filter(F.pmod(F.col("doc_id"), F.lit(10)) >= 8)
+    return incremental_dedup(history, batch, hash_fn=md5_hash31)
+
+
 def queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
