@@ -223,3 +223,46 @@ def test_heartbeat_listener(spark, tmp_path):
         assert age is not None and age < 60
     finally:
         spark.streams.removeListener(listener)
+
+
+def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
+    """interval_join (streaming/joins.py) under two file streams ==
+    the same interval join run in batch: every purchase within 1 h
+    before each error, per user."""
+    from irclogbot_spark.streaming.joins import interval_join
+
+    ev = load_table(spark, SF, "events").select(
+        F.col("ts").cast("timestamp").alias("ts"), "user_id", "event_type", "event_id"
+    )
+    errors = ev.filter(F.col("event_type") == "error").drop("event_type")
+    purchases = ev.filter(F.col("event_type") == "purchase").drop("event_type")
+    lsrc, rsrc = str(tmp_path / "errs"), str(tmp_path / "purch")
+    errors.write.parquet(lsrc)
+    purchases.write.parquet(rsrc)
+
+    l_stream = spark.readStream.schema(errors.schema).parquet(lsrc)
+    r_stream = spark.readStream.schema(purchases.schema).parquet(rsrc)
+    joined = interval_join(
+        l_stream, r_stream, on="user_id", lookback="1 hour", watermark="1 hour"
+    )
+    out = str(tmp_path / "out")
+    q = (
+        joined.writeStream.outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .format("parquet")
+        .start(out)
+    )
+    q.awaitTermination(180)
+    got = {
+        (r.l_key, r.l_event_id, r.r_event_id)
+        for r in spark.read.parquet(out).collect()
+    }
+    want = {
+        (r.l_key, r.l_event_id, r.r_event_id)
+        for r in interval_join(
+            errors, purchases, on="user_id", lookback="1 hour", watermark="1 hour"
+        ).collect()
+    }
+    assert want, "fixture should produce joined pairs"
+    assert got == want
