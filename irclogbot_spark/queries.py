@@ -1297,5 +1297,34 @@ def docs_incremental_dedup(spark, sf_dir):
     return incremental_dedup(history, batch, hash_fn=md5_hash31)
 
 
+@query("events_approx_stats")
+def events_approx_stats(spark, sf_dir):
+    """Approximate aggregates beside their exact twins — the sketch
+    path a 100 TB deployment actually runs: HyperLogLog++ distinct
+    counts (constant memory vs a full distinct shuffle) and
+    approx_percentile (one pass, mergeable sketch, vs a full sort).
+    Exact values ride the same row, so the recorded result is
+    self-documenting about sketch error (the emb_ann_recall
+    pattern); the local suite asserts the tolerances. Both sketches
+    are deterministic (no seed), so the rows-only driver check is
+    stable. No oracle: DuckDB's approx_distinct is a different HLL
+    implementation — registers past the driver's 50-row cap."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts")
+    )
+    lat = F.col("ts").cast("double") - F.floor(F.col("ts").cast("double") / 3600) * 3600
+    return ev.select("user_id", lat.alias("in_hour_offset")).agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.countDistinct("user_id").alias("exact_users"),
+        F.percentile_approx("in_hour_offset", [0.5, 0.95, 0.99], 10000).alias(
+            "approx_pcts"
+        ),
+        F.expr(
+            "percentile(in_hour_offset, array(0.5D, 0.95D, 0.99D))"
+        ).alias("exact_pcts"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return dict(QUERIES)

@@ -31,6 +31,7 @@ def test_rows_only_queries_register_after_the_cap():
         "docs_c4_clean",
         "docs_inverted_index",
         "docs_incremental_dedup",
+        "events_approx_stats",
     }
 
 

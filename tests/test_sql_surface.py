@@ -27,3 +27,16 @@ def test_register_and_query_views(spark):
         """,
     ).count()
     assert joined > 0
+
+
+def test_approx_stats_within_tolerance(spark):
+    """HLL++ distinct and percentile sketches land within documented
+    error of the exact values computed in the same row."""
+    from irclogbot_spark.queries import queries
+
+    r = queries()["events_approx_stats"](spark, "/root/testdata/sf0.001").collect()[0]
+    assert r.n_rows > 0
+    assert abs(r.approx_users - r.exact_users) <= 0.05 * r.exact_users
+    for a, e in zip(r.approx_pcts, r.exact_pcts):
+        # percentile_approx with accuracy=10000 on this data: tight
+        assert abs(a - e) <= 0.02 * 3600
