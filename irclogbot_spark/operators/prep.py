@@ -60,8 +60,11 @@ def prep_corpus(
     # (no keep-all join) suffices: every post-gate doc has >= 2
     # tokens, so it has a stats row — one corpus scan saved.
     enough = df.filter(F.size(tokens(F.col(text_col))) >= min_tokens)
+    # families=("top",): the gate thresholds only top2gram_frac, so
+    # skip the dup-5-gram family — it would double the exploded
+    # (doc, n, gram) exchange, the gate's dominant shuffle.
     rep_ok = (
-        repetition_stats(enough, id_col=id_col, text_col=text_col)
+        repetition_stats(enough, id_col=id_col, text_col=text_col, families=("top",))
         .filter(F.col("top2gram_frac") <= max_top2gram_frac)
         .select(id_col)
     )

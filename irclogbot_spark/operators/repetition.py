@@ -55,13 +55,21 @@ def repetition_stats(
     text_col: str = "text",
     top_n: int = 2,
     dup_n: int = 5,
+    families: tuple[str, ...] = ("top", "dup"),
 ) -> DataFrame:
     """Per-doc repetition stats for docs that HAVE grams — the lean
     core (no keep-every-doc join, so one corpus scan): rows only for
     docs with >= top_n tokens. Callers that already guarantee a
     minimum token count (e.g. prep_corpus after its min-token gate)
     use this directly and save a scan; ``repetition_signals`` wraps
-    it with the keep-all join for the general case."""
+    it with the keep-all join for the general case.
+
+    ``families`` selects which signal families to compute: the
+    exploded (doc, n, gram) rows are the dominant shuffle, so a
+    caller thresholding only one family (prep_corpus gates on
+    top2gram_frac alone) passes ``("top",)`` and halves the exchange
+    volume; output columns shrink to the requested families."""
+    assert families and set(families) <= {"top", "dup"}
     # ensure_parallelism: tokenize + n-gram expansion is the dominant
     # CPU stage — don't let a single-file scan pin it to one core.
     toks = ensure_parallelism(df).select(
@@ -78,7 +86,8 @@ def repetition_stats(
             lambda g: F.struct(F.lit(n).alias("n"), g.alias("gram")),
         )
 
-    tagged = F.concat(_tag(top_n), _tag(dup_n))
+    parts = [_tag(top_n) if f == "top" else _tag(dup_n) for f in families]
+    tagged = F.concat(*parts) if len(parts) > 1 else parts[0]
     counts = (
         toks.select(F.col(id_col), F.explode(tagged).alias("x"))
         .select(id_col, F.col("x.n").alias("n"), F.col("x.gram").alias("gram"))
@@ -87,24 +96,30 @@ def repetition_stats(
     )
     mass = F.col("cnt") * F.length("gram")
     is_top, is_dup = F.col("n") == top_n, F.col("n") == dup_n
-    per_doc = counts.groupBy(id_col).agg(
-        F.sum(F.when(is_top, F.col("cnt")).otherwise(F.lit(0))).alias("n_top"),
-        F.max(F.when(is_top, mass)).alias("top_chars"),
-        F.sum(F.when(is_top, mass).otherwise(F.lit(0))).alias("top_total"),
-        F.sum(F.when(is_dup, F.col("cnt")).otherwise(F.lit(0))).alias("n_dup"),
-        F.sum(F.when(is_dup & (F.col("cnt") > 1), mass).otherwise(F.lit(0))).alias(
-            "dup_chars"
-        ),
-        F.sum(F.when(is_dup, mass).otherwise(F.lit(0))).alias("dup_total"),
-    )
-
-    return per_doc.select(
-        id_col,
-        F.col("n_top").cast("long").alias("n_top_grams"),
-        _frac("top_chars", "top_total").alias(f"top{top_n}gram_frac"),
-        F.col("n_dup").cast("long").alias("n_dup_grams"),
-        _frac("dup_chars", "dup_total").alias(f"dup{dup_n}gram_frac"),
-    )
+    aggs, cols = [], [F.col(id_col)]
+    if "top" in families:
+        aggs += [
+            F.sum(F.when(is_top, F.col("cnt")).otherwise(F.lit(0))).alias("n_top"),
+            F.max(F.when(is_top, mass)).alias("top_chars"),
+            F.sum(F.when(is_top, mass).otherwise(F.lit(0))).alias("top_total"),
+        ]
+        cols += [
+            F.col("n_top").cast("long").alias("n_top_grams"),
+            _frac("top_chars", "top_total").alias(f"top{top_n}gram_frac"),
+        ]
+    if "dup" in families:
+        aggs += [
+            F.sum(F.when(is_dup, F.col("cnt")).otherwise(F.lit(0))).alias("n_dup"),
+            F.sum(F.when(is_dup & (F.col("cnt") > 1), mass).otherwise(F.lit(0))).alias(
+                "dup_chars"
+            ),
+            F.sum(F.when(is_dup, mass).otherwise(F.lit(0))).alias("dup_total"),
+        ]
+        cols += [
+            F.col("n_dup").cast("long").alias("n_dup_grams"),
+            _frac("dup_chars", "dup_total").alias(f"dup{dup_n}gram_frac"),
+        ]
+    return counts.groupBy(id_col).agg(*aggs).select(*cols)
 
 
 def _frac(num: str, den: str):

@@ -410,3 +410,21 @@ class TestPythonReferenceParity:
             r = got[doc_id]
             assert r.n_spans == len(mine), doc_id
             assert r.n_shared_spans == len(mine & others), doc_id
+
+
+def test_repetition_single_family_matches_full(spark):
+    """families=("top",) returns exactly the top-family columns of
+    the two-family computation (prep_corpus's gate path) — and the
+    dup n-gram expansion is absent from its plan."""
+    from irclogbot_spark.operators.repetition import repetition_stats
+    from irclogbot_spark.sources.tables import load_table
+
+    d = load_table(spark, "/root/testdata/sf0.001", "documents")
+    full = {
+        r.doc_id: (r.n_top_grams, r.top2gram_frac)
+        for r in repetition_stats(d).collect()
+    }
+    top = repetition_stats(d, families=("top",))
+    assert top.columns == ["doc_id", "n_top_grams", "top2gram_frac"]
+    got = {r.doc_id: (r.n_top_grams, r.top2gram_frac) for r in top.collect()}
+    assert got == full
