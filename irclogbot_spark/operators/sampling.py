@@ -145,3 +145,39 @@ def reservoir_per_group(
         .filter(F.col("_rs_rank") <= k)
         .drop("_rs_rank")
     )
+
+
+def token_budget_cap(
+    df: DataFrame,
+    budget_tokens: int,
+    group_cols: list[str],
+    key_cols: list[str],
+    n_tokens_col: str = "n_tokens",
+    salt: str = "budget",
+    draw_fn=None,
+) -> DataFrame:
+    """Cap each group's total token mass at ``budget_tokens`` — the
+    per-source/domain budget step of corpus mixing (a 100 TB corpus
+    is never trained whole; each domain gets a token allowance).
+
+    Docs are admitted in content-hash draw order (deterministic,
+    repartition/retry-stable, uniformly random w.r.t. content) until
+    the group's RUNNING total would exceed the budget: a doc is kept
+    iff the cumulative token count through itself is <= budget. One
+    window (= one shuffle on group_cols) over rows carrying only the
+    hash + token count; no collect, no per-group loop. Skewed groups
+    cost what any window does — rows stream through the running sum.
+
+    Returns the surviving rows with their draw and cumulative-token
+    audit columns (``_bc_draw``, ``cum_tokens``)."""
+    draw = (draw_fn or _draw)(key_cols, salt)
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy("_bc_draw", *[F.col(c) for c in key_cols])
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        df.withColumn("_bc_draw", draw)
+        .withColumn("cum_tokens", F.sum(n_tokens_col).over(w))
+        .filter(F.col("cum_tokens") <= budget_tokens)
+    )

@@ -1376,6 +1376,32 @@ LEFT JOIN near nr ON nr.doc_id = b.doc_id
 ORACLES["docs_incremental_dedup"] = _incremental_dedup_sql()
 
 
+def _budget_cap_sql(budget: int = 2000) -> str:
+    """ANSI twin of queries.docs_budget_cap: same portable draw,
+    same running-sum admission order (draw, then doc_id)."""
+    draw = _portable_draw_sql("budget", "CAST(doc_id AS VARCHAR)")
+    return rf"""
+WITH t AS (
+  SELECT doc_id, source,
+    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+    {draw} AS d
+  FROM documents
+),
+c AS (
+  SELECT doc_id, source, n_tokens,
+    CAST(SUM(n_tokens) OVER (
+      PARTITION BY source ORDER BY d, doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+    ) AS BIGINT) AS cum_tokens
+  FROM t
+)
+SELECT source, doc_id, n_tokens, cum_tokens FROM c WHERE cum_tokens <= {budget}
+"""
+
+
+ORACLES["docs_budget_cap"] = _budget_cap_sql()
+
+
 def oracle_sql() -> dict[str, str]:
     out = dict(ORACLES)
     # data-dependent oracle, built lazily so the training corpus

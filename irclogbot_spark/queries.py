@@ -1326,5 +1326,26 @@ def events_approx_stats(spark, sf_dir):
     )
 
 
+@query("docs_budget_cap")
+def docs_budget_cap(spark, sf_dir):
+    """Per-source token-budget cap (operators/sampling.py
+    token_budget_cap): corpus mixing under a domain allowance —
+    admit docs per source in content-draw order until the running
+    token total hits the budget. One window shuffle on source; the
+    portable draw keeps it ANSI-checkable. Registers past the
+    driver's 50-row cap; value-checked by the local parity suite."""
+    from irclogbot_spark.operators.dedup import tokens
+    from irclogbot_spark.operators.sampling import portable_draw, token_budget_cap
+
+    d = _t(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id", "source", F.size(tokens("text")).cast("long").alias("n_tokens")
+    )
+    capped = token_budget_cap(
+        t, 2000, ["source"], ["doc_id"], draw_fn=portable_draw
+    )
+    return capped.select("source", "doc_id", "n_tokens", "cum_tokens")
+
+
 def queries() -> dict[str, QueryFn]:
     return dict(QUERIES)

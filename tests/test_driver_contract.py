@@ -32,6 +32,7 @@ def test_rows_only_queries_register_after_the_cap():
         "docs_inverted_index",
         "docs_incremental_dedup",
         "events_approx_stats",
+        "docs_budget_cap",
     }
 
 

@@ -120,3 +120,34 @@ def test_reservoir_per_group_fixed_size_and_deterministic(spark, docs):
         docs.repartition(11), ["lang"], k=5, key_cols=["doc_id"]
     )
     assert _ids(out) == _ids(again)
+
+
+def test_token_budget_cap_admission_order_and_budget(spark):
+    """Every group's cumulative total respects the budget; admission
+    is a prefix of draw order (no doc kept after a dropped one), and
+    the result is stable under repartition."""
+    from irclogbot_spark.operators.sampling import _draw, token_budget_cap
+    from pyspark.sql import functions as F
+
+    rows = [(i, "s%d" % (i % 3), 10 + (i * 7) % 30) for i in range(120)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_tokens long")
+    out = token_budget_cap(df, 200, ["source"], ["doc_id"]).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r.source, []).append(r)
+    assert set(by_src) == {"s0", "s1", "s2"}
+    for src, rs in by_src.items():
+        assert max(r.cum_tokens for r in rs) <= 200
+        assert sum(r.n_tokens for r in rs) == max(r.cum_tokens for r in rs)
+    # prefix property: kept set == the first k docs in draw order
+    full = df.withColumn("_d", _draw(["doc_id"], "budget")).collect()
+    for src in by_src:
+        order = sorted((r for r in full if r.source == src), key=lambda r: (r._d, r.doc_id))
+        kept = {r.doc_id for r in by_src[src]}
+        k = len(kept)
+        assert kept == {r.doc_id for r in order[:k]}
+    # repartition invariance
+    out2 = token_budget_cap(df.repartition(7), 200, ["source"], ["doc_id"]).collect()
+    assert {(r.doc_id, r.cum_tokens) for r in out2} == {
+        (r.doc_id, r.cum_tokens) for r in out
+    }
