@@ -49,6 +49,10 @@ HEADLINE = [
     "docs_prep_pipeline",
     "docs_prep_pipeline_fast",
     "docs_simhash_neardup",
+    "docs_c4_clean",
+    "docs_inverted_index",
+    "docs_incremental_dedup",
+    "docs_budget_cap",
     "emb_cosine_neardup",
     "emb_knn_join",
     "emb_ann_topk",
