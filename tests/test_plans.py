@@ -87,3 +87,38 @@ def test_pii_redact_map_only(spark):
     plan = _plan(spark, "docs_pii_redact")
     assert "Exchange" not in plan
     assert "Join" not in plan
+
+
+def test_c4_clean_map_only(spark):
+    """docs_c4_clean: one map-only projection — no exchange anywhere
+    (the scan is a single stage; cleaning adds no boundary)."""
+    plan = _plan(spark, "docs_c4_clean")
+    assert "Exchange" not in plan, plan
+
+
+def test_inverted_index_one_data_shuffle_with_partial_agg(spark):
+    """docs_inverted_index: exactly one hash exchange on term, with
+    partial aggregation before it, and top-k via
+    TakeOrderedAndProject (never a global sort)."""
+    plan = _plan(spark, "docs_inverted_index")
+    hashex = [l for l in plan.splitlines() if "hashpartitioning" in l]
+    assert len(hashex) == 1, hashex
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort " not in plan
+
+
+def test_incremental_dedup_no_cartesian(spark):
+    """docs_incremental_dedup: every join is keyed — no cartesian /
+    broadcast nested loop anywhere in the two-layer pipeline."""
+    plan = _plan(spark, "docs_incremental_dedup")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_budget_cap_single_window_shuffle(spark):
+    """docs_budget_cap: the only hash exchange is the window's
+    partition on source."""
+    plan = _plan(spark, "docs_budget_cap")
+    hashex = [l for l in plan.splitlines() if "hashpartitioning" in l]
+    assert len(hashex) == 1, hashex
+    assert "source" in hashex[0]
