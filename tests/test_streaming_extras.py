@@ -266,3 +266,43 @@ def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
     }
     assert want, "fixture should produce joined pairs"
     assert got == want
+
+
+def test_continuous_corpus_ingest_two_batches(spark, tmp_path):
+    """streaming/corpus.py: batch 1 seeds history; batch 2's exact
+    and near dups of batch-1 docs are flagged and NOT re-admitted;
+    history ends exactly-deduplicated."""
+    from irclogbot_spark.streaming.corpus import continuous_ingest
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    src = tmp_path / "src"
+    src.mkdir()
+    hist_dir, audit_dir = str(tmp_path / "hist"), str(tmp_path / "audit")
+
+    def run_batch(rows):
+        import json
+
+        fname = src / f"b{len(list(src.iterdir()))}.json"
+        fname.write_text(
+            "\n".join(json.dumps({"doc_id": i, "text": t}) for i, t in rows)
+        )
+        q = continuous_ingest(
+            spark.readStream.schema("doc_id long, text string").json(str(src)),
+            hist_dir,
+            audit_dir,
+            str(tmp_path / "ckpt"),
+        )
+        q.awaitTermination(120)
+
+    run_batch([(1, base), (2, "an unrelated first-batch document here present")])
+    run_batch([(11, base), (12, base + " lambda"), (13, "a fresh unseen doc")])
+
+    audit = {
+        r.doc_id: r.verdict
+        for r in spark.read.parquet(audit_dir).filter(F.col("batch_id") > 0).collect()
+    }
+    assert audit[11] == "exact_dup_history"
+    assert audit[12] == "near_dup_history"
+    assert audit[13] == "new"
+    hist_ids = {r.doc_id for r in spark.read.parquet(hist_dir).collect()}
+    assert hist_ids == {1, 2, 13}
