@@ -1401,6 +1401,22 @@ SELECT source, doc_id, n_tokens, cum_tokens FROM c WHERE cum_tokens <= {budget}
 
 ORACLES["docs_budget_cap"] = _budget_cap_sql()
 
+ORACLES["tpch_q18_big_orders"] = f"""
+WITH big AS (
+  SELECT l_orderkey FROM lineitem
+  GROUP BY l_orderkey
+  HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 150
+)
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+  {dsum("l_quantity")} AS sum_qty
+FROM orders
+SEMI JOIN big ON orders.o_orderkey = big.l_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN lineitem ON o_orderkey = lineitem.l_orderkey
+GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+ORDER BY o_totalprice DESC, o_orderdate, o_orderkey LIMIT 10
+"""
+
 
 def oracle_sql() -> dict[str, str]:
     out = dict(ORACLES)

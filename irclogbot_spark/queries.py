@@ -1347,5 +1347,34 @@ def docs_budget_cap(spark, sf_dir):
     return capped.select("source", "doc_id", "n_tokens", "cum_tokens")
 
 
+@query("tpch_q18_big_orders")
+def tpch_q18_big_orders(spark, sf_dir):
+    """TPC-H Q18 shape: semi-join on a HAVING aggregate (orders whose
+    total quantity exceeds a threshold), then re-join lineitem for
+    the per-order sum — the one classic relational shape the suite
+    lacked. The qualifying-orders aggregate is its own shuffle on
+    l_orderkey; the semi join and the final join reuse that key, and
+    top-k compiles to TakeOrderedAndProject. Registers past the
+    driver's 50-row cap; value-checked by the local parity suite."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    cu = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(12,2)")).alias("q"))
+        .filter(F.col("q") > 150)
+        .select("l_orderkey")
+    )
+    return (
+        o.join(big, o.o_orderkey == big.l_orderkey, "left_semi")
+        .join(cu, F.col("o_custkey") == F.col("c_custkey"))
+        .join(li, F.col("o_orderkey") == li.l_orderkey)
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(dsum("l_quantity").alias("sum_qty"))
+        .orderBy(F.desc("o_totalprice"), "o_orderdate", "o_orderkey")
+        .limit(10)
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return dict(QUERIES)

@@ -73,3 +73,56 @@ def test_composable_column_form(spark):
     )
     out = df.select(F.size(clean_lines_col("text")).alias("n")).collect()[0]
     assert out.n == 1
+
+
+def test_cleaning_matches_imperative_reference_on_random_corpus(spark):
+    """Independent Python reimplementation of the C4 rules over a
+    seeded random multi-line corpus — independent of both the Spark
+    formulation and the SQL oracle."""
+    import random
+    import re
+
+    rng = random.Random(21)
+    frag = [
+        "A good sentence with plenty of words here.",
+        "no punct line with words",
+        "Tiny.",
+        "Enable javascript now please people.",
+        "lorem ipsum is Lorem Ipsum filler text.",
+        "code { brace } line.",
+        "  Indented but proper sentence stands here.  ",
+        'Quoted ending works fine he said."',
+        "Question form also survives doesn't it?",
+        "",
+    ]
+    rows = [
+        (i, "\n".join(rng.choice(frag) for _ in range(rng.randint(1, 8))))
+        for i in range(80)
+    ]
+
+    def py_clean(text):
+        kept = []
+        for line in text.split("\n"):
+            l = line.strip(" ")
+            low = l.lower()
+            if (
+                re.search(r'[.!?"]$', l)
+                and len(re.findall(r"\S+", l)) >= 3
+                and "javascript" not in low
+                and "lorem ipsum" not in low
+                and "{" not in l
+            ):
+                kept.append(l)
+        return kept
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    from irclogbot_spark.operators.cleaning import clean_corpus
+
+    got = {r.doc_id: r for r in clean_corpus(df).collect()}
+    for i, text in rows:
+        kept = py_clean(text)
+        r = got[i]
+        assert r.n_lines == len(text.split("\n"))
+        assert r.n_kept_lines == len(kept)
+        assert r.clean_text == "\n".join(kept)
+        assert r.doc_kept == (1 if kept else 0)

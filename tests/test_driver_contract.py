@@ -33,6 +33,7 @@ def test_rows_only_queries_register_after_the_cap():
         "docs_incremental_dedup",
         "events_approx_stats",
         "docs_budget_cap",
+        "tpch_q18_big_orders",
     }
 
 

@@ -151,3 +151,44 @@ def test_token_budget_cap_admission_order_and_budget(spark):
     assert {(r.doc_id, r.cum_tokens) for r in out2} == {
         (r.doc_id, r.cum_tokens) for r in out
     }
+
+
+def test_budget_cap_matches_imperative_reference(spark):
+    """Independent cumsum-over-sorted-draws reimplementation."""
+    import hashlib
+    import random
+
+    rng = random.Random(5)
+    rows = [
+        (i, rng.choice(["a", "b"]), rng.randint(1, 50)) for i in range(150)
+    ]
+    from irclogbot_spark.operators.sampling import portable_draw, token_budget_cap
+
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_tokens long")
+    got = {
+        r.doc_id: r.cum_tokens
+        for r in token_budget_cap(
+            df, 300, ["source"], ["doc_id"], draw_fn=portable_draw
+        ).collect()
+    }
+
+    def draw(doc_id):
+        h = hashlib.md5(f"budget\x1f{doc_id}".encode()).hexdigest()
+        return int(h[:15], 16) % 1000000
+
+    want = {}
+    for src in ("a", "b"):
+        cum = 0
+        for i, s, n in sorted(
+            (r for r in rows if r[1] == src), key=lambda r: (draw(r[0]), r[0])
+        ):
+            if cum + n <= 300:
+                cum += n
+                want[i] = cum
+            # NOTE: admission is cumulative-prefix, not knapsack — a
+            # doc that overflows stops nothing; later smaller docs
+            # are STILL excluded iff their running total exceeds the
+            # budget. Mirror the operator: cum keeps growing.
+            else:
+                cum += n
+    assert got == want
