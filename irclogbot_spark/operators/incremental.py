@@ -65,6 +65,11 @@ def _banded(
     """(id, band_idx, band_sig) rows — the banded signature index.
     Shingle-less docs (< n tokens) are excluded (their signature
     lanes would be the sentinel)."""
+    if num_perm % bands != 0:
+        # same invariant minhash_lsh (dedup.py) enforces: a
+        # non-divisible combination would silently drop the trailing
+        # signature lanes and degrade recall with no error
+        raise ValueError(f"num_perm={num_perm} must be divisible by bands={bands}")
     rows = num_perm // bands
     eligible = ensure_parallelism(df).filter(F.size(tokens(text_col)) >= n)
     sigd = eligible.select(

@@ -69,7 +69,17 @@ def repetition_stats(
     caller thresholding only one family (prep_corpus gates on
     top2gram_frac alone) passes ``("top",)`` and halves the exchange
     volume; output columns shrink to the requested families."""
-    assert families and set(families) <= {"top", "dup"}
+    # explicit validation (not assert: must survive python -O), and a
+    # set comparison alone would accept ("top", "top"), which concat-tags
+    # the same n-gram family twice and doubles n_top_grams
+    if (
+        not families
+        or len(set(families)) != len(families)
+        or not set(families) <= {"top", "dup"}
+    ):
+        raise ValueError(
+            f"families must be a non-repeating subset of ('top', 'dup'); got {families!r}"
+        )
     # ensure_parallelism: tokenize + n-gram expansion is the dominant
     # CPU stage — don't let a single-file scan pin it to one core.
     toks = ensure_parallelism(df).select(

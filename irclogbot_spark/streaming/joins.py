@@ -36,7 +36,20 @@ def interval_join(
     left_time + lookahead] per key. Columns are disambiguated with
     ``l_``/``r_`` prefixes (stream-stream joins forbid referencing
     ambiguous columns post-join, so renaming up front is the usable
-    surface)."""
+    surface). Inputs whose payload columns would collide with the
+    reserved ``l_key``/``l_ts``/``r_key``/``r_ts`` names (e.g. a
+    column literally named ``key``) are rejected with a clear error
+    instead of surfacing as a duplicate column downstream."""
+    for side, df, tcol in (("l", left, left_time), ("r", right, right_time)):
+        out_names = [f"{side}_key", f"{side}_ts"] + [
+            f"{side}_{c}" for c in df.columns if c not in (on, tcol)
+        ]
+        if len(set(out_names)) != len(out_names):
+            dupes = sorted({n for n in out_names if out_names.count(n) > 1})
+            raise ValueError(
+                f"interval_join: {side}-side column(s) collide with the "
+                f"prefixed output names {dupes}; rename the input column(s)"
+            )
     l = left.select(
         F.col(on).alias("l_key"),
         F.col(left_time).alias("l_ts"),

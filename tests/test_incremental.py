@@ -88,3 +88,12 @@ def test_exact_dup_beats_near_dup(spark):
     batch = spark.createDataFrame([(11, BASE)], "doc_id long, text string")
     v = _verdicts(incremental_dedup(hist, batch))
     assert v[11] == ("exact_dup_history", 1, None)
+
+
+def test_banded_rejects_non_divisible_bands(spark, frames):
+    """num_perm % bands != 0 would silently drop trailing signature
+    lanes (recall loss, no error) — rejected loudly, matching the
+    minhash_lsh invariant (ADVICE r3)."""
+    hist, batch = frames
+    with pytest.raises(ValueError, match="divisible"):
+        incremental_dedup(hist, batch, num_perm=32, bands=7).collect()

@@ -428,3 +428,17 @@ def test_repetition_single_family_matches_full(spark):
     assert top.columns == ["doc_id", "n_top_grams", "top2gram_frac"]
     got = {r.doc_id: (r.n_top_grams, r.top2gram_frac) for r in top.collect()}
     assert got == full
+
+
+def test_repetition_rejects_bad_families(spark):
+    """Invalid families fail loudly: duplicates (which would double
+    n_top_grams), unknown names, and empty — explicit raise, not a
+    vanishing-under-python-O assert (ADVICE r3)."""
+    import pytest
+
+    from irclogbot_spark.operators.repetition import repetition_stats
+
+    d = spark.createDataFrame([(1, "a b c d e f")], "doc_id long, text string")
+    for bad in [("top", "top"), ("bogus",), (), ("top", "dup", "dup")]:
+        with pytest.raises(ValueError, match="families"):
+            repetition_stats(d, families=bad)

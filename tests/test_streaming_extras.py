@@ -306,3 +306,42 @@ def test_continuous_corpus_ingest_two_batches(spark, tmp_path):
     assert audit[13] == "new"
     hist_ids = {r.doc_id for r in spark.read.parquet(hist_dir).collect()}
     assert hist_ids == {1, 2, 13}
+
+
+def test_interval_join_rejects_colliding_columns(spark):
+    """A payload column literally named 'key' would alias to l_key and
+    collide with the join key's reserved name — rejected up front with
+    a clear error (ADVICE r3) instead of an ambiguous-reference
+    failure downstream."""
+    import pytest
+
+    from irclogbot_spark.streaming.joins import interval_join
+
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", "x")], "user_id long, ts string, key string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    right = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00")], "user_id long, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    with pytest.raises(ValueError, match="l_key"):
+        interval_join(left, right, on="user_id")
+    with pytest.raises(ValueError, match="r_key"):
+        interval_join(right, left, on="user_id")
+
+
+def test_interval_join_rejects_ts_collision(spark):
+    """A column named 'ts' alongside a differently-named time column
+    would alias to l_ts — also rejected."""
+    import pytest
+
+    from irclogbot_spark.streaming.joins import interval_join
+
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", "2024-01-01 00:00:01")],
+        "user_id long, event_time string, ts string",
+    ).withColumn("event_time", F.col("event_time").cast("timestamp"))
+    right = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00")], "user_id long, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    with pytest.raises(ValueError, match="l_ts"):
+        interval_join(left, right, on="user_id", left_time="event_time")
