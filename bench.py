@@ -43,6 +43,8 @@ HEADLINE = [
     "docs_token_stats",
     "docs_minhash_neardup",
     "docs_minhash_lsh",
+    "docs_neardup_clusters",
+    "docs_dedup_pipeline",
     "docs_decontaminate",
     "docs_lm_score",
     "docs_crossdup",
@@ -112,10 +114,15 @@ def main() -> None:
     if os.path.isdir(warm_dir):
         _run(qs, spark, HEADLINE, warm_dir)
 
-    small = _run(qs, spark, HEADLINE, SMALL_DIR) if os.path.isdir(SMALL_DIR) else {}
-    # steady-state warm at the measured SF: one-time per-dir costs
-    # (IVF centroid training, first-shape codegen) land here instead
-    # of skewing a timed pass's max
+    # warm EVERY measured dir before timing it (VERDICT r3 #3: the
+    # sf0.01 pass used to be the first visit to SMALL_DIR, so one-time
+    # per-dir costs — IVF centroid training, first-shape codegen —
+    # polluted its numbers: emb_ivf_topk recorded ~10.8 s of which
+    # ~8.6 s was training)
+    small = {}
+    if os.path.isdir(SMALL_DIR):
+        _run(qs, spark, HEADLINE, SMALL_DIR)
+        small = _run(qs, spark, HEADLINE, SMALL_DIR)
     _run(qs, spark, HEADLINE, SF_DIR)
     times = _run(qs, spark, HEADLINE, SF_DIR, passes=3)
 
@@ -123,6 +130,21 @@ def main() -> None:
     cached = _run(qs, spark, IRCLOG_QUERIES, SF_DIR)
     synth.uncache_irclog()
 
+    # full detail to a file (and stderr for humans); the driver's tail
+    # capture parses the FINAL stdout line, which round 3 proved must
+    # stay compact (VERDICT r3 #1: the all-in-one line outgrew the
+    # capture and recorded as parsed: null)
+    detail = {
+        "queries_minmax": _SPREAD,
+        "queries_small": small,
+        "sf_small": _sf_of(SMALL_DIR),
+        "queries_cached_irclog": cached,
+        "cpus": int(CPUS),
+    }
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_DETAIL.json"), "w") as f:
+        json.dump(detail, f, indent=1, sort_keys=True)
+    print(json.dumps(detail), file=sys.stderr)
     print(
         json.dumps(
             {
@@ -130,11 +152,7 @@ def main() -> None:
                 "value": round(sum(times.values()), 3),
                 "unit": "sec",
                 "queries": times,
-                "queries_minmax": _SPREAD,
                 "sf": _sf_of(SF_DIR),
-                "queries_small": small,
-                "sf_small": _sf_of(SMALL_DIR),
-                "queries_cached_irclog": cached,
             }
         )
     )
