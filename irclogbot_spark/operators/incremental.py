@@ -3,31 +3,46 @@ already-ingested HISTORY (north-star extension).
 
 A production training-data pipeline never re-dedups the whole corpus
 when a crawl lands; it checks the new batch against the accumulated
-index. This operator implements that shape end to end:
+index. Round 4 makes that index a first-class, persistable artifact:
+
+* ``fingerprint_index(df)``  -> (fp, doc_id)            — exact layer
+* ``band_index(df, ...)``    -> (doc_id, band_idx, band_sig) — near layer
+* ``dedup_against_index(batch, fp_index, band_index, history_text)``
+  — verdicts the batch by PROBING the two indexes; history TEXT is
+  touched only to verify near-dup candidates (left-semi pruned to
+  candidate ids). Nothing re-derives fingerprints or MinHash
+  signatures from history text.
+* ``incremental_dedup(history, batch)`` — the one-shot form: builds
+  the two indexes from the history frame and delegates. Output and
+  semantics unchanged from rounds 2-3 (same oracle).
+
+Verdict classes:
 
 1. **Exact layer** — md5 content fingerprints. Batch docs whose
-   fingerprint exists in history are `exact_dup_history`; among the
+   fingerprint exists in the index are `exact_dup_history`; among the
    remainder, non-first copies of a fingerprint within the batch are
    `exact_dup_batch` (keep-smallest-id, same convention as
    dedup.dedup_corpus).
 2. **Near layer** — MinHash signatures (operators/dedup.py
-   machinery) for the exact-survivors and for history, banded; the
-   ONLY pair join is batch-bands x history-bands: new data probes
-   the historical banded index, history never self-joins. Candidates
-   are verified with exact Jaccard over hashed shingle sets
-   (candidate ids only, both sides left-semi pruned). Matches are
-   `near_dup_history` with the smallest-id partner and its exact
-   Jaccard.
-3. Everything else is `new`.
+   machinery) for the exact-survivors, banded; the ONLY pair join is
+   batch-bands x index-bands: new data probes the banded index,
+   history never self-joins. Candidates are verified with exact
+   Jaccard over hashed shingle sets (candidate ids only, both sides
+   left-semi pruned). Matches are `near_dup_history` with the
+   smallest-id partner and its exact Jaccard.
+3. With ``within_batch=True``, exact-survivors are additionally
+   banded against EACH OTHER; a doc with a verified >= threshold
+   partner of smaller id is `near_dup_batch` (pairwise smaller-id
+   rule — full transitive clustering stays dedup.dedup_corpus's job).
+4. Everything else is `new`.
 
-At 100 TB: the fingerprint index and the banded signature index are
-exactly the two tables a deployment materializes once and appends
-per batch — both joins here hash on the index key with the new batch
-(small side) driving, so incremental cost scales with the batch, not
-the corpus. Within-batch NEAR-dups are deliberately out of scope
-(the full-corpus pass — dedup.dedup_corpus — owns that); the exact
-layer does handle within-batch copies since they are free on the
-fingerprint shuffle.
+At 100 TB: the fingerprint index (~24 bytes/doc) and the band index
+are append-only side tables a deployment materializes once and
+appends per admitted batch (streaming/corpus.py does exactly this).
+Probing is a map-side scan of the narrow index joined against the
+small batch side — no shuffle of the index, no re-hash of history
+text; per-batch cost = O(index scan) + O(batch), with history text
+read only for candidate verification.
 
 Reference scope note: the irclogbot reference's whole dedup story is
 the content-keyed idempotent upsert (SURVEY §2D H2/H3) — this module
@@ -52,19 +67,29 @@ def content_fp(text_col: str = "text") -> Column:
     return F.md5(F.col(text_col).cast("binary"))
 
 
-def _banded(
-    df: DataFrame,
-    id_col: str,
-    text_col: str,
-    num_perm: int,
-    bands: int,
-    n: int,
-    seed: int,
-    hash_fn,
+def fingerprint_index(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
-    """(id, band_idx, band_sig) rows — the banded signature index.
-    Shingle-less docs (< n tokens) are excluded (their signature
-    lanes would be the sentinel)."""
+    """(fp, doc_id) — the exact-layer index rows for ``df``. For a
+    deduplicated history the fp values are unique; the probe in
+    ``dedup_against_index`` still min-aggregates matches, so an index
+    with duplicate fps (or replay-duplicated rows) stays correct."""
+    return df.select(content_fp(text_col).alias("fp"), F.col(id_col))
+
+
+def band_index(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 32,
+    bands: int = 16,
+    n: int = 5,
+    seed: int = 42,
+    hash_fn=None,
+) -> DataFrame:
+    """(id, band_idx, band_sig) rows — the banded MinHash signature
+    index. Shingle-less docs (< n tokens) are excluded (their
+    signature lanes would be the sentinel)."""
     if num_perm % bands != 0:
         # same invariant minhash_lsh (dedup.py) enforces: a
         # non-divisible combination would silently drop the trailing
@@ -92,9 +117,15 @@ def _banded(
     ).select(F.col(id_col), F.col("bk.band_idx"), F.col("bk.band_sig"))
 
 
-def incremental_dedup(
-    history: DataFrame,
+def _ckpt(df: DataFrame, materialize: bool) -> DataFrame:
+    return df.localCheckpoint(eager=True) if materialize else df
+
+
+def dedup_against_index(
     batch: DataFrame,
+    fp_index: DataFrame,
+    band_index_df: DataFrame,
+    history_text: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     num_perm: int = 32,
@@ -104,23 +135,39 @@ def incremental_dedup(
     seed: int = 42,
     hash_fn=None,
     max_bucket: int = 1000,
+    within_batch: bool = False,
+    materialize: bool = True,
 ) -> DataFrame:
     """One row per batch doc: (id, verdict, dup_of, jaccard).
 
     verdict ∈ {exact_dup_history, exact_dup_batch, near_dup_history,
-    new}; dup_of is the smallest-id duplicate partner (NULL for new);
-    jaccard is the partner's exact Jaccard for the near verdict, NULL
-    otherwise. History buckets larger than ``max_bucket`` are skipped
-    (degenerate-hash skew guard, same rationale as _bucket_pairs)."""
+    near_dup_batch (opt-in), new}; dup_of is the smallest-id duplicate
+    partner (NULL for new); jaccard is the partner's exact Jaccard for
+    the near verdicts, NULL otherwise.
+
+    ``fp_index``/``band_index_df`` must carry the schemas produced by
+    :func:`fingerprint_index` / :func:`band_index` with the SAME
+    (num_perm, bands, n, seed, hash_fn); ``history_text`` is the
+    (id, text) corpus, read ONLY to verify candidates. Index buckets
+    larger than ``max_bucket`` distinct history docs are skipped
+    (degenerate-hash skew guard, same rationale as _bucket_pairs) —
+    measured on the PROBED buckets only, so no index-wide groupBy.
+
+    ``materialize=False`` skips the eager localCheckpoints so the full
+    lazy plan stays inspectable (plan-shape tests); production keeps
+    the default to evaluate the multiply-consumed frames once.
+    """
     keys = ["band_idx", "band_sig"]
 
-    # ---- exact layer ----------------------------------------------------
+    # ---- exact layer: probe the fingerprint index -----------------------
+    bfp = batch.select(F.col(id_col), content_fp(text_col).alias("fp"))
+    # join-then-aggregate: only MATCHED index rows reach the groupBy,
+    # so the index itself is never shuffled (vs. grouping all of it)
     hfp = (
-        history.select(content_fp(text_col).alias("fp"), F.col(id_col))
+        fp_index.join(bfp.select("fp").distinct(), "fp")
         .groupBy("fp")
         .agg(F.min(id_col).alias("hist_dup_of"))
     )
-    bfp = batch.select(F.col(id_col), content_fp(text_col).alias("fp"))
     exact_hist = bfp.join(hfp, "fp").select(id_col, "hist_dup_of")
     rem = bfp.join(hfp, "fp", "left_anti")
     w = Window.partitionBy("fp")
@@ -132,52 +179,92 @@ def incremental_dedup(
         rem.filter(F.col(id_col) == F.col("keep_id")).select(id_col), id_col, "left_semi"
     )
 
-    # ---- near layer: batch survivors probe the history band index -------
-    bh = _banded(history, id_col, text_col, num_perm, bands, n, seed, hash_fn)
-    bsz = bh.groupBy(*keys).agg(F.count(F.lit(1)).alias("nb"))
-    bh_capped = bh.join(bsz.filter(F.col("nb") <= max_bucket).select(*keys), keys, "left_semi")
-    bb = _banded(survivors, id_col, text_col, num_perm, bands, n, seed, hash_fn)
-    cand = (
+    # ---- near layer: batch survivors probe the band index ---------------
+    bb = band_index(survivors, id_col, text_col, num_perm, bands, n, seed, hash_fn)
+    joined = _ckpt(
         bb.alias("b")
-        .join(bh_capped.alias("h"), keys)
+        .join(band_index_df.alias("h"), keys)
         .select(
-            F.col(f"b.{id_col}").alias("bid"), F.col(f"h.{id_col}").alias("hid")
+            *keys,
+            F.col(f"b.{id_col}").alias("bid"),
+            F.col(f"h.{id_col}").alias("hid"),
         )
-        .distinct()
-        .localCheckpoint(eager=True)
+        .distinct(),  # also collapses replay-duplicated index rows
+        materialize,
     )
+    # bucket-size cap over PROBED buckets: every history doc in a
+    # probed bucket appears in `joined`, so countDistinct(hid) there
+    # equals the full history bucket size — same cap semantics as the
+    # r2/r3 index-wide count, without touching unprobed buckets
+    bsz = joined.groupBy(*keys).agg(F.countDistinct("hid").alias("nb"))
+    cand = (
+        joined.join(bsz.filter(F.col("nb") <= max_bucket).select(*keys), keys, "left_semi")
+        .select("bid", "hid")
+        .distinct()
+    )
+
+    wb = None
+    if within_batch:
+        # survivors band against each other; larger id is the
+        # potential dup, smaller the partner (keep-smallest-id)
+        bbsz = bb.groupBy(*keys).agg(F.countDistinct(id_col).alias("nb"))
+        bb_capped = bb.join(
+            bbsz.filter(F.col("nb") <= max_bucket).select(*keys), keys, "left_semi"
+        )
+        wb = (
+            bb_capped.alias("x")
+            .join(bb_capped.alias("y"), keys)
+            .filter(F.col(f"x.{id_col}") < F.col(f"y.{id_col}"))
+            .select(
+                F.col(f"y.{id_col}").alias("bid"),
+                F.col(f"x.{id_col}").alias("partner"),
+            )
+            .distinct()
+        )
+        wb = _ckpt(wb, materialize)
+
+    # ---- candidate verification: exact Jaccard on candidate ids only ----
     need_ids = cand.select(F.col("bid").alias(id_col)).union(
         cand.select(F.col("hid").alias(id_col))
-    ).distinct()
-    corpus = history.select(id_col, text_col).unionByName(
+    )
+    if wb is not None:
+        need_ids = need_ids.union(wb.select(F.col("bid").alias(id_col))).union(
+            wb.select(F.col("partner").alias(id_col))
+        )
+    need_ids = need_ids.distinct()
+    corpus = history_text.select(id_col, text_col).unionByName(
         batch.select(id_col, text_col)
     )
-    sets = (
+    sets = _ckpt(
         ensure_parallelism(corpus)
         .join(need_ids, id_col, "left_semi")
         .select(
             F.col(id_col),
             F.array_distinct(hashed_shingles(text_col, n, hash_fn)).alias("sh"),
-        )
-        .localCheckpoint(eager=True)
+        ),
+        materialize,
     )
     inter = F.size(F.array_intersect(F.col("s1.sh"), F.col("s2.sh")))
     union = F.size(F.col("s1.sh")) + F.size(F.col("s2.sh")) - inter
     jac = inter.cast("double") / union
-    near_pairs = (
-        cand.join(sets.alias("s1"), F.col("bid") == F.col(f"s1.{id_col}"))
-        .join(sets.alias("s2"), F.col("hid") == F.col(f"s2.{id_col}"))
-        .select("bid", "hid", jac.alias("jaccard"))
-        .filter(F.col("jaccard") >= threshold)
-    )
-    # smallest-id partner, deterministically carrying ITS jaccard
-    near = near_pairs.groupBy("bid").agg(
-        F.min(F.struct(F.col("hid"), F.col("jaccard"))).alias("m")
-    ).select(
-        F.col("bid").alias(id_col),
-        F.col("m.hid").alias("near_dup_of"),
-        F.col("m.jaccard").alias("near_jaccard"),
-    )
+
+    def _verified(pairs: DataFrame, partner_col: str, out_of: str, out_j: str) -> DataFrame:
+        scored = (
+            pairs.join(sets.alias("s1"), F.col("bid") == F.col(f"s1.{id_col}"))
+            .join(sets.alias("s2"), F.col(partner_col) == F.col(f"s2.{id_col}"))
+            .select("bid", partner_col, jac.alias("jaccard"))
+            .filter(F.col("jaccard") >= threshold)
+        )
+        # smallest-id partner, deterministically carrying ITS jaccard
+        return scored.groupBy("bid").agg(
+            F.min(F.struct(F.col(partner_col), F.col("jaccard"))).alias("m")
+        ).select(
+            F.col("bid").alias(id_col),
+            F.col(f"m.{partner_col}").alias(out_of),
+            F.col("m.jaccard").alias(out_j),
+        )
+
+    near = _verified(cand, "hid", "near_dup_of", "near_jaccard")
 
     # ---- assemble -------------------------------------------------------
     out = (
@@ -190,12 +277,66 @@ def incremental_dedup(
         F.when(F.col("hist_dup_of").isNotNull(), F.lit("exact_dup_history"))
         .when(F.col("batch_dup_of").isNotNull(), F.lit("exact_dup_batch"))
         .when(F.col("near_dup_of").isNotNull(), F.lit("near_dup_history"))
-        .otherwise(F.lit("new"))
     )
+    partners = ["hist_dup_of", "batch_dup_of", "near_dup_of"]
+    if wb is not None:
+        near_b = _verified(wb, "partner", "wb_dup_of", "wb_jaccard")
+        out = out.join(near_b, id_col, "left")
+        verdict = verdict.when(
+            F.col("wb_dup_of").isNotNull(), F.lit("near_dup_batch")
+        )
+        partners.append("wb_dup_of")
+    verdict = verdict.otherwise(F.lit("new"))
+    no_exact = F.col("hist_dup_of").isNull() & F.col("batch_dup_of").isNull()
+    jaccard_out = F.when(
+        F.col("near_dup_of").isNotNull() & no_exact, F.col("near_jaccard")
+    )
+    if wb is not None:
+        jaccard_out = F.when(
+            F.col("near_dup_of").isNotNull() & no_exact, F.col("near_jaccard")
+        ).when(
+            F.col("wb_dup_of").isNotNull() & no_exact & F.col("near_dup_of").isNull(),
+            F.col("wb_jaccard"),
+        )
     return out.select(
         id_col,
         verdict.alias("verdict"),
-        F.coalesce("hist_dup_of", "batch_dup_of", "near_dup_of").alias("dup_of"),
-        F.when(F.col("near_dup_of").isNotNull() & F.col("hist_dup_of").isNull()
-               & F.col("batch_dup_of").isNull(), F.col("near_jaccard")).alias("jaccard"),
+        F.coalesce(*partners).alias("dup_of"),
+        jaccard_out.alias("jaccard"),
+    )
+
+
+def incremental_dedup(
+    history: DataFrame,
+    batch: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 32,
+    bands: int = 16,
+    n: int = 5,
+    threshold: float = 0.8,
+    seed: int = 42,
+    hash_fn=None,
+    max_bucket: int = 1000,
+    within_batch: bool = False,
+) -> DataFrame:
+    """One-shot batch-vs-history dedup: derives the fingerprint and
+    band indexes from ``history`` and probes them. Deployments that
+    ingest continuously persist those indexes instead and call
+    :func:`dedup_against_index` directly (streaming/corpus.py)."""
+    return dedup_against_index(
+        batch,
+        fingerprint_index(history, id_col, text_col),
+        band_index(history, id_col, text_col, num_perm, bands, n, seed, hash_fn),
+        history.select(id_col, text_col),
+        id_col=id_col,
+        text_col=text_col,
+        num_perm=num_perm,
+        bands=bands,
+        n=n,
+        threshold=threshold,
+        seed=seed,
+        hash_fn=hash_fn,
+        max_bucket=max_bucket,
+        within_batch=within_batch,
     )

@@ -97,3 +97,40 @@ def test_banded_rejects_non_divisible_bands(spark, frames):
     hist, batch = frames
     with pytest.raises(ValueError, match="divisible"):
         incremental_dedup(hist, batch, num_perm=32, bands=7).collect()
+
+
+def test_within_batch_near_dup_opt_in(spark):
+    """VERDICT r3 #5: with within_batch=True, two near-dup docs
+    arriving in the SAME batch are caught — the larger id is
+    near_dup_batch of the smaller, so only one would be admitted.
+    Default (off) keeps the r2/r3 semantics: both are 'new'."""
+    hist = spark.createDataFrame(
+        [(1, "completely different historical text about spark engines here")],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [(21, BASE), (22, BASE + " lambda"), (23, "an unrelated batch doc here")],
+        "doc_id long, text string",
+    )
+    off = _verdicts(incremental_dedup(hist, batch, threshold=0.8))
+    assert off[21][0] == "new" and off[22][0] == "new"
+
+    on = _verdicts(incremental_dedup(hist, batch, threshold=0.8, within_batch=True))
+    assert on[21][0] == "new"  # smallest id of the near-dup pair survives
+    assert on[22][0] == "near_dup_batch" and on[22][1] == 21
+    assert on[22][2] == pytest.approx(6 / 7)
+    assert on[23][0] == "new"
+
+
+def test_within_batch_history_verdict_wins(spark):
+    """A doc that is a near dup of BOTH history and a smaller-id
+    batch doc reports near_dup_history (history is authoritative);
+    exact verdicts still beat both near classes."""
+    hist = spark.createDataFrame([(1, BASE)], "doc_id long, text string")
+    batch = spark.createDataFrame(
+        [(21, BASE + " lambda"), (22, BASE + " lambda mu")],
+        "doc_id long, text string",
+    )
+    v = _verdicts(incremental_dedup(hist, batch, threshold=0.7, within_batch=True))
+    assert v[21][0] == "near_dup_history" and v[21][1] == 1
+    assert v[22][0] == "near_dup_history" and v[22][1] == 1
