@@ -268,16 +268,17 @@ def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
     assert got == want
 
 
-def test_continuous_corpus_ingest_two_batches(spark, tmp_path):
-    """streaming/corpus.py: batch 1 seeds history; batch 2's exact
-    and near dups of batch-1 docs are flagged and NOT re-admitted;
-    history ends exactly-deduplicated."""
+BASE_DOC = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+
+
+def _corpus_writer(spark, tmp_path):
+    """(run_batch, corpus_dir): feed one micro-batch of docs through
+    continuous_ingest against a shared checkpoint."""
     from irclogbot_spark.streaming.corpus import continuous_ingest
 
-    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
     src = tmp_path / "src"
     src.mkdir()
-    hist_dir, audit_dir = str(tmp_path / "hist"), str(tmp_path / "audit")
+    corpus_dir = str(tmp_path / "corpus")
 
     def run_batch(rows):
         import json
@@ -288,24 +289,149 @@ def test_continuous_corpus_ingest_two_batches(spark, tmp_path):
         )
         q = continuous_ingest(
             spark.readStream.schema("doc_id long, text string").json(str(src)),
-            hist_dir,
-            audit_dir,
+            corpus_dir,
             str(tmp_path / "ckpt"),
         )
         q.awaitTermination(120)
 
-    run_batch([(1, base), (2, "an unrelated first-batch document here present")])
-    run_batch([(11, base), (12, base + " lambda"), (13, "a fresh unseen doc")])
+    return run_batch, corpus_dir
+
+
+def test_continuous_corpus_ingest_two_batches(spark, tmp_path):
+    """streaming/corpus.py: batch 1 seeds history + index tables;
+    batch 2's exact and near dups of batch-1 docs are flagged and NOT
+    re-admitted; within-batch near-dups collapse to one admission;
+    history ends exactly-deduplicated and the index tables track it."""
+    run_batch, corpus_dir = _corpus_writer(spark, tmp_path)
+
+    run_batch([(1, BASE_DOC), (2, "an unrelated first-batch document here present")])
+    run_batch(
+        [
+            (11, BASE_DOC),
+            (12, BASE_DOC + " lambda"),
+            (13, "a fresh unseen doc with plenty of distinct tokens inside"),
+            (14, "a fresh unseen doc with plenty of distinct tokens inside today"),
+        ]
+    )
 
     audit = {
-        r.doc_id: r.verdict
-        for r in spark.read.parquet(audit_dir).filter(F.col("batch_id") > 0).collect()
+        r.doc_id: (r.verdict, r.dup_of)
+        for r in spark.read.parquet(f"{corpus_dir}/audit")
+        .filter(F.col("batch_id") > 0)
+        .collect()
     }
-    assert audit[11] == "exact_dup_history"
-    assert audit[12] == "near_dup_history"
-    assert audit[13] == "new"
-    hist_ids = {r.doc_id for r in spark.read.parquet(hist_dir).collect()}
-    assert hist_ids == {1, 2, 13}
+    assert audit[11] == ("exact_dup_history", 1)
+    assert audit[12] == ("near_dup_history", 1)
+    assert audit[13][0] == "new"
+    assert audit[14] == ("near_dup_batch", 13)  # same-batch near-dup caught
+    hist = spark.read.parquet(f"{corpus_dir}/history")
+    assert {r.doc_id for r in hist.collect()} == {1, 2, 13}
+    # the index tables cover exactly the admitted docs
+    fp_ids = {r.doc_id for r in spark.read.parquet(f"{corpus_dir}/fp_index").collect()}
+    assert fp_ids == {1, 2, 13}
+    bd_ids = {r.doc_id for r in spark.read.parquet(f"{corpus_dir}/band_index").collect()}
+    assert bd_ids == {1, 2, 13}
+
+
+def test_corpus_probe_plan_never_rehashes_history(spark, tmp_path):
+    """VERDICT r3 #1 done-criterion: the batch-N verdict plan derives
+    fingerprints and MinHash signatures from the PERSISTED index
+    tables — nowhere in the plan is an md5 fingerprint or a MinHash
+    fold (zip_with) computed over the history relation's own text
+    column. History text feeds only the candidate-verification shingle
+    projection (above its left-semi candidate prune)."""
+    import re
+
+    from irclogbot_spark.streaming.corpus import bootstrap, verdict_frame
+
+    corpus_dir = str(tmp_path / "corpus")
+    docs = spark.createDataFrame(
+        [(i, f"historic document number {i} alpha beta gamma delta") for i in range(20)],
+        "doc_id long, text string",
+    )
+    bootstrap(docs, corpus_dir)
+    batch = spark.createDataFrame(
+        [(100, BASE_DOC), (101, "another incoming doc")], "doc_id long, text string"
+    )
+    vf = verdict_frame(batch, 1, corpus_dir, materialize=False)
+    opt = vf._jdf.queryExecution().optimizedPlan().toString()
+    # the history parquet relation is the one carrying a text column
+    m = re.search(r"Relation \[doc_id#\d+L?,text#(\d+)", opt)
+    assert m, f"history relation not found in plan:\n{opt}"
+    hist_text = f"text#{m.group(1)}"
+    offenders = [
+        line
+        for line in opt.splitlines()
+        if hist_text in line and ("md5(" in line or "zip_with(" in line)
+    ]
+    assert not offenders, "\n".join(offenders)
+    # and the probe really reads the persisted indexes
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    plan = vf._jdf.queryExecution().explainString(mode)
+    assert plan.count(f"{corpus_dir}/fp_index") >= 1
+    assert plan.count(f"{corpus_dir}/band_index") >= 1
+    assert plan.count(f"{corpus_dir}/history") >= 1
+
+
+def test_corpus_ingest_crash_replay_idempotent(spark, tmp_path):
+    """Restart-from-checkpoint safety (VERDICT r3 #4): a batch that
+    crashed partway through its four writes — after audit + history +
+    fp_index landed but before band_index — is replayed on restart and
+    converges to exactly the clean outcome: verdicts identical (the
+    probe excludes the batch's own partial partitions), no duplicate
+    audit rows, history exactly-deduplicated."""
+    from irclogbot_spark.streaming import corpus as C
+
+    run_batch, corpus_dir = _corpus_writer(spark, tmp_path)
+    run_batch([(1, BASE_DOC), (2, "an unrelated first-batch document here present")])
+
+    batch2 = [
+        (11, BASE_DOC),  # exact dup of history 1
+        (12, BASE_DOC + " lambda"),  # near dup of history 1
+        (13, "a fresh unseen doc with plenty of distinct tokens inside"),
+    ]
+    # simulate the crashed first attempt of streaming batch_id=1:
+    # monkeypatch the last write to blow up, run the foreachBatch body
+    batch2_df = spark.createDataFrame(batch2, "doc_id long, text string")
+    real_overwrite, calls = C._overwrite, []
+
+    def failing_overwrite(df, path):
+        calls.append(path)
+        if "band_index" in path and "batch_id=1" in path:
+            raise RuntimeError("simulated crash before the band_index write")
+        real_overwrite(df, path)
+
+    C._overwrite = failing_overwrite
+    try:
+        import pytest
+
+        with pytest.raises(RuntimeError, match="simulated crash"):
+            C.ingest_batch(batch2_df, 1, corpus_dir)
+    finally:
+        C._overwrite = real_overwrite
+    # the crash left partial batch_id=1 partitions behind
+    assert (tmp_path / "corpus" / "audit" / "batch_id=1").exists()
+    assert (tmp_path / "corpus" / "history" / "batch_id=1").exists()
+
+    # restart: the file-source checkpoint has NOT committed batch 1,
+    # so the stream replays the same docs as batch_id=1
+    run_batch(batch2)
+
+    audit = spark.read.parquet(f"{corpus_dir}/audit").filter(F.col("batch_id") == 1)
+    got = {r.doc_id: (r.verdict, r.dup_of) for r in audit.collect()}
+    assert got == {
+        11: ("exact_dup_history", 1),
+        12: ("near_dup_history", 1),
+        13: ("new", None),
+    }
+    assert audit.count() == 3  # exactly one audit row per (batch, doc)
+    hist = spark.read.parquet(f"{corpus_dir}/history")
+    assert {r.doc_id for r in hist.collect()} == {1, 2, 13}
+    assert hist.count() == 3  # no duplicate admissions from the replay
+    fp = spark.read.parquet(f"{corpus_dir}/fp_index")
+    assert {r.doc_id for r in fp.collect()} == {1, 2, 13} and fp.count() == 3
+    bd_ids = {r.doc_id for r in spark.read.parquet(f"{corpus_dir}/band_index").collect()}
+    assert bd_ids == {1, 2, 13}
 
 
 def test_interval_join_rejects_colliding_columns(spark):
