@@ -59,7 +59,15 @@ def prep_corpus(
     # as a left-semi join on ids that pass. The lean repetition_stats
     # (no keep-all join) suffices: every post-gate doc has >= 2
     # tokens, so it has a stats row — one corpus scan saved.
-    enough = df.filter(F.size(tokens(F.col(text_col))) >= min_tokens)
+    # `enough` feeds TWO consumers (the repetition gate and the
+    # left-semi join back), so materialize it once: re-scanning +
+    # re-tokenizing the corpus per consumer measured ~10% slower with
+    # a 2x wider spread at sf0.1 (VERDICT r3 #6). The cost is local
+    # disk for one gated copy of the text — the same order as the
+    # `labeled` checkpoint below, which a 100 TB run already budgets.
+    enough = df.filter(
+        F.size(tokens(F.col(text_col))) >= min_tokens
+    ).localCheckpoint(eager=True)
     # families=("top",): the gate thresholds only top2gram_frac, so
     # skip the dup-5-gram family — it would double the exploded
     # (doc, n, gram) exchange, the gate's dominant shuffle.

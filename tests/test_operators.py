@@ -303,3 +303,25 @@ def test_frame_sample_plan(spark, docs):
     rows = plan.collect()
     assert len(rows) >= 5
     assert all(r.offset_s % 5 == 0 for r in rows)
+
+
+def test_bucket_pairs_cap_drops_degenerate_bucket_only(spark):
+    """VERDICT r3 #8: a degenerate LSH bucket (hash pathology holding
+    far more docs than max_bucket) is dropped WITHOUT stalling the
+    stage or disturbing healthy buckets — pair fan-out stays bounded
+    by max_bucket^2, the skew guard's whole point."""
+    from irclogbot_spark.operators.dedup import _bucket_pairs
+
+    rows = [(i, "degenerate") for i in range(200)] + [
+        (1000, "healthy"),
+        (1001, "healthy"),
+        (2000, "solo"),
+    ]
+    keyed = spark.createDataFrame(rows, "doc_id long, band_key string")
+    got = {
+        (r.d1, r.d2)
+        for r in _bucket_pairs(keyed, "doc_id", ["band_key"], max_bucket=50).collect()
+    }
+    # the 200-doc bucket would have emitted 19,900 pairs; the cap
+    # removes ALL of them and keeps the healthy bucket's single pair
+    assert got == {(1000, 1001)}

@@ -258,3 +258,57 @@ def test_restart_from_checkpoint_is_duplicate_safe(spark, tmp_path):
     assert out.count() == out.select("id").distinct().count()
     remarks = {r.remark for r in out.collect()}
     assert "new message" in remarks
+
+
+def test_mixed_layout_crash_artifact_refused_and_recoverable(spark, tmp_path):
+    """VERDICT r3 #8: the exact state a crash between the migration's
+    write and delete leaves behind — id_bucket= dirs BESIDE the flat
+    files — is classified 'mixed'; both the merge and a migration
+    re-run refuse loudly (re-running would double the bucketed rows),
+    and the documented recovery (delete the id_bucket= dirs, re-run
+    the migration) restores a working bucketed table."""
+    import shutil
+    from pathlib import Path
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from irclogbot_spark.ingest import parse_pipeline
+    from irclogbot_spark.streaming.pipeline import (
+        keyed_upsert_batch,
+        migrate_flat_to_bucketed,
+        table_layout,
+    )
+
+    target = str(tmp_path / "keyed")
+    log1 = parse_pipeline(
+        spark.createDataFrame(
+            [(f":u{i}!~u{i}@h PRIVMSG #c :m {i}",) for i in range(30)], "value string"
+        )
+    )
+    log1.write.parquet(target)  # the legacy flat table
+    # replay migrate_flat_to_bucketed's WRITE step only (crash before
+    # the flat-file delete): bucketed dirs land beside the flat files
+    spark.read.parquet(target).withColumn(
+        "id_bucket", F.pmod(F.xxhash64("id"), F.lit(8)).cast("int")
+    ).write.mode("append").partitionBy("id_bucket").parquet(target)
+    assert table_layout(spark, target) == "mixed"
+
+    log2 = parse_pipeline(
+        spark.createDataFrame([(":new!~n@h PRIVMSG #c :brand new",)], "value string")
+    )
+    with _pytest.raises(RuntimeError, match="mixed"):
+        keyed_upsert_batch(log2, 0, target)
+    with _pytest.raises(RuntimeError, match="mixed"):
+        migrate_flat_to_bucketed(spark, target, n_buckets=8)
+
+    # documented recovery: drop the id_bucket= dirs, re-run migration
+    for d in Path(target).glob("id_bucket=*"):
+        shutil.rmtree(d)
+    assert table_layout(spark, target) == "flat"
+    migrate_flat_to_bucketed(spark, target, n_buckets=8)
+    assert table_layout(spark, target) == "bucketed"
+    keyed_upsert_batch(log2, 0, target, n_buckets=8)
+    out = spark.read.parquet(target)
+    assert out.count() == 31
+    assert out.count() == out.select("id").distinct().count()
