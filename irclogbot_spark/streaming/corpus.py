@@ -175,6 +175,54 @@ def ingest_batch(
     )
 
 
+def compact(spark: SparkSession, corpus_dir: str, upto_batch_id: int) -> None:
+    """Fold the per-batch partitions of history/fp_index/band_index
+    (batch ids 0..upto_batch_id, plus any previous generation) into
+    ONE generation partition ``batch_id=-(upto_batch_id+1)`` each —
+    the offline maintenance a long-running stream needs so the probe
+    scan touches a few large parquet files instead of one file set
+    per micro-batch. The audit trail keeps its per-batch partitions
+    (it IS the per-batch record).
+
+    Negative generation ids can never collide with stream batch ids,
+    so ingest continues against a compacted corpus unchanged.
+
+    Crash-safe by idempotent re-run: the generation is written first
+    (its own partition excluded from the input), the source
+    partitions are deleted after. A crash between the two leaves
+    duplicates that the probes tolerate (the fingerprint probe
+    min-aggregates, the band probe distincts candidates) and that
+    re-running the same compact() converges away."""
+    gen = -(upto_batch_id + 1)
+    jvm = spark._jvm
+    path_cls = jvm.org.apache.hadoop.fs.Path
+    for sub in ("history", "fp_index", "band_index"):
+        root = f"{corpus_dir}/{sub}"
+        p = path_cls(root)
+        fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+        if not fs.exists(p):
+            continue
+        parts = [st.getPath().getName() for st in fs.listStatus(p)]
+        ids = [
+            int(n.split("=", 1)[1])
+            for n in parts
+            if n.startswith("batch_id=")
+        ]
+        src = [i for i in ids if (0 <= i <= upto_batch_id) or (i < 0 and i != gen)]
+        if not src:
+            continue
+        df = spark.read.parquet(root)
+        data = (
+            df.filter(F.col("batch_id").isin(src))
+            .drop("batch_id")
+            # sever lineage before writing under the directory being read
+            .localCheckpoint(eager=True)
+        )
+        _overwrite(data, f"{root}/batch_id={gen}")
+        for i in src:
+            fs.delete(path_cls(f"{root}/batch_id={i}"), True)
+
+
 def continuous_ingest(
     stream: DataFrame,
     corpus_dir: str,

@@ -471,3 +471,45 @@ def test_interval_join_rejects_ts_collision(spark):
     ).withColumn("ts", F.col("ts").cast("timestamp"))
     with pytest.raises(ValueError, match="l_ts"):
         interval_join(left, right, on="user_id", left_time="event_time")
+
+
+def test_corpus_compact_folds_generations_and_ingest_continues(spark, tmp_path):
+    """compact() folds the per-batch history/index partitions into one
+    negative-id generation; verdicts against the compacted corpus are
+    unchanged (a later batch's dups of compacted docs are still
+    caught), re-running compact is a no-op-equivalent, and the audit
+    trail keeps its per-batch partitions."""
+    import os
+
+    from irclogbot_spark.streaming import corpus as C
+
+    run_batch, corpus_dir = _corpus_writer(spark, tmp_path)
+    run_batch([(1, BASE_DOC), (2, "an unrelated first-batch document here present")])
+    run_batch([(3, "a second-batch doc with its own fresh content indeed")])
+
+    C.compact(spark, corpus_dir, upto_batch_id=1)
+    for sub in ("history", "fp_index", "band_index"):
+        parts = sorted(os.listdir(f"{corpus_dir}/{sub}"))
+        assert [p for p in parts if p.startswith("batch_id=")] == ["batch_id=-2"], parts
+    assert sorted(os.listdir(f"{corpus_dir}/audit")) == ["batch_id=0", "batch_id=1"]
+    assert {r.doc_id for r in C.history(spark, corpus_dir).collect()} == {1, 2, 3}
+
+    # idempotent re-run (the crash-recovery path) converges
+    C.compact(spark, corpus_dir, upto_batch_id=1)
+    assert {r.doc_id for r in C.history(spark, corpus_dir).collect()} == {1, 2, 3}
+
+    # stream continues against the compacted corpus: batch_id=2 probes
+    # the generation partitions and still catches dups of compacted docs
+    run_batch([(11, BASE_DOC), (12, BASE_DOC + " lambda"), (13, "wholly new text here")])
+    audit = {
+        r.doc_id: r.verdict
+        for r in spark.read.parquet(f"{corpus_dir}/audit")
+        .filter(F.col("batch_id") == 2)
+        .collect()
+    }
+    assert audit == {
+        11: "exact_dup_history",
+        12: "near_dup_history",
+        13: "new",
+    }
+    assert {r.doc_id for r in C.history(spark, corpus_dir).collect()} == {1, 2, 3, 13}
