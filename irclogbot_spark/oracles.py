@@ -1268,13 +1268,16 @@ def _incremental_dedup_sql(
     n: int = 5,
     threshold: float = 0.8,
     max_bucket: int = 1000,
+    within_batch: bool = False,
 ) -> str:
     """ANSI twin of queries.docs_incremental_dedup /
     operators/incremental.py under md5_hash31: same history/batch
     split, md5 exact layer, inlined permutation constants, band
     index probe (batch x history only), history-bucket cap, exact
     hashed-shingle Jaccard on candidates, smallest-id partner via
-    ROW_NUMBER."""
+    ROW_NUMBER. With ``within_batch``, adds the opt-in batch
+    self-band arm (docs_incremental_dedup_wb): capped batch buckets,
+    smaller-id partner, near_dup_batch verdict below near_dup_history."""
     from irclogbot_spark.operators.dedup import _MH_PRIME, _permutation_family
 
     perms = _permutation_family(num_perm, seed=42)
@@ -1295,6 +1298,58 @@ def _incremental_dedup_sql(
         )
 
     jac = "CAST(n_common AS DOUBLE) / (s1.ns + s2.ns - n_common)"
+    wb_ctes = (
+        rf""",
+bszb AS (SELECT band_idx, band_key, COUNT(*) AS nb FROM bandb GROUP BY band_idx, band_key),
+wb AS (
+  SELECT DISTINCT y.doc_id AS bid, x.doc_id AS partner
+  FROM bandb x
+  JOIN bandb y ON y.band_idx = x.band_idx AND y.band_key = x.band_key
+             AND x.doc_id < y.doc_id
+  JOIN bszb ON bszb.band_idx = x.band_idx AND bszb.band_key = x.band_key
+  WHERE bszb.nb <= {max_bucket}
+),
+wb_inter AS (
+  SELECT w.bid, w.partner, COUNT(*) AS n_common
+  FROM wb w
+  JOIN allhs h1 ON h1.doc_id = w.bid
+  JOIN allhs h2 ON h2.doc_id = w.partner AND h2.h = h1.h
+  GROUP BY w.bid, w.partner
+),
+wb_pairs AS (
+  SELECT bid, partner, {jac} AS jaccard
+  FROM wb_inter
+  JOIN sizes s1 ON s1.doc_id = bid
+  JOIN sizes s2 ON s2.doc_id = partner
+  WHERE {jac} >= {threshold}
+),
+near_b AS (
+  SELECT bid AS doc_id, partner AS wb_dup_of, jaccard AS wb_jaccard
+  FROM (SELECT bid, partner, jaccard,
+          ROW_NUMBER() OVER (PARTITION BY bid ORDER BY partner) AS rn
+        FROM wb_pairs)
+  WHERE rn = 1
+)"""
+        if within_batch
+        else ""
+    )
+    wb_verdict = (
+        "\n       WHEN nb.wb_dup_of IS NOT NULL THEN 'near_dup_batch'"
+        if within_batch
+        else ""
+    )
+    wb_dup = ", nb.wb_dup_of" if within_batch else ""
+    no_exact = "eh.hist_dup_of IS NULL AND eb.batch_dup_of IS NULL"
+    jac_case = (
+        f"""CASE WHEN {no_exact} AND nr.near_dup_of IS NOT NULL
+       THEN nr.near_jaccard
+       WHEN {no_exact} AND nr.near_dup_of IS NULL AND nb.wb_dup_of IS NOT NULL
+       THEN nb.wb_jaccard END"""
+        if within_batch
+        else f"""CASE WHEN {no_exact}
+       THEN nr.near_jaccard END"""
+    )
+    wb_join = "\nLEFT JOIN near_b nb ON nb.doc_id = b.doc_id" if within_batch else ""
     return rf"""
 WITH hist AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 < 8),
 batch AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 >= 8),
@@ -1357,23 +1412,23 @@ near AS (
           ROW_NUMBER() OVER (PARTITION BY bid ORDER BY hid) AS rn
         FROM near_pairs)
   WHERE rn = 1
-)
+){wb_ctes}
 SELECT b.doc_id,
   CASE WHEN eh.hist_dup_of IS NOT NULL THEN 'exact_dup_history'
        WHEN eb.batch_dup_of IS NOT NULL THEN 'exact_dup_batch'
-       WHEN nr.near_dup_of IS NOT NULL THEN 'near_dup_history'
+       WHEN nr.near_dup_of IS NOT NULL THEN 'near_dup_history'{wb_verdict}
        ELSE 'new' END AS verdict,
-  COALESCE(eh.hist_dup_of, eb.batch_dup_of, nr.near_dup_of) AS dup_of,
-  CASE WHEN eh.hist_dup_of IS NULL AND eb.batch_dup_of IS NULL
-       THEN nr.near_jaccard END AS jaccard
+  COALESCE(eh.hist_dup_of, eb.batch_dup_of, nr.near_dup_of{wb_dup}) AS dup_of,
+  {jac_case} AS jaccard
 FROM batch b
 LEFT JOIN exact_hist eh ON eh.doc_id = b.doc_id
 LEFT JOIN exact_batch eb ON eb.doc_id = b.doc_id
-LEFT JOIN near nr ON nr.doc_id = b.doc_id
+LEFT JOIN near nr ON nr.doc_id = b.doc_id{wb_join}
 """
 
 
 ORACLES["docs_incremental_dedup"] = _incremental_dedup_sql()
+ORACLES["docs_incremental_dedup_wb"] = _incremental_dedup_sql(within_batch=True)
 
 
 def _budget_cap_sql(budget: int = 2000) -> str:

@@ -1376,5 +1376,23 @@ def tpch_q18_big_orders(spark, sf_dir):
     )
 
 
+@query("docs_incremental_dedup_wb")
+def docs_incremental_dedup_wb(spark, sf_dir):
+    """docs_incremental_dedup with the round-4 within_batch arm: the
+    arriving batch is additionally banded against ITSELF, so two
+    near-dups landing in the same batch collapse to one admission
+    (pairwise smaller-id rule; near_dup_batch ranks below
+    near_dup_history). Same deterministic doc_id%10 split and
+    portable md5 hash as the base query. Registers past the driver's
+    50-row cap; value-checked by the local parity suite."""
+    from irclogbot_spark.operators.dedup import md5_hash31
+    from irclogbot_spark.operators.incremental import incremental_dedup
+
+    d = _t(spark, sf_dir, "documents")
+    history = d.filter(F.pmod(F.col("doc_id"), F.lit(10)) < 8)
+    batch = d.filter(F.pmod(F.col("doc_id"), F.lit(10)) >= 8)
+    return incremental_dedup(history, batch, hash_fn=md5_hash31, within_batch=True)
+
+
 def queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
