@@ -59,6 +59,7 @@ HEADLINE = [
     "emb_knn_join",
     "emb_ann_topk",
     "emb_ivf_topk",
+    "emb_semantic_dedup",
 ]
 
 #: headline queries that derive from the irclog (re-timed over the

@@ -558,7 +558,12 @@ def _ivf_topk_sql_for(
     cents = train_ivf_centroids_local(
         [(r[0], list(r[1])) for r in rows], n_cells, n_iter
     )
-    lits = ["[" + ", ".join(repr(x) for x in c) + "]" for c in cents]
+    # e-notation literals parse directly as DOUBLE and round-trip
+    # exactly; bare decimals go through DECIMAL and can land 1 ulp off
+    # (see _semantic_dedup_sql). Here the literal dots only ORDER
+    # cells/probes, but exact constants keep near-ties impossible to
+    # flip across engines.
+    lits = ["[" + ", ".join(f"{x:.17e}" for x in c) + "]" for c in cents]
     dots_list = "[" + ", ".join(f"list_dot_product(v, {l})" for l in lits) + "]"
     negdot_structs = "[" + ", ".join(
         f"{{'negdot': -list_dot_product(qv, {lits[j]}), 'cell': {j}}}"
@@ -597,6 +602,88 @@ SELECT query_id, vec_id, cosine, knn_rank FROM (
 #: (sf_dir, params) -> SQL — the replica trainer is a few seconds of
 #: pure-Python float work; build each variant once per process.
 _IVF_SQL_CACHE: dict[tuple, str] = {}
+
+
+def _semantic_dedup_sql(
+    threshold: float = 0.4, n_cells: int = 16, n_iter: int = 5, max_cell: int = 10_000
+) -> str:
+    """ANSI twin of operators.semdedup.semantic_dedup with the LEARNED
+    centroids inlined (same replica-trainer recipe as _ivf_topk_sql):
+    identical cell assignment, cosine-to-centroid rank (ASC, id ASC)
+    within eligible cells, pairwise cosine of each member against its
+    lower-ranked cellmates, closest-partner pick via ROW_NUMBER
+    (cosine DESC, partner ASC). Floats match bit-for-bit because both
+    engines fold the dot products sequentially."""
+    import os
+
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    key = ("semdedup", sf_dir, threshold, n_cells, n_iter, max_cell)
+    if key in _IVF_SQL_CACHE:
+        return _IVF_SQL_CACHE[key]
+
+    import duckdb
+
+    from irclogbot_spark.operators.similarity import train_ivf_centroids_local
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    rows = duckdb.sql(
+        f"SELECT vec_id, CAST(embedding AS DOUBLE[]) FROM '{path}' ORDER BY vec_id"
+    ).fetchall()
+    cents = train_ivf_centroids_local(
+        [(r[0], list(r[1])) for r in rows], n_cells, n_iter
+    )
+    # two bit-exactness rules learned the hard way (parity-tested):
+    # 1. centroid literals MUST be e-notation — a bare decimal literal
+    #    parses as DECIMAL and its DECIMAL->DOUBLE conversion can land
+    #    1 ulp off repr()'s round-trip;
+    # 2. the dot must run the data x data kernel — list_dot_product
+    #    against an inline constant list takes a different evaluation
+    #    path that deviates in the last ulp, so the centroids go
+    #    through a VALUES table and are JOINED in.
+    values = ", ".join(
+        "({j}, [{xs}]::DOUBLE[])".format(
+            j=j, xs=", ".join(f"{x:.17e}" for x in c)
+        )
+        for j, c in enumerate(cents)
+    )
+    cos = (
+        "list_dot_product(hi.v, lo.v)"
+        " / (sqrt(list_dot_product(hi.v, hi.v)) * sqrt(list_dot_product(lo.v, lo.v)))"
+    )
+    sql = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cents AS (SELECT * FROM (VALUES {values}) AS t(cell, cvec)),
+ad AS (SELECT e.vec_id, e.v, c.cell, list_dot_product(e.v, c.cvec) AS d
+       FROM e CROSS JOIN cents c),
+cb AS (SELECT vec_id, v, cell, d,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d DESC, cell ASC) AS arn
+       FROM ad),
+cc AS (SELECT vec_id, v, cell,
+         d / sqrt(list_dot_product(v, v)) AS cent_cos FROM cb WHERE arn = 1),
+cn AS (SELECT *, COUNT(*) OVER (PARTITION BY cell) AS cell_n FROM cc),
+rk AS (SELECT vec_id, v, cell, cent_cos,
+         CASE WHEN cell_n <= {max_cell} THEN
+           ROW_NUMBER() OVER (PARTITION BY cell ORDER BY cent_cos ASC, vec_id ASC)
+         END AS rnk
+       FROM cn),
+pairs AS (
+  SELECT hi.vec_id AS dup_id, lo.vec_id AS partner, {cos} AS cos
+  FROM rk hi JOIN rk lo ON lo.cell = hi.cell AND lo.rnk < hi.rnk
+  WHERE {cos} >= {threshold}
+),
+best AS (
+  SELECT dup_id, partner AS dup_of, cos AS dup_cosine
+  FROM (SELECT dup_id, partner, cos,
+          ROW_NUMBER() OVER (PARTITION BY dup_id ORDER BY cos DESC, partner ASC) AS rn
+        FROM pairs)
+  WHERE rn = 1
+)
+SELECT r.vec_id, r.cell, r.cent_cos,
+  b.dup_of IS NULL AS keep, b.dup_of, b.dup_cosine
+FROM rk r LEFT JOIN best b ON b.dup_id = r.vec_id
+"""
+    _IVF_SQL_CACHE[key] = sql
+    return sql
 
 
 ORACLES["emb_ann_recall"] = f"""
@@ -1475,7 +1562,8 @@ ORDER BY o_totalprice DESC, o_orderdate, o_orderkey LIMIT 10
 
 def oracle_sql() -> dict[str, str]:
     out = dict(ORACLES)
-    # data-dependent oracle, built lazily so the training corpus
+    # data-dependent oracles, built lazily so the training corpus
     # matches the SF the comparison actually runs at
     out["emb_ivf_topk"] = _ivf_topk_sql()
+    out["emb_semantic_dedup"] = _semantic_dedup_sql()
     return out

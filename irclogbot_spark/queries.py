@@ -1394,5 +1394,25 @@ def docs_incremental_dedup_wb(spark, sf_dir):
     return incremental_dedup(history, batch, hash_fn=md5_hash31, within_batch=True)
 
 
+@query("emb_semantic_dedup")
+def emb_semantic_dedup(spark, sf_dir):
+    """Semantic dedup (operators/semdedup.py — the SemDeDup direction,
+    Abbas et al. 2023): k-means cells from the shared deterministic
+    IVF trainer, within-cell pairwise cosine against lower-ranked
+    (less centroid-similar) members, keep-the-extreme-point policy.
+    threshold=0.4 because the synthetic embeddings are near-orthogonal
+    (true neighbors sit at cosine ~0.3-0.5); production text
+    embeddings use the paper's 0.95+. Registers past the driver's
+    50-row cap; value-checked by the local parity suite against the
+    replica-trained inlined centroids."""
+    from irclogbot_spark.operators.semdedup import semantic_dedup
+    from irclogbot_spark.operators.similarity import train_ivf_centroids
+
+    emb = _t(spark, sf_dir, "embeddings")
+    if sf_dir not in _IVF_CENTROIDS:
+        _IVF_CENTROIDS[sf_dir] = train_ivf_centroids(emb, n_cells=16, n_iter=5)
+    return semantic_dedup(emb, _IVF_CENTROIDS[sf_dir], threshold=0.4)
+
+
 def queries() -> dict[str, QueryFn]:
     return dict(QUERIES)

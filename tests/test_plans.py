@@ -122,3 +122,12 @@ def test_budget_cap_single_window_shuffle(spark):
     hashex = [l for l in plan.splitlines() if "hashpartitioning" in l]
     assert len(hashex) == 1, hashex
     assert "source" in hashex[0]
+
+
+def test_semantic_dedup_no_cartesian(spark):
+    """emb_semantic_dedup: the within-cell pair join is keyed on the
+    cell id (hash join with the rank inequality as residual) — no
+    cartesian / broadcast nested loop."""
+    plan = _plan(spark, "emb_semantic_dedup")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
