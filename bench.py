@@ -52,6 +52,7 @@ HEADLINE = [
     "docs_prep_pipeline_fast",
     "docs_simhash_neardup",
     "docs_c4_clean",
+    "docs_quality_score",
     "docs_inverted_index",
     "docs_incremental_dedup",
     "docs_budget_cap",

@@ -1560,6 +1560,38 @@ ORDER BY o_totalprice DESC, o_orderdate, o_orderkey LIMIT 10
 """
 
 
+def _quality_score_sql(dim: int = 1024, seed: int = 7, scale: int = 16) -> str:
+    """ANSI twin of queries.docs_quality_score / functions/quality.py
+    under md5_hash31: the same deterministic quantized weights as a
+    VALUES table, token-hash lookup join, exact integer sum, one
+    fixed-point division. Integer arithmetic end-to-end until that
+    division, so the logit is bit-identical across engines."""
+    from irclogbot_spark.functions.quality import quality_weights
+    from irclogbot_spark.operators.dedup import _MH_PRIME
+
+    w, bias = quality_weights(dim, seed)
+    values = ", ".join(f"({i}, {wt})" for i, wt in enumerate(w))
+    return rf"""
+WITH w AS (SELECT * FROM (VALUES {values}) AS t(i, wt)),
+tk AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS toks FROM documents),
+tok AS (SELECT doc_id, unnest(toks) AS tok FROM tk),
+h AS (SELECT doc_id,
+        (CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) % {_MH_PRIME}) % {dim} AS i
+      FROM tok),
+s AS (SELECT doc_id, SUM(wt) AS sw, COUNT(*) AS n FROM h JOIN w USING (i) GROUP BY doc_id)
+SELECT d.doc_id,
+  COALESCE(s.n, 0) AS n_tokens,
+  CAST({bias} + COALESCE(s.sw, 0) AS DOUBLE)
+    / ({scale} * GREATEST(COALESCE(s.n, 0), 1)) AS quality_logit,
+  CAST({bias} + COALESCE(s.sw, 0) AS DOUBLE)
+    / ({scale} * GREATEST(COALESCE(s.n, 0), 1)) >= 0 AS q_keep
+FROM documents d LEFT JOIN s USING (doc_id)
+"""
+
+
+ORACLES["docs_quality_score"] = _quality_score_sql()
+
+
 def oracle_sql() -> dict[str, str]:
     out = dict(ORACLES)
     # data-dependent oracles, built lazily so the training corpus

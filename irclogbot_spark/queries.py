@@ -1414,5 +1414,32 @@ def emb_semantic_dedup(spark, sf_dir):
     return semantic_dedup(emb, _IVF_CENTROIDS[sf_dir], threshold=0.4)
 
 
+@query("docs_quality_score")
+def docs_quality_score(spark, sf_dir):
+    """Hashed-linear quality classifier (functions/quality.py): the
+    fasttext-shaped scoring pass, map-only against a plan-constant
+    quantized weight table. The checked value is the exact fixed-point
+    LOGIT (sigmoid is libm-dependent; thresholding is monotonic in the
+    logit). Portable md5 hash for the oracle; production uses the
+    xxhash default. Registers past the driver's 50-row cap;
+    value-checked by the local parity suite."""
+    from irclogbot_spark.functions.quality import (
+        hashed_linear_logit,
+        quality_weights,
+    )
+    from irclogbot_spark.operators.dedup import md5_hash31, tokens
+
+    d = _t(spark, sf_dir, "documents")
+    w, b = quality_weights()
+    out = d.select(
+        "doc_id",
+        F.size(tokens("text")).cast("long").alias("n_tokens"),
+        hashed_linear_logit(F.col("text"), w, b, hash_fn=md5_hash31).alias(
+            "quality_logit"
+        ),
+    )
+    return out.withColumn("q_keep", F.col("quality_logit") >= 0)
+
+
 def queries() -> dict[str, QueryFn]:
     return dict(QUERIES)

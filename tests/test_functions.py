@@ -42,3 +42,43 @@ def test_iso_posted_format(spark):
         iso_posted(F.to_timestamp("t")).alias("s")
     )
     assert df.first().s == "2024-03-04T05:06:07"
+
+
+def test_hashed_linear_logit_exact_and_partition_invariant(spark):
+    """functions/quality.py: the fixed-point logit equals the
+    hand-computed Python replica and is invariant to repartitioning
+    (exact integer sums -- no float accumulation order anywhere)."""
+    import hashlib
+
+    from irclogbot_spark.functions.quality import hashed_linear_logit, quality_weights
+    from irclogbot_spark.operators.dedup import md5_hash31
+
+    w, b = quality_weights()
+    dim = len(w)
+
+    def py_logit(text: str) -> float:
+        toks = text.split()
+        s = b
+        for t in toks:
+            h = int(hashlib.md5(t.encode()).hexdigest()[:15], 16) % 2147483647
+            s += w[h % dim]
+        return s / (16 * max(len(toks), 1))
+
+    rows = [(1, "the quick brown fox"), (2, ""), (3, "one"), (4, "a b c d e f g h")]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def run(frame):
+        return {
+            r.doc_id: r.logit
+            for r in frame.select(
+                "doc_id",
+                hashed_linear_logit(
+                    F.col("text"), w, b, hash_fn=md5_hash31
+                ).alias("logit"),
+            ).collect()
+        }
+
+    out = run(d)
+    for i, t in rows:
+        assert out[i] == py_logit(t), (i, t)
+    assert run(d.repartition(7)) == out

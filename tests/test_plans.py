@@ -131,3 +131,11 @@ def test_semantic_dedup_no_cartesian(spark):
     plan = _plan(spark, "emb_semantic_dedup")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_quality_score_map_only(spark):
+    """docs_quality_score: the whole classifier is one projection over
+    the scan — no exchange, no join, no aggregate anywhere."""
+    plan = _plan(spark, "docs_quality_score")
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan
