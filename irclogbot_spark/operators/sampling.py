@@ -147,6 +147,59 @@ def reservoir_per_group(
     )
 
 
+def temperature_sample(
+    df: DataFrame,
+    group_col: str,
+    key_cols: list[str],
+    budget_frac: float = 0.5,
+    salt: str = "temp",
+    draw_fn=None,
+) -> DataFrame:
+    """Temperature-based corpus resampling at tau=2 (exponent 0.5) —
+    the multilingual mixing rule (XLM-R / mT5 style): group g's share
+    of the output is proportional to sqrt(n_g) instead of n_g, so
+    head groups are downweighted and tail groups upweighted, with
+    total expected output ~= budget_frac * N. Per-group keep
+    probability p_g = min(1, budget_frac * N * q_g / n_g) with
+    q_g = sqrt(n_g) / sum_h sqrt(n_h); membership is the same
+    deterministic content-hash draw as every sampler here.
+
+    Scale shape: ONE count aggregate over the group key, a broadcast
+    of the (tiny) per-group probability table, then a map-only
+    filtered scan — the corpus is never shuffled.
+
+    Cross-engine exactness: the sqrt shares are quantized to integers
+    (floor(sqrt(n_g) * 2^20)) before the cross-group sum — a float
+    sum's order is engine/partition-dependent, an integer sum is not
+    (the IVF trainer's trick) — and the draw compares against
+    floor(p_g * 1e6) as an integer, so the oracle matches
+    bit-for-bit. General exponents need pow() (libm-dependent);
+    tau=2 stays on correctly-rounded sqrt, which is why it is the
+    checked configuration."""
+    n = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_g"))
+    n = n.withColumn(
+        "sq_g",
+        F.floor(F.sqrt(F.col("n_g").cast("double")) * F.lit(float(1 << 20))).cast(
+            "long"
+        ),
+    )
+    tot = n.agg(F.sum("n_g").alias("n_total"), F.sum("sq_g").alias("zq"))
+    p_keep = F.least(
+        F.lit(1.0),
+        (
+            (F.lit(float(budget_frac)) * F.col("n_total").cast("double"))
+            * F.col("sq_g").cast("double")
+        )
+        / F.col("zq").cast("double")
+        / F.col("n_g").cast("double"),
+    )
+    p = n.crossJoin(F.broadcast(tot)).select(group_col, p_keep.alias("p_keep"))
+    draw = (draw_fn or _draw)(key_cols, salt)
+    return df.join(F.broadcast(p), group_col).filter(
+        draw < F.floor(F.col("p_keep") * F.lit(1000000.0)).cast("long")
+    )
+
+
 def token_budget_cap(
     df: DataFrame,
     budget_tokens: int,

@@ -1592,6 +1592,32 @@ FROM documents d LEFT JOIN s USING (doc_id)
 ORACLES["docs_quality_score"] = _quality_score_sql()
 
 
+def _temperature_mix_sql(budget_frac: float = 0.5) -> str:
+    """ANSI twin of queries.docs_temperature_mix: identical operation
+    order (quantized sqrt shares summed as integers, the one float
+    division chain written in the same association, integer draw
+    threshold), so p_keep and membership are bit-identical."""
+    draw = _portable_draw_sql("temp", "CAST(d.doc_id AS VARCHAR)")
+    bf = f"{budget_frac:.17e}"
+    return rf"""
+WITH n AS (SELECT source, COUNT(*) AS n_g FROM documents GROUP BY source),
+n2 AS (SELECT source, n_g,
+         CAST(floor(sqrt(CAST(n_g AS DOUBLE)) * 1048576.0e0) AS BIGINT) AS sq_g
+       FROM n),
+tot AS (SELECT SUM(n_g) AS n_total, SUM(sq_g) AS zq FROM n2),
+p AS (SELECT source,
+        LEAST(1.0e0, (({bf} * CAST(n_total AS DOUBLE)) * CAST(sq_g AS DOUBLE))
+                     / CAST(zq AS DOUBLE) / CAST(n_g AS DOUBLE)) AS p_keep
+      FROM n2 CROSS JOIN tot)
+SELECT d.source, d.doc_id, p.p_keep
+FROM documents d JOIN p USING (source)
+WHERE {draw} < CAST(floor(p_keep * 1000000.0e0) AS BIGINT)
+"""
+
+
+ORACLES["docs_temperature_mix"] = _temperature_mix_sql()
+
+
 def oracle_sql() -> dict[str, str]:
     out = dict(ORACLES)
     # data-dependent oracles, built lazily so the training corpus

@@ -1441,5 +1441,22 @@ def docs_quality_score(spark, sf_dir):
     return out.withColumn("q_keep", F.col("quality_logit") >= 0)
 
 
+@query("docs_temperature_mix")
+def docs_temperature_mix(spark, sf_dir):
+    """Temperature resampling at tau=2 (operators/sampling.py
+    temperature_sample): per-source keep probability proportional to
+    sqrt(n_g)/n_g, quantized-integer share sum, deterministic
+    content-hash membership (portable md5 draw for the oracle). One
+    tiny count aggregate + broadcast + map-only filter. Registers
+    past the driver's 50-row cap; value-checked by the local parity
+    suite."""
+    from irclogbot_spark.operators.sampling import portable_draw, temperature_sample
+
+    d = _t(spark, sf_dir, "documents")
+    return temperature_sample(
+        d, "source", ["doc_id"], budget_frac=0.5, salt="temp", draw_fn=portable_draw
+    ).select("source", "doc_id", "p_keep")
+
+
 def queries() -> dict[str, QueryFn]:
     return dict(QUERIES)

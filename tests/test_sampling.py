@@ -192,3 +192,36 @@ def test_budget_cap_matches_imperative_reference(spark):
             else:
                 cum += n
     assert got == want
+
+
+def test_temperature_sample_rebalances_toward_tail(spark):
+    """temperature_sample (tau=2): the head group's kept share shrinks
+    and the tail group's grows relative to proportional sampling;
+    membership is deterministic and partition-invariant; a tiny group
+    whose target exceeds its size caps at p_keep = 1."""
+    from irclogbot_spark.operators.sampling import temperature_sample
+
+    rows = (
+        [(i, "head") for i in range(900)]
+        + [(1000 + i, "mid") for i in range(90)]
+        + [(2000 + i, "tail") for i in range(10)]
+    )
+    d = spark.createDataFrame(rows, "doc_id long, grp string")
+    out = temperature_sample(d, "grp", ["doc_id"], budget_frac=0.5)
+    got = {r.grp: r for r in out.groupBy("grp").count().collect()}
+    p = {r.grp: r.p_keep for r in out.select("grp", "p_keep").distinct().collect()}
+    # sqrt shares: 30/(30+~9.49+~3.16) ~ 0.703 of 500 for head -> ~352
+    # (p~0.39); tail target ~37 > 10 docs -> p caps at 1, all kept
+    assert p["tail"] == 1.0
+    assert got["tail"]["count"] == 10
+    assert 0.3 < p["head"] < 0.5
+    assert p["mid"] > p["head"]  # tail-ward tilt
+    # deterministic + partition-invariant
+    a = {r.doc_id for r in out.collect()}
+    b = {
+        r.doc_id
+        for r in temperature_sample(
+            d.repartition(13), "grp", ["doc_id"], budget_frac=0.5
+        ).collect()
+    }
+    assert a == b
