@@ -34,6 +34,11 @@ def test_rows_only_queries_register_after_the_cap():
         "events_approx_stats",
         "docs_budget_cap",
         "tpch_q18_big_orders",
+        # round 4 (all oracle-paired, parity-suite value-checked)
+        "docs_incremental_dedup_wb",
+        "emb_semantic_dedup",
+        "docs_quality_score",
+        "docs_temperature_mix",
     }
 
 
