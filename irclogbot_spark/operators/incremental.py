@@ -181,7 +181,10 @@ def dedup_against_index(
 
     # ---- near layer: batch survivors probe the band index ---------------
     bb = band_index(survivors, id_col, text_col, num_perm, bands, n, seed, hash_fn)
-    joined = _ckpt(
+    # checkpoint once AFTER the distinct: the band join runs a single
+    # time, and only the (small) matched bucket rows materialize;
+    # distinct also collapses replay-duplicated index rows
+    pairs = _ckpt(
         bb.alias("b")
         .join(band_index_df.alias("h"), keys)
         .select(
@@ -189,16 +192,21 @@ def dedup_against_index(
             F.col(f"b.{id_col}").alias("bid"),
             F.col(f"h.{id_col}").alias("hid"),
         )
-        .distinct(),  # also collapses replay-duplicated index rows
+        .distinct(),
         materialize,
     )
     # bucket-size cap over PROBED buckets: every history doc in a
-    # probed bucket appears in `joined`, so countDistinct(hid) there
+    # probed bucket appears in `pairs`, so countDistinct(hid) there
     # equals the full history bucket size — same cap semantics as the
-    # r2/r3 index-wide count, without touching unprobed buckets
-    bsz = joined.groupBy(*keys).agg(F.countDistinct("hid").alias("nb"))
+    # r2/r3 index-wide count, without an index-wide groupBy (the probe
+    # path must not pay O(index) shuffles per batch)
+    # cand re-derives from the CHECKPOINTED pairs on each reference —
+    # a groupBy/semi/distinct over the small matched set costs less
+    # than a second blocking checkpoint job (A/B-measured at sf0.1;
+    # in the streaming path fewer eager jobs = lower batch latency)
+    bsz = pairs.groupBy(*keys).agg(F.countDistinct("hid").alias("nb"))
     cand = (
-        joined.join(bsz.filter(F.col("nb") <= max_bucket).select(*keys), keys, "left_semi")
+        pairs.join(bsz.filter(F.col("nb") <= max_bucket).select(*keys), keys, "left_semi")
         .select("bid", "hid")
         .distinct()
     )

@@ -76,3 +76,48 @@ def pack_sequences(
         F.pmod(F.col("tok_start"), F.lit(budget).cast("long")).alias("seq_offset"),
         *carry_cols,
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk: int = 128,
+    overlap: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Overlapping token-window chunks per document — the
+    context-window splitter that feeds long documents to a
+    fixed-window model (and the retrieval-index chunker): windows of
+    ``chunk`` whitespace tokens starting every ``chunk - overlap``
+    tokens, the final window short. One row per chunk:
+    (id, chunk_idx, start_token, n_tokens, chunk_text).
+
+    MAP-ONLY: tokenize -> per-row start positions (sequence) ->
+    posexplode -> slice/join. Zero shuffles at any scale; the output
+    is ~(1 + overlap/(chunk-overlap))x the corpus text, the inherent
+    chunking cost. Empty docs yield no rows (sequence guard: Spark's
+    3-arg sequence needs start <= stop for a positive step)."""
+    if not 0 <= overlap < chunk:
+        raise ValueError(f"need 0 <= overlap < chunk, got chunk={chunk} overlap={overlap}")
+    step = chunk - overlap
+    from irclogbot_spark.operators.dedup import tokens
+
+    t = ensure_parallelism(df).select(
+        F.col(id_col), tokens(F.col(text_col)).alias("_toks")
+    ).select(F.col(id_col), F.col("_toks"), F.size("_toks").alias("_n"))
+    starts = F.when(
+        F.col("_n") >= 1, F.sequence(F.lit(1), F.col("_n"), F.lit(step))
+    ).otherwise(F.array().cast("array<int>"))
+    return t.select(
+        F.col(id_col), "_toks", "_n", F.posexplode(starts).alias("chunk_idx", "st")
+    ).select(
+        F.col(id_col),
+        F.col("chunk_idx").cast("long"),
+        F.col("st").cast("long").alias("start_token"),
+        F.least(F.lit(chunk), F.col("_n") - F.col("st") + 1)
+        .cast("long")
+        .alias("n_tokens"),
+        F.array_join(F.slice("_toks", F.col("st"), F.lit(chunk)), " ").alias(
+            "chunk_text"
+        ),
+    )

@@ -1618,6 +1618,27 @@ WHERE {draw} < CAST(floor(p_keep * 1000000.0e0) AS BIGINT)
 ORACLES["docs_temperature_mix"] = _temperature_mix_sql()
 
 
+def _chunking_sql(chunk: int = 64, overlap: int = 16) -> str:
+    """ANSI twin of queries.docs_chunking: same \\S+ tokens, same
+    start grid (1, 1+step, ...), inclusive list slicing, short final
+    window; empty docs emit no rows (range(1, 1) is empty)."""
+    step = chunk - overlap
+    return rf"""
+WITH t AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS toks FROM documents),
+s AS (SELECT doc_id, toks, len(toks) AS n FROM t),
+c AS (SELECT doc_id, toks, n, unnest(range(1, n + 1, {step})) AS st FROM s)
+SELECT doc_id,
+  CAST((st - 1) / {step} AS BIGINT) AS chunk_idx,
+  CAST(st AS BIGINT) AS start_token,
+  CAST(LEAST({chunk}, n - st + 1) AS BIGINT) AS n_tokens,
+  array_to_string(toks[st : st + {chunk} - 1], ' ') AS chunk_text
+FROM c
+"""
+
+
+ORACLES["docs_chunking"] = _chunking_sql()
+
+
 def oracle_sql() -> dict[str, str]:
     out = dict(ORACLES)
     # data-dependent oracles, built lazily so the training corpus

@@ -1458,5 +1458,17 @@ def docs_temperature_mix(spark, sf_dir):
     ).select("source", "doc_id", "p_keep")
 
 
+@query("docs_chunking")
+def docs_chunking(spark, sf_dir):
+    """Overlapping context-window chunking (operators/packing.py
+    chunk_documents): 64-token windows every 48 tokens, map-only —
+    zero shuffles (plan-asserted). Registers past the driver's 50-row
+    cap; value-checked by the local parity suite."""
+    from irclogbot_spark.operators.packing import chunk_documents
+
+    d = _t(spark, sf_dir, "documents")
+    return chunk_documents(d, chunk=64, overlap=16)
+
+
 def queries() -> dict[str, QueryFn]:
     return dict(QUERIES)

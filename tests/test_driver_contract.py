@@ -39,6 +39,7 @@ def test_rows_only_queries_register_after_the_cap():
         "emb_semantic_dedup",
         "docs_quality_score",
         "docs_temperature_mix",
+        "docs_chunking",
     }
 
 

@@ -139,3 +139,14 @@ def test_quality_score_map_only(spark):
     plan = _plan(spark, "docs_quality_score")
     assert "Exchange" not in plan, plan
     assert "Join" not in plan
+
+
+def test_chunking_map_only(spark):
+    """docs_chunking: tokenize -> explode -> slice is a map-only
+    pipeline over the scan — no key shuffle, no join; the only
+    allowed exchange is ensure_parallelism's round-robin split guard
+    (a no-op on well-split cluster inputs)."""
+    plan = _plan(spark, "docs_chunking")
+    assert "hashpartitioning" not in plan, plan
+    assert "Join" not in plan
+    assert "Sort" not in plan

@@ -442,3 +442,34 @@ def test_repetition_rejects_bad_families(spark):
     for bad in [("top", "top"), ("bogus",), (), ("top", "dup", "dup")]:
         with pytest.raises(ValueError, match="families"):
             repetition_stats(d, families=bad)
+
+
+def test_chunk_documents_windows_and_edges(spark):
+    """operators/packing.chunk_documents: window grid, short final
+    chunk, overlap reconstruction, empty/short-doc edges."""
+    import pytest
+
+    from irclogbot_spark.operators.packing import chunk_documents
+
+    words = [f"w{i}" for i in range(10)]
+    d = spark.createDataFrame(
+        [(1, " ".join(words)), (2, ""), (3, "solo")], "doc_id long, text string"
+    )
+    out = [
+        r.asDict()
+        for r in chunk_documents(d, chunk=4, overlap=1)
+        .orderBy("doc_id", "chunk_idx")
+        .collect()
+    ]
+    got = [(r["doc_id"], r["chunk_idx"], r["start_token"], r["n_tokens"], r["chunk_text"])
+           for r in out]
+    # step 3: starts 1,4,7,10; last window holds the single w9
+    assert got == [
+        (1, 0, 1, 4, "w0 w1 w2 w3"),
+        (1, 1, 4, 4, "w3 w4 w5 w6"),
+        (1, 2, 7, 4, "w6 w7 w8 w9"),
+        (1, 3, 10, 1, "w9"),
+        (3, 0, 1, 1, "solo"),
+    ]  # doc 2 (empty) emits no rows
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_documents(d, chunk=4, overlap=4)
