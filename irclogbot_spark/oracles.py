@@ -1639,10 +1639,45 @@ FROM c
 ORACLES["docs_chunking"] = _chunking_sql()
 
 
+def _ivf_recall_sql() -> str:
+    """emb_ann_recall's twin for the IVF path: the (data-dependent)
+    IVF top-k SQL nested as a CTE, joined against exact kNN."""
+    ivf = _ivf_topk_sql()
+    return f"""
+WITH ivf AS ({ivf}),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+qb AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id IN (0, 1, 2)),
+exact_scored AS (
+  SELECT q.query_id, c.vec_id,
+    list_dot_product(c.v, q.qv)
+      / (sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(q.qv, q.qv))) AS cosine
+  FROM e c JOIN qb q ON c.vec_id <> q.query_id
+),
+exact AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS knn_rank
+    FROM exact_scored
+  ) WHERE knn_rank <= 5
+),
+hits AS (
+  SELECT a.query_id, COUNT(*) AS n_hits
+  FROM ivf a JOIN exact x ON a.query_id = x.query_id AND a.vec_id = x.vec_id
+  GROUP BY a.query_id
+),
+base AS (SELECT DISTINCT vec_id AS query_id FROM embeddings WHERE vec_id IN (0, 1, 2))
+SELECT base.query_id,
+  COALESCE(n_hits, 0) AS n_hits,
+  CAST(COALESCE(n_hits, 0) AS DOUBLE) / 5.0 AS recall_at_5
+FROM base LEFT JOIN hits ON base.query_id = hits.query_id
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     out = dict(ORACLES)
     # data-dependent oracles, built lazily so the training corpus
     # matches the SF the comparison actually runs at
     out["emb_ivf_topk"] = _ivf_topk_sql()
     out["emb_semantic_dedup"] = _semantic_dedup_sql()
+    out["emb_ivf_recall"] = _ivf_recall_sql()
     return out

@@ -1470,5 +1470,41 @@ def docs_chunking(spark, sf_dir):
     return chunk_documents(d, chunk=64, overlap=16)
 
 
+@query("emb_ivf_recall")
+def emb_ivf_recall(spark, sf_dir):
+    """IVF quality as a checked number (the emb_ann_recall twin for
+    the inverted-file path): recall@5 of ivf_topk against exact kNN
+    per query id. Deterministic trainer + exact scan make the row
+    hash-checkable. Registers past the driver's 50-row cap;
+    value-checked by the local parity suite."""
+    from irclogbot_spark.operators.similarity import (
+        ivf_topk,
+        knn_join,
+        train_ivf_centroids,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    if sf_dir not in _IVF_CENTROIDS:
+        _IVF_CENTROIDS[sf_dir] = train_ivf_centroids(emb, n_cells=16, n_iter=5)
+    qs = emb.filter(F.col("vec_id").isin(0, 1, 2)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = knn_join(emb, qs, k=5).select("query_id", "vec_id")
+    ivf = ivf_topk(emb, qs, _IVF_CENTROIDS[sf_dir], k=5, n_probe=4).select(
+        "query_id", "vec_id"
+    )
+    hits = ivf.join(exact, ["query_id", "vec_id"]).groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )
+    base = qs.select("query_id").distinct()
+    return base.join(hits, "query_id", "left").select(
+        "query_id",
+        F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
+        (F.coalesce(F.col("n_hits"), F.lit(0)).cast("double") / F.lit(5.0)).alias(
+            "recall_at_5"
+        ),
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return dict(QUERIES)

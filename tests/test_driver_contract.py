@@ -40,6 +40,7 @@ def test_rows_only_queries_register_after_the_cap():
         "docs_quality_score",
         "docs_temperature_mix",
         "docs_chunking",
+        "emb_ivf_recall",
     }
 
 

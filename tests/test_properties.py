@@ -186,3 +186,36 @@ def test_gated_substring_extraction_equals_re_match_groups(spark):
             assert got[l] == m.groups(), l
             checked += 1
     assert checked >= 400  # the corpus must actually exercise the path
+
+
+def test_chunk_documents_reconstruction_property(spark):
+    """Property: dropping each chunk's first `overlap` tokens (except
+    chunk 0) and concatenating reconstructs the original token
+    stream, for arbitrary docs and window shapes."""
+    from hypothesis import given, settings, strategies as st
+
+    from irclogbot_spark.operators.packing import chunk_documents
+
+    @settings(max_examples=8, deadline=None)
+    @given(
+        n_tokens=st.integers(min_value=0, max_value=40),
+        chunk=st.integers(min_value=2, max_value=12),
+        overlap=st.integers(min_value=0, max_value=6),
+    )
+    def prop(n_tokens, chunk, overlap):
+        if overlap >= chunk:
+            return
+        words = [f"t{i}" for i in range(n_tokens)]
+        d = spark.createDataFrame([(1, " ".join(words))], "doc_id long, text string")
+        rows = sorted(
+            chunk_documents(d, chunk=chunk, overlap=overlap).collect(),
+            key=lambda r: r.chunk_idx,
+        )
+        rebuilt = []
+        for r in rows:
+            toks = r.chunk_text.split()
+            assert len(toks) == r.n_tokens
+            rebuilt.extend(toks if r.chunk_idx == 0 else toks[overlap:])
+        assert rebuilt == words
+
+    prop()
