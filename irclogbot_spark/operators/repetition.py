@@ -166,3 +166,4 @@ def repetition_signals(
             ),
         )
     )
+
