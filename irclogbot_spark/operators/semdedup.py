@@ -42,7 +42,6 @@ from irclogbot_spark.operators.similarity import (
     _argmax_cell,
     _cell_dots,
     as_double,
-    cosine,
     dot,
 )
 from irclogbot_spark.plans.partitioning import ensure_parallelism
@@ -77,10 +76,21 @@ def semantic_dedup(
             F.col(id_col),
             F.col("v"),
             F.col("cell"),
+            F.col("dots"),
+            # per-row norm computed ONCE: the pair join below scores
+            # O(m^2/k) pairs, and recomputing sqrt(dot(v,v)) per pair
+            # would triple the fold work (2 extra 64-dim folds/pair);
+            # dividing by the precomputed norms is bit-identical
+            F.sqrt(dot(F.col("v"), F.col("v"))).alias("vnorm"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("v"),
+            F.col("cell"),
+            F.col("vnorm"),
             # cosine to own (unit) centroid: dot / |v|
             (
-                F.element_at(F.col("dots"), F.col("cell") + F.lit(1))
-                / F.sqrt(dot(F.col("v"), F.col("v")))
+                F.element_at(F.col("dots"), F.col("cell") + F.lit(1)) / F.col("vnorm")
             ).alias("cent_cos"),
         )
     )
@@ -103,7 +113,10 @@ def semantic_dedup(
         .select(
             F.col(f"hi.{id_col}").alias("dup_id"),
             F.col(f"lo.{id_col}").alias("partner"),
-            cosine(F.col("hi.v"), F.col("lo.v")).alias("cos"),
+            (
+                dot(F.col("hi.v"), F.col("lo.v"))
+                / (F.col("hi.vnorm") * F.col("lo.vnorm"))
+            ).alias("cos"),
         )
         .filter(F.col("cos") >= threshold)
     )
