@@ -32,6 +32,18 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
 
 
+def norm(a: Column) -> Column:
+    """sqrt(a . a). Pair-scoring operators precompute this per ROW so
+    the per-pair cost is one fold instead of three — dividing by the
+    stored norms is bit-identical to cosine() (same association:
+    dot / (norm_a * norm_b))."""
+    return F.sqrt(dot(a, a))
+
+
+def _cos_pre(d: Column, na: Column, nb: Column) -> Column:
+    return d / (na * nb)
+
+
 def knn_join(
     corpus: DataFrame,
     queries: DataFrame,
@@ -47,17 +59,31 @@ def knn_join(
     knn_rank) with a deterministic vec_id tiebreak.
     """
     q = F.broadcast(
-        queries.select(F.col(query_id), as_double(vec_col).alias("qv"))
+        queries.select(
+            F.col(query_id),
+            as_double(vec_col).alias("qv"),
+            norm(as_double(vec_col)).alias("qn"),
+        )
     )
-    scored = ensure_parallelism(corpus).select(F.col(corpus_id), as_double(vec_col).alias("cv")).join(
-        q, F.col(corpus_id) != F.col(query_id)
+    scored = (
+        ensure_parallelism(corpus)
+        .select(
+            F.col(corpus_id),
+            as_double(vec_col).alias("cv"),
+            norm(as_double(vec_col)).alias("cn"),
+        )
+        .join(q, F.col(corpus_id) != F.col(query_id))
     )
     w = Window.partitionBy(query_id).orderBy(
         F.desc("cosine"), F.asc(corpus_id)
     )
     return (
         scored.select(
-            query_id, corpus_id, cosine(F.col("cv"), F.col("qv")).alias("cosine")
+            query_id,
+            corpus_id,
+            _cos_pre(
+                dot(F.col("cv"), F.col("qv")), F.col("cn"), F.col("qn")
+            ).alias("cosine"),
         )
         .withColumn("knn_rank", F.row_number().over(w))
         .filter(F.col("knn_rank") <= k)
@@ -246,15 +272,23 @@ def ivf_topk(
     c = ensure_parallelism(corpus).select(
         F.col(corpus_id),
         as_double(vec_col).alias("cv"),
+        norm(as_double(vec_col)).alias("cn"),
         _cell_dots(as_double(vec_col), centroids).alias("dots"),
     ).select(
-        F.col(corpus_id), F.col("cv"), _argmax_cell(F.col("dots")).alias("cell")
+        F.col(corpus_id),
+        F.col("cv"),
+        F.col("cn"),
+        _argmax_cell(F.col("dots")).alias("cell"),
     )
     # per-query probe cells: (-dot, cell) structs sorted ascending,
     # sliced to n_probe — computed on the broadcast query side.
     # dot ordering == cosine ordering (unit centroids, fixed query
     # norm), so no normalization anywhere in the plan
-    qn = queries.select(F.col(query_id), as_double(vec_col).alias("qv"))
+    qn = queries.select(
+        F.col(query_id),
+        as_double(vec_col).alias("qv"),
+        norm(as_double(vec_col)).alias("qnorm"),
+    )
     cell_dots = F.array(
         *[
             F.struct(
@@ -267,13 +301,20 @@ def ivf_topk(
     qcells = qn.select(
         F.col(query_id),
         F.col("qv"),
+        F.col("qnorm"),
         F.explode(F.slice(F.array_sort(cell_dots), 1, n_probe)).alias("p"),
-    ).select(query_id, "qv", F.col("p.cell").alias("cell"))
+    ).select(query_id, "qv", "qnorm", F.col("p.cell").alias("cell"))
     w = Window.partitionBy(query_id).orderBy(F.desc("cosine"), F.asc(corpus_id))
     return (
         c.join(F.broadcast(qcells), "cell")
         .filter(F.col(corpus_id) != F.col(query_id))
-        .select(query_id, corpus_id, cosine(F.col("cv"), F.col("qv")).alias("cosine"))
+        .select(
+            query_id,
+            corpus_id,
+            _cos_pre(
+                dot(F.col("cv"), F.col("qv")), F.col("cn"), F.col("qnorm")
+            ).alias("cosine"),
+        )
         .withColumn("knn_rank", F.row_number().over(w))
         .filter(F.col("knn_rank") <= k)
     )
@@ -309,13 +350,27 @@ def cosine_neardup_pairs(
         F.col(id_col), srp_bucket(as_double(vec_col), planes).alias("bucket")
     )
     cand = _bucket_pairs(keyed, id_col, ["bucket"], max_bucket=max_bucket)
-    vecs = corpus.select(F.col(id_col), as_double(vec_col).alias("v"))
-    s1 = vecs.select(F.col(id_col).alias("d1"), F.col("v").alias("v1"))
-    s2 = vecs.select(F.col(id_col).alias("d2"), F.col("v").alias("v2"))
+    vecs = corpus.select(
+        F.col(id_col),
+        as_double(vec_col).alias("v"),
+        norm(as_double(vec_col)).alias("vn"),
+    )
+    s1 = vecs.select(
+        F.col(id_col).alias("d1"), F.col("v").alias("v1"), F.col("vn").alias("n1")
+    )
+    s2 = vecs.select(
+        F.col(id_col).alias("d2"), F.col("v").alias("v2"), F.col("vn").alias("n2")
+    )
     return (
         cand.join(s1, "d1")
         .join(s2, "d2")
-        .select("d1", "d2", cosine(F.col("v1"), F.col("v2")).alias("cosine"))
+        .select(
+            "d1",
+            "d2",
+            _cos_pre(
+                dot(F.col("v1"), F.col("v2")), F.col("n1"), F.col("n2")
+            ).alias("cosine"),
+        )
         .filter(F.col("cosine") >= threshold)
     )
 
@@ -343,6 +398,7 @@ def ann_topk(
     c = ensure_parallelism(corpus).select(
         F.col(corpus_id),
         as_double(vec_col).alias("cv"),
+        norm(as_double(vec_col)).alias("cn"),
         srp_bucket(as_double(vec_col), planes).alias("bucket"),
     )
     # bucket lands in its own projection and the probes XOR the
@@ -354,18 +410,26 @@ def ann_topk(
     qb = queries.select(
         F.col(query_id),
         as_double(vec_col).alias("qv"),
+        norm(as_double(vec_col)).alias("qn"),
         srp_bucket(as_double(vec_col), planes).alias("b"),
     )
     q = qb.select(
         F.col(query_id),
         F.col("qv"),
+        F.col("qn"),
         F.explode(_probe_buckets(F.col("b"), n_planes, probes)).alias("bucket"),
     )
     w = Window.partitionBy(query_id).orderBy(F.desc("cosine"), F.asc(corpus_id))
     return (
         c.join(F.broadcast(q), "bucket")
         .filter(F.col(corpus_id) != F.col(query_id))
-        .select(query_id, corpus_id, cosine(F.col("cv"), F.col("qv")).alias("cosine"))
+        .select(
+            query_id,
+            corpus_id,
+            _cos_pre(
+                dot(F.col("cv"), F.col("qv")), F.col("cn"), F.col("qn")
+            ).alias("cosine"),
+        )
         .distinct()
         .withColumn("knn_rank", F.row_number().over(w))
         .filter(F.col("knn_rank") <= k)
