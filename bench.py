@@ -54,6 +54,7 @@ HEADLINE = [
     "docs_c4_clean",
     "docs_quality_score",
     "docs_inverted_index",
+    "docs_tfidf_topk",
     "docs_incremental_dedup",
     "docs_budget_cap",
     "emb_cosine_neardup",

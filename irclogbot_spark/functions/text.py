@@ -152,3 +152,72 @@ def bm25_rank(
         .orderBy(F.desc("score"), F.asc(id_col))
         .limit(k)
     )
+
+
+def tfidf_topk(df, id_col: str = "doc_id", text_col: str = "text", k: int = 3):
+    """Per-document top-k keywords by TF-IDF — the keyword-extraction
+    face of the full-text surface the reference delegates to
+    Elasticsearch (SURVEY.md §2H; ES exposes this as significant
+    terms / term vectors over the same inverted statistics).
+
+    Cross-engine determinism: the idf is the RATIONAL form N/df, not
+    its logarithm — same rule as bm25_rank above (ln() differs across
+    libms in the last ulp and can never value-hash against an
+    oracle; the monotone log changes scores but not ranks). The
+    score is ``CAST(tf AS DOUBLE) * N / df`` — two IEEE-exact ops
+    with the identical expression tree in the DuckDB twin.
+
+    Scale shape: per-doc (term, tf) pairs come from IN-ROW
+    higher-order functions (one map stage — same trade as the
+    inverted-index build: O(len^2) over a short in-row array beats
+    a (doc, term) pre-shuffle); the document-frequency table is ONE
+    term shuffle with partial aggregation over exploded DISTINCT
+    in-row terms (no tf computation on that branch), vocabulary-sized
+    and broadcast back; the per-doc reassembly shuffles only
+    (id, term, tf, score) — never text. Top-k within a doc is an
+    in-row array_sort + slice, not a window sort: negating the
+    (strictly positive) score gives an ascending struct sort key
+    with the term string as the deterministic tiebreak.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    toks = df.select(
+        F.col(id_col),
+        F.regexp_extract_all(F.col(text_col), F.lit(WORD_RE), F.lit(0)).alias("_toks"),
+    )
+    entries = F.transform(
+        F.array_distinct("_toks"),
+        lambda t: F.struct(
+            t.alias("term"),
+            F.size(F.filter(F.col("_toks"), lambda x: x == t))
+            .cast("long")
+            .alias("tf"),
+        ),
+    )
+    tc = toks.select(F.col(id_col), F.explode(entries).alias("_e")).select(
+        id_col, F.col("_e.term").alias("term"), F.col("_e.tf").alias("tf")
+    )
+    # df-branch: distinct terms only — skips the per-term tf filters
+    dfreq = (
+        toks.select(F.explode(F.array_distinct("_toks")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    n = df.agg(F.count(F.lit(1)).alias("n"))
+    scored = tc.join(F.broadcast(dfreq), "term").join(F.broadcast(n))
+    score = F.col("tf").cast("double") * F.col("n") / F.col("df")
+    per_doc = scored.groupBy(id_col).agg(
+        F.collect_list(
+            F.struct((-score).alias("nscore"), F.col("term"), F.col("tf"))
+        ).alias("_entries")
+    )
+    top = F.slice(F.array_sort("_entries"), 1, k)
+    return per_doc.select(
+        F.col(id_col), F.posexplode(top).alias("_pos", "_e")
+    ).select(
+        id_col,
+        (F.col("_pos") + F.lit(1)).cast("int").alias("rank"),
+        F.col("_e.term").alias("term"),
+        F.col("_e.tf").alias("tf"),
+        (-F.col("_e.nscore")).alias("score"),
+    )

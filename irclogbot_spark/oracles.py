@@ -1673,6 +1673,37 @@ FROM base LEFT JOIN hits ON base.query_id = hits.query_id
 """
 
 
+# ANSI twin of queries.docs_tfidf_topk / functions/text.py
+# tfidf_topk: per-doc tf, df over distinct (doc, term), rational idf
+# N/df (the bm25_rank no-ln rule), score = CAST(tf AS DOUBLE) * N /
+# df — the identical two-op IEEE tree — and ROW_NUMBER ties broken
+# on the term string, matching the Spark side's (-score, term)
+# struct-sort key.
+ORACLES["docs_tfidf_topk"] = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS term FROM documents
+),
+tc AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM toks GROUP BY doc_id, term
+),
+dfreq AS (
+  SELECT term, COUNT(*) AS df FROM tc GROUP BY term
+),
+n AS (SELECT COUNT(*) AS n FROM documents),
+scored AS (
+  SELECT doc_id, term, tf, CAST(tf AS DOUBLE) * n / df AS score
+  FROM tc JOIN dfreq USING (term) CROSS JOIN n
+),
+ranked AS (
+  SELECT doc_id, term, tf, score,
+    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rank
+  FROM scored
+)
+SELECT doc_id, CAST(rank AS INT) AS rank, term, tf, score
+FROM ranked WHERE rank <= 3
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     out = dict(ORACLES)
     # data-dependent oracles, built lazily so the training corpus

@@ -1506,5 +1506,21 @@ def emb_ivf_recall(spark, sf_dir):
     )
 
 
+@query("docs_tfidf_topk")
+def docs_tfidf_topk(spark, sf_dir):
+    """Per-document top-3 keywords by TF-IDF (functions/text.py
+    tfidf_topk) — keyword extraction over the same inverted
+    statistics as docs_inverted_index: in-row tf, one term shuffle
+    for the broadcast df table, one (id, term, score)-only
+    reassembly shuffle, in-row top-k. Rational idf (no ln) per the
+    bm25_rank determinism rule. Registers past the driver's 50-row
+    cap; value-checked by the local parity suite."""
+    from irclogbot_spark.functions.text import tfidf_topk
+    from irclogbot_spark.plans.partitioning import ensure_parallelism
+
+    d = ensure_parallelism(_t(spark, sf_dir, "documents"))
+    return tfidf_topk(d, k=3)
+
+
 def queries() -> dict[str, QueryFn]:
     return dict(QUERIES)

@@ -41,6 +41,7 @@ def test_rows_only_queries_register_after_the_cap():
         "docs_temperature_mix",
         "docs_chunking",
         "emb_ivf_recall",
+        "docs_tfidf_topk",
     }
 
 

@@ -150,3 +150,17 @@ def test_chunking_map_only(spark):
     assert "hashpartitioning" not in plan, plan
     assert "Join" not in plan
     assert "Sort" not in plan
+
+
+def test_tfidf_topk_broadcast_df_two_data_shuffles(spark):
+    """docs_tfidf_topk: the df table and corpus-count row join back
+    as BROADCASTS (the corpus-side (doc, term, tf) rows never shuffle
+    for the join), leaving exactly two hash exchanges — the term
+    aggregation that builds the df table and the per-doc reassembly —
+    and no global sort."""
+    plan = _plan(spark, "docs_tfidf_topk")
+    hashex = [l for l in plan.splitlines() if "hashpartitioning" in l]
+    assert len(hashex) == 2, hashex
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert "Sort " not in plan

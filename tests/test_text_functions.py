@@ -79,3 +79,32 @@ def test_bm25_ranks_term_density_over_length(spark):
     assert ranks[0] == 1, ranks                  # highest density wins
     assert scores[3] == 0.0                      # no term -> zero score
     assert scores[1] > scores[4]                 # length normalization bites
+
+
+def test_tfidf_topk_ranks_rare_terms_over_common(spark):
+    """A term appearing in every doc (idf = N/N = 1) must rank below
+    an equally-frequent term unique to one doc (idf = N); ranks are
+    1-based, per-doc, ties broken on the term string."""
+    from irclogbot_spark.functions.text import tfidf_topk
+
+    rows = [
+        (1, "common rare1 common common"),
+        (2, "common filler filler common"),
+        (3, "common words words words"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = tfidf_topk(df, k=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    top1 = {d: rs[0] for d, rs in by_doc.items()}
+    # doc 1: rare1 (tf=1, df=1 -> score 3) beats common (tf=3, df=3 -> score 3)?
+    # common: 3*3/3=3.0 == rare1: 1*3/1=3.0 -- tie broken on term: "common" < "rare1"
+    assert [r.rank for r in by_doc[1]] == [1, 2]
+    assert {r.term for r in by_doc[1]} == {"common", "rare1"}
+    # doc 2: filler tf=2 df=1 -> 6.0 beats common tf=2 df=3 -> 2.0
+    assert top1[2].term == "filler" and top1[2].score == 6.0
+    # doc 3: words tf=3 df=1 -> 9.0
+    assert top1[3].term == "words" and top1[3].score == 9.0
+    with pytest.raises(ValueError):
+        tfidf_topk(df, k=0)
