@@ -62,6 +62,7 @@ HEADLINE = [
     "emb_ann_topk",
     "emb_ivf_topk",
     "emb_semantic_dedup",
+    "emb_pq_topk",
 ]
 
 #: headline queries that derive from the irclog (re-timed over the

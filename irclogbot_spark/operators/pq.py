@@ -1,0 +1,326 @@
+"""Product quantization (PQ) for embedding similarity at corpus
+scale — the compressed-scan ANN path beside SRP-LSH (ann_topk) and
+IVF (ivf_topk): Jegou et al., "Product Quantization for Nearest
+Neighbor Search" (TPAMI 2011).
+
+Why it exists at 100 TB: a 64-dim float32 embedding is 256 bytes; its
+PQ code (8 subspaces x 16 codewords) is 8 SMALL ints — a 30x+ scan
+reduction. The corpus is encoded ONCE (map-only, plan-constant
+codebooks), stored beside the id, and every subsequent query scans
+only the code column with per-query lookup tables (ADC — asymmetric
+distance computation): no fold over 64 doubles per (query, row), just
+M table lookups and M adds. An optional exact rerank touches raw
+vectors for the tiny ADC top-R candidate set only.
+
+Determinism (the oracle contract, same recipe as the IVF trainer in
+operators/similarity.py): the trainer accumulates floor(x * 2^30) as
+BIGINT — associative integer addition makes the learned codebooks a
+pure function of the corpus under ANY partitioning, and
+``train_pq_codebooks_local`` replicates them bit-for-bit on the
+driver so the DuckDB twin can inline them as literals. Assignment
+uses argmax(dot(sub, codeword) - ||codeword||^2 / 2) — equivalent to
+nearest-by-L2 but expressed through the dot-product kernel both
+engines evaluate identically (sequential left-folds / DuckDB's
+data x data list_dot_product); the bias and squared norms are
+plan constants inlined on both sides.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from irclogbot_spark.operators.similarity import (
+    _argmax_cell,
+    _cos_pre,
+    as_double,
+    dot,
+    norm,
+)
+from irclogbot_spark.plans.partitioning import ensure_parallelism
+
+#: fixed-point scale for the trainer's order-free integer accumulation
+_PQ_QUANT = 1 << 30
+
+
+def _fold_sq(vals: list[float]) -> float:
+    """||v||^2 as the sequential left fold both engines use."""
+    acc = 0.0
+    for x in vals:
+        acc = acc + x * x
+    return acc
+
+
+def _lit_vec(vals: list[float]):
+    return F.array(*[F.lit(float(x)) for x in vals])
+
+
+def _check_books(books: list[list[list[float]]]) -> tuple[int, int, int]:
+    n_sub, n_codes, sub = len(books), len(books[0]), len(books[0][0])
+    for b in books:
+        if len(b) != n_codes or any(len(c) != sub for c in b):
+            raise ValueError("ragged codebook structure")
+    return n_sub, n_codes, sub
+
+
+def _slices(df: DataFrame, vcol: str, n_sub: int, sub: int) -> DataFrame:
+    """Materialize the per-subspace slices once — score expressions
+    below reference each slice n_codes times, and an unmaterialized
+    slice would be re-evaluated per reference."""
+    return df.select(
+        "*", *[F.slice(F.col(vcol), m * sub + 1, sub).alias(f"_sv{m}") for m in range(n_sub)]
+    )
+
+
+def _assign_codes(sliced: DataFrame, books: list[list[list[float]]]) -> DataFrame:
+    """Append _c{m} code columns: first-argmax of the biased dot
+    scores, with the score arrays materialized in their own
+    projection (array_position + array_max reference the operand
+    twice — see similarity._argmax_cell)."""
+    n_sub = len(books)
+    scored = sliced.select(
+        "*",
+        *[
+            F.array(
+                *[
+                    dot(F.col(f"_sv{m}"), _lit_vec(c)) - F.lit(_fold_sq(c) / 2.0)
+                    for c in books[m]
+                ]
+            ).alias(f"_sc{m}")
+            for m in range(n_sub)
+        ],
+    )
+    return scored.select(
+        "*", *[_argmax_cell(F.col(f"_sc{m}")).alias(f"_c{m}") for m in range(n_sub)]
+    )
+
+
+def train_pq_codebooks(
+    corpus: DataFrame,
+    n_sub: int = 8,
+    n_codes: int = 16,
+    n_iter: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """Train per-subspace codebooks (n_sub x n_codes x dim/n_sub) by
+    k-means on each subspace independently.
+
+    Distributed shape: ONE plan per iteration covers all subspaces —
+    assignment is a map-only projection against plan-constant
+    codewords, the update explodes (subspace, cell, dim) and
+    partially aggregates before its single shuffle, and only the
+    n_sub x n_codes x subdim codeword table (1k doubles here)
+    returns to the driver per round. Init is deterministic: codeword
+    c of subspace m is the m-th slice of the c-th vector by id.
+    Empty cells keep their previous codeword.
+    """
+    vecs = ensure_parallelism(corpus).select(
+        F.col(id_col).alias("_id"), as_double(vec_col).alias("v")
+    )
+    seed_rows = vecs.orderBy("_id").limit(n_codes).collect()
+    if len(seed_rows) < n_codes:
+        raise ValueError(f"corpus smaller than n_codes={n_codes}")
+    dim = len(seed_rows[0].v)
+    if dim % n_sub != 0:
+        raise ValueError(f"dim {dim} not divisible by n_sub {n_sub}")
+    sub = dim // n_sub
+    books = [
+        [list(r.v[m * sub : (m + 1) * sub]) for r in seed_rows] for m in range(n_sub)
+    ]
+    for _ in range(n_iter):
+        assigned = _assign_codes(_slices(vecs.select("v"), "v", n_sub, sub), books)
+        exploded = assigned.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(m).alias("m"),
+                            F.col(f"_c{m}").alias("cell"),
+                            F.col(f"_sv{m}").alias("sv"),
+                        )
+                        for m in range(n_sub)
+                    ]
+                )
+            ).alias("e")
+        ).select("e.m", "e.cell", F.posexplode("e.sv").alias("d", "x"))
+        sums = (
+            exploded.groupBy("m", "cell", "d")
+            .agg(
+                F.sum(F.floor(F.col("x") * F.lit(float(_PQ_QUANT))).cast("long")).alias(
+                    "s"
+                ),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .collect()
+        )
+        new = [[list(c) for c in book] for book in books]
+        for r in sums:
+            new[r.m][r.cell][r.d] = (r.s / _PQ_QUANT) / r.n
+        books = new
+    return books
+
+
+def train_pq_codebooks_local(
+    rows: list[tuple[int, list[float]]],
+    n_sub: int = 8,
+    n_codes: int = 16,
+    n_iter: int = 5,
+) -> list[list[list[float]]]:
+    """Driver-side replica of ``train_pq_codebooks`` — bit-identical
+    by construction (for oracle-building and trainer verification):
+    dots are sequential left folds, assignment takes the FIRST
+    argmax, accumulation sums floor(x * 2^30) in exact integers, and
+    the mean runs the identical (s / 2^30) / n float division."""
+    rows = sorted(rows, key=lambda r: r[0])
+    if len(rows) < n_codes:
+        raise ValueError(f"corpus smaller than n_codes={n_codes}")
+    dim = len(rows[0][1])
+    if dim % n_sub != 0:
+        raise ValueError(f"dim {dim} not divisible by n_sub {n_sub}")
+    sub = dim // n_sub
+    books = [
+        [list(v[m * sub : (m + 1) * sub]) for _, v in rows[:n_codes]]
+        for m in range(n_sub)
+    ]
+    for _ in range(n_iter):
+        sums = [[[0] * sub for _ in range(n_codes)] for _ in range(n_sub)]
+        counts = [[0] * n_codes for _ in range(n_sub)]
+        for _, v in rows:
+            for m in range(n_sub):
+                sv = v[m * sub : (m + 1) * sub]
+                scores = []
+                for c in books[m]:
+                    acc = 0.0
+                    for x, y in zip(sv, c):
+                        acc = acc + x * y  # left fold, F.aggregate order
+                    scores.append(acc - _fold_sq(c) / 2.0)
+                cell = scores.index(max(scores))  # first argmax
+                counts[m][cell] += 1
+                srow = sums[m][cell]
+                for d, x in enumerate(sv):
+                    srow[d] += math.floor(x * float(_PQ_QUANT))
+        new = [[list(c) for c in book] for book in books]
+        for m in range(n_sub):
+            for cell in range(n_codes):
+                n = counts[m][cell]
+                if n > 0:
+                    for d in range(sub):
+                        new[m][cell][d] = (sums[m][cell][d] / _PQ_QUANT) / n
+        books = new
+    return books
+
+
+def pq_encode(
+    corpus: DataFrame,
+    books: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, codes) — the stored form of the index. Map-only: slices
+    and biased-dot score arrays are plan-constant expressions; at
+    scale this is the write-once pass whose output replaces the raw
+    vector column in every subsequent scan."""
+    n_sub, _, sub = _check_books(books)
+    base = ensure_parallelism(corpus).select(
+        F.col(id_col), as_double(vec_col).alias("v")
+    )
+    coded = _assign_codes(_slices(base, "v", n_sub, sub), books)
+    return coded.select(
+        F.col(id_col), F.array(*[F.col(f"_c{m}") for m in range(n_sub)]).alias("codes")
+    )
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    books: list[list[list[float]]],
+    k: int = 5,
+    rerank: int = 0,
+    corpus_id: str = "vec_id",
+    query_id: str = "query_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ADC top-k: approximate squared-L2 of each query against every
+    corpus CODE — sum over subspaces of a per-query lookup table
+    entry — then (optionally) exact-cosine rerank of the ADC top-R.
+
+    Scale shape: the per-query M x K lookup tables are built on the
+    broadcast query side (||q_m||^2 - 2 q_m . c + ||c||^2, all
+    plan-constant except the query); the corpus side touches ONLY the
+    codes column — no 64-double fold per pair, M element_at + M adds.
+    With rerank > 0 the raw vectors are read back for just the
+    nq x rerank ADC survivors via a broadcast hash join on id.
+
+    Returns (query_id, vec_id, adc_dist, pq_rank) for the ADC-only
+    form, plus cosine when rerank > 0 (pq_rank then orders by exact
+    cosine DESC with the adc candidate set).
+    """
+    n_sub, n_codes, sub = _check_books(books)
+    if rerank and rerank < k:
+        raise ValueError(f"rerank ({rerank}) must be >= k ({k})")
+    enc = pq_encode(corpus, books, id_col=corpus_id, vec_col=vec_col)
+    q0 = queries.select(F.col(query_id), as_double(vec_col).alias("qv"))
+    q1 = _slices(q0, "qv", n_sub, sub)
+    q2 = q1.select(
+        "*",
+        *[
+            dot(F.col(f"_sv{m}"), F.col(f"_sv{m}")).alias(f"_q2{m}")
+            for m in range(n_sub)
+        ],
+    )
+    lut = F.array(
+        *[
+            F.array(
+                *[
+                    F.col(f"_q2{m}")
+                    - F.lit(2.0) * dot(F.col(f"_sv{m}"), _lit_vec(c))
+                    + F.lit(_fold_sq(c))
+                    for c in books[m]
+                ]
+            )
+            for m in range(n_sub)
+        ]
+    )
+    qlut = q2.select(F.col(query_id), F.col("qv"), lut.alias("lut"))
+    adc = F.aggregate(
+        F.zip_with(F.col("codes"), F.col("lut"), lambda code, row: F.element_at(row, code + 1)),
+        F.lit(0.0),
+        lambda s, x: s + x,
+    )
+    w_adc = Window.partitionBy(query_id).orderBy(F.asc("adc_dist"), F.asc(corpus_id))
+    scored = (
+        enc.join(F.broadcast(qlut), F.col(corpus_id) != F.col(query_id))
+        .select(query_id, corpus_id, F.col("qv"), adc.alias("adc_dist"))
+        .withColumn("pq_rank", F.row_number().over(w_adc))
+    )
+    if not rerank:
+        return scored.filter(F.col("pq_rank") <= k).select(
+            query_id, corpus_id, "adc_dist", "pq_rank"
+        )
+    cand = scored.filter(F.col("pq_rank") <= rerank).select(
+        query_id, corpus_id, "qv", "adc_dist"
+    )
+    vecs = corpus.select(
+        F.col(corpus_id),
+        as_double(vec_col).alias("cv"),
+        norm(as_double(vec_col)).alias("cn"),
+    )
+    w_cos = Window.partitionBy(query_id).orderBy(F.desc("cosine"), F.asc(corpus_id))
+    return (
+        vecs.join(F.broadcast(cand), corpus_id)
+        .select(
+            query_id,
+            corpus_id,
+            "adc_dist",
+            _cos_pre(
+                dot(F.col("cv"), F.col("qv")),
+                F.col("cn"),
+                F.sqrt(dot(F.col("qv"), F.col("qv"))),
+            ).alias("cosine"),
+        )
+        .withColumn("pq_rank", F.row_number().over(w_cos))
+        .filter(F.col("pq_rank") <= k)
+    )

@@ -1704,6 +1704,120 @@ FROM ranked WHERE rank <= 3
 """
 
 
+def _pq_topk_sql(
+    k: int = 5, n_sub: int = 8, n_codes: int = 16, n_iter: int = 5, rerank: int = 20
+) -> str:
+    """ANSI twin of operators.pq.pq_topk with the LEARNED codebooks
+    inlined (same replica-trainer recipe as _ivf_topk_sql): identical
+    per-subspace encoding (first argmax of the biased dot, ties to
+    the smallest code), identical per-query ADC lookup values
+    ((q2 - 2*dot) + c2, the Spark lut expression tree), the ADC sum
+    as the same left-to-right 0.0 + pd0 + ... + pd7 chain the
+    F.aggregate fold evaluates, and the exact-cosine rerank of the
+    ADC top-R. Codeword vectors route through a VALUES table so
+    list_dot_product runs the data x data kernel (see the
+    bit-exactness notes on _semantic_dedup_sql); the squared-norm /
+    bias plan constants are e-notation literals computed by the SAME
+    Python fold the Spark plan inlines."""
+    import os
+
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    key = ("pq", sf_dir, k, n_sub, n_codes, n_iter, rerank)
+    if key in _IVF_SQL_CACHE:
+        return _IVF_SQL_CACHE[key]
+
+    import duckdb
+
+    from irclogbot_spark.operators.pq import _fold_sq, train_pq_codebooks_local
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    rows = duckdb.sql(
+        f"SELECT vec_id, CAST(embedding AS DOUBLE[]) FROM '{path}' ORDER BY vec_id"
+    ).fetchall()
+    books = train_pq_codebooks_local(
+        [(r[0], list(r[1])) for r in rows], n_sub, n_codes, n_iter
+    )
+    dim = len(rows[0][1])
+    sub = dim // n_sub
+    values = ", ".join(
+        "({m}, {c}, [{xs}]::DOUBLE[], {c2}, {bias})".format(
+            m=m,
+            c=c,
+            xs=", ".join(f"{x:.17e}" for x in cw),
+            c2=f"{_fold_sq(cw):.17e}",
+            bias=f"{_fold_sq(cw) / 2.0:.17e}",
+        )
+        for m, book in enumerate(books)
+        for c, cw in enumerate(book)
+    )
+    esub = " UNION ALL ".join(
+        f"SELECT vec_id, {m} AS m, v[{m * sub + 1}:{(m + 1) * sub}] AS sv FROM e"
+        for m in range(n_sub)
+    )
+    qsub = " UNION ALL ".join(
+        f"SELECT query_id, {m} AS m, qv[{m * sub + 1}:{(m + 1) * sub}] AS sv FROM q"
+        for m in range(n_sub)
+    )
+    encp_cols = ",\n    ".join(
+        f"MAX(CASE WHEN m = {m} THEN code END) AS c{m}" for m in range(n_sub)
+    )
+    pd_joins = "\n  ".join(
+        f"JOIN pd p{m} ON p{m}.query_id = q.query_id AND p{m}.m = {m} AND p{m}.c = ec.c{m}"
+        for m in range(n_sub)
+    )
+    adc_chain = " + ".join(f"p{m}.pd" for m in range(n_sub))
+    sql = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cw AS (SELECT * FROM (VALUES {values}) AS t(m, c, cvec, c2, bias)),
+esub AS ({esub}),
+escore AS (
+  SELECT es.vec_id, es.m, cw.c,
+    list_dot_product(es.sv, cw.cvec) - cw.bias AS s
+  FROM esub es JOIN cw ON cw.m = es.m
+),
+enc AS (
+  SELECT vec_id, m, c AS code FROM (
+    SELECT vec_id, m, c,
+      ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY s DESC, c ASC) AS rn
+    FROM escore) WHERE rn = 1
+),
+ec AS (SELECT vec_id,
+    {encp_cols}
+  FROM enc GROUP BY vec_id),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id IN (0, 1, 2)),
+qsub AS ({qsub}),
+pd AS (
+  SELECT qs.query_id, qs.m, cw.c,
+    list_dot_product(qs.sv, qs.sv) - 2.0 * list_dot_product(qs.sv, cw.cvec) + cw.c2 AS pd
+  FROM qsub qs JOIN cw ON cw.m = qs.m
+),
+adc AS (
+  SELECT q.query_id, ec.vec_id, 0.0 + {adc_chain} AS adc_dist
+  FROM ec CROSS JOIN q
+  {pd_joins}
+  WHERE ec.vec_id <> q.query_id
+),
+cand AS (
+  SELECT query_id, vec_id, adc_dist FROM (
+    SELECT query_id, vec_id, adc_dist,
+      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc_dist ASC, vec_id ASC) AS arn
+    FROM adc) WHERE arn <= {rerank}
+),
+rr AS (
+  SELECT c.query_id, c.vec_id, c.adc_dist,
+    list_dot_product(cv.v, q.qv)
+      / (sqrt(list_dot_product(cv.v, cv.v)) * sqrt(list_dot_product(q.qv, q.qv))) AS cosine
+  FROM cand c JOIN e cv ON cv.vec_id = c.vec_id JOIN q ON q.query_id = c.query_id
+)
+SELECT query_id, vec_id, adc_dist, cosine, pq_rank FROM (
+  SELECT query_id, vec_id, adc_dist, cosine,
+    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS pq_rank
+  FROM rr) WHERE pq_rank <= {k}
+"""
+    _IVF_SQL_CACHE[key] = sql
+    return sql
+
+
 def oracle_sql() -> dict[str, str]:
     out = dict(ORACLES)
     # data-dependent oracles, built lazily so the training corpus
@@ -1711,4 +1825,5 @@ def oracle_sql() -> dict[str, str]:
     out["emb_ivf_topk"] = _ivf_topk_sql()
     out["emb_semantic_dedup"] = _semantic_dedup_sql()
     out["emb_ivf_recall"] = _ivf_recall_sql()
+    out["emb_pq_topk"] = _pq_topk_sql()
     return out

@@ -1522,5 +1522,32 @@ def docs_tfidf_topk(spark, sf_dir):
     return tfidf_topk(d, k=3)
 
 
+_PQ_BOOKS: dict[str, list[list[list[float]]]] = {}
+
+
+@query("emb_pq_topk")
+def emb_pq_topk(spark, sf_dir):
+    """Product-quantization ANN (operators/pq.py): corpus encoded
+    map-only to 8 codes against replica-trainable codebooks, ADC
+    scan with per-query lookup tables, exact-cosine rerank of the
+    ADC top-20 — the compressed-scan path beside SRP (emb_ann_topk)
+    and IVF (emb_ivf_topk). Trainer determinism (integer-quantized
+    accumulation) makes the whole pipeline value-hash checkable:
+    oracles._pq_topk_sql re-trains via the bit-identical local
+    replica and inlines the learned codebooks. Registers past the
+    driver's 50-row cap; value-checked by the local parity suite."""
+    from irclogbot_spark.operators.pq import pq_topk, train_pq_codebooks
+
+    emb = _t(spark, sf_dir, "embeddings")
+    if sf_dir not in _PQ_BOOKS:
+        _PQ_BOOKS[sf_dir] = train_pq_codebooks(emb, n_sub=8, n_codes=16, n_iter=5)
+    qs = emb.filter(F.col("vec_id").isin(0, 1, 2)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return pq_topk(emb, qs, _PQ_BOOKS[sf_dir], k=5, rerank=20).withColumn(
+        "pq_rank", F.col("pq_rank").cast("long")
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return dict(QUERIES)

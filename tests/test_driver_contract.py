@@ -42,6 +42,7 @@ def test_rows_only_queries_register_after_the_cap():
         "docs_chunking",
         "emb_ivf_recall",
         "docs_tfidf_topk",
+        "emb_pq_topk",
     }
 
 

@@ -164,3 +164,19 @@ def test_tfidf_topk_broadcast_df_two_data_shuffles(spark):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
     assert "Sort " not in plan
+
+
+def test_pq_topk_adc_broadcast_and_partial_topk(spark):
+    """emb_pq_topk: the ADC scan is a broadcast nested-loop of the
+    (tiny) query+lut side against the code column — the corpus never
+    shuffles for it; the rerank vector fetch is a BroadcastHashJoin
+    on id; both per-query top-k windows run WindowGroupLimit (partial
+    top-k before the exchange); the only hash exchanges are the two
+    query-keyed window shuffles."""
+    plan = _plan(spark, "emb_pq_topk")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert "WindowGroupLimit" in plan
+    hashex = [l for l in plan.splitlines() if "hashpartitioning" in l]
+    assert len(hashex) == 2, hashex

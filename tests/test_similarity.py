@@ -1,3 +1,6 @@
+"""Similarity / semantic-dedup / PQ operator tests."""
+
+import pytest
 
 
 def test_semantic_dedup_planted_duplicates(spark):
@@ -50,3 +53,80 @@ def test_semantic_dedup_oversized_cell_skipped(spark):
     cents = train_ivf_centroids(emb, n_cells=2, n_iter=2)
     out = semantic_dedup(emb, cents, threshold=0.99, max_cell=5).collect()
     assert all(r.keep for r in out)
+
+
+def test_pq_trainer_replica_bit_identical(spark):
+    """operators/pq.py: the distributed trainer and the local replica
+    produce the SAME codebooks bit-for-bit (the property the oracle's
+    inlined literals depend on)."""
+    from irclogbot_spark.operators.pq import (
+        train_pq_codebooks,
+        train_pq_codebooks_local,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    dist = train_pq_codebooks(emb, n_sub=8, n_codes=16, n_iter=3)
+    rows = [
+        (r.vec_id, [float(x) for x in r.embedding])
+        for r in emb.select("vec_id", "embedding").collect()
+    ]
+    local = train_pq_codebooks_local(rows, n_sub=8, n_codes=16, n_iter=3)
+    assert dist == local
+
+
+def test_pq_encode_shape_and_range(spark):
+    """Codes: one per subspace, each in [0, n_codes); identical
+    vectors encode identically."""
+    from irclogbot_spark.operators.pq import pq_encode, train_pq_codebooks
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    books = train_pq_codebooks(emb, n_sub=8, n_codes=16, n_iter=2)
+    codes = {r.vec_id: r.codes for r in pq_encode(emb, books).collect()}
+    assert len(codes) == emb.count()
+    for cs in codes.values():
+        assert len(cs) == 8
+        assert all(0 <= c < 16 for c in cs)
+
+
+def test_pq_rerank_recall_and_planted_twin(spark):
+    """Exact-cosine rerank of the ADC candidates: (a) a planted
+    near-identical twin is the rank-1 neighbor; (b) recall@5 vs exact
+    kNN clears the floor measured for 32-bit codes on this corpus
+    (ADC-only ~0.2, rerank=50 ~0.78 at sf0.001)."""
+    from pyspark.sql import functions as F
+
+    from irclogbot_spark.operators.pq import pq_topk, train_pq_codebooks
+    from irclogbot_spark.operators.similarity import knn_join
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    # plant a twin of vec 7 (tiny perturbation on one dim)
+    twin = emb.filter(F.col("vec_id") == 7).select(
+        F.lit(100007).cast("long").alias("vec_id"),
+        F.transform(
+            F.col("embedding").cast("array<double>"), lambda x: x * 1.000001
+        ).cast("array<float>").alias("embedding"),
+        F.col("label"),
+    )
+    emb2 = emb.select("vec_id", "embedding", "label").unionByName(twin)
+    books = train_pq_codebooks(emb2, n_sub=8, n_codes=16, n_iter=3)
+    qs = emb2.filter(F.col("vec_id").isin(list(range(20)))).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    pq = pq_topk(emb2, qs, books, k=5, rerank=50).collect()
+    top1 = {r.query_id: r.vec_id for r in pq if r.pq_rank == 1}
+    assert top1[7] == 100007
+    exact = {(r.query_id, r.vec_id) for r in knn_join(emb2, qs, k=5).collect()}
+    hits = sum((r.query_id, r.vec_id) in exact for r in pq)
+    assert hits / len(exact) >= 0.6, hits / len(exact)
+
+
+def test_pq_validation_guards(spark):
+    from irclogbot_spark.operators.pq import pq_topk, train_pq_codebooks
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    with pytest.raises(ValueError):
+        train_pq_codebooks(emb, n_sub=7)  # 64 % 7 != 0
+    books = train_pq_codebooks(emb, n_sub=8, n_codes=16, n_iter=1)
+    qs = emb.limit(1).selectExpr("vec_id AS query_id", "embedding")
+    with pytest.raises(ValueError):
+        pq_topk(emb, qs, books, k=5, rerank=3)  # rerank < k
