@@ -517,6 +517,68 @@ def dedup_corpus(
     )
 
 
+def keep_best_dedup(
+    df: DataFrame,
+    score: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    pairs: DataFrame | None = None,
+) -> DataFrame:
+    """Quality-aware representative selection: the same grouping as
+    dedup_corpus (exact content fingerprint + near-dup connected
+    components, group identity = least(exact_keeper, cluster_id)),
+    but the keeper per group is the HIGHEST-``score`` member (ties
+    to the smallest id) — the "keep best, not first" policy
+    production corpus pipelines apply with a quality-classifier
+    score, document length, or recency.
+
+    ``score`` is a Column evaluated against ``df`` (use a
+    deterministic, cross-engine-exact score — e.g.
+    functions/quality.hashed_linear_logit — if the result must
+    value-hash against an oracle).
+
+    Scale shape: adds exactly ONE aggregation on the group id to the
+    dedup_corpus plan — max of a (score, -id) struct, partially
+    aggregated before its shuffle (the struct max IS the
+    argmax-with-deterministic-tiebreak: equal scores compare on the
+    negated id, so the maximum is the smallest id). Document text
+    never shuffles; only (id, fingerprint, score) rows move.
+    """
+    fp = F.md5(F.col(text_col).cast("binary"))
+    base = df.select(F.col(id_col), fp.alias("fingerprint"), score.alias("_score"))
+    exact_keeper = base.groupBy("fingerprint").agg(F.min(id_col).alias("_ek"))
+    with_exact = base.join(exact_keeper, "fingerprint")
+    if pairs is None:
+        pairs = minhash_neardup_pairs(df, id_col, text_col, threshold=threshold)
+    comp = neardup_components(pairs).withColumnRenamed("doc_id", "_comp_id")
+    grouped = with_exact.join(
+        comp, with_exact[id_col] == comp["_comp_id"], "left"
+    ).select(
+        F.col(id_col),
+        F.col("_score"),
+        F.least(
+            F.col("_ek"), F.coalesce(F.col("cluster_id"), F.col(id_col))
+        ).alias("group_id"),
+    )
+    best = (
+        grouped.groupBy("group_id")
+        .agg(
+            F.max(
+                F.struct(F.col("_score").alias("s"), (-F.col(id_col)).alias("nid"))
+            ).alias("_b")
+        )
+        .select("group_id", (-F.col("_b.nid")).alias("keeper_id"))
+    )
+    return grouped.join(best, "group_id").select(
+        id_col,
+        "group_id",
+        F.col("_score").alias("score"),
+        (F.col(id_col) == F.col("keeper_id")).alias("kept"),
+        "keeper_id",
+    )
+
+
 def simhash_neardup_pairs(
     df: DataFrame,
     id_col: str = "doc_id",

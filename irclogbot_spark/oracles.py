@@ -1592,6 +1592,61 @@ FROM documents d LEFT JOIN s USING (doc_id)
 ORACLES["docs_quality_score"] = _quality_score_sql()
 
 
+def _keep_best_sql(dim: int = 1024, seed: int = 7, scale: int = 16) -> str:
+    """ANSI twin of queries.docs_dedup_keep_best /
+    operators/dedup.keep_best_dedup: the docs_dedup_pipeline grouping
+    (md5 exact fingerprints + recursive-CTE connected components over
+    the exact Jaccard pair set, group_id = LEAST(exact_keeper,
+    cluster_id)) with the keeper re-picked as the highest
+    quality-logit member, ties to the smallest id — ROW_NUMBER
+    (score DESC, doc_id ASC) mirrors the Spark side's
+    max-of-(score, -id)-struct argmax exactly, and the logit itself
+    is the bit-exact integer form from _quality_score_sql."""
+    from irclogbot_spark.functions.quality import quality_weights
+    from irclogbot_spark.operators.dedup import _MH_PRIME
+
+    w, bias = quality_weights(dim, seed)
+    values = ", ".join(f"({i}, {wt})" for i, wt in enumerate(w))
+    return rf"""
+WITH RECURSIVE {_SHINGLES_CTE}, {_COMPONENTS_CTE},
+w AS (SELECT * FROM (VALUES {values}) AS t(i, wt)),
+tok AS (SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS tok FROM documents),
+hh AS (SELECT doc_id,
+        (CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) % {_MH_PRIME}) % {dim} AS i
+      FROM tok),
+sc0 AS (SELECT doc_id, SUM(wt) AS sw, COUNT(*) AS n FROM hh JOIN w USING (i) GROUP BY doc_id),
+score AS (
+  SELECT d.doc_id,
+    CAST({bias} + COALESCE(sc0.sw, 0) AS DOUBLE)
+      / ({scale} * GREATEST(COALESCE(sc0.n, 0), 1)) AS score
+  FROM documents d LEFT JOIN sc0 USING (doc_id)
+),
+fp AS (SELECT doc_id, md5(text) AS fingerprint FROM documents),
+ek AS (SELECT fingerprint, MIN(doc_id) AS ek FROM fp GROUP BY fingerprint),
+grp AS (
+  SELECT f.doc_id, LEAST(e.ek, COALESCE(c.cluster_id, f.doc_id)) AS group_id
+  FROM fp f
+  JOIN ek e ON f.fingerprint = e.fingerprint
+  LEFT JOIN comp c ON c.doc_id = f.doc_id
+),
+best AS (
+  SELECT group_id, doc_id AS keeper_id FROM (
+    SELECT g.group_id, g.doc_id,
+      ROW_NUMBER() OVER (
+        PARTITION BY g.group_id ORDER BY s.score DESC, g.doc_id ASC) AS rn
+    FROM grp g JOIN score s ON s.doc_id = g.doc_id) WHERE rn = 1
+)
+SELECT g.doc_id, g.group_id, s.score,
+  g.doc_id = b.keeper_id AS kept, b.keeper_id
+FROM grp g
+JOIN score s ON s.doc_id = g.doc_id
+JOIN best b ON b.group_id = g.group_id
+"""
+
+
+ORACLES["docs_dedup_keep_best"] = _keep_best_sql()
+
+
 def _temperature_mix_sql(budget_frac: float = 0.5) -> str:
     """ANSI twin of queries.docs_temperature_mix: identical operation
     order (quantized sqrt shares summed as integers, the one float

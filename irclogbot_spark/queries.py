@@ -1549,5 +1549,33 @@ def emb_pq_topk(spark, sf_dir):
     )
 
 
+@query("docs_dedup_keep_best")
+def docs_dedup_keep_best(spark, sf_dir):
+    """Quality-aware dedup representative selection
+    (operators/dedup.py keep_best_dedup): same exact+near-dup groups
+    as docs_dedup_pipeline, keeper = highest hashed-linear quality
+    logit (functions/quality.py, portable md5 hash — bit-exact across
+    engines) with smallest-id tiebreak. Clustering over the exact
+    Jaccard pair set for full SQL checkability; swap pairs=None for
+    MinHash LSH at scale. Registers past the driver's 50-row cap;
+    value-checked by the local parity suite."""
+    from irclogbot_spark.functions.quality import (
+        hashed_linear_logit,
+        quality_weights,
+    )
+    from irclogbot_spark.operators.dedup import (
+        jaccard_pairs,
+        keep_best_dedup,
+        md5_hash31,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    w, b = quality_weights()
+    score = hashed_linear_logit(F.col("text"), w, b, hash_fn=md5_hash31)
+    return keep_best_dedup(
+        docs, score, pairs=jaccard_pairs(docs, n=5, threshold=0.8)
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return dict(QUERIES)

@@ -43,6 +43,7 @@ def test_rows_only_queries_register_after_the_cap():
         "emb_ivf_recall",
         "docs_tfidf_topk",
         "emb_pq_topk",
+        "docs_dedup_keep_best",
     }
 
 

@@ -325,3 +325,38 @@ def test_bucket_pairs_cap_drops_degenerate_bucket_only(spark):
     # the 200-doc bucket would have emitted 19,900 pairs; the cap
     # removes ALL of them and keeps the healthy bucket's single pair
     assert got == {(1000, 1001)}
+
+
+def test_keep_best_dedup_prefers_higher_score(spark):
+    """keep_best_dedup: the keeper is the highest-scoring group
+    member even when it has the LARGEST id (where keep-first would
+    pick the smallest); ties fall back to the smallest id; singleton
+    groups are their own keeper."""
+    from pyspark.sql import functions as F
+
+    base = "the quick brown fox jumps over the lazy dog in the sunny meadow today"
+    rows = [
+        (1, base),
+        (2, base),          # exact duplicate of 1
+        (3, base + " ok"),  # near-dup of 1/2
+        (4, "completely different text about spark shuffles and partitions at scale"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # score favors doc 3 (the longest member of the group)
+    score = F.length("text").cast("double")
+    got = {
+        r.doc_id: (r.kept, r.keeper_id, r.group_id)
+        for r in dedup.keep_best_dedup(df, score).collect()
+    }
+    assert got[3] == (True, 3, 1)   # highest score wins despite largest id
+    assert got[1] == (False, 3, 1)
+    assert got[2] == (False, 3, 1)
+    assert got[4] == (True, 4, 4)   # singleton
+    # tie on score (docs 1 and 2 identical): smallest id keeps
+    tie = {
+        r.doc_id: (r.kept, r.keeper_id)
+        for r in dedup.keep_best_dedup(
+            df.filter(F.col("doc_id") < 3), F.lit(1.0)
+        ).collect()
+    }
+    assert tie[1] == (True, 1) and tie[2] == (False, 1)
