@@ -1759,6 +1759,60 @@ FROM ranked WHERE rank <= 3
 """
 
 
+# ANSI twin of queries.docs_hybrid_search / operators/hybrid.py:
+# the docs_bm25_search scoring expression ranked to top-20
+# (ROW_NUMBER score DESC, doc_id ASC), the exact-cosine top-20 for
+# query vec 0 (the knn_join expression tree: list_dot_product /
+# (sqrt * sqrt), self excluded), and the RRF fusion written as the
+# same COALESCE(1.0/(60 + r), 0.0) + COALESCE(...) chain — all
+# rank-based, so bit-exact across engines.
+ORACLES["docs_hybrid_search"] = r"""
+WITH t AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS toks FROM documents),
+base AS (
+  SELECT doc_id, len(toks) AS dl,
+    len(list_filter(toks, x -> x = 'the')) AS tf0,
+    len(list_filter(toks, x -> x = 'data')) AS tf1
+  FROM t
+),
+stats AS (
+  SELECT CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl, COUNT(*) AS n,
+    SUM(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+    SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1
+  FROM base
+),
+bm AS (
+  SELECT doc_id,
+    ((CAST(n - df0 AS DOUBLE) + 0.5) / (df0 + 0.5))
+      * ((tf0 * CAST(1.2 + 1.0 AS DOUBLE)) / (tf0 + 1.2 * ((1.0 - 0.75) + (0.75 * dl) / avgdl)))
+    + ((CAST(n - df1 AS DOUBLE) + 0.5) / (df1 + 0.5))
+      * ((tf1 * CAST(1.2 + 1.0 AS DOUBLE)) / (tf1 + 1.2 * ((1.0 - 0.75) + (0.75 * dl) / avgdl))) AS score
+  FROM base, stats
+),
+text_ranked AS (
+  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS text_rank
+  FROM (SELECT doc_id, score FROM bm ORDER BY score DESC, doc_id LIMIT 20)
+),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id = 0),
+vec_ranked AS (
+  SELECT vec_id AS doc_id, knn_rank AS vec_rank FROM (
+    SELECT c.vec_id,
+      ROW_NUMBER() OVER (ORDER BY
+        list_dot_product(c.v, q.qv)
+          / (sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(q.qv, q.qv))) DESC,
+        c.vec_id ASC) AS knn_rank
+    FROM e c CROSS JOIN q WHERE c.vec_id <> q.query_id
+  ) WHERE knn_rank <= 20
+)
+SELECT COALESCE(t.doc_id, v.doc_id) AS doc_id,
+  t.text_rank, v.vec_rank,
+  COALESCE(1.0 / (60 + t.text_rank), 0.0)
+    + COALESCE(1.0 / (60 + v.vec_rank), 0.0) AS rrf_score
+FROM text_ranked t FULL OUTER JOIN vec_ranked v ON t.doc_id = v.doc_id
+ORDER BY rrf_score DESC, COALESCE(t.doc_id, v.doc_id) ASC LIMIT 10
+"""
+
+
 def _pq_topk_sql(
     k: int = 5, n_sub: int = 8, n_codes: int = 16, n_iter: int = 5, rerank: int = 20
 ) -> str:

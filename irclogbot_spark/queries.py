@@ -1577,5 +1577,21 @@ def docs_dedup_keep_best(spark, sf_dir):
     )
 
 
+@query("docs_hybrid_search")
+def docs_hybrid_search(spark, sf_dir):
+    """Hybrid retrieval (operators/hybrid.py): BM25 top-20 + exact
+    cosine top-20 (query = embedding of vec 0, embeddings join docs
+    on vec_id == doc_id), fused by reciprocal-rank fusion
+    1/(60+rank) — the ES `rrf` retriever shape. Rank-based fusion is
+    exactly reproducible in ANSI SQL, so the whole two-retriever
+    pipeline value-hashes. Registers past the driver's 50-row cap;
+    value-checked by the local parity suite."""
+    from irclogbot_spark.operators.hybrid import hybrid_search
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    return hybrid_search(docs, emb, ["the", "data"], query_vec_id=0, k=10, r=20)
+
+
 def queries() -> dict[str, QueryFn]:
     return dict(QUERIES)

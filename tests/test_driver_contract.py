@@ -44,6 +44,7 @@ def test_rows_only_queries_register_after_the_cap():
         "docs_tfidf_topk",
         "emb_pq_topk",
         "docs_dedup_keep_best",
+        "docs_hybrid_search",
     }
 
 

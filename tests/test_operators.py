@@ -360,3 +360,22 @@ def test_keep_best_dedup_prefers_higher_score(spark):
         ).collect()
     }
     assert tie[1] == (True, 1) and tie[2] == (False, 1)
+
+
+def test_rrf_fuse_both_lists_beat_single_list(spark):
+    """operators/hybrid.py rrf_fuse: a doc ranked in BOTH lists
+    outranks a doc ranked first in only one (1/61+1/62 > 1/61);
+    single-list docs keep a NULL rank on the other side."""
+    from irclogbot_spark.operators.hybrid import rrf_fuse
+
+    t = spark.createDataFrame([(10, 1), (20, 2)], "doc_id long, text_rank long")
+    v = spark.createDataFrame([(20, 1), (30, 2)], "doc_id long, vec_rank long")
+    out = rrf_fuse(t, v, k=10).collect()
+    assert [r.doc_id for r in out] == [20, 10, 30]
+    by_id = {r.doc_id: r for r in out}
+    assert by_id[20].rrf_score == 1.0 / 62 + 1.0 / 61
+    assert by_id[10].vec_rank is None and by_id[30].text_rank is None
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        rrf_fuse(t, v, k=0)
