@@ -63,6 +63,8 @@ HEADLINE = [
     "emb_ivf_topk",
     "emb_semantic_dedup",
     "emb_pq_topk",
+    "docs_dedup_keep_best",
+    "docs_hybrid_search",
 ]
 
 #: headline queries that derive from the irclog (re-timed over the
