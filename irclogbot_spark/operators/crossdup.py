@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from irclogbot_spark.operators.dedup import hashed_shingles
+from irclogbot_spark.operators.dedup import hashed_shingles, tokens, xxhash31
 from irclogbot_spark.plans.partitioning import ensure_parallelism
 
 
@@ -74,4 +74,78 @@ def cross_doc_duplication(
             .otherwise(F.lit(0.0))
             .alias("cross_dup_frac"),
         )
+    )
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    n: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_fn=None,
+) -> DataFrame:
+    """The REMOVAL step of Lee et al. 2021: every n-token span that
+    also occurs in a lower-id document is cut from this document's
+    text (the lowest-id occurrence is the keeper — all its copies
+    survive, including within-doc repeats). Returns (id, text_clean,
+    n_tokens, n_removed) for every input row.
+
+    Relational shape (no suffix array, no pairwise compare):
+    POSITIONAL span hashes (doc, pos, h) — unlike
+    cross_doc_duplication's distinct-span stats, positions matter
+    here — one partially-aggregated shuffle on the 8-byte hash for
+    the per-span owner (min doc id), a co-partitioned join back, and
+    a per-doc collect of the (typically few) covered start
+    positions; the rebuild is an IN-ROW filter over the token array
+    (token t removed iff some covered start p satisfies
+    p <= t < p + n — O(tokens x covered_spans) per row, and covered
+    spans are sparse by construction). Document text shuffles only
+    as the final per-doc (id, covered-positions) join — the token
+    arrays themselves never leave their scan partitions.
+
+    ``hash_fn`` defaults to xxhash31; pass ``dedup.md5_hash31`` for
+    the DuckDB-checkable pipeline.
+    """
+    hash_fn = hash_fn or xxhash31
+    base = ensure_parallelism(df).select(
+        F.col(id_col), tokens(F.col(text_col)).alias("_toks")
+    )
+    k = F.size("_toks") - F.lit(n - 1)
+    span_hashes = F.when(
+        k >= 1,
+        F.transform(
+            F.sequence(F.lit(1), k),
+            lambda i: hash_fn(F.concat_ws(" ", F.slice(F.col("_toks"), i, n))),
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    sp = base.select(F.col(id_col), F.posexplode(span_hashes).alias("pos", "h"))
+    owners = sp.groupBy("h").agg(F.min(id_col).alias("_owner"))
+    covered = (
+        sp.join(owners, "h")
+        .filter(F.col(id_col) != F.col("_owner"))
+        .groupBy(id_col)
+        .agg(F.collect_set("pos").alias("_cov"))
+    )
+    joined = base.join(covered, id_col, "left").select(
+        F.col(id_col),
+        F.col("_toks"),
+        F.coalesce(F.col("_cov"), F.array().cast("array<int>")).alias("_cov"),
+    )
+    kept_expr = F.filter(
+        F.transform(F.col("_toks"), lambda x, i: F.struct(x.alias("x"), i.alias("i"))),
+        lambda s: ~F.exists(
+            F.col("_cov"), lambda p: (s["i"] >= p) & (s["i"] < p + F.lit(n))
+        ),
+    )
+    # materialize the filtered array once: text_clean and n_removed
+    # both consume it, and re-evaluating the exists() scan per
+    # reference would double the in-row work
+    mat = joined.select(F.col(id_col), F.col("_toks"), kept_expr.alias("_kept"))
+    return mat.select(
+        F.col(id_col),
+        F.array_join(F.transform(F.col("_kept"), lambda s: s["x"]), " ").alias(
+            "text_clean"
+        ),
+        F.size("_toks").cast("long").alias("n_tokens"),
+        (F.size("_toks") - F.size("_kept")).cast("long").alias("n_removed"),
     )

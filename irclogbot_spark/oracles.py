@@ -1759,6 +1759,52 @@ FROM ranked WHERE rank <= 3
 """
 
 
+# ANSI twin of queries.docs_crossdup_remove /
+# operators/crossdup.remove_duplicate_spans under md5_hash31:
+# POSITIONAL 20-token span hashes (0-based start), per-hash owner =
+# MIN(doc_id), covered starts for non-owner docs, and the in-row
+# token filter replicated as a positional anti-join + ordered
+# string_agg rebuild. Empty results coalesce to '' exactly as
+# array_join does on an empty array.
+ORACLES["docs_crossdup_remove"] = r"""
+WITH t AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS toks FROM documents),
+sp AS (
+  SELECT doc_id, i - 1 AS pos,
+    CAST('0x' || substr(md5(array_to_string(toks[i:i+19], ' ')), 1, 15) AS BIGINT)
+      % 2147483647 AS h
+  FROM t, UNNEST(range(1, len(toks) - 18)) AS r(i)
+  WHERE len(toks) >= 20
+),
+own AS (SELECT h, MIN(doc_id) AS owner FROM sp GROUP BY h),
+cov AS (
+  SELECT s.doc_id, s.pos FROM sp s JOIN own o ON o.h = s.h WHERE s.doc_id <> o.owner
+),
+tokpos AS (
+  SELECT doc_id, i - 1 AS ti, toks[i] AS tok
+  FROM t, UNNEST(range(1, len(toks) + 1)) AS r(i)
+),
+removed AS (
+  SELECT DISTINCT tp.doc_id, tp.ti
+  FROM tokpos tp JOIN cov c
+    ON c.doc_id = tp.doc_id AND tp.ti >= c.pos AND tp.ti < c.pos + 20
+),
+kept AS (
+  SELECT tp.doc_id, tp.ti, tp.tok
+  FROM tokpos tp LEFT JOIN removed r ON r.doc_id = tp.doc_id AND r.ti = tp.ti
+  WHERE r.ti IS NULL
+),
+agg AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY ti) AS text_clean,
+    COUNT(*) AS n_kept
+  FROM kept GROUP BY doc_id
+)
+SELECT t.doc_id, COALESCE(a.text_clean, '') AS text_clean,
+  len(t.toks) AS n_tokens,
+  len(t.toks) - COALESCE(a.n_kept, 0) AS n_removed
+FROM t LEFT JOIN agg a ON a.doc_id = t.doc_id
+"""
+
+
 # ANSI twin of queries.docs_hybrid_search / operators/hybrid.py:
 # the docs_bm25_search scoring expression ranked to top-20
 # (ROW_NUMBER score DESC, doc_id ASC), the exact-cosine top-20 for

@@ -1593,5 +1593,21 @@ def docs_hybrid_search(spark, sf_dir):
     return hybrid_search(docs, emb, ["the", "data"], query_vec_id=0, k=10, r=20)
 
 
+@query("docs_crossdup_remove")
+def docs_crossdup_remove(spark, sf_dir):
+    """The removal step of Lee et al. exact-substring dedup
+    (operators/crossdup.py remove_duplicate_spans): 20-token spans
+    also present in a lower-id doc are cut, text rebuilt in-row.
+    One span-hash shuffle + co-partitioned owner join; token arrays
+    never shuffle. Portable md5 span hash for the oracle (xxhash
+    production default). Registers past the driver's 50-row cap;
+    value-checked by the local parity suite."""
+    from irclogbot_spark.operators.crossdup import remove_duplicate_spans
+    from irclogbot_spark.operators.dedup import md5_hash31
+
+    docs = _t(spark, sf_dir, "documents")
+    return remove_duplicate_spans(docs, n=20, hash_fn=md5_hash31)
+
+
 def queries() -> dict[str, QueryFn]:
     return dict(QUERIES)

@@ -45,6 +45,7 @@ def test_rows_only_queries_register_after_the_cap():
         "emb_pq_topk",
         "docs_dedup_keep_best",
         "docs_hybrid_search",
+        "docs_crossdup_remove",
     }
 
 

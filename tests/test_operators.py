@@ -379,3 +379,30 @@ def test_rrf_fuse_both_lists_beat_single_list(spark):
 
     with _pytest.raises(ValueError):
         rrf_fuse(t, v, k=0)
+
+
+def test_remove_duplicate_spans_cuts_non_owner_occurrences(spark):
+    """remove_duplicate_spans: a span shared with a lower-id doc is
+    cut from the higher-id doc only; the owner keeps every copy
+    (including within-doc repeats); docs shorter than n and disjoint
+    docs pass through unchanged."""
+    from irclogbot_spark.operators.crossdup import remove_duplicate_spans
+
+    span = "alpha beta gamma delta"  # n=4 span
+    rows = [
+        (1, f"{span} tail one"),                 # owner
+        (2, f"head {span} tail two"),            # non-owner: span cut
+        (3, f"{span} middle {span}"),            # owner repeats survive? no - doc 1 owns
+        (4, "totally unrelated words here now"),
+        (5, "shorty"),                           # < n tokens
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in remove_duplicate_spans(df, n=4).collect()}
+    assert got[1].text_clean == f"{span} tail one" and got[1].n_removed == 0
+    # doc 2 shares pos-1 "alpha beta gamma delta" AND the overlapping
+    # pos-2 "beta gamma delta tail" with doc 1 -> tokens 1..5 cut
+    assert got[2].text_clean == "head two" and got[2].n_removed == 5
+    # doc 3: BOTH its copies of the span are owned by doc 1 -> both cut
+    assert got[3].text_clean == "middle" and got[3].n_removed == 8
+    assert got[4].n_removed == 0 and got[4].text_clean == rows[3][1]
+    assert got[5].text_clean == "shorty" and got[5].n_tokens == 1
