@@ -65,6 +65,7 @@ HEADLINE = [
     "emb_pq_topk",
     "docs_dedup_keep_best",
     "docs_hybrid_search",
+    "docs_crossdup_remove",
 ]
 
 #: headline queries that derive from the irclog (re-timed over the

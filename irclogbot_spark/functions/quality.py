@@ -62,7 +62,9 @@ def hashed_linear_logit(
     DuckDB-checkable pipeline (same convention as MinHash)."""
     hash_fn = hash_fn or xxhash31
     dim = len(weights)
-    warr = F.array(*[F.lit(int(w)).cast("long") for w in weights])
+    from irclogbot_spark.functions.lits import lit_long_array
+
+    warr = lit_long_array([int(w) for w in weights])
     toks = tokens(text)
     picked = F.transform(
         toks,

@@ -57,6 +57,32 @@ def _lit_vec(vals: list[float]):
     return F.array(*[F.lit(float(x)) for x in vals])
 
 
+def _book_lit(book: list[list[float]]):
+    """One plan-constant literal array of (cvec, bias, c2) structs per
+    subspace, shipped as a SINGLE parsed SQL expression. Two measured
+    fixed-overhead fixes live here (emb_pq_topk was ~7.5 s at ANY
+    data size — sf0.01 == sf0.1 within 10%): (1) score/lut
+    expressions run F.transform OVER this array — one lambda tree
+    evaluated K times at runtime instead of K unrolled fold-dot
+    trees, identical arithmetic, ~K-times smaller plans; (2) the
+    table itself is F.expr-parsed — per-element F.lit/F.array calls
+    cost one py4j round-trip EACH, and plan construction alone
+    measured 4-10 s of driver time (see functions/lits.py for the
+    exactness argument: repr + 'D' inverts to the identical
+    double)."""
+    from irclogbot_spark.functions.lits import sql_double
+
+    items = ",".join(
+        "named_struct('cvec', array({vs}), 'bias', {b}, 'c2', {c2})".format(
+            vs=",".join(sql_double(x) for x in c),
+            b=sql_double(_fold_sq(c) / 2.0),
+            c2=sql_double(_fold_sq(c)),
+        )
+        for c in book
+    )
+    return F.expr(f"array({items})")
+
+
 def _check_books(books: list[list[list[float]]]) -> tuple[int, int, int]:
     n_sub, n_codes, sub = len(books), len(books[0]), len(books[0][0])
     for b in books:
@@ -80,17 +106,17 @@ def _assign_codes(sliced: DataFrame, books: list[list[list[float]]]) -> DataFram
     projection (array_position + array_max reference the operand
     twice — see similarity._argmax_cell)."""
     n_sub = len(books)
+
+    def _score(m: int):
+        # closure helper: a 2-arg lambda would make F.transform pass
+        # the ELEMENT INDEX as the second argument
+        return F.transform(
+            _book_lit(books[m]),
+            lambda s: dot(F.col(f"_sv{m}"), s["cvec"]) - s["bias"],
+        )
+
     scored = sliced.select(
-        "*",
-        *[
-            F.array(
-                *[
-                    dot(F.col(f"_sv{m}"), _lit_vec(c)) - F.lit(_fold_sq(c) / 2.0)
-                    for c in books[m]
-                ]
-            ).alias(f"_sc{m}")
-            for m in range(n_sub)
-        ],
+        "*", *[_score(m).alias(f"_sc{m}") for m in range(n_sub)]
     )
     return scored.select(
         "*", *[_argmax_cell(F.col(f"_sc{m}")).alias(f"_c{m}") for m in range(n_sub)]
@@ -271,19 +297,15 @@ def pq_topk(
             for m in range(n_sub)
         ],
     )
-    lut = F.array(
-        *[
-            F.array(
-                *[
-                    F.col(f"_q2{m}")
-                    - F.lit(2.0) * dot(F.col(f"_sv{m}"), _lit_vec(c))
-                    + F.lit(_fold_sq(c))
-                    for c in books[m]
-                ]
-            )
-            for m in range(n_sub)
-        ]
-    )
+    def _lut_row(m: int):
+        return F.transform(
+            _book_lit(books[m]),
+            lambda s: F.col(f"_q2{m}")
+            - F.lit(2.0) * dot(F.col(f"_sv{m}"), s["cvec"])
+            + s["c2"],
+        )
+
+    lut = F.array(*[_lut_row(m) for m in range(n_sub)])
     qlut = q2.select(F.col(query_id), F.col("qv"), lut.alias("lut"))
     adc = F.aggregate(
         F.zip_with(F.col("codes"), F.col("lut"), lambda code, row: F.element_at(row, code + 1)),
@@ -302,6 +324,123 @@ def pq_topk(
         )
     cand = scored.filter(F.col("pq_rank") <= rerank).select(
         query_id, corpus_id, "qv", "adc_dist"
+    )
+    vecs = corpus.select(
+        F.col(corpus_id),
+        as_double(vec_col).alias("cv"),
+        norm(as_double(vec_col)).alias("cn"),
+    )
+    w_cos = Window.partitionBy(query_id).orderBy(F.desc("cosine"), F.asc(corpus_id))
+    return (
+        vecs.join(F.broadcast(cand), corpus_id)
+        .select(
+            query_id,
+            corpus_id,
+            "adc_dist",
+            _cos_pre(
+                dot(F.col("cv"), F.col("qv")),
+                F.col("cn"),
+                F.sqrt(dot(F.col("qv"), F.col("qv"))),
+            ).alias("cosine"),
+        )
+        .withColumn("pq_rank", F.row_number().over(w_cos))
+        .filter(F.col("pq_rank") <= k)
+    )
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    books: list[list[list[float]]],
+    k: int = 5,
+    n_probe: int = 4,
+    rerank: int = 20,
+    corpus_id: str = "vec_id",
+    query_id: str = "query_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ — the production ANN index shape (FAISS's default)
+    re-expressed relationally: coarse IVF cells bound WHICH rows are
+    touched (each query probes n_probe of n_cells — on disk the cell
+    is a partition column, so the probe is parquet partition
+    PRUNING), PQ codes bound the BYTES per touched row (ADC lookup
+    instead of a 64-double fold), and the exact-cosine rerank reads
+    raw vectors for only the ADC top-R.
+
+    Index rows are (id, cell, codes) — ~9 small values per vector; a
+    deployment writes them once via ``pq_encode``-style assignment
+    partitioned by cell and probes forever. Both trainers are the
+    deterministic integer-quantized recipe, so the full composition
+    value-hashes against an ANSI twin with both learned tables
+    inlined.
+    """
+    from irclogbot_spark.operators.similarity import _argmax_cell, _cell_dots
+
+    n_sub, n_codes, sub = _check_books(books)
+    if rerank < k:
+        raise ValueError(f"rerank ({rerank}) must be >= k ({k})")
+    base = ensure_parallelism(corpus).select(
+        F.col(corpus_id), as_double(vec_col).alias("v")
+    )
+    celled = base.select(
+        F.col(corpus_id), F.col("v"), _cell_dots(F.col("v"), centroids).alias("_cd")
+    ).select(F.col(corpus_id), F.col("v"), _argmax_cell(F.col("_cd")).alias("cell"))
+    enc = _assign_codes(_slices(celled, "v", n_sub, sub), books).select(
+        F.col(corpus_id),
+        F.col("cell"),
+        F.array(*[F.col(f"_c{m}") for m in range(n_sub)]).alias("codes"),
+    )
+    # query side: probed cells (the ivf_topk recipe — (-dot, cell)
+    # structs sorted, sliced to n_probe) plus the per-query ADC lut
+    q0 = queries.select(F.col(query_id), as_double(vec_col).alias("qv"))
+    from irclogbot_spark.functions.lits import lit_double_matrix
+
+    cl = lit_double_matrix(centroids)
+    cell_dots = F.transform(
+        cl,
+        lambda c, j: F.struct(
+            (-dot(F.col("qv"), c)).alias("negdot"), j.cast("int").alias("cell")
+        ),
+    )
+    q1 = _slices(q0, "qv", n_sub, sub)
+    q2 = q1.select(
+        "*",
+        *[
+            dot(F.col(f"_sv{m}"), F.col(f"_sv{m}")).alias(f"_q2{m}")
+            for m in range(n_sub)
+        ],
+    )
+    def _lut_row(m: int):
+        return F.transform(
+            _book_lit(books[m]),
+            lambda s: F.col(f"_q2{m}")
+            - F.lit(2.0) * dot(F.col(f"_sv{m}"), s["cvec"])
+            + s["c2"],
+        )
+
+    lut = F.array(*[_lut_row(m) for m in range(n_sub)])
+    qp = q2.select(
+        F.col(query_id),
+        F.col("qv"),
+        lut.alias("lut"),
+        F.explode(F.slice(F.array_sort(cell_dots), 1, n_probe)).alias("p"),
+    ).select(query_id, "qv", "lut", F.col("p.cell").alias("cell"))
+    adc = F.aggregate(
+        F.zip_with(
+            F.col("codes"), F.col("lut"), lambda code, row: F.element_at(row, code + 1)
+        ),
+        F.lit(0.0),
+        lambda s, x: s + x,
+    )
+    w_adc = Window.partitionBy(query_id).orderBy(F.asc("adc_dist"), F.asc(corpus_id))
+    cand = (
+        enc.join(F.broadcast(qp), "cell")
+        .filter(F.col(corpus_id) != F.col(query_id))
+        .select(query_id, corpus_id, F.col("qv"), adc.alias("adc_dist"))
+        .withColumn("_ar", F.row_number().over(w_adc))
+        .filter(F.col("_ar") <= rerank)
+        .select(query_id, corpus_id, "qv", "adc_dist")
     )
     vecs = corpus.select(
         F.col(corpus_id),

@@ -233,12 +233,15 @@ def train_ivf_centroids_local(
 
 
 def _cell_dots(v: Column, centroids: list[list[float]]) -> Column:
-    """Per-cell dot products as one array (the vector column is
-    referenced once per cell — column refs are cheap; the folds are
-    the inherent k x dim assignment work)."""
-    return F.array(
-        *[dot(v, F.array(*[F.lit(float(x)) for x in c])) for c in centroids]
-    )
+    """Per-cell dot products as one array: F.transform over ONE
+    plan-constant array-of-arrays centroid literal — a single fold
+    lambda evaluated k times at runtime, identical arithmetic to k
+    unrolled dot expressions but a k-times smaller plan (the unrolled
+    form's optimizer/codegen time dominated small-SF latency; see
+    pq._book_lit for the measured version of the same lesson)."""
+    from irclogbot_spark.functions.lits import lit_double_matrix
+
+    return F.transform(lit_double_matrix(centroids), lambda c: dot(v, c))
 
 
 def _argmax_cell(dots: Column) -> Column:
@@ -289,14 +292,14 @@ def ivf_topk(
         as_double(vec_col).alias("qv"),
         norm(as_double(vec_col)).alias("qnorm"),
     )
-    cell_dots = F.array(
-        *[
-            F.struct(
-                (-dot(F.col("qv"), F.array(*[F.lit(float(x)) for x in c_]))).alias("negdot"),
-                F.lit(j).cast("int").alias("cell"),
-            )
-            for j, c_ in enumerate(centroids)
-        ]
+    from irclogbot_spark.functions.lits import lit_double_matrix
+
+    cl = lit_double_matrix(centroids)
+    cell_dots = F.transform(
+        cl,
+        lambda c, j: F.struct(
+            (-dot(F.col("qv"), c)).alias("negdot"), j.cast("int").alias("cell")
+        ),
     )
     qcells = qn.select(
         F.col(query_id),

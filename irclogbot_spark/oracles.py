@@ -1973,6 +1973,144 @@ SELECT query_id, vec_id, adc_dist, cosine, pq_rank FROM (
     return sql
 
 
+def _ivfpq_topk_sql(
+    k: int = 5,
+    n_cells: int = 16,
+    n_iter: int = 5,
+    n_probe: int = 4,
+    n_sub: int = 8,
+    n_codes: int = 16,
+    rerank: int = 20,
+) -> str:
+    """ANSI twin of operators.pq.ivfpq_topk — the _ivf_topk_sql cell
+    assignment + probe CTEs composed with the _pq_topk_sql encoding /
+    lookup-table CTEs (both learned tables re-trained by their
+    bit-identical local replicas and inlined), candidates restricted
+    to probed cells, ADC as the same 0.0 + pd0 + ... chain, exact
+    cosine rerank of the ADC top-R."""
+    import os
+
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    key = ("ivfpq", sf_dir, k, n_cells, n_iter, n_probe, n_sub, n_codes, rerank)
+    if key in _IVF_SQL_CACHE:
+        return _IVF_SQL_CACHE[key]
+
+    import duckdb
+
+    from irclogbot_spark.operators.pq import _fold_sq, train_pq_codebooks_local
+    from irclogbot_spark.operators.similarity import train_ivf_centroids_local
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    rows = duckdb.sql(
+        f"SELECT vec_id, CAST(embedding AS DOUBLE[]) FROM '{path}' ORDER BY vec_id"
+    ).fetchall()
+    tup = [(r[0], list(r[1])) for r in rows]
+    cents = train_ivf_centroids_local(tup, n_cells, n_iter)
+    books = train_pq_codebooks_local(tup, n_sub, n_codes, n_iter)
+    dim = len(rows[0][1])
+    sub = dim // n_sub
+    clits = ["[" + ", ".join(f"{x:.17e}" for x in c) + "]" for c in cents]
+    dots_list = "[" + ", ".join(f"list_dot_product(v, {l})" for l in clits) + "]"
+    negdot_structs = "[" + ", ".join(
+        f"{{'negdot': -list_dot_product(qv, {clits[j]}), 'cell': {j}}}"
+        for j in range(n_cells)
+    ) + "]"
+    values = ", ".join(
+        "({m}, {c}, [{xs}]::DOUBLE[], {c2}, {bias})".format(
+            m=m,
+            c=c,
+            xs=", ".join(f"{x:.17e}" for x in cw),
+            c2=f"{_fold_sq(cw):.17e}",
+            bias=f"{_fold_sq(cw) / 2.0:.17e}",
+        )
+        for m, book in enumerate(books)
+        for c, cw in enumerate(book)
+    )
+    esub = " UNION ALL ".join(
+        f"SELECT vec_id, {m} AS m, v[{m * sub + 1}:{(m + 1) * sub}] AS sv FROM e"
+        for m in range(n_sub)
+    )
+    qsub = " UNION ALL ".join(
+        f"SELECT query_id, {m} AS m, qv[{m * sub + 1}:{(m + 1) * sub}] AS sv FROM qd"
+        for m in range(n_sub)
+    )
+    # NOTE: the ADC sum is NOT built as n_sub self-joins of pd — an
+    # 8-way self-join sent DuckDB's join-order planner into a
+    # memory-exploding ordering; instead candidate (query, vec, m)
+    # rows join pd ONCE and a per-m MAX(CASE) extraction rebuilds the
+    # same left-to-right 0.0 + pd0 + ... chain the Spark fold runs.
+    adc_chain = " + ".join(
+        f"MAX(CASE WHEN m = {m} THEN pdv END)" for m in range(n_sub)
+    )
+    sql = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+ca AS (SELECT vec_id, v, {dots_list} AS dots FROM e),
+cb AS (SELECT vec_id, v,
+         CAST(list_position(dots, list_max(dots)) - 1 AS INT) AS cell FROM ca),
+cw AS (SELECT * FROM (VALUES {values}) AS t(m, c, cvec, c2, bias)),
+esub AS ({esub}),
+escore AS (
+  SELECT es.vec_id, es.m, cw.c,
+    list_dot_product(es.sv, cw.cvec) - cw.bias AS s
+  FROM esub es JOIN cw ON cw.m = es.m
+),
+enc AS (
+  SELECT vec_id, m, c AS code FROM (
+    SELECT vec_id, m, c,
+      ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY s DESC, c ASC) AS rn
+    FROM escore) WHERE rn = 1
+),
+qd AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id IN (0, 1, 2)),
+qcell AS (SELECT query_id, qv, unnest({negdot_structs}) AS pc FROM qd),
+qprobe AS (
+  SELECT query_id, cell FROM (
+    SELECT query_id, pc.cell AS cell,
+      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY pc.negdot, pc.cell) AS rn
+    FROM qcell
+  ) WHERE rn <= {n_probe}
+),
+qsub AS ({qsub}),
+pd AS (
+  SELECT qs.query_id, qs.m, cw.c,
+    list_dot_product(qs.sv, qs.sv) - 2.0 * list_dot_product(qs.sv, cw.cvec) + cw.c2 AS pd
+  FROM qsub qs JOIN cw ON cw.m = qs.m
+),
+candcells AS (
+  SELECT qp.query_id, cb.vec_id
+  FROM cb JOIN qprobe qp ON qp.cell = cb.cell
+  WHERE cb.vec_id <> qp.query_id
+),
+adcrows AS (
+  SELECT cc.query_id, cc.vec_id, en.m, p.pd AS pdv
+  FROM candcells cc
+  JOIN enc en ON en.vec_id = cc.vec_id
+  JOIN pd p ON p.query_id = cc.query_id AND p.m = en.m AND p.c = en.code
+),
+adc AS (
+  SELECT query_id, vec_id, 0.0 + {adc_chain} AS adc_dist
+  FROM adcrows GROUP BY query_id, vec_id
+),
+cand AS (
+  SELECT query_id, vec_id, adc_dist FROM (
+    SELECT query_id, vec_id, adc_dist,
+      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc_dist ASC, vec_id ASC) AS arn
+    FROM adc) WHERE arn <= {rerank}
+),
+rr AS (
+  SELECT c.query_id, c.vec_id, c.adc_dist,
+    list_dot_product(cv.v, q.qv)
+      / (sqrt(list_dot_product(cv.v, cv.v)) * sqrt(list_dot_product(q.qv, q.qv))) AS cosine
+  FROM cand c JOIN e cv ON cv.vec_id = c.vec_id JOIN qd q ON q.query_id = c.query_id
+)
+SELECT query_id, vec_id, adc_dist, cosine, pq_rank FROM (
+  SELECT query_id, vec_id, adc_dist, cosine,
+    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS pq_rank
+  FROM rr) WHERE pq_rank <= {k}
+"""
+    _IVF_SQL_CACHE[key] = sql
+    return sql
+
+
 def oracle_sql() -> dict[str, str]:
     out = dict(ORACLES)
     # data-dependent oracles, built lazily so the training corpus
@@ -1981,4 +2119,5 @@ def oracle_sql() -> dict[str, str]:
     out["emb_semantic_dedup"] = _semantic_dedup_sql()
     out["emb_ivf_recall"] = _ivf_recall_sql()
     out["emb_pq_topk"] = _pq_topk_sql()
+    out["emb_ivfpq_topk"] = _ivfpq_topk_sql()
     return out

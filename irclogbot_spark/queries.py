@@ -1609,5 +1609,30 @@ def docs_crossdup_remove(spark, sf_dir):
     return remove_duplicate_spans(docs, n=20, hash_fn=md5_hash31)
 
 
+@query("emb_ivfpq_topk")
+def emb_ivfpq_topk(spark, sf_dir):
+    """IVF-PQ composite ANN (operators/pq.py ivfpq_topk): coarse IVF
+    cells bound which rows are touched (partition-prunable at rest),
+    PQ codes bound the bytes per touched row (ADC), exact-cosine
+    rerank of the ADC top-20. Both trainers deterministic, so the
+    full composition value-hashes with both learned tables inlined
+    in the oracle. Registers past the driver's 50-row cap;
+    value-checked by the local parity suite."""
+    from irclogbot_spark.operators.pq import ivfpq_topk, train_pq_codebooks
+    from irclogbot_spark.operators.similarity import train_ivf_centroids
+
+    emb = _t(spark, sf_dir, "embeddings")
+    if sf_dir not in _IVF_CENTROIDS:
+        _IVF_CENTROIDS[sf_dir] = train_ivf_centroids(emb, n_cells=16, n_iter=5)
+    if sf_dir not in _PQ_BOOKS:
+        _PQ_BOOKS[sf_dir] = train_pq_codebooks(emb, n_sub=8, n_codes=16, n_iter=5)
+    qs = emb.filter(F.col("vec_id").isin(0, 1, 2)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivfpq_topk(
+        emb, qs, _IVF_CENTROIDS[sf_dir], _PQ_BOOKS[sf_dir], k=5, n_probe=4, rerank=20
+    ).withColumn("pq_rank", F.col("pq_rank").cast("long"))
+
+
 def queries() -> dict[str, QueryFn]:
     return dict(QUERIES)

@@ -46,6 +46,7 @@ def test_rows_only_queries_register_after_the_cap():
         "docs_dedup_keep_best",
         "docs_hybrid_search",
         "docs_crossdup_remove",
+        "emb_ivfpq_topk",
     }
 
 
