@@ -98,12 +98,29 @@ def random_planes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
 
 
 def srp_bucket(vec: Column, planes: list[list[float]]) -> Column:
-    """Signed-random-projection bucket id: bit j = (vec . plane_j) > 0."""
-    out = F.lit(0).cast("long")
-    for j, plane in enumerate(planes):
-        d = dot(vec, F.array(*[F.lit(float(x)) for x in plane]))
-        out = out.bitwiseOR(F.when(d > 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long")))
-    return out
+    """Signed-random-projection bucket id: bit j = (vec . plane_j) > 0.
+
+    The plane table ships as one parsed SQL literal and the per-plane
+    bits come from a single transform lambda + bitwise-OR fold —
+    identical bucket values to the old unrolled per-plane expressions
+    at a fraction of the plan-construction cost (see
+    functions/lits.py)."""
+    from irclogbot_spark.functions.lits import lit_double_matrix, lit_long_array
+
+    flags = F.transform(
+        lit_double_matrix(planes),
+        lambda p: F.when(dot(vec, p) > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        ),
+    )
+    pows = lit_long_array([1 << j for j in range(len(planes))])
+    # sum of disjoint powers of two == the bitwise OR of the old
+    # unrolled form — same bucket ids
+    return F.aggregate(
+        F.zip_with(flags, pows, lambda f, w: f * w),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
 
 
 def _probe_buckets(bucket: Column, n_planes: int, probes: int) -> Column:

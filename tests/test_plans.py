@@ -180,3 +180,16 @@ def test_pq_topk_adc_broadcast_and_partial_topk(spark):
     assert "WindowGroupLimit" in plan
     hashex = [l for l in plan.splitlines() if "hashpartitioning" in l]
     assert len(hashex) == 2, hashex
+
+
+def test_ivfpq_topk_bucket_join_no_corpus_shuffle_for_probe(spark):
+    """emb_ivfpq_topk: probed query cells broadcast into the code
+    table (BroadcastHashJoin on cell — at rest this is partition
+    pruning), rerank vectors fetched by broadcast id join, partial
+    top-k windows, and no sort-merge anywhere."""
+    plan = _plan(spark, "emb_ivfpq_topk")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert "WindowGroupLimit" in plan
+    hashex = [l for l in plan.splitlines() if "hashpartitioning" in l]
+    assert len(hashex) == 2, hashex
