@@ -63,6 +63,7 @@ HEADLINE = [
     "emb_ivf_topk",
     "emb_semantic_dedup",
     "emb_pq_topk",
+    "emb_ivfpq_topk",
     "docs_dedup_keep_best",
     "docs_hybrid_search",
     "docs_crossdup_remove",
