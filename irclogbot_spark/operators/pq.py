@@ -348,8 +348,38 @@ def pq_topk(
     )
 
 
-def ivfpq_topk(
+def encode_ivfpq(
     corpus: DataFrame,
+    centroids: list[list[float]],
+    books: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The stored IVF-PQ index rows (id, cell, codes, <vec_col>):
+    one map-only pass against both frozen learned tables. A
+    deployment writes this partitioned by cell (the probe then runs
+    as parquet partition pruning) and probes forever; the streaming
+    twin (streaming/annindex.py) appends new batches with the same
+    projection."""
+    from irclogbot_spark.operators.similarity import _argmax_cell, _cell_dots
+
+    n_sub, _, sub = _check_books(books)
+    base = ensure_parallelism(corpus).select(
+        F.col(id_col), F.col(vec_col), as_double(vec_col).alias("v")
+    )
+    celled = base.select(
+        "*", _cell_dots(F.col("v"), centroids).alias("_cd")
+    ).select(F.col(id_col), F.col(vec_col), F.col("v"), _argmax_cell(F.col("_cd")).alias("cell"))
+    return _assign_codes(_slices(celled, "v", n_sub, sub), books).select(
+        F.col(id_col),
+        F.col("cell"),
+        F.array(*[F.col(f"_c{m}") for m in range(n_sub)]).alias("codes"),
+        F.col(vec_col),
+    )
+
+
+def ivfpq_search(
+    index: DataFrame,
     queries: DataFrame,
     centroids: list[list[float]],
     books: list[list[list[float]]],
@@ -360,37 +390,16 @@ def ivfpq_topk(
     query_id: str = "query_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """IVF-PQ — the production ANN index shape (FAISS's default)
-    re-expressed relationally: coarse IVF cells bound WHICH rows are
-    touched (each query probes n_probe of n_cells — on disk the cell
-    is a partition column, so the probe is parquet partition
-    PRUNING), PQ codes bound the BYTES per touched row (ADC lookup
-    instead of a 64-double fold), and the exact-cosine rerank reads
-    raw vectors for only the ADC top-R.
-
-    Index rows are (id, cell, codes) — ~9 small values per vector; a
-    deployment writes them once via ``pq_encode``-style assignment
-    partitioned by cell and probes forever. Both trainers are the
-    deterministic integer-quantized recipe, so the full composition
-    value-hashes against an ANSI twin with both learned tables
-    inlined.
-    """
-    from irclogbot_spark.operators.similarity import _argmax_cell, _cell_dots
-
+    """Probe a PRE-ENCODED IVF-PQ index (``encode_ivfpq`` rows — in
+    memory or loaded back from the cell-partitioned parquet a
+    deployment maintains): per-query probe cells + ADC lookup tables
+    built on the broadcast side, candidates from the (broadcast)
+    cell join — partition pruning at rest — ADC top-R, exact-cosine
+    rerank against the index's own vector column."""
     n_sub, n_codes, sub = _check_books(books)
     if rerank < k:
         raise ValueError(f"rerank ({rerank}) must be >= k ({k})")
-    base = ensure_parallelism(corpus).select(
-        F.col(corpus_id), as_double(vec_col).alias("v")
-    )
-    celled = base.select(
-        F.col(corpus_id), F.col("v"), _cell_dots(F.col("v"), centroids).alias("_cd")
-    ).select(F.col(corpus_id), F.col("v"), _argmax_cell(F.col("_cd")).alias("cell"))
-    enc = _assign_codes(_slices(celled, "v", n_sub, sub), books).select(
-        F.col(corpus_id),
-        F.col("cell"),
-        F.array(*[F.col(f"_c{m}") for m in range(n_sub)]).alias("codes"),
-    )
+    enc = index.select(F.col(corpus_id), F.col("cell"), F.col("codes"))
     # query side: probed cells (the ivf_topk recipe — (-dot, cell)
     # structs sorted, sliced to n_probe) plus the per-query ADC lut
     q0 = queries.select(F.col(query_id), as_double(vec_col).alias("qv"))
@@ -411,6 +420,7 @@ def ivfpq_topk(
             for m in range(n_sub)
         ],
     )
+
     def _lut_row(m: int):
         return F.transform(
             _book_lit(books[m]),
@@ -442,7 +452,7 @@ def ivfpq_topk(
         .filter(F.col("_ar") <= rerank)
         .select(query_id, corpus_id, "qv", "adc_dist")
     )
-    vecs = corpus.select(
+    vecs = index.select(
         F.col(corpus_id),
         as_double(vec_col).alias("cv"),
         norm(as_double(vec_col)).alias("cn"),
@@ -462,4 +472,43 @@ def ivfpq_topk(
         )
         .withColumn("pq_rank", F.row_number().over(w_cos))
         .filter(F.col("pq_rank") <= k)
+    )
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    books: list[list[list[float]]],
+    k: int = 5,
+    n_probe: int = 4,
+    rerank: int = 20,
+    corpus_id: str = "vec_id",
+    query_id: str = "query_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ — the production ANN index shape (FAISS's default)
+    re-expressed relationally: coarse IVF cells bound WHICH rows are
+    touched (each query probes n_probe of n_cells — on disk the cell
+    is a partition column, so the probe is parquet partition
+    PRUNING), PQ codes bound the BYTES per touched row (ADC lookup
+    instead of a 64-double fold), and the exact-cosine rerank reads
+    raw vectors for only the ADC top-R.
+
+    One-shot composition of ``encode_ivfpq`` + ``ivfpq_search`` —
+    both trainers are the deterministic integer-quantized recipe, so
+    the full pipeline value-hashes against an ANSI twin with both
+    learned tables inlined.
+    """
+    return ivfpq_search(
+        encode_ivfpq(corpus, centroids, books, id_col=corpus_id, vec_col=vec_col),
+        queries,
+        centroids,
+        books,
+        k=k,
+        n_probe=n_probe,
+        rerank=rerank,
+        corpus_id=corpus_id,
+        query_id=query_id,
+        vec_col=vec_col,
     )

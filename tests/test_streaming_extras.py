@@ -513,3 +513,87 @@ def test_corpus_compact_folds_generations_and_ingest_continues(spark, tmp_path):
         13: "new",
     }
     assert {r.doc_id for r in C.history(spark, corpus_dir).collect()} == {1, 2, 3, 13}
+
+
+def test_continuous_ann_index_matches_one_shot(spark, tmp_path):
+    """streaming/annindex.py: two streamed batches of vectors land as
+    encoded index partitions; probing the loaded index returns
+    EXACTLY what ivfpq_topk computes one-shot over the union corpus
+    (frozen learned tables + deterministic search); replaying a
+    batch id overwrites its own partition (no duplicate rows)."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from irclogbot_spark.operators.pq import (
+        ivfpq_search,
+        ivfpq_topk,
+        train_pq_codebooks,
+    )
+    from irclogbot_spark.operators.similarity import train_ivf_centroids
+    from irclogbot_spark.streaming import annindex
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    cents = train_ivf_centroids(emb, n_cells=8, n_iter=2)
+    books = train_pq_codebooks(emb, n_sub=8, n_codes=16, n_iter=2)
+
+    rows = emb.orderBy("vec_id").limit(40).collect()
+    src = tmp_path / "vsrc"
+    src.mkdir()
+    index_dir = str(tmp_path / "annidx")
+
+    def run_batch(batch_rows):
+        fname = src / f"b{len(list(src.iterdir()))}.json"
+        fname.write_text(
+            "\n".join(
+                json.dumps({"vec_id": r.vec_id, "embedding": [float(x) for x in r.embedding]})
+                for r in batch_rows
+            )
+        )
+        q = annindex.continuous_index(
+            spark,
+            spark.readStream.schema(annindex.EMB_SCHEMA).json(str(src)),
+            index_dir,
+            str(tmp_path / "vckpt"),
+            cents,
+            books,
+        )
+        q.awaitTermination(120)
+
+    run_batch(rows[:25])
+    run_batch(rows[25:])
+
+    idx = annindex.load_index(spark, index_dir)
+    assert idx.count() == 40
+    codes = idx.select(F.size("codes").alias("s")).distinct().collect()
+    assert [r.s for r in codes] == [8]
+
+    corpus = spark.createDataFrame(
+        [(r.vec_id, [float(x) for x in r.embedding]) for r in rows],
+        "vec_id long, embedding array<double>",
+    )
+    qs = corpus.limit(3).select(F.col("vec_id").alias("query_id"), "embedding")
+    got = {
+        (r.query_id, r.vec_id, r.pq_rank, r.cosine)
+        for r in ivfpq_search(idx, qs, cents, books, k=3, rerank=10).collect()
+    }
+    want = {
+        (r.query_id, r.vec_id, r.pq_rank, r.cosine)
+        for r in ivfpq_topk(corpus, qs, cents, books, k=3, rerank=10).collect()
+    }
+    assert got == want and len(got) == 9
+
+    # replay batch 1's partition: idempotent, still 40 rows
+    annindex.ingest_batch(
+        spark.createDataFrame(
+            [(r.vec_id, [float(x) for x in r.embedding]) for r in rows[25:]],
+            "vec_id long, embedding array<double>",
+        ),
+        1,
+        index_dir,
+        cents,
+        books,
+    )
+    assert annindex.load_index(spark, index_dir).count() == 40
