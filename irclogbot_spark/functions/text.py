@@ -154,6 +154,75 @@ def bm25_rank(
     )
 
 
+def vocab_coverage(
+    df,
+    text_col: str = "text",
+    max_terms: int = 100,
+    coverage: float = 0.9,
+):
+    """Vocabulary construction with a cumulative-coverage cutoff —
+    the tokenizer-vocab step of a training-data pipeline (pick the
+    top-V terms that cover X% of the token stream; everything else
+    becomes <unk>/byte-fallback).
+
+    Output: one row per candidate term (the corpus-frequency top
+    ``max_terms``) with rank, count, token share, EXACT cumulative
+    count, derived cumulative share, and the ``in_vocab`` verdict —
+    a term is in-vocab while the mass BEFORE it is still under the
+    coverage target, so the term that crosses the threshold is
+    included (the standard closed-cutoff convention).
+
+    Scale shape: token counts are ONE term shuffle with partial
+    aggregation (the corpus is touched once, only the (term, n)
+    pairs move); the top-``max_terms`` slice is a partial top-k
+    (TakeOrderedAndProject — per-partition heaps, never a global
+    sort of the vocabulary); the running total then runs over at
+    most ``max_terms`` rows, which is the vocab table a tokenizer
+    ships anyway — bounded, not corpus-sized.
+
+    Cross-engine exactness: the running total is accumulated over
+    the INTEGER counts (``cum_n``) — a windowed SUM of doubles is
+    association-dependent (DuckDB's segment tree vs Spark's running
+    fold could differ in the last ulp) — and every float column is a
+    single division (or one multiply for the threshold compare) of
+    exactly-agreed integers, so shares and the ``in_vocab`` boolean
+    are bit-identical. Ties rank lexicographically on the term.
+    """
+    from pyspark.sql import Window
+
+    if max_terms < 1:
+        raise ValueError(f"max_terms must be >= 1, got {max_terms}")
+    if not 0.0 < coverage <= 1.0:
+        raise ValueError(f"coverage must be in (0, 1], got {coverage}")
+    toks = df.select(
+        F.explode(
+            F.regexp_extract_all(F.col(text_col), F.lit(WORD_RE), F.lit(0))
+        ).alias("term")
+    )
+    counts = toks.groupBy("term").agg(F.count(F.lit(1)).alias("n"))
+    total = counts.agg(F.sum("n").alias("n_total"))
+    top = counts.orderBy(F.desc("n"), F.asc("term")).limit(max_terms)
+    order = Window.orderBy(F.desc("n"), F.asc("term"))
+    run = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranked = (
+        top.withColumn("rank", F.row_number().over(order).cast("int"))
+        .withColumn("cum_n", F.sum("n").over(run))
+        .join(F.broadcast(total))
+    )
+    tot = F.col("n_total").cast("double")
+    return ranked.select(
+        "rank",
+        "term",
+        "n",
+        "cum_n",
+        (F.col("n").cast("double") / tot).alias("share"),
+        (F.col("cum_n").cast("double") / tot).alias("cum_share"),
+        (
+            (F.col("cum_n") - F.col("n")).cast("double") < F.lit(float(coverage)) * tot
+        ).alias("in_vocab"),
+    )
+
+
 def tfidf_topk(df, id_col: str = "doc_id", text_col: str = "text", k: int = 3):
     """Per-document top-k keywords by TF-IDF — the keyword-extraction
     face of the full-text surface the reference delegates to

@@ -1,0 +1,155 @@
+"""Behavioral event analytics: ordered funnels and cohort retention.
+
+The reference's query surface stops at per-channel counts and top-k
+(SURVEY.md §2H); these are the two event-sequence operators every
+product-analytics engine layers on the same data (events = the
+engine's generic timestamped stream). Both are expressed so the
+expensive part is a single shuffle on the user key:
+
+* ``funnel``: the ordered-stage conversion question — of the users
+  who did step 1, how many LATER did step 2, then step 3... A user
+  counts for stage i only if their earliest qualifying stage-i event
+  is at-or-after their earliest qualifying stage-(i-1) event (the
+  strict "in order" semantics; an out-of-order click does not count).
+  Implemented as k chained window-mins over ONE user partitioning —
+  the events shuffle once, every subsequent stage is a map-side
+  window pass over the same partitioning, and the per-user reduction
+  reuses it too (no second exchange).
+
+* ``cohort_retention``: users are cohorted by the week of their
+  first event; each later active week increments that cohort's
+  (week_offset) cell. One partial-agg shuffle for first-seen, one
+  distinct over (user, week), one co-partitioned join back on the
+  user key, then a tiny (cohort, offset) aggregate; the retention
+  denominator is a broadcast of the per-cohort sizes.
+
+Cross-engine determinism: counts are integers, every rate is a
+single division of exactly-agreed integers (CASE-guarded against
+empty denominators), and week truncation uses the ISO Monday both
+Spark (``trunc(_, 'week')``) and DuckDB (``date_trunc('week', _)``)
+agree on.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def funnel(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered-funnel conversion counts.
+
+    Returns one row per step: ``(step, step_name, n_reached,
+    conv_from_prev, conv_from_first)`` where ``n_reached`` counts
+    users whose steps 1..i all occurred in timestamp order,
+    ``conv_from_prev`` divides by the previous stage (stage 1
+    divides by the total user population — the entry rate), and
+    ``conv_from_first`` divides by stage 1.
+
+    Scale shape: ONE shuffle (the user-key window partitioning);
+    the k window-min passes and the per-user collapse all reuse it.
+    Only (user, ts, type) ever moves — no payload columns.
+    """
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    if len(set(steps)) != len(steps):
+        raise ValueError(f"steps must be distinct, got {steps}")
+    w = Window.partitionBy(user_col)
+    df = events.select(user_col, ts_col, type_col)
+    stage_cols: list[str] = []
+    for i, step in enumerate(steps):
+        cond = F.col(type_col) == step
+        if stage_cols:
+            cond = cond & (F.col(ts_col) >= F.col(stage_cols[-1]))
+        c = f"_t{i + 1}"
+        df = df.withColumn(c, F.min(F.when(cond, F.col(ts_col))).over(w))
+        stage_cols.append(c)
+    # window values are constant per user: min() collapses without a
+    # new exchange (same key as the window partitioning)
+    users = df.groupBy(user_col).agg(
+        *[F.min(c).alias(c) for c in stage_cols]
+    )
+    agg = users.agg(
+        F.count(F.lit(1)).alias("_n_users"),
+        *[F.count(c).alias(f"_n{i + 1}") for i, c in enumerate(stage_cols)],
+    )
+
+    def rate(num, den):
+        return F.when(
+            F.col(den) > 0, F.col(num).cast("double") / F.col(den)
+        ).otherwise(F.lit(None).cast("double"))
+
+    rows = []
+    for i, step in enumerate(steps):
+        prev = "_n_users" if i == 0 else f"_n{i}"
+        rows.append(
+            F.struct(
+                F.lit(i + 1).cast("int").alias("step"),
+                F.lit(step).alias("step_name"),
+                F.col(f"_n{i + 1}").alias("n_reached"),
+                rate(f"_n{i + 1}", prev).alias("conv_from_prev"),
+                rate(f"_n{i + 1}", "_n1").alias("conv_from_first"),
+            )
+        )
+    return agg.select(F.explode(F.array(*rows)).alias("_s")).select("_s.*")
+
+
+def cohort_retention(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Weekly cohort-retention matrix.
+
+    Each user belongs to the cohort of the ISO week of their first
+    event; a cohort's ``week_offset`` cell counts the distinct users
+    active (any event) that many weeks later. Returns
+    ``(cohort_week, week_offset, n_active, n_cohort, retention)``;
+    offset 0 is the cohort week itself (retention 1.0 by
+    construction).
+
+    Scale shape: first-seen is a partial-aggregated shuffle on the
+    user key; the activity side is a distinct over (user, week) —
+    partial too; the join back is user-keyed (co-partitioned with
+    first-seen); the final aggregate is cohort×offset-sized (weeks²,
+    tiny) and the denominator table broadcasts.
+    """
+    day = F.to_date(F.col(ts_col))
+    first = events.groupBy(user_col).agg(F.min(day).alias("_cohort_day"))
+    cohorts = first.select(
+        user_col, F.trunc("_cohort_day", "week").alias("cohort_week")
+    )
+    weeks = (
+        events.select(user_col, F.trunc(day, "week").alias("_week"))
+        .distinct()
+    )
+    active = (
+        weeks.join(cohorts, user_col)
+        .select(
+            user_col,
+            "cohort_week",
+            (F.datediff("_week", "cohort_week") / F.lit(7))
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .distinct()
+    )
+    cells = active.groupBy("cohort_week", "week_offset").agg(
+        F.count(F.lit(1)).alias("n_active")
+    )
+    sizes = cohorts.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("n_cohort")
+    )
+    return cells.join(F.broadcast(sizes), "cohort_week").select(
+        "cohort_week",
+        "week_offset",
+        "n_active",
+        "n_cohort",
+        (F.col("n_active").cast("double") / F.col("n_cohort")).alias("retention"),
+    )

@@ -129,16 +129,22 @@ def train_test_split(
 
 
 def reservoir_per_group(
-    df: DataFrame, group_cols: list[str], k: int, key_cols: list[str], salt: str = "reservoir"
+    df: DataFrame,
+    group_cols: list[str],
+    k: int,
+    key_cols: list[str],
+    salt: str = "reservoir",
+    draw_fn=None,
 ) -> DataFrame:
     """Deterministic fixed-size uniform sample per group: rank rows by
     their content hash inside each group, keep the k smallest — the
     order statistics of a uniform draw, i.e. a reservoir sample whose
     membership is reproducible. One shuffle on group_cols; with
     partial TakeOrdered semantics unavailable per-group, skewed
-    groups are bounded by the rank filter, not collected."""
+    groups are bounded by the rank filter, not collected. ``draw_fn``
+    swaps the hash (see portable_draw)."""
     w = Window.partitionBy(*group_cols).orderBy(
-        _draw(key_cols, salt), *[F.col(c) for c in key_cols]
+        (draw_fn or _draw)(key_cols, salt), *[F.col(c) for c in key_cols]
     )
     return (
         df.withColumn("_rs_rank", F.row_number().over(w))

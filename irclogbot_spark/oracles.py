@@ -2111,6 +2111,133 @@ SELECT query_id, vec_id, adc_dist, cosine, pq_rank FROM (
     return sql
 
 
+# ANSI twin of queries.docs_vocab_coverage / functions/text.py
+# vocab_coverage: same \S+ tokens, top-100 by (n DESC, term), the
+# running total accumulated over INTEGER counts (cum_n) so no
+# windowed float sum exists anywhere, shares and the threshold
+# compare are single float ops of exactly-agreed integers.
+ORACLES["docs_vocab_coverage"] = r"""
+WITH toks AS (
+  SELECT unnest(regexp_extract_all(text, '\S+')) AS term FROM documents
+),
+counts AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS n FROM toks GROUP BY term),
+total AS (SELECT SUM(n) AS n_total FROM counts),
+top AS (SELECT term, n FROM counts ORDER BY n DESC, term LIMIT 100),
+ranked AS (
+  SELECT term, n,
+    CAST(ROW_NUMBER() OVER (ORDER BY n DESC, term) AS INT) AS rank,
+    SUM(n) OVER (ORDER BY n DESC, term
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_n
+  FROM top
+)
+SELECT rank, term, n, cum_n,
+  CAST(n AS DOUBLE) / n_total AS share,
+  CAST(cum_n AS DOUBLE) / n_total AS cum_share,
+  CAST(cum_n - n AS DOUBLE) < 0.9e0 * CAST(n_total AS DOUBLE) AS in_vocab
+FROM ranked CROSS JOIN total
+"""
+
+
+# ANSI twin of queries.events_funnel / operators/behavior.py funnel:
+# the k chained window-mins written as nested CTE window passes,
+# per-user collapse, integer counts, CASE-guarded single-division
+# rates — bit-exact rank-free arithmetic.
+ORACLES["events_funnel"] = """
+WITH e AS (SELECT user_id, ts, event_type FROM events),
+s1 AS (
+  SELECT user_id, ts, event_type,
+    MIN(CASE WHEN event_type = 'view' THEN ts END)
+      OVER (PARTITION BY user_id) AS t1
+  FROM e
+),
+s2 AS (
+  SELECT user_id, ts, event_type, t1,
+    MIN(CASE WHEN event_type = 'click' AND ts >= t1 THEN ts END)
+      OVER (PARTITION BY user_id) AS t2
+  FROM s1
+),
+s3 AS (
+  SELECT user_id, t1, t2,
+    MIN(CASE WHEN event_type = 'purchase' AND ts >= t2 THEN ts END)
+      OVER (PARTITION BY user_id) AS t3
+  FROM s2
+),
+u AS (
+  SELECT user_id, MIN(t1) AS t1, MIN(t2) AS t2, MIN(t3) AS t3
+  FROM s3 GROUP BY user_id
+),
+c AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+    CAST(COUNT(t1) AS BIGINT) AS n1,
+    CAST(COUNT(t2) AS BIGINT) AS n2,
+    CAST(COUNT(t3) AS BIGINT) AS n3
+  FROM u
+)
+SELECT CAST(1 AS INT) AS step, 'view' AS step_name, n1 AS n_reached,
+  CASE WHEN n_users > 0 THEN CAST(n1 AS DOUBLE) / n_users END AS conv_from_prev,
+  CASE WHEN n1 > 0 THEN CAST(n1 AS DOUBLE) / n1 END AS conv_from_first
+FROM c
+UNION ALL
+SELECT CAST(2 AS INT), 'click', n2,
+  CASE WHEN n1 > 0 THEN CAST(n2 AS DOUBLE) / n1 END,
+  CASE WHEN n1 > 0 THEN CAST(n2 AS DOUBLE) / n1 END
+FROM c
+UNION ALL
+SELECT CAST(3 AS INT), 'purchase', n3,
+  CASE WHEN n2 > 0 THEN CAST(n3 AS DOUBLE) / n2 END,
+  CASE WHEN n1 > 0 THEN CAST(n3 AS DOUBLE) / n1 END
+FROM c
+"""
+
+
+# ANSI twin of queries.events_retention / operators/behavior.py
+# cohort_retention: date_trunc('week') is the same ISO Monday as
+# Spark's trunc(_, 'week'); week offsets are exact integer division
+# of a multiple of 7; retention is one division of agreed integers.
+ORACLES["events_retention"] = """
+WITH first AS (
+  SELECT user_id, date_trunc('week', MIN(CAST(ts AS DATE))) AS cohort_week
+  FROM events GROUP BY user_id
+),
+weeks AS (
+  SELECT DISTINCT user_id, date_trunc('week', CAST(ts AS DATE)) AS wk
+  FROM events
+),
+active AS (
+  SELECT DISTINCT w.user_id, f.cohort_week,
+    CAST(datediff('day', f.cohort_week, w.wk) / 7 AS INT) AS week_offset
+  FROM weeks w JOIN first f ON w.user_id = f.user_id
+),
+cells AS (
+  SELECT cohort_week, week_offset, CAST(COUNT(*) AS BIGINT) AS n_active
+  FROM active GROUP BY cohort_week, week_offset
+),
+sizes AS (
+  SELECT cohort_week, CAST(COUNT(*) AS BIGINT) AS n_cohort
+  FROM first GROUP BY cohort_week
+)
+SELECT c.cohort_week, c.week_offset, c.n_active, s.n_cohort,
+  CAST(c.n_active AS DOUBLE) / s.n_cohort AS retention
+FROM cells c JOIN sizes s ON c.cohort_week = s.cohort_week
+"""
+
+
+def _reservoir_sample_sql(k: int = 3) -> str:
+    """ANSI twin of queries.docs_reservoir_sample: ROW_NUMBER over
+    (portable draw, doc_id) per language, keep the k smallest."""
+    draw = _portable_draw_sql("reservoir", "CAST(doc_id AS VARCHAR)")
+    return f"""
+SELECT lang, doc_id, source FROM (
+  SELECT lang, doc_id, source,
+    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY {draw}, doc_id) AS r
+  FROM documents
+) WHERE r <= {k}
+"""
+
+
+ORACLES["docs_reservoir_sample"] = _reservoir_sample_sql()
+
+
 def oracle_sql() -> dict[str, str]:
     out = dict(ORACLES)
     # data-dependent oracles, built lazily so the training corpus

@@ -1634,5 +1634,64 @@ def emb_ivfpq_topk(spark, sf_dir):
     ).withColumn("pq_rank", F.col("pq_rank").cast("long"))
 
 
+@query("docs_vocab_coverage")
+def docs_vocab_coverage(spark, sf_dir):
+    """Vocabulary construction with a 90% cumulative-coverage cutoff
+    (functions/text.py vocab_coverage) — the tokenizer-vocab step of
+    a training pipeline: one partial-aggregated term shuffle, a
+    partial top-k (TakeOrderedAndProject, no global vocab sort), and
+    an integer running total so shares are bit-exact cross-engine.
+    Registers past the driver's 50-row cap; value-checked by the
+    local parity suite."""
+    from irclogbot_spark.functions.text import vocab_coverage
+
+    d = _t(spark, sf_dir, "documents")
+    return vocab_coverage(d, max_terms=100, coverage=0.9)
+
+
+@query("events_funnel")
+def events_funnel(spark, sf_dir):
+    """Ordered-funnel conversion (operators/behavior.py funnel):
+    view -> click -> purchase with strict in-order semantics (a
+    stage-i event counts only at-or-after the user's earliest
+    qualifying stage-(i-1) event). ONE user-key shuffle; the three
+    window-min passes and the per-user collapse reuse its
+    partitioning (plan-asserted). Registers past the driver's 50-row
+    cap; value-checked by the local parity suite."""
+    from irclogbot_spark.operators.behavior import funnel
+
+    e = _t(spark, sf_dir, "events")
+    return funnel(e, ["view", "click", "purchase"])
+
+
+@query("events_retention")
+def events_retention(spark, sf_dir):
+    """Weekly cohort-retention matrix (operators/behavior.py
+    cohort_retention): cohort = ISO week of first event, cells =
+    distinct users active N weeks later, denominator broadcast.
+    Registers past the driver's 50-row cap; value-checked by the
+    local parity suite."""
+    from irclogbot_spark.operators.behavior import cohort_retention
+
+    e = _t(spark, sf_dir, "events")
+    return cohort_retention(e)
+
+
+@query("docs_reservoir_sample")
+def docs_reservoir_sample(spark, sf_dir):
+    """Deterministic per-group reservoir sample
+    (operators/sampling.py reservoir_per_group): the k smallest
+    content-hash draws per language — order statistics of a uniform
+    draw, reproducible under repartition/retry. Portable md5 draw
+    for the oracle (xxhash64 production default). Registers past the
+    driver's 50-row cap; value-checked by the local parity suite."""
+    from irclogbot_spark.operators.sampling import portable_draw, reservoir_per_group
+
+    d = _t(spark, sf_dir, "documents")
+    return reservoir_per_group(
+        d, ["lang"], k=3, key_cols=["doc_id"], draw_fn=portable_draw
+    ).select("lang", "doc_id", "source")
+
+
 def queries() -> dict[str, QueryFn]:
     return dict(QUERIES)

@@ -1,0 +1,116 @@
+"""Behavioral analytics semantics (operators/behavior.py): the
+ordered-funnel constraint (out-of-order events do NOT convert) and
+the cohort-retention matrix on crafted event frames, plus
+vocab_coverage's cutoff convention on a known distribution."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from irclogbot_spark.functions.text import vocab_coverage
+from irclogbot_spark.operators.behavior import cohort_retention, funnel
+
+
+def _ts(day: int, hour: int = 0):
+    return dt.datetime(2024, 1, day, hour)
+
+
+@pytest.fixture(scope="module")
+def ev(spark):
+    # u1: full ordered funnel. u2: click BEFORE view (stage 2 must not
+    # count). u3: view only. u4: view+click ordered, no purchase.
+    # u5: purchase before view+click (stage 3 must not count).
+    rows = [
+        (1, _ts(1), "view"), (1, _ts(2), "click"), (1, _ts(3), "purchase"),
+        (2, _ts(2), "view"), (2, _ts(1), "click"),
+        (3, _ts(1), "view"),
+        (4, _ts(1), "view"), (4, _ts(1, 5), "click"),
+        (5, _ts(3), "purchase"), (5, _ts(4), "view"), (5, _ts(5), "click"),
+    ]
+    return spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+
+
+def test_funnel_orders_stages_strictly(spark, ev):
+    out = {r.step_name: r for r in funnel(ev, ["view", "click", "purchase"]).collect()}
+    assert out["view"].n_reached == 5
+    # u2's click precedes their view; u5's purchase precedes everything
+    assert out["click"].n_reached == 3  # u1, u4, u5
+    assert out["purchase"].n_reached == 1  # u1 only
+    assert out["purchase"].conv_from_prev == 1.0 / 3.0
+    assert out["purchase"].conv_from_first == 1.0 / 5.0
+    assert out["view"].conv_from_prev == 1.0  # all 5 users enter
+
+
+def test_funnel_same_timestamp_counts(spark):
+    # ts >= prev: a simultaneous next-stage event converts
+    rows = [(1, _ts(1), "view"), (1, _ts(1), "click")]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    out = {r.step_name: r.n_reached for r in funnel(ev, ["view", "click"]).collect()}
+    assert out == {"view": 1, "click": 1}
+
+
+def test_funnel_rejects_bad_steps(spark, ev):
+    with pytest.raises(ValueError):
+        funnel(ev, [])
+    with pytest.raises(ValueError):
+        funnel(ev, ["view", "view"])
+
+
+def test_cohort_retention_matrix(spark):
+    # cohort A (week of Mon Jan 1): u1 active weeks 0,1,2; u2 weeks 0,2.
+    # cohort B (week of Jan 8): u3 active weeks 0,1.
+    rows = [
+        (1, _ts(1)), (1, _ts(8)), (1, _ts(15)),
+        (2, _ts(3)), (2, _ts(17)),
+        (3, _ts(10)), (3, _ts(16)),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp").withColumn(
+        "event_type", F.lit("view")
+    )
+    out = {
+        (r.cohort_week.isoformat(), r.week_offset): (r.n_active, r.n_cohort, r.retention)
+        for r in cohort_retention(ev).collect()
+    }
+    assert out[("2024-01-01", 0)] == (2, 2, 1.0)
+    assert out[("2024-01-01", 1)] == (1, 2, 0.5)
+    assert out[("2024-01-01", 2)] == (2, 2, 1.0)
+    assert out[("2024-01-08", 0)] == (1, 1, 1.0)
+    assert out[("2024-01-08", 1)] == (1, 1, 1.0)
+    assert ("2024-01-08", 2) not in out
+
+
+def test_funnel_single_user_shuffle(spark, ev):
+    plan = funnel(ev, ["view", "click", "purchase"])._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    # the user-key window partitioning is the ONE data exchange; the
+    # final 1-row aggregate exchanges a single partial row
+    n_user_exchanges = plan.count("hashpartitioning(user_id")
+    assert n_user_exchanges == 1, plan
+
+
+def test_vocab_coverage_cutoff_includes_crossing_term(spark):
+    # 10 tokens: a x5, b x3, c x1, d x1. coverage=0.8 -> a (0.5) in,
+    # b crosses (cum 0.8, before-mass 0.5 < 0.8) in, c (before-mass
+    # 0.8 !< 0.8) out, d out.
+    docs = spark.createDataFrame(
+        [(1, "a a a a a b b b c d")], "doc_id long, text string"
+    )
+    rows = {r.term: r for r in vocab_coverage(docs, max_terms=10, coverage=0.8).collect()}
+    assert [rows[t].rank for t in "abcd"] == [1, 2, 3, 4]
+    assert rows["a"].in_vocab and rows["b"].in_vocab
+    assert not rows["c"].in_vocab and not rows["d"].in_vocab
+    assert rows["b"].cum_share == 0.8
+    # ties rank lexicographically
+    assert rows["c"].rank < rows["d"].rank
+
+
+def test_vocab_coverage_validates(spark):
+    docs = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        vocab_coverage(docs, max_terms=0)
+    with pytest.raises(ValueError):
+        vocab_coverage(docs, coverage=0.0)

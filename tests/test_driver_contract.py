@@ -47,6 +47,10 @@ def test_rows_only_queries_register_after_the_cap():
         "docs_hybrid_search",
         "docs_crossdup_remove",
         "emb_ivfpq_topk",
+        "docs_vocab_coverage",
+        "events_funnel",
+        "events_retention",
+        "docs_reservoir_sample",
     }
 
 

@@ -122,6 +122,22 @@ def test_reservoir_per_group_fixed_size_and_deterministic(spark, docs):
     assert _ids(out) == _ids(again)
 
 
+def test_reservoir_per_group_draw_fn_swaps_the_hash(spark, docs):
+    prod = sampling.reservoir_per_group(docs, ["lang"], k=5, key_cols=["doc_id"])
+    port = sampling.reservoir_per_group(
+        docs, ["lang"], k=5, key_cols=["doc_id"], draw_fn=sampling.portable_draw
+    )
+    # different hash -> (almost surely) different membership, same sizes
+    assert _ids(prod) != _ids(port)
+    assert port.groupBy("lang").count().filter(F.col("count") > 5).count() == 0
+    # the portable draw is just as partitioning-invariant
+    again = sampling.reservoir_per_group(
+        docs.repartition(13), ["lang"], k=5, key_cols=["doc_id"],
+        draw_fn=sampling.portable_draw,
+    )
+    assert _ids(port) == _ids(again)
+
+
 def test_token_budget_cap_admission_order_and_budget(spark):
     """Every group's cumulative total respects the budget; admission
     is a prefix of draw order (no doc kept after a dropped one), and
