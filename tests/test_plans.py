@@ -193,3 +193,26 @@ def test_ivfpq_topk_bucket_join_no_corpus_shuffle_for_probe(spark):
     assert "WindowGroupLimit" in plan
     hashex = [l for l in plan.splitlines() if "hashpartitioning" in l]
     assert len(hashex) == 2, hashex
+
+
+def test_vocab_coverage_partial_topk_one_term_shuffle(spark):
+    """docs_vocab_coverage: the top-max_terms cut must be a partial
+    top-k (TakeOrderedAndProject — never a global sort of the
+    vocabulary), term counts partially aggregated before their one
+    exchange, and the corpus-total joined as a broadcast."""
+    plan = _plan(spark, "docs_vocab_coverage")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "partial_count" in plan or "partial" in plan.lower(), plan
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row total
+    hashex = [l for l in plan.splitlines() if "hashpartitioning" in l]
+    # term-count exchange (+ its reuse); no corpus-keyed shuffles
+    assert all("term" in l for l in hashex), hashex
+
+
+def test_retention_broadcast_denominator_no_sort_merge(spark):
+    """events_retention: the per-cohort sizes join must broadcast
+    (the denominator table is weeks-sized) — the activity side is
+    never re-shuffled on cohort_week."""
+    plan = _plan(spark, "events_retention")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan, plan
