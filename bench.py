@@ -67,6 +67,9 @@ HEADLINE = [
     "docs_dedup_keep_best",
     "docs_hybrid_search",
     "docs_crossdup_remove",
+    "docs_vocab_coverage",
+    "events_funnel",
+    "events_retention",
 ]
 
 #: headline queries that derive from the irclog (re-timed over the
