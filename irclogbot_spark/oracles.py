@@ -2222,6 +2222,31 @@ FROM cells c JOIN sizes s ON c.cohort_week = s.cohort_week
 """
 
 
+# ANSI twin of queries.events_range_join / operators/rangejoin.py:
+# the bin bucketing is Spark-side physical strategy only — the
+# oracle is the PLAIN inequality join the operator's semantics
+# define (half-open [start, end)).
+ORACLES["events_range_join"] = """
+WITH err AS (
+  SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n, MIN(ts) AS w_start
+  FROM events WHERE event_type = 'error' GROUP BY day
+),
+wins AS (
+  SELECT w_start, w_start + INTERVAL 6 HOUR AS w_end FROM err WHERE n >= 7
+),
+j AS (
+  SELECT w.w_start, w.w_end, e.user_id, e.event_type
+  FROM events e JOIN wins w ON e.ts >= w.w_start AND e.ts < w.w_end
+)
+SELECT w_start, w_end,
+  CAST(COUNT(*) AS BIGINT) AS n_events,
+  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+  CAST(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT)
+    AS n_purchases
+FROM j GROUP BY w_start, w_end
+"""
+
+
 def _reservoir_sample_sql(k: int = 3) -> str:
     """ANSI twin of queries.docs_reservoir_sample: ROW_NUMBER over
     (portable draw, doc_id) per language, keep the k smallest."""

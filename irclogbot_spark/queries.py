@@ -1693,5 +1693,36 @@ def docs_reservoir_sample(spark, sf_dir):
     ).select("lang", "doc_id", "source")
 
 
+@query("events_range_join")
+def events_range_join(spark, sf_dir):
+    """Point-in-interval range join WITHOUT an equality key
+    (operators/rangejoin.py bin_range_join): incident windows =
+    6 hours from the first error of any day with >= 7 errors; every
+    event landing inside a window is attributed to it. The bins turn
+    the inequality-only join into a hash equi-join (never a
+    BroadcastNestedLoopJoin/cartesian — plan-asserted); the bins
+    never reach the output, so the oracle is the plain inequality
+    join. Registers past the driver's 50-row cap; value-checked by
+    the local parity suite."""
+    from irclogbot_spark.operators.rangejoin import bin_range_join
+
+    e = _t(spark, sf_dir, "events")
+    wins = (
+        e.filter(F.col("event_type") == "error")
+        .groupBy(F.to_date("ts").alias("_day"))
+        .agg(F.count(F.lit(1)).alias("_n"), F.min("ts").alias("w_start"))
+        .filter(F.col("_n") >= 7)
+        .select("w_start", (F.col("w_start") + F.expr("INTERVAL 6 HOURS")).alias("w_end"))
+    )
+    hits = bin_range_join(
+        e.select("ts", "user_id", "event_type"), wins, "ts", "w_start", "w_end"
+    )
+    return hits.groupBy("w_start", "w_end").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.count(F.when(F.col("event_type") == "purchase", 1)).alias("n_purchases"),
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
