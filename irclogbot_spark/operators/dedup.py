@@ -561,6 +561,11 @@ def keep_best_dedup(
             F.col("_ek"), F.coalesce(F.col("cluster_id"), F.col(id_col))
         ).alias("group_id"),
     )
+    # consumed twice (argmax + final join): materialize the slim
+    # (id, score, group_id) frame once so the fingerprint/score scan,
+    # exact-keeper aggregate, and component join don't replay — the
+    # same multiply-referenced-frame rule prep.py applies
+    grouped = grouped.localCheckpoint(eager=False)
     best = (
         grouped.groupBy("group_id")
         .agg(
