@@ -2222,6 +2222,29 @@ FROM cells c JOIN sizes s ON c.cohort_week = s.cohort_week
 """
 
 
+# ANSI twin of queries.log_nick_cooccurrence: same capped expansion
+# (top-10 nicks per channel), ordered pair convention a < b,
+# deterministic total order on the limit.
+ORACLES["log_nick_cooccurrence"] = f"""
+WITH {IRCLOG_CTE},
+cnt AS (SELECT channel, nick, COUNT(*) AS n_msgs FROM irclog GROUP BY channel, nick),
+top AS (
+  SELECT channel, nick FROM (
+    SELECT channel, nick,
+      ROW_NUMBER() OVER (PARTITION BY channel ORDER BY n_msgs DESC, nick) AS r
+    FROM cnt
+  ) WHERE r <= 10
+),
+pairs AS (
+  SELECT a.nick AS nick_a, b.nick AS nick_b, a.channel
+  FROM top a JOIN top b ON a.channel = b.channel AND a.nick < b.nick
+)
+SELECT nick_a, nick_b, CAST(COUNT(DISTINCT channel) AS BIGINT) AS n_shared
+FROM pairs GROUP BY nick_a, nick_b
+ORDER BY n_shared DESC, nick_a, nick_b LIMIT 15
+"""
+
+
 # ANSI twin of queries.events_range_join / operators/rangejoin.py:
 # the bin bucketing is Spark-side physical strategy only — the
 # oracle is the PLAIN inequality join the operator's semantics

@@ -1724,5 +1724,40 @@ def events_range_join(spark, sf_dir):
     )
 
 
+@query("log_nick_cooccurrence")
+def log_nick_cooccurrence(spark, sf_dir):
+    """Nick co-occurrence graph over the irclog (§2H social-graph
+    extension): pairs of nicks sharing channels, weighted by shared
+    channel count. The quadratic pair expansion is bounded the same
+    way the LSH buckets are: only the top-10 nicks per channel (by
+    message count, nick tiebreak) pair up — <= 45 pairs per channel
+    no matter how crowded the channel. One (channel, nick)
+    partial-agg shuffle, a per-channel rank window, a co-partitioned
+    self-join on channel, one pair aggregate; the tiny top frame is
+    materialized once so the parse chain doesn't replay for both
+    join sides. Registers past the driver's 50-row cap;
+    value-checked by the local parity suite."""
+    log = synth.irclog(spark, sf_dir)
+    cn = log.groupBy("channel", "nick").agg(F.count(F.lit(1)).alias("n_msgs"))
+    w = Window.partitionBy("channel").orderBy(F.desc("n_msgs"), F.asc("nick"))
+    top = (
+        cn.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= 10)
+        .select("channel", "nick")
+        .localCheckpoint(eager=False)
+    )
+    pairs = (
+        top.select("channel", F.col("nick").alias("nick_a"))
+        .join(top.select("channel", F.col("nick").alias("nick_b")), "channel")
+        .filter(F.col("nick_a") < F.col("nick_b"))
+    )
+    return (
+        pairs.groupBy("nick_a", "nick_b")
+        .agg(F.countDistinct("channel").alias("n_shared"))
+        .orderBy(F.desc("n_shared"), "nick_a", "nick_b")
+        .limit(15)
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return dict(QUERIES)

@@ -52,6 +52,7 @@ def test_rows_only_queries_register_after_the_cap():
         "events_retention",
         "docs_reservoir_sample",
         "events_range_join",
+        "log_nick_cooccurrence",
     }
 
 
