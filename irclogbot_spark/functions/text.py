@@ -223,6 +223,62 @@ def vocab_coverage(
     )
 
 
+def tokenize_with_vocab(
+    df,
+    vocab,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    unk_id: int = 0,
+):
+    """Apply a learned vocabulary to the corpus — the encode step
+    after vocab_coverage: each \\S+ token maps to its vocab id
+    (1-based rank), out-of-vocabulary tokens to ``unk_id``. Returns
+    ``(id, token_ids array<int>, n_tokens, n_oov)``.
+
+    ``vocab`` is a DataFrame with (rank, term) — e.g.
+    ``vocab_coverage(...).filter("in_vocab").select("rank", "term")``.
+
+    Scale shape: the vocabulary broadcasts (it is tokenizer-sized by
+    construction); tokens explode with their in-doc position, take
+    the broadcast-hash-join lookup, and reassemble via ONE doc-id
+    shuffle of (id, pos, token_id) triples — text itself never
+    shuffles, and the rebuild is an in-row sort of the collected
+    struct array (no window). Empty docs keep an empty array.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode_outer(
+            F.regexp_extract_all(F.col(text_col), F.lit(WORD_RE), F.lit(0))
+        ).alias("_pos", "term"),
+    )
+    looked = toks.join(F.broadcast(vocab), "term", "left").select(
+        id_col,
+        "_pos",
+        F.coalesce(F.col("rank").cast("int"), F.lit(int(unk_id)).cast("int")).alias(
+            "_tid"
+        ),
+        F.col("rank").isNull().alias("_oov"),
+    )
+    assembled = looked.groupBy(id_col).agg(
+        F.array_sort(
+            F.collect_list(
+                F.when(
+                    F.col("_pos").isNotNull(),
+                    F.struct(F.col("_pos"), F.col("_tid")),
+                )
+            )
+        ).alias("_entries"),
+        F.count("_pos").alias("n_tokens"),
+        F.count(F.when(F.col("_oov") & F.col("_pos").isNotNull(), 1)).alias("n_oov"),
+    )
+    return assembled.select(
+        id_col,
+        F.transform(F.col("_entries"), lambda e: e["_tid"]).alias("token_ids"),
+        "n_tokens",
+        "n_oov",
+    )
+
+
 def tfidf_topk(df, id_col: str = "doc_id", text_col: str = "text", k: int = 3):
     """Per-document top-k keywords by TF-IDF — the keyword-extraction
     face of the full-text surface the reference delegates to

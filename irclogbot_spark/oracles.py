@@ -2245,6 +2245,56 @@ ORDER BY n_shared DESC, nick_a, nick_b LIMIT 15
 """
 
 
+# ANSI twin of queries.docs_tokenize / functions/text.py
+# tokenize_with_vocab: the vocab_coverage ranking filtered to the
+# in-vocab rows (same integer-cum_n cutoff rule), 1-based positional
+# token explode, left-join lookup with COALESCE(rank, 0), ordered
+# string_agg rebuild; empty docs keep an empty string and zero
+# counts.
+ORACLES["docs_tokenize"] = r"""
+WITH toks AS (
+  SELECT unnest(regexp_extract_all(text, '\S+')) AS term FROM documents
+),
+counts AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS n FROM toks GROUP BY term),
+total AS (SELECT SUM(n) AS n_total FROM counts),
+top AS (SELECT term, n FROM counts ORDER BY n DESC, term LIMIT 100),
+ranked AS (
+  SELECT term, n,
+    CAST(ROW_NUMBER() OVER (ORDER BY n DESC, term) AS INT) AS rank,
+    SUM(n) OVER (ORDER BY n DESC, term
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_n
+  FROM top
+),
+vocab AS (
+  SELECT rank, term FROM ranked CROSS JOIN total
+  WHERE CAST(cum_n - n AS DOUBLE) < 0.9e0 * CAST(n_total AS DOUBLE)
+),
+t AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS ts FROM documents),
+pos AS (
+  SELECT doc_id, i AS pos, ts[i] AS term
+  FROM t, UNNEST(range(1, len(ts) + 1)) AS r(i)
+),
+look AS (
+  SELECT p.doc_id, p.pos,
+    CAST(COALESCE(v.rank, 0) AS INT) AS tid,
+    v.rank IS NULL AS oov
+  FROM pos p LEFT JOIN vocab v ON p.term = v.term
+),
+agg AS (
+  SELECT doc_id,
+    string_agg(CAST(tid AS VARCHAR), ' ' ORDER BY pos) AS token_ids_str,
+    CAST(COUNT(*) AS BIGINT) AS n_tokens,
+    CAST(COUNT(CASE WHEN oov THEN 1 END) AS BIGINT) AS n_oov
+  FROM look GROUP BY doc_id
+)
+SELECT d.doc_id,
+  COALESCE(a.token_ids_str, '') AS token_ids_str,
+  COALESCE(a.n_tokens, 0) AS n_tokens,
+  COALESCE(a.n_oov, 0) AS n_oov
+FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+"""
+
+
 # ANSI twin of queries.events_range_join / operators/rangejoin.py:
 # the bin bucketing is Spark-side physical strategy only — the
 # oracle is the PLAIN inequality join the operator's semantics

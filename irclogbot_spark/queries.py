@@ -1759,5 +1759,35 @@ def log_nick_cooccurrence(spark, sf_dir):
     )
 
 
+@query("docs_tokenize")
+def docs_tokenize(spark, sf_dir):
+    """Tokenizer application (functions/text.py tokenize_with_vocab):
+    encode every document against the vocab_coverage 90%-coverage
+    vocabulary — token -> 1-based vocab rank, OOV -> 0. The
+    vocabulary broadcasts; reassembly is ONE doc-id shuffle of
+    (id, pos, token_id) triples with an in-row sort (no window);
+    text never shuffles. Ids serialize to a string column for the
+    value-hash (array columns stay the operator's API). Registers
+    past the driver's 50-row cap; value-checked by the local parity
+    suite."""
+    from irclogbot_spark.functions.text import tokenize_with_vocab, vocab_coverage
+
+    d = _t(spark, sf_dir, "documents")
+    vocab = (
+        vocab_coverage(d, max_terms=100, coverage=0.9)
+        .filter(F.col("in_vocab"))
+        .select("rank", "term")
+    )
+    enc = tokenize_with_vocab(d, vocab)
+    return enc.select(
+        "doc_id",
+        F.array_join(
+            F.transform(F.col("token_ids"), lambda t: t.cast("string")), " "
+        ).alias("token_ids_str"),
+        "n_tokens",
+        "n_oov",
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return dict(QUERIES)

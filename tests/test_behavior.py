@@ -114,3 +114,18 @@ def test_vocab_coverage_validates(spark):
         vocab_coverage(docs, max_terms=0)
     with pytest.raises(ValueError):
         vocab_coverage(docs, coverage=0.0)
+
+
+def test_tokenize_with_vocab_ids_and_oov(spark):
+    from irclogbot_spark.functions.text import tokenize_with_vocab
+
+    docs = spark.createDataFrame(
+        [(1, "a b a z"), (2, ""), (3, "z z")], "doc_id long, text string"
+    )
+    vocab = spark.createDataFrame([(1, "a"), (2, "b")], "rank int, term string")
+    out = {r.doc_id: r for r in tokenize_with_vocab(docs, vocab).collect()}
+    assert out[1].token_ids == [1, 2, 1, 0]
+    assert (out[1].n_tokens, out[1].n_oov) == (4, 1)
+    # empty doc keeps an empty array, not a dropped row
+    assert out[2].token_ids == [] and out[2].n_tokens == 0 and out[2].n_oov == 0
+    assert out[3].token_ids == [0, 0] and out[3].n_oov == 2

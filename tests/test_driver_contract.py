@@ -53,6 +53,7 @@ def test_rows_only_queries_register_after_the_cap():
         "docs_reservoir_sample",
         "events_range_join",
         "log_nick_cooccurrence",
+        "docs_tokenize",
     }
 
 
