@@ -98,3 +98,36 @@ def test_plan_is_equi_join_not_nested_loop(spark):
     )
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_differential_vs_naive_inequality_join(spark):
+    """Randomized (seeded) differential: bin_range_join must equal the
+    plain inequality join on arbitrary unaligned intervals across all
+    bin granularities."""
+    import random
+
+    rng = random.Random(42)
+    base = dt.datetime(2024, 3, 1)
+    pts_rows = [
+        (i, base + dt.timedelta(seconds=rng.randrange(0, 5 * 86400)))
+        for i in range(120)
+    ]
+    win_rows = []
+    for _ in range(25):
+        s = base + dt.timedelta(seconds=rng.randrange(0, 5 * 86400))
+        win_rows.append((s, s + dt.timedelta(seconds=rng.randrange(1, 12 * 3600))))
+    pts = spark.createDataFrame(pts_rows, "pid long, ts timestamp")
+    wins = spark.createDataFrame(win_rows, "w_start timestamp, w_end timestamp")
+
+    naive = {
+        (p, s)
+        for (p, t) in pts_rows
+        for (s, e) in win_rows
+        if s <= t < e
+    }
+    for bin in ("minute", "hour", "day"):
+        got = {
+            (r.pid, r.w_start)
+            for r in bin_range_join(pts, wins, "ts", "w_start", "w_end", bin=bin).collect()
+        }
+        assert got == naive, f"bin={bin}: {len(got)} vs {len(naive)}"
