@@ -70,6 +70,9 @@ HEADLINE = [
     "docs_vocab_coverage",
     "events_funnel",
     "events_retention",
+    "events_range_join",
+    "docs_tokenize",
+    "log_nick_cooccurrence",
 ]
 
 #: headline queries that derive from the irclog (re-timed over the
