@@ -216,3 +216,15 @@ def test_retention_broadcast_denominator_no_sort_merge(spark):
     plan = _plan(spark, "events_retention")
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_tokenize_broadcast_vocab_no_text_shuffle(spark):
+    """docs_tokenize: the vocabulary lookup must be a broadcast hash
+    join (the corpus is never shuffled to be encoded) and no exchange
+    may carry the text column — only (id, pos, tid) triples move."""
+    plan = _plan(spark, "docs_tokenize")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan, plan
+    for line in plan.splitlines():
+        if "Exchange" in line and "Arguments" in line:
+            assert "text" not in line, line
