@@ -244,7 +244,19 @@ def tokenize_with_vocab(
     shuffle of (id, pos, token_id) triples — text itself never
     shuffles, and the rebuild is an in-row sort of the collected
     struct array (no window). Empty docs keep an empty array.
+
+    Robustness: a vocab with duplicate terms would fan the lookup
+    join out (duplicating (pos, tid) entries and inflating every
+    count), so the vocab side is collapsed to the MIN rank per term
+    — deterministic, and a no-op on a well-formed vocab. ``unk_id``
+    must stay outside the 1-based rank space (else OOV tokens are
+    indistinguishable from that vocab entry in ``token_ids``).
     """
+    if unk_id >= 1:
+        raise ValueError(
+            f"unk_id must be < 1 (ranks are 1-based), got {unk_id}"
+        )
+    vocab = vocab.groupBy("term").agg(F.min("rank").alias("rank"))
     toks = df.select(
         F.col(id_col),
         F.posexplode_outer(
@@ -297,12 +309,19 @@ def tfidf_topk(df, id_col: str = "doc_id", text_col: str = "text", k: int = 3):
     inverted-index build: O(len^2) over a short in-row array beats
     a (doc, term) pre-shuffle); the document-frequency table is ONE
     term shuffle with partial aggregation over exploded DISTINCT
-    in-row terms (no tf computation on that branch), vocabulary-sized
-    and broadcast back; the per-doc reassembly shuffles only
-    (id, term, tf, score) — never text. Top-k within a doc is an
-    in-row array_sort + slice, not a window sort: negating the
-    (strictly positive) score gives an ascending struct sort key
-    with the term string as the deterministic tiebreak.
+    in-row terms (no tf computation on that branch); it joins back
+    on term WITHOUT a broadcast hint — the distinct-term table of a
+    web-scale corpus is billions of rows (a forced broadcast there
+    OOMs the driver), so the join is left to AQE: it broadcasts when
+    the df table is actually small and otherwise runs a shuffled
+    term join (tc arrives already term-partitionable; only
+    (id, term, tf) triples move — never text) with AQE skew-split
+    covering stopword-heavy terms. The 1-row corpus count does
+    broadcast. The per-doc reassembly shuffles only (id, term, tf,
+    score). Top-k within a doc is an in-row array_sort + slice, not
+    a window sort: negating the (strictly positive) score gives an
+    ascending struct sort key with the term string as the
+    deterministic tiebreak.
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
@@ -329,7 +348,10 @@ def tfidf_topk(df, id_col: str = "doc_id", text_col: str = "text", k: int = 3):
         .agg(F.count(F.lit(1)).alias("df"))
     )
     n = df.agg(F.count(F.lit(1)).alias("n"))
-    scored = tc.join(F.broadcast(dfreq), "term").join(F.broadcast(n))
+    # no broadcast hint on dfreq: its cardinality is the corpus's
+    # distinct-term count — unbounded at scale; AQE broadcasts it
+    # when it is in fact small
+    scored = tc.join(dfreq, "term").join(F.broadcast(n))
     score = F.col("tf").cast("double") * F.col("n") / F.col("df")
     per_doc = scored.groupBy(id_col).agg(
         F.collect_list(

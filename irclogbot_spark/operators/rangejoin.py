@@ -57,8 +57,12 @@ def bin_range_join(
     binned = points.withColumn("__rj_bin", F.date_trunc(bin, F.col(ts_col)))
     # half-open end: the last covered bin is the one containing
     # end - 1 microsecond (an interval ending exactly on a bin edge
-    # does not cover that bin)
-    exploded = intervals.withColumn(
+    # does not cover that bin). A degenerate interval (end <= start,
+    # incl. the legitimate empty [s, s)) must match nothing — without
+    # the guard F.sequence raises illegal-boundaries when the
+    # truncated end falls before the truncated start with a positive
+    # step, failing the whole job at runtime.
+    exploded = intervals.filter(F.col(end_col) > F.col(start_col)).withColumn(
         "__rj_bin",
         F.explode(
             F.sequence(

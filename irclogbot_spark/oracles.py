@@ -2126,8 +2126,9 @@ top AS (SELECT term, n FROM counts ORDER BY n DESC, term LIMIT 100),
 ranked AS (
   SELECT term, n,
     CAST(ROW_NUMBER() OVER (ORDER BY n DESC, term) AS INT) AS rank,
-    SUM(n) OVER (ORDER BY n DESC, term
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_n
+    CAST(SUM(n) OVER (ORDER BY n DESC, term
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS BIGINT) AS cum_n
   FROM top
 )
 SELECT rank, term, n, cum_n,
@@ -2261,8 +2262,9 @@ top AS (SELECT term, n FROM counts ORDER BY n DESC, term LIMIT 100),
 ranked AS (
   SELECT term, n,
     CAST(ROW_NUMBER() OVER (ORDER BY n DESC, term) AS INT) AS rank,
-    SUM(n) OVER (ORDER BY n DESC, term
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_n
+    CAST(SUM(n) OVER (ORDER BY n DESC, term
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS BIGINT) AS cum_n
   FROM top
 ),
 vocab AS (

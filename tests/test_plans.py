@@ -152,18 +152,26 @@ def test_chunking_map_only(spark):
     assert "Sort" not in plan
 
 
-def test_tfidf_topk_broadcast_df_two_data_shuffles(spark):
-    """docs_tfidf_topk: the df table and corpus-count row join back
-    as BROADCASTS (the corpus-side (doc, term, tf) rows never shuffle
-    for the join), leaving exactly two hash exchanges — the term
-    aggregation that builds the df table and the per-doc reassembly —
-    and no global sort."""
+def test_tfidf_topk_no_forced_unbounded_broadcast(spark):
+    """docs_tfidf_topk: the df-table join must NOT be a FORCED
+    broadcast — its cardinality is the corpus's distinct-term count,
+    unbounded at scale (a hinted broadcast there is a driver OOM at
+    100 TB, regardless of what stats say at test SF). The only
+    allowed hint is the 1-row corpus count; whether the df join
+    broadcasts is left to Catalyst/AQE size estimates (which DO
+    choose broadcast at this SF — correctly — and choose a shuffled
+    term join when the table is big). Every hash exchange carries
+    only term- or id-keyed triples, never text."""
+    df = entrymod.queries()["docs_tfidf_topk"](spark, SF)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert analyzed.count("ResolvedHint") == 1, analyzed
     plan = _plan(spark, "docs_tfidf_topk")
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row corpus count
     hashex = [l for l in plan.splitlines() if "hashpartitioning" in l]
-    assert len(hashex) == 2, hashex
-    assert "BroadcastHashJoin" in plan
-    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
-    assert "Sort " not in plan
+    assert all(("term" in l) or ("doc_id" in l) for l in hashex), hashex
+    for line in plan.splitlines():
+        if "Exchange" in line and "Arguments" in line:
+            assert "text" not in line, line
 
 
 def test_pq_topk_adc_broadcast_and_partial_topk(spark):

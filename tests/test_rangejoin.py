@@ -86,6 +86,26 @@ def test_column_collision_raises(spark):
         bin_range_join(pts, _wins(spark, [(T0, T0)]), "ts", "w_start", "w_end", bin="week")
 
 
+def test_degenerate_intervals_match_nothing(spark):
+    """Half-open [s, s) and inverted (end < start) intervals are
+    legitimate empty intervals: they must match nothing — not raise
+    F.sequence's illegal-boundaries error at runtime."""
+    wins = _wins(
+        spark,
+        [
+            (T0, T0),  # empty [s, s)
+            (T0 + dt.timedelta(hours=2), T0 + dt.timedelta(hours=1)),  # inverted
+            (T0, T0 + dt.timedelta(hours=1)),  # real window
+        ],
+    )
+    pts = _pts(spark, [T0, T0 + dt.timedelta(minutes=30)])
+    rows = bin_range_join(pts, wins, "ts", "w_start", "w_end").collect()
+    assert {(r.pid, r.w_end) for r in rows} == {
+        (0, T0 + dt.timedelta(hours=1)),
+        (1, T0 + dt.timedelta(hours=1)),
+    }
+
+
 def test_plan_is_equi_join_not_nested_loop(spark):
     wins = _wins(spark, [(T0, T0 + dt.timedelta(hours=6))])
     pts = _pts(spark, [T0 + dt.timedelta(hours=i) for i in range(8)])
