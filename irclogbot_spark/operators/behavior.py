@@ -42,6 +42,7 @@ def funnel(
     user_col: str = "user_id",
     ts_col: str = "ts",
     type_col: str = "event_type",
+    max_lag: str | None = None,
 ) -> DataFrame:
     """Ordered-funnel conversion counts.
 
@@ -52,6 +53,17 @@ def funnel(
     divides by the total user population — the entry rate), and
     ``conv_from_first`` divides by stage 1.
 
+    ``max_lag`` (an SQL interval body, e.g. ``"1 HOUR"``) adds the
+    standard product-analytics conversion window: a stage-i event
+    qualifies only within ``[t_{i-1}, t_{i-1} + max_lag]``. The
+    matching convention is GREEDY earliest-first — each stage's
+    timestamp is the earliest qualifying event after the previous
+    stage's (greedy) timestamp; a user whose conversion would only
+    exist relative to a LATER stage-(i-1) event does not count. The
+    convention is deterministic and exactly SQL-expressible (the
+    oracle mirrors it clause-for-clause), unlike any-window
+    maximization which requires per-user sequence scans.
+
     Scale shape: ONE shuffle (the user-key window partitioning);
     the k window-min passes and the per-user collapse all reuse it.
     Only (user, ts, type) ever moves — no payload columns.
@@ -60,13 +72,17 @@ def funnel(
         raise ValueError("steps must be non-empty")
     if len(set(steps)) != len(steps):
         raise ValueError(f"steps must be distinct, got {steps}")
+    lag = F.expr(f"INTERVAL {max_lag}") if max_lag else None
     w = Window.partitionBy(user_col)
     df = events.select(user_col, ts_col, type_col)
     stage_cols: list[str] = []
     for i, step in enumerate(steps):
         cond = F.col(type_col) == step
         if stage_cols:
-            cond = cond & (F.col(ts_col) >= F.col(stage_cols[-1]))
+            prev = F.col(stage_cols[-1])
+            cond = cond & (F.col(ts_col) >= prev)
+            if lag is not None:
+                cond = cond & (F.col(ts_col) <= prev + lag)
         c = f"_t{i + 1}"
         df = df.withColumn(c, F.min(F.when(cond, F.col(ts_col))).over(w))
         stage_cols.append(c)

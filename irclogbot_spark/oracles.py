@@ -2191,6 +2191,60 @@ FROM c
 """
 
 
+# ANSI twin of queries.events_funnel_window — the same chained
+# window-min funnel with the greedy conversion window: a stage-i
+# event qualifies only within [t_{i-1}, t_{i-1} + 2 days]. The
+# interval bound is the identical clause on both engines.
+ORACLES["events_funnel_window"] = """
+WITH e AS (SELECT user_id, ts, event_type FROM events),
+s1 AS (
+  SELECT user_id, ts, event_type,
+    MIN(CASE WHEN event_type = 'view' THEN ts END)
+      OVER (PARTITION BY user_id) AS t1
+  FROM e
+),
+s2 AS (
+  SELECT user_id, ts, event_type, t1,
+    MIN(CASE WHEN event_type = 'click' AND ts >= t1
+              AND ts <= t1 + INTERVAL 2 DAY THEN ts END)
+      OVER (PARTITION BY user_id) AS t2
+  FROM s1
+),
+s3 AS (
+  SELECT user_id, t1, t2,
+    MIN(CASE WHEN event_type = 'purchase' AND ts >= t2
+              AND ts <= t2 + INTERVAL 2 DAY THEN ts END)
+      OVER (PARTITION BY user_id) AS t3
+  FROM s2
+),
+u AS (
+  SELECT user_id, MIN(t1) AS t1, MIN(t2) AS t2, MIN(t3) AS t3
+  FROM s3 GROUP BY user_id
+),
+c AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+    CAST(COUNT(t1) AS BIGINT) AS n1,
+    CAST(COUNT(t2) AS BIGINT) AS n2,
+    CAST(COUNT(t3) AS BIGINT) AS n3
+  FROM u
+)
+SELECT CAST(1 AS INT) AS step, 'view' AS step_name, n1 AS n_reached,
+  CASE WHEN n_users > 0 THEN CAST(n1 AS DOUBLE) / n_users END AS conv_from_prev,
+  CASE WHEN n1 > 0 THEN CAST(n1 AS DOUBLE) / n1 END AS conv_from_first
+FROM c
+UNION ALL
+SELECT CAST(2 AS INT), 'click', n2,
+  CASE WHEN n1 > 0 THEN CAST(n2 AS DOUBLE) / n1 END,
+  CASE WHEN n1 > 0 THEN CAST(n2 AS DOUBLE) / n1 END
+FROM c
+UNION ALL
+SELECT CAST(3 AS INT), 'purchase', n3,
+  CASE WHEN n2 > 0 THEN CAST(n3 AS DOUBLE) / n2 END,
+  CASE WHEN n1 > 0 THEN CAST(n3 AS DOUBLE) / n1 END
+FROM c
+"""
+
+
 # ANSI twin of queries.events_retention / operators/behavior.py
 # cohort_retention: date_trunc('week') is the same ISO Monday as
 # Spark's trunc(_, 'week'); week offsets are exact integer division
@@ -2338,6 +2392,86 @@ SELECT lang, doc_id, source FROM (
 ORACLES["docs_reservoir_sample"] = _reservoir_sample_sql()
 
 
+# ANSI twin of queries.docs_winnow_fingerprint / operators/winnow.py:
+# ordered k-gram md5_hash31 hashes as (doc, position) rows, the
+# window minima as a windowed MIN over position (ROWS BETWEEN CURRENT
+# ROW AND w-1 FOLLOWING, positions capped at n-w+1 with the
+# short-document degenerate single window), distinct selected values
+# per doc, bucket-capped pair join — clause-for-clause the operator's
+# semantics; only the in-row/exploded physical split differs.
+ORACLES["docs_winnow_fingerprint"] = r"""
+WITH t AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS toks FROM documents),
+grams AS (
+  SELECT doc_id, i, array_to_string(toks[i:i+4], ' ') AS shingle
+  FROM t, UNNEST(range(1, len(toks) - 3)) AS r(i)
+  WHERE len(toks) >= 5
+),
+hs AS (SELECT doc_id, i,
+         CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT) % 2147483647 AS h
+       FROM grams),
+n AS (SELECT doc_id, MAX(i) AS n_h FROM hs GROUP BY doc_id),
+wmin AS (
+  SELECT hs.doc_id, hs.i,
+    MIN(h) OVER (PARTITION BY hs.doc_id ORDER BY hs.i
+                 ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+  FROM hs
+),
+sel AS (
+  SELECT DISTINCT w.doc_id, w.fp
+  FROM wmin w JOIN n ON w.doc_id = n.doc_id
+  WHERE w.i <= GREATEST(1, n.n_h - 3)
+),
+sizes AS (SELECT fp, COUNT(*) AS c FROM sel GROUP BY fp),
+elig AS (SELECT fp FROM sizes WHERE c BETWEEN 2 AND 50),
+capped AS (SELECT s.doc_id, s.fp FROM sel s JOIN elig e ON s.fp = e.fp),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+    CAST(COUNT(*) AS BIGINT) AS n_shared
+  FROM capped a JOIN capped b ON a.fp = b.fp AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b, n_shared FROM pairs
+ORDER BY n_shared DESC, doc_a, doc_b LIMIT 20
+"""
+
+
+def _importance_resample_sql() -> str:
+    """ANSI twin of queries.docs_importance_resample /
+    operators/importance.py: hashed unigram+bigram features under
+    md5_hash31, the SAME plan-constant quantized weight table inlined
+    as a list literal (a model parameter, not an answer — the logit
+    is re-derived per feature in SQL), integer milli-unit sum,
+    deterministic top-25."""
+    from irclogbot_spark.operators.importance import importance_weights
+
+    w = importance_weights()
+    arr = "[" + ", ".join(str(x) for x in w) + "]"
+    dim = len(w)
+    return rf"""
+WITH t AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS toks FROM documents),
+uni AS (SELECT doc_id, unnest(toks) AS feat FROM t),
+bi AS (
+  SELECT doc_id, array_to_string(toks[i:i+1], ' ') AS feat
+  FROM t, UNNEST(range(1, len(toks))) AS r(i)
+  WHERE len(toks) >= 2
+),
+feats AS (SELECT doc_id, feat FROM uni UNION ALL SELECT doc_id, feat FROM bi),
+scored AS (
+  SELECT f.doc_id,
+    ({arr})[
+      CAST((CAST('0x' || substr(md5(f.feat), 1, 15) AS BIGINT) % 2147483647)
+           % {dim} AS INT) + 1
+    ] AS wt
+  FROM feats f
+),
+agg AS (SELECT doc_id, CAST(SUM(wt) AS BIGINT) AS imp_milli
+        FROM scored GROUP BY doc_id)
+SELECT d.doc_id, CAST(COALESCE(a.imp_milli, 0) AS BIGINT) AS imp_milli
+FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+ORDER BY imp_milli DESC, d.doc_id LIMIT 25
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     out = dict(ORACLES)
     # data-dependent oracles, built lazily so the training corpus
@@ -2347,4 +2481,5 @@ def oracle_sql() -> dict[str, str]:
     out["emb_ivf_recall"] = _ivf_recall_sql()
     out["emb_pq_topk"] = _pq_topk_sql()
     out["emb_ivfpq_topk"] = _ivfpq_topk_sql()
+    out["docs_importance_resample"] = _importance_resample_sql()
     return out

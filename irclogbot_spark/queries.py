@@ -1154,8 +1154,8 @@ def docs_crossdup(spark, sf_dir):
     fraction of its distinct 20-token spans appearing in any OTHER
     doc. Linear relational shape (one hash shuffle + co-partitioned
     join back), no pairwise comparison. Portable hash for the ANSI
-    twin; registers past the driver's 50-row cap, value-checked by
-    the local parity suite. The corpus's planted near-dups make the
+    twin; driver-window placement is governed by _DRIVER_WINDOW
+    below. The corpus's planted near-dups make the
     signal dense (≈10% of docs share spans, fractions up to 1.0)."""
     from irclogbot_spark.operators.crossdup import cross_doc_duplication
     from irclogbot_spark.operators.dedup import md5_hash31
@@ -1286,8 +1286,7 @@ def docs_incremental_dedup(spark, sf_dir):
     arriving BATCH (deterministic split, same WHERE in the oracle).
     Exact layer via md5 fingerprints, near layer via the portable-
     hash MinHash band index (batch probes history; history never
-    self-joins). Registers past the driver's 50-row cap;
-    value-checked by the local parity suite."""
+    self-joins). Driver-window placement is governed by _DRIVER_WINDOW below."""
     from irclogbot_spark.operators.dedup import md5_hash31
     from irclogbot_spark.operators.incremental import incremental_dedup
 
@@ -1308,7 +1307,8 @@ def events_approx_stats(spark, sf_dir):
     pattern); the local suite asserts the tolerances. Both sketches
     are deterministic (no seed), so the rows-only driver check is
     stable. No oracle: DuckDB's approx_distinct is a different HLL
-    implementation — registers past the driver's 50-row cap."""
+    implementation — stays outside the driver window (rows-only
+    check) by design."""
     ev = _t(spark, sf_dir, "events").select(
         "user_id", F.col("ts").cast("timestamp").alias("ts")
     )
@@ -1421,8 +1421,7 @@ def docs_quality_score(spark, sf_dir):
     quantized weight table. The checked value is the exact fixed-point
     LOGIT (sigmoid is libm-dependent; thresholding is monotonic in the
     logit). Portable md5 hash for the oracle; production uses the
-    xxhash default. Registers past the driver's 50-row cap;
-    value-checked by the local parity suite."""
+    xxhash default. Driver-window placement is governed by _DRIVER_WINDOW below."""
     from irclogbot_spark.functions.quality import (
         hashed_linear_logit,
         quality_weights,
@@ -1447,9 +1446,7 @@ def docs_temperature_mix(spark, sf_dir):
     temperature_sample): per-source keep probability proportional to
     sqrt(n_g)/n_g, quantized-integer share sum, deterministic
     content-hash membership (portable md5 draw for the oracle). One
-    tiny count aggregate + broadcast + map-only filter. Registers
-    past the driver's 50-row cap; value-checked by the local parity
-    suite."""
+    tiny count aggregate + broadcast + map-only filter. Driver-window placement is governed by _DRIVER_WINDOW below."""
     from irclogbot_spark.operators.sampling import portable_draw, temperature_sample
 
     d = _t(spark, sf_dir, "documents")
@@ -1462,8 +1459,7 @@ def docs_temperature_mix(spark, sf_dir):
 def docs_chunking(spark, sf_dir):
     """Overlapping context-window chunking (operators/packing.py
     chunk_documents): 64-token windows every 48 tokens, map-only —
-    zero shuffles (plan-asserted). Registers past the driver's 50-row
-    cap; value-checked by the local parity suite."""
+    zero shuffles (plan-asserted). Driver-window placement is governed by _DRIVER_WINDOW below."""
     from irclogbot_spark.operators.packing import chunk_documents
 
     d = _t(spark, sf_dir, "documents")
@@ -1475,8 +1471,7 @@ def emb_ivf_recall(spark, sf_dir):
     """IVF quality as a checked number (the emb_ann_recall twin for
     the inverted-file path): recall@5 of ivf_topk against exact kNN
     per query id. Deterministic trainer + exact scan make the row
-    hash-checkable. Registers past the driver's 50-row cap;
-    value-checked by the local parity suite."""
+    hash-checkable. Driver-window placement is governed by _DRIVER_WINDOW below."""
     from irclogbot_spark.operators.similarity import (
         ivf_topk,
         knn_join,
@@ -1513,8 +1508,7 @@ def docs_tfidf_topk(spark, sf_dir):
     statistics as docs_inverted_index: in-row tf, one term shuffle
     for the broadcast df table, one (id, term, score)-only
     reassembly shuffle, in-row top-k. Rational idf (no ln) per the
-    bm25_rank determinism rule. Registers past the driver's 50-row
-    cap; value-checked by the local parity suite."""
+    bm25_rank determinism rule. Driver-window placement is governed by _DRIVER_WINDOW below."""
     from irclogbot_spark.functions.text import tfidf_topk
     from irclogbot_spark.plans.partitioning import ensure_parallelism
 
@@ -1557,8 +1551,7 @@ def docs_dedup_keep_best(spark, sf_dir):
     logit (functions/quality.py, portable md5 hash — bit-exact across
     engines) with smallest-id tiebreak. Clustering over the exact
     Jaccard pair set for full SQL checkability; swap pairs=None for
-    MinHash LSH at scale. Registers past the driver's 50-row cap;
-    value-checked by the local parity suite."""
+    MinHash LSH at scale. Driver-window placement is governed by _DRIVER_WINDOW below."""
     from irclogbot_spark.functions.quality import (
         hashed_linear_logit,
         quality_weights,
@@ -1584,8 +1577,7 @@ def docs_hybrid_search(spark, sf_dir):
     on vec_id == doc_id), fused by reciprocal-rank fusion
     1/(60+rank) — the ES `rrf` retriever shape. Rank-based fusion is
     exactly reproducible in ANSI SQL, so the whole two-retriever
-    pipeline value-hashes. Registers past the driver's 50-row cap;
-    value-checked by the local parity suite."""
+    pipeline value-hashes. Driver-window placement is governed by _DRIVER_WINDOW below."""
     from irclogbot_spark.operators.hybrid import hybrid_search
 
     docs = _t(spark, sf_dir, "documents")
@@ -1600,8 +1592,7 @@ def docs_crossdup_remove(spark, sf_dir):
     also present in a lower-id doc are cut, text rebuilt in-row.
     One span-hash shuffle + co-partitioned owner join; token arrays
     never shuffle. Portable md5 span hash for the oracle (xxhash
-    production default). Registers past the driver's 50-row cap;
-    value-checked by the local parity suite."""
+    production default). Driver-window placement is governed by _DRIVER_WINDOW below."""
     from irclogbot_spark.operators.crossdup import remove_duplicate_spans
     from irclogbot_spark.operators.dedup import md5_hash31
 
@@ -1616,8 +1607,7 @@ def emb_ivfpq_topk(spark, sf_dir):
     PQ codes bound the bytes per touched row (ADC), exact-cosine
     rerank of the ADC top-20. Both trainers deterministic, so the
     full composition value-hashes with both learned tables inlined
-    in the oracle. Registers past the driver's 50-row cap;
-    value-checked by the local parity suite."""
+    in the oracle. Driver-window placement is governed by _DRIVER_WINDOW below."""
     from irclogbot_spark.operators.pq import ivfpq_topk, train_pq_codebooks
     from irclogbot_spark.operators.similarity import train_ivf_centroids
 
@@ -1641,8 +1631,7 @@ def docs_vocab_coverage(spark, sf_dir):
     a training pipeline: one partial-aggregated term shuffle, a
     partial top-k (TakeOrderedAndProject, no global vocab sort), and
     an integer running total so shares are bit-exact cross-engine.
-    Registers past the driver's 50-row cap; value-checked by the
-    local parity suite."""
+    Driver-window placement is governed by _DRIVER_WINDOW below."""
     from irclogbot_spark.functions.text import vocab_coverage
 
     d = _t(spark, sf_dir, "documents")
@@ -1656,8 +1645,7 @@ def events_funnel(spark, sf_dir):
     stage-i event counts only at-or-after the user's earliest
     qualifying stage-(i-1) event). ONE user-key shuffle; the three
     window-min passes and the per-user collapse reuse its
-    partitioning (plan-asserted). Registers past the driver's 50-row
-    cap; value-checked by the local parity suite."""
+    partitioning (plan-asserted). Driver-window placement is governed by _DRIVER_WINDOW below."""
     from irclogbot_spark.operators.behavior import funnel
 
     e = _t(spark, sf_dir, "events")
@@ -1669,8 +1657,7 @@ def events_retention(spark, sf_dir):
     """Weekly cohort-retention matrix (operators/behavior.py
     cohort_retention): cohort = ISO week of first event, cells =
     distinct users active N weeks later, denominator broadcast.
-    Registers past the driver's 50-row cap; value-checked by the
-    local parity suite."""
+    Driver-window placement is governed by _DRIVER_WINDOW below."""
     from irclogbot_spark.operators.behavior import cohort_retention
 
     e = _t(spark, sf_dir, "events")
@@ -1702,8 +1689,7 @@ def events_range_join(spark, sf_dir):
     the inequality-only join into a hash equi-join (never a
     BroadcastNestedLoopJoin/cartesian — plan-asserted); the bins
     never reach the output, so the oracle is the plain inequality
-    join. Registers past the driver's 50-row cap; value-checked by
-    the local parity suite."""
+    join. Driver-window placement is governed by _DRIVER_WINDOW below."""
     from irclogbot_spark.operators.rangejoin import bin_range_join
 
     e = _t(spark, sf_dir, "events")
@@ -1735,8 +1721,7 @@ def log_nick_cooccurrence(spark, sf_dir):
     partial-agg shuffle, a per-channel rank window, a co-partitioned
     self-join on channel, one pair aggregate; the tiny top frame is
     materialized once so the parse chain doesn't replay for both
-    join sides. Registers past the driver's 50-row cap;
-    value-checked by the local parity suite."""
+    join sides. Driver-window placement is governed by _DRIVER_WINDOW below."""
     log = synth.irclog(spark, sf_dir)
     cn = log.groupBy("channel", "nick").agg(F.count(F.lit(1)).alias("n_msgs"))
     w = Window.partitionBy("channel").orderBy(F.desc("n_msgs"), F.asc("nick"))
@@ -1767,9 +1752,7 @@ def docs_tokenize(spark, sf_dir):
     vocabulary broadcasts; reassembly is ONE doc-id shuffle of
     (id, pos, token_id) triples with an in-row sort (no window);
     text never shuffles. Ids serialize to a string column for the
-    value-hash (array columns stay the operator's API). Registers
-    past the driver's 50-row cap; value-checked by the local parity
-    suite."""
+    value-hash (array columns stay the operator's API). Driver-window placement is governed by _DRIVER_WINDOW below."""
     from irclogbot_spark.functions.text import tokenize_with_vocab, vocab_coverage
 
     d = _t(spark, sf_dir, "documents")
@@ -1789,5 +1772,138 @@ def docs_tokenize(spark, sf_dir):
     )
 
 
+# ------------------------------------------------------------- round 5
+
+
+@query("events_funnel_window")
+def events_funnel_window(spark, sf_dir):
+    """Ordered funnel with a conversion window (operators/behavior.py
+    funnel(max_lag=...)): view -> click -> purchase where each stage
+    must land within 2 days of the previous stage's (greedy earliest)
+    timestamp — the standard product-analytics "convert within T"
+    form. Same ONE user-key exchange as the unconstrained funnel
+    (plan-asserted)."""
+    from irclogbot_spark.operators.behavior import funnel
+
+    e = _t(spark, sf_dir, "events")
+    return funnel(e, ["view", "click", "purchase"], max_lag="2 DAY")
+
+
+@query("docs_winnow_fingerprint")
+def docs_winnow_fingerprint(spark, sf_dir):
+    """Winnowing document fingerprints (operators/winnow.py —
+    Schleimer et al., SIGMOD 2003): 5-gram shingle hashes, window-4
+    minima selected in-row (map-only; ~len/4 fingerprints per doc),
+    then the top-20 document pairs by shared-fingerprint count —
+    every pair sharing a run of >= 8 tokens is guaranteed to
+    surface. Bucket sizes cap the pair expansion exactly like the
+    LSH band join. md5_hash31 is the oracle-check hash; the
+    operator's default stays xxhash31."""
+    from irclogbot_spark.operators.dedup import md5_hash31
+    from irclogbot_spark.operators.winnow import winnow_similar_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = winnow_similar_pairs(
+        d, k=5, w=4, max_bucket=50, hash_fn=md5_hash31
+    )
+    return pairs.orderBy(F.desc("n_shared"), "doc_a", "doc_b").limit(20)
+
+
+@query("docs_importance_resample")
+def docs_importance_resample(spark, sf_dir):
+    """DSIR importance selection (operators/importance.py — Xie et
+    al. 2023): quantized hashed-unigram+bigram log-importance-ratio
+    logit (integer milli-units, plan-constant weight table; scoring
+    is map-only) and the deterministic top-25 selection — the
+    oracle-checked topn mode; the Gumbel proportional-sampling mode
+    is the property-tested scale twin. md5_hash31 is the
+    oracle-check hash; the operator default stays xxhash31."""
+    from irclogbot_spark.operators.dedup import md5_hash31
+    from irclogbot_spark.operators.importance import (
+        importance_resample,
+        importance_weights,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return importance_resample(
+        d, 25, importance_weights(), mode="topn", hash_fn=md5_hash31
+    )
+
+
+# The driver records hard CORRECTNESS rows for the FIRST 50
+# registrations only; everything else gets the local parity suite's
+# (stricter) value check but no driver-recorded row. The window is
+# rotated per round so every oracle-paired query accumulates at
+# least one driver-recorded verification: round 5 pulls in the 25
+# round-3/4 flagships that had never been driver-recorded (PQ,
+# IVF-PQ, semantic dedup, keep-best, span removal, tokenize, vocab,
+# tf-idf, funnel, retention, range join, ...) plus the three new
+# round-5 queries, keeping a 22-query core that spans the reference
+# ingest surface, TPC-H joins, and one representative per
+# long-stable operator family. Every name here MUST be oracle-paired
+# (pinned by tests/test_driver_contract.py).
+_DRIVER_WINDOW = [
+    # reference-surface core
+    "ingest_parse",
+    "ingest_filter_stats",
+    "ingest_dedup",
+    "ingest_action_rows",
+    "channels_catalog",
+    "log_term_time_filter",
+    "log_point_lookup",
+    "log_msgs_per_channel_day",
+    "log_top_nicks",
+    "log_search_terms",
+    # relational core
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier",
+    "join_anti_customers_no_orders",
+    "join_semi_parts_ordered",
+    "agg_rollup_sets",
+    "events_session_window",
+    "events_asof_join",
+    # long-stable doc/emb representatives
+    "docs_bm25_search",
+    "docs_minhash_lsh",
+    "docs_decontaminate",
+    "emb_knn_join",
+    # rotated in (round 3/4 flagships, first driver-recorded rows)
+    "docs_crossdup",
+    "docs_c4_clean",
+    "docs_inverted_index",
+    "docs_incremental_dedup",
+    "docs_budget_cap",
+    "tpch_q18_big_orders",
+    "docs_incremental_dedup_wb",
+    "emb_semantic_dedup",
+    "docs_quality_score",
+    "docs_temperature_mix",
+    "docs_chunking",
+    "emb_ivf_recall",
+    "docs_tfidf_topk",
+    "emb_pq_topk",
+    "docs_dedup_keep_best",
+    "docs_hybrid_search",
+    "docs_crossdup_remove",
+    "emb_ivfpq_topk",
+    "docs_vocab_coverage",
+    "events_funnel",
+    "events_retention",
+    "docs_reservoir_sample",
+    "events_range_join",
+    "log_nick_cooccurrence",
+    "docs_tokenize",
+    # round 5
+    "events_funnel_window",
+    "docs_winnow_fingerprint",
+    "docs_importance_resample",
+]
+
+
 def queries() -> dict[str, QueryFn]:
-    return dict(QUERIES)
+    out = {n: QUERIES[n] for n in _DRIVER_WINDOW}
+    for n, f in QUERIES.items():
+        if n not in out:
+            out[n] = f
+    return out

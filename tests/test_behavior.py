@@ -59,6 +59,46 @@ def test_funnel_rejects_bad_steps(spark, ev):
         funnel(ev, ["view", "view"])
 
 
+def test_funnel_conversion_window(spark, ev):
+    # 2-day lag: u1's click (day 2, 1 day after view) converts, but
+    # their purchase (day 3, 1 day after click) also converts; with a
+    # lag under a day nothing past stage 1 does.
+    out = {
+        r.step_name: r.n_reached
+        for r in funnel(
+            ev, ["view", "click", "purchase"], max_lag="2 DAY"
+        ).collect()
+    }
+    # u1 (click 1d, purchase 1d later), u4 (click 5h), u5 (click 1d
+    # after their view) all fit 2 days; only u1 purchases in-window
+    assert out == {"view": 5, "click": 3, "purchase": 1}
+    tight = {
+        r.step_name: r.n_reached
+        for r in funnel(
+            ev, ["view", "click", "purchase"], max_lag="6 HOURS"
+        ).collect()
+    }
+    # only u4's same-day click (5h) fits a 6-hour window
+    assert tight == {"view": 5, "click": 1, "purchase": 0}
+
+
+def test_funnel_window_is_greedy_earliest_first(spark):
+    # u1 views at day 1 and day 3; clicks at day 5. A 1-day window
+    # from the EARLIEST view (greedy) misses the click even though
+    # the day-3 view would have caught it — the documented convention.
+    rows = [
+        (1, _ts(1), "view"),
+        (1, _ts(3), "view"),
+        (1, _ts(3, 12), "click"),
+    ]
+    ev1 = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    out = {
+        r.step_name: r.n_reached
+        for r in funnel(ev1, ["view", "click"], max_lag="1 DAY").collect()
+    }
+    assert out == {"view": 1, "click": 0}
+
+
 def test_cohort_retention_matrix(spark):
     # cohort A (week of Mon Jan 1): u1 active weeks 0,1,2; u2 weeks 0,2.
     # cohort B (week of Jan 8): u3 active weeks 0,1.
