@@ -154,6 +154,112 @@ def bm25_rank(
     )
 
 
+def build_text_index(df, id_col: str = "doc_id", text_col: str = "text"):
+    """The materializable BM25 index pair: ``postings`` (id, term,
+    tf) and ``doclens`` (id, dl) — what a deployment writes once
+    (postings bucketed/partitioned BY TERM so a query's IN-filter
+    prunes at rest; doclens is a narrow two-column table) and probes
+    forever, instead of re-scanning text per query.
+
+    Both frames are MAP-ONLY projections of the corpus scan: per-doc
+    (term, tf) entries come from in-row higher-order functions (the
+    docs_inverted_index trade — O(len^2) over a short token array
+    beats a (doc, term) pre-shuffle), exploded without any exchange.
+    Document frequency is NOT precomputed: the probe derives each
+    query term's df by counting its (filtered) postings — exact, and
+    it keeps the index append-only under corpus growth."""
+    toks = df.select(
+        F.col(id_col),
+        F.regexp_extract_all(F.col(text_col), F.lit(WORD_RE), F.lit(0)).alias(
+            "_toks"
+        ),
+    )
+    doclens = toks.select(F.col(id_col), F.size("_toks").alias("dl"))
+    entries = F.transform(
+        F.array_distinct("_toks"),
+        lambda t: F.struct(
+            t.alias("term"),
+            F.size(F.filter(F.col("_toks"), lambda x: x == t))
+            .cast("long")
+            .alias("tf"),
+        ),
+    )
+    postings = toks.select(F.col(id_col), F.explode(entries).alias("_e")).select(
+        id_col, F.col("_e.term").alias("term"), F.col("_e.tf").alias("tf")
+    )
+    return postings, doclens
+
+
+def bm25_rank_indexed(
+    postings,
+    doclens,
+    terms: list[str],
+    id_col: str = "doc_id",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+):
+    """BM25 top-k over a PRE-BUILT index (``build_text_index``
+    frames) — bit-identical scores to ``bm25_rank``'s corpus scan
+    for every document containing at least one query term (the only
+    docs an inverted index can see; zero-hit docs score exactly 0.0
+    in the scan form, so the rankings agree whenever k docs have
+    hits — pinned by test).
+
+    Bit-exactness is engineered, not assumed: avgdl is an INTEGER
+    dl-sum divided once (associative, unlike a float sum); per-term
+    scores are re-assembled per doc via k conditional aggregates and
+    added IN TERM ORDER — the same left-to-right double additions as
+    the scan form's fixed expression tree (a SUM() over matched
+    terms would re-associate and drift in the last ulp).
+
+    Scale shape: the postings scan carries an ``term IN (...)``
+    filter (partition/row-group pruning at rest — the corpus text is
+    never touched); per-term df is a tiny aggregate over the
+    filtered postings; corpus stats (n, avgdl) broadcast from the
+    narrow doclens table; the hit set joins doclens on the id key;
+    top-k is a partial TakeOrdered."""
+    if not terms:
+        raise ValueError("terms must be non-empty")
+    p = postings.filter(F.col("term").isin(list(terms)))
+    dfreq = p.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    stats = doclens.agg(
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    hits = (
+        p.join(F.broadcast(dfreq), "term")
+        .join(doclens, id_col)
+        .join(F.broadcast(stats))
+    )
+    denom_norm = F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("dl") / F.col("avgdl")
+    idf = (F.col("n") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    tfc = (F.col("tf") * (F.lit(k1) + F.lit(1.0))) / (
+        F.col("tf") + F.lit(k1) * denom_norm
+    )
+    per_term = hits.select(
+        F.col(id_col), F.col("term"), (idf * tfc).alias("_s")
+    )
+    # re-add the per-term scores in the scan form's term order: one
+    # conditional max per term (a doc matches a term at most once),
+    # then the same fixed-order addition chain
+    agg = per_term.groupBy(id_col).agg(
+        *[
+            F.max(F.when(F.col("term") == t, F.col("_s"))).alias(f"_s{i}")
+            for i, t in enumerate(terms)
+        ]
+    )
+    score = None
+    for i in range(len(terms)):
+        s = F.coalesce(F.col(f"_s{i}"), F.lit(0.0))
+        score = s if score is None else score + s
+    return (
+        agg.select(F.col(id_col), score.alias("score"))
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+    )
+
+
 def vocab_coverage(
     df,
     text_col: str = "text",

@@ -1169,8 +1169,8 @@ def docs_crossdup(spark, sf_dir):
 def docs_prep_pipeline_fast(spark, sf_dir):
     """Production-hash twin of docs_prep_pipeline: xxhash64 shingle
     hash and xxhash draw — the path a real deployment runs (no SQL
-    oracle: xxhash64 ∉ DuckDB, so this registers past the driver's
-    50-row cap like the other xxhash-family queries; the portable
+    oracle: xxhash64 ∉ DuckDB, so this stays outside the driver
+    window like the other xxhash-family queries; the portable
     md5 variant above is the value-hashed one). Benched alongside it
     so the md5 checkability tax is visible."""
     from irclogbot_spark.operators.prep import prep_corpus
@@ -1244,8 +1244,8 @@ def docs_inverted_index(spark, sf_dir):
     groupBy(doc, term) then groupBy(term) — costs a second full
     exchange. Posting lists here return whole (top-20 terms by df);
     a production deployment range-buckets each list, but the
-    index-build dataflow is identical. Registers past the driver's
-    50-row cap; value-checked by the local parity suite."""
+    index-build dataflow is identical. Driver-window placement is
+    governed by _DRIVER_WINDOW below."""
     from irclogbot_spark.plans.partitioning import ensure_parallelism
 
     d = ensure_parallelism(_t(spark, sf_dir, "documents"))
@@ -1383,8 +1383,8 @@ def docs_incremental_dedup_wb(spark, sf_dir):
     near-dups landing in the same batch collapse to one admission
     (pairwise smaller-id rule; near_dup_batch ranks below
     near_dup_history). Same deterministic doc_id%10 split and
-    portable md5 hash as the base query. Registers past the driver's
-    50-row cap; value-checked by the local parity suite."""
+    portable md5 hash as the base query. Driver-window placement
+    is governed by _DRIVER_WINDOW below."""
     from irclogbot_spark.operators.dedup import md5_hash31
     from irclogbot_spark.operators.incremental import incremental_dedup
 
@@ -1402,8 +1402,8 @@ def emb_semantic_dedup(spark, sf_dir):
     (less centroid-similar) members, keep-the-extreme-point policy.
     threshold=0.4 because the synthetic embeddings are near-orthogonal
     (true neighbors sit at cosine ~0.3-0.5); production text
-    embeddings use the paper's 0.95+. Registers past the driver's
-    50-row cap; value-checked by the local parity suite against the
+    embeddings use the paper's 0.95+. Driver-window placement is
+    governed by _DRIVER_WINDOW below; value-checked against the
     replica-trained inlined centroids."""
     from irclogbot_spark.operators.semdedup import semantic_dedup
     from irclogbot_spark.operators.similarity import train_ivf_centroids

@@ -597,3 +597,146 @@ def test_continuous_ann_index_matches_one_shot(spark, tmp_path):
         books,
     )
     assert annindex.load_index(spark, index_dir).count() == 40
+
+
+def _ann_fixture(spark):
+    """Small trained IVF-PQ setup shared by the compaction tests."""
+    from irclogbot_spark.operators.pq import train_pq_codebooks
+    from irclogbot_spark.operators.similarity import train_ivf_centroids
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    cents = train_ivf_centroids(emb, n_cells=8, n_iter=2)
+    books = train_pq_codebooks(emb, n_sub=8, n_codes=16, n_iter=2)
+    rows = emb.orderBy("vec_id").limit(60).collect()
+
+    def frame(rs):
+        # the index contract stores float32 vectors (EMB_SCHEMA) —
+        # the parquet values are float32, so the round-trip is exact
+        return spark.createDataFrame(
+            [(r.vec_id, [float(x) for x in r.embedding]) for r in rs],
+            "vec_id long, embedding array<float>",
+        )
+
+    return cents, books, rows, frame
+
+
+def test_ann_index_compaction_cell_layout_and_equivalence(spark, tmp_path):
+    """annindex.compact folds batch partitions into a generation laid
+    out partitionBy(cell); searches return EXACTLY the pre-compaction
+    results; post-compaction batches keep accumulating (loader's
+    max-gen rule) and a second compact folds them in."""
+    import os
+
+    from irclogbot_spark.operators.pq import ivfpq_search
+    from irclogbot_spark.streaming import annindex
+
+    cents, books, rows, frame = _ann_fixture(spark)
+    index_dir = str(tmp_path / "annidx")
+    annindex.ingest_batch(frame(rows[:20]), 0, index_dir, cents, books)
+    annindex.ingest_batch(frame(rows[20:40]), 1, index_dir, cents, books)
+
+    qs = frame(rows[:3]).select(F.col("vec_id").alias("query_id"), "embedding")
+
+    def search():
+        idx = annindex.load_index(spark, index_dir)
+        return {
+            (r.query_id, r.vec_id, r.pq_rank)
+            for r in ivfpq_search(idx, qs, cents, books, k=3, rerank=10).collect()
+        }
+
+    before = search()
+    annindex.compact(spark, index_dir, upto_batch_id=1)
+    # physical layout: one generation, cell-partitioned, batches gone
+    assert sorted(os.listdir(f"{index_dir}/cells")) == ["gen=2"]
+    cells = [d for d in os.listdir(f"{index_dir}/cells/gen=2") if d.startswith("cell=")]
+    assert len(cells) >= 2, cells
+    assert not os.path.exists(f"{index_dir}/index") or not [
+        d for d in os.listdir(f"{index_dir}/index") if d.startswith("batch_id=")
+    ]
+    assert annindex.load_index(spark, index_dir).count() == 40
+    assert search() == before
+
+    # post-compaction ingest lands at batch_id >= gen and is unioned
+    annindex.ingest_batch(frame(rows[40:60]), 2, index_dir, cents, books)
+    assert annindex.load_index(spark, index_dir).count() == 60
+    # second compaction folds generation + live batch into gen=3
+    annindex.compact(spark, index_dir, upto_batch_id=2)
+    assert sorted(os.listdir(f"{index_dir}/cells")) == ["gen=3"]
+    assert annindex.load_index(spark, index_dir).count() == 60
+
+
+def test_ann_index_probe_prunes_partitions_at_rest(spark, tmp_path):
+    """load_index(cells=probe_cells(...)) puts the literal cell
+    filter on the compacted scan as PartitionFilters — the probe
+    reads only the probed cells' files — and the pruned search
+    equals the full-index search (the candidates all live in probed
+    cells by construction)."""
+    from irclogbot_spark.operators.pq import ivfpq_search
+    from irclogbot_spark.streaming import annindex
+
+    cents, books, rows, frame = _ann_fixture(spark)
+    index_dir = str(tmp_path / "annidx")
+    annindex.ingest_batch(frame(rows[:40]), 0, index_dir, cents, books)
+    annindex.compact(spark, index_dir, upto_batch_id=0)
+
+    qvecs = [[float(x) for x in r.embedding] for r in rows[:3]]
+    cells = annindex.probe_cells(qvecs, cents, n_probe=4)
+    assert 1 <= len(cells) <= 8
+    qs = frame(rows[:3]).select(F.col("vec_id").alias("query_id"), "embedding")
+
+    full = annindex.load_index(spark, index_dir)
+    pruned = annindex.load_index(spark, index_dir, cells=cells)
+    plan = pruned._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert any("cell" in l and "IN" in l.upper() for l in pf), plan
+    got = {
+        (r.query_id, r.vec_id, r.pq_rank, r.cosine)
+        for r in ivfpq_search(
+            pruned, qs, cents, books, k=3, n_probe=4, rerank=10
+        ).collect()
+    }
+    want = {
+        (r.query_id, r.vec_id, r.pq_rank, r.cosine)
+        for r in ivfpq_search(
+            full, qs, cents, books, k=3, n_probe=4, rerank=10
+        ).collect()
+    }
+    assert got == want and len(got) == 9
+
+
+def test_ann_index_ingest_crash_replay_idempotent(spark, tmp_path):
+    """The annindex twin of the corpus crash-replay pin: replaying a
+    batch id (foreachBatch redelivery after a crash between the
+    encode write and the checkpoint commit) overwrites its own
+    partition with IDENTICAL rows — asserted on full row content,
+    not just counts. A stale-batch replay arriving AFTER compaction
+    is excluded by the loader's max-gen rule."""
+    from irclogbot_spark.streaming import annindex
+
+    cents, books, rows, frame = _ann_fixture(spark)
+    index_dir = str(tmp_path / "annidx")
+    annindex.ingest_batch(frame(rows[:20]), 0, index_dir, cents, books)
+
+    def rowset():
+        return {
+            (r.vec_id, r.cell, tuple(r.codes), tuple(r.embedding))
+            for r in annindex.load_index(spark, index_dir).collect()
+        }
+
+    before = rowset()
+    annindex.ingest_batch(frame(rows[:20]), 0, index_dir, cents, books)
+    assert rowset() == before
+
+    annindex.compact(spark, index_dir, upto_batch_id=0)
+    assert rowset() == before
+    # a crash-delayed replay of ALREADY-COMPACTED batch 0: its rows
+    # are in gen=1, the stale partition (batch_id=0 < gen) is ignored
+    annindex.ingest_batch(frame(rows[:20]), 0, index_dir, cents, books)
+    assert rowset() == before
+    # re-running the same compact converges (idempotent recovery)
+    annindex.compact(spark, index_dir, upto_batch_id=0)
+    assert rowset() == before
