@@ -73,6 +73,18 @@ HEADLINE = [
     "events_range_join",
     "docs_tokenize",
     "log_nick_cooccurrence",
+    # round-5 additions: the previously unbenched registered queries
+    # (VERDICT r4 #7 — regressions in unbenched paths are invisible)
+    "docs_chunking",
+    "docs_temperature_mix",
+    "docs_reservoir_sample",
+    "docs_sample_split",
+    "emb_ivf_recall",
+    "docs_incremental_dedup_wb",
+    # round-5 operators
+    "events_funnel_window",
+    "docs_winnow_fingerprint",
+    "docs_importance_resample",
 ]
 
 #: headline queries that derive from the irclog (re-timed over the

@@ -92,3 +92,58 @@ def hybrid_search(
         F.col(vec_id_col).alias(id_col), F.col("knn_rank").alias("vec_rank")
     )
     return rrf_fuse(text_ranked, vec_ranked, k=k, c=c, id_col=id_col)
+
+
+def hybrid_search_indexed(
+    postings,
+    doclens,
+    ann_index,
+    terms: list[str],
+    query_vec_id: int,
+    centroids: list[list[float]],
+    books: list[list[list[float]]],
+    k: int = 10,
+    r: int = 20,
+    c: int = 60,
+    n_probe: int = 4,
+    rerank: int = 20,
+    id_col: str = "doc_id",
+    vec_id_col: str = "vec_id",
+) -> DataFrame:
+    """The INDEX-BACKED form of ``hybrid_search``: BM25 over the
+    materialized inverted index (``functions.text.build_text_index``
+    frames — the postings scan filters to the query terms, pruning
+    at rest; the corpus text is never touched) fused with IVF-PQ ANN
+    over a pre-encoded index (``operators.pq.encode_ivfpq`` rows /
+    ``streaming.annindex.load_index`` — cell probes prune partitions
+    at rest). The fusion is the identical retriever-agnostic
+    ``rrf_fuse``; with exhaustive ANN parameters (n_probe = n_cells,
+    rerank >= corpus) the result is bit-identical to
+    ``hybrid_search``'s exact scans (pinned by test), and with
+    production parameters it degrades only by ANN recall.
+
+    The query vector is fetched from the ANN index itself (it
+    stores raw vectors for the rerank stage), so no separate
+    embeddings table is needed at probe time."""
+    from irclogbot_spark.functions.text import bm25_rank_indexed
+    from irclogbot_spark.operators.pq import ivfpq_search
+
+    text_top = bm25_rank_indexed(postings, doclens, terms, id_col=id_col, k=r)
+    wt = Window.orderBy(F.desc("score"), F.asc(id_col))
+    text_ranked = text_top.select(
+        F.col(id_col), F.row_number().over(wt).alias("text_rank")
+    )
+    qs = ann_index.filter(F.col(vec_id_col) == query_vec_id).select(
+        F.col(vec_id_col).alias("query_id"), "embedding"
+    )
+    vec_ranked = ivfpq_search(
+        ann_index,
+        qs,
+        centroids,
+        books,
+        k=r,
+        n_probe=n_probe,
+        rerank=max(rerank, r),
+        corpus_id=vec_id_col,
+    ).select(F.col(vec_id_col).alias(id_col), F.col("pq_rank").alias("vec_rank"))
+    return rrf_fuse(text_ranked, vec_ranked, k=k, c=c, id_col=id_col)

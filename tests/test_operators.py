@@ -406,3 +406,76 @@ def test_remove_duplicate_spans_cuts_non_owner_occurrences(spark):
     assert got[3].text_clean == "middle" and got[3].n_removed == 8
     assert got[4].n_removed == 0 and got[4].text_clean == rows[3][1]
     assert got[5].text_clean == "shorty" and got[5].n_tokens == 1
+
+
+def test_bm25_indexed_matches_scan_bit_exact(spark):
+    """functions/text.py bm25_rank_indexed: probing the materialized
+    postings/doclens index reproduces bm25_rank's corpus-scan scores
+    BIT-FOR-BIT (integer avgdl, term-order score additions) — the
+    indexed form is a physical change only."""
+    from irclogbot_spark.functions.text import (
+        bm25_rank,
+        bm25_rank_indexed,
+        build_text_index,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    terms = ["query", "window", "scan"]
+    postings, doclens = build_text_index(docs)
+    # enough hit docs that the scan form's top-k has no zero-score rows
+    n_hits = postings.filter(F.col("term").isin(terms)).select("doc_id").distinct().count()
+    assert n_hits >= 10
+    scan = [(r.doc_id, r.score) for r in bm25_rank(docs, terms, k=10).collect()]
+    indexed = [
+        (r.doc_id, r.score)
+        for r in bm25_rank_indexed(postings, doclens, terms, k=10).collect()
+    ]
+    assert scan == indexed  # exact doubles, same order
+
+
+def test_hybrid_indexed_exhaustive_equals_exact_scan(spark):
+    """operators/hybrid.py hybrid_search_indexed: with exhaustive ANN
+    parameters (probe every cell, rerank the whole corpus) the
+    inverted-index BM25 arm + IVF-PQ arm fuse to EXACTLY the
+    exact-scan hybrid_search result; with production parameters the
+    fused top-k stays mostly aligned (recall-bounded)."""
+    from irclogbot_spark.functions.text import build_text_index
+    from irclogbot_spark.operators.hybrid import hybrid_search, hybrid_search_indexed
+    from irclogbot_spark.operators.pq import encode_ivfpq, train_pq_codebooks
+    from irclogbot_spark.operators.similarity import train_ivf_centroids
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    cents = train_ivf_centroids(emb, n_cells=8, n_iter=2)
+    books = train_pq_codebooks(emb, n_sub=8, n_codes=16, n_iter=2)
+    idx = encode_ivfpq(emb, cents, books).localCheckpoint(eager=True)
+    postings, doclens = build_text_index(docs)
+    terms = ["query", "window", "scan"]
+    qid = 7
+
+    exact = [
+        (r.doc_id, r.text_rank, r.vec_rank, r.rrf_score)
+        for r in hybrid_search(docs, emb, terms, qid, k=10, r=10).collect()
+    ]
+    exhaustive = [
+        (r.doc_id, r.text_rank, r.vec_rank, r.rrf_score)
+        for r in hybrid_search_indexed(
+            postings, doclens, idx, terms, qid, cents, books,
+            k=10, r=10, n_probe=8, rerank=500,
+        ).collect()
+    ]
+    assert exact == exhaustive
+
+    prod = hybrid_search_indexed(
+        postings, doclens, idx, terms, qid, cents, books,
+        k=10, r=10, n_probe=4, rerank=20,
+    ).collect()
+    assert len(prod) == 10
+    overlap = {r.doc_id for r in prod} & {t[0] for t in exact}
+    assert len(overlap) >= 5, sorted(overlap)
