@@ -96,12 +96,17 @@ def remove_duplicate_spans(
     here — one partially-aggregated shuffle on the 8-byte hash for
     the per-span owner (min doc id), a co-partitioned join back, and
     a per-doc collect of the (typically few) covered start
-    positions; the rebuild is an IN-ROW filter over the token array
-    (token t removed iff some covered start p satisfies
-    p <= t < p + n — O(tokens x covered_spans) per row, and covered
-    spans are sparse by construction). Document text shuffles only
-    as the final per-doc (id, covered-positions) join — the token
-    arrays themselves never leave their scan partitions.
+    positions; the rebuild is an IN-ROW filter over the token array.
+    Covered starts are first MERGED into disjoint [s, e) intervals
+    (an in-row fold over the sorted starts — overlapping/adjacent
+    n-token spans collapse), so the per-token probe is
+    O(merged_intervals), not O(covered_starts): on a heavily
+    duplicated document whose spans chain into one long run the
+    probe list is 1 interval instead of hundreds of starts, and the
+    result is identical (the merged set covers exactly the union).
+    Document text shuffles only as the final per-doc
+    (id, covered-positions) join — the token arrays themselves never
+    leave their scan partitions.
 
     ``hash_fn`` defaults to xxhash31; pass ``dedup.md5_hash31`` for
     the DuckDB-checkable pipeline.
@@ -131,10 +136,34 @@ def remove_duplicate_spans(
         F.col("_toks"),
         F.coalesce(F.col("_cov"), F.array().cast("array<int>")).alias("_cov"),
     )
+    # merge sorted covered starts into disjoint [s, e) intervals:
+    # spans are fixed length n, so after sorting, p overlaps/abuts
+    # the open interval ending at e iff p <= e, and the merged end is
+    # simply p + n (>= e whenever p >= the interval's start)
+    empty_iv = F.array().cast("array<struct<s:int,e:int>>")
+    merged = F.aggregate(
+        F.array_sort("_cov"),
+        empty_iv,
+        lambda acc, p: F.when(
+            (F.size(acc) > 0) & (p <= F.element_at(acc, -1)["e"]),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(
+                    F.struct(
+                        F.element_at(acc, -1)["s"].alias("s"),
+                        (p + F.lit(n)).alias("e"),
+                    )
+                ),
+            ),
+        ).otherwise(
+            F.concat(acc, F.array(F.struct(p.alias("s"), (p + F.lit(n)).alias("e"))))
+        ),
+    )
+    joined = joined.select(F.col(id_col), F.col("_toks"), merged.alias("_iv"))
     kept_expr = F.filter(
         F.transform(F.col("_toks"), lambda x, i: F.struct(x.alias("x"), i.alias("i"))),
         lambda s: ~F.exists(
-            F.col("_cov"), lambda p: (s["i"] >= p) & (s["i"] < p + F.lit(n))
+            F.col("_iv"), lambda v: (s["i"] >= v["s"]) & (s["i"] < v["e"])
         ),
     )
     # materialize the filtered array once: text_clean and n_removed

@@ -160,34 +160,45 @@ def temperature_sample(
     budget_frac: float = 0.5,
     salt: str = "temp",
     draw_fn=None,
+    tau: float = 2.0,
 ) -> DataFrame:
-    """Temperature-based corpus resampling at tau=2 (exponent 0.5) —
-    the multilingual mixing rule (XLM-R / mT5 style): group g's share
-    of the output is proportional to sqrt(n_g) instead of n_g, so
-    head groups are downweighted and tail groups upweighted, with
-    total expected output ~= budget_frac * N. Per-group keep
-    probability p_g = min(1, budget_frac * N * q_g / n_g) with
-    q_g = sqrt(n_g) / sum_h sqrt(n_h); membership is the same
+    """Temperature-based corpus resampling — the multilingual mixing
+    rule (XLM-R / mT5 style): group g's share of the output is
+    proportional to n_g^(1/tau) instead of n_g, so head groups are
+    downweighted and tail groups upweighted, with total expected
+    output ~= budget_frac * N. Per-group keep probability
+    p_g = min(1, budget_frac * N * q_g / n_g) with
+    q_g = n_g^(1/tau) / sum_h n_h^(1/tau); membership is the same
     deterministic content-hash draw as every sampler here.
+    tau=1 is proportional sampling, tau -> inf approaches a uniform
+    per-group share.
 
     Scale shape: ONE count aggregate over the group key, a broadcast
     of the (tiny) per-group probability table, then a map-only
     filtered scan — the corpus is never shuffled.
 
-    Cross-engine exactness: the sqrt shares are quantized to integers
-    (floor(sqrt(n_g) * 2^20)) before the cross-group sum — a float
+    Cross-engine exactness: the shares are quantized to integers
+    (floor(n_g^(1/tau) * 2^20)) before the cross-group sum — a float
     sum's order is engine/partition-dependent, an integer sum is not
     (the IVF trainer's trick) — and the draw compares against
-    floor(p_g * 1e6) as an integer, so the oracle matches
-    bit-for-bit. General exponents need pow() (libm-dependent);
-    tau=2 stays on correctly-rounded sqrt, which is why it is the
-    checked configuration."""
+    floor(p_g * 1e6) as an integer. At the DEFAULT tau=2 the share
+    stays on IEEE correctly-rounded sqrt, so the quantized integers
+    are engine-exact and the oracle value-hashes — that is the
+    checked configuration. Any other tau routes through pow(),
+    whose last ulp is libm-dependent: a quantization boundary could
+    in principle land differently on another engine, so general-tau
+    runs are deterministic WITHIN Spark but are property-tested
+    rather than oracle-hashed (the repo's standard split)."""
+    if tau <= 0:
+        raise ValueError(f"tau must be > 0, got {tau}")
     n = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_g"))
+    if tau == 2.0:
+        share = F.sqrt(F.col("n_g").cast("double"))
+    else:
+        share = F.pow(F.col("n_g").cast("double"), F.lit(1.0 / float(tau)))
     n = n.withColumn(
         "sq_g",
-        F.floor(F.sqrt(F.col("n_g").cast("double")) * F.lit(float(1 << 20))).cast(
-            "long"
-        ),
+        F.floor(share * F.lit(float(1 << 20))).cast("long"),
     )
     tot = n.agg(F.sum("n_g").alias("n_total"), F.sum("sq_g").alias("zq"))
     p_keep = F.least(

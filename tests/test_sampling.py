@@ -241,3 +241,34 @@ def test_temperature_sample_rebalances_toward_tail(spark):
         ).collect()
     }
     assert a == b
+
+
+def test_temperature_sample_general_tau_monotone(spark):
+    """Generalized tau (round 5): tau=1 reduces to proportional
+    sampling (every group keeps ~budget_frac of itself), and raising
+    tau tilts the head group's keep probability DOWN monotonically
+    (head share -> uniform as tau grows); tau <= 0 is rejected."""
+    import pytest as _pytest
+
+    from irclogbot_spark.operators.sampling import temperature_sample
+
+    rows = (
+        [(i, "head") for i in range(900)]
+        + [(1000 + i, "mid") for i in range(90)]
+        + [(2000 + i, "tail") for i in range(10)]
+    )
+    d = spark.createDataFrame(rows, "doc_id long, grp string")
+
+    def p_head(tau):
+        out = temperature_sample(d, "grp", ["doc_id"], budget_frac=0.5, tau=tau)
+        return {
+            r.grp: r.p_keep for r in out.select("grp", "p_keep").distinct().collect()
+        }["head"]
+
+    # tau=1: q_g = n_g / N -> p_keep = budget_frac exactly (modulo
+    # the 2^20 quantization: well inside 1e-4)
+    assert abs(p_head(1.0) - 0.5) < 1e-4
+    p2, p4 = p_head(2.0), p_head(4.0)
+    assert p2 < 0.5 and p4 < p2  # more temperature, more tail tilt
+    with _pytest.raises(ValueError):
+        temperature_sample(d, "grp", ["doc_id"], tau=0.0)
