@@ -2435,6 +2435,13 @@ ORDER BY n_shared DESC, doc_a, doc_b LIMIT 20
 """
 
 
+# docs_bm25_indexed serves the SAME logical query from the
+# materialized postings/doclens index; its scores are engineered
+# bit-identical to the scan form, so the corpus-scan oracle doubles
+# as a physical-path differential (index dataflow vs SQL re-scan).
+ORACLES["docs_bm25_indexed"] = ORACLES["docs_bm25_search"]
+
+
 def _importance_resample_sql() -> str:
     """ANSI twin of queries.docs_importance_resample /
     operators/importance.py: hashed unigram+bigram features under

@@ -1901,6 +1901,22 @@ _DRIVER_WINDOW = [
 ]
 
 
+@query("docs_bm25_indexed")
+def docs_bm25_indexed(spark, sf_dir):
+    """Index-backed BM25 (functions/text.py build_text_index +
+    bm25_rank_indexed): the docs_bm25_search query served from the
+    materialized postings/doclens index instead of the corpus scan.
+    Scores are engineered bit-identical to the scan form (integer
+    avgdl, term-order score additions), so the corpus-scan ORACLE
+    doubles as a genuine physical-path differential — two different
+    dataflows, one value hash. Tail registration; value-checked by
+    the local parity suite."""
+    from irclogbot_spark.functions.text import bm25_rank_indexed, build_text_index
+
+    postings, doclens = build_text_index(_t(spark, sf_dir, "documents"))
+    return bm25_rank_indexed(postings, doclens, ["the", "data"], k=10)
+
+
 def queries() -> dict[str, QueryFn]:
     out = {n: QUERIES[n] for n in _DRIVER_WINDOW}
     for n, f in QUERIES.items():
