@@ -236,3 +236,35 @@ def test_tokenize_broadcast_vocab_no_text_shuffle(spark):
     for line in plan.splitlines():
         if "Exchange" in line and "Arguments" in line:
             assert "text" not in line, line
+
+
+def test_funnel_window_same_single_user_exchange(spark):
+    """events_funnel_window: the conversion-window bound is two extra
+    comparisons inside the window-min conditions — the plan keeps
+    exactly ONE user-key hash exchange, like the unconstrained
+    funnel."""
+    plan = _plan(spark, "events_funnel_window")
+    assert plan.count("hashpartitioning(user_id") == 1, plan
+
+
+def test_winnow_query_no_text_in_exchanges(spark):
+    """docs_winnow_fingerprint: fingerprint extraction is in-row —
+    every hash exchange carries only fp/doc-id/pair columns, never
+    document text; the pair stage is co-partitioned on fp (no
+    sort-merge of corpus-sized sides, no nested loop)."""
+    plan = _plan(spark, "docs_winnow_fingerprint")
+    for line in plan.splitlines():
+        if "Exchange" in line and "Arguments" in line:
+            assert "text" not in line, line
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_importance_query_map_only_scoring(spark):
+    """docs_importance_resample: scoring is a projection over the
+    scan (plan-constant weight table — no join, no exchange);
+    selection is a partial top-k."""
+    plan = _plan(spark, "docs_importance_resample")
+    assert "Join" not in plan, plan
+    assert "hashpartitioning" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
