@@ -58,40 +58,69 @@ def importance_weights(dim: int = 512, seed: int = 11) -> list[int]:
     return [int(x) for x in rng.randint(-2000, 2001, size=dim)]
 
 
-def _features(text: Column | str) -> Column:
-    """DSIR's hashed-feature set: unigrams plus space-joined bigrams,
-    both from the in-row token array (no explode — the feature list
-    stays inside the row)."""
-    toks = tokens(text)
-    n_bi = F.size(toks) - F.lit(1)
-    bigrams = F.when(
-        n_bi >= 1,
-        F.transform(
-            F.sequence(F.lit(1), n_bi),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, 2)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    return F.concat(toks, bigrams)
+def token_hashes(text: Column | str, hash_fn=None) -> Column:
+    """Per-token 31-bit hashes, in order — each token hashed exactly
+    ONCE. Must be bound to a real column (one projection) before
+    ``importance_logit`` indexes into it: element_at over an unbound
+    transform expression re-evaluates the whole array per access,
+    turning the bigram pass quadratic (measured 10x on the bench)."""
+    return F.transform(tokens(text), hash_fn or xxhash31)
 
 
-def importance_logit(
-    text: Column | str, weights: list[int], hash_fn=None
-) -> Column:
-    """Quantized log importance ratio: the integer milli-unit sum of
-    W[h(feature) mod dim] over the document's unigram+bigram
-    features. Empty documents score 0 (ratio 1 — no evidence)."""
-    hash_fn = hash_fn or xxhash31
+def importance_logit(uh: Column | str, weights: list[int]) -> Column:
+    """Quantized log importance ratio over a BOUND token-hash array
+    column (see ``token_hashes``): the integer milli-unit sum of
+    W[bucket] over unigram buckets (h_i mod dim) and bigram buckets
+    ((h_i * 31 + h_{i+1}) mod dim — both 31-bit, so the combine
+    stays exact in a BIGINT; combining hashes instead of hashing a
+    concatenated string halves the hash calls and skips the bigram
+    string allocation, with the same closed form in the SQL oracle).
+    Empty documents score 0 (ratio 1 — no evidence)."""
+    uh = F.col(uh) if isinstance(uh, str) else uh
     dim = len(weights)
     from irclogbot_spark.functions.lits import lit_long_array
 
     warr = lit_long_array([int(w) for w in weights])
-    picked = F.transform(
-        _features(text),
-        lambda t: F.element_at(
-            warr, (F.pmod(hash_fn(t), F.lit(dim)) + F.lit(1)).cast("int")
+
+    def pick(ix: Column) -> Column:
+        return F.element_at(warr, (ix + F.lit(1)).cast("int"))
+
+    uni = F.transform(uh, lambda h: pick(F.pmod(h, F.lit(dim))))
+    n_bi = F.size(uh) - F.lit(1)
+    bi = F.when(
+        n_bi >= 1,
+        F.transform(
+            F.sequence(F.lit(1), n_bi),
+            lambda i: pick(
+                F.pmod(
+                    F.element_at(uh, i.cast("int")) * F.lit(31)
+                    + F.element_at(uh, (i + F.lit(1)).cast("int")),
+                    F.lit(dim),
+                )
+            ),
         ),
+    ).otherwise(F.array().cast("array<long>"))
+    return F.aggregate(
+        F.concat(uni, bi), F.lit(0).cast("long"), lambda a, x: a + x
     )
-    return F.aggregate(picked, F.lit(0).cast("long"), lambda a, x: a + x)
+
+
+def score_importance(
+    df: DataFrame,
+    weights: list[int],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_fn=None,
+) -> DataFrame:
+    """(id, imp_milli) for every row — two chained projections (hash
+    once into a bound column, then index it), still one map stage
+    under whole-stage codegen."""
+    hashed = df.select(
+        F.col(id_col), token_hashes(text_col, hash_fn=hash_fn).alias("_uh")
+    )
+    return hashed.select(
+        F.col(id_col), importance_logit("_uh", weights).alias("imp_milli")
+    )
 
 
 def importance_resample(
@@ -117,8 +146,9 @@ def importance_resample(
         raise ValueError(f"n must be >= 1, got {n}")
     if mode not in ("topn", "gumbel"):
         raise ValueError(f"mode must be 'topn' or 'gumbel', got {mode!r}")
-    logit = importance_logit(text_col, weights, hash_fn=hash_fn)
-    scored = df.select(F.col(id_col), logit.alias("imp_milli"))
+    scored = score_importance(
+        df, weights, id_col=id_col, text_col=text_col, hash_fn=hash_fn
+    )
     if mode == "topn":
         return scored.orderBy(F.desc("imp_milli"), F.asc(id_col)).limit(n)
     # Gumbel top-k: key = logit/MILLI + G, G = -ln(-ln(U)),

@@ -117,9 +117,12 @@ def winnow_similar_pairs(
     the (a, b) pair."""
     if max_bucket < 2:
         raise ValueError(f"max_bucket must be >= 2, got {max_bucket}")
+    # the fingerprint frame feeds BOTH the bucket sizing and the join
+    # side, and it is map-only (no exchange Spark could reuse) —
+    # without materialization the k-gram hashing would run twice
     fp = winnow_fingerprints(
         df, id_col=id_col, text_col=text_col, k=k, w=w, hash_fn=hash_fn
-    )
+    ).localCheckpoint(eager=False)
     elig = (
         fp.groupBy("fp")
         .agg(F.count(F.lit(1)).alias("_c"))

@@ -2456,21 +2456,18 @@ def _importance_resample_sql() -> str:
     dim = len(w)
     return rf"""
 WITH t AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS toks FROM documents),
-uni AS (SELECT doc_id, unnest(toks) AS feat FROM t),
-bi AS (
-  SELECT doc_id, array_to_string(toks[i:i+1], ' ') AS feat
-  FROM t, UNNEST(range(1, len(toks))) AS r(i)
-  WHERE len(toks) >= 2
+pos AS (
+  SELECT doc_id, i,
+    CAST('0x' || substr(md5(toks[i]), 1, 15) AS BIGINT) % 2147483647 AS h
+  FROM t, UNNEST(range(1, len(toks) + 1)) AS r(i)
 ),
-feats AS (SELECT doc_id, feat FROM uni UNION ALL SELECT doc_id, feat FROM bi),
-scored AS (
-  SELECT f.doc_id,
-    ({arr})[
-      CAST((CAST('0x' || substr(md5(f.feat), 1, 15) AS BIGINT) % 2147483647)
-           % {dim} AS INT) + 1
-    ] AS wt
-  FROM feats f
+idx AS (
+  SELECT doc_id, CAST(h % {dim} AS INT) AS ix FROM pos
+  UNION ALL
+  SELECT a.doc_id, CAST((a.h * 31 + b.h) % {dim} AS INT) AS ix
+  FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.i = a.i + 1
 ),
+scored AS (SELECT doc_id, ({arr})[ix + 1] AS wt FROM idx),
 agg AS (SELECT doc_id, CAST(SUM(wt) AS BIGINT) AS imp_milli
         FROM scored GROUP BY doc_id)
 SELECT d.doc_id, CAST(COALESCE(a.imp_milli, 0) AS BIGINT) AS imp_milli

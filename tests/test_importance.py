@@ -9,9 +9,9 @@ from pyspark.sql import functions as F
 
 from irclogbot_spark.operators.dedup import md5_hash31
 from irclogbot_spark.operators.importance import (
-    importance_logit,
     importance_resample,
     importance_weights,
+    score_importance,
 )
 
 
@@ -23,12 +23,12 @@ def test_logit_is_integer_sum_of_feature_weights(spark):
     w = importance_weights(dim=64, seed=3)
     d = _docs(spark, [(1, "a b"), (2, ""), (3, "a")])
     out = {
-        r.doc_id: r.imp
-        for r in d.select(
-            "doc_id", importance_logit("text", w, hash_fn=md5_hash31).alias("imp")
-        ).collect()
+        r.doc_id: r.imp_milli
+        for r in score_importance(d, w, hash_fn=md5_hash31).collect()
     }
-    # doc 1 = unigrams a, b + bigram "a b"; doc 3 = unigram a only
+    # doc 1 = unigrams a, b + the (a, b) bigram bucket (combined
+    # hash (h_a*31 + h_b) mod dim — each token hashed once); doc 3 =
+    # unigram a only
     import hashlib
 
     def h31(s):
@@ -37,7 +37,8 @@ def test_logit_is_integer_sum_of_feature_weights(spark):
     def wt(s):
         return w[h31(s) % 64]
 
-    assert out[1] == wt("a") + wt("b") + wt("a b")
+    bi_ab = w[(h31("a") * 31 + h31("b")) % 64]
+    assert out[1] == wt("a") + wt("b") + bi_ab
     assert out[2] == 0  # empty doc: no evidence, ratio 1
     assert out[3] == wt("a")
 
