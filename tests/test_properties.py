@@ -219,3 +219,82 @@ def test_chunk_documents_reconstruction_property(spark):
         assert rebuilt == words
 
     prop()
+
+
+def test_winnow_fingerprints_match_python_reference(spark):
+    """Differential: winnow_fingerprints against a direct pure-Python
+    transcription of the SIGMOD-2003 definition (ordered k-gram
+    hashes, per-window minima, distinct per doc) over a seeded
+    random corpus with repeats, short docs, and empties."""
+    import hashlib as _hl
+    import random as _rnd
+
+    from irclogbot_spark.operators.dedup import md5_hash31
+    from irclogbot_spark.operators.winnow import winnow_fingerprints
+
+    def h31(s: str) -> int:
+        return int(_hl.md5(s.encode()).hexdigest()[:15], 16) % 2147483647
+
+    def ref(text: str, k: int, w: int) -> set[int]:
+        toks = text.split()
+        if len(toks) < k:
+            return set()
+        hs = [h31(" ".join(toks[i : i + k])) for i in range(len(toks) - k + 1)]
+        nwin = max(1, len(hs) - w + 1)
+        return {min(hs[i : i + w]) for i in range(nwin)}
+
+    rng = _rnd.Random(7)
+    vocab = [f"t{j}" for j in range(12)]
+    rows = [(0, ""), (1, "a"), (2, "a b"), (3, "a b c")]
+    rows += [
+        (10 + i, " ".join(rng.choice(vocab) for _ in range(rng.randrange(1, 40))))
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for k, w in ((3, 4), (2, 2), (5, 3)):
+        got: dict[int, set] = {}
+        for r in winnow_fingerprints(df, k=k, w=w, hash_fn=md5_hash31).collect():
+            got.setdefault(r.doc_id, set()).add(r.fp)
+        for doc_id, text in rows:
+            assert got.get(doc_id, set()) == ref(text, k, w), (k, w, doc_id, text)
+
+
+def test_importance_logit_matches_python_reference(spark):
+    """Differential: score_importance against the closed-form Python
+    sum (unigram buckets h mod dim, bigram buckets (h_i*31+h_j) mod
+    dim) over a seeded random corpus."""
+    import hashlib as _hl
+    import random as _rnd
+
+    from irclogbot_spark.operators.dedup import md5_hash31
+    from irclogbot_spark.operators.importance import (
+        importance_weights,
+        score_importance,
+    )
+
+    w = importance_weights(dim=96, seed=13)
+
+    def h31(s: str) -> int:
+        return int(_hl.md5(s.encode()).hexdigest()[:15], 16) % 2147483647
+
+    def ref(text: str) -> int:
+        toks = text.split()
+        hs = [h31(t) for t in toks]
+        s = sum(w[h % 96] for h in hs)
+        s += sum(w[(a * 31 + b) % 96] for a, b in zip(hs, hs[1:]))
+        return s
+
+    rng = _rnd.Random(11)
+    vocab = [f"v{j}" for j in range(20)]
+    rows = [(0, ""), (1, "solo")]
+    rows += [
+        (10 + i, " ".join(rng.choice(vocab) for _ in range(rng.randrange(1, 60))))
+        for i in range(50)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: r.imp_milli
+        for r in score_importance(df, w, hash_fn=md5_hash31).collect()
+    }
+    for doc_id, text in rows:
+        assert got[doc_id] == ref(text), (doc_id, text)
