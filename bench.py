@@ -85,6 +85,8 @@ HEADLINE = [
     "events_funnel_window",
     "docs_winnow_fingerprint",
     "docs_importance_resample",
+    "docs_dedup_keep_best_fast",
+    "docs_bm25_indexed",
 ]
 
 #: headline queries that derive from the irclog (re-timed over the

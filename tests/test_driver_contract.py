@@ -40,6 +40,7 @@ def test_rows_only_queries_register_after_the_cap():
         "docs_simhash_neardup",
         "ingest_compat_ids",
         "docs_prep_pipeline_fast",
+        "docs_dedup_keep_best_fast",
         "events_approx_stats",
     }
     assert unpaired <= set(qs[50:])
