@@ -87,6 +87,7 @@ HEADLINE = [
     "docs_importance_resample",
     "docs_dedup_keep_best_fast",
     "docs_bm25_indexed",
+    "docs_paragraph_dedup",
 ]
 
 #: headline queries that derive from the irclog (re-timed over the

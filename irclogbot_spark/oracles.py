@@ -2476,6 +2476,43 @@ ORDER BY imp_milli DESC, d.doc_id LIMIT 25
 """
 
 
+def _paragraph_dedup_sql(width: int = 20, min_docs: int = 2) -> str:
+    """ANSI twin of queries.docs_paragraph_dedup: same \\S+ tokens,
+    same 20-token window grid as docs_chunking (start 1, inclusive
+    list slicing, short final window), md5 paragraph hashes,
+    distinct-doc counts, 0-based dup positions, in-order rebuild
+    joined with newline. Empty docs emit n_paras=0 and empty
+    text_clean (range(1, 1) is empty; LEFT JOIN keeps the row)."""
+    return rf"""
+WITH t AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS toks FROM documents),
+s AS (SELECT doc_id, toks, len(toks) AS n FROM t),
+p AS (SELECT doc_id,
+        list_transform(range(1, n + 1, {width}),
+                       st -> array_to_string(toks[st : st + {width} - 1], ' ')) AS paras
+      FROM s),
+e AS (SELECT doc_id,
+        unnest(range(0, len(paras))) AS pos,
+        unnest(list_transform(paras, x -> md5(x))) AS h
+      FROM p),
+dup AS (SELECT h FROM e GROUP BY h HAVING COUNT(DISTINCT doc_id) >= {min_docs}),
+dp AS (SELECT doc_id, list_sort(list(pos)) AS dup_pos
+       FROM e JOIN dup USING (h) GROUP BY doc_id)
+SELECT p.doc_id,
+  CAST(len(p.paras) AS BIGINT) AS n_paras,
+  CAST(coalesce(len(dp.dup_pos), 0) AS BIGINT) AS n_removed,
+  coalesce(array_to_string(
+    list_transform(
+      list_filter(range(0, len(p.paras)),
+                  i -> NOT list_contains(coalesce(dp.dup_pos, []), i)),
+      i -> p.paras[i + 1]),
+    chr(10)), '') AS text_clean
+FROM p LEFT JOIN dp USING (doc_id)
+"""
+
+
+ORACLES["docs_paragraph_dedup"] = _paragraph_dedup_sql()
+
+
 def oracle_sql() -> dict[str, str]:
     out = dict(ORACLES)
     # data-dependent oracles, built lazily so the training corpus

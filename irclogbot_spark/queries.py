@@ -1938,6 +1938,34 @@ def docs_bm25_indexed(spark, sf_dir):
     return bm25_rank_indexed(postings, doclens, ["the", "data"], k=10)
 
 
+@query("docs_paragraph_dedup")
+def docs_paragraph_dedup(spark, sf_dir):
+    """CCNet-style paragraph-level dedup (operators/paragraphs.py):
+    remove every paragraph occurring in >= 2 distinct documents,
+    rebuild surviving text in order. The synthetic corpus has no
+    newline structure, so the registered query paragraphizes by fixed
+    20-token windows (token_window_paragraphs — the line-free
+    fallback); the md5 paragraph hash makes the full pipeline
+    (window split, distinct-doc counts, position filter, in-row
+    rebuild) re-derivable in ANSI SQL. Non-degenerate: the corpus's
+    planted exact and near duplicates share aligned 20-token windows,
+    so removed paragraphs exist. Production path is the same operator
+    under xxhash64 with newline paragraphs. Tail registration;
+    value-checked by the local parity suite."""
+    from irclogbot_spark.operators.paragraphs import (
+        paragraph_dedup,
+        token_window_paragraphs,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return paragraph_dedup(
+        d,
+        min_docs=2,
+        paragraphs=token_window_paragraphs(F.col("text"), 20),
+        hash_fn=F.md5,
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     out = {n: QUERIES[n] for n in _DRIVER_WINDOW}
     for n, f in QUERIES.items():

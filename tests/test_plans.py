@@ -268,3 +268,19 @@ def test_importance_query_map_only_scoring(spark):
     assert "Join" not in plan, plan
     assert "hashpartitioning" not in plan, plan
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_paragraph_dedup_no_text_in_exchanges(spark):
+    """docs_paragraph_dedup: paragraphs split and hash IN-ROW; the
+    doc-frequency count and dup-position collect move only
+    (doc_id, pos, hash) triples, and the rebuild is an in-row filter
+    — no exchange may carry the text column or the paragraph array.
+    The dup-hash set join is NOT a forced broadcast (unbounded
+    boilerplate cardinality — the tfidf lesson); no nested loop."""
+    plan = _plan(spark, "docs_paragraph_dedup")
+    for line in plan.splitlines():
+        if "Exchange" in line and "Arguments" in line:
+            assert "text" not in line, line
+            assert "_paras" not in line, line
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
