@@ -88,6 +88,7 @@ HEADLINE = [
     "docs_dedup_keep_best_fast",
     "docs_bm25_indexed",
     "docs_paragraph_dedup",
+    "docs_decontam_bloom",
 ]
 
 #: headline queries that derive from the irclog (re-timed over the

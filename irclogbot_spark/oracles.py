@@ -2513,6 +2513,62 @@ FROM p LEFT JOIN dp USING (doc_id)
 ORACLES["docs_paragraph_dedup"] = _paragraph_dedup_sql()
 
 
+def _decontam_bloom_sql(m_bits: int = 1 << 18, k: int = 3) -> str:
+    """ANSI twin of queries.docs_decontam_bloom: the FULL Bloom
+    pipeline re-derived — same split, same 8-gram distinct shingles,
+    h1/h2 from disjoint 15-hex md5 windows, positions
+    (h1%m + j*(h2%m)) % m (reduced before the multiply-add, so no
+    intermediate leaves BIGINT range in either engine), 32-bit words
+    inside BIGINT (every 1<<bit positive — no sign divergence),
+    bit_or filter build over the test split, all-k-bits probe over
+    the train split. Nothing inlined: the oracle rebuilds the filter
+    itself."""
+    shift = "CAST(1 AS BIGINT) << CAST(pos % 32 AS INT)"
+    return rf"""
+WITH labeled AS (
+  SELECT doc_id, text,
+    {_split_case_sql({'train': 0.9, 'test': 0.1}, 'decon', 'CAST(doc_id AS VARCHAR)')} AS split
+  FROM documents
+),
+t AS (SELECT doc_id, split, regexp_extract_all(text, '\S+') AS toks FROM labeled),
+grams AS (
+  SELECT DISTINCT doc_id, split, array_to_string(toks[i:i+7], ' ') AS shingle
+  FROM t, UNNEST(range(1, len(toks) - 6)) AS r(i)
+  WHERE len(toks) >= 8
+),
+hp AS (SELECT doc_id, split, shingle,
+         CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT) % {m_bits} AS a,
+         CAST('0x' || substr(md5(shingle), 17, 15) AS BIGINT) % {m_bits} AS b
+       FROM grams),
+pos AS (SELECT doc_id, split, shingle, (a + j * b) % {m_bits} AS pos
+        FROM hp, UNNEST(range(0, {k})) AS r(j)),
+words AS (
+  SELECT pos // 32 AS widx, bit_or({shift}) AS word
+  FROM (SELECT DISTINCT pos FROM pos WHERE split = 'test')
+  GROUP BY widx
+),
+probe AS (
+  SELECT p.doc_id, p.shingle,
+    BOOL_AND(w.word IS NOT NULL AND (w.word & ({shift})) <> 0) AS maybe
+  FROM (SELECT doc_id, shingle, pos FROM pos WHERE split = 'train') p
+  LEFT JOIN words w ON w.widx = p.pos // 32
+  GROUP BY p.doc_id, p.shingle
+),
+agg AS (SELECT doc_id, COUNT(*) AS n_ngrams,
+          SUM(CASE WHEN maybe THEN 1 ELSE 0 END) AS n_maybe
+        FROM probe GROUP BY doc_id)
+SELECT d.doc_id,
+  CAST(COALESCE(a.n_ngrams, 0) AS BIGINT) AS n_ngrams,
+  CAST(COALESCE(a.n_maybe, 0) AS BIGINT) AS n_maybe,
+  COALESCE(a.n_maybe, 0) > 0 AS flagged
+FROM (SELECT doc_id FROM labeled WHERE split = 'train') d
+LEFT JOIN agg a ON a.doc_id = d.doc_id
+"""
+
+
+ORACLES["docs_decontam_bloom"] = _decontam_bloom_sql()
+
+
 def oracle_sql() -> dict[str, str]:
     out = dict(ORACLES)
     # data-dependent oracles, built lazily so the training corpus

@@ -1966,6 +1966,40 @@ def docs_paragraph_dedup(spark, sf_dir):
     )
 
 
+@query("docs_decontam_bloom")
+def docs_decontam_bloom(spark, sf_dir):
+    """Bloom-filter decontamination (operators/bloom.py — the Dolma
+    bloom-tagger design): the eval split's 8-gram shingles compress
+    into a 2^18-bit / k=3 filter shipped as ONE plan-constant literal,
+    and the train split is scanned MAP-ONLY — shingle, double-hash
+    positions, and bit tests all in-row, zero corpus shuffles
+    (plan-asserted). Flags every train doc whose n-grams maybe-hit
+    the eval set: a SUPERSET of the exact pass's verdicts (no false
+    negatives, differential-tested), with (1-e^{-kN/m})^k false
+    positives. Same portable-draw 90/10 split as docs_decontaminate;
+    the md5-window hash pair makes filter construction AND probe
+    re-derivable in ANSI SQL. Tail registration; value-checked by the
+    local parity suite."""
+    from irclogbot_spark.operators.bloom import (
+        bloom_contamination,
+        portable_hash_pair,
+    )
+    from irclogbot_spark.operators.sampling import portable_draw, train_test_split
+
+    d = _t(spark, sf_dir, "documents")
+    labeled = train_test_split(
+        d, {"train": 0.9, "test": 0.1}, ["doc_id"], salt="decon", draw_fn=portable_draw
+    )
+    return bloom_contamination(
+        labeled.filter(F.col("split") == "train"),
+        labeled.filter(F.col("split") == "test"),
+        n=8,
+        m_bits=1 << 18,
+        k=3,
+        hash_pair_fn=portable_hash_pair,
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     out = {n: QUERIES[n] for n in _DRIVER_WINDOW}
     for n, f in QUERIES.items():

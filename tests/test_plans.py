@@ -284,3 +284,19 @@ def test_paragraph_dedup_no_text_in_exchanges(spark):
             assert "_paras" not in line, line
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_decontam_bloom_probe_map_only(spark):
+    """docs_decontam_bloom: the returned plan is the PROBE — the
+    filter is a plan-constant literal, so the train scan must carry
+    no join and no data shuffle (shingle, positions, bit tests all
+    in-row). The filter build runs as its own tiny job at plan time;
+    the corpus never hash-partitions. The one allowed exchange is
+    ensure_parallelism's round-robin fan-out of the single-file local
+    scan (a no-op on a many-file cluster read)."""
+    plan = _plan(spark, "docs_decontam_bloom")
+    assert "Join" not in plan, plan
+    assert "hashpartitioning" not in plan, plan
+    for line in plan.splitlines():
+        if "Exchange" in line and "Arguments" in line:
+            assert "RoundRobinPartitioning" in line, line
