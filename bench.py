@@ -89,6 +89,7 @@ HEADLINE = [
     "docs_bm25_indexed",
     "docs_paragraph_dedup",
     "docs_decontam_bloom",
+    "events_top_paths",
 ]
 
 #: headline queries that derive from the irclog (re-timed over the

@@ -169,3 +169,44 @@ def cohort_retention(
         "n_cohort",
         (F.col("n_active").cast("double") / F.col("n_cohort")).alias("retention"),
     )
+
+
+def top_event_paths(
+    events: DataFrame,
+    steps: int = 3,
+    k: int = 20,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Top-k most common event-type paths — the product-analytics
+    "path analysis" view: every run of ``steps`` consecutive events in
+    one user's timeline (ordered by timestamp, ``tiebreak_col``
+    breaking ties deterministically) forms a path string
+    ``"a > b > c"``; paths are counted corpus-wide and the k most
+    frequent returned as ``(path, n_paths)``.
+
+    Scale shape: ONE user-key shuffle serves all ``steps - 1``
+    ``lead()`` passes (same window); the path count partial-aggregates
+    map-side and the top-k is a TakeOrderedAndProject (no global
+    sort). Only (user, ts, tiebreak, type) ever moves — a few tens of
+    bytes per event regardless of payload width.
+    """
+    if steps < 2:
+        raise ValueError(f"steps must be >= 2, got {steps}")
+    w = Window.partitionBy(user_col).orderBy(ts_col, tiebreak_col)
+    parts = [F.col(type_col)] + [
+        F.lead(type_col, i).over(w) for i in range(1, steps)
+    ]
+    path = F.concat_ws(" > ", *parts)
+    return (
+        events.select(
+            path.alias("path"), parts[-1].isNotNull().alias("_complete")
+        )
+        .filter("_complete")
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_paths"))
+        .orderBy(F.desc("n_paths"), "path")
+        .limit(k)
+    )

@@ -2569,6 +2569,23 @@ LEFT JOIN agg a ON a.doc_id = d.doc_id
 ORACLES["docs_decontam_bloom"] = _decontam_bloom_sql()
 
 
+ORACLES["events_top_paths"] = """
+WITH s AS (
+  SELECT event_type,
+    lead(event_type, 1) OVER w AS t2,
+    lead(event_type, 2) OVER w AS t3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT event_type || ' > ' || t2 || ' > ' || t3 AS path,
+  CAST(COUNT(*) AS BIGINT) AS n_paths
+FROM s WHERE t3 IS NOT NULL
+GROUP BY path
+ORDER BY n_paths DESC, path
+LIMIT 20
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     out = dict(ORACLES)
     # data-dependent oracles, built lazily so the training corpus

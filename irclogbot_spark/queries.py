@@ -2000,6 +2000,22 @@ def docs_decontam_bloom(spark, sf_dir):
     )
 
 
+@query("events_top_paths")
+def events_top_paths(spark, sf_dir):
+    """Path analysis (operators/behavior.py:top_event_paths): the 20
+    most common 3-step event-type sequences across all user
+    timelines, ordered by ts with event_id breaking timestamp ties
+    deterministically. One user-key shuffle serves both lead()
+    passes; the count partial-aggregates and the top-k is a partial
+    top-k (plan-asserted). Tail registration; value-checked by the
+    local parity suite."""
+    from irclogbot_spark.operators.behavior import top_event_paths
+
+    return top_event_paths(
+        _t(spark, sf_dir, "events"), steps=3, k=20
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     out = {n: QUERIES[n] for n in _DRIVER_WINDOW}
     for n, f in QUERIES.items():

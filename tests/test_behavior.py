@@ -169,3 +169,30 @@ def test_tokenize_with_vocab_ids_and_oov(spark):
     # empty doc keeps an empty array, not a dropped row
     assert out[2].token_ids == [] and out[2].n_tokens == 0 and out[2].n_oov == 0
     assert out[3].token_ids == [0, 0] and out[3].n_oov == 2
+
+
+def test_top_event_paths_sliding_and_ties(spark):
+    from irclogbot_spark.operators.behavior import top_event_paths
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        # user 1: a b c d -> paths a>b>c, b>c>d
+        (1, 1, t0, "a"), (2, 1, t0 + dt.timedelta(minutes=1), "b"),
+        (3, 1, t0 + dt.timedelta(minutes=2), "c"), (4, 1, t0 + dt.timedelta(minutes=3), "d"),
+        # user 2: a b c -> a>b>c (tie order pinned by event_id at equal ts)
+        (5, 2, t0, "a"), (6, 2, t0, "b"), (7, 2, t0 + dt.timedelta(minutes=1), "c"),
+        # user 3: too short for any 3-path
+        (8, 3, t0, "a"), (9, 3, t0 + dt.timedelta(minutes=1), "b"),
+    ]
+    ev = spark.createDataFrame(rows, ["event_id", "user_id", "ts", "event_type"])
+    got = {r["path"]: r["n_paths"] for r in top_event_paths(ev, steps=3, k=10).collect()}
+    assert got == {"a > b > c": 2, "b > c > d": 1}
+
+
+def test_top_event_paths_steps_validation(spark):
+    from irclogbot_spark.operators.behavior import top_event_paths
+    import pytest
+
+    with pytest.raises(ValueError):
+        top_event_paths(None, steps=1)

@@ -300,3 +300,12 @@ def test_decontam_bloom_probe_map_only(spark):
     for line in plan.splitlines():
         if "Exchange" in line and "Arguments" in line:
             assert "RoundRobinPartitioning" in line, line
+
+
+def test_top_paths_single_user_exchange_partial_topk(spark):
+    """events_top_paths: both lead() passes share ONE user-key
+    exchange; the count partial-aggregates and the top-k is a
+    TakeOrderedAndProject, not a global sort."""
+    plan = _plan(spark, "events_top_paths")
+    assert plan.count("hashpartitioning(user_id") == 1, plan
+    assert "TakeOrderedAndProject" in plan, plan
