@@ -90,6 +90,7 @@ HEADLINE = [
     "docs_paragraph_dedup",
     "docs_decontam_bloom",
     "events_top_paths",
+    "emb_semantic_decontam",
 ]
 
 #: headline queries that derive from the irclog (re-timed over the

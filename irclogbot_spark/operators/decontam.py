@@ -78,3 +78,66 @@ def ngram_contamination(
         )
         .withColumn("contaminated", F.col("n_shared") > 0)
     )
+
+
+def semantic_decontamination(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    threshold: float = 0.99,
+    corpus_id: str = "vec_id",
+    eval_id: str = "eval_id",
+    vec_col: str = "embedding",
+    eval_vec_col: str | None = None,
+) -> DataFrame:
+    """Embedding-space decontamination: flag every corpus vector
+    whose cosine to ANY eval-set vector reaches ``threshold`` — the
+    semantic complement of the n-gram pass (catches paraphrased or
+    reformatted eval leakage that shares no 8-gram).
+
+    Returns one row per corpus vector: ``(corpus_id, max_sim,
+    flagged)``; with an empty eval set max_sim is NULL and nothing is
+    flagged.
+
+    Scale shape: the eval set aggregates into ONE row of
+    (id, vector, norm) structs that broadcasts (eval sets are
+    bounded); the corpus scan then computes its max-similarity
+    IN-ROW over that packed array — zero shuffles of the corpus, no
+    per-pair row explosion, row count preserved by construction.
+    Per-row cost is |eval| dot products, the inherent work. The
+    1-row broadcast crossJoin is the sanctioned bounded pattern
+    (sampling.py's totals frame); corpus rows never move.
+    """
+    from irclogbot_spark.operators.similarity import _cos_pre, as_double, dot, norm
+
+    ev = F.broadcast(
+        eval_df.select(
+            F.struct(
+                F.col(eval_id).alias("eid"),
+                as_double(eval_vec_col or vec_col).alias("qv"),
+                norm(as_double(eval_vec_col or vec_col)).alias("qn"),
+            ).alias("e")
+        ).agg(F.collect_list("e").alias("_evs"))
+    )
+    sims = F.transform(
+        F.col("_evs"),
+        lambda e: _cos_pre(
+            dot(F.col("cv"), e["qv"]), F.col("cn"), e["qn"]
+        ),
+    )
+    return (
+        ensure_parallelism(corpus)
+        .select(
+            F.col(corpus_id),
+            as_double(vec_col).alias("cv"),
+            norm(as_double(vec_col)).alias("cn"),
+        )
+        .crossJoin(ev)
+        .select(
+            corpus_id,
+            F.array_max(sims).alias("max_sim"),
+        )
+        .withColumn(
+            "flagged",
+            F.coalesce(F.col("max_sim") >= threshold, F.lit(False)),
+        )
+    )

@@ -2569,6 +2569,29 @@ LEFT JOIN agg a ON a.doc_id = d.doc_id
 ORACLES["docs_decontam_bloom"] = _decontam_bloom_sql()
 
 
+# ANSI twin of queries.emb_semantic_decontam: same planted eval twins
+# (x * 1.001 + 0.001 over vec_id < 5), same cosine association
+# (dot / (norm_a * norm_b)); MAX over eval is order-free so the
+# packed-array fold order on the Spark side cannot diverge.
+ORACLES["emb_semantic_decontam"] = """
+WITH ev AS (
+  SELECT vec_id + 100000 AS eval_id,
+    list_transform(CAST(embedding AS DOUBLE[]), x -> x * 1.001 + 0.001) AS qv
+  FROM embeddings WHERE vec_id < 5
+),
+scored AS (
+  SELECT e.vec_id,
+    MAX(list_dot_product(CAST(e.embedding AS DOUBLE[]), ev.qv)
+        / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                 CAST(e.embedding AS DOUBLE[])))
+           * sqrt(list_dot_product(ev.qv, ev.qv)))) AS max_sim
+  FROM embeddings e CROSS JOIN ev
+  GROUP BY e.vec_id
+)
+SELECT vec_id, max_sim, max_sim >= 0.99 AS flagged FROM scored
+"""
+
+
 ORACLES["events_top_paths"] = """
 WITH s AS (
   SELECT event_type,

@@ -2016,6 +2016,33 @@ def events_top_paths(spark, sf_dir):
     )
 
 
+@query("emb_semantic_decontam")
+def emb_semantic_decontam(spark, sf_dir):
+    """Embedding-space decontamination
+    (operators/decontam.py:semantic_decontamination): flag corpus
+    vectors with cosine >= 0.99 to any eval vector — the paraphrase
+    leak the n-gram pass can't see. The eval set is the
+    emb_cosine_neardup planted-twin convention (vec_id < 5 perturbed
+    by v' = 1.001v + 0.001, cosine ~0.9998 to their sources) so
+    flagged rows provably exist; the eval pack rides ONE broadcast
+    row and the corpus computes its max-similarity in-row — zero
+    corpus shuffles (plan-asserted). Tail registration; value-checked
+    by the local parity suite."""
+    from irclogbot_spark.operators.decontam import semantic_decontamination
+    from irclogbot_spark.operators.similarity import as_double
+
+    emb = _t(spark, sf_dir, "embeddings")
+    ev = emb.filter(F.col("vec_id") < 5).select(
+        (F.col("vec_id") + 100000).alias("eval_id"),
+        F.transform(
+            as_double("embedding"), lambda x: x * F.lit(1.001) + F.lit(0.001)
+        ).alias("qv"),
+    )
+    return semantic_decontamination(
+        emb, ev, threshold=0.99, eval_vec_col="qv"
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     out = {n: QUERIES[n] for n in _DRIVER_WINDOW}
     for n, f in QUERIES.items():

@@ -52,3 +52,28 @@ def test_hash_modes_agree_on_verdicts(spark, corpora):
     fast = _rows(ngram_contamination(train, test, n=8))
     portable = _rows(ngram_contamination(train, test, n=8, hash_fn=dedup.md5_hash31))
     assert fast == portable
+
+
+def test_semantic_decontam_flags_twin_not_stranger(spark):
+    from irclogbot_spark.operators.decontam import semantic_decontamination
+
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0]), (2, [0.0, 1.0, 0.0]), (3, [0.7, 0.7, 0.0])],
+        ["vec_id", "embedding"],
+    )
+    ev = spark.createDataFrame(
+        [(9, [0.99, 0.01, 0.0])], ["eval_id", "embedding"]
+    )
+    out = {r["vec_id"]: r.asDict() for r in
+           semantic_decontamination(corpus, ev, threshold=0.95).collect()}
+    assert out[1]["flagged"] and not out[2]["flagged"]
+    assert abs(out[1]["max_sim"] - 1.0) < 0.01
+
+
+def test_semantic_decontam_empty_eval_flags_nothing(spark):
+    from irclogbot_spark.operators.decontam import semantic_decontamination
+
+    corpus = spark.createDataFrame([(1, [1.0, 0.0])], ["vec_id", "embedding"])
+    ev = spark.createDataFrame([], "eval_id long, embedding array<double>")
+    rows = semantic_decontamination(corpus, ev).collect()
+    assert len(rows) == 1 and rows[0]["flagged"] is False and rows[0]["max_sim"] is None

@@ -309,3 +309,13 @@ def test_top_paths_single_user_exchange_partial_topk(spark):
     plan = _plan(spark, "events_top_paths")
     assert plan.count("hashpartitioning(user_id") == 1, plan
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_semantic_decontam_no_corpus_shuffle(spark):
+    """emb_semantic_decontam: the eval pack is ONE broadcast row and
+    the max-similarity is computed in-row — the corpus never
+    hash-partitions and no sort-merge join appears."""
+    plan = _plan(spark, "emb_semantic_decontam")
+    assert "hashpartitioning" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastExchange" in plan, plan
