@@ -91,6 +91,7 @@ HEADLINE = [
     "docs_decontam_bloom",
     "events_top_paths",
     "emb_semantic_decontam",
+    "docs_normalized_dedup",
 ]
 
 #: headline queries that derive from the irclog (re-timed over the

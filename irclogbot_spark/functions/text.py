@@ -474,3 +474,18 @@ def tfidf_topk(df, id_col: str = "doc_id", text_col: str = "text", k: int = 3):
         F.col("_e.tf").alias("tf"),
         (-F.col("_e.nscore")).alias("score"),
     )
+
+
+def normalize_text(text: Column | str) -> Column:
+    """Dedup-key canonicalization — the CCNet/C4 normalization every
+    pipeline applies before hashing: lowercase, strip everything but
+    letters/digits/whitespace, collapse whitespace runs, trim. Two
+    byte-different renderings of the same content ("Hello,  World!"
+    vs "hello world") collapse to one fingerprint; raw text is
+    untouched (normalize feeds the HASH, not the output). Pure
+    projection — composes in-row with md5/xxhash64 and the shingle
+    family. ANSI twin: lower + regexp_replace('[^a-z0-9\\s]', '', 'g')
+    + regexp_replace('\\s+', ' ', 'g') + trim."""
+    c = F.col(text) if isinstance(text, str) else text
+    cleaned = F.regexp_replace(F.lower(c), r"[^a-z0-9\s]", "")
+    return F.trim(F.regexp_replace(cleaned, r"\s+", " "))

@@ -2592,6 +2592,31 @@ SELECT vec_id, max_sim, max_sim >= 0.99 AS flagged FROM scored
 """
 
 
+# ANSI twin of queries.docs_normalized_dedup: same planted
+# byte-variants, same normalization chain (lower -> strip
+# non-alnum -> collapse whitespace -> trim), keep-first on the
+# normalized md5.
+ORACLES["docs_normalized_dedup"] = r"""
+WITH planted AS (
+  SELECT doc_id + 100000 AS doc_id,
+    '  ' || replace(upper(text), ' ', '  ') || ' !!' AS text, lang, source
+  FROM documents WHERE doc_id < 5
+),
+corpus AS (
+  SELECT doc_id, text, lang, source FROM documents
+  UNION ALL SELECT * FROM planted
+),
+norm AS (
+  SELECT doc_id, lang, source,
+    md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'),
+                            '\s+', ' ', 'g'))) AS fp
+  FROM corpus
+)
+SELECT doc_id, lang, source FROM norm
+WHERE doc_id IN (SELECT MIN(doc_id) FROM norm GROUP BY fp)
+"""
+
+
 ORACLES["events_top_paths"] = """
 WITH s AS (
   SELECT event_type,

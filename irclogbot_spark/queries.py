@@ -2043,6 +2043,42 @@ def emb_semantic_decontam(spark, sf_dir):
     )
 
 
+@query("docs_normalized_dedup")
+def docs_normalized_dedup(spark, sf_dir):
+    """Normalization-keyed exact dedup (functions/text.py:
+    normalize_text + operators/dedup.py:exact_dedup): lowercase /
+    strip-punctuation / collapse-whitespace feeds the FINGERPRINT
+    while raw text is preserved — the CCNet/C4 canonicalization that
+    catches byte-variant re-renderings exact dedup misses. The
+    synthetic corpus is already canonical, so the query plants
+    deterministic byte-variants (doc_id < 5 re-entered at id+100000
+    as '  ' + double-spaced UPPER + ' !!') — the planted-twin
+    convention — which collapse onto their sources only under the
+    normalized key. One hash shuffle of (fp, id); normalization is
+    in-row. Tail registration; value-checked by the local parity
+    suite."""
+    from irclogbot_spark.functions.text import normalize_text
+    from irclogbot_spark.operators.dedup import exact_dedup
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang", "source")
+    planted = d.filter(F.col("doc_id") < 5).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(
+            F.lit("  "),
+            F.regexp_replace(F.upper(F.col("text")), " ", "  "),
+            F.lit(" !!"),
+        ).alias("text"),
+        "lang",
+        "source",
+    )
+    corpus = d.unionByName(planted).withColumn(
+        "_norm", normalize_text("text")
+    )
+    return exact_dedup(corpus, text_col="_norm").select(
+        "doc_id", "lang", "source"
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     out = {n: QUERIES[n] for n in _DRIVER_WINDOW}
     for n, f in QUERIES.items():

@@ -108,3 +108,38 @@ def test_tfidf_topk_ranks_rare_terms_over_common(spark):
     assert top1[3].term == "words" and top1[3].score == 9.0
     with pytest.raises(ValueError):
         tfidf_topk(df, k=0)
+
+
+def test_normalize_text_canonicalizes_byte_variants(spark):
+    from irclogbot_spark.functions.text import normalize_text
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [
+            ("Hello,  World!",),
+            ("hello world",),
+            ("  HELLO -- world??  ",),
+            ("",),
+        ],
+        ["t"],
+    ).select(normalize_text("t").alias("n"))
+    got = [r["n"] for r in df.collect()]
+    assert got[0] == got[1] == got[2] == "hello world"
+    assert got[3] == ""
+
+
+def test_normalized_dedup_merges_variants_raw_dedup_does_not(spark):
+    from irclogbot_spark.functions.text import normalize_text
+    from irclogbot_spark.operators.dedup import exact_dedup
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [(1, "the cat sat"), (2, "The  cat SAT!"), (3, "a different doc")],
+        ["doc_id", "text"],
+    )
+    raw = exact_dedup(docs)
+    assert raw.count() == 3  # byte-distinct -> raw dedup keeps all
+    normed = exact_dedup(
+        docs.withColumn("_n", normalize_text("text")), text_col="_n"
+    )
+    assert sorted(r["doc_id"] for r in normed.collect()) == [1, 3]
