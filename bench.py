@@ -92,6 +92,7 @@ HEADLINE = [
     "events_top_paths",
     "emb_semantic_decontam",
     "docs_normalized_dedup",
+    "docs_bpe_merges",
 ]
 
 #: headline queries that derive from the irclog (re-timed over the

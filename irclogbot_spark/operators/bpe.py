@@ -1,0 +1,147 @@
+"""BPE tokenizer training — the iterative merge loop, Spark-shaped.
+
+Byte-pair encoding (Sennrich et al. 2016, the tokenizer-training
+workhorse behind GPT-2/RoBERTa-family vocabularies): start from
+characters, repeatedly find the most frequent adjacent symbol pair
+and merge it into one symbol. The classic implementation is a
+single-machine dict loop; the Spark shape exploits the observation
+real trainers rely on: BPE never needs the corpus after the first
+pass — it trains on the WORD-FREQUENCY TABLE, whose size is bounded
+by vocabulary growth (Heaps' law: ~millions of distinct words at ANY
+corpus size), not by corpus bytes.
+
+Scale design (the 100 TB path):
+- ONE corpus-sized job: the word count (explode \\S+ tokens, one
+  partial-aggregating shuffle of (word, 1)). Everything after runs on
+  the vocab-bounded word table, cached in executor memory.
+- Each merge iteration is one tiny job over that table: in-row pair
+  extraction (split + transform), a partial-agg pair count, and a
+  1-ROW TakeOrdered argmax — the only driver traffic per iteration
+  (the k-means-trainer convention). The merge itself is an in-row
+  literal string replace.
+- Lineage is truncated per iteration (localCheckpoint) so iteration
+  N's plan does not replay merges 1..N-1 — the neardup-clusters
+  lesson applied to the other iterative operator family.
+
+Determinism contract (oracle-matched): words are \\S+ tokens;
+symbols are the word's characters plus a trailing ``</w>``
+end-of-word marker, joined by the U+001F separator (words containing
+U+001F are dropped — impossible for \\S+ tokens to contain spaces but
+control bytes are filtered explicitly); pair counts include
+overlapping occurrences (Sennrich's counting); the winning pair is
+(count DESC, "l\\x1fr" ASC) — the concat-with-low-separator order
+equals tuple order because 0x1F sorts below every printable byte;
+merging is left-to-right non-overlapping (Java String.replace ==
+DuckDB replace() == Sennrich's regex pass). Training stops early if
+the best pair's count falls below ``min_freq``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from irclogbot_spark.operators.dedup import tokens
+from irclogbot_spark.plans.partitioning import ensure_parallelism
+
+SEP = "\x1f"
+EOW = "</w>"
+
+
+def word_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, freq) over \\S+ tokens — the one corpus-sized pass."""
+    return (
+        ensure_parallelism(df)
+        .select(F.explode(tokens(F.col(text_col))).alias("word"))
+        .filter(~F.col("word").contains(SEP))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+
+
+def _initial_symbols(word) -> F.Column:
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length(word)),
+        lambda i: word.substr(i, F.lit(1)),
+    )
+    return F.concat(F.array_join(chars, SEP), F.lit(SEP + EOW))
+
+
+def _pairs(syms) -> F.Column:
+    s = F.split(syms, SEP)
+    return F.transform(
+        F.sequence(F.lit(1), F.size(s) - 1),
+        lambda j: F.concat_ws(SEP, F.element_at(s, j), F.element_at(s, j + 1)),
+    )
+
+
+def train_bpe(
+    df: DataFrame,
+    n_merges: int = 10,
+    text_col: str = "text",
+    min_freq: int = 2,
+) -> list[dict]:
+    """Learn ``n_merges`` BPE merges; returns the merge table as a
+    list of dicts ``(step, lhs, rhs, merged, pair_freq)`` in learn
+    order. Stops early when the best pair's frequency drops below
+    ``min_freq`` (nothing left worth merging)."""
+    vocab = (
+        word_counts(df, text_col)
+        .select(_initial_symbols(F.col("word")).alias("syms"), "freq")
+        .localCheckpoint()
+    )
+    merges: list[dict] = []
+    for step in range(1, n_merges + 1):
+        best = (
+            vocab.select(F.col("freq"), F.explode(_pairs(F.col("syms"))).alias("pair"))
+            .groupBy("pair")
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("pair"))
+            .first()
+        )
+        if best is None or best["cnt"] < min_freq:
+            break
+        lhs, rhs = best["pair"].split(SEP)
+        merged = lhs + rhs
+        merges.append(
+            {
+                "step": step,
+                "lhs": lhs,
+                "rhs": rhs,
+                "merged": merged,
+                "pair_freq": int(best["cnt"]),
+            }
+        )
+        vocab = vocab.select(
+            F.replace(
+                F.col("syms"), F.lit(best["pair"]), F.lit(merged)
+            ).alias("syms"),
+            "freq",
+        ).localCheckpoint()
+    return merges
+
+
+def apply_bpe(
+    df: DataFrame,
+    merges: list[dict],
+    text_col: str = "text",
+    out_col: str = "bpe_tokens",
+) -> DataFrame:
+    """Segment every \\S+ token of ``text_col`` with a learned merge
+    table: replay the merges in learn order (the classic greedy
+    apply), emitting the final symbol sequence per document. Pure
+    projection — merges are plan constants, the corpus never
+    shuffles."""
+    toks = tokens(F.col(text_col))
+
+    def encode(word):
+        syms = _initial_symbols(word)
+        for m in merges:
+            syms = F.replace(
+                syms, F.lit(m["lhs"] + SEP + m["rhs"]), F.lit(m["merged"])
+            )
+        return F.split(syms, SEP)
+
+    return df.withColumn(
+        out_col, F.flatten(F.transform(toks, encode))
+    )

@@ -2634,6 +2634,57 @@ LIMIT 20
 """
 
 
+def _bpe_merges_sql(n_merges: int = 8) -> str:
+    """ANSI twin of queries.docs_bpe_merges: the FULL iterative BPE
+    loop unrolled — per step, a pair count over the current word
+    table (overlapping occurrences, Sennrich counting), the
+    (cnt DESC, pair ASC) argmax as a 1-row CTE, and a left-to-right
+    non-overlapping replace() carried into the next step's table.
+    DuckDB's replace == Java String.replace on this contract. The
+    U+001F separator sorts below every printable byte, so concat
+    order equals tuple order in the tie-break."""
+    sep = "chr(31)"
+    ctes = [
+        rf"""w AS (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
+  FROM (SELECT unnest(regexp_extract_all(text, '\S+')) AS word FROM documents)
+  WHERE NOT contains(word, {sep})
+  GROUP BY word
+),
+v0 AS MATERIALIZED (
+  SELECT array_to_string(list_transform(range(1, length(word) + 1),
+           i -> substr(word, i, 1)), {sep}) || {sep} || '</w>' AS syms, freq
+  FROM w
+)"""
+    ]
+    for i in range(1, n_merges + 1):
+        ctes.append(
+            f"""p{i} AS MATERIALIZED (
+  SELECT s[j] || {sep} || s[j+1] AS pair, SUM(freq) AS cnt
+  FROM (SELECT string_split(syms, {sep}) AS s, freq FROM v{i-1}) t,
+       UNNEST(range(1, len(s))) AS u(j)
+  GROUP BY pair
+),
+b{i} AS MATERIALIZED (SELECT pair, cnt FROM p{i} ORDER BY cnt DESC, pair LIMIT 1),
+v{i} AS MATERIALIZED (
+  SELECT replace(syms, (SELECT pair FROM b{i}),
+                 (SELECT replace(pair, {sep}, '') FROM b{i})) AS syms, freq
+  FROM v{i-1}
+)"""
+        )
+        unions = "\nUNION ALL\n".join(
+            f"""SELECT CAST({i} AS INT) AS step,
+  string_split(pair, {sep})[1] AS lhs, string_split(pair, {sep})[2] AS rhs,
+  replace(pair, {sep}, '') AS merged, CAST(cnt AS BIGINT) AS pair_freq
+FROM b{i}"""
+            for i in range(1, n_merges + 1)
+        )
+    return "WITH " + ",\n".join(ctes) + "\n" + unions
+
+
+ORACLES["docs_bpe_merges"] = _bpe_merges_sql()
+
+
 def oracle_sql() -> dict[str, str]:
     out = dict(ORACLES)
     # data-dependent oracles, built lazily so the training corpus

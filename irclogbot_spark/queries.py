@@ -2079,6 +2079,30 @@ def docs_normalized_dedup(spark, sf_dir):
     )
 
 
+@query("docs_bpe_merges")
+def docs_bpe_merges(spark, sf_dir):
+    """BPE tokenizer training (operators/bpe.py — Sennrich et al.
+    2016): 8 merges learned over the corpus's word-frequency table.
+    One corpus-sized word count, then 8 vocab-bounded iterations
+    (in-row pair split, partial-agg pair count, 1-row argmax,
+    literal-replace merge, lineage truncated per step). The merge
+    table IS the result — the oracle replays all 8 iterations as
+    unrolled SQL with the identical (count DESC, pair ASC) argmax
+    and left-to-right non-overlapping replace, so every learned
+    merge is value-hashed. Tail registration; value-checked by the
+    local parity suite."""
+    from irclogbot_spark.operators.bpe import train_bpe
+
+    merges = train_bpe(_t(spark, sf_dir, "documents"), n_merges=8)
+    return spark.createDataFrame(
+        [
+            (m["step"], m["lhs"], m["rhs"], m["merged"], m["pair_freq"])
+            for m in merges
+        ],
+        "step int, lhs string, rhs string, merged string, pair_freq bigint",
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     out = {n: QUERIES[n] for n in _DRIVER_WINDOW}
     for n, f in QUERIES.items():
