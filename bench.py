@@ -93,6 +93,7 @@ HEADLINE = [
     "emb_semantic_decontam",
     "docs_normalized_dedup",
     "docs_bpe_merges",
+    "emb_kmeans_clusters",
 ]
 
 #: headline queries that derive from the irclog (re-timed over the

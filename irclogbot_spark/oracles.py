@@ -2685,6 +2685,44 @@ FROM b{i}"""
 ORACLES["docs_bpe_merges"] = _bpe_merges_sql()
 
 
+def _kmeans_clusters_sql(n_cells: int = 16, n_iter: int = 5) -> str:
+    """ANSI twin of queries.emb_kmeans_clusters: re-train the
+    bit-identical driver replica (integer-quantized accumulation —
+    pure function of the corpus), inline the learned centroids, and
+    re-derive the argmax-dot assignment exactly as _ivf_topk_sql's
+    ca/cb CTEs do; the cluster stats are integer-only."""
+    import os
+
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    key = ("kmeans_clusters", sf_dir, n_cells, n_iter)
+    if key in _IVF_SQL_CACHE:
+        return _IVF_SQL_CACHE[key]
+
+    import duckdb
+
+    from irclogbot_spark.operators.similarity import train_ivf_centroids_local
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    rows = duckdb.sql(
+        f"SELECT vec_id, CAST(embedding AS DOUBLE[]) FROM '{path}' ORDER BY vec_id"
+    ).fetchall()
+    cents = train_ivf_centroids_local(
+        [(r[0], list(r[1])) for r in rows], n_cells, n_iter
+    )
+    lits = ["[" + ", ".join(f"{x:.17e}" for x in c) + "]" for c in cents]
+    dots_list = "[" + ", ".join(f"list_dot_product(v, {l})" for l in lits) + "]"
+    sql = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+ca AS (SELECT vec_id, {dots_list} AS dots FROM e),
+cb AS (SELECT vec_id,
+         CAST(list_position(dots, list_max(dots)) - 1 AS INT) AS cell FROM ca)
+SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_vecs, MIN(vec_id) AS rep_vec_id
+FROM cb GROUP BY cell
+"""
+    _IVF_SQL_CACHE[key] = sql
+    return sql
+
+
 def oracle_sql() -> dict[str, str]:
     out = dict(ORACLES)
     # data-dependent oracles, built lazily so the training corpus
@@ -2695,4 +2733,5 @@ def oracle_sql() -> dict[str, str]:
     out["emb_pq_topk"] = _pq_topk_sql()
     out["emb_ivfpq_topk"] = _ivfpq_topk_sql()
     out["docs_importance_resample"] = _importance_resample_sql()
+    out["emb_kmeans_clusters"] = _kmeans_clusters_sql()
     return out

@@ -2103,6 +2103,40 @@ def docs_bpe_merges(spark, sf_dir):
     )
 
 
+@query("emb_kmeans_clusters")
+def emb_kmeans_clusters(spark, sf_dir):
+    """Embedding clustering as a first-class result (the capability
+    SemDeDup/IVF use internally, surfaced): assign every vector to
+    its trained k-means cell (argmax dot vs the 16 plan-constant
+    unit centroids — map-only) and report per-cluster size and the
+    deterministic representative (min vec_id). Integer-only output
+    keeps the hash exact; the oracle re-trains the bit-identical
+    driver replica and re-derives the assignment (the _ivf_topk_sql
+    convention). One (cell, id) shuffle after the map-only
+    assignment. Tail registration; value-checked by the local parity
+    suite."""
+    from irclogbot_spark.operators.similarity import (
+        _argmax_cell,
+        _cell_dots,
+        as_double,
+        train_ivf_centroids,
+    )
+    from irclogbot_spark.plans.partitioning import ensure_parallelism
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = train_ivf_centroids(emb, n_cells=16, n_iter=5)
+    assigned = ensure_parallelism(emb).select(
+        F.col("vec_id"),
+        _argmax_cell(
+            _cell_dots(as_double("embedding"), cents)
+        ).alias("cell"),
+    )
+    return assigned.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.min("vec_id").alias("rep_vec_id"),
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     out = {n: QUERIES[n] for n in _DRIVER_WINDOW}
     for n, f in QUERIES.items():

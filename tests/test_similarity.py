@@ -130,3 +130,15 @@ def test_pq_validation_guards(spark):
     qs = emb.limit(1).selectExpr("vec_id AS query_id", "embedding")
     with pytest.raises(ValueError):
         pq_topk(emb, qs, books, k=5, rerank=3)  # rerank < k
+
+
+def test_kmeans_clusters_partition_all_vectors(spark, sf_dir):
+    """emb_kmeans_clusters invariants: cells partition the corpus
+    (sizes sum to N), every cell id is in range, reps are members."""
+    import __spark_entry__ as e
+
+    rows = e.queries()["emb_kmeans_clusters"](spark, sf_dir).collect()
+    emb_n = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    assert sum(r["n_vecs"] for r in rows) == emb_n
+    assert all(0 <= r["cell"] < 16 for r in rows)
+    assert all(r["n_vecs"] >= 1 for r in rows)
