@@ -94,6 +94,7 @@ HEADLINE = [
     "docs_normalized_dedup",
     "docs_bpe_merges",
     "emb_kmeans_clusters",
+    "docs_data_card",
 ]
 
 #: headline queries that derive from the irclog (re-timed over the

@@ -2617,6 +2617,32 @@ WHERE doc_id IN (SELECT MIN(doc_id) FROM norm GROUP BY fp)
 """
 
 
+# ANSI twin of queries.docs_data_card: same \S+ token count, same
+# md5 fingerprint, floor'd integer milli rate (DuckDB CAST rounds,
+# so the floor is explicit on both engines).
+ORACLES["docs_data_card"] = r"""
+WITH per_doc AS (
+  SELECT doc_id, lang, source, md5(text) AS fp,
+    len(regexp_extract_all(text, '\S+')) AS tok
+  FROM documents
+),
+top_source AS (
+  SELECT source AS top_source FROM per_doc
+  GROUP BY source ORDER BY COUNT(*) DESC, source LIMIT 1
+)
+SELECT
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(COUNT(*) - COUNT(DISTINCT fp) AS BIGINT) AS n_exact_dups,
+  CAST(SUM(tok) AS BIGINT) AS total_tokens,
+  CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+  CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+  CAST(floor((SUM(CASE WHEN tok < 50 THEN 1 ELSE 0 END) * 1000.0)
+             / COUNT(*)) AS BIGINT) AS short_doc_milli,
+  (SELECT top_source FROM top_source) AS top_source
+FROM per_doc
+"""
+
+
 ORACLES["events_top_paths"] = """
 WITH s AS (
   SELECT event_type,

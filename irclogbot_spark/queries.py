@@ -2137,6 +2137,48 @@ def emb_kmeans_clusters(spark, sf_dir):
     )
 
 
+@query("docs_data_card")
+def docs_data_card(spark, sf_dir):
+    """One-row corpus data card — the dataset-summary sheet every
+    release ships: doc/dup/token/lang counts, dominant source, and a
+    short-doc rate in integer milli-units (exact, hash-safe). One
+    corpus pass computes every per-doc stat in-row; the exact-dup
+    count is the one md5 shuffle; the dominant source is a tiny agg
+    crossJoin'd back as a 1-row broadcast (the sanctioned pattern).
+    Tail registration; value-checked by the local parity suite."""
+    from irclogbot_spark.functions.text import token_count
+
+    d = _t(spark, sf_dir, "documents")
+    per_doc = d.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.md5(F.col("text").cast("binary")).alias("_fp"),
+        token_count("text").alias("_tok"),
+    )
+    top_source = (
+        per_doc.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .orderBy(F.desc("_n"), F.asc("source"))
+        .limit(1)
+        .select(F.col("source").alias("top_source"))
+    )
+    card = per_doc.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.count(F.lit(1)) - F.countDistinct("_fp")).alias("n_exact_dups"),
+        F.sum("_tok").cast("long").alias("total_tokens"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.floor(
+            (F.sum(F.when(F.col("_tok") < 50, 1).otherwise(0)) * 1000)
+            / F.count(F.lit(1))
+        )
+        .cast("long")
+        .alias("short_doc_milli"),
+    )
+    return card.crossJoin(F.broadcast(top_source))
+
+
 def queries() -> dict[str, QueryFn]:
     out = {n: QUERIES[n] for n in _DRIVER_WINDOW}
     for n, f in QUERIES.items():
