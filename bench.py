@@ -95,6 +95,7 @@ HEADLINE = [
     "docs_bpe_merges",
     "emb_kmeans_clusters",
     "docs_data_card",
+    "graph_pagerank_trade",
 ]
 
 #: headline queries that derive from the irclog (re-timed over the

@@ -1,0 +1,90 @@
+"""Iterative graph analytics — integer-quantized PageRank.
+
+The second iterative-operator family beside the BPE/k-means trainers:
+rank flows along weighted edges for a fixed number of power-iteration
+rounds. Floating-point PageRank is partition-order-dependent (double
+sums re-associate), so ranks here live in integer MICRO-units with
+floor'd edge contributions — BIGINT addition is associative, making
+the whole computation a pure function of the graph: bit-identical
+under any partitioning, and exactly re-derivable in ANSI SQL (the
+importance.py quantization convention applied to graph analytics).
+
+Semantics (the "pruned PageRank" convention): per round,
+``r'(v) = BASE + sum over in-edges (u,v,w) of
+floor(DAMPING_MILLI * r(u) * w / (1000 * wdeg(u)))`` with
+``BASE = (1000 - DAMPING_MILLI) * R0 / 1000``. Mass lost to floor
+rounding and dangling nodes is dropped, not redistributed — ranks are
+centrality SCORES, not a probability distribution (the common
+large-graph engineering choice; a stochastic-exact variant would need
+a global mass renormalization each round).
+
+Scale shape: edges partition by src for the contribution join
+(co-partitioned with the degree table — one shuffle each, reused
+every round); per round ONE (dst, contrib) partial-agg shuffle and
+one node-keyed left join; ranks/nodes are node-cardinality frames,
+orders of magnitude smaller than edges. Lineage is truncated per
+round (localCheckpoint — the iterative-operator rule). Division is
+integer DIV, never a double: contributions can exceed 2^53 on a big
+graph, where double division silently loses ulps.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+R0 = 1_000_000  # initial rank per node, micro-mass units
+
+
+def pagerank(
+    edges: DataFrame,
+    n_iter: int = 4,
+    damping_milli: int = 850,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str = "w",
+) -> DataFrame:
+    """Weighted PageRank over a directed edge list; returns
+    ``(node, rank_units)`` for every edge endpoint. Undirected graphs
+    pass both edge directions. Nodes are edge endpoints — an isolated
+    node (no edges at all) is out of scope by construction.
+    """
+    if not 0 < damping_milli < 1000:
+        raise ValueError(f"damping_milli in (0, 1000), got {damping_milli}")
+    base = (1000 - damping_milli) * R0 // 1000
+    e = edges.select(
+        F.col(src_col).alias("src"),
+        F.col(dst_col).alias("dst"),
+        F.col(weight_col).cast("long").alias("w"),
+    )
+    deg = e.groupBy("src").agg(F.sum("w").alias("wdeg"))
+    ew = e.join(deg, "src").localCheckpoint()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    ranks = nodes.select("node", F.lit(R0).cast("long").alias("r"))
+    for _ in range(n_iter):
+        contribs = (
+            ew.join(ranks, ew["src"] == ranks["node"])
+            .select(
+                F.col("dst").alias("node"),
+                F.expr(
+                    f"({damping_milli} * r * w) DIV (1000 * wdeg)"
+                ).alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("contrib"))
+        )
+        ranks = (
+            nodes.join(contribs, "node", "left")
+            .select(
+                "node",
+                (F.lit(base).cast("long") + F.coalesce("contrib", F.lit(0)))
+                .alias("r"),
+            )
+            .localCheckpoint()
+        )
+    return ranks.select("node", F.col("r").alias("rank_units"))

@@ -2749,6 +2749,58 @@ FROM cb GROUP BY cell
     return sql
 
 
+def _pagerank_trade_sql(
+    n_iter: int = 4, damping_milli: int = 850, r0: int = 1_000_000
+) -> str:
+    """ANSI twin of queries.graph_pagerank_trade: the full 4-round
+    power iteration unrolled (MATERIALIZED CTEs — the BPE lesson),
+    with the identical integer arithmetic: BIGINT micro-unit ranks,
+    floor integer division per edge contribution (// == Spark's DIV
+    on positive operands), associative BIGINT sums."""
+    base = (1000 - damping_milli) * r0 // 1000
+    ctes = [
+        f"""e0 AS (
+  SELECT o_custkey AS c, l_suppkey AS s, CAST(COUNT(*) AS BIGINT) AS w
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+  GROUP BY c, s
+),
+edges AS MATERIALIZED (
+  SELECT 'c' || c AS src, 's' || s AS dst, w FROM e0
+  UNION ALL
+  SELECT 's' || s AS src, 'c' || c AS dst, w FROM e0
+),
+nodes AS MATERIALIZED (
+  SELECT DISTINCT src AS node FROM edges
+  UNION SELECT DISTINCT dst AS node FROM edges
+),
+deg AS MATERIALIZED (SELECT src, SUM(w) AS wdeg FROM edges GROUP BY src),
+r0_t AS MATERIALIZED (SELECT node, CAST({r0} AS BIGINT) AS r FROM nodes)"""
+    ]
+    prev = "r0_t"
+    for i in range(1, n_iter + 1):
+        ctes.append(
+            f"""c{i} AS MATERIALIZED (
+  SELECT e.dst AS node,
+    SUM(({damping_milli} * r.r * e.w) // (1000 * d.wdeg)) AS contrib
+  FROM edges e JOIN deg d ON d.src = e.src JOIN {prev} r ON r.node = e.src
+  GROUP BY e.dst
+),
+r{i}_t AS MATERIALIZED (
+  SELECT n.node, CAST({base} + COALESCE(c.contrib, 0) AS BIGINT) AS r
+  FROM nodes n LEFT JOIN c{i} c ON c.node = n.node
+)"""
+        )
+        prev = f"r{i}_t"
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT node, r AS rank_units FROM {prev} ORDER BY r DESC, node LIMIT 25"
+    )
+
+
+ORACLES["graph_pagerank_trade"] = _pagerank_trade_sql()
+
+
 def oracle_sql() -> dict[str, str]:
     out = dict(ORACLES)
     # data-dependent oracles, built lazily so the training corpus

@@ -2179,6 +2179,39 @@ def docs_data_card(spark, sf_dir):
     return card.crossJoin(F.broadcast(top_source))
 
 
+@query("graph_pagerank_trade")
+def graph_pagerank_trade(spark, sf_dir):
+    """Integer-quantized PageRank (operators/graph.py) over the
+    customer<->supplier trade graph: edge weight = lineitems shipped
+    between the pair, both directions (undirected flow), 4 power
+    rounds, damping 0.85 in milli-units. Micro-unit integer ranks
+    with floor'd DIV contributions make the whole iteration a pure
+    function of the graph — the oracle unrolls all 4 rounds in SQL
+    with identical arithmetic. Returns the top-25 nodes. Tail
+    registration; value-checked by the local parity suite."""
+    from irclogbot_spark.operators.graph import pagerank
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    e0 = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("o_custkey", "l_suppkey")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    fwd = e0.select(
+        F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+        F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+        "w",
+    )
+    rev = e0.select(
+        F.concat(F.lit("s"), F.col("l_suppkey")).alias("src"),
+        F.concat(F.lit("c"), F.col("o_custkey")).alias("dst"),
+        "w",
+    )
+    ranks = pagerank(fwd.unionByName(rev), n_iter=4, damping_milli=850)
+    return ranks.orderBy(F.desc("rank_units"), F.asc("node")).limit(25)
+
+
 def queries() -> dict[str, QueryFn]:
     out = {n: QUERIES[n] for n in _DRIVER_WINDOW}
     for n, f in QUERIES.items():
