@@ -96,6 +96,7 @@ HEADLINE = [
     "emb_kmeans_clusters",
     "docs_data_card",
     "graph_pagerank_trade",
+    "docs_bpe_tokenize",
 ]
 
 #: headline queries that derive from the irclog (re-timed over the

@@ -2711,6 +2711,53 @@ FROM b{i}"""
 ORACLES["docs_bpe_merges"] = _bpe_merges_sql()
 
 
+def _bpe_tokenize_sql(n_merges: int = 8) -> str:
+    """ANSI twin of queries.docs_bpe_tokenize: the learned-merge CTE
+    chain from _bpe_merges_sql feeds an n_merges-deep nested replace
+    over every word's initial symbols (replay in learn order — the
+    classic greedy apply), re-flattened per doc in word order. The
+    apply side has NO sep-filter (training drops U+001F words;
+    encoding passes everything through, matching apply_bpe)."""
+    sep = "chr(31)"
+    prefix = _bpe_merges_sql(n_merges)
+    prefix = prefix[: prefix.index("\nSELECT CAST(1 AS INT)")]
+    # strip the final UNION SELECT block; keep "WITH ...v{n} (...)"
+    rep = "s"
+    for i in range(1, n_merges + 1):
+        rep = (
+            f"replace({rep}, (SELECT pair FROM b{i}), "
+            f"(SELECT replace(pair, {sep}, '') FROM b{i}))"
+        )
+    return (
+        prefix
+        + f""",
+dw AS MATERIALIZED (
+  SELECT doc_id, j AS word_idx, toks[j] AS word
+  FROM (SELECT doc_id, regexp_extract_all(text, '\\S+') AS toks FROM documents) t,
+       UNNEST(range(1, len(toks) + 1)) AS u(j)
+),
+sym0 AS (
+  SELECT doc_id, word_idx,
+    array_to_string(list_transform(range(1, length(word) + 1),
+      i -> substr(word, i, 1)), {sep}) || {sep} || '</w>' AS s
+  FROM dw
+),
+encw AS MATERIALIZED (SELECT doc_id, word_idx, {rep} AS s FROM sym0),
+docenc AS (
+  SELECT doc_id, string_agg(s, {sep} ORDER BY word_idx) AS all_s
+  FROM encw GROUP BY doc_id
+)
+SELECT d.doc_id,
+  CAST(COALESCE(len(string_split(e.all_s, {sep})), 0) AS BIGINT) AS n_bpe_tokens,
+  COALESCE(array_to_string(string_split(e.all_s, {sep})[1:10], ' '), '') AS preview
+FROM (SELECT doc_id FROM documents) d LEFT JOIN docenc e USING (doc_id)
+"""
+    )
+
+
+ORACLES["docs_bpe_tokenize"] = _bpe_tokenize_sql()
+
+
 def _kmeans_clusters_sql(n_cells: int = 16, n_iter: int = 5) -> str:
     """ANSI twin of queries.emb_kmeans_clusters: re-train the
     bit-identical driver replica (integer-quantized accumulation —

@@ -2212,6 +2212,29 @@ def graph_pagerank_trade(spark, sf_dir):
     return ranks.orderBy(F.desc("rank_units"), F.asc("node")).limit(25)
 
 
+@query("docs_bpe_tokenize")
+def docs_bpe_tokenize(spark, sf_dir):
+    """BPE application (operators/bpe.py:apply_bpe): encode every
+    document with the 8 merges docs_bpe_merges learns — train and
+    apply in one query, both re-derived by the oracle (the unrolled
+    merge CTEs feed an 8-deep nested replace over each word's
+    symbols). Output: (doc_id, n_bpe_tokens, preview) where preview
+    is the first 10 symbols — string+int only, hash-exact. The
+    encode itself is a pure projection (merges are plan constants);
+    the corpus never shuffles. Tail registration; value-checked by
+    the local parity suite."""
+    from irclogbot_spark.operators.bpe import apply_bpe, train_bpe
+
+    d = _t(spark, sf_dir, "documents")
+    merges = train_bpe(d, n_merges=8)
+    enc = apply_bpe(d, merges)
+    return enc.select(
+        "doc_id",
+        F.size("bpe_tokens").cast("long").alias("n_bpe_tokens"),
+        F.array_join(F.slice("bpe_tokens", 1, 10), " ").alias("preview"),
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     out = {n: QUERIES[n] for n in _DRIVER_WINDOW}
     for n, f in QUERIES.items():
