@@ -78,13 +78,14 @@ def pagerank(
             .groupBy("node")
             .agg(F.sum("c").alias("contrib"))
         )
-        ranks = (
-            nodes.join(contribs, "node", "left")
-            .select(
-                "node",
-                (F.lit(base).cast("long") + F.coalesce("contrib", F.lit(0)))
-                .alias("r"),
-            )
-            .localCheckpoint()
+        ranks = nodes.join(contribs, "node", "left").select(
+            "node",
+            (F.lit(base).cast("long") + F.coalesce("contrib", F.lit(0)))
+            .alias("r"),
         )
+        # NO per-round checkpoint: unlike the BPE loop there is no
+        # driver-side argmax between rounds, so the whole power
+        # iteration stays ONE lazy plan — lineage grows linearly
+        # (each round references the previous ranks exactly once)
+        # and AQE plans all rounds in a single job.
     return ranks.select("node", F.col("r").alias("rank_units"))

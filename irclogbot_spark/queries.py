@@ -2196,11 +2196,18 @@ def graph_pagerank_trade(spark, sf_dir):
     from irclogbot_spark.operators.graph import pagerank
 
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    # pre-aggregate lineitem per (order, supplier) BEFORE the fact
+    # join — shrinks the join's probe side by the lines-per-pair
+    # factor and the count re-aggregates associatively after
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
     e0 = (
         li.join(o, li["l_orderkey"] == o["o_orderkey"])
         .groupBy("o_custkey", "l_suppkey")
-        .agg(F.count(F.lit(1)).alias("w"))
+        .agg(F.sum("_n").alias("w"))
     )
     fwd = e0.select(
         F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
