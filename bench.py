@@ -97,6 +97,7 @@ HEADLINE = [
     "docs_data_card",
     "graph_pagerank_trade",
     "docs_bpe_tokenize",
+    "docs_tokenize_fast",
 ]
 
 #: headline queries that derive from the irclog (re-timed over the

@@ -39,3 +39,16 @@ def lit_double_matrix(rows: list[list[float]]) -> Column:
 
 def lit_long_array(vals: list[int]) -> Column:
     return F.expr("array(" + ",".join(f"{int(v)}L" for v in vals) + ")")
+
+
+def sql_string(s: str) -> str:
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
+def lit_string_int_map(pairs: list[tuple[str, int]]) -> Column:
+    """map<string,int> as one parsed expression — the broadcast-free
+    lookup table for bounded vocabularies."""
+    if not pairs:
+        return F.expr("map()").cast("map<string,int>")
+    body = ",".join(f"{sql_string(t)},{int(v)}" for t, v in pairs)
+    return F.expr(f"map({body})")

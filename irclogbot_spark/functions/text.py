@@ -489,3 +489,55 @@ def normalize_text(text: Column | str) -> Column:
     c = F.col(text) if isinstance(text, str) else text
     cleaned = F.regexp_replace(F.lower(c), r"[^a-z0-9\s]", "")
     return F.trim(F.regexp_replace(cleaned, r"\s+", " "))
+
+
+def tokenize_with_vocab_inline(
+    df,
+    vocab,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    unk_id: int = 0,
+):
+    """MAP-ONLY twin of ``tokenize_with_vocab``: the vocabulary is
+    collected once (tokenizer-sized by construction — the same
+    bounded-metadata rule as the IVF/PQ codebooks and the Bloom
+    words) and ships as ONE parsed map<string,int> literal; each
+    document then encodes entirely IN-ROW (transform + element_at).
+    Zero joins, zero shuffles, no explode/reassemble — at 100 TB
+    this removes the (id, pos, tid) triple shuffle the join form
+    pays (one row PER TOKEN, ~4x the corpus bytes), which is the
+    dominant cost of the encode pass. Same output contract:
+    ``(id, token_ids array<int>, n_tokens, n_oov)``, bit-identical
+    to the join form on any vocab (equivalence-tested; the
+    registered query reuses the docs_tokenize ORACLE as a
+    physical-path differential).
+
+    Same robustness contract as the join form: duplicate vocab terms
+    collapse to MIN rank; ``unk_id`` must stay outside the 1-based
+    rank space.
+    """
+    from irclogbot_spark.functions.lits import lit_string_int_map
+
+    if unk_id >= 1:
+        raise ValueError(
+            f"unk_id must be < 1 (ranks are 1-based), got {unk_id}"
+        )
+    pairs = [
+        (r["term"], int(r["rank"]))
+        for r in vocab.groupBy("term")
+        .agg(F.min("rank").alias("rank"))
+        .collect()
+    ]
+    m = lit_string_int_map(sorted(pairs))
+    toks = F.regexp_extract_all(F.col(text_col), F.lit(WORD_RE), F.lit(0))
+    tid = lambda t: F.coalesce(  # noqa: E731
+        F.element_at(m, t).cast("int"), F.lit(int(unk_id)).cast("int")
+    )
+    return df.select(
+        F.col(id_col),
+        F.transform(toks, tid).alias("token_ids"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(
+            F.filter(toks, lambda t: F.element_at(m, t).isNull())
+        ).cast("long").alias("n_oov"),
+    )

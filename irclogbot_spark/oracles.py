@@ -2440,6 +2440,9 @@ ORDER BY n_shared DESC, doc_a, doc_b LIMIT 20
 # bit-identical to the scan form, so the corpus-scan oracle doubles
 # as a physical-path differential (index dataflow vs SQL re-scan).
 ORACLES["docs_bm25_indexed"] = ORACLES["docs_bm25_search"]
+# map-literal encode vs explode/join/reassemble: two physical paths,
+# one value hash (the same convention)
+ORACLES["docs_tokenize_fast"] = ORACLES["docs_tokenize"]
 
 
 def _importance_resample_sql() -> str:

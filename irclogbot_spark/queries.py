@@ -2246,6 +2246,39 @@ def docs_bpe_tokenize(spark, sf_dir):
     )
 
 
+@query("docs_tokenize_fast")
+def docs_tokenize_fast(spark, sf_dir):
+    """Zero-shuffle tokenizer application
+    (functions/text.py:tokenize_with_vocab_inline): the same
+    vocab_coverage vocabulary ships as ONE plan-constant
+    map<string,int> literal and every document encodes in-row — no
+    explode, no join, no (id, pos, tid) reassembly shuffle
+    (plan-asserted). Reuses the docs_tokenize ORACLE: two different
+    physical dataflows, one value hash — the bm25_indexed
+    convention. Tail registration; value-checked by the local parity
+    suite."""
+    from irclogbot_spark.functions.text import (
+        tokenize_with_vocab_inline,
+        vocab_coverage,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    vocab = (
+        vocab_coverage(d, max_terms=100, coverage=0.9)
+        .filter(F.col("in_vocab"))
+        .select("rank", "term")
+    )
+    enc = tokenize_with_vocab_inline(d, vocab)
+    return enc.select(
+        "doc_id",
+        F.array_join(
+            F.transform(F.col("token_ids"), lambda t: t.cast("string")), " "
+        ).alias("token_ids_str"),
+        "n_tokens",
+        "n_oov",
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     out = {n: QUERIES[n] for n in _DRIVER_WINDOW}
     for n, f in QUERIES.items():

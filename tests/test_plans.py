@@ -319,3 +319,12 @@ def test_semantic_decontam_no_corpus_shuffle(spark):
     assert "hashpartitioning" not in plan, plan
     assert "SortMergeJoin" not in plan, plan
     assert "BroadcastExchange" in plan, plan
+
+
+def test_tokenize_fast_map_only(spark):
+    """docs_tokenize_fast: the vocab is a plan-constant map literal —
+    the encode is a pure projection over the scan. No join, no
+    exchange of any kind."""
+    plan = _plan(spark, "docs_tokenize_fast")
+    assert "Join" not in plan, plan
+    assert "Exchange" not in plan, plan

@@ -143,3 +143,33 @@ def test_normalized_dedup_merges_variants_raw_dedup_does_not(spark):
         docs.withColumn("_n", normalize_text("text")), text_col="_n"
     )
     assert sorted(r["doc_id"] for r in normed.collect()) == [1, 3]
+
+
+def test_tokenize_inline_equals_join_form(spark):
+    from irclogbot_spark.functions.text import (
+        tokenize_with_vocab,
+        tokenize_with_vocab_inline,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "the cat sat on the mat"), (2, "dog unknown words"), (3, "")],
+        ["doc_id", "text"],
+    )
+    # duplicate term rows on purpose: both forms must collapse to MIN rank
+    vocab = spark.createDataFrame(
+        [(1, "the"), (2, "cat"), (3, "dog"), (7, "the")], ["rank", "term"]
+    )
+    a = tokenize_with_vocab(docs, vocab).orderBy("doc_id").collect()
+    b = tokenize_with_vocab_inline(docs, vocab).orderBy("doc_id").collect()
+    for x, y in zip(a, b):
+        assert x["doc_id"] == y["doc_id"]
+        assert list(x["token_ids"]) == list(y["token_ids"])
+        assert x["n_tokens"] == y["n_tokens"] and x["n_oov"] == y["n_oov"]
+
+
+def test_tokenize_inline_unk_id_validation(spark):
+    from irclogbot_spark.functions.text import tokenize_with_vocab_inline
+    import pytest
+
+    with pytest.raises(ValueError):
+        tokenize_with_vocab_inline(None, None, unk_id=1)
