@@ -98,6 +98,7 @@ HEADLINE = [
     "graph_pagerank_trade",
     "docs_bpe_tokenize",
     "docs_tokenize_fast",
+    "media_frame_plan",
 ]
 
 #: headline queries that derive from the irclog (re-timed over the

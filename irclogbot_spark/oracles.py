@@ -2572,6 +2572,17 @@ LEFT JOIN agg a ON a.doc_id = d.doc_id
 ORACLES["docs_decontam_bloom"] = _decontam_bloom_sql()
 
 
+# ANSI twin of queries.media_frame_plan: same stub duration probe
+# (payload bytes % 120 + 1 — octet_length on the raw text equals the
+# UTF-8 binary cast's byte count via encode()), same inclusive 5s offset grid
+# (Spark sequence(0, d, 5) == range(0, d + 1, 5)).
+ORACLES["media_frame_plan"] = """
+SELECT doc_id AS asset_id,
+  unnest(range(0, (octet_length(encode(text)) % 120 + 1) + 1, 5)) AS offset_s
+FROM documents WHERE doc_id % 3 = 0
+"""
+
+
 # ANSI twin of queries.emb_semantic_decontam: same planted eval twins
 # (x * 1.001 + 0.001 over vec_id < 5), same cosine association
 # (dot / (norm_a * norm_b)); MAX over eval is order-free so the

@@ -2279,6 +2279,32 @@ def docs_tokenize_fast(spark, sf_dir):
     )
 
 
+@query("media_frame_plan")
+def media_frame_plan(spark, sf_dir):
+    """Video frame-sampling plan (operators/multimodal.py:
+    frame_sample_plan): every (asset, offset) pair to decode, one
+    row per 5s of (stub-probed) duration — the map-only expansion
+    that fans a video corpus out to frame-decode tasks; the grab
+    itself is the decode_images mapInPandas seam. Fixture: every
+    third synthesized asset is 'video'. Offsets/ids cast to long for
+    a dtype-exact hash. Tail registration; value-checked by the
+    local parity suite."""
+    from irclogbot_spark.operators.multimodal import (
+        frame_sample_plan,
+        synthesize_media,
+    )
+
+    media = synthesize_media(_t(spark, sf_dir, "documents")).withColumn(
+        "media_type",
+        F.when(F.col("asset_id") % 3 == 0, "video").otherwise("image"),
+    )
+    plan = frame_sample_plan(media, every_n_seconds=5)
+    return plan.select(
+        F.col("asset_id").cast("long").alias("asset_id"),
+        F.col("offset_s").cast("long").alias("offset_s"),
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     out = {n: QUERIES[n] for n in _DRIVER_WINDOW}
     for n, f in QUERIES.items():
