@@ -99,6 +99,7 @@ HEADLINE = [
     "docs_bpe_tokenize",
     "docs_tokenize_fast",
     "media_frame_plan",
+    "docs_lsh_recall",
 ]
 
 #: headline queries that derive from the irclog (re-timed over the

@@ -2862,6 +2862,34 @@ r{i}_t AS MATERIALIZED (
 ORACLES["graph_pagerank_trade"] = _pagerank_trade_sql()
 
 
+def _lsh_recall_sql() -> str:
+    """ANSI twin of queries.docs_lsh_recall: both pair sets are the
+    existing oracle pipelines nested as subqueries (exact 5-gram
+    Jaccard and the full MinHash-LSH candidate path under md5
+    twins); the metric is a join + integer milli recall with the
+    same explicit floor."""
+    ex = ORACLES["docs_neardup_jaccard"]
+    got = ORACLES["docs_minhash_lsh"]
+    return f"""
+WITH ex AS (SELECT d1, d2 FROM ({ex})),
+got AS (SELECT d1, d2 FROM ({got})),
+j AS (
+  SELECT e.d1, e.d2, (g.d1 IS NOT NULL) AS hit
+  FROM ex e LEFT JOIN got g ON g.d1 = e.d1 AND g.d2 = e.d2
+),
+a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_exact,
+        CAST(SUM(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS n_common
+      FROM j),
+b AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_lsh FROM got)
+SELECT n_exact, n_lsh, n_common,
+  CAST(floor(1000.0 * n_common / n_exact) AS BIGINT) AS recall_milli
+FROM a CROSS JOIN b
+"""
+
+
+ORACLES["docs_lsh_recall"] = _lsh_recall_sql()
+
+
 def oracle_sql() -> dict[str, str]:
     out = dict(ORACLES)
     # data-dependent oracles, built lazily so the training corpus

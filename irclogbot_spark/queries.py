@@ -2305,6 +2305,45 @@ def media_frame_plan(spark, sf_dir):
     )
 
 
+@query("docs_lsh_recall")
+def docs_lsh_recall(spark, sf_dir):
+    """LSH quality as a checked number — the docs twin of
+    emb_ann_recall: recall of the MinHash-LSH candidate path against
+    the exact 5-gram Jaccard pair set, one row (n_exact, n_lsh,
+    n_common, recall_milli). Both sides are the already-oracle-paired
+    pipelines (md5 twins), so the metric itself is value-hashed —
+    quality is MEASURED by the driver, not asserted by tests alone.
+    Integer milli recall, floor'd on both engines. Tail registration;
+    value-checked by the local parity suite."""
+    from irclogbot_spark.operators.dedup import (
+        jaccard_pairs,
+        md5_hash31,
+        minhash_neardup_pairs,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    exact = jaccard_pairs(d, n=5, threshold=0.8).select("d1", "d2")
+    got = minhash_neardup_pairs(d, threshold=0.8, hash_fn=md5_hash31).select(
+        "d1", "d2"
+    )
+    j = exact.join(
+        got.withColumn("_hit", F.lit(1)), ["d1", "d2"], "left"
+    )
+    a = j.agg(
+        F.count(F.lit(1)).alias("n_exact"),
+        F.sum(F.coalesce("_hit", F.lit(0))).cast("long").alias("n_common"),
+    )
+    b = got.agg(F.count(F.lit(1)).alias("n_lsh"))
+    return a.crossJoin(F.broadcast(b)).select(
+        "n_exact",
+        "n_lsh",
+        "n_common",
+        F.floor(F.lit(1000.0) * F.col("n_common") / F.col("n_exact"))
+        .cast("long")
+        .alias("recall_milli"),
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     out = {n: QUERIES[n] for n in _DRIVER_WINDOW}
     for n, f in QUERIES.items():
