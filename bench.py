@@ -100,6 +100,7 @@ HEADLINE = [
     "docs_tokenize_fast",
     "media_frame_plan",
     "docs_lsh_recall",
+    "docs_compression_ratio",
 ]
 
 #: headline queries that derive from the irclog (re-timed over the

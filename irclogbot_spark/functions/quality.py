@@ -73,3 +73,39 @@ def hashed_linear_logit(
     s = F.aggregate(picked, F.lit(int(bias)).cast("long"), lambda a, x: a + x)
     n = F.greatest(F.size(toks), F.lit(1))
     return s.cast("double") / (F.lit(int(scale)).cast("long") * n).cast("double")
+
+
+def compression_ratio_milli(text: Column | str) -> Column:
+    """zlib compression ratio in integer milli-units —
+    floor(1000 * compressed_bytes / raw_bytes) at level 6. The
+    classic cheap repetition/quality signal (Gopher's repetition
+    family, RefinedWeb's filters): boilerplate and template text
+    compresses far below natural prose, so a LOW ratio flags
+    low-information documents. Empty/NULL text scores NULL.
+
+    Not SQL-expressible (no zlib in DuckDB): an Arrow-batched pandas
+    UDF — the multimodal convention for codec-shaped work. Batches
+    stream through zlib C code; per-row Python overhead is one dict
+    call, and the column is map-only at any scale (no shuffle, no
+    join). Deterministic: zlib output at a fixed level is stable for
+    a given input on a given zlib build, and the registered query is
+    rows-only checked with a pure-Python differential test pinning
+    values (the winnow/importance convention for non-SQL ops)."""
+    import pandas as pd  # noqa: F401
+
+    @F.pandas_udf("long")
+    def _ratio(s):
+        import zlib
+
+        def one(t):
+            if t is None:
+                return None
+            raw = t.encode("utf-8")
+            if not raw:
+                return None
+            return (len(zlib.compress(raw, 6)) * 1000) // len(raw)
+
+        return s.map(one)
+
+    c = F.col(text) if isinstance(text, str) else text
+    return _ratio(c)

@@ -2344,6 +2344,25 @@ def docs_lsh_recall(spark, sf_dir):
     )
 
 
+@query("docs_compression_ratio")
+def docs_compression_ratio(spark, sf_dir):
+    """zlib compression-ratio quality signal
+    (functions/quality.py:compression_ratio_milli): per-doc
+    floor(1000*compressed/raw) at level 6 plus a repetitive flag
+    (< 400 milli — template-like text). Arrow pandas-UDF map-only
+    pass — the one text-quality signal that genuinely needs a codec,
+    run the way the multimodal tier runs codecs. No SQL oracle
+    (zlib ∉ DuckDB): rows-only driver check + pure-Python
+    differential test. Tail registration."""
+    from irclogbot_spark.functions.quality import compression_ratio_milli
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        compression_ratio_milli("text").alias("comp_milli"),
+    ).withColumn("repetitive", F.col("comp_milli") < 400)
+
+
 def queries() -> dict[str, QueryFn]:
     out = {n: QUERIES[n] for n in _DRIVER_WINDOW}
     for n, f in QUERIES.items():

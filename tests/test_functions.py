@@ -82,3 +82,36 @@ def test_hashed_linear_logit_exact_and_partition_invariant(spark):
     for i, t in rows:
         assert out[i] == py_logit(t), (i, t)
     assert run(d.repartition(7)) == out
+
+
+def test_compression_ratio_matches_python_zlib(spark, sf_dir):
+    """Differential vs pure-Python zlib on the real corpus (the
+    winnow convention for non-SQL-expressible ops)."""
+    import zlib
+
+    from irclogbot_spark.functions.quality import compression_ratio_milli
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(100)
+    got = {
+        r["doc_id"]: r["m"]
+        for r in docs.select(
+            "doc_id", compression_ratio_milli("text").alias("m")
+        ).collect()
+    }
+    for r in docs.select("doc_id", "text").collect():
+        raw = r["text"].encode("utf-8")
+        want = (len(zlib.compress(raw, 6)) * 1000) // len(raw) if raw else None
+        assert got[r["doc_id"]] == want
+
+
+def test_compression_ratio_flags_repetitive_text(spark):
+    from irclogbot_spark.functions.quality import compression_ratio_milli
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, "spam " * 500), (2, None), (3, "")], ["doc_id", "text"]
+    ).select("doc_id", compression_ratio_milli("text").alias("m"))
+    got = {r["doc_id"]: r["m"] for r in df.collect()}
+    assert got[1] is not None and got[1] < 100  # highly compressible
+    assert got[2] is None and got[3] is None
