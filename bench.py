@@ -101,6 +101,7 @@ HEADLINE = [
     "media_frame_plan",
     "docs_lsh_recall",
     "docs_compression_ratio",
+    "events_anomaly",
 ]
 
 #: headline queries that derive from the irclog (re-timed over the

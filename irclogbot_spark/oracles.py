@@ -2657,6 +2657,28 @@ FROM per_doc
 """
 
 
+# ANSI twin of queries.events_anomaly: same decimal(12,2)->centi
+# conversion, same square-compare 3-sigma form — all BIGINT, no
+# float stats anywhere.
+ORACLES["events_anomaly"] = """
+WITH c AS (
+  SELECT event_type,
+    CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS x
+  FROM events
+),
+s AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        SUM(x) AS sx, SUM(x*x) AS q
+      FROM c GROUP BY event_type)
+SELECT c.event_type,
+  CAST(COUNT(*) AS BIGINT) AS n_events,
+  CAST(SUM(CASE WHEN (s.n*c.x - s.sx)*(s.n*c.x - s.sx)
+                     > 9*(s.n*s.q - s.sx*s.sx)
+            THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM c JOIN s USING (event_type)
+GROUP BY c.event_type
+"""
+
+
 ORACLES["events_top_paths"] = """
 WITH s AS (
   SELECT event_type,

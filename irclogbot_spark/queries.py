@@ -2363,6 +2363,48 @@ def docs_compression_ratio(spark, sf_dir):
     ).withColumn("repetitive", F.col("comp_milli") < 400)
 
 
+@query("events_anomaly")
+def events_anomaly(spark, sf_dir):
+    """3-sigma anomaly counts per event type, in EXACT integer
+    arithmetic: values go to centi-units via the decimal(12,2) cast
+    (the dsum convention — exact on 2-decimal data), and the sigma
+    test is the square-compare form (n*x - S)^2 > 9*(n*Q - S^2) — no
+    sqrt, no float mean, so the flag is bit-identical across engines
+    and partitionings. Per-type stats partial-aggregate and
+    broadcast back (types are bounded); the flag is then in-row.
+    BIGINT headroom: |x| < 10^5 centi and n < 10^7 keep every term
+    under 2^63 — at larger n, window the stats or lift to
+    decimal(38). Tail registration; value-checked by the local
+    parity suite."""
+    ev = _t(spark, sf_dir, "events")
+    c = ev.select(
+        "event_type",
+        (F.col("value").cast("decimal(12,2)") * 100)
+        .cast("long")
+        .alias("x"),
+    )
+    s = c.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("s"),
+        F.sum(F.col("x") * F.col("x")).alias("q"),
+    )
+    j = c.join(F.broadcast(s), "event_type")
+    dev = F.col("n") * F.col("x") - F.col("s")
+    var9 = F.lit(9) * (F.col("n") * F.col("q") - F.col("s") * F.col("s"))
+    return (
+        j.select(
+            "event_type", (dev * dev > var9).alias("_out")
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.when(F.col("_out"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_outliers"),
+        )
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     out = {n: QUERIES[n] for n in _DRIVER_WINDOW}
     for n, f in QUERIES.items():

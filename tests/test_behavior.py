@@ -196,3 +196,27 @@ def test_top_event_paths_steps_validation(spark):
 
     with pytest.raises(ValueError):
         top_event_paths(None, steps=1)
+
+
+def test_events_anomaly_flags_planted_outlier(spark):
+    """The square-compare 3-sigma form flags an obvious spike and
+    nothing in a tight cluster."""
+    import __spark_entry__  # noqa: F401  (registry import side effect)
+    from pyspark.sql import functions as F
+
+    rows = [(i, "a", 10.0 + (i % 3) * 0.01) for i in range(50)] + [(99, "a", 500.0)]
+    ev = spark.createDataFrame(rows, ["event_id", "event_type", "value"])
+    c = ev.select(
+        "event_type",
+        (F.col("value").cast("decimal(12,2)") * 100).cast("long").alias("x"),
+    )
+    s = c.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("x").alias("s"),
+        F.sum(F.col("x") * F.col("x")).alias("q"),
+    )
+    j = c.join(F.broadcast(s), "event_type")
+    dev = F.col("n") * F.col("x") - F.col("s")
+    var9 = F.lit(9) * (F.col("n") * F.col("q") - F.col("s") * F.col("s"))
+    out = j.select("x", (dev * dev > var9).alias("o")).collect()
+    flagged = {r["x"] for r in out if r["o"]}
+    assert flagged == {50000}

@@ -328,3 +328,12 @@ def test_tokenize_fast_map_only(spark):
     plan = _plan(spark, "docs_tokenize_fast")
     assert "Join" not in plan, plan
     assert "Exchange" not in plan, plan
+
+
+def test_events_anomaly_broadcast_stats_two_narrow_shuffles(spark):
+    """events_anomaly: the per-type stat table broadcasts back (types
+    are bounded) — no sort-merge join; shuffles carry only
+    (type, centi-value) pairs and partial-agg states."""
+    plan = _plan(spark, "events_anomaly")
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
