@@ -81,3 +81,37 @@ def test_salted_join_equals_plain_join(spark):
         F.count(F.lit(1)).alias("n"), F.sum("v").alias("sv"), F.sum("w").alias("sw")
     ).first()
     assert (plain.n, plain.sv, plain.sw) == (salted.n, salted.sv, salted.sw)
+
+
+def test_bucketed_table_elides_shuffle_on_bucket_column(spark, sf_dir, tmp_path):
+    """write_irclog_bucketed's claim, plan-asserted: a groupBy on the
+    bucket column over the bucketed table has NO exchange (rows are
+    co-located at write time), and a self-equi-join on it plans
+    without either side shuffling."""
+    from pyspark.sql import functions as F
+
+    from irclogbot_spark import synth
+    from irclogbot_spark.sources.files import write_irclog_bucketed
+
+    # (warehouse dir is a static conf — the managed table lands in the
+    # session default and is dropped below; spark-warehouse/ is
+    # gitignored)
+    log = synth.irclog(spark, sf_dir).select("channel", "nick", "remark")
+    write_irclog_bucketed(log, "bucketed_log_test", buckets=8)
+    try:
+        t = spark.table("bucketed_log_test")
+        agg_plan = t.groupBy("channel").count()._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+        )
+        assert "Exchange" not in agg_plan, agg_plan
+        # force the sort-merge path (a broadcast would mask the
+        # co-location): bucketed sides must join with ZERO shuffle
+        # exchanges — only in-partition sorts remain
+        j = t.alias("a").hint("merge").join(t.alias("b").hint("merge"), "channel")
+        join_plan = j._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+        )
+        assert "SortMergeJoin" in join_plan, join_plan
+        assert "Exchange hashpartitioning" not in join_plan, join_plan
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bucketed_log_test")
