@@ -102,6 +102,7 @@ HEADLINE = [
     "docs_lsh_recall",
     "docs_compression_ratio",
     "events_anomaly",
+    "docs_pps_sample",
 ]
 
 #: headline queries that derive from the irclog (re-timed over the

@@ -17,6 +17,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from irclogbot_spark.plans.partitioning import ensure_parallelism
+
 #: resolution of the uniform draw (1e-6 rate granularity)
 _DENOM = 1_000_000
 
@@ -250,4 +252,76 @@ def token_budget_cap(
         df.withColumn("_bc_draw", draw)
         .withColumn("cum_tokens", F.sum(n_tokens_col).over(w))
         .filter(F.col("cum_tokens") <= budget_tokens)
+    )
+
+
+def pps_systematic_sample(
+    df: DataFrame,
+    n: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    salt: str = "pps",
+    draw_fn=None,
+    buckets: int = 256,
+) -> DataFrame:
+    """Probability-proportional-to-size SYSTEMATIC sampling — the
+    survey-statistics workhorse for size-weighted corpus subsets
+    (bigger documents proportionally likelier, deterministic, no
+    float randomness): rows are laid on a line in pseudo-random order
+    (content-hash draw), integer weights accumulate, and every
+    ``stride = total_w DIV n``-th point on the line picks the row
+    whose weight interval covers it. Rows with w >= stride can cover
+    several stride points but are emitted ONCE (sampling without
+    replacement). Returns the selected rows with their draw/cum
+    columns dropped; expected count ≈ n (exact up to stride
+    rounding).
+
+    Scale shape — the global running total is computed as a
+    DISTRIBUTED PREFIX SUM, not a single-partition window: the draw
+    range splits into ``buckets`` aligned sub-ranges; per-bucket
+    totals (a tiny partial agg) prefix-sum on one ~buckets-row frame,
+    broadcast back as offsets, and each bucket computes its local
+    running total under ``Window.partitionBy(bucket)`` — bounded
+    window partitions at ANY corpus size, bit-identical to the
+    single-window form (integer sums, aligned boundaries). The
+    oracle is the plain global-window SQL.
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    draw_fn = draw_fn or _draw
+    d = ensure_parallelism(df).select(
+        "*",
+        draw_fn([id_col], salt).alias("_draw"),
+        F.col(weight_col).cast("long").alias("_w"),
+    ).withColumn(
+        "_bucket", F.floor(F.col("_draw") * buckets / _DENOM).cast("int")
+    )
+    per_bucket = d.groupBy("_bucket").agg(F.sum("_w").alias("_bw"))
+    w_off = Window.orderBy("_bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    offsets = per_bucket.select(
+        "_bucket",
+        (F.sum("_bw").over(w_off) - F.col("_bw")).alias("_off"),
+        F.sum("_bw").over(
+            Window.orderBy("_bucket").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("_total"),
+    )
+    w_in = Window.partitionBy("_bucket").orderBy("_draw", id_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = (
+        d.join(F.broadcast(offsets), "_bucket")
+        .withColumn("_cum", F.col("_off") + F.sum("_w").over(w_in))
+    )
+    # selection: the row's (prev, cum] interval contains a stride
+    # multiple <=> floor(prev/stride) < floor(cum/stride); integer DIV
+    # (no float division anywhere — exact at any magnitude)
+    stride = F.greatest(F.lit(1).cast("long"), F.expr(f"_total DIV {int(n)}"))
+    return (
+        cum.withColumn("_stride", stride)
+        .filter(F.expr("(_cum - _w) DIV _stride") < F.expr("_cum DIV _stride"))
+        .drop("_draw", "_w", "_bucket", "_off", "_total", "_cum", "_stride")
     )

@@ -2657,6 +2657,30 @@ FROM per_doc
 """
 
 
+# ANSI twin of queries.docs_pps_sample: the SINGLE-WINDOW global
+# form of the distributed prefix sum — same portable draw, same
+# (draw, id) order, integer cumulative weights, stride DIV
+# selection. Equality of the two forms IS the check on the
+# bucket-offset machinery.
+ORACLES["docs_pps_sample"] = f"""
+WITH d AS (
+  SELECT doc_id, lang, source, n_chars,
+    {_portable_draw_sql('pps', 'CAST(doc_id AS VARCHAR)')} AS draw,
+    CAST(n_chars AS BIGINT) AS w
+  FROM documents
+),
+c AS (
+  SELECT doc_id, lang, source, n_chars, w,
+    SUM(w) OVER (ORDER BY draw, doc_id
+                 ROWS UNBOUNDED PRECEDING) AS cum,
+    SUM(w) OVER () AS total
+  FROM d
+)
+SELECT doc_id, lang, source, n_chars FROM c
+WHERE (cum - w) // GREATEST(1, total // 50) < cum // GREATEST(1, total // 50)
+"""
+
+
 # ANSI twin of queries.events_anomaly: same decimal(12,2)->centi
 # conversion, same square-compare 3-sigma form — all BIGINT, no
 # float stats anywhere.

@@ -2405,6 +2405,28 @@ def events_anomaly(spark, sf_dir):
     )
 
 
+@query("docs_pps_sample")
+def docs_pps_sample(spark, sf_dir):
+    """Size-weighted systematic sampling (operators/sampling.py:
+    pps_systematic_sample): ~50 documents drawn
+    probability-proportional-to-n_chars on the portable content-hash
+    line. The global cumulative weight is a DISTRIBUTED prefix sum
+    (bucket partials + broadcast offsets + bounded in-bucket
+    windows); the oracle is the single-window global SQL —
+    bit-identical by integer-sum alignment, so the distributed
+    prefix-sum machinery itself is value-hashed. Tail registration;
+    value-checked by the local parity suite."""
+    from irclogbot_spark.operators.sampling import (
+        portable_draw,
+        pps_systematic_sample,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "source", "n_chars")
+    return pps_systematic_sample(
+        d, n=50, weight_col="n_chars", draw_fn=portable_draw
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     out = {n: QUERIES[n] for n in _DRIVER_WINDOW}
     for n, f in QUERIES.items():

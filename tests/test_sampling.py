@@ -272,3 +272,41 @@ def test_temperature_sample_general_tau_monotone(spark):
     assert p2 < 0.5 and p4 < p2  # more temperature, more tail tilt
     with _pytest.raises(ValueError):
         temperature_sample(d, "grp", ["doc_id"], tau=0.0)
+
+
+def test_pps_bucketed_prefix_sum_equals_single_window(spark, sf_dir):
+    """The distributed prefix-sum (256 aligned buckets + offsets)
+    must select the EXACT same rows as the degenerate single-bucket
+    form — integer sums over aligned boundaries."""
+    from irclogbot_spark.operators.sampling import (
+        portable_draw,
+        pps_systematic_sample,
+    )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "n_chars"
+    )
+    a = pps_systematic_sample(d, 40, "n_chars", draw_fn=portable_draw, buckets=256)
+    b = pps_systematic_sample(d, 40, "n_chars", draw_fn=portable_draw, buckets=1)
+    ia = sorted(r["doc_id"] for r in a.collect())
+    ib = sorted(r["doc_id"] for r in b.collect())
+    assert ia == ib and len(ia) >= 35
+
+
+def test_pps_heavy_row_always_selected_and_no_duplicates(spark):
+    from irclogbot_spark.operators.sampling import pps_systematic_sample
+
+    rows = [(i, 1) for i in range(100)] + [(999, 100000)]
+    d = spark.createDataFrame(rows, ["doc_id", "n_chars"])
+    out = [r["doc_id"] for r in pps_systematic_sample(d, 10, "n_chars").collect()]
+    assert 999 in out  # covers many stride points -> certainly selected
+    assert len(out) == len(set(out))  # ...but emitted once
+
+
+def test_pps_n_validation(spark):
+    import pytest
+
+    from irclogbot_spark.operators.sampling import pps_systematic_sample
+
+    with pytest.raises(ValueError):
+        pps_systematic_sample(None, 0, "w")
