@@ -1899,6 +1899,14 @@ _DRIVER_WINDOW = [
     "docs_winnow_fingerprint",
     "docs_importance_resample",
 ]
+# ROUND-6 ROTATION PLAN: the 17 oracle-paired queries added later in
+# round 5 (docs_paragraph_dedup, docs_decontam_bloom, events_top_paths,
+# emb_semantic_decontam, docs_normalized_dedup, docs_bpe_merges,
+# docs_bpe_tokenize, emb_kmeans_clusters, docs_data_card,
+# graph_pagerank_trade, docs_tokenize_fast, media_frame_plan,
+# docs_lsh_recall, events_anomaly, docs_pps_sample, ...) registered at
+# the tail to leave the round-3/4 flagships their FIRST driver-recorded
+# rows; rotate them into the window next round once those rows exist.
 
 
 @query("docs_dedup_keep_best_fast")
