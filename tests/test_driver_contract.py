@@ -28,9 +28,9 @@ def test_every_recorded_registration_is_oracle_paired():
 
 
 def test_rows_only_queries_register_after_the_cap():
-    """The 5 queries with no SQL-expressible oracle (xxhash twins,
-    blake2b compat ids, sketch aggregates) must stay in the tail —
-    inside the window they would waste a hard-check slot on a
+    """The queries with no SQL-expressible oracle (xxhash twins,
+    blake2b compat ids, sketch aggregates, zlib) must stay in the
+    tail — inside the window they would waste a hard-check slot on a
     rows-only comparison."""
     qs = list(entrymod.queries())
     oracles = set(entrymod.oracle_sql())
@@ -42,6 +42,7 @@ def test_rows_only_queries_register_after_the_cap():
         "docs_prep_pipeline_fast",
         "docs_dedup_keep_best_fast",
         "events_approx_stats",
+        "docs_compression_ratio",
     }
     assert unpaired <= set(qs[50:])
 
