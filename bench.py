@@ -103,6 +103,7 @@ HEADLINE = [
     "docs_compression_ratio",
     "events_anomaly",
     "docs_pps_sample",
+    "log_trending_terms",
 ]
 
 #: headline queries that derive from the irclog (re-timed over the

@@ -2681,6 +2681,22 @@ WHERE (cum - w) // GREATEST(1, total // 50) < cum // GREATEST(1, total // 50)
 """
 
 
+# ANSI twin of queries.log_trending_terms: same \S+ remark tokens,
+# day truncation, (n DESC, term) rank.
+ORACLES["log_trending_terms"] = rf"""
+WITH {{IRCLOG_CTE}},
+t AS (SELECT CAST(date_trunc('day', posted) AS DATE) AS day,
+        unnest(regexp_extract_all(remark, '\S+')) AS term
+      FROM irclog),
+c AS (SELECT day, term, CAST(COUNT(*) AS BIGINT) AS n FROM t GROUP BY day, term)
+SELECT day, term, n, rnk FROM (
+  SELECT day, term, n,
+    CAST(ROW_NUMBER() OVER (PARTITION BY day ORDER BY n DESC, term) AS BIGINT) AS rnk
+  FROM c
+) WHERE rnk <= 5
+""".format(IRCLOG_CTE=IRCLOG_CTE)
+
+
 # ANSI twin of queries.events_anomaly: same decimal(12,2)->centi
 # conversion, same square-compare 3-sigma form — all BIGINT, no
 # float stats anywhere.

@@ -2435,6 +2435,30 @@ def docs_pps_sample(spark, sf_dir):
     )
 
 
+@query("log_trending_terms")
+def log_trending_terms(spark, sf_dir):
+    """Trending terms — the streaming dashboard's batch form: top-5
+    remark tokens per day, ranked within each day window. One
+    (day, term) partial-agg shuffle + a per-day rank window; the
+    STREAMING twin computes the same windowed counts from a file
+    stream (equivalence-tested in tests/test_streaming_extras.py —
+    rank stays a batch/serving concern, the standard
+    stream-counts + serve-ranks split). Tail registration;
+    value-checked by the local parity suite."""
+    from irclogbot_spark.operators.dedup import tokens
+
+    log = synth.irclog(spark, sf_dir)
+    t = log.select(
+        F.to_date("posted").alias("day"),
+        F.explode(tokens(F.col("remark"))).alias("term"),
+    )
+    counts = t.groupBy("day", "term").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("day").orderBy(F.desc("n"), F.asc("term"))
+    return counts.withColumn(
+        "rnk", F.row_number().over(w).cast("long")
+    ).filter(F.col("rnk") <= 5)
+
+
 def queries() -> dict[str, QueryFn]:
     out = {n: QUERIES[n] for n in _DRIVER_WINDOW}
     for n, f in QUERIES.items():

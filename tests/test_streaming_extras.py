@@ -740,3 +740,55 @@ def test_ann_index_ingest_crash_replay_idempotent(spark, tmp_path):
     # re-running the same compact converges (idempotent recovery)
     annindex.compact(spark, index_dir, upto_batch_id=0)
     assert rowset() == before
+
+
+def test_streaming_trending_term_counts_match_batch(spark, tmp_path):
+    """log_trending_terms' streaming twin: windowed (day, term)
+    counts from a watermarked file stream equal the batch counts —
+    the stream-counts + serve-ranks split (rank stays a serving-side
+    batch window, so the check is on the counts the stream owns)."""
+    from irclogbot_spark import synth
+    from irclogbot_spark.operators.dedup import tokens
+
+    log = synth.irclog(spark, SF).select(
+        F.col("posted").cast("timestamp").alias("posted"), "remark"
+    )
+    src = str(tmp_path / "log_src")
+    log.write.parquet(src)
+
+    stream = (
+        spark.readStream.schema(log.schema)
+        .parquet(src)
+        .withWatermark("posted", "1 day")
+        .select(
+            F.window("posted", "1 day").alias("w"),
+            F.explode(tokens(F.col("remark"))).alias("term"),
+        )
+        .groupBy("w", "term")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.to_date("w.start").alias("day"), "term", "n")
+    )
+    out = str(tmp_path / "trend_out")
+    q = (
+        stream.writeStream.outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "trend_ckpt"))
+        .trigger(availableNow=True)
+        .format("parquet")
+        .start(out)
+    )
+    q.awaitTermination(120)
+    got = {(r.day, r.term): r.n for r in spark.read.parquet(out).collect()}
+    want = {
+        (r.day, r.term): r.n
+        for r in log.select(
+            F.to_date("posted").alias("day"),
+            F.explode(tokens(F.col("remark"))).alias("term"),
+        )
+        .groupBy("day", "term")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    # append mode withholds the newest still-open day window
+    assert len(got) >= len(want) // 2
+    for k, n in got.items():
+        assert want[k] == n
