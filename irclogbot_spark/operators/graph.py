@@ -47,7 +47,12 @@ def pagerank(
     """Weighted PageRank over a directed edge list; returns
     ``(node, rank_units)`` for every edge endpoint. Undirected graphs
     pass both edge directions. Nodes are edge endpoints — an isolated
-    node (no edges at all) is out of scope by construction.
+    node (no edges at all) is out of scope by construction. Weights
+    must be POSITIVE integers: zero-weight edges contribute nothing
+    (harmless), but a negative weight breaks the floor'd DIV
+    contribution semantics — drop or clamp them upstream (no
+    distributed assert here; a validation pass would cost a full
+    edge scan per call).
     """
     if not 0 < damping_milli < 1000:
         raise ValueError(f"damping_milli in (0, 1000), got {damping_milli}")
