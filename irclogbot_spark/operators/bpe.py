@@ -25,15 +25,29 @@ Scale design (the 100 TB path):
 
 Determinism contract (oracle-matched): words are \\S+ tokens;
 symbols are the word's characters plus a trailing ``</w>``
-end-of-word marker, joined by the U+001F separator (words containing
-U+001F are dropped — impossible for \\S+ tokens to contain spaces but
-control bytes are filtered explicitly); pair counts include
-overlapping occurrences (Sennrich's counting); the winning pair is
-(count DESC, "l\\x1fr" ASC) — the concat-with-low-separator order
-equals tuple order because 0x1F sorts below every printable byte;
-merging is left-to-right non-overlapping (Java String.replace ==
-DuckDB replace() == Sennrich's regex pass). Training stops early if
-the best pair's count falls below ``min_freq``.
+end-of-word marker (words containing U+001F are dropped — impossible
+for \\S+ tokens to contain spaces but control bytes are filtered
+explicitly); pair counts include overlapping occurrences (Sennrich's
+counting); the winning pair is (count DESC, "l\\x1fr" ASC) — the
+concat-with-low-separator order equals tuple order because 0x1F
+sorts below every printable byte. Training stops early if the best
+pair's count falls below ``min_freq``.
+
+Symbol-boundary safety (the WRAPPED representation): the symbol
+sequence is stored as ``\\x1f sym1 \\x1f\\x1f sym2 \\x1f\\x1f ... \\x1f``
+— ONE separator at each end, TWO between adjacent symbols. A merge
+of (lhs, rhs) is then the literal replace of
+``\\x1f lhs \\x1f\\x1f rhs \\x1f`` with ``\\x1f lhs+rhs \\x1f``. Because
+symbols never contain U+001F, the pattern can only match at symbol
+boundaries (a naive single-separator join would let ``b\\x1fc``
+match inside the symbols ``ab | c`` or ``b | cd``), the replacement
+restores the wrapped invariant, and consecutive disjoint pairs still
+both match (each match consumes only one half of the double
+separator on each side). Plain ``replace()`` is left-to-right
+non-overlapping and byte-identical between Java (Spark) and DuckDB,
+so the oracle needs no regex lookaround (RE2 has none). Matches the
+pure-Python Sennrich reference in tests/test_bpe.py exactly,
+including ADVICE r5's cross-boundary repro {bc:20, ab:15, abc:5}.
 """
 
 from __future__ import annotations
@@ -45,6 +59,7 @@ from irclogbot_spark.operators.dedup import tokens
 from irclogbot_spark.plans.partitioning import ensure_parallelism
 
 SEP = "\x1f"
+SEP2 = SEP + SEP
 EOW = "</w>"
 
 
@@ -60,19 +75,37 @@ def word_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def _initial_symbols(word) -> F.Column:
+    """Wrapped form: \\x1f c1 \\x1f\\x1f c2 ... \\x1f\\x1f </w> \\x1f."""
     chars = F.transform(
         F.sequence(F.lit(1), F.length(word)),
         lambda i: word.substr(i, F.lit(1)),
     )
-    return F.concat(F.array_join(chars, SEP), F.lit(SEP + EOW))
+    return F.concat(
+        F.lit(SEP), F.array_join(chars, SEP2), F.lit(SEP2 + EOW + SEP)
+    )
+
+
+def _symbol_list(syms) -> F.Column:
+    """Wrapped string -> array of symbols (strip edge seps, split on
+    the double internal separator)."""
+    return F.split(F.btrim(syms, F.lit(SEP)), SEP2)
 
 
 def _pairs(syms) -> F.Column:
-    s = F.split(syms, SEP)
-    return F.transform(
-        F.sequence(F.lit(1), F.size(s) - 1),
-        lambda j: F.concat_ws(SEP, F.element_at(s, j), F.element_at(s, j + 1)),
-    )
+    """Adjacent (lhs \\x1f rhs) pair keys; single-separator key keeps
+    the (cnt DESC, pair ASC) tie-break identical to tuple order. A
+    fully-merged word (one symbol) yields the empty array — the
+    guard matters because F.sequence(1, 0) would DESCEND."""
+    s = _symbol_list(syms)
+    return F.when(
+        F.size(s) > 1,
+        F.transform(
+            F.sequence(F.lit(1), F.size(s) - 1),
+            lambda j: F.concat_ws(
+                SEP, F.element_at(s, j), F.element_at(s, j + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def train_bpe(
@@ -114,7 +147,9 @@ def train_bpe(
         )
         vocab = vocab.select(
             F.replace(
-                F.col("syms"), F.lit(best["pair"]), F.lit(merged)
+                F.col("syms"),
+                F.lit(SEP + lhs + SEP2 + rhs + SEP),
+                F.lit(SEP + merged + SEP),
             ).alias("syms"),
             "freq",
         ).localCheckpoint()
@@ -138,9 +173,11 @@ def apply_bpe(
         syms = _initial_symbols(word)
         for m in merges:
             syms = F.replace(
-                syms, F.lit(m["lhs"] + SEP + m["rhs"]), F.lit(m["merged"])
+                syms,
+                F.lit(SEP + m["lhs"] + SEP2 + m["rhs"] + SEP),
+                F.lit(SEP + m["merged"] + SEP),
             )
-        return F.split(syms, SEP)
+        return _symbol_list(syms)
 
     return df.withColumn(
         out_col, F.flatten(F.transform(toks, encode))

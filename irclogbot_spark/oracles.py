@@ -2744,7 +2744,10 @@ def _bpe_merges_sql(n_merges: int = 8) -> str:
     non-overlapping replace() carried into the next step's table.
     DuckDB's replace == Java String.replace on this contract. The
     U+001F separator sorts below every printable byte, so concat
-    order equals tuple order in the tie-break."""
+    order equals tuple order in the tie-break. Uses the same WRAPPED
+    symbol representation as operators/bpe.py (one edge separator,
+    two between symbols) so the literal replace can only match at
+    symbol boundaries — no lookaround needed (RE2 has none)."""
     sep = "chr(31)"
     ctes = [
         rf"""w AS (
@@ -2754,8 +2757,9 @@ def _bpe_merges_sql(n_merges: int = 8) -> str:
   GROUP BY word
 ),
 v0 AS MATERIALIZED (
-  SELECT array_to_string(list_transform(range(1, length(word) + 1),
-           i -> substr(word, i, 1)), {sep}) || {sep} || '</w>' AS syms, freq
+  SELECT {sep} || array_to_string(list_transform(range(1, length(word) + 1),
+           i -> substr(word, i, 1)), {sep} || {sep})
+    || {sep} || {sep} || '</w>' || {sep} AS syms, freq
   FROM w
 )"""
     ]
@@ -2763,14 +2767,18 @@ v0 AS MATERIALIZED (
         ctes.append(
             f"""p{i} AS MATERIALIZED (
   SELECT s[j] || {sep} || s[j+1] AS pair, SUM(freq) AS cnt
-  FROM (SELECT string_split(syms, {sep}) AS s, freq FROM v{i-1}) t,
+  FROM (SELECT string_split(trim(syms, {sep}), {sep} || {sep}) AS s, freq
+        FROM v{i-1}) t,
        UNNEST(range(1, len(s))) AS u(j)
   GROUP BY pair
 ),
 b{i} AS MATERIALIZED (SELECT pair, cnt FROM p{i} ORDER BY cnt DESC, pair LIMIT 1),
 v{i} AS MATERIALIZED (
-  SELECT replace(syms, (SELECT pair FROM b{i}),
-                 (SELECT replace(pair, {sep}, '') FROM b{i})) AS syms, freq
+  SELECT replace(syms,
+                 (SELECT {sep} || replace(pair, {sep}, {sep} || {sep}) || {sep}
+                  FROM b{i}),
+                 (SELECT {sep} || replace(pair, {sep}, '') || {sep}
+                  FROM b{i})) AS syms, freq
   FROM v{i-1}
 )"""
         )
@@ -2801,9 +2809,12 @@ def _bpe_tokenize_sql(n_merges: int = 8) -> str:
     rep = "s"
     for i in range(1, n_merges + 1):
         rep = (
-            f"replace({rep}, (SELECT pair FROM b{i}), "
-            f"(SELECT replace(pair, {sep}, '') FROM b{i}))"
+            f"replace({rep}, "
+            f"(SELECT {sep} || replace(pair, {sep}, {sep} || {sep}) || {sep} "
+            f"FROM b{i}), "
+            f"(SELECT {sep} || replace(pair, {sep}, '') || {sep} FROM b{i}))"
         )
+    sep2 = f"{sep} || {sep}"
     return (
         prefix
         + f""",
@@ -2814,18 +2825,21 @@ dw AS MATERIALIZED (
 ),
 sym0 AS (
   SELECT doc_id, word_idx,
-    array_to_string(list_transform(range(1, length(word) + 1),
-      i -> substr(word, i, 1)), {sep}) || {sep} || '</w>' AS s
+    {sep} || array_to_string(list_transform(range(1, length(word) + 1),
+      i -> substr(word, i, 1)), {sep2})
+    || {sep2} || '</w>' || {sep} AS s
   FROM dw
 ),
 encw AS MATERIALIZED (SELECT doc_id, word_idx, {rep} AS s FROM sym0),
 docenc AS (
-  SELECT doc_id, string_agg(s, {sep} ORDER BY word_idx) AS all_s
+  SELECT doc_id, string_agg(trim(s, {sep}), {sep2} ORDER BY word_idx) AS all_s
   FROM encw GROUP BY doc_id
 )
 SELECT d.doc_id,
-  CAST(COALESCE(len(string_split(e.all_s, {sep})), 0) AS BIGINT) AS n_bpe_tokens,
-  COALESCE(array_to_string(string_split(e.all_s, {sep})[1:10], ' '), '') AS preview
+  CAST(COALESCE(len(string_split(e.all_s, {sep2})), 0) AS BIGINT)
+    AS n_bpe_tokens,
+  COALESCE(array_to_string(string_split(e.all_s, {sep2})[1:10], ' '), '')
+    AS preview
 FROM (SELECT doc_id FROM documents) d LEFT JOIN docenc e USING (doc_id)
 """
     )

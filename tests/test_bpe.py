@@ -72,6 +72,40 @@ def test_overlapping_pair_count_and_greedy_merge(spark):
     assert enc == ["aa", "a", EOW] * 3
 
 
+def test_merge_respects_symbol_boundaries(spark):
+    # ADVICE r5 repro: freqs {bc:20, ab:15, abc:5}. With a naive
+    # single-separator join, after learning (b,c) and (bc,</w>) the
+    # pair pattern "a<sep>b" matches INSIDE "a<sep>bc</w>" and "abc"
+    # collapses to one symbol; true BPE leaves ["a", "bc</w>"]. The
+    # wrapped representation makes the literal replace boundary-safe.
+    text = " ".join(["bc"] * 20 + ["ab"] * 15 + ["abc"] * 5)
+    docs = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    got = train_bpe(docs, n_merges=3)
+    want = _python_bpe([text], n_merges=3)
+    assert got == want
+    enc = apply_bpe(
+        spark.createDataFrame([(1, "abc")], ["doc_id", "text"]), got
+    ).collect()[0]["bpe_tokens"]
+    # replay the python reference's merge loop on "abc" for the oracle
+    syms = ["a", "b", "c", EOW]
+    for m in got:
+        out, i = [], 0
+        while i < len(syms):
+            if (
+                i + 1 < len(syms)
+                and syms[i] == m["lhs"]
+                and syms[i + 1] == m["rhs"]
+            ):
+                out.append(m["merged"])
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    assert enc == syms
+    assert enc != ["abc" + EOW]  # the naive-join failure shape
+
+
 def test_early_stop_below_min_freq(spark):
     docs = spark.createDataFrame([(1, "ab cd ef")], ["doc_id", "text"])
     assert train_bpe(docs, n_merges=5, min_freq=2) == []
