@@ -192,6 +192,11 @@ def top_event_paths(
     map-side and the top-k is a TakeOrderedAndProject (no global
     sort). Only (user, ts, tiebreak, type) ever moves — a few tens of
     bytes per event regardless of payload width.
+
+    NULL contract: a run containing ANY NULL event type is dropped
+    (not silently shortened — ``concat_ws`` skips NULLs, which would
+    emit a (steps-1)-step path the oracle's NULL-propagating ``||``
+    never sees; ADVICE r5). Both engines filter every component.
     """
     if steps < 2:
         raise ValueError(f"steps must be >= 2, got {steps}")
@@ -199,14 +204,67 @@ def top_event_paths(
     parts = [F.col(type_col)] + [
         F.lead(type_col, i).over(w) for i in range(1, steps)
     ]
+    complete = parts[0].isNotNull()
+    for p in parts[1:]:
+        complete = complete & p.isNotNull()
     path = F.concat_ws(" > ", *parts)
     return (
-        events.select(
-            path.alias("path"), parts[-1].isNotNull().alias("_complete")
-        )
+        events.select(path.alias("path"), complete.alias("_complete"))
         .filter("_complete")
         .groupBy("path")
         .agg(F.count(F.lit(1)).alias("n_paths"))
         .orderBy(F.desc("n_paths"), "path")
         .limit(k)
+    )
+
+
+def anomaly_counts(
+    events: DataFrame,
+    type_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-type 3-sigma outlier counts in EXACT arithmetic: values go
+    to centi-units via the decimal(12,2) cast (exact on 2-decimal
+    data) and the sigma test is the square-compare form
+    ``(n*x - S)^2 > 9*(n*Q - S^2)`` — no sqrt, no float mean, so the
+    flag is bit-identical across engines and partitionings.
+
+    Overflow headroom: every moment (x, S, Q) and both compared
+    products are carried as ``decimal(38,0)`` (the oracle's HUGEINT
+    twin — both exact to ~1e38), so the binding constraint is
+    ``n * max|x_centi| < 1e18`` per type, i.e. ~1e13 events of a type
+    at |value| <= 1e4 — versus BIGINT's ``n * max|x|^2 < 9.2e18``,
+    which a few thousand 1e5-centi rows already break by silently
+    wrapping ``n*Q``. Past even the decimal bound Spark raises
+    DECIMAL_OVERFLOW instead of flagging garbage. Per-type stats
+    partial-aggregate and broadcast back (types are bounded); the
+    flag itself is in-row.
+    """
+    d38 = "decimal(38,0)"
+    c = events.select(
+        type_col,
+        (F.col(value_col).cast("decimal(12,2)") * 100)
+        .cast(d38)
+        .alias("x"),
+    )
+    s = c.groupBy(type_col).agg(
+        F.count(F.lit(1)).cast(d38).alias("n"),
+        F.sum("x").cast(d38).alias("s"),
+        F.sum((F.col("x") * F.col("x")).cast(d38)).cast(d38).alias("q"),
+    )
+    j = c.join(F.broadcast(s), type_col)
+    dev = (F.col("n") * F.col("x")).cast(d38) - F.col("s")
+    var9 = F.lit(9).cast(d38) * (
+        (F.col("n") * F.col("q")).cast(d38)
+        - (F.col("s") * F.col("s")).cast(d38)
+    )
+    return (
+        j.select(type_col, ((dev * dev).cast(d38) > var9).alias("_out"))
+        .groupBy(type_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.when(F.col("_out"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_outliers"),
+        )
     )

@@ -22,8 +22,14 @@ Scale shape: edges partition by src for the contribution join
 (co-partitioned with the degree table — one shuffle each, reused
 every round); per round ONE (dst, contrib) partial-agg shuffle and
 one node-keyed left join; ranks/nodes are node-cardinality frames,
-orders of magnitude smaller than edges. Lineage is truncated per
-round (localCheckpoint — the iterative-operator rule). Division is
+orders of magnitude smaller than edges. Only the loop-invariant inputs (edge weights,
+node table) are checkpointed; the rank recurrence itself stays ONE
+lazy plan across all rounds — lineage is linear in rounds and no
+driver action happens between them, so per-round truncation would
+only add jobs (the fully-lazy-loop rule; contrast the
+driver-coordinated k-means/BPE trainers, which MUST checkpoint per
+iteration because each step's argmax returns to the driver).
+Division is
 integer DIV, never a double: contributions can exceed 2^53 on a big
 graph, where double division silently loses ulps.
 """

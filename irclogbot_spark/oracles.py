@@ -2698,15 +2698,16 @@ SELECT day, term, n, rnk FROM (
 
 
 # ANSI twin of queries.events_anomaly: same decimal(12,2)->centi
-# conversion, same square-compare 3-sigma form — all BIGINT, no
-# float stats anywhere.
+# conversion, same square-compare 3-sigma form. Moments ride HUGEINT
+# (int128) — the exact twin of the engine's decimal(38,0) lift — so
+# n*Q and S^2 never wrap; no float stats anywhere.
 ORACLES["events_anomaly"] = """
 WITH c AS (
   SELECT event_type,
-    CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS x
+    CAST(CAST(value AS DECIMAL(12,2)) * 100 AS HUGEINT) AS x
   FROM events
 ),
-s AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+s AS (SELECT event_type, CAST(COUNT(*) AS HUGEINT) AS n,
         SUM(x) AS sx, SUM(x*x) AS q
       FROM c GROUP BY event_type)
 SELECT c.event_type,
@@ -2729,7 +2730,8 @@ WITH s AS (
 )
 SELECT event_type || ' > ' || t2 || ' > ' || t3 AS path,
   CAST(COUNT(*) AS BIGINT) AS n_paths
-FROM s WHERE t3 IS NOT NULL
+FROM s
+WHERE event_type IS NOT NULL AND t2 IS NOT NULL AND t3 IS NOT NULL
 GROUP BY path
 ORDER BY n_paths DESC, path
 LIMIT 20
@@ -2958,7 +2960,9 @@ a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_exact,
       FROM j),
 b AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_lsh FROM got)
 SELECT n_exact, n_lsh, n_common,
-  CAST(floor(1000.0 * n_common / n_exact) AS BIGINT) AS recall_milli
+  CAST(CASE WHEN n_exact = 0 THEN 1000
+       ELSE floor(1000.0 * n_common / n_exact) END AS BIGINT)
+    AS recall_milli
 FROM a CROSS JOIN b
 """
 

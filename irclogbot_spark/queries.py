@@ -2346,7 +2346,12 @@ def docs_lsh_recall(spark, sf_dir):
         "n_exact",
         "n_lsh",
         "n_common",
-        F.floor(F.lit(1000.0) * F.col("n_common") / F.col("n_exact"))
+        # n_exact = 0 -> vacuous recall 1000 (ADVICE r5: bare division
+        # yields NaN here while DuckDB's CAST(floor(inf)) errors)
+        F.when(F.col("n_exact") == 0, F.lit(1000))
+        .otherwise(
+            F.floor(F.lit(1000.0) * F.col("n_common") / F.col("n_exact"))
+        )
         .cast("long")
         .alias("recall_milli"),
     )
@@ -2373,44 +2378,19 @@ def docs_compression_ratio(spark, sf_dir):
 
 @query("events_anomaly")
 def events_anomaly(spark, sf_dir):
-    """3-sigma anomaly counts per event type, in EXACT integer
-    arithmetic: values go to centi-units via the decimal(12,2) cast
-    (the dsum convention — exact on 2-decimal data), and the sigma
-    test is the square-compare form (n*x - S)^2 > 9*(n*Q - S^2) — no
-    sqrt, no float mean, so the flag is bit-identical across engines
-    and partitionings. Per-type stats partial-aggregate and
-    broadcast back (types are bounded); the flag is then in-row.
-    BIGINT headroom: |x| < 10^5 centi and n < 10^7 keep every term
-    under 2^63 — at larger n, window the stats or lift to
-    decimal(38). Tail registration; value-checked by the local
-    parity suite."""
-    ev = _t(spark, sf_dir, "events")
-    c = ev.select(
-        "event_type",
-        (F.col("value").cast("decimal(12,2)") * 100)
-        .cast("long")
-        .alias("x"),
-    )
-    s = c.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("x").alias("s"),
-        F.sum(F.col("x") * F.col("x")).alias("q"),
-    )
-    j = c.join(F.broadcast(s), "event_type")
-    dev = F.col("n") * F.col("x") - F.col("s")
-    var9 = F.lit(9) * (F.col("n") * F.col("q") - F.col("s") * F.col("s"))
-    return (
-        j.select(
-            "event_type", (dev * dev > var9).alias("_out")
-        )
-        .groupBy("event_type")
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.when(F.col("_out"), 1).otherwise(0))
-            .cast("long")
-            .alias("n_outliers"),
-        )
-    )
+    """3-sigma anomaly counts per event type
+    (operators/behavior.py:anomaly_counts), in EXACT arithmetic:
+    centi-unit integers via the decimal(12,2) cast, square-compare
+    sigma test (n*x - S)^2 > 9*(n*Q - S^2) — no sqrt, no float mean,
+    bit-identical across engines and partitionings. Moments are
+    carried as decimal(38,0) (oracle: HUGEINT), so the headroom is
+    n*max|x| < 1e18 per type — r5's BIGINT form wrapped n*Q at a few
+    thousand 1e5-centi rows, and past even this bound Spark raises
+    DECIMAL_OVERFLOW instead of flagging garbage. Tail registration;
+    value-checked by the local parity suite."""
+    from irclogbot_spark.operators.behavior import anomaly_counts
+
+    return anomaly_counts(_t(spark, sf_dir, "events"))
 
 
 @query("docs_pps_sample")

@@ -198,25 +198,79 @@ def test_top_event_paths_steps_validation(spark):
         top_event_paths(None, steps=1)
 
 
+def test_top_event_paths_null_type_drops_whole_run(spark):
+    """A NULL event type must DROP every run it touches, not shorten
+    it (ADVICE r5: concat_ws silently skips NULLs while the oracle's
+    || propagates them)."""
+    from irclogbot_spark.operators.behavior import top_event_paths
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    mins = lambda m: t0 + dt.timedelta(minutes=m)  # noqa: E731
+    rows = [
+        # user 1: a NULL c d -> only runs free of the NULL survive;
+        # a>c>d must NOT appear (that would be the skip-NULL bug)
+        (1, 1, mins(0), "a"), (2, 1, mins(1), None),
+        (3, 1, mins(2), "c"), (4, 1, mins(3), "d"),
+        # user 2: clean a b c
+        (5, 2, mins(0), "a"), (6, 2, mins(1), "b"), (7, 2, mins(2), "c"),
+    ]
+    ev = spark.createDataFrame(rows, ["event_id", "user_id", "ts", "event_type"])
+    got = {r["path"]: r["n_paths"] for r in top_event_paths(ev, steps=3, k=10).collect()}
+    assert got == {"a > b > c": 1}
+
+
+def _python_anomaly(rows):
+    """Exact-int reference for anomaly_counts (arbitrary precision)."""
+    from collections import defaultdict
+
+    by_type = defaultdict(list)
+    for _eid, t, v in rows:
+        by_type[t].append(round(v * 100))
+    out = {}
+    for t, xs in by_type.items():
+        n, s, q = len(xs), sum(xs), sum(x * x for x in xs)
+        out[t] = (
+            n,
+            sum(1 for x in xs if (n * x - s) ** 2 > 9 * (n * q - s * s)),
+        )
+    return out
+
+
 def test_events_anomaly_flags_planted_outlier(spark):
     """The square-compare 3-sigma form flags an obvious spike and
     nothing in a tight cluster."""
-    import __spark_entry__  # noqa: F401  (registry import side effect)
-    from pyspark.sql import functions as F
+    from irclogbot_spark.operators.behavior import anomaly_counts
 
     rows = [(i, "a", 10.0 + (i % 3) * 0.01) for i in range(50)] + [(99, "a", 500.0)]
     ev = spark.createDataFrame(rows, ["event_id", "event_type", "value"])
-    c = ev.select(
-        "event_type",
-        (F.col("value").cast("decimal(12,2)") * 100).cast("long").alias("x"),
+    got = {
+        r["event_type"]: (r["n_events"], r["n_outliers"])
+        for r in anomaly_counts(ev).collect()
+    }
+    assert got == _python_anomaly(rows) == {"a": (51, 1)}
+
+
+def test_events_anomaly_survives_bigint_wrapping_magnitudes(spark):
+    """Adversarial magnitudes (VERDICT r5 item 4): |x| ~ 1e9 centi
+    over a few thousand rows makes n*Q ~ 1e22 — far past 2^63, where
+    the old BIGINT moments silently wrapped. decimal(38,0) stays
+    exact; verify against an arbitrary-precision Python reference."""
+    from irclogbot_spark.operators.behavior import anomaly_counts
+
+    rows = (
+        [(i, "big", 9_999_999.99 - (i % 7) * 0.07) for i in range(3000)]
+        + [(90001, "big", -9_999_999.99)]  # genuine 3-sigma spike
+        + [(90002, "small", 1.0), (90003, "small", 1.02)]
     )
-    s = c.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n"), F.sum("x").alias("s"),
-        F.sum(F.col("x") * F.col("x")).alias("q"),
-    )
-    j = c.join(F.broadcast(s), "event_type")
-    dev = F.col("n") * F.col("x") - F.col("s")
-    var9 = F.lit(9) * (F.col("n") * F.col("q") - F.col("s") * F.col("s"))
-    out = j.select("x", (dev * dev > var9).alias("o")).collect()
-    flagged = {r["x"] for r in out if r["o"]}
-    assert flagged == {50000}
+    want = _python_anomaly(rows)
+    # the magnitudes really are past BIGINT: n*q must exceed 2^63
+    xs = [round(v * 100) for _e, t, v in rows if t == "big"]
+    assert len(xs) * sum(x * x for x in xs) > 2**63
+    assert want["big"][1] >= 1
+    ev = spark.createDataFrame(rows, ["event_id", "event_type", "value"])
+    got = {
+        r["event_type"]: (r["n_events"], r["n_outliers"])
+        for r in anomaly_counts(ev).collect()
+    }
+    assert got == want
