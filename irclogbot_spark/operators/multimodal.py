@@ -4,15 +4,21 @@ Media travel as opaque ``binary`` columns plus a typed metadata
 struct; compute-heavy decode/feature steps run as Arrow-batched
 ``mapInPandas`` stages so each Python worker sees columnar batches,
 not rows. The Spark-side plumbing here — schemas, batch iteration,
-partition-preserving transforms — is real and tested; the actual
-codec calls are STUBBED (this environment ships no image/audio
-libraries): ``decode_stub="fake"`` produces a deterministic fake
-decode derived from the payload bytes, ``decode_stub="raise"``
-raises NotImplementedError where a real libjpeg/ffmpeg call belongs.
+partition-preserving transforms — is real and tested.
+
+Codec status: uncompressed **BMP** (BI_RGB 24-bit) and binary **PPM**
+(P6) decode are REAL — pure-stdlib header parse + pixel extraction,
+so ``format in ("bmp", "ppm")`` rows measure genuine bytes→pixels
+work (encode_bmp/encode_ppm exist for fixtures and round-trip
+tests). Formats that need libjpeg/ffmpeg stay stubbed:
+``decode_stub="fake"`` produces a deterministic fake decode derived
+from the payload bytes, ``decode_stub="raise"`` raises
+NotImplementedError where the real library call belongs.
 """
 
 from __future__ import annotations
 
+import struct
 from collections.abc import Iterator
 from typing import Literal
 
@@ -66,6 +72,160 @@ def synthesize_media(df: DataFrame, id_col: str = "doc_id", text_col: str = "tex
     )
 
 
+# ------------------------------------------------------- real codecs
+# Uncompressed 24-bit BMP and binary PPM: the two raster formats a
+# pure-stdlib engine can decode for real. Pixels are exchanged as
+# top-down RGB byte triples.
+
+def encode_bmp(width: int, height: int, rgb: bytes) -> bytes:
+    """Serialize top-down RGB triples as a BI_RGB 24-bit BMP
+    (bottom-up rows, BGR order, rows padded to 4 bytes — the classic
+    Windows 3.x layout every viewer accepts)."""
+    if len(rgb) != width * height * 3:
+        raise ValueError(f"need {width * height * 3} RGB bytes, got {len(rgb)}")
+    pad = (-width * 3) % 4
+    rows = []
+    for y in range(height - 1, -1, -1):  # bottom-up
+        row = rgb[y * width * 3 : (y + 1) * width * 3]
+        # RGB -> BGR per pixel
+        bgr = bytearray(len(row))
+        bgr[0::3], bgr[1::3], bgr[2::3] = row[2::3], row[1::3], row[0::3]
+        rows.append(bytes(bgr) + b"\x00" * pad)
+    pixels = b"".join(rows)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(pixels), 2835, 2835, 0, 0
+    )
+    header = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(pixels), 0, 0, 54)
+    return header + info + pixels
+
+
+def decode_bmp(payload: bytes) -> tuple[int, int, int, bytes]:
+    """Parse a BI_RGB 24-bit BMP -> (width, height, 3, top-down RGB
+    bytes). Handles both bottom-up (positive height) and top-down
+    (negative height) row order; rejects compressed / non-24-bit
+    variants loudly (those are the libjpeg-tier stub seam)."""
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    offset = struct.unpack_from("<I", payload, 10)[0]
+    hdr_size = struct.unpack_from("<I", payload, 14)[0]
+    if hdr_size < 40:
+        raise ValueError(f"unsupported BMP header size {hdr_size}")
+    width, raw_h = struct.unpack_from("<ii", payload, 18)
+    planes, bitcount = struct.unpack_from("<HH", payload, 26)
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if planes != 1 or bitcount != 24 or compression != 0:
+        raise ValueError(
+            f"only uncompressed 24-bit BMP is decoded in-engine "
+            f"(planes={planes} bpp={bitcount} compression={compression})"
+        )
+    height, bottom_up = (raw_h, True) if raw_h >= 0 else (-raw_h, False)
+    stride = width * 3 + ((-width * 3) % 4)
+    if len(payload) < offset + stride * height:
+        raise ValueError("truncated BMP pixel array")
+    out = bytearray(width * height * 3)
+    for y in range(height):
+        src_y = (height - 1 - y) if bottom_up else y
+        row = payload[offset + src_y * stride : offset + src_y * stride + width * 3]
+        seg = bytearray(row)
+        seg[0::3], seg[1::3], seg[2::3] = row[2::3], row[1::3], row[0::3]
+        out[y * width * 3 : (y + 1) * width * 3] = seg
+    return width, height, 3, bytes(out)
+
+
+def encode_ppm(width: int, height: int, rgb: bytes) -> bytes:
+    """Serialize top-down RGB triples as binary PPM (P6, maxval 255)."""
+    if len(rgb) != width * height * 3:
+        raise ValueError(f"need {width * height * 3} RGB bytes, got {len(rgb)}")
+    return b"P6\n%d %d\n255\n" % (width, height) + rgb
+
+
+def decode_ppm(payload: bytes) -> tuple[int, int, int, bytes]:
+    """Parse binary PPM (P6) -> (width, height, 3, top-down RGB
+    bytes). Tolerates comments and arbitrary whitespace in the header
+    (the format's spec); maxval must be 255 (8-bit)."""
+    if payload[:2] != b"P6":
+        raise ValueError("not a P6 PPM payload")
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":  # comment to end of line
+            while pos < len(payload) and payload[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and payload[pos : pos + 1].isdigit():
+            pos += 1
+        if pos == start:
+            raise ValueError("malformed PPM header")
+        fields.append(int(payload[start:pos]))
+    width, height, maxval = fields
+    if maxval != 255:
+        raise ValueError(f"only 8-bit PPM supported, maxval={maxval}")
+    pos += 1  # exactly one whitespace byte after maxval per spec
+    need = width * height * 3
+    if len(payload) < pos + need:
+        raise ValueError("truncated PPM pixel data")
+    return width, height, 3, payload[pos : pos + need]
+
+
+REAL_FORMATS = {"bmp": decode_bmp, "ppm": decode_ppm}
+
+
+def _channel_mean_features(
+    n_ch: int, pixels: bytes, n_features: int
+) -> list[float]:
+    """Feature i = mean of channel (i % n_ch) over all pixels, scaled
+    to [0, 1] — the real per-channel statistic a quality filter would
+    gate on (exact: integer sum before one division)."""
+    if not pixels:
+        return [0.0] * n_features
+    feats = []
+    for i in range(n_features):
+        ch = pixels[i % n_ch :: n_ch]
+        feats.append(float(sum(ch)) / (len(ch) * 255.0))
+    return feats
+
+
+def synthesize_bmp_media(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Real-format fixture: every doc becomes a genuine BI_RGB 24-bit
+    BMP whose geometry is a pure function of the text's UTF-8 length
+    (width = 4 + n % 13, height = 3 + n % 7) and whose pixels are the
+    text bytes cycled to fill the raster — so a SQL oracle can
+    re-derive the header fields from the text while the engine must
+    actually PARSE the bytes it is handed."""
+    src = df.select(
+        F.col(id_col).alias("asset_id"),
+        F.col(text_col).cast("binary").alias("raw"),
+    )
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for raw in pdf["raw"]:
+                b = bytes(raw) if raw is not None else b""
+                n = len(b)
+                w, h = 4 + n % 13, 3 + n % 7
+                need = w * h * 3
+                pix = (b * (need // n + 1))[:need] if n else b"\x00" * need
+                payloads.append(encode_bmp(w, h, pix))
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "media_type": "image",
+                    "payload": payloads,
+                    "format": "bmp",
+                    "source_uri": [
+                        f"synthetic-bmp://{a}" for a in pdf["asset_id"]
+                    ],
+                }
+            )
+
+    return ensure_parallelism(src).mapInPandas(build, MEDIA_SCHEMA)
+
+
 def _fake_decode(payload: bytes, n_features: int) -> tuple[int, int, int, list[float]]:
     """Deterministic fake 'decode': dimensions and features derived
     from payload bytes. Stands in for libjpeg/PIL — REPLACE with a
@@ -94,12 +254,23 @@ def decode_images(
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if decode_stub == "raise":
-                raise NotImplementedError(
-                    "real image decode requires an image library (PIL/cv2); "
-                    "install one and replace _fake_decode"
-                )
-            rows = [_fake_decode(p if p is not None else b"", n_features) for p in pdf["payload"]]
+            rows = []
+            for fmt, p in zip(pdf["format"], pdf["payload"]):
+                p = p if p is not None else b""
+                real = REAL_FORMATS.get(fmt)
+                if real is not None:
+                    w, h, c, pixels = real(bytes(p))
+                    rows.append(
+                        (w, h, c, _channel_mean_features(c, pixels, n_features))
+                    )
+                elif decode_stub == "raise":
+                    raise NotImplementedError(
+                        f"decoding format {fmt!r} requires an image library "
+                        "(PIL/cv2); install one and replace _fake_decode "
+                        "(bmp/ppm decode in-engine)"
+                    )
+                else:
+                    rows.append(_fake_decode(p, n_features))
             yield pd.DataFrame(
                 {
                     "asset_id": pdf["asset_id"],

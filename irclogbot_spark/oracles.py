@@ -179,6 +179,11 @@ SELECT channel, CAST(date_trunc('day', posted) AS DATE) AS day, COUNT(*) AS n_ms
 FROM irclog GROUP BY channel, CAST(date_trunc('day', posted) AS DATE)
 """
 
+# Physical-layout twin: the bucketed-table query re-derives the exact
+# same histogram, so the scan-form SQL doubles as its oracle (the
+# bm25_indexed two-dataflows-one-hash convention).
+ORACLES["log_channel_day_bucketed"] = ORACLES["log_msgs_per_channel_day"]
+
 ORACLES["log_top_nicks"] = f"""
 WITH {IRCLOG_CTE}
 SELECT nick, COUNT(*) AS n_msgs FROM irclog
@@ -1180,10 +1185,14 @@ ORACLES["docs_prep_pipeline"] = ORACLES["docs_prep_pipeline"].replace(
     ),
 )
 
+# The engine decodes REAL BMP bytes (synthesize_bmp_media renders one
+# per doc); the oracle re-derives the geometry the fixture encoded
+# from the text's UTF-8 length — a wrong header parse cannot match.
 ORACLES["media_decode_stats"] = """
 SELECT doc_id AS asset_id,
-  CAST(16 + octet_length(encode(text)) % 64 AS INT) AS width,
-  CAST(16 + (octet_length(encode(text)) // 64) % 64 AS INT) AS height
+  CAST(4 + octet_length(encode(text)) % 13 AS INT) AS width,
+  CAST(3 + octet_length(encode(text)) % 7 AS INT) AS height,
+  CAST(3 AS INT) AS n_channels
 FROM documents
 """
 

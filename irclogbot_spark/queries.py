@@ -186,6 +186,43 @@ def log_msgs_per_channel_day(spark, sf_dir):
     )
 
 
+# session-scoped registry of bucketed-table materializations (the
+# _IVF_CENTROIDS memo convention: write once, serve every later call)
+_BUCKETED_IRCLOG: dict[str, str] = {}
+
+
+@query("log_channel_day_bucketed")
+def log_channel_day_bucketed(spark, sf_dir):
+    """Physical-layout twin of log_msgs_per_channel_day: the irclog
+    is persisted ONCE per session as a channel-bucketed table
+    (sources/files.py:write_irclog_bucketed — the 100 TB layout for
+    'we aggregate by channel constantly') and the same date histogram
+    is served from the bucketed scan. HashPartitioning(channel)
+    already satisfies the (channel, day) clustering, so BOTH
+    aggregate phases (including the nick count-distinct expansion)
+    run with NO Exchange — plan-asserted in test_sources.py. Shares
+    log_msgs_per_channel_day's ORACLE: two physical dataflows, one
+    value hash (the bm25_indexed convention)."""
+    import os
+
+    from irclogbot_spark.sources.files import write_irclog_bucketed
+
+    tbl = _BUCKETED_IRCLOG.get(sf_dir)
+    if tbl is None or not spark.catalog.tableExists(tbl):
+        # pid suffix keeps the in-memory-catalog table name unique per
+        # process, so leftover warehouse files from earlier sessions
+        # can never collide with this session's CREATE
+        suffix = "".join(c if c.isalnum() else "_" for c in sf_dir)
+        tbl = f"irclog_bkt_{os.getpid()}_{suffix}".strip("_")
+        write_irclog_bucketed(synth.irclog(spark, sf_dir), tbl, buckets=8)
+        _BUCKETED_IRCLOG[sf_dir] = tbl
+    log = spark.table(tbl)
+    return log.groupBy("channel", F.to_date("posted").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_msgs"),
+        F.countDistinct("nick").alias("n_nicks"),
+    )
+
+
 @query("log_top_nicks")
 def log_top_nicks(spark, sf_dir):
     """§2H terms aggregation: top-k talkers."""
@@ -910,14 +947,24 @@ def emb_ann_recall(spark, sf_dir):
 
 @query("media_decode_stats")
 def media_decode_stats(spark, sf_dir):
-    """Multimodal plumbing end-to-end: binary payload column ->
-    Arrow-batched mapInPandas decode (stubbed codec) -> typed stats.
-    The width/height derivation is deterministic, so even the
-    Python-stage output is oracle-checked."""
-    from irclogbot_spark.operators.multimodal import decode_images, synthesize_media
+    """Multimodal decode end-to-end over REAL image bytes (round 6,
+    VERDICT r5 #5): each doc is rendered as a genuine BI_RGB 24-bit
+    BMP (synthesize_bmp_media) and the Arrow-batched mapInPandas
+    stage PARSES the file — header, bottom-up BGR rows, 4-byte row
+    padding (operators/multimodal.py:decode_bmp) — before emitting
+    typed stats. decode_stub="raise" proves no stub fallback fires.
+    The oracle re-derives the header fields from the text the fixture
+    encoded, so a wrong parse can't hash-match; pixel-level
+    exactness is pinned by the encode/decode golden tests."""
+    from irclogbot_spark.operators.multimodal import (
+        decode_images,
+        synthesize_bmp_media,
+    )
 
-    media = synthesize_media(_t(spark, sf_dir, "documents"))
-    return decode_images(media).select("asset_id", "width", "height")
+    media = synthesize_bmp_media(_t(spark, sf_dir, "documents"))
+    return decode_images(media, decode_stub="raise").select(
+        "asset_id", "width", "height", "n_channels"
+    )
 
 
 # ---------------------------------------------- coverage batteries (round 1)
@@ -1834,41 +1881,43 @@ def docs_importance_resample(spark, sf_dir):
 # registrations only; everything else gets the local parity suite's
 # (stricter) value check but no driver-recorded row. The window is
 # rotated per round so every oracle-paired query accumulates at
-# least one driver-recorded verification: round 5 pulls in the 25
-# round-3/4 flagships that had never been driver-recorded (PQ,
-# IVF-PQ, semantic dedup, keep-best, span removal, tokenize, vocab,
-# tf-idf, funnel, retention, range join, ...) plus the three new
-# round-5 queries, keeping a 22-query core that spans the reference
-# ingest surface, TPC-H joins, and one representative per
-# long-stable operator family. Every name here MUST be oracle-paired
-# (pinned by tests/test_driver_contract.py).
+# least one driver-recorded verification. Round 6 executes the
+# rotation planned in round 5: the 17 round-5 tail queries (BPE
+# train/apply, PageRank, paragraph/normalized dedup, Bloom +
+# semantic decontamination, k-means, data card, inline tokenizer,
+# frame plan, LSH recall, anomaly, PPS, trending terms, indexed
+# BM25, top paths) get their FIRST driver rows, plus the new
+# bucketed-layout twin; the long-stable core (4-5 green driver rows
+# each across r1-r5) rotates to the tail, still value-checked every
+# session by the local parity suite. The 25 round-3/4 flagships keep
+# their slots for a second driver row. Every name here MUST be
+# oracle-paired (pinned by tests/test_driver_contract.py).
 _DRIVER_WINDOW = [
-    # reference-surface core
+    # reference-surface + relational + doc/emb sentinels (one each)
     "ingest_parse",
-    "ingest_filter_stats",
-    "ingest_dedup",
-    "ingest_action_rows",
-    "channels_catalog",
-    "log_term_time_filter",
-    "log_point_lookup",
-    "log_msgs_per_channel_day",
-    "log_top_nicks",
-    "log_search_terms",
-    # relational core
     "tpch_q1_pricing_summary",
-    "tpch_q3_shipping_priority",
-    "tpch_q5_local_supplier",
-    "join_anti_customers_no_orders",
-    "join_semi_parts_ordered",
-    "agg_rollup_sets",
-    "events_session_window",
-    "events_asof_join",
-    # long-stable doc/emb representatives
-    "docs_bm25_search",
     "docs_minhash_lsh",
-    "docs_decontaminate",
-    "emb_knn_join",
-    # rotated in (round 3/4 flagships, first driver-recorded rows)
+    "events_asof_join",
+    # round-6 rotation: first driver rows for the round-5 tail
+    "docs_bpe_merges",
+    "docs_bpe_tokenize",
+    "graph_pagerank_trade",
+    "docs_paragraph_dedup",
+    "docs_normalized_dedup",
+    "docs_decontam_bloom",
+    "emb_semantic_decontam",
+    "emb_kmeans_clusters",
+    "docs_data_card",
+    "docs_tokenize_fast",
+    "media_frame_plan",
+    "docs_lsh_recall",
+    "events_anomaly",
+    "events_top_paths",
+    "docs_pps_sample",
+    "log_trending_terms",
+    "docs_bm25_indexed",
+    "log_channel_day_bucketed",
+    # round-3/4 flagships (second driver row)
     "docs_crossdup",
     "docs_c4_clean",
     "docs_inverted_index",
@@ -1894,19 +1943,18 @@ _DRIVER_WINDOW = [
     "events_range_join",
     "log_nick_cooccurrence",
     "docs_tokenize",
-    # round 5
+    # round 5 flagships (second driver row)
     "events_funnel_window",
     "docs_winnow_fingerprint",
     "docs_importance_resample",
 ]
-# ROUND-6 ROTATION PLAN: the 17 oracle-paired queries added later in
-# round 5 (docs_paragraph_dedup, docs_decontam_bloom, events_top_paths,
-# emb_semantic_decontam, docs_normalized_dedup, docs_bpe_merges,
-# docs_bpe_tokenize, emb_kmeans_clusters, docs_data_card,
-# graph_pagerank_trade, docs_tokenize_fast, media_frame_plan,
-# docs_lsh_recall, events_anomaly, docs_pps_sample, ...) registered at
-# the tail to leave the round-3/4 flagships their FIRST driver-recorded
-# rows; rotate them into the window next round once those rows exist.
+# ROUND-7 ROTATION PLAN: after round 6 every oracle-paired query has
+# at least one hard driver row. Rotate the long-stable core
+# (ingest_*, log_*, tpch_q3/q5, join_*, agg_rollup_sets,
+# events_session_window, docs_bm25_search, docs_decontaminate,
+# emb_knn_join) back in for freshness and retire the round-3/4
+# flagship block (which will then hold two driver rows each) to the
+# tail.
 
 
 @query("docs_dedup_keep_best_fast")

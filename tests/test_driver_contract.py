@@ -48,11 +48,31 @@ def test_rows_only_queries_register_after_the_cap():
 
 
 def test_rotated_out_queries_remain_registered_and_paired():
-    """Rotation must never DROP a query: the round-4 in-window set
-    that moved to the tail stays registered (the local parity suite
-    still value-checks every oracle-paired name)."""
+    """Rotation must never DROP a query: every set that ever moved to
+    the tail (round-4 and round-6 rotations) stays registered (the
+    local parity suite still value-checks every oracle-paired name)."""
     qs = set(entrymod.queries())
     rotated_out = {
+        # round-6 rotation: the long-stable core moves to the tail
+        "ingest_filter_stats",
+        "ingest_dedup",
+        "ingest_action_rows",
+        "channels_catalog",
+        "log_term_time_filter",
+        "log_point_lookup",
+        "log_msgs_per_channel_day",
+        "log_top_nicks",
+        "log_search_terms",
+        "tpch_q3_shipping_priority",
+        "tpch_q5_local_supplier",
+        "join_anti_customers_no_orders",
+        "join_semi_parts_ordered",
+        "agg_rollup_sets",
+        "events_session_window",
+        "docs_bm25_search",
+        "docs_decontaminate",
+        "emb_knn_join",
+        # round-4 rotation
         "log_nick_rank_per_channel",
         "log_inter_message_gap",
         "join_top_customers",

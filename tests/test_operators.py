@@ -271,6 +271,80 @@ def test_multimodal_raise_stub_marks_missing_codec(spark, docs):
         out.collect()
 
 
+def test_bmp_codec_round_trip_and_padding():
+    """Pure-stdlib BMP codec golden check: encode->decode is the
+    identity on pixels for widths exercising every 4-byte row-padding
+    residue, and decode handles top-down (negative height) BMPs."""
+    import struct
+
+    for width in (4, 5, 6, 7):  # strides pad by 0,1,2,3 bytes
+        height = 3
+        rgb = bytes((i * 31) % 256 for i in range(width * height * 3))
+        payload = multimodal.encode_bmp(width, height, rgb)
+        assert payload[:2] == b"BM"
+        w, h, c, pix = multimodal.decode_bmp(payload)
+        assert (w, h, c) == (width, height, 3)
+        assert pix == rgb
+    # top-down variant: flip the height sign and the row order
+    width, height = 5, 2
+    rgb = bytes((i * 17) % 256 for i in range(width * height * 3))
+    payload = bytearray(multimodal.encode_bmp(width, height, rgb))
+    stride = width * 3 + ((-width * 3) % 4)
+    rows = [payload[54 + y * stride : 54 + (y + 1) * stride] for y in range(height)]
+    payload[54:] = b"".join(reversed(rows))
+    payload[22:26] = struct.pack("<i", -height)
+    w, h, c, pix = multimodal.decode_bmp(bytes(payload))
+    assert (w, h, c) == (width, height, 3)
+    assert pix == rgb
+
+
+def test_bmp_codec_rejects_unsupported_variants():
+    with pytest.raises(ValueError, match="not a BMP"):
+        multimodal.decode_bmp(b"\xff\xd8\xff\xe0" + b"\x00" * 64)  # JPEG magic
+    good = multimodal.encode_bmp(2, 2, bytes(12))
+    bad = bytearray(good)
+    bad[28] = 8  # bitcount 8 -> palette BMP, the stub seam's job
+    with pytest.raises(ValueError, match="24-bit"):
+        multimodal.decode_bmp(bytes(bad))
+
+
+def test_ppm_codec_round_trip_comments_and_truncation():
+    rgb = bytes((i * 7) % 256 for i in range(6 * 4 * 3))
+    payload = multimodal.encode_ppm(6, 4, rgb)
+    assert multimodal.decode_ppm(payload) == (6, 4, 3, rgb)
+    commented = b"P6\n# a comment\n 6\t4 # trailing\n255\n" + rgb
+    assert multimodal.decode_ppm(commented) == (6, 4, 3, rgb)
+    with pytest.raises(ValueError, match="truncated"):
+        multimodal.decode_ppm(payload[:-1])
+
+
+def test_decode_images_real_bmp_end_to_end(spark, docs):
+    """The real-codec path through the Arrow seam: BMP payloads built
+    by synthesize_bmp_media decode to the geometry the fixture
+    encoded, with exact per-channel-mean features — under
+    decode_stub='raise', proving no stub fallback fires for real
+    formats."""
+    limited = docs.limit(8)
+    media = multimodal.synthesize_bmp_media(limited)
+    out = {
+        r.asset_id: r
+        for r in multimodal.decode_images(
+            media, n_features=3, decode_stub="raise"
+        ).collect()
+    }
+    for row in limited.collect():
+        n = len(row.text.encode("utf-8"))
+        w, h = 4 + n % 13, 3 + n % 7
+        got = out[row.doc_id]
+        assert (got.width, got.height, got.n_channels) == (w, h, 3)
+        need = w * h * 3
+        pix = (row.text.encode("utf-8") * (need // n + 1))[:need]
+        for ch in range(3):
+            vals = pix[ch::3]
+            expect = float(sum(vals)) / (len(vals) * 255.0)
+            assert abs(got.feature[ch] - expect) < 1e-6
+
+
 def test_multimodal_resize_plumbing(spark, docs):
     media = multimodal.synthesize_media(docs.limit(20))
     out = multimodal.resize_images(media, width=64, height=64).collect()

@@ -42,7 +42,9 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
         s = out[c]
         if pd.api.types.is_datetime64_any_dtype(s):
             out[c] = pd.to_datetime(s).astype("datetime64[us]")
-        elif s.dtype == object and s.map(lambda v: hasattr(v, "toordinal"), na_action="ignore").fillna(False).all() and len(s) > 0:
+        elif s.dtype == object and len(s) > 0 and s.map(
+            lambda v: hasattr(v, "toordinal") if pd.notna(v) else False
+        ).all():
             out[c] = pd.to_datetime(s).astype("datetime64[us]")
         elif pd.api.types.is_integer_dtype(s):
             out[c] = s.astype("Int64")

@@ -115,3 +115,33 @@ def test_bucketed_table_elides_shuffle_on_bucket_column(spark, sf_dir, tmp_path)
         assert "Exchange hashpartitioning" not in join_plan, join_plan
     finally:
         spark.sql("DROP TABLE IF EXISTS bucketed_log_test")
+
+
+def test_log_channel_day_bucketed_query_no_exchange_and_value_equal(spark, sf_dir):
+    """The driver-checked bucketed-layout query: zero Exchange in the
+    whole plan (HashPartitioning(channel) satisfies the (channel,
+    day) clustering through BOTH aggregate phases, including the
+    nick count-distinct expansion), and values identical to the
+    scan-form twin."""
+    import __spark_entry__  # noqa: F401  (registry import side effect)
+    from irclogbot_spark.queries import QUERIES
+
+    try:
+        got = QUERIES["log_channel_day_bucketed"](spark, sf_dir)
+        plan = got._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        assert "Exchange" not in plan, plan
+        scan = QUERIES["log_msgs_per_channel_day"](spark, sf_dir)
+        key = lambda r: (r["channel"], r["day"])  # noqa: E731
+        assert sorted(map(tuple, got.collect()), key=lambda t: t[:2]) == sorted(
+            map(tuple, scan.collect()), key=lambda t: t[:2]
+        )
+    finally:
+        from irclogbot_spark.queries import _BUCKETED_IRCLOG
+
+        for tbl in _BUCKETED_IRCLOG.values():
+            spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        _BUCKETED_IRCLOG.clear()
