@@ -106,6 +106,7 @@ HEADLINE = [
     "log_trending_terms",
     # round-6 additions
     "log_channel_day_bucketed",
+    "docs_corpus_shuffle",
 ]
 
 #: headline queries that derive from the irclog (re-timed over the

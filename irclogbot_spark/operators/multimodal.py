@@ -6,11 +6,14 @@ struct; compute-heavy decode/feature steps run as Arrow-batched
 not rows. The Spark-side plumbing here — schemas, batch iteration,
 partition-preserving transforms — is real and tested.
 
-Codec status: uncompressed **BMP** (BI_RGB 24-bit) and binary **PPM**
-(P6) decode are REAL — pure-stdlib header parse + pixel extraction,
-so ``format in ("bmp", "ppm")`` rows measure genuine bytes→pixels
-work (encode_bmp/encode_ppm exist for fixtures and round-trip
-tests). Formats that need libjpeg/ffmpeg stay stubbed:
+Codec status: uncompressed **BMP** (BI_RGB 24-bit), binary **PPM**
+(P6), and non-interlaced 8-bit **PNG** (gray/RGB/GA/RGBA — zlib
+inflate + full None/Sub/Up/Average/Paeth scanline un-filtering, CRC
+verified) decode are REAL pure-stdlib implementations, so
+``format in ("bmp", "ppm", "png")`` rows measure genuine
+bytes→pixels work (encode_bmp/encode_ppm/encode_png exist for
+fixtures and round-trip tests). Formats that need libjpeg/ffmpeg
+stay stubbed:
 ``decode_stub="fake"`` produces a deterministic fake decode derived
 from the payload bytes, ``decode_stub="raise"`` raises
 NotImplementedError where the real library call belongs.
@@ -169,7 +172,122 @@ def decode_ppm(payload: bytes) -> tuple[int, int, int, bytes]:
     return width, height, 3, payload[pos : pos + need]
 
 
-REAL_FORMATS = {"bmp": decode_bmp, "ppm": decode_ppm}
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+#: color_type -> samples per pixel (8-bit depth only; palette images
+#: (type 3) stay behind the library stub seam)
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def encode_png(width: int, height: int, pixels: bytes, color_type: int = 2) -> bytes:
+    """Serialize top-down samples as a non-interlaced 8-bit PNG
+    (filter 0 on every scanline, one zlib IDAT). ``color_type``:
+    0 gray, 2 RGB, 4 gray+alpha, 6 RGBA."""
+    import zlib
+
+    ch = _PNG_CHANNELS[color_type]
+    if len(pixels) != width * height * ch:
+        raise ValueError(f"need {width * height * ch} bytes, got {len(pixels)}")
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    stride = width * ch
+    raw = b"".join(
+        b"\x00" + pixels[y * stride : (y + 1) * stride] for y in range(height)
+    )
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def decode_png(payload: bytes) -> tuple[int, int, int, bytes]:
+    """Parse a non-interlaced 8-bit PNG -> (width, height, channels,
+    top-down sample bytes): chunk walk with CRC verification, zlib
+    inflate of the concatenated IDATs, and full scanline un-filtering
+    (None/Sub/Up/Average/Paeth). Palette, sub-8-bit, 16-bit, and
+    Adam7 variants are rejected loudly — those are the library stub
+    seam's job."""
+    import zlib
+
+    if payload[: len(_PNG_SIG)] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, ihdr, idat = len(_PNG_SIG), None, []
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        tag = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        if len(data) != length:
+            raise ValueError("truncated PNG chunk")
+        (crc,) = struct.unpack_from(">I", payload, pos + 8 + length)
+        if zlib.crc32(tag + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG CRC mismatch in {tag!r}")
+        if tag == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif tag == b"IDAT":
+            idat.append(data)
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    width, height, depth, color_type, comp, filt, interlace = ihdr
+    if depth != 8 or color_type not in _PNG_CHANNELS:
+        raise ValueError(
+            f"only 8-bit gray/RGB/GA/RGBA PNG decoded in-engine "
+            f"(depth={depth} color_type={color_type})"
+        )
+    if comp != 0 or filt != 0 or interlace != 0:
+        raise ValueError("compression/filter/interlace variant unsupported")
+    ch = _PNG_CHANNELS[color_type]
+    stride = width * ch
+    raw = zlib.decompress(b"".join(idat))
+    if len(raw) != (stride + 1) * height:
+        raise ValueError("PNG pixel data size mismatch")
+    out = bytearray(stride * height)
+    prev = bytes(stride)
+    for y in range(height):
+        f = raw[y * (stride + 1)]
+        line = bytearray(raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)])
+        if f == 1:  # Sub
+            for i in range(ch, stride):
+                line[i] = (line[i] + line[i - ch]) & 0xFF
+        elif f == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif f == 3:  # Average
+            for i in range(stride):
+                a = line[i - ch] if i >= ch else 0
+                line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - ch] if i >= ch else 0
+                c = prev[i - ch] if i >= ch else 0
+                line[i] = (line[i] + _paeth(a, prev[i], c)) & 0xFF
+        elif f != 0:
+            raise ValueError(f"unknown PNG filter {f}")
+        out[y * stride : (y + 1) * stride] = line
+        prev = bytes(line)
+    return width, height, ch, bytes(out)
+
+
+REAL_FORMATS = {"bmp": decode_bmp, "ppm": decode_ppm, "png": decode_png}
 
 
 def _channel_mean_features(

@@ -325,3 +325,53 @@ def pps_systematic_sample(
         .filter(F.expr("(_cum - _w) DIV _stride") < F.expr("_cum DIV _stride"))
         .drop("_draw", "_w", "_bucket", "_off", "_total", "_cum", "_stride")
     )
+
+
+def corpus_shuffle(
+    df: DataFrame,
+    seed: str,
+    n_shards: int = 16,
+    id_col: str = "doc_id",
+    hash_fn=None,
+) -> DataFrame:
+    """Deterministic corpus shuffle + sharding — the
+    shuffle-before-training step every LLM data pipeline ends with,
+    made REPRODUCIBLE: the training order is a pure function of
+    (seed, id), so the same corpus + seed yields the same order on
+    any cluster, any partitioning, any retry — and a different seed
+    is a fresh, uncorrelated permutation (epoch reshuffling without
+    storing an order column).
+
+    Returns ``(id_col, shuffle_key, shard, pos)``: ``shuffle_key`` =
+    hash(seed : id) (the row's position on the pseudo-random line),
+    ``shard`` = shuffle_key mod n_shards (the output-file unit), and
+    ``pos`` = the row's 1-based rank within its shard ordered by
+    (shuffle_key, id) — id is the tiebreak, so hash collisions can't
+    make the order partitioning-dependent.
+
+    Scale shape: ONE shuffle, keyed by shard; ranks come from a
+    per-shard window, so the bound on window-partition size is
+    corpus_rows / n_shards — pick ``n_shards ≈ rows / 1e6`` (shards
+    are output files anyway) and no partition ever exceeds ~1M rows.
+    There is no global sort and no single-partition window; writers
+    downstream ``repartition(shard).sortWithinPartitions(pos)`` and
+    stream shards independently.
+
+    ``hash_fn`` follows the dedup convention: default ``xxhash31``
+    (scale path); pass ``md5_hash31`` for the ANSI-twin oracle mode
+    (`` CAST('0x' || substr(md5(..), 1, 15) AS BIGINT) % (2^31-1)``).
+    """
+    from irclogbot_spark.operators.dedup import xxhash31
+
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    hash_fn = hash_fn or xxhash31
+    key = F.concat_ws("\x1f", F.lit(seed), F.col(id_col).cast("string"))
+    d = ensure_parallelism(df).select(
+        F.col(id_col), hash_fn(key).alias("shuffle_key")
+    )
+    d = d.withColumn(
+        "shard", F.pmod(F.col("shuffle_key"), F.lit(n_shards)).cast("long")
+    )
+    w = Window.partitionBy("shard").orderBy("shuffle_key", id_col)
+    return d.withColumn("pos", F.row_number().over(w).cast("long"))

@@ -2979,6 +2979,26 @@ FROM a CROSS JOIN b
 ORACLES["docs_lsh_recall"] = _lsh_recall_sql()
 
 
+# ANSI twin of queries.docs_corpus_shuffle: the same md5-fold
+# shuffle key (dedup.md5_hash31's documented DuckDB twin), mod-shard
+# assignment, and per-shard rank with the id tiebreak. Both engines'
+# % is positive-on-positive here, so pmod == %.
+ORACLES["docs_corpus_shuffle"] = """
+WITH h AS (
+  SELECT doc_id,
+    CAST('0x' || substr(md5(concat_ws(chr(31), 'epoch0',
+      CAST(doc_id AS VARCHAR))), 1, 15) AS BIGINT) % 2147483647
+      AS shuffle_key
+  FROM documents
+)
+SELECT doc_id, shuffle_key,
+  CAST(shuffle_key % 16 AS BIGINT) AS shard,
+  CAST(ROW_NUMBER() OVER (PARTITION BY shuffle_key % 16
+       ORDER BY shuffle_key, doc_id) AS BIGINT) AS pos
+FROM h
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     out = dict(ORACLES)
     # data-dependent oracles, built lazily so the training corpus

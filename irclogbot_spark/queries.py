@@ -2487,6 +2487,27 @@ def log_trending_terms(spark, sf_dir):
     ).filter(F.col("rnk") <= 5)
 
 
+@query("docs_corpus_shuffle")
+def docs_corpus_shuffle(spark, sf_dir):
+    """Deterministic corpus shuffle for training order
+    (operators/sampling.py:corpus_shuffle, round 6): every document
+    gets a (shard, pos) slot from a seeded content-hash permutation —
+    reproducible on any cluster/partitioning/retry, reshufflable per
+    epoch by seed. One shard-keyed shuffle, per-shard windows bounded
+    by rows/n_shards, no global sort. md5 is the oracle-check hash
+    (the portable_draw convention); production keeps xxhash31. Tail
+    registration; value-checked by the local parity suite."""
+    from irclogbot_spark.operators.dedup import md5_hash31
+    from irclogbot_spark.operators.sampling import corpus_shuffle
+
+    return corpus_shuffle(
+        _t(spark, sf_dir, "documents"),
+        seed="epoch0",
+        n_shards=16,
+        hash_fn=md5_hash31,
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     out = {n: QUERIES[n] for n in _DRIVER_WINDOW}
     for n, f in QUERIES.items():

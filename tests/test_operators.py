@@ -318,6 +318,107 @@ def test_ppm_codec_round_trip_comments_and_truncation():
         multimodal.decode_ppm(payload[:-1])
 
 
+def _png_with_filters(width, height, ch, pixels, filters):
+    """Build a PNG whose scanlines use the GIVEN filter types, by
+    forward-filtering known pixels in the test (the decoder must
+    invert every one of them)."""
+    import struct as st
+    import zlib
+
+    stride = width * ch
+    raw = bytearray()
+    prev = bytes(stride)
+    for y in range(height):
+        f = filters[y % len(filters)]
+        line = pixels[y * stride : (y + 1) * stride]
+        enc = bytearray(line)
+        if f == 1:
+            for i in range(stride - 1, ch - 1, -1):
+                enc[i] = (enc[i] - line[i - ch]) & 0xFF
+        elif f == 2:
+            for i in range(stride):
+                enc[i] = (enc[i] - prev[i]) & 0xFF
+        elif f == 3:
+            for i in range(stride):
+                a = line[i - ch] if i >= ch else 0
+                enc[i] = (enc[i] - ((a + prev[i]) >> 1)) & 0xFF
+        elif f == 4:
+            for i in range(stride):
+                a = line[i - ch] if i >= ch else 0
+                c = prev[i - ch] if i >= ch else 0
+                enc[i] = (enc[i] - multimodal._paeth(a, prev[i], c)) & 0xFF
+        raw += bytes([f]) + bytes(enc)
+        prev = line
+
+    def chunk(tag, data):
+        return (
+            st.pack(">I", len(data)) + tag + data
+            + st.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    ihdr = st.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw))) + chunk(b"IEND", b"")
+    )
+
+
+def test_png_codec_round_trip_all_color_types():
+    for color_type, ch in ((0, 1), (2, 3), (4, 2), (6, 4)):
+        w, h = 7, 5
+        pix = bytes((i * 23 + ch) % 256 for i in range(w * h * ch))
+        payload = multimodal.encode_png(w, h, pix, color_type=color_type)
+        assert multimodal.decode_png(payload) == (w, h, ch, pix)
+
+
+def test_png_decoder_inverts_every_filter_type():
+    w, h, ch = 6, 10, 3
+    pix = bytes((i * 37 + 11) % 256 for i in range(w * h * ch))
+    payload = _png_with_filters(w, h, ch, pix, filters=[0, 1, 2, 3, 4])
+    assert multimodal.decode_png(payload) == (w, h, ch, pix)
+
+
+def test_png_codec_rejects_corruption_and_variants():
+    payload = bytearray(multimodal.encode_png(3, 3, bytes(27)))
+    payload[40] ^= 0xFF  # flip a byte inside IDAT -> CRC must catch it
+    with pytest.raises(ValueError, match="CRC"):
+        multimodal.decode_png(bytes(payload))
+    good = bytearray(multimodal.encode_png(3, 3, bytes(27)))
+    good[24] = 16  # bit depth 16 in IHDR
+    # CRC now mismatches too, so rebuild the IHDR chunk properly
+    import struct as st
+    import zlib as zl
+
+    ihdr = st.pack(">IIBBBBB", 3, 3, 16, 2, 0, 0, 0)
+    rebuilt = (
+        b"\x89PNG\r\n\x1a\n"
+        + st.pack(">I", len(ihdr)) + b"IHDR" + ihdr
+        + st.pack(">I", zl.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF)
+        + bytes(good[8 + 25 :])
+    )
+    with pytest.raises(ValueError, match="8-bit"):
+        multimodal.decode_png(rebuilt)
+
+
+def test_decode_images_real_png_through_arrow_seam(spark, docs):
+    """PNG rows decode for real through mapInPandas (mixed with the
+    bmp fixture path elsewhere): known 2x2 RGB image, exact features."""
+    pix = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 255, 255, 255])
+    payload = multimodal.encode_png(2, 2, pix, color_type=2)
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(payload), "png", "t://1")],
+        schema=multimodal.MEDIA_SCHEMA,
+    )
+    row = multimodal.decode_images(
+        media, n_features=3, decode_stub="raise"
+    ).collect()[0]
+    assert (row.width, row.height, row.n_channels) == (2, 2, 3)
+    for ch in range(3):
+        vals = pix[ch::3]
+        assert abs(row.feature[ch] - sum(vals) / (len(vals) * 255.0)) < 1e-6
+
+
 def test_decode_images_real_bmp_end_to_end(spark, docs):
     """The real-codec path through the Arrow seam: BMP payloads built
     by synthesize_bmp_media decode to the geometry the fixture

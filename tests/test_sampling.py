@@ -310,3 +310,39 @@ def test_pps_n_validation(spark):
 
     with pytest.raises(ValueError):
         pps_systematic_sample(None, 0, "w")
+
+
+def test_corpus_shuffle_is_a_bijection_with_dense_ranks(spark, docs):
+    out = sampling.corpus_shuffle(docs, seed="s1", n_shards=8).cache()
+    n = docs.count()
+    assert out.count() == n
+    assert out.select("doc_id").distinct().count() == n
+    # (shard, pos) is a dense 1..size_of_shard numbering: slot count
+    # equals row count and max pos equals shard size
+    slots = out.select("shard", "pos").distinct().count()
+    assert slots == n
+    per = out.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("sz"), F.max("pos").alias("mx")
+    ).collect()
+    assert all(r.sz == r.mx for r in per)
+    assert {r.shard for r in per} <= set(range(8))
+    out.unpersist()
+
+
+def test_corpus_shuffle_partitioning_invariant_and_seeded(spark, docs):
+    a = sampling.corpus_shuffle(docs, seed="s1", n_shards=8)
+    b = sampling.corpus_shuffle(docs.repartition(17), seed="s1", n_shards=8)
+    rows_a = sorted(map(tuple, a.collect()))
+    rows_b = sorted(map(tuple, b.collect()))
+    assert rows_a == rows_b  # same seed -> identical order anywhere
+    c = sampling.corpus_shuffle(docs, seed="s2", n_shards=8)
+    order_a = [r[0] for r in sorted(rows_a, key=lambda t: (t[2], t[3]))]
+    order_c = [
+        r["doc_id"] for r in c.orderBy("shard", "pos").collect()
+    ]
+    assert order_a != order_c  # fresh seed -> fresh permutation
+
+
+def test_corpus_shuffle_validates(spark, docs):
+    with pytest.raises(ValueError, match="n_shards"):
+        sampling.corpus_shuffle(docs, seed="s", n_shards=0)
