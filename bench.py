@@ -107,6 +107,7 @@ HEADLINE = [
     # round-6 additions
     "log_channel_day_bucketed",
     "docs_corpus_shuffle",
+    "media_audio_stats",
 ]
 
 #: headline queries that derive from the irclog (re-timed over the

@@ -464,11 +464,84 @@ def resize_images(
     )
 
 
+# ------------------------------------------------- real audio codec
+def encode_wav(sample_rate: int, n_channels: int, samples: bytes) -> bytes:
+    """Serialize interleaved 16-bit LE PCM as canonical RIFF/WAVE
+    (one fmt + one data chunk)."""
+    if len(samples) % (2 * n_channels):
+        raise ValueError("sample bytes must be a whole number of frames")
+    block = 2 * n_channels
+    fmt = struct.pack(
+        "<HHIIHH", 1, n_channels, sample_rate, sample_rate * block, block, 16
+    )
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(samples)) + samples
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav(payload: bytes) -> tuple[int, int, int, bytes]:
+    """Parse RIFF/WAVE 16-bit PCM -> (sample_rate, n_channels,
+    n_frames, interleaved sample bytes). Walks chunks (tolerates
+    LIST/INFO etc., including odd-size pad bytes per spec); rejects
+    compressed / non-16-bit variants loudly — those are the
+    libsndfile-tier stub seam."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        tag = payload[pos : pos + 4]
+        (length,) = struct.unpack_from("<I", payload, pos + 4)
+        chunk = payload[pos + 8 : pos + 8 + length]
+        if len(chunk) != length:
+            raise ValueError(f"truncated WAV chunk {tag!r}")
+        if tag == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", chunk, 0)
+        elif tag == b"data":
+            data = chunk
+        pos += 8 + length + (length & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    audio_format, n_channels, sample_rate, _rate, block, bits = fmt
+    if audio_format != 1 or bits != 16:
+        raise ValueError(
+            f"only 16-bit PCM WAV decoded in-engine "
+            f"(format={audio_format} bits={bits})"
+        )
+    if block != 2 * n_channels or n_channels < 1:
+        raise ValueError(f"inconsistent WAV block align {block}")
+    n_frames = len(data) // block
+    return sample_rate, n_channels, n_frames, data[: n_frames * block]
+
+
+def _audio_features(
+    n_ch: int, samples: bytes, n_features: int
+) -> list[float]:
+    """Feature i = mean |amplitude| of channel (i % n_ch), scaled to
+    [0, 1] — the loudness statistic an audio-quality gate thresholds
+    (integer sum of |s16| before one division)."""
+    import array
+
+    if not samples:
+        return [0.0] * n_features
+    pcm = array.array("h")
+    pcm.frombytes(samples)
+    feats = []
+    for i in range(n_features):
+        ch = pcm[i % n_ch :: n_ch]
+        feats.append(float(sum(abs(s) for s in ch)) / (len(ch) * 32768.0))
+    return feats
+
+
 AUDIO_FEATURE_SCHEMA = StructType(
     [
         StructField("asset_id", LongType()),
         StructField("duration_s", FloatType()),
         StructField("sample_rate", IntegerType()),
+        StructField("n_frames", LongType()),
+        StructField("n_channels", IntegerType()),
         StructField("feature", ArrayType(FloatType())),
     ]
 )
@@ -479,34 +552,102 @@ def extract_audio_features(
     n_features: int = 8,
     decode_stub: Literal["fake", "raise"] = "fake",
 ) -> DataFrame:
-    """Audio feature extraction (MFCC-shaped) via mapInPandas: same
-    Arrow-batched, partition-preserving contract as decode_images;
-    the codec/DSP call is the stubbed seam (librosa/torchaudio in a
-    real deployment)."""
+    """Audio feature extraction via mapInPandas: same Arrow-batched,
+    partition-preserving contract as decode_images. ``format ==
+    "wav"`` rows decode for REAL (RIFF chunk walk, 16-bit PCM,
+    per-channel mean-|amplitude| features — decode_wav above);
+    compressed formats (mp3/flac/ogg) stay behind the stub seam
+    (librosa/torchaudio in a real deployment)."""
 
     def feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if decode_stub == "raise":
-                raise NotImplementedError(
-                    "real audio decode requires an audio library "
-                    "(librosa/torchaudio); install one and replace the stub"
-                )
-            payloads = [p if p is not None else b"" for p in pdf["payload"]]
+            rows = []
+            for fmt, p in zip(pdf["format"], pdf["payload"]):
+                p = bytes(p) if p is not None else b""
+                if fmt == "wav":
+                    rate, ch, n_frames, samples = decode_wav(p)
+                    rows.append(
+                        (
+                            float(n_frames) / rate,
+                            rate,
+                            n_frames,
+                            ch,
+                            _audio_features(ch, samples, n_features),
+                        )
+                    )
+                elif decode_stub == "raise":
+                    raise NotImplementedError(
+                        f"decoding audio format {fmt!r} requires an audio "
+                        "library (librosa/torchaudio); install one and "
+                        "replace the stub (wav decodes in-engine)"
+                    )
+                else:
+                    rows.append(
+                        (
+                            float(len(p)) / 16000.0,
+                            16000,
+                            len(p),
+                            1,
+                            [
+                                float(p[i % max(len(p), 1)] if p else 0) / 255.0
+                                for i in range(n_features)
+                            ],
+                        )
+                    )
             yield pd.DataFrame(
                 {
                     "asset_id": pdf["asset_id"],
-                    "duration_s": [float(len(p)) / 16000.0 for p in payloads],
-                    "sample_rate": 16000,
-                    "feature": [
-                        [float(p[i % max(len(p), 1)] if p else 0) / 255.0 for i in range(n_features)]
-                        for p in payloads
-                    ],
+                    "duration_s": [r[0] for r in rows],
+                    "sample_rate": [r[1] for r in rows],
+                    "n_frames": [r[2] for r in rows],
+                    "n_channels": [r[3] for r in rows],
+                    "feature": [r[4] for r in rows],
                 }
             )
 
     return ensure_parallelism(media.filter(F.col("media_type") == "audio")).mapInPandas(
         feature_batches, AUDIO_FEATURE_SCHEMA
     )
+
+
+def synthesize_wav_media(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Real-audio fixture (the synthesize_bmp_media convention): every
+    doc becomes a genuine 16-bit PCM WAV whose frame count and rate
+    are pure functions of the text's UTF-8 length (rate = 8000 +
+    1000*(n % 9), frames = 50 + n % 500, stereo) and whose samples
+    derive from the text bytes — the oracle re-derives the header
+    numbers from the text while the engine must PARSE the RIFF."""
+    src = df.select(
+        F.col(id_col).alias("asset_id"),
+        F.col(text_col).cast("binary").alias("raw"),
+    )
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for raw in pdf["raw"]:
+                b = bytes(raw) if raw is not None else b""
+                n = len(b)
+                rate = 8000 + 1000 * (n % 9)
+                frames = 50 + n % 500
+                need = frames * 4  # stereo s16
+                pcm = (b * (need // n + 1))[:need] if n else b"\x00" * need
+                payloads.append(encode_wav(rate, 2, pcm))
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "media_type": "audio",
+                    "payload": payloads,
+                    "format": "wav",
+                    "source_uri": [
+                        f"synthetic-wav://{a}" for a in pdf["asset_id"]
+                    ],
+                }
+            )
+
+    return ensure_parallelism(src).mapInPandas(build, MEDIA_SCHEMA)
 
 
 def frame_sample_plan(media: DataFrame, every_n_seconds: int = 5) -> DataFrame:

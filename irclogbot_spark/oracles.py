@@ -2979,6 +2979,23 @@ FROM a CROSS JOIN b
 ORACLES["docs_lsh_recall"] = _lsh_recall_sql()
 
 
+# ANSI twin of queries.media_audio_stats: the engine parses REAL WAV
+# bytes; the oracle re-derives the header numbers the fixture encoded
+# from the text's UTF-8 length (rate = 8000 + 1000*(n%9), frames =
+# 50 + n%500, stereo; duration via integer floor division — both
+# engines' operands are positive, so floor == //).
+ORACLES["media_audio_stats"] = """
+WITH n AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents)
+SELECT doc_id AS asset_id,
+  CAST(8000 + 1000 * (n % 9) AS INT) AS sample_rate,
+  CAST(50 + n % 500 AS BIGINT) AS n_frames,
+  CAST(2 AS INT) AS n_channels,
+  CAST((50 + n % 500) * 1000 // (8000 + 1000 * (n % 9)) AS BIGINT)
+    AS duration_ms
+FROM n
+"""
+
+
 # ANSI twin of queries.docs_corpus_shuffle: the same md5-fold
 # shuffle key (dedup.md5_hash31's documented DuckDB twin), mod-shard
 # assignment, and per-shard rank with the id tiebreak. Both engines'

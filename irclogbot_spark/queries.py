@@ -2487,6 +2487,36 @@ def log_trending_terms(spark, sf_dir):
     ).filter(F.col("rnk") <= 5)
 
 
+@query("media_audio_stats")
+def media_audio_stats(spark, sf_dir):
+    """Audio decode end-to-end over REAL WAV bytes (round 6 — the
+    audio twin of media_decode_stats): each doc is rendered as a
+    genuine 16-bit stereo PCM WAV (synthesize_wav_media) and the
+    Arrow mapInPandas stage PARSES the RIFF — chunk walk, fmt/data
+    extraction, frame accounting (multimodal.py:decode_wav) — under
+    decode_stub='raise' (no stub fallback). Integer output
+    (rate/frames/channels/duration_ms) keeps the hash exact; the
+    oracle re-derives the header numbers the fixture encoded from
+    the text length. Tail registration; value-checked by the local
+    parity suite."""
+    from irclogbot_spark.operators.multimodal import (
+        extract_audio_features,
+        synthesize_wav_media,
+    )
+
+    media = synthesize_wav_media(_t(spark, sf_dir, "documents"))
+    out = extract_audio_features(media, decode_stub="raise")
+    return out.select(
+        "asset_id",
+        "sample_rate",
+        "n_frames",
+        "n_channels",
+        F.floor((F.col("n_frames") * 1000) / F.col("sample_rate"))
+        .cast("long")
+        .alias("duration_ms"),
+    )
+
+
 @query("docs_corpus_shuffle")
 def docs_corpus_shuffle(spark, sf_dir):
     """Deterministic corpus shuffle for training order

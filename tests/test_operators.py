@@ -459,6 +459,51 @@ def test_multimodal_resize_plumbing(spark, docs):
     assert "Exchange hashpartitioning" not in plan
 
 
+def test_wav_codec_round_trip_and_chunk_walk():
+    import struct as st
+
+    pcm = bytes((i * 13) % 256 for i in range(100 * 2 * 2))  # 100 stereo frames
+    payload = multimodal.encode_wav(16000, 2, pcm)
+    assert multimodal.decode_wav(payload) == (16000, 2, 100, pcm)
+    # foreign chunks (LIST with odd size -> pad byte) must be skipped
+    lst = b"LIST" + st.pack("<I", 5) + b"INFOx" + b"\x00"
+    spliced = payload[:12] + lst + payload[12:]
+    spliced = b"RIFF" + st.pack("<I", len(spliced) - 8) + spliced[8:]
+    assert multimodal.decode_wav(spliced) == (16000, 2, 100, pcm)
+    with pytest.raises(ValueError, match="not a RIFF"):
+        multimodal.decode_wav(b"OggS" + bytes(40))
+    # 8-bit PCM -> the library seam's job
+    bad = bytearray(payload)
+    st.pack_into("<H", bad, 34, 8)
+    with pytest.raises(ValueError, match="16-bit"):
+        multimodal.decode_wav(bytes(bad))
+
+
+def test_extract_audio_features_real_wav_end_to_end(spark, docs):
+    """WAV rows decode for real through the Arrow seam: known stereo
+    signal, exact per-channel mean-|amplitude| features."""
+    import array
+
+    left = [1000, -2000, 3000, -4000]
+    right = [0, 16384, -16384, 32767]
+    inter = array.array("h")
+    for l_s, r_s in zip(left, right):
+        inter.extend([l_s, r_s])
+    payload = multimodal.encode_wav(8000, 2, inter.tobytes())
+    media = spark.createDataFrame(
+        [(7, "audio", bytearray(payload), "wav", "t://7")],
+        schema=multimodal.MEDIA_SCHEMA,
+    )
+    row = multimodal.extract_audio_features(
+        media, n_features=2, decode_stub="raise"
+    ).collect()[0]
+    assert (row.sample_rate, row.n_frames, row.n_channels) == (8000, 4, 2)
+    assert abs(row.duration_s - 4 / 8000.0) < 1e-9
+    for ch, sig in enumerate((left, right)):
+        expect = sum(abs(s) for s in sig) / (len(sig) * 32768.0)
+        assert abs(row.feature[ch] - expect) < 1e-6
+
+
 def test_multimodal_audio_features_plumbing(spark, docs):
     media = multimodal.synthesize_media(docs.limit(10)).withColumn(
         "media_type", F.lit("audio")
