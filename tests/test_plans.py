@@ -337,3 +337,21 @@ def test_events_anomaly_broadcast_stats_two_narrow_shuffles(spark):
     plan = _plan(spark, "events_anomaly")
     assert "SortMergeJoin" not in plan, plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_corpus_shuffle_single_shard_exchange(spark):
+    """docs_corpus_shuffle: ONE hash exchange (the shard key for the
+    rank window) — the hash/shard/pos derivation is all map-side, and
+    there is no global sort."""
+    plan = _plan(spark, "docs_corpus_shuffle")
+    # formatted mode splits the node name and its Arguments line
+    assert len(re.findall(r"Arguments: hashpartitioning\(shard", plan)) == 1, plan
+    assert "rangepartitioning" not in plan, plan
+
+
+def test_media_audio_stats_map_only(spark):
+    """media_audio_stats: synth -> WAV decode -> stats is a pure
+    map pipeline — media bytes never ride a shuffle."""
+    plan = _plan(spark, "media_audio_stats")
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "Exchange rangepartitioning" not in plan, plan
