@@ -108,6 +108,7 @@ HEADLINE = [
     "log_channel_day_bucketed",
     "docs_corpus_shuffle",
     "media_audio_stats",
+    "media_resize_stats",
 ]
 
 #: headline queries that derive from the irclog (re-timed over the

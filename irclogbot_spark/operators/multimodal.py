@@ -413,8 +413,27 @@ RESIZED_IMAGE_SCHEMA = StructType(
         StructField("source_uri", StringType()),
         StructField("width", IntegerType()),
         StructField("height", IntegerType()),
+        StructField("src_width", IntegerType()),
+        StructField("src_height", IntegerType()),
     ]
 )
+
+
+def _resize_nearest(
+    w: int, h: int, ch: int, pix: bytes, tw: int, th: int
+) -> bytes:
+    """Nearest-neighbor resample of top-down samples (the classic
+    integer mapping sx = x*w//tw — no float coordinates, so the
+    result is exact and engine-independent)."""
+    out = bytearray(tw * th * ch)
+    for y in range(th):
+        sy = y * h // th
+        row = sy * w
+        for x in range(tw):
+            s = (row + x * w // tw) * ch
+            d = (y * tw + x) * ch
+            out[d : d + ch] = pix[s : s + ch]
+    return bytes(out)
 
 
 def resize_images(
@@ -425,14 +444,18 @@ def resize_images(
 ) -> DataFrame:
     """Resize image payloads to a target geometry via mapInPandas —
     the standard normalize-before-training step. Output keeps the
-    MEDIA_SCHEMA columns (payload replaced) plus the new dimensions,
-    so resized tables re-enter any media pipeline unchanged.
+    MEDIA_SCHEMA columns (payload replaced) plus the new AND source
+    dimensions, so resized tables re-enter any media pipeline
+    unchanged and the source geometry stays auditable.
 
-    Partition-preserving like decode_images. The stub 'resize'
-    deterministically derives a payload of size width*height//64 from
-    the input bytes (so downstream size-based checks see the new
-    geometry); a real implementation swaps _fake_resize for
-    PIL/cv2.resize on the decoded array and re-encode.
+    ``format in REAL_FORMATS`` rows are REALLY resampled: decode
+    (bmp/ppm/png), exact nearest-neighbor resample, re-encode in the
+    same format family (png keeps its color type; bmp/ppm stay
+    24-bit RGB). Other formats use the stub 'resize' (payload of
+    size width*height//64 derived from the input bytes) or raise —
+    the PIL/cv2 seam.
+
+    Partition-preserving like decode_images.
     """
 
     def _fake_resize(payload: bytes) -> bytes:
@@ -442,20 +465,45 @@ def resize_images(
 
     def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if decode_stub == "raise":
-                raise NotImplementedError(
-                    "real image resize requires an image library (PIL/cv2); "
-                    "install one and replace _fake_resize"
-                )
+            payloads, src_ws, src_hs = [], [], []
+            for fmt, p in zip(pdf["format"], pdf["payload"]):
+                p = bytes(p) if p is not None else b""
+                real = REAL_FORMATS.get(fmt)
+                if real is not None:
+                    w, h, ch, pix = real(p)
+                    resized = _resize_nearest(w, h, ch, pix, width, height)
+                    if fmt == "bmp":
+                        out = encode_bmp(width, height, resized)
+                    elif fmt == "ppm":
+                        out = encode_ppm(width, height, resized)
+                    else:
+                        color_type = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+                        out = encode_png(width, height, resized, color_type)
+                    payloads.append(out)
+                    src_ws.append(w)
+                    src_hs.append(h)
+                elif decode_stub == "raise":
+                    raise NotImplementedError(
+                        f"resizing format {fmt!r} requires an image library "
+                        "(PIL/cv2); install one and replace _fake_resize "
+                        "(bmp/ppm/png resample in-engine)"
+                    )
+                else:
+                    fake = _fake_decode(p, 0)
+                    payloads.append(_fake_resize(p))
+                    src_ws.append(fake[0])
+                    src_hs.append(fake[1])
             yield pd.DataFrame(
                 {
                     "asset_id": pdf["asset_id"],
                     "media_type": pdf["media_type"],
-                    "payload": [_fake_resize(p if p is not None else b"") for p in pdf["payload"]],
+                    "payload": payloads,
                     "format": pdf["format"],
                     "source_uri": pdf["source_uri"],
                     "width": width,
                     "height": height,
+                    "src_width": src_ws,
+                    "src_height": src_hs,
                 }
             )
 

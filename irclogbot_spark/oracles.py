@@ -2979,6 +2979,19 @@ FROM a CROSS JOIN b
 ORACLES["docs_lsh_recall"] = _lsh_recall_sql()
 
 
+# ANSI twin of queries.media_resize_stats: src geometry re-derived
+# from the text length the BMP fixture encoded (the engine must parse
+# each header to produce it); target geometry is the resize contract.
+ORACLES["media_resize_stats"] = """
+SELECT doc_id AS asset_id,
+  CAST(4 + octet_length(encode(text)) % 13 AS INT) AS src_width,
+  CAST(3 + octet_length(encode(text)) % 7 AS INT) AS src_height,
+  CAST(16 AS INT) AS width,
+  CAST(16 AS INT) AS height
+FROM documents
+"""
+
+
 # ANSI twin of queries.media_audio_stats: the engine parses REAL WAV
 # bytes; the oracle re-derives the header numbers the fixture encoded
 # from the text's UTF-8 length (rate = 8000 + 1000*(n%9), frames =

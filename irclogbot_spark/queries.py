@@ -2517,6 +2517,29 @@ def media_audio_stats(spark, sf_dir):
     )
 
 
+@query("media_resize_stats")
+def media_resize_stats(spark, sf_dir):
+    """Real image resample end-to-end (round 6): genuine BMP payloads
+    decode, nearest-neighbor resample to 16x16 (exact integer
+    coordinate mapping), and re-encode — all inside the Arrow seam
+    under decode_stub='raise' (multimodal.py:resize_images). The
+    output carries BOTH geometries: src_width/src_height come from
+    actually parsing each BMP header, so the oracle's re-derivation
+    from the fixture's text length pins the decode; width/height pin
+    the contract. Resample pixel exactness + re-encoded-payload
+    parseability are golden-tested. Tail registration; value-checked
+    by the local parity suite."""
+    from irclogbot_spark.operators.multimodal import (
+        resize_images,
+        synthesize_bmp_media,
+    )
+
+    media = synthesize_bmp_media(_t(spark, sf_dir, "documents"))
+    return resize_images(media, width=16, height=16, decode_stub="raise").select(
+        "asset_id", "src_width", "src_height", "width", "height"
+    )
+
+
 @query("docs_corpus_shuffle")
 def docs_corpus_shuffle(spark, sf_dir):
     """Deterministic corpus shuffle for training order

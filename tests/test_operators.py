@@ -446,6 +446,41 @@ def test_decode_images_real_bmp_end_to_end(spark, docs):
             assert abs(got.feature[ch] - expect) < 1e-6
 
 
+def test_resize_nearest_golden_and_real_bmp_round_trip(spark):
+    # 2x2 RGB -> 4x4 nearest neighbor: each source pixel becomes a
+    # 2x2 block (integer mapping sx = x*2//4)
+    px = [b"\x01\x02\x03", b"\x04\x05\x06", b"\x07\x08\x09", b"\x0a\x0b\x0c"]
+    src = b"".join(px)
+    out = multimodal._resize_nearest(2, 2, 3, src, 4, 4)
+    rows = [out[y * 12 : (y + 1) * 12] for y in range(4)]
+    assert rows[0] == rows[1] == px[0] * 2 + px[1] * 2
+    assert rows[2] == rows[3] == px[2] * 2 + px[3] * 2
+    # real path through the seam: decode -> resample -> re-encode,
+    # and the re-encoded payload must itself parse
+    payload = multimodal.encode_bmp(2, 2, src)
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(payload), "bmp", "t://1")],
+        schema=multimodal.MEDIA_SCHEMA,
+    )
+    r = multimodal.resize_images(
+        media, width=4, height=4, decode_stub="raise"
+    ).collect()[0]
+    assert (r.src_width, r.src_height, r.width, r.height) == (2, 2, 4, 4)
+    assert multimodal.decode_bmp(bytes(r.payload)) == (4, 4, 3, out)
+    # png keeps its color type through the resample
+    gray = multimodal.encode_png(2, 1, b"\x40\xc0", color_type=0)
+    media_g = spark.createDataFrame(
+        [(2, "image", bytearray(gray), "png", "t://2")],
+        schema=multimodal.MEDIA_SCHEMA,
+    )
+    g = multimodal.resize_images(
+        media_g, width=4, height=2, decode_stub="raise"
+    ).collect()[0]
+    assert multimodal.decode_png(bytes(g.payload)) == (
+        4, 2, 1, b"\x40\x40\xc0\xc0" * 2
+    )
+
+
 def test_multimodal_resize_plumbing(spark, docs):
     media = multimodal.synthesize_media(docs.limit(20))
     out = multimodal.resize_images(media, width=64, height=64).collect()
