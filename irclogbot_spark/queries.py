@@ -2561,6 +2561,20 @@ def docs_corpus_shuffle(spark, sf_dir):
     )
 
 
+@query("docs_corpus_shuffle_fast")
+def docs_corpus_shuffle_fast(spark, sf_dir):
+    """Production-hash twin of docs_corpus_shuffle (the
+    keep_best_fast convention): the same permutation under the
+    default xxhash31 — no SQL oracle (xxhash64 ∉ DuckDB), rows-only
+    check, benched beside the md5 oracle twin so ITS number is the
+    recorded scale figure."""
+    from irclogbot_spark.operators.sampling import corpus_shuffle
+
+    return corpus_shuffle(
+        _t(spark, sf_dir, "documents"), seed="epoch0", n_shards=16
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     out = {n: QUERIES[n] for n in _DRIVER_WINDOW}
     for n, f in QUERIES.items():

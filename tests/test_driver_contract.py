@@ -43,6 +43,7 @@ def test_rows_only_queries_register_after_the_cap():
         "docs_dedup_keep_best_fast",
         "events_approx_stats",
         "docs_compression_ratio",
+        "docs_corpus_shuffle_fast",
     }
     assert unpaired <= set(qs[50:])
 
