@@ -109,6 +109,7 @@ HEADLINE = [
     "docs_corpus_shuffle",
     "media_audio_stats",
     "media_resize_stats",
+    "media_decode_stats",
     "docs_corpus_shuffle_fast",
 ]
 
