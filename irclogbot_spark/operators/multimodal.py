@@ -298,11 +298,11 @@ def _channel_mean_features(
     gate on (exact: integer sum before one division)."""
     if not pixels:
         return [0.0] * n_features
-    feats = []
-    for i in range(n_features):
-        ch = pixels[i % n_ch :: n_ch]
-        feats.append(float(sum(ch)) / (len(ch) * 255.0))
-    return feats
+    means = []
+    for c in range(min(n_ch, n_features)):
+        ch = pixels[c::n_ch]
+        means.append(float(sum(ch)) / (len(ch) * 255.0))
+    return [means[i % len(means)] for i in range(n_features)]
 
 
 def synthesize_bmp_media(
@@ -560,6 +560,8 @@ def decode_wav(payload: bytes) -> tuple[int, int, int, bytes]:
         )
     if block != 2 * n_channels or n_channels < 1:
         raise ValueError(f"inconsistent WAV block align {block}")
+    if sample_rate <= 0:
+        raise ValueError(f"invalid WAV sample rate {sample_rate}")
     n_frames = len(data) // block
     return sample_rate, n_channels, n_frames, data[: n_frames * block]
 
@@ -576,11 +578,11 @@ def _audio_features(
         return [0.0] * n_features
     pcm = array.array("h")
     pcm.frombytes(samples)
-    feats = []
-    for i in range(n_features):
-        ch = pcm[i % n_ch :: n_ch]
-        feats.append(float(sum(abs(s) for s in ch)) / (len(ch) * 32768.0))
-    return feats
+    means = []
+    for c in range(min(n_ch, n_features)):
+        ch = pcm[c::n_ch]
+        means.append(float(sum(abs(s) for s in ch)) / (len(ch) * 32768.0))
+    return [means[i % len(means)] for i in range(n_features)]
 
 
 AUDIO_FEATURE_SCHEMA = StructType(

@@ -204,16 +204,24 @@ def log_channel_day_bucketed(spark, sf_dir):
     log_msgs_per_channel_day's ORACLE: two physical dataflows, one
     value hash (the bm25_indexed convention)."""
     import os
+    import shutil
+    from urllib.parse import urlparse
 
     from irclogbot_spark.sources.files import write_irclog_bucketed
 
     tbl = _BUCKETED_IRCLOG.get(sf_dir)
     if tbl is None or not spark.catalog.tableExists(tbl):
-        # pid suffix keeps the in-memory-catalog table name unique per
-        # process, so leftover warehouse files from earlier sessions
-        # can never collide with this session's CREATE
+        # deterministic name, overwritten in place each session: the
+        # warehouse never accumulates per-pid copies, and the stale
+        # directory a previous PROCESS left behind (absent from this
+        # session's in-memory catalog, so saveAsTable would fail with
+        # LOCATION_ALREADY_EXISTS — code-review r6 finding) is removed
+        # before the CREATE.
         suffix = "".join(c if c.isalnum() else "_" for c in sf_dir)
-        tbl = f"irclog_bkt_{os.getpid()}_{suffix}".strip("_")
+        tbl = f"irclog_bkt_{suffix}".strip("_")
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir"))
+        shutil.rmtree(os.path.join(wh.path, tbl.lower()), ignore_errors=True)
         write_irclog_bucketed(synth.irclog(spark, sf_dir), tbl, buckets=8)
         _BUCKETED_IRCLOG[sf_dir] = tbl
     log = spark.table(tbl)

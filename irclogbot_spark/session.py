@@ -32,6 +32,12 @@ RUNTIME_CONFS: dict[str, str] = {
     # Arrow batching for the pandas-UDF operators (hash-compat,
     # multimodal stubs); 10-100x over row-at-a-time Python UDFs.
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Exact-arithmetic operators (events_anomaly's decimal(38,0)
+    # moments) document fail-loud semantics on overflow; ANSI mode is
+    # the Spark 4 default but NOT Spark 3.5's — pin it so a 3.5
+    # deployment can't silently NULL an overflowed decimal product
+    # (code-review r6 finding).
+    "spark.sql.ansi.enabled": "true",
 }
 
 

@@ -734,3 +734,12 @@ def test_hybrid_indexed_exhaustive_equals_exact_scan(spark):
     assert len(prod) == 10
     overlap = {r.doc_id for r in prod} & {t[0] for t in exact}
     assert len(overlap) >= 5, sorted(overlap)
+
+
+def test_wav_rejects_zero_sample_rate():
+    import struct as st
+
+    payload = bytearray(multimodal.encode_wav(16000, 1, bytes(8)))
+    st.pack_into("<I", payload, 24, 0)  # sample_rate = 0 in fmt
+    with pytest.raises(ValueError, match="sample rate"):
+        multimodal.decode_wav(bytes(payload))
