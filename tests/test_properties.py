@@ -298,3 +298,88 @@ def test_importance_logit_matches_python_reference(spark):
     }
     for doc_id, text in rows:
         assert got[doc_id] == ref(text), (doc_id, text)
+
+
+# ------------------------------------------------- codec properties
+# Pure-Python encode->decode identities (no Spark job per example):
+# hypothesis drives geometry and payload bytes through every padding
+# residue, PNG color type, and filter combination.
+
+from irclogbot_spark.operators import multimodal as mm  # noqa: E402
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    w=st.integers(1, 9),
+    h=st.integers(1, 7),
+    data=st.data(),
+)
+def test_bmp_ppm_round_trip_property(w, h, data):
+    rgb = bytes(
+        data.draw(
+            st.lists(
+                st.integers(0, 255), min_size=w * h * 3, max_size=w * h * 3
+            )
+        )
+    )
+    assert mm.decode_bmp(mm.encode_bmp(w, h, rgb)) == (w, h, 3, rgb)
+    assert mm.decode_ppm(mm.encode_ppm(w, h, rgb)) == (w, h, 3, rgb)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    w=st.integers(1, 8),
+    h=st.integers(1, 6),
+    color_type=st.sampled_from([0, 2, 4, 6]),
+    data=st.data(),
+)
+def test_png_round_trip_property(w, h, color_type, data):
+    ch = mm._PNG_CHANNELS[color_type]
+    pix = bytes(
+        data.draw(
+            st.lists(
+                st.integers(0, 255), min_size=w * h * ch, max_size=w * h * ch
+            )
+        )
+    )
+    payload = mm.encode_png(w, h, pix, color_type=color_type)
+    assert mm.decode_png(payload) == (w, h, ch, pix)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    rate=st.integers(1, 96000),
+    n_ch=st.integers(1, 4),
+    frames=st.integers(0, 50),
+    data=st.data(),
+)
+def test_wav_round_trip_property(rate, n_ch, frames, data):
+    n = frames * 2 * n_ch
+    pcm = bytes(data.draw(st.lists(st.integers(0, 255), min_size=n, max_size=n)))
+    payload = mm.encode_wav(rate, n_ch, pcm)
+    assert mm.decode_wav(payload) == (rate, n_ch, frames, pcm)
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    w=st.integers(1, 6),
+    h=st.integers(2, 8),
+    data=st.data(),
+)
+def test_png_random_filter_decode_property(w, h, data):
+    """Forward-filter rows with RANDOM per-row filter types (the
+    independent reference in test_operators) — decode must invert any
+    mix, not just the encoder's filter-0 choice."""
+    from tests.test_operators import _png_with_filters
+
+    pix = bytes(
+        data.draw(
+            st.lists(st.integers(0, 255), min_size=w * h * 3, max_size=w * h * 3)
+        )
+    )
+    filters = data.draw(
+        st.lists(st.integers(0, 4), min_size=h, max_size=h)
+    )
+    assert mm.decode_png(_png_with_filters(w, h, 3, pix, filters)) == (
+        w, h, 3, pix,
+    )
