@@ -111,6 +111,7 @@ HEADLINE = [
     "media_resize_stats",
     "media_decode_stats",
     "docs_corpus_shuffle_fast",
+    "tpch_q16_supplier_cnt",
 ]
 
 #: headline queries that derive from the irclog (re-timed over the

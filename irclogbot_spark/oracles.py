@@ -2979,6 +2979,21 @@ FROM a CROSS JOIN b
 ORACLES["docs_lsh_recall"] = _lsh_recall_sql()
 
 
+# ANSI twin of queries.tpch_q16_supplier_cnt: the NOT IN form of the
+# broadcast anti join, same distinct pair reduction and tiebreak.
+ORACLES["tpch_q16_supplier_cnt"] = """
+SELECT p_brand, p_type, p_size,
+  CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+JOIN part ON ps.l_partkey = p_partkey
+WHERE p_size <= 20
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+LIMIT 20
+"""
+
+
 # ANSI twin of queries.media_resize_stats: src geometry re-derived
 # from the text length the BMP fixture encoded (the engine must parse
 # each header to produce it); target geometry is the resize contract.

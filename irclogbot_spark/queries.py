@@ -1431,6 +1431,38 @@ def tpch_q18_big_orders(spark, sf_dir):
     )
 
 
+@query("tpch_q16_supplier_cnt")
+def tpch_q16_supplier_cnt(spark, sf_dir):
+    """TPC-H Q16 shape (adapted — this corpus has no partsupp, so
+    lineitem's distinct (part, supplier) pairs stand in): per
+    (brand, type, size) count the DISTINCT suppliers able to supply
+    it, excluding a blacklisted supplier set (the classic NOT IN,
+    planned as a broadcast anti join — the blacklist is tiny). The
+    p_size filter reaches the part scan as a PushedFilter; the
+    distinct pair reduction and the count-distinct agg share the
+    part-key shuffle; top-k is a TakeOrderedAndProject with a full
+    (brand, type, size) tiebreak. Round 6 — the anti-join +
+    multi-key count-distinct combination the relational battery
+    lacked. Tail registration; value-checked by the local parity
+    suite."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_size") <= 20)
+    bad = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    ps = li.select("l_partkey", "l_suppkey").distinct()
+    return (
+        ps.join(F.broadcast(bad), ps.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(p, ps.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+        .limit(20)
+    )
+
+
 @query("docs_incremental_dedup_wb")
 def docs_incremental_dedup_wb(spark, sf_dir):
     """docs_incremental_dedup with the round-4 within_batch arm: the
