@@ -112,6 +112,7 @@ HEADLINE = [
     "media_decode_stats",
     "docs_corpus_shuffle_fast",
     "tpch_q16_supplier_cnt",
+    "log_term_time_partitioned",
 ]
 
 #: headline queries that derive from the irclog (re-timed over the

@@ -165,6 +165,11 @@ SELECT 'fulltext' AS variant, channel, nick, posted, remark, id FROM irclog
 WHERE remark LIKE '%"k": 4%'
 """
 
+# Physical-layout twin: the day-partitioned write re-derives the same
+# rows (day == date(posted), so the partition filter is implied by the
+# posted range); the scan-form SQL doubles as its oracle.
+ORACLES["log_term_time_partitioned"] = ORACLES["log_term_time_filter"]
+
 ORACLES["log_point_lookup"] = f"""
 WITH {IRCLOG_CTE}
 SELECT id, channel, nick, remark, COUNT(*) AS n FROM irclog

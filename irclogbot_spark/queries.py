@@ -142,6 +142,51 @@ def channels_catalog(spark, sf_dir):
     )
 
 
+# session-scoped registry of day-partitioned irclog materializations
+_PARTITIONED_IRCLOG: dict[str, str] = {}
+
+
+@query("log_term_time_partitioned")
+def log_term_time_partitioned(spark, sf_dir):
+    """Physical-layout twin of log_term_time_filter (round 6 — the
+    partition-pruning half of the layout story; bucketing covers the
+    aggregation half): the irclog is written ONCE per session
+    day-partitioned (sources/files.py:write_irclog partition_by_day)
+    and the term_time arm filters on the day partition column, so
+    the time range becomes storage-level PartitionFilters — at 100 TB
+    the scan reads 6 day-directories instead of the corpus
+    (plan-asserted in test_sources.py). The fulltext arm scans all
+    partitions (no time bound — honest). Shares
+    log_term_time_filter's ORACLE: two physical dataflows, one value
+    hash."""
+    import shutil
+
+    from irclogbot_spark.sources.files import write_irclog
+
+    path = _PARTITIONED_IRCLOG.get(sf_dir)
+    if path is None:
+        suffix = "".join(c if c.isalnum() else "_" for c in sf_dir).strip("_")
+        path = f"/tmp/sparklog_irclog_byday_{suffix}"
+        shutil.rmtree(path, ignore_errors=True)
+        write_irclog(synth.irclog(spark, sf_dir), path, partition_by_day=True)
+        _PARTITIONED_IRCLOG[sf_dir] = path
+    log = spark.read.parquet(path).withColumn(
+        "posted", F.col("posted").cast("timestamp_ntz")
+    )
+    tt = log.filter(
+        (F.col("day") >= F.lit("2024-01-08").cast("date"))
+        & (F.col("day") < F.lit("2024-01-14").cast("date"))
+        & (F.col("channel") == "#purchase")
+        & (F.col("posted") >= _ntz("2024-01-08 00:00:00"))
+        & (F.col("posted") < _ntz("2024-01-14 00:00:00"))
+    )
+    ft = log.filter(F.col("remark").like('%"k": 4%'))
+    cols = ["channel", "nick", "posted", "remark", "id"]
+    return tt.select(F.lit("term_time").alias("variant"), *cols).unionAll(
+        ft.select(F.lit("fulltext").alias("variant"), *cols)
+    )
+
+
 # ------------------------------------------------- implied ES query surface
 @query("log_term_time_filter")
 def log_term_time_filter(spark, sf_dir):

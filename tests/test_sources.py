@@ -145,3 +145,33 @@ def test_log_channel_day_bucketed_query_no_exchange_and_value_equal(spark, sf_di
         for tbl in _BUCKETED_IRCLOG.values():
             spark.sql(f"DROP TABLE IF EXISTS {tbl}")
         _BUCKETED_IRCLOG.clear()
+
+
+def test_log_term_time_partitioned_prunes_and_value_equal(spark, sf_dir):
+    """The driver-checked partition-pruning twin: the term_time arm's
+    scan must carry day PartitionFilters (storage-level pruning), and
+    values must match the scan-form query exactly."""
+    import re
+
+    import __spark_entry__  # noqa: F401
+    from irclogbot_spark.queries import QUERIES, _PARTITIONED_IRCLOG
+
+    try:
+        got = QUERIES["log_term_time_partitioned"](spark, sf_dir)
+        plan = got._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        m = re.findall(r"PartitionFilters: \[[^\]]*day[^\]]*\]", plan)
+        assert m, plan
+        scan = QUERIES["log_term_time_filter"](spark, sf_dir)
+        assert sorted(map(tuple, got.collect())) == sorted(
+            map(tuple, scan.collect())
+        )
+    finally:
+        import shutil
+
+        for p in _PARTITIONED_IRCLOG.values():
+            shutil.rmtree(p, ignore_errors=True)
+        _PARTITIONED_IRCLOG.clear()
