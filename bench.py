@@ -113,6 +113,12 @@ HEADLINE = [
     "docs_corpus_shuffle_fast",
     "tpch_q16_supplier_cnt",
     "log_term_time_partitioned",
+    "tpch_q4_order_priority",
+    "tpch_q7_volume_shipping",
+    "tpch_q13_cust_distribution",
+    "tpch_q14_promo_revenue",
+    "tpch_q17_small_qty_revenue",
+    "tpch_q22_global_sales",
 ]
 
 #: headline queries that derive from the irclog (re-timed over the

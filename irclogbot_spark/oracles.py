@@ -3049,6 +3049,100 @@ FROM h
 """
 
 
+# ---------------------------------------- TPC-H-ish round-6 widening
+# ANSI twins of the six added relational shapes; predicates and the
+# exact-arithmetic forms (integer/decimal cross-multiplies, single
+# final double division) are clause-identical to the Spark side.
+ORACLES["tpch_q4_order_priority"] = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-07-01 00:00:00'
+  AND EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey
+      AND l_shipdate >= o_orderdate
+      AND l_shipdate <= o_orderdate + INTERVAL 30 DAY)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+ORACLES["tpch_q7_volume_shipping"] = f"""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+  CAST(year(l_shipdate) AS INT) AS l_year,
+  {dsum_raw(REVENUE)} AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+  AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY 1, 2, 3
+"""
+
+ORACLES["tpch_q13_cust_distribution"] = """
+WITH per_cust AS (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer
+  LEFT OUTER JOIN (SELECT * FROM orders WHERE o_orderpriority <> '1-URGENT') o
+    ON c_custkey = o_custkey
+  GROUP BY c_custkey
+)
+SELECT c_count, COUNT(*) AS custdist
+FROM per_cust GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+ORACLES["tpch_q14_promo_revenue"] = f"""
+SELECT 100.0
+  * CAST(SUM(CASE WHEN p_type = 'PROMO' THEN {REVENUE} END) AS DOUBLE)
+  / CAST(SUM({REVENUE}) AS DOUBLE) AS promo_revenue_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1996-10-01 00:00:00'
+"""
+
+ORACLES["tpch_q17_small_qty_revenue"] = f"""
+WITH lb AS MATERIALIZED (
+  SELECT l_partkey, CAST(floor(l_quantity) AS BIGINT) AS qty, l_extendedprice
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_brand = 'Brand#1'
+),
+stats AS (
+  SELECT l_partkey AS sp_partkey, SUM(qty) AS sum_qty, COUNT(*) AS cnt
+  FROM lb GROUP BY l_partkey
+)
+SELECT {dsum('l_extendedprice')} / 7.0 AS avg_yearly,
+  COUNT(*) AS n_small_lines
+FROM lb JOIN stats ON l_partkey = sp_partkey
+WHERE 5 * qty * cnt < sum_qty
+"""
+
+ORACLES["tpch_q22_global_sales"] = """
+WITH cu AS MATERIALIZED (
+  SELECT c_custkey, c_nationkey, c_acctbal,
+    CAST(c_acctbal AS DECIMAL(12,2)) AS bal
+  FROM customer
+),
+pos AS (
+  SELECT COUNT(*) AS n_pos, SUM(bal) AS sum_pos FROM cu WHERE c_acctbal > 0.0
+)
+SELECT c_nationkey, COUNT(*) AS numcust, CAST(SUM(bal) AS DOUBLE) AS totacctbal
+FROM cu, pos
+WHERE bal * n_pos > sum_pos
+  AND NOT EXISTS (
+    SELECT 1 FROM orders
+    WHERE o_custkey = c_custkey
+      AND o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
+GROUP BY c_nationkey
+ORDER BY c_nationkey
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     out = dict(ORACLES)
     # data-dependent oracles, built lazily so the training corpus

@@ -2660,6 +2660,188 @@ def docs_corpus_shuffle_fast(spark, sf_dir):
     )
 
 
+# ------------------------------------------- TPC-H-ish round-6 widening
+# Six more canonical relational plan shapes over the tables the
+# testdata provides (no partsupp, no commit/receipt dates, no
+# c_phone/p_container — predicates adapted accordingly, shapes kept).
+@query("tpch_q4_order_priority")
+def tpch_q4_order_priority(spark, sf_dir):
+    """TPC-H Q4 shape: EXISTS-correlated semi join with a non-equi
+    clause. Orders in a 1-year window that had at least one line
+    shipped within 30 days of ordering (the commit/receipt analog),
+    counted per priority. The semi join shuffles ONLY on orderkey;
+    the interval clause rides the same hash join as a residual
+    condition (never a nested-loop), and the lineitem side is
+    pruned to (l_orderkey, l_shipdate) at the scan."""
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= _ntz("1996-07-01 00:00:00"))
+        & (F.col("o_orderdate") < _ntz("1997-07-01 00:00:00"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    prompt = o.join(
+        li,
+        (o.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate >= o.o_orderdate)
+        & (li.l_shipdate <= o.o_orderdate + F.expr("INTERVAL 30 DAYS")),
+        "left_semi",
+    )
+    return (
+        prompt.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@query("tpch_q7_volume_shipping")
+def tpch_q7_volume_shipping(spark, sf_dir):
+    """TPC-H Q7 shape: two broadcast copies of the same dim (supplier
+    nation vs customer nation) with a disjunctive pair filter, fact
+    chain shuffled on its two keys only, revenue grouped by
+    (supp_nation, cust_nation, year). The nation pair filter lands
+    AFTER the broadcast joins but costs nothing — both sides are
+    25-row broadcasts; lineitem's shipdate range is pushed to the
+    scan."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ntz("1996-01-01 00:00:00"))
+        & (F.col("l_shipdate") < _ntz("1998-01-01 00:00:00"))
+    )
+    o = _t(spark, sf_dir, "orders")
+    cu = _t(spark, sf_dir, "customer")
+    su = F.broadcast(_t(spark, sf_dir, "supplier"))
+    n1 = F.broadcast(
+        _t(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+        )
+    )
+    n2 = F.broadcast(
+        _t(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+        )
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cu, F.col("o_custkey") == F.col("c_custkey"))
+        .join(su, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(n1, F.col("s_nationkey") == F.col("n1_key"))
+        .join(n2, F.col("c_nationkey") == F.col("n2_key"))
+        .filter(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(dsum_raw(_revenue()).alias("revenue"))
+    )
+
+
+@query("tpch_q13_cust_distribution")
+def tpch_q13_cust_distribution(spark, sf_dir):
+    """TPC-H Q13 shape: LEFT OUTER join preserved through a
+    double aggregation — customers keyed against their non-urgent
+    order count INCLUDING the zero bucket (the outer join's whole
+    point), then the distribution of those counts. First agg
+    reuses the join's customer-key shuffle; second agg's domain is
+    tiny (distinct counts)."""
+    cu = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") != "1-URGENT")
+    per_cust = (
+        cu.join(o, cu.c_custkey == o.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+@query("tpch_q14_promo_revenue")
+def tpch_q14_promo_revenue(spark, sf_dir):
+    """TPC-H Q14 shape: conditional aggregation ratio — promo-type
+    revenue share of one ship-month. Part joins broadcast; both
+    sums stay exact decimals and the single double division happens
+    once at the end (clause-identical in the oracle). The else-less
+    CASE makes the promo sum skip non-promo rows in both engines."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ntz("1996-09-01 00:00:00"))
+        & (F.col("l_shipdate") < _ntz("1996-10-01 00:00:00"))
+    )
+    pa = F.broadcast(_t(spark, sf_dir, "part"))
+    return (
+        li.join(pa, F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            (
+                F.lit(100.0)
+                * F.sum(F.when(F.col("p_type") == "PROMO", _revenue())).cast("double")
+                / F.sum(_revenue()).cast("double")
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+@query("tpch_q17_small_qty_revenue")
+def tpch_q17_small_qty_revenue(spark, sf_dir):
+    """TPC-H Q17 shape: correlated scalar-aggregate subquery
+    (per-part average quantity) turned into a self-aggregation +
+    join — the decorrelation Catalyst itself would apply. The
+    below-20%-of-average test is the exact integer cross-multiply
+    5*qty*cnt < sum_qty (quantities are integral), so no float
+    average ever exists. Per-part stats partial-aggregate on
+    l_partkey and re-join co-partitioned; part's brand filter
+    broadcasts and prunes BEFORE the stats join (stats of filtered
+    parts only ride the join)."""
+    li = _t(spark, sf_dir, "lineitem").withColumn(
+        "qty", F.floor("l_quantity").cast("bigint")
+    )
+    pa = F.broadcast(
+        _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
+    )
+    li_brand = li.join(pa, F.col("l_partkey") == F.col("p_partkey"))
+    stats = li_brand.groupBy(F.col("l_partkey").alias("sp_partkey")).agg(
+        F.sum("qty").alias("sum_qty"), F.count(F.lit(1)).alias("cnt")
+    )
+    small = li_brand.join(stats, F.col("l_partkey") == F.col("sp_partkey")).filter(
+        F.lit(5) * F.col("qty") * F.col("cnt") < F.col("sum_qty")
+    )
+    return small.agg(
+        (dsum("l_extendedprice") / F.lit(7.0)).alias("avg_yearly"),
+        F.count(F.lit(1)).alias("n_small_lines"),
+    )
+
+
+@query("tpch_q22_global_sales")
+def tpch_q22_global_sales(spark, sf_dir):
+    """TPC-H Q22 shape: scalar subquery (positive-balance average)
+    broadcast as a 1-row fold + NULL-aware anti join (customers
+    with no order since 1999 — 'lapsed'), grouped by nation. The
+    above-average test is the exact decimal cross-multiply
+    acctbal*n_pos > sum_pos, so the float average never exists;
+    the anti join shuffles only (o_custkey) after its date filter."""
+    cu = _t(spark, sf_dir, "customer").withColumn(
+        "bal", F.col("c_acctbal").cast("decimal(12,2)")
+    )
+    pos = cu.filter(F.col("c_acctbal") > 0.0).agg(
+        F.count(F.lit(1)).alias("n_pos"), F.sum("bal").alias("sum_pos")
+    )
+    recent = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= _ntz("1999-01-01 00:00:00")
+    )
+    rich = cu.crossJoin(F.broadcast(pos)).filter(
+        F.col("bal") * F.col("n_pos") > F.col("sum_pos")
+    )
+    lapsed = rich.join(
+        recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
+    )
+    return (
+        lapsed.groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            dsum_raw(F.col("bal")).alias("totacctbal"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     out = {n: QUERIES[n] for n in _DRIVER_WINDOW}
     for n, f in QUERIES.items():

@@ -355,3 +355,62 @@ def test_media_audio_stats_map_only(spark):
     plan = _plan(spark, "media_audio_stats")
     assert "Exchange hashpartitioning" not in plan, plan
     assert "Exchange rangepartitioning" not in plan, plan
+
+
+def test_q4_semi_join_pushed_window_no_nested_loop(spark):
+    """tpch_q4: the EXISTS compiles to a LeftSemi HASH join (the
+    interval clause is a residual condition, never a nested loop);
+    the 1-year order window is pushed to the orders scan."""
+    plan = _plan(spark, "tpch_q4_order_priority")
+    assert "LeftSemi" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    pushed = "\n".join(l for l in plan.splitlines() if "PushedFilters" in l)
+    assert "GreaterThanOrEqual(o_orderdate" in pushed, pushed
+
+
+def test_q7_nation_pair_disjunction_pushed_dims_broadcast(spark):
+    """tpch_q7: Catalyst infers per-side nation-name IN-lists from
+    the disjunctive pair filter and pushes them into BOTH nation
+    scans; every dim join broadcasts; the shipdate range reaches the
+    lineitem scan."""
+    plan = _plan(spark, "tpch_q7_volume_shipping")
+    pushed = "\n".join(l for l in plan.splitlines() if "PushedFilters" in l)
+    assert "EqualTo(n_name,NATION_1)" in pushed, pushed
+    assert "GreaterThanOrEqual(l_shipdate" in pushed, pushed
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_q13_outer_join_priority_filter_pushed(spark):
+    """tpch_q13: the LEFT OUTER survives to the physical plan (zero
+    bucket preserved) and the priority exclusion is pushed to the
+    orders scan, not applied post-join (which would corrupt outer
+    semantics)."""
+    plan = _plan(spark, "tpch_q13_cust_distribution")
+    assert "LeftOuter" in plan, plan
+    pushed = "\n".join(l for l in plan.splitlines() if "PushedFilters" in l)
+    assert "Not(EqualTo(o_orderpriority,1-URGENT))" in pushed, pushed
+
+
+def test_q17_brand_filter_pushed_before_stats(spark):
+    """tpch_q17: the brand filter reaches the part scan (stats are
+    computed over filtered parts only — the join order that makes
+    the decorrelated subquery cheap), and the correlated-average
+    decorrelation never degenerates to a nested loop."""
+    plan = _plan(spark, "tpch_q17_small_qty_revenue")
+    pushed = "\n".join(l for l in plan.splitlines() if "PushedFilters" in l)
+    assert "EqualTo(p_brand,Brand#1)" in pushed, pushed
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_q22_anti_join_hash_scalar_fold_only_bnlj(spark):
+    """tpch_q22: the lapsed-customer NOT EXISTS is a LeftAnti HASH
+    join; the only nested-loop node is the sanctioned 1-row scalar
+    fold (positive-balance average); both scan filters are
+    pushed."""
+    plan = _plan(spark, "tpch_q22_global_sales")
+    assert "LeftAnti" in plan, plan
+    pushed = "\n".join(l for l in plan.splitlines() if "PushedFilters" in l)
+    assert "GreaterThan(c_acctbal,0.0)" in pushed, pushed
+    assert "GreaterThanOrEqual(o_orderdate,1999-01-01" in pushed, pushed
