@@ -119,6 +119,8 @@ HEADLINE = [
     "tpch_q14_promo_revenue",
     "tpch_q17_small_qty_revenue",
     "tpch_q22_global_sales",
+    "docs_editdist_neardup",
+    "docs_snapshot_diff",
 ]
 
 #: headline queries that derive from the irclog (re-timed over the

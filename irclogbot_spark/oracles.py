@@ -3049,6 +3049,59 @@ FROM h
 """
 
 
+# ANSI twin of queries.docs_editdist_neardup: same q-gram count-filter
+# candidate generation (distinct positional 8-grams, df cull at 50,
+# >= 10 shared), same exact levenshtein verify — clause-identical, so
+# the engine's blocked join and the oracle's agree pair-for-pair.
+ORACLES["docs_editdist_neardup"] = """
+WITH d AS MATERIALIZED (SELECT doc_id, text FROM documents),
+pos AS (
+  SELECT doc_id, text,
+    unnest(range(1, greatest(length(text) - 7, 1) + 1)) AS i
+  FROM d
+),
+grams AS (SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 8) AS g FROM pos),
+dfc AS (SELECT g, COUNT(*) AS n FROM grams GROUP BY g),
+kept AS MATERIALIZED (
+  SELECT doc_id, grams.g FROM grams JOIN dfc ON grams.g = dfc.g WHERE n <= 50
+),
+nk AS (SELECT doc_id, COUNT(*) AS n_kept FROM kept GROUP BY doc_id),
+cand AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
+  FROM kept a JOIN kept b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+thr AS (
+  SELECT id_a, id_b, shared
+  FROM cand JOIN nk x ON id_a = x.doc_id JOIN nk y ON id_b = y.doc_id
+  WHERE shared >= greatest(10, least(x.n_kept, y.n_kept) - 128)
+)
+SELECT id_a, id_b, shared,
+  CAST(levenshtein(x.text, y.text) AS INT) AS dist
+FROM thr JOIN d x ON id_a = x.doc_id JOIN d y ON id_b = y.doc_id
+WHERE levenshtein(x.text, y.text) <= 16
+"""
+
+# ANSI twin of queries.docs_snapshot_diff: same deterministic v1/v2
+# manufacture, md5 fingerprints, FULL OUTER JOIN status decode.
+ORACLES["docs_snapshot_diff"] = """
+WITH v1 AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 9),
+v2 AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 7 = 0 THEN text || ' [rev2]' ELSE text END AS text
+  FROM documents WHERE doc_id % 10 <> 0
+),
+o AS (SELECT doc_id AS oid, md5(text) AS ofp FROM v1),
+n AS (SELECT doc_id AS nid, md5(text) AS nfp FROM v2)
+SELECT COALESCE(oid, nid) AS doc_id,
+  CASE WHEN oid IS NULL THEN 'added'
+       WHEN nid IS NULL THEN 'removed'
+       WHEN ofp <> nfp THEN 'changed'
+       ELSE 'unchanged' END AS status
+FROM o FULL OUTER JOIN n ON oid = nid
+"""
+
+
 # ---------------------------------------- TPC-H-ish round-6 widening
 # ANSI twins of the six added relational shapes; predicates and the
 # exact-arithmetic forms (integer/decimal cross-multiplies, single

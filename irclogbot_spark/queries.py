@@ -2660,6 +2660,48 @@ def docs_corpus_shuffle_fast(spark, sf_dir):
     )
 
 
+@query("docs_editdist_neardup")
+def docs_editdist_neardup(spark, sf_dir):
+    """Edit-distance near-dup pairs (operators/editdist.py) — the
+    fourth dedup modality (Levenshtein <= 16) via the Gravano et al.
+    q-gram count-filter join: in-row distinct 8-grams, stop-gram
+    cull at df <= 50 (the max_bucket convention), the EXACT
+    length-dependent count-filter threshold max(10, min(n_kept) -
+    q*d), then banded 3-arg JVM levenshtein verify over candidates
+    only. Text rides no gram shuffle; the quadratic form never
+    exists — at sf0.1 the filter admits 223 candidate pairs out of
+    12.5M possible, with provably full recall above the short-doc
+    floor (see the operator docstring's bound proof). The oracle
+    replicates the same candidate generation, so the whole pipeline
+    value-hashes."""
+    from irclogbot_spark.operators.editdist import editdist_neardup
+
+    d = _t(spark, sf_dir, "documents")
+    return editdist_neardup(d, q=8, max_df=50, min_shared=10, max_dist=16)
+
+
+@query("docs_snapshot_diff")
+def docs_snapshot_diff(spark, sf_dir):
+    """Corpus snapshot diff (operators/snapshot.py corpus_diff):
+    release-over-release added/removed/changed/unchanged accounting
+    via in-row md5 fingerprints + a FULL OUTER join of bare
+    (id, fp) pairs — the §2I full-outer shape; text never shuffles.
+    Snapshots are manufactured deterministically from the documents
+    table (v1 drops doc_id%10==9, v2 drops %10==0 and revises
+    %7==0), same WHERE/CASE in the oracle."""
+    from irclogbot_spark.operators.snapshot import corpus_diff
+
+    d = _t(spark, sf_dir, "documents")
+    v1 = d.filter(F.col("doc_id") % 10 != 9)
+    v2 = d.filter(F.col("doc_id") % 10 != 0).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" [rev2]"))
+        ).otherwise(F.col("text")),
+    )
+    return corpus_diff(v1, v2)
+
+
 # ------------------------------------------- TPC-H-ish round-6 widening
 # Six more canonical relational plan shapes over the tables the
 # testdata provides (no partsupp, no commit/receipt dates, no

@@ -414,3 +414,27 @@ def test_q22_anti_join_hash_scalar_fold_only_bnlj(spark):
     pushed = "\n".join(l for l in plan.splitlines() if "PushedFilters" in l)
     assert "GreaterThan(c_acctbal,0.0)" in pushed, pushed
     assert "GreaterThanOrEqual(o_orderdate,1999-01-01" in pushed, pushed
+
+
+def test_editdist_no_text_in_gram_exchanges_no_nested_loop(spark):
+    """docs_editdist_neardup: gram extraction is in-row — the gram /
+    pair / count-filter exchanges carry ids, grams and counts, never
+    document text; candidates bound every join (no nested loop, no
+    cartesian)."""
+    plan = _plan(spark, "docs_editdist_neardup")
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line and "Arguments" in line:
+            assert "text" not in line, line
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_snapshot_diff_full_outer_no_text_in_exchanges(spark):
+    """docs_snapshot_diff: the FULL OUTER survives to the physical
+    plan (added AND removed rows both preserved) and only (id, fp)
+    pairs ride its exchanges."""
+    plan = _plan(spark, "docs_snapshot_diff")
+    assert "FullOuter" in plan, plan
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line and "Arguments" in line:
+            assert "text" not in line, line
