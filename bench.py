@@ -121,6 +121,7 @@ HEADLINE = [
     "tpch_q22_global_sales",
     "docs_editdist_neardup",
     "docs_snapshot_diff",
+    "docs_length_winsorize",
 ]
 
 #: headline queries that derive from the irclog (re-timed over the

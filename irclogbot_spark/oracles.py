@@ -3049,6 +3049,31 @@ FROM h
 """
 
 
+# ANSI twin of queries.docs_length_winsorize: quantile_cont is
+# DuckDB's exact linear-interpolation percentile — same (n-1)*q
+# formula as Spark's F.percentile, bit-identical doubles; all summed
+# quantities floor-quantized to milli before aggregation, as in the
+# engine.
+ORACLES["docs_length_winsorize"] = """
+WITH d AS MATERIALIZED (
+  SELECT source, CAST(length(text) AS DOUBLE) AS len FROM documents
+),
+stats AS (
+  SELECT source, quantile_cont(len, 0.05) AS p05, quantile_cont(len, 0.95) AS p95
+  FROM d GROUP BY source
+)
+SELECT d.source, COUNT(*) AS n_docs,
+  CAST(floor(MAX(p05) * 1000) AS BIGINT) AS p05_milli,
+  CAST(floor(MAX(p95) * 1000) AS BIGINT) AS p95_milli,
+  CAST(SUM(CASE WHEN len < p05 THEN 1 ELSE 0 END) AS BIGINT) AS n_below,
+  CAST(SUM(CASE WHEN len > p95 THEN 1 ELSE 0 END) AS BIGINT) AS n_above,
+  CAST(SUM(CAST(floor(greatest(p05, least(p95, len)) * 1000) AS BIGINT))
+    AS BIGINT) AS sum_clamped_milli
+FROM d JOIN stats ON d.source = stats.source
+GROUP BY d.source
+"""
+
+
 # ANSI twin of queries.docs_editdist_neardup: same q-gram count-filter
 # candidate generation (distinct positional 8-grams, df cull at 50,
 # >= 10 shared), same exact levenshtein verify — clause-identical, so

@@ -2660,6 +2660,42 @@ def docs_corpus_shuffle_fast(spark, sf_dir):
     )
 
 
+@query("docs_length_winsorize")
+def docs_length_winsorize(spark, sf_dir):
+    """Per-source robust length statistics + winsorized aggregation
+    — the outlier-tolerant corpus-stats pass (Gopher/RefinedWeb
+    report winsorized doc-length tables): EXACT distributed
+    percentiles (F.percentile — NOT approx_percentile; its
+    aggregation state is a distinct-value histogram, bounded here
+    because lengths are small-domain), p05/p95 broadcast back, and
+    clamped-length sums. Doubles are bit-identical cross-engine
+    (verified: Spark percentile == DuckDB quantile_cont, same
+    (n-1)*q linear interpolation, incl. fractional positions), but
+    float SUMS are order-dependent — so every summed quantity is
+    floor-quantized to integer milli-units first (the CAST-rounds
+    rule), making the aggregate partitioning-invariant."""
+    d = _t(spark, sf_dir, "documents").select(
+        "source", F.length("text").cast("double").alias("len")
+    )
+    stats = d.groupBy("source").agg(
+        F.percentile("len", 0.05).alias("p05"),
+        F.percentile("len", 0.95).alias("p95"),
+    )
+    clamped = F.greatest(F.col("p05"), F.least(F.col("p95"), F.col("len")))
+    return (
+        d.join(F.broadcast(stats), "source")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.floor(F.max("p05") * 1000).cast("bigint").alias("p05_milli"),
+            F.floor(F.max("p95") * 1000).cast("bigint").alias("p95_milli"),
+            F.sum((F.col("len") < F.col("p05")).cast("bigint")).alias("n_below"),
+            F.sum((F.col("len") > F.col("p95")).cast("bigint")).alias("n_above"),
+            F.sum(F.floor(clamped * 1000).cast("bigint")).alias("sum_clamped_milli"),
+        )
+    )
+
+
 @query("docs_editdist_neardup")
 def docs_editdist_neardup(spark, sf_dir):
     """Edit-distance near-dup pairs (operators/editdist.py) — the

@@ -122,3 +122,42 @@ def test_snapshot_diff_text_not_in_exchanges(spark):
     for line in plan.splitlines():
         if "Exchange" in line and "Arguments" in line:
             assert "text" not in line, line
+
+
+def test_winsorize_partitioning_invariant(spark):
+    """The milli-quantized winsorized sums are integer aggregates —
+    bit-identical under any partitioning (the float-sum hazard the
+    quantization exists to kill)."""
+    import __spark_entry__ as entrymod
+
+    q = entrymod.queries()["docs_length_winsorize"]
+    base = {tuple(r) for r in q(spark, "/root/testdata/sf0.001").collect()}
+    import irclogbot_spark.queries as qmod
+
+    d = qmod._t(spark, "/root/testdata/sf0.001", "documents").repartition(7)
+    # re-run the same query body over a reshuffled input
+    from pyspark.sql import functions as FF
+
+    src = d.select("source", FF.length("text").cast("double").alias("len"))
+    st = src.groupBy("source").agg(
+        FF.percentile("len", 0.05).alias("p05"),
+        FF.percentile("len", 0.95).alias("p95"),
+    )
+    clamped = FF.greatest(FF.col("p05"), FF.least(FF.col("p95"), FF.col("len")))
+    got = {
+        tuple(r)
+        for r in src.join(FF.broadcast(st), "source")
+        .groupBy("source")
+        .agg(
+            FF.count(FF.lit(1)).alias("n_docs"),
+            FF.floor(FF.max("p05") * 1000).cast("bigint").alias("p05_milli"),
+            FF.floor(FF.max("p95") * 1000).cast("bigint").alias("p95_milli"),
+            FF.sum((FF.col("len") < FF.col("p05")).cast("bigint")).alias("n_below"),
+            FF.sum((FF.col("len") > FF.col("p95")).cast("bigint")).alias("n_above"),
+            FF.sum(FF.floor(clamped * 1000).cast("bigint")).alias(
+                "sum_clamped_milli"
+            ),
+        )
+        .collect()
+    }
+    assert got == base

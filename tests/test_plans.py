@@ -438,3 +438,12 @@ def test_snapshot_diff_full_outer_no_text_in_exchanges(spark):
     for line in plan.splitlines():
         if "Exchange hashpartitioning" in line and "Arguments" in line:
             assert "text" not in line, line
+
+
+def test_winsorize_stats_broadcast_back(spark):
+    """docs_length_winsorize: the 20-row percentile table broadcasts
+    back onto the corpus — the clamp pass never shuffles the corpus
+    a second time."""
+    plan = _plan(spark, "docs_length_winsorize")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
