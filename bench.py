@@ -122,6 +122,7 @@ HEADLINE = [
     "docs_editdist_neardup",
     "docs_snapshot_diff",
     "docs_length_winsorize",
+    "docs_editdist_dedup",
 ]
 
 #: headline queries that derive from the irclog (re-timed over the

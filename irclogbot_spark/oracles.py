@@ -3107,6 +3107,65 @@ FROM thr JOIN d x ON id_a = x.doc_id JOIN d y ON id_b = y.doc_id
 WHERE levenshtein(x.text, y.text) <= 16
 """
 
+# ANSI twin of queries.docs_editdist_dedup: the editdist candidate
+# pipeline feeding the recursive-component + keeper decode of the
+# docs_dedup_pipeline oracle — pair generation AND clustering both
+# re-derived in SQL.
+ORACLES["docs_editdist_dedup"] = """
+WITH RECURSIVE
+d AS MATERIALIZED (SELECT doc_id, text FROM documents),
+pos AS (
+  SELECT doc_id, text,
+    unnest(range(1, greatest(length(text) - 7, 1) + 1)) AS i
+  FROM d
+),
+grams AS (SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 8) AS g FROM pos),
+dfc AS (SELECT g, COUNT(*) AS n FROM grams GROUP BY g),
+kept AS MATERIALIZED (
+  SELECT doc_id, grams.g FROM grams JOIN dfc ON grams.g = dfc.g WHERE n <= 50
+),
+nk AS (SELECT doc_id, COUNT(*) AS n_kept FROM kept GROUP BY doc_id),
+cand AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
+  FROM kept a JOIN kept b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+thr AS (
+  SELECT id_a, id_b, shared
+  FROM cand JOIN nk x ON id_a = x.doc_id JOIN nk y ON id_b = y.doc_id
+  WHERE shared >= greatest(10, least(x.n_kept, y.n_kept) - 128)
+),
+pairs AS MATERIALIZED (
+  SELECT id_a AS d1, id_b AS d2
+  FROM thr JOIN d x ON id_a = x.doc_id JOIN d y ON id_b = y.doc_id
+  WHERE levenshtein(x.text, y.text) <= 16
+),
+sym AS (SELECT d1 AS a, d2 AS b FROM pairs UNION SELECT d2, d1 FROM pairs),
+nodes AS (SELECT DISTINCT a AS node FROM sym),
+walk(node, label) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT s.b, w.label FROM walk w JOIN sym s ON s.a = w.node
+),
+comp AS (SELECT node AS doc_id, MIN(label) AS cluster_id FROM walk GROUP BY node),
+fp AS (SELECT doc_id, md5(text) AS fingerprint FROM documents),
+ek AS (SELECT fingerprint, MIN(doc_id) AS exact_keeper FROM fp GROUP BY fingerprint),
+wx AS (
+  SELECT f.doc_id, e.exact_keeper, COALESCE(c.cluster_id, f.doc_id) AS cluster_id
+  FROM fp f
+  JOIN ek e ON f.fingerprint = e.fingerprint
+  LEFT JOIN comp c ON c.doc_id = f.doc_id
+)
+SELECT doc_id,
+  doc_id = LEAST(exact_keeper, cluster_id) AS kept,
+  CASE WHEN doc_id = LEAST(exact_keeper, cluster_id) THEN 'keeper'
+       WHEN exact_keeper < doc_id THEN 'exact_duplicate'
+       ELSE 'near_duplicate' END AS dedup_reason,
+  LEAST(exact_keeper, cluster_id) AS keeper_id
+FROM wx
+"""
+
+
 # ANSI twin of queries.docs_snapshot_diff: same deterministic v1/v2
 # manufacture, md5 fingerprints, FULL OUTER JOIN status decode.
 ORACLES["docs_snapshot_diff"] = """

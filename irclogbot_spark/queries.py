@@ -2716,6 +2716,26 @@ def docs_editdist_neardup(spark, sf_dir):
     return editdist_neardup(d, q=8, max_df=50, min_shared=10, max_dist=16)
 
 
+@query("docs_editdist_dedup")
+def docs_editdist_dedup(spark, sf_dir):
+    """The editdist pair source composed into the standard dedup
+    pass (operators/dedup.py dedup_corpus): exact md5 layer +
+    connected components over the EDIT-DISTANCE pair set (id_a,
+    id_b) -> smallest-id keeper with per-row (kept, dedup_reason).
+    Demonstrates the modality-agnostic pair contract — the same
+    clustering/keeper machinery serves Jaccard, SimHash, cosine and
+    now Levenshtein candidates. Oracle re-derives the pair set AND
+    the components (WITH RECURSIVE) in SQL."""
+    from irclogbot_spark.operators.dedup import dedup_corpus
+    from irclogbot_spark.operators.editdist import editdist_neardup
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = editdist_neardup(
+        d, q=8, max_df=50, min_shared=10, max_dist=16
+    ).select(F.col("id_a").alias("d1"), F.col("id_b").alias("d2"))
+    return dedup_corpus(d, pairs=pairs)
+
+
 @query("docs_snapshot_diff")
 def docs_snapshot_diff(spark, sf_dir):
     """Corpus snapshot diff (operators/snapshot.py corpus_diff):
