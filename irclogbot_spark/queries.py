@@ -1972,11 +1972,15 @@ def docs_importance_resample(spark, sf_dir):
 # semantic decontamination, k-means, data card, inline tokenizer,
 # frame plan, LSH recall, anomaly, PPS, trending terms, indexed
 # BM25, top paths) get their FIRST driver rows, plus the new
-# bucketed-layout twin; the long-stable core (4-5 green driver rows
-# each across r1-r5) rotates to the tail, still value-checked every
-# session by the local parity suite. The 25 round-3/4 flagships keep
-# their slots for a second driver row. Every name here MUST be
-# oracle-paired (pinned by tests/test_driver_contract.py).
+# bucketed-layout twin AND the 15 queries added during round 6
+# itself (six TPC-H shapes + Q16, partition-pruned serving twin,
+# edit-distance near-dup/dedup, winsorized stats, snapshot diff,
+# corpus shuffle, audio/resize stats); the long-stable core (4-5
+# green driver rows each across r1-r5) rotates to the tail, still
+# value-checked every session by the local parity suite. Ten
+# round-3/4 flagships keep their slots for a second driver row.
+# Every name here MUST be oracle-paired (pinned by
+# tests/test_driver_contract.py).
 _DRIVER_WINDOW = [
     # reference-surface + relational + doc/emb sentinels (one each)
     "ingest_parse",
@@ -2002,22 +2006,24 @@ _DRIVER_WINDOW = [
     "log_trending_terms",
     "docs_bm25_indexed",
     "log_channel_day_bucketed",
+    # round-6 additions: first driver rows (added this round, would
+    # otherwise carry only local-parity evidence)
+    "tpch_q4_order_priority",
+    "tpch_q7_volume_shipping",
+    "tpch_q13_cust_distribution",
+    "tpch_q14_promo_revenue",
+    "tpch_q16_supplier_cnt",
+    "tpch_q17_small_qty_revenue",
+    "tpch_q22_global_sales",
+    "log_term_time_partitioned",
+    "docs_editdist_neardup",
+    "docs_editdist_dedup",
+    "docs_length_winsorize",
+    "docs_snapshot_diff",
+    "docs_corpus_shuffle",
+    "media_audio_stats",
+    "media_resize_stats",
     # round-3/4 flagships (second driver row)
-    "docs_crossdup",
-    "docs_c4_clean",
-    "docs_inverted_index",
-    "docs_incremental_dedup",
-    "docs_budget_cap",
-    "tpch_q18_big_orders",
-    "docs_incremental_dedup_wb",
-    "emb_semantic_dedup",
-    "docs_quality_score",
-    "docs_temperature_mix",
-    "docs_chunking",
-    "emb_ivf_recall",
-    "docs_tfidf_topk",
-    "emb_pq_topk",
-    "docs_dedup_keep_best",
     "docs_hybrid_search",
     "docs_crossdup_remove",
     "emb_ivfpq_topk",
@@ -2037,9 +2043,13 @@ _DRIVER_WINDOW = [
 # at least one hard driver row. Rotate the long-stable core
 # (ingest_*, log_*, tpch_q3/q5, join_*, agg_rollup_sets,
 # events_session_window, docs_bm25_search, docs_decontaminate,
-# emb_knn_join) back in for freshness and retire the round-3/4
-# flagship block (which will then hold two driver rows each) to the
-# tail.
+# emb_knn_join) back in for freshness, give the retired r3/4
+# flagship block (docs_crossdup, docs_c4_clean, docs_inverted_index,
+# docs_incremental_dedup(_wb), docs_budget_cap, tpch_q18_big_orders,
+# emb_semantic_dedup, docs_quality_score, docs_temperature_mix,
+# docs_chunking, emb_ivf_recall, docs_tfidf_topk, emb_pq_topk,
+# docs_dedup_keep_best) their second row back, and rotate any
+# round-7 additions in first.
 
 
 @query("docs_dedup_keep_best_fast")
