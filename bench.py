@@ -123,6 +123,17 @@ HEADLINE = [
     "docs_snapshot_diff",
     "docs_length_winsorize",
     "docs_editdist_dedup",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q6_forecast_revenue",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "tpch_q10_returned_items",
+    "tpch_q11_important_stock",
+    "tpch_q12_late_lines",
+    "tpch_q15_top_supplier",
+    "tpch_q19_disjunctive_rev",
+    "tpch_q20_promotion_parts",
+    "tpch_q21_waiting_suppliers",
 ]
 
 #: headline queries that derive from the irclog (re-timed over the

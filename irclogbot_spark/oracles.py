@@ -3279,6 +3279,200 @@ GROUP BY c_nationkey
 ORDER BY c_nationkey
 """
 
+ORACLES["tpch_q6_forecast_revenue"] = """
+SELECT
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+           * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+  COUNT(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24.0
+"""
+
+ORACLES["tpch_q10_returned_items"] = f"""
+SELECT c_custkey, c_name, c_acctbal, n_name,
+  {dsum_raw(REVENUE)} AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1996-10-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+ORACLES["tpch_q12_late_lines"] = """
+SELECT l_linestatus,
+  COUNT(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        THEN 1 END) AS high_line_count,
+  COUNT(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+        THEN 1 END) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate >= o_orderdate + INTERVAL 90 DAY
+GROUP BY l_linestatus
+ORDER BY l_linestatus
+"""
+
+ORACLES["tpch_q15_top_supplier"] = f"""
+WITH rev AS MATERIALIZED (
+  SELECT l_suppkey AS supplier_no, {dsum_raw(REVENUE)} AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier JOIN rev ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+ORDER BY s_suppkey
+"""
+
+ORACLES["tpch_q19_disjunctive_rev"] = f"""
+SELECT {dsum_raw(REVENUE)} AS revenue, COUNT(*) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10
+       AND l_quantity BETWEEN 1.0 AND 11.0)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 20
+       AND l_quantity BETWEEN 10.0 AND 20.0)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 30
+       AND l_quantity BETWEEN 20.0 AND 30.0)
+"""
+
+ORACLES["tpch_q2_min_cost_supplier"] = """
+WITH ps AS MATERIALIZED (
+  SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+),
+eu AS (
+  SELECT s_suppkey, s_name, s_acctbal, n_name
+  FROM supplier
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'
+),
+cand AS MATERIALIZED (
+  SELECT p_partkey, p_name, s_suppkey, s_name, s_acctbal, n_name
+  FROM ps
+  JOIN eu ON l_suppkey = s_suppkey
+  JOIN part ON l_partkey = p_partkey
+  WHERE p_size = 25
+),
+mn AS (
+  SELECT p_partkey AS mk, MIN(s_acctbal) AS min_bal
+  FROM cand GROUP BY p_partkey
+)
+SELECT p_partkey, p_name, s_suppkey, s_name, s_acctbal, n_name
+FROM cand JOIN mn ON p_partkey = mk AND s_acctbal = min_bal
+ORDER BY p_partkey, s_suppkey
+"""
+
+ORACLES["tpch_q8_market_share"] = f"""
+SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+  CAST(SUM(CASE WHEN n2.n_name = 'NATION_2' THEN {REVENUE}
+           ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+  / CAST(SUM({REVENUE}) AS DOUBLE) AS mkt_share
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON c_nationkey = n1.n_nationkey
+JOIN region ON n1.n_regionkey = r_regionkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n2 ON s_nationkey = n2.n_nationkey
+WHERE p_type = 'ECONOMY' AND r_name = 'AMERICA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY 1
+ORDER BY 1
+"""
+
+ORACLES["tpch_q9_product_profit"] = f"""
+SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+  CAST(SUM({REVENUE}
+    - CAST(p_retailprice AS DECIMAL(12,2))
+      * CAST(floor(l_quantity) AS BIGINT)) AS DOUBLE) AS sum_profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%red%'
+GROUP BY 1, 2
+ORDER BY nation, o_year DESC
+"""
+
+ORACLES["tpch_q11_important_stock"] = """
+WITH held AS MATERIALIZED (
+  SELECT l_partkey, SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS val
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_3'
+  GROUP BY l_partkey
+)
+SELECT l_partkey, CAST(val AS DOUBLE) AS part_value
+FROM held, (SELECT SUM(val) AS total_val FROM held) t
+WHERE val * 500 > total_val
+ORDER BY part_value DESC, l_partkey
+"""
+
+ORACLES["tpch_q20_promotion_parts"] = """
+WITH qty AS MATERIALIZED (
+  SELECT l_partkey, l_suppkey,
+    SUM(CAST(floor(l_quantity) AS BIGINT)) AS sq
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+  GROUP BY l_partkey, l_suppkey
+),
+tot AS (
+  SELECT l_partkey AS tk, SUM(sq) AS tq FROM qty GROUP BY l_partkey
+)
+SELECT s_suppkey, s_name
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name = 'NATION_1'
+  AND s_suppkey IN (
+    SELECT l_suppkey
+    FROM qty
+    JOIN tot ON l_partkey = tk
+    JOIN part ON l_partkey = p_partkey
+    WHERE p_name LIKE 'red%' AND 4 * sq > tq)
+ORDER BY s_suppkey
+"""
+
+# Literal EXISTS / NOT-EXISTS form — the Spark side runs the
+# aggregation rewrite (per-order supplier counts), so this oracle is
+# a genuine cross-plan differential, not a transliteration.
+ORACLES["tpch_q21_waiting_suppliers"] = """
+WITH l AS MATERIALIZED (
+  SELECT l_orderkey, l_suppkey, o_orderdate, l_shipdate
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'
+)
+SELECT s_suppkey, s_name, COUNT(*) AS numwait
+FROM l l1 JOIN supplier ON l1.l_suppkey = s_suppkey
+WHERE l1.l_shipdate >= l1.o_orderdate + INTERVAL 60 DAY
+  AND EXISTS (
+    SELECT 1 FROM l l2
+    WHERE l2.l_orderkey = l1.l_orderkey
+      AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (
+    SELECT 1 FROM l l3
+    WHERE l3.l_orderkey = l1.l_orderkey
+      AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.l_shipdate >= l3.o_orderdate + INTERVAL 60 DAY)
+GROUP BY s_suppkey, s_name
+ORDER BY numwait DESC, s_suppkey
+LIMIT 10
+"""
+
 
 def oracle_sql() -> dict[str, str]:
     out = dict(ORACLES)

@@ -2950,6 +2950,395 @@ def tpch_q22_global_sales(spark, sf_dir):
     )
 
 
+@query("tpch_q6_forecast_revenue")
+def tpch_q6_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6 shape: pure scan-side filter + single global sum —
+    the canonical predicate-pushdown probe. All three predicates
+    (shipdate range, discount band, quantity cap) land in the
+    parquet scan's PushedFilters; the aggregate is a two-column
+    partial sum with no shuffle beyond the final 1-row exchange.
+    The sum is the exact decimal product extprice*discount cast to
+    double only at the end."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ntz("1996-01-01 00:00:00"))
+        & (F.col("l_shipdate") < _ntz("1997-01-01 00:00:00"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24.0)
+    )
+    return li.agg(
+        dsum_raw(
+            F.col("l_extendedprice").cast("decimal(12,2)")
+            * F.col("l_discount").cast("decimal(4,2)")
+        ).alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+@query("tpch_q10_returned_items")
+def tpch_q10_returned_items(spark, sf_dir):
+    """TPC-H Q10 shape: top-20 customers by revenue lost to returns
+    in one quarter. The orders date filter and the returnflag filter
+    both push to their scans; the fact chain shuffles on
+    (o_custkey/c_custkey) and (l_orderkey) only; nation broadcasts.
+    ORDER BY the exact-decimal-derived double with c_custkey as the
+    total-order tiebreak (LIMIT needs a deterministic order)."""
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= _ntz("1996-10-01 00:00:00"))
+        & (F.col("o_orderdate") < _ntz("1997-01-01 00:00:00"))
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    cu = _t(spark, sf_dir, "customer")
+    na = F.broadcast(_t(spark, sf_dir, "nation"))
+    return (
+        cu.join(o, cu.c_custkey == o.o_custkey)
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(na, F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(dsum_raw(_revenue()).alias("revenue"))
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+@query("tpch_q12_late_lines")
+def tpch_q12_late_lines(spark, sf_dir):
+    """TPC-H Q12 shape: join with a non-equi residual (shipped >= 90
+    days after ordering — the commit/receipt-lateness analog; the
+    synthetic schema carries no shipmode/commitdate) + conditional
+    two-way count by a low-cardinality category. The priority CASE
+    is evaluated post-join; counts use COUNT(CASE...) so both
+    engines emit BIGINT."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ntz("1996-01-01 00:00:00"))
+        & (F.col("l_shipdate") < _ntz("1997-01-01 00:00:00"))
+    )
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("l_shipdate") >= F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.count(F.when(hi, F.lit(1))).alias("high_line_count"),
+            F.count(F.when(~hi, F.lit(1))).alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+@query("tpch_q15_top_supplier")
+def tpch_q15_top_supplier(spark, sf_dir):
+    """TPC-H Q15 shape: aggregated revenue view + scalar MAX
+    subquery over that same view, decorrelated as a 1-row broadcast
+    fold (the Q22 convention). Revenue per supplier is one shuffle
+    on l_suppkey; the max rides a broadcast crossJoin; equality on
+    doubles is safe because both sides derive from the identical
+    exact-decimal sum."""
+    rev = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= _ntz("1996-01-01 00:00:00"))
+            & (F.col("l_shipdate") < _ntz("1996-04-01 00:00:00"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(dsum_raw(_revenue()).alias("total_revenue"))
+    )
+    mx = rev.agg(F.max("total_revenue").alias("max_revenue"))
+    su = F.broadcast(_t(spark, sf_dir, "supplier"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("max_revenue"))
+        .join(su, F.col("supplier_no") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+@query("tpch_q19_disjunctive_rev")
+def tpch_q19_disjunctive_rev(spark, sf_dir):
+    """TPC-H Q19 shape: OR-of-ANDs disjunctive predicate across both
+    join sides (brand/size on part, quantity band on lineitem; the
+    synthetic schema has no container/shipinstruct). Catalyst keeps
+    the p_partkey equi-join (broadcast — part is tiny) and evaluates
+    the disjunction as a post-join residual, never a nested loop."""
+    li = _t(spark, sf_dir, "lineitem")
+    pa = F.broadcast(_t(spark, sf_dir, "part"))
+    q = F.col("l_quantity")
+    branch = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 10)
+            & q.between(1.0, 11.0)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(1, 20)
+            & q.between(10.0, 20.0)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(1, 30)
+            & q.between(20.0, 30.0)
+        )
+    )
+    return (
+        li.join(pa, F.col("l_partkey") == F.col("p_partkey"))
+        .filter(branch)
+        .agg(
+            dsum_raw(_revenue()).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@query("tpch_q2_min_cost_supplier")
+def tpch_q2_min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2 shape: correlated per-part MIN subquery decorrelated
+    into self-aggregation + equality join — over the lineitem-derived
+    supply relation (the synthetic schema has no partsupp; DISTINCT
+    (l_partkey, l_suppkey) is its analog, and s_acctbal stands in for
+    ps_supplycost). Region-filtered suppliers broadcast; the distinct
+    shuffles once on the composite key; the min re-join is
+    co-partitioned on p_partkey. Double equality on min is safe —
+    identical source values on both engines."""
+    ps = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    eu = F.broadcast(
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(_t(spark, sf_dir, "nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(_t(spark, sf_dir, "region")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .filter(F.col("r_name") == "EUROPE")
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    pa = F.broadcast(
+        _t(spark, sf_dir, "part").filter(F.col("p_size") == 25)
+    )
+    cand = (
+        ps.join(eu, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(pa, F.col("l_partkey") == F.col("p_partkey"))
+        .select("p_partkey", "p_name", "s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    mn = cand.groupBy(F.col("p_partkey").alias("mk")).agg(
+        F.min("s_acctbal").alias("min_bal")
+    )
+    return (
+        cand.join(
+            mn,
+            (F.col("p_partkey") == F.col("mk"))
+            & (F.col("s_acctbal") == F.col("min_bal")),
+        )
+        .select("p_partkey", "p_name", "s_suppkey", "s_name", "s_acctbal", "n_name")
+        .orderBy("p_partkey", "s_suppkey")
+    )
+
+
+@query("tpch_q8_market_share")
+def tpch_q8_market_share(spark, sf_dir):
+    """TPC-H Q8 shape: national market share — two roles for nation
+    (customer's region gate, supplier's nationality) + conditional
+    share ratio per year. Part/supplier/nation/region all broadcast;
+    the fact chain shuffles on its join keys only; both sums stay
+    exact decimals and divide once as doubles."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= _ntz("1996-01-01 00:00:00"))
+        & (F.col("o_orderdate") < _ntz("1998-01-01 00:00:00"))
+    )
+    cu = _t(spark, sf_dir, "customer")
+    pa = F.broadcast(
+        _t(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    )
+    su = F.broadcast(_t(spark, sf_dir, "supplier"))
+    n1 = F.broadcast(
+        _t(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cr_key")
+        )
+    )
+    re = F.broadcast(
+        _t(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    )
+    n2 = F.broadcast(
+        _t(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+        )
+    )
+    vol = _revenue()
+    return (
+        li.join(pa, F.col("l_partkey") == F.col("p_partkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cu, F.col("o_custkey") == F.col("c_custkey"))
+        .join(n1, F.col("c_nationkey") == F.col("cn_key"))
+        .join(re, F.col("cr_key") == F.col("r_regionkey"))
+        .join(su, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(n2, F.col("s_nationkey") == F.col("sn_key"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            (
+                F.sum(
+                    F.when(F.col("supp_nation") == "NATION_2", vol).otherwise(
+                        F.lit(0).cast("decimal(12,2)")
+                    )
+                ).cast("double")
+                / F.sum(vol).cast("double")
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+@query("tpch_q9_product_profit")
+def tpch_q9_product_profit(spark, sf_dir):
+    """TPC-H Q9 shape: profit per (supplier nation, order year) over
+    name-LIKE-filtered parts — the 5-way star join (partsupp's
+    supplycost is absent; p_retailprice * integral quantity is the
+    cost leg, kept exact as decimal * bigint). The LIKE filter prunes
+    part BEFORE its broadcast; lineitem shuffles on l_orderkey only
+    (orders side), everything else broadcasts."""
+    li = _t(spark, sf_dir, "lineitem").withColumn(
+        "qty", F.floor("l_quantity").cast("bigint")
+    )
+    pa = F.broadcast(
+        _t(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    )
+    su = F.broadcast(_t(spark, sf_dir, "supplier"))
+    na = F.broadcast(_t(spark, sf_dir, "nation"))
+    o = _t(spark, sf_dir, "orders")
+    amount = _revenue() - F.col("p_retailprice").cast("decimal(12,2)") * F.col("qty")
+    return (
+        li.join(pa, F.col("l_partkey") == F.col("p_partkey"))
+        .join(su, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(na, F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(dsum_raw(amount).alias("sum_profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+@query("tpch_q11_important_stock")
+def tpch_q11_important_stock(spark, sf_dir):
+    """TPC-H Q11 shape: per-part value held by one nation's
+    suppliers, HAVING value above a fraction of the global total (a
+    scalar subquery over the same aggregate). The threshold test is
+    the exact decimal cross-multiply 500*val > total — no float
+    fraction ever exists. One shuffle on l_partkey; the total is a
+    1-row broadcast fold."""
+    li = _t(spark, sf_dir, "lineitem")
+    nsup = F.broadcast(
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(_t(spark, sf_dir, "nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .filter(F.col("n_name") == "NATION_3")
+        .select("s_suppkey")
+    )
+    held = li.join(nsup, F.col("l_suppkey") == F.col("s_suppkey"))
+    per_part = held.groupBy("l_partkey").agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(12,2)")).alias("val")
+    )
+    total = per_part.agg(F.sum("val").alias("total_val"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("val") * F.lit(500) > F.col("total_val"))
+        .select(
+            "l_partkey", F.col("val").cast("double").alias("part_value")
+        )
+        .orderBy(F.desc("part_value"), "l_partkey")
+    )
+
+
+@query("tpch_q20_promotion_parts")
+def tpch_q20_promotion_parts(spark, sf_dir):
+    """TPC-H Q20 shape: nested semi joins with a correlated aggregate
+    threshold — suppliers of one nation who shipped more than 25% of
+    a year's total quantity of some name-LIKE part (lineitem stands
+    in for partsupp availability). The per-(part,supplier) and
+    per-part aggregates share one l_partkey shuffle; the 25% test is
+    the exact integer cross-multiply 4*sq > tq; supplier and part
+    dims broadcast; the final step is a left-semi join."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ntz("1996-01-01 00:00:00"))
+        & (F.col("l_shipdate") < _ntz("1997-01-01 00:00:00"))
+    ).withColumn("qty", F.floor("l_quantity").cast("bigint"))
+    qty = li.groupBy("l_partkey", "l_suppkey").agg(F.sum("qty").alias("sq"))
+    tot = qty.groupBy(F.col("l_partkey").alias("tk")).agg(F.sum("sq").alias("tq"))
+    red = F.broadcast(
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("red%"))
+        .select("p_partkey")
+    )
+    big = (
+        qty.join(tot, F.col("l_partkey") == F.col("tk"))
+        .join(red, F.col("l_partkey") == F.col("p_partkey"))
+        .filter(F.lit(4) * F.col("sq") > F.col("tq"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    su = _t(spark, sf_dir, "supplier")
+    na = F.broadcast(
+        _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_1")
+    )
+    return (
+        su.join(na, F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(big, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
+
+
+@query("tpch_q21_waiting_suppliers")
+def tpch_q21_waiting_suppliers(spark, sf_dir):
+    """TPC-H Q21 shape: the multi-EXISTS 'suppliers who kept orders
+    waiting' — supplier was late (shipped >= 60 days after ordering;
+    no commit/receipt dates in the synthetic schema), another
+    supplier participated in the order, and NO other supplier was
+    late. Spark runs the aggregation rewrite (per-order distinct
+    supplier / late-supplier counts — one l_orderkey shuffle instead
+    of three self-joins); the oracle keeps the literal
+    EXISTS/NOT-EXISTS form, making this a genuine plan differential.
+    MAX(CASE) recovers the unique late supplier exactly when
+    n_late = 1."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    li = _t(spark, sf_dir, "lineitem")
+    j = li.join(o, F.col("l_orderkey") == F.col("o_orderkey")).withColumn(
+        "late",
+        F.col("l_shipdate") >= F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"),
+    )
+    per_order = j.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(F.col("late"), F.col("l_suppkey"))).alias("n_late"),
+        F.max(F.when(F.col("late"), F.col("l_suppkey"))).alias("late_supp"),
+        # the EXISTS form counts the blamed supplier's late LINES,
+        # not orders — when n_late = 1 every late line is theirs
+        F.count(F.when(F.col("late"), F.lit(1))).alias("n_late_lines"),
+    )
+    blamed = per_order.filter(
+        (F.col("n_supp") >= 2) & (F.col("n_late") == 1)
+    )
+    su = F.broadcast(_t(spark, sf_dir, "supplier"))
+    return (
+        blamed.join(su, F.col("late_supp") == F.col("s_suppkey"))
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.sum("n_late_lines").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_suppkey")
+        .limit(10)
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     out = {n: QUERIES[n] for n in _DRIVER_WINDOW}
     for n, f in QUERIES.items():

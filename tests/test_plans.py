@@ -416,6 +416,56 @@ def test_q22_anti_join_hash_scalar_fold_only_bnlj(spark):
     assert "GreaterThanOrEqual(o_orderdate,1999-01-01" in pushed, pushed
 
 
+def test_q6_all_predicates_pushed_two_column_scan(spark):
+    """tpch_q6: the canonical pushdown probe — shipdate range,
+    discount band, and quantity cap ALL land in PushedFilters, and
+    the scan reads only the columns the sum needs (no full-row
+    read for a 2-measure aggregate)."""
+    plan = _plan(spark, "tpch_q6_forecast_revenue")
+    pushed = "\n".join(l for l in plan.splitlines() if "PushedFilters" in l)
+    assert "GreaterThanOrEqual(l_shipdate" in pushed, pushed
+    assert "GreaterThanOrEqual(l_discount,0.05)" in pushed, pushed
+    assert "LessThan(l_quantity,24.0)" in pushed, pushed
+    schema = "\n".join(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "l_partkey" not in schema, schema
+    assert "Exchange hashpartitioning" not in plan, plan
+
+
+def test_q19_disjunction_stays_hash_join(spark):
+    """tpch_q19: the OR-of-ANDs predicate does NOT break the
+    p_partkey equi join — Catalyst keeps a BroadcastHashJoin and
+    evaluates the disjunction as a residual, never a nested loop
+    over lineitem x part."""
+    plan = _plan(spark, "tpch_q19_disjunctive_rev")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_q21_aggregation_rewrite_single_orderkey_shuffle(spark):
+    """tpch_q21: the multi-EXISTS rewrite aggregates lineitem ONCE
+    per order — no self-joins of lineitem against itself (the
+    literal EXISTS form would shuffle it three times), and the
+    orderstatus filter reaches the orders scan."""
+    plan = _plan(spark, "tpch_q21_waiting_suppliers")
+    # formatted explain lists each scan twice (tree + detail):
+    # 3 scans (lineitem, orders, supplier) = 6 mentions; the literal
+    # EXISTS form would need 3 lineitem scans -> 10 mentions
+    assert plan.count("Scan parquet") <= 6, plan
+    pushed = "\n".join(l for l in plan.splitlines() if "PushedFilters" in l)
+    assert "EqualTo(o_orderstatus,F)" in pushed, pushed
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_q15_max_fold_is_only_nested_loop(spark):
+    """tpch_q15: the scalar MAX subquery decorrelates to a 1-row
+    broadcast fold (the sanctioned bounded BNLJ); the supplier join
+    broadcasts; revenue aggregates shuffle on l_suppkey only."""
+    plan = _plan(spark, "tpch_q15_top_supplier")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
 def test_editdist_no_text_in_gram_exchanges_no_nested_loop(spark):
     """docs_editdist_neardup: gram extraction is in-row — the gram /
     pair / count-filter exchanges carry ids, grams and counts, never
