@@ -53,6 +53,7 @@ HEADLINE = [
     "docs_simhash_neardup",
     "docs_c4_clean",
     "docs_quality_score",
+    "docs_adaptive_quality",
     "docs_inverted_index",
     "docs_tfidf_topk",
     "docs_incremental_dedup",

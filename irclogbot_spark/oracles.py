@@ -1606,6 +1606,46 @@ FROM documents d LEFT JOIN s USING (doc_id)
 ORACLES["docs_quality_score"] = _quality_score_sql()
 
 
+def _adaptive_quality_sql(dim: int = 1024, seed: int = 7, scale: int = 16) -> str:
+    """ANSI twin of queries.docs_adaptive_quality: the same md5-hashed
+    quantized-weight logit, then a per-source quantile_cont(0.25)
+    threshold (bit-identical to Spark's F.percentile — same (n-1)*q
+    linear interpolation) and the >= filter. The logit CTE is
+    MATERIALIZED: both the threshold aggregate and the final filter
+    read it, and DuckDB re-evaluates multiply-referenced plain CTEs."""
+    from irclogbot_spark.functions.quality import quality_weights
+    from irclogbot_spark.operators.dedup import _MH_PRIME
+
+    w, bias = quality_weights(dim, seed)
+    values = ", ".join(f"({i}, {wt})" for i, wt in enumerate(w))
+    return rf"""
+WITH w AS (SELECT * FROM (VALUES {values}) AS t(i, wt)),
+tk AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS toks FROM documents),
+tok AS (SELECT doc_id, unnest(toks) AS tok FROM tk),
+h AS (SELECT doc_id,
+        (CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) % {_MH_PRIME}) % {dim} AS i
+      FROM tok),
+s AS (SELECT doc_id, SUM(wt) AS sw, COUNT(*) AS n FROM h JOIN w USING (i) GROUP BY doc_id),
+q AS MATERIALIZED (
+  SELECT d.doc_id, d.source,
+    CAST({bias} + COALESCE(s.sw, 0) AS DOUBLE)
+      / ({scale} * GREATEST(COALESCE(s.n, 0), 1)) AS quality_logit
+  FROM documents d LEFT JOIN s USING (doc_id)
+),
+thr AS (
+  SELECT source, quantile_cont(quality_logit, 0.25) AS thr
+  FROM q GROUP BY source
+)
+SELECT doc_id, q.source, quality_logit,
+  CAST(floor(thr * 1000000) AS BIGINT) AS thr_micro
+FROM q JOIN thr ON q.source = thr.source
+WHERE quality_logit >= thr
+"""
+
+
+ORACLES["docs_adaptive_quality"] = _adaptive_quality_sql()
+
+
 def _keep_best_sql(dim: int = 1024, seed: int = 7, scale: int = 16) -> str:
     """ANSI twin of queries.docs_dedup_keep_best /
     operators/dedup.keep_best_dedup: the docs_dedup_pipeline grouping

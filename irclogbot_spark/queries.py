@@ -2706,6 +2706,46 @@ def docs_length_winsorize(spark, sf_dir):
     )
 
 
+@query("docs_adaptive_quality")
+def docs_adaptive_quality(spark, sf_dir):
+    """Per-source ADAPTIVE quality gate (the FineWeb/RefinedWeb
+    refinement of a global threshold): score every doc with the
+    hashed-linear logit, take each source's exact p25 of the logit
+    (F.percentile — bit-identical to DuckDB quantile_cont incl.
+    fractional interpolation, the docs_length_winsorize rule), and
+    keep docs at or above their OWN source's bar. Two shuffles
+    total (score is map-only; one groupBy(source) for the 4-row
+    threshold table, broadcast back). The threshold is surfaced as
+    floor-quantized micro units so no float aggregate ever forms."""
+    from irclogbot_spark.functions.quality import (
+        hashed_linear_logit,
+        quality_weights,
+    )
+    from irclogbot_spark.operators.dedup import md5_hash31
+
+    w, b = quality_weights()
+    scored = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        hashed_linear_logit(F.col("text"), w, b, hash_fn=md5_hash31).alias(
+            "quality_logit"
+        ),
+    )
+    thr = scored.groupBy("source").agg(
+        F.percentile("quality_logit", 0.25).alias("thr")
+    )
+    return (
+        scored.join(F.broadcast(thr), "source")
+        .filter(F.col("quality_logit") >= F.col("thr"))
+        .select(
+            "doc_id",
+            "source",
+            "quality_logit",
+            F.floor(F.col("thr") * 1000000).cast("bigint").alias("thr_micro"),
+        )
+    )
+
+
 @query("docs_editdist_neardup")
 def docs_editdist_neardup(spark, sf_dir):
     """Edit-distance near-dup pairs (operators/editdist.py) — the
