@@ -135,6 +135,7 @@ HEADLINE = [
     "tpch_q19_disjunctive_rev",
     "tpch_q20_promotion_parts",
     "tpch_q21_waiting_suppliers",
+    "events_salted_enrich",
 ]
 
 #: headline queries that derive from the irclog (re-timed over the

@@ -2755,6 +2755,21 @@ SELECT day, term, n, rnk FROM (
 # conversion, same square-compare 3-sigma form. Moments ride HUGEINT
 # (int128) — the exact twin of the engine's decimal(38,0) lift — so
 # n*Q and S^2 never wrap; no float stats anywhere.
+# Plain-join twin of queries.events_salted_enrich: the salted join
+# is semantically identical to this unsalted form — the oracle
+# value-hashes the salt's invisibility.
+ORACLES["events_salted_enrich"] = """
+WITH dim AS (
+  SELECT user_id AS d_user, COUNT(*) AS n_user_events
+  FROM events GROUP BY user_id
+)
+SELECT event_type, COUNT(*) AS n_events,
+  CAST(SUM(n_user_events) AS BIGINT) AS sum_user_activity
+FROM events JOIN dim ON user_id = d_user
+GROUP BY event_type
+ORDER BY event_type
+"""
+
 ORACLES["events_anomaly"] = """
 WITH c AS (
   SELECT event_type,

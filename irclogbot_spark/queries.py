@@ -2519,6 +2519,41 @@ def docs_compression_ratio(spark, sf_dir):
     ).withColumn("repetitive", F.col("comp_milli") < 400)
 
 
+@query("events_salted_enrich")
+def events_salted_enrich(spark, sf_dir):
+    """Skew-mitigated fact-to-dimension enrichment
+    (plans/skew.py:salted_join) carried to a correctness row: events
+    joined to per-user activity counts with the join key salted 8
+    ways, so a hot user's rows split across 8 tasks instead of
+    landing in one (AQE splits skewed PARTITIONS, but one key is
+    still one key — salting is the only fix at that grain). The
+    salt is content-derived (xxhash64(event_id) mod 8): retries and
+    repartitions re-derive the same bucket, and the build side is
+    replicated exactly salt_buckets times. Semantically identical
+    to the unsalted join — the oracle IS the plain-join SQL, so the
+    salt's invisibility is value-hashed, not asserted."""
+    from irclogbot_spark.plans.skew import salted_join
+
+    ev = _t(spark, sf_dir, "events")
+    dim = ev.groupBy(F.col("user_id").alias("d_user")).agg(
+        F.count(F.lit(1)).alias("n_user_events")
+    )
+    fact = ev.select(
+        "event_id", F.col("user_id").alias("d_user"), "event_type"
+    )
+    joined = salted_join(
+        fact, dim, on="d_user", salt_buckets=8, salt_on=["event_id"]
+    )
+    return (
+        joined.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("n_user_events").alias("sum_user_activity"),
+        )
+        .orderBy("event_type")
+    )
+
+
 @query("events_anomaly")
 def events_anomaly(spark, sf_dir):
     """3-sigma anomaly counts per event type

@@ -466,6 +466,23 @@ def test_q15_max_fold_is_only_nested_loop(spark):
     assert "CartesianProduct" not in plan, plan
 
 
+def test_salted_enrich_shuffles_on_composite_salt_key(spark):
+    """events_salted_enrich: the join's keys are the (key, __salt)
+    COMPOSITE — the whole point; a hot key's rows hash to
+    salt_buckets different partitions/build slots. (At this SF the
+    salted build side broadcasts; on a big dim the same composite
+    becomes the shuffle key — either way the key list carries the
+    salt.) No nested loop from the build-side salt explode."""
+    plan = _plan(spark, "events_salted_enrich")
+    keys = [
+        l for l in plan.splitlines()
+        if ("keys" in l or "hashpartitioning" in l) and "__salt" in l
+    ]
+    assert keys, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
 def test_editdist_no_text_in_gram_exchanges_no_nested_loop(spark):
     """docs_editdist_neardup: gram extraction is in-row — the gram /
     pair / count-filter exchanges carry ids, grams and counts, never
