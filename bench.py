@@ -136,6 +136,7 @@ HEADLINE = [
     "tpch_q20_promotion_parts",
     "tpch_q21_waiting_suppliers",
     "events_salted_enrich",
+    "events_attribution",
 ]
 
 #: headline queries that derive from the irclog (re-timed over the

@@ -2770,6 +2770,30 @@ GROUP BY event_type
 ORDER BY event_type
 """
 
+# Last-touch attribution twin: IGNORE NULLS LAST_VALUE over the same
+# (ts, event_id)-ordered per-user window, 1-PRECEDING upper bound so
+# a conversion cannot credit itself.
+ORACLES["events_attribution"] = """
+WITH carried AS (
+  SELECT user_id, ts, event_type,
+    LAST_VALUE(CASE WHEN event_type IN ('click', 'view')
+               THEN event_type END IGNORE NULLS) OVER w AS lt_type,
+    LAST_VALUE(CASE WHEN event_type IN ('click', 'view')
+               THEN ts END IGNORE NULLS) OVER w AS lt_ts
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+)
+SELECT COALESCE(CASE WHEN lt_ts >= ts - INTERVAL 7 DAY
+                THEN lt_type END, 'none') AS touch,
+  COUNT(*) AS n_conversions,
+  COUNT(DISTINCT user_id) AS n_users
+FROM carried
+WHERE event_type = 'purchase'
+GROUP BY 1
+ORDER BY 1
+"""
+
 ORACLES["events_anomaly"] = """
 WITH c AS (
   SELECT event_type,

@@ -2554,6 +2554,52 @@ def events_salted_enrich(spark, sf_dir):
     )
 
 
+@query("events_attribution")
+def events_attribution(spark, sf_dir):
+    """Last-touch conversion attribution — the behavioral-analytics
+    staple the funnel/retention family was missing: each purchase is
+    credited to the user's most recent PRIOR touch (click/view)
+    within a 7-day lookback, else 'none'. One window pass per user
+    (ordered by ts with event_id as the total-order tiebreak,
+    rowsBetween(-inf, -1) so the conversion can't credit itself);
+    the carried (type, ts) pair rides the same sort — no self-join,
+    no as-of pass. One user_id shuffle total."""
+    ev = _t(spark, sf_dir, "events")
+    touch = F.col("event_type").isin("click", "view")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carried = ev.select(
+        "user_id",
+        "ts",
+        "event_type",
+        F.last(F.when(touch, F.col("event_type")), ignorenulls=True)
+        .over(w)
+        .alias("lt_type"),
+        F.last(F.when(touch, F.col("ts")), ignorenulls=True)
+        .over(w)
+        .alias("lt_ts"),
+    )
+    credit = F.coalesce(
+        F.when(
+            F.col("lt_ts") >= F.col("ts") - F.expr("INTERVAL 7 DAYS"),
+            F.col("lt_type"),
+        ),
+        F.lit("none"),
+    )
+    return (
+        carried.filter(F.col("event_type") == "purchase")
+        .groupBy(credit.alias("touch"))
+        .agg(
+            F.count(F.lit(1)).alias("n_conversions"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("touch")
+    )
+
+
 @query("events_anomaly")
 def events_anomaly(spark, sf_dir):
     """3-sigma anomaly counts per event type
