@@ -137,6 +137,7 @@ HEADLINE = [
     "tpch_q21_waiting_suppliers",
     "events_salted_enrich",
     "events_attribution",
+    "agg_unpivot",
 ]
 
 #: headline queries that derive from the irclog (re-timed over the

@@ -1286,6 +1286,23 @@ SELECT o_orderstatus,
 FROM orders GROUP BY o_orderstatus
 """
 
+# Dense-matrix twin of queries.agg_unpivot: every (status, priority)
+# cell incl. zeros — the semantics pivot->unpivot round-trips to.
+ORACLES["agg_unpivot"] = f"""
+WITH pri(o_orderpriority) AS (VALUES {", ".join("(" + chr(39) + p + chr(39) + ")" for p in _PRIORITIES)}),
+c AS (
+  SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+  FROM orders GROUP BY 1, 2
+)
+SELECT s.o_orderstatus, pri.o_orderpriority,
+  COALESCE(c.n, 0) AS n_orders
+FROM (SELECT DISTINCT o_orderstatus FROM orders) s
+CROSS JOIN pri
+LEFT JOIN c ON c.o_orderstatus = s.o_orderstatus
+  AND c.o_orderpriority = pri.o_orderpriority
+ORDER BY s.o_orderstatus, pri.o_orderpriority
+"""
+
 ORACLES["events_asof_join"] = """
 SELECT e.event_id, e.user_id, e.ts AS err_ts,
   MAX(p.ts) AS last_purchase_ts,

@@ -1171,6 +1171,35 @@ def agg_pivot(spark, sf_dir):
     )
 
 
+@query("agg_unpivot")
+def agg_unpivot(spark, sf_dir):
+    """UNPIVOT (melt): the dense status x priority count matrix from
+    agg_pivot's shape folded back to long form — one row per
+    (status, priority) cell including explicit zeros, proving
+    pivot -> unpivot is lossless. unpivot() is a zero-shuffle
+    projection over the already-aggregated 3x5 matrix; the only
+    exchange is the pivot's own groupBy."""
+    o = _t(spark, sf_dir, "orders")
+    dense = (
+        o.groupBy("o_orderstatus")
+        .pivot("o_orderpriority", _PRIORITIES)
+        .agg(F.count(F.lit(1)))
+        .select(
+            "o_orderstatus",
+            *[
+                F.coalesce(F.col(f"`{c}`"), F.lit(0)).alias(c)
+                for c in _PRIORITIES
+            ],
+        )
+    )
+    return dense.unpivot(
+        ids=["o_orderstatus"],
+        values=_PRIORITIES,
+        variableColumnName="o_orderpriority",
+        valueColumnName="n_orders",
+    ).orderBy("o_orderstatus", "o_orderpriority")
+
+
 @query("events_asof_join")
 def events_asof_join(spark, sf_dir):
     """As-of join: for each error event, the most recent prior
