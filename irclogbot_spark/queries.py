@@ -2078,7 +2078,11 @@ _DRIVER_WINDOW = [
 # emb_semantic_dedup, docs_quality_score, docs_temperature_mix,
 # docs_chunking, emb_ivf_recall, docs_tfidf_topk, emb_pq_topk,
 # docs_dedup_keep_best) their second row back, and rotate any
-# round-7 additions in first.
+# round-7 additions in first — starting with the late-round-6 tail
+# that shipped after this round's window froze: the 11 TPC-H
+# completions (q2/q6/q8/q9/q10/q11/q12/q15/q19/q20/q21),
+# docs_adaptive_quality, events_salted_enrich, events_attribution,
+# agg_unpivot.
 
 
 @query("docs_dedup_keep_best_fast")
