@@ -115,3 +115,94 @@ def channel_profiles(
         outputMode="update",
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )
+
+
+# --------------------------------------------------- last-touch attribution
+
+ATTRIBUTION_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("conv_ts", TimestampType()),
+        StructField("touch", StringType()),
+    ]
+)
+
+_ATTR_STATE_SCHEMA = StructType(
+    [
+        StructField("lt_type", StringType()),
+        StructField("lt_ts", TimestampType()),
+    ]
+)
+
+
+def _make_attr_update(touch_types: tuple[str, ...], conv_type: str, lookback_days: int):
+    lookback = pd.Timedelta(days=lookback_days)
+
+    def _update(
+        key: tuple[int], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:  # pragma: no cover - no timeout configured
+            state.remove()
+            return
+        lt_type, lt_ts = state.get if state.exists else (None, None)
+        out_ts: list[Any] = []
+        out_touch: list[str] = []
+        for pdf in pdfs:
+            # event-time order within the batch; event_id totalizes ties
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for row in pdf.itertuples(index=False):
+                if row.event_type == conv_type:
+                    if (
+                        lt_ts is not None
+                        and row.ts - lt_ts <= lookback
+                    ):
+                        out_touch.append(lt_type)
+                    else:
+                        out_touch.append("none")
+                    out_ts.append(row.ts)
+                if row.event_type in touch_types:
+                    # strictly after the conversion check: a
+                    # same-row conversion can never credit itself
+                    lt_type, lt_ts = row.event_type, row.ts
+        if lt_ts is not None:
+            state.update((lt_type, lt_ts))
+        if out_ts:
+            yield pd.DataFrame(
+                {
+                    "user_id": key[0],
+                    "conv_ts": out_ts,
+                    "touch": out_touch,
+                }
+            )
+
+    return _update
+
+
+def last_touch_attribution(
+    events: DataFrame,
+    touch_types: tuple[str, ...] = ("click", "view"),
+    conv_type: str = "purchase",
+    lookback_days: int = 7,
+) -> DataFrame:
+    """Streaming twin of queries.events_attribution: per-user state
+    is exactly the carried (last_touch_type, last_touch_ts) pair —
+    constant-size per user no matter how long the stream — and every
+    conversion emits its credit the micro-batch it arrives in.
+
+    Ordering contract: rows are event-time-sorted WITHIN each batch
+    (with event_id as the tiebreak, same total order as the batch
+    window), so the twin is exact when batches arrive in event-time
+    order (file replay, time-partitioned ingestion). Cross-batch
+    stragglers credit against state as-of their arrival — the
+    standard at-arrival semantics of arbitrary stateful processing;
+    bound disorder upstream with a watermark + sorted re-emit if the
+    transport reorders."""
+    return events.select(
+        "event_id", "ts", "user_id", "event_type"
+    ).groupBy("user_id").applyInPandasWithState(
+        _make_attr_update(tuple(touch_types), conv_type, lookback_days),
+        outputStructType=ATTRIBUTION_SCHEMA,
+        stateStructType=_ATTR_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

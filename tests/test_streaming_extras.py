@@ -792,3 +792,71 @@ def test_streaming_trending_term_counts_match_batch(spark, tmp_path):
     assert len(got) >= len(want) // 2
     for k, n in got.items():
         assert want[k] == n
+
+
+def test_streaming_last_touch_attribution_matches_batch(spark, tmp_path):
+    """events_attribution's stateful streaming twin: per-conversion
+    credits from a TWO-batch time-split file replay (state must carry
+    the last touch across the batch boundary) equal the batch window
+    form's per-conversion credits."""
+    from pyspark.sql import Window
+
+    from irclogbot_spark.streaming.stateful import last_touch_attribution
+
+    ev = load_table(spark, SF, "events").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    mid = ev.agg(F.percentile_approx("ts", 0.5)).collect()[0][0]
+    src = str(tmp_path / "attr_src")
+    # two files split at the median timestamp -> two micro-batches in
+    # event-time order
+    ev.filter(F.col("ts") <= mid).coalesce(1).write.parquet(src)
+    ev.filter(F.col("ts") > mid).coalesce(1).write.parquet(src, mode="append")
+
+    stream = last_touch_attribution(
+        spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    out = str(tmp_path / "attr_out")
+    q = (
+        stream.writeStream.outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "attr_ckpt"))
+        .trigger(availableNow=True)
+        .format("parquet")
+        .start(out)
+    )
+    q.awaitTermination(180)
+    got = {
+        (r.user_id, r.conv_ts): r.touch for r in spark.read.parquet(out).collect()
+    }
+
+    touch = F.col("event_type").isin("click", "view")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    credit = F.coalesce(
+        F.when(
+            F.col("lt_ts") >= F.col("ts") - F.expr("INTERVAL 7 DAYS"),
+            F.col("lt_type"),
+        ),
+        F.lit("none"),
+    )
+    want = {
+        (r.user_id, r.ts): r.touch
+        for r in ev.select(
+            "user_id",
+            "ts",
+            "event_type",
+            F.last(F.when(touch, F.col("event_type")), ignorenulls=True)
+            .over(w)
+            .alias("lt_type"),
+            F.last(F.when(touch, F.col("ts")), ignorenulls=True)
+            .over(w)
+            .alias("lt_ts"),
+        )
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id", "ts", credit.alias("touch"))
+        .collect()
+    }
+    assert got == want
