@@ -138,6 +138,9 @@ HEADLINE = [
     "events_salted_enrich",
     "events_attribution",
     "agg_unpivot",
+    "emb_random_projection",
+    "emb_hard_negatives",
+    "docs_ngram_novelty",
 ]
 
 #: headline queries that derive from the irclog (re-timed over the

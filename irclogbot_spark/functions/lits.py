@@ -41,6 +41,16 @@ def lit_long_array(vals: list[int]) -> Column:
     return F.expr("array(" + ",".join(f"{int(v)}L" for v in vals) + ")")
 
 
+def lit_long_matrix(rows: list[list[int]]) -> Column:
+    return F.expr(
+        "array("
+        + ",".join(
+            "array(" + ",".join(f"{int(v)}L" for v in r) + ")" for r in rows
+        )
+        + ")"
+    )
+
+
 def sql_string(s: str) -> str:
     return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
 

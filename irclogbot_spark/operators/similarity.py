@@ -90,6 +90,69 @@ def knn_join(
     )
 
 
+def hard_negatives(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    corpus_id: str = "vec_id",
+    query_id: str = "query_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    ceiling: float = 0.95,
+) -> DataFrame:
+    """Contrastive hard-negative mining: per anchor (query), the top-k
+    most-similar corpus rows with a DIFFERENT label, below a cosine
+    ``ceiling`` — the standard semi-hard band of contrastive /
+    embedding training (most informative negatives; the ceiling fences
+    out mislabeled near-duplicates that would poison the loss as
+    false negatives).
+
+    Same scale shape as knn_join (the anchor set is bounded and
+    broadcast; ONE corpus scan; per-anchor partial top-k via
+    TakeOrderedAndProject-able window) — at 100 TB swap the scan arm
+    for the IVF/PQ candidate generator and keep this exact ranking
+    stage, the hybrid_search index-swap convention.
+
+    Returns (query_id, corpus_id, label, cosine, neg_rank),
+    deterministic corpus_id tiebreak.
+    """
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id),
+            F.col(label_col).alias("_qlabel"),
+            as_double(vec_col).alias("qv"),
+            norm(as_double(vec_col)).alias("qn"),
+        )
+    )
+    scored = (
+        ensure_parallelism(corpus)
+        .select(
+            F.col(corpus_id),
+            F.col(label_col),
+            as_double(vec_col).alias("cv"),
+            norm(as_double(vec_col)).alias("cn"),
+        )
+        .join(
+            q,
+            (F.col(corpus_id) != F.col(query_id))
+            & (F.col(label_col) != F.col("_qlabel")),
+        )
+        .select(
+            query_id,
+            corpus_id,
+            label_col,
+            _cos_pre(
+                dot(F.col("cv"), F.col("qv")), F.col("cn"), F.col("qn")
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") < F.lit(float(ceiling)))
+    )
+    w = Window.partitionBy(query_id).orderBy(F.desc("cosine"), F.asc(corpus_id))
+    return scored.withColumn("neg_rank", F.row_number().over(w)).filter(
+        F.col("neg_rank") <= k
+    )
+
+
 def random_planes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     """Deterministic Gaussian hyperplanes (driver-side constants —
     they are part of the plan, not data)."""

@@ -3570,6 +3570,84 @@ LIMIT 10
 """
 
 
+def _random_projection_sql(dim: int = 64, k: int = 8, seed: int = 7) -> str:
+    """ANSI twin of operators/projection.project_embeddings: the SAME
+    seeded Achlioptas {-1,0,+1} matrix, inlined as signed +/- terms
+    over floor-milli-quantized elements — exact BIGINT arithmetic on
+    both engines (floor on both sides: the CAST-rounds hazard)."""
+    from irclogbot_spark.operators.projection import achlioptas_matrix
+
+    m = achlioptas_matrix(dim, k, seed)
+
+    def coord(j: int) -> str:
+        terms = [
+            ("+ " if s > 0 else "- ")
+            + f"CAST(floor(CAST(embedding[{i + 1}] AS DOUBLE) * 1000) AS BIGINT)"
+            for i, s in enumerate(m[j])
+            if s != 0
+        ]
+        return "(0 " + " ".join(terms) + ")" if terms else "CAST(0 AS BIGINT)"
+
+    cols = ",\n  ".join(f"{coord(j)} AS p{j}" for j in range(k))
+    return f"SELECT vec_id,\n  {cols}\nFROM embeddings"
+
+
+# Same scoring association as emb_knn_join (list_dot_product /
+# (sqrt*sqrt) — bit-equal to Spark's fold), plus the label-mismatch
+# predicate and the 0.95 semi-hard ceiling applied BEFORE ranking.
+ORACLES["emb_hard_negatives"] = """
+WITH q AS (
+  SELECT vec_id AS query_id, label AS qlabel, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id IN (0, 1, 2)
+),
+scored AS (
+  SELECT q.query_id, e.vec_id, CAST(e.label AS BIGINT) AS label,
+    list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv)
+      / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+         * sqrt(list_dot_product(q.qv, q.qv))) AS cosine
+  FROM embeddings e, q
+  WHERE e.vec_id <> q.query_id AND e.label <> q.qlabel
+)
+SELECT query_id, vec_id, label, cosine, neg_rank FROM (
+  SELECT query_id, vec_id, label, cosine,
+    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS neg_rank
+  FROM scored WHERE cosine < 0.95
+) WHERE neg_rank <= 5
+"""
+
+
+# 8-gram novelty: the decontamination oracle's shingle CTEs (grams
+# DISTINCT by STRING before hashing — collisions must survive,
+# mirroring hashed_shingles), distinct-DOC frequency, integer //
+# rate. Too-short docs report (0, 0, 1000) via the outer LEFT JOINs.
+ORACLES["docs_ngram_novelty"] = r"""
+WITH t AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS toks FROM documents),
+grams AS (
+  SELECT DISTINCT doc_id, array_to_string(toks[i:i+7], ' ') AS shingle
+  FROM t, UNNEST(range(1, len(toks) - 6)) AS r(i)
+  WHERE len(toks) >= 8
+),
+hs AS (SELECT doc_id,
+         CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT) % 2147483647 AS h
+       FROM grams),
+dup_hashes AS (SELECT h FROM hs GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
+dup AS (
+  SELECT hs.doc_id, COUNT(*) AS dup_grams
+  FROM hs JOIN dup_hashes USING (h) GROUP BY hs.doc_id
+),
+tot AS (SELECT doc_id, COUNT(*) AS n_grams FROM hs GROUP BY doc_id)
+SELECT d.doc_id,
+  CAST(COALESCE(t.n_grams, 0) AS BIGINT) AS n_grams,
+  CAST(COALESCE(u.dup_grams, 0) AS BIGINT) AS dup_grams,
+  CAST(CASE WHEN COALESCE(t.n_grams, 0) > 0
+       THEN (1000 * (t.n_grams - COALESCE(u.dup_grams, 0))) // t.n_grams
+       ELSE 1000 END AS BIGINT) AS novelty_milli
+FROM documents d
+LEFT JOIN tot t ON d.doc_id = t.doc_id
+LEFT JOIN dup u ON d.doc_id = u.doc_id
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     out = dict(ORACLES)
     # data-dependent oracles, built lazily so the training corpus
@@ -3581,4 +3659,5 @@ def oracle_sql() -> dict[str, str]:
     out["emb_ivfpq_topk"] = _ivfpq_topk_sql()
     out["docs_importance_resample"] = _importance_resample_sql()
     out["emb_kmeans_clusters"] = _kmeans_clusters_sql()
+    out["emb_random_projection"] = _random_projection_sql()
     return out

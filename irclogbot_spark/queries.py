@@ -2082,7 +2082,8 @@ _DRIVER_WINDOW = [
 # that shipped after this round's window froze: the 11 TPC-H
 # completions (q2/q6/q8/q9/q10/q11/q12/q15/q19/q20/q21),
 # docs_adaptive_quality, events_salted_enrich, events_attribution,
-# agg_unpivot.
+# agg_unpivot, emb_random_projection, emb_hard_negatives,
+# docs_ngram_novelty.
 
 
 @query("docs_dedup_keep_best_fast")
@@ -3491,6 +3492,58 @@ def tpch_q21_waiting_suppliers(spark, sf_dir):
         .orderBy(F.desc("numwait"), "s_suppkey")
         .limit(10)
     )
+
+
+@query("emb_random_projection")
+def emb_random_projection(spark, sf_dir):
+    """Johnson-Lindenstrauss reduction (Achlioptas signed sparse
+    matrix) of the 64-dim embeddings to 8 exact-integer coordinates —
+    the byte-dieting step upstream of every embedding shuffle at
+    100 TB. Map-only, zero exchanges (plan-asserted); milli-quantized
+    inputs and {-1,0,+1} matrix entries make every output an exact
+    BIGINT sum, so the oracle re-derives the full projection from the
+    same seeded matrix inlined as +/- terms."""
+    from irclogbot_spark.operators.projection import project_embeddings
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = project_embeddings(emb, k=8, dim=64, seed=7)
+    return out.select(
+        "vec_id",
+        *[F.element_at("proj", j + 1).alias(f"p{j}") for j in range(8)],
+    )
+
+
+@query("emb_hard_negatives")
+def emb_hard_negatives(spark, sf_dir):
+    """Contrastive hard-negative mining: per anchor, the top-5
+    most-similar DIFFERENT-label rows under a 0.95 near-duplicate
+    ceiling (the semi-hard band). Broadcast anchor set + one corpus
+    scan — the knn_join shape with the label-mismatch predicate in
+    the join condition so Catalyst filters before scoring."""
+    from irclogbot_spark.operators.similarity import hard_negatives
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id").isin(0, 1, 2)).select(
+        F.col("vec_id").alias("query_id"), "embedding", "label"
+    )
+    out = hard_negatives(emb, qs, k=5, ceiling=0.95)
+    return out.withColumn("label", F.col("label").cast("long")).withColumn(
+        "neg_rank", F.col("neg_rank").cast("long")
+    )
+
+
+@query("docs_ngram_novelty")
+def docs_ngram_novelty(spark, sf_dir):
+    """Per-doc 8-gram novelty (memorization/duplication audit, Lee et
+    al. 2022 reporting convention): share of each doc's distinct
+    8-grams that occur in >= 2 docs corpus-wide, as an exact integer
+    milli rate. md5_hash31 here for the oracle; xxhash31 is the scale
+    default (the decontamination convention)."""
+    from irclogbot_spark.operators.dedup import md5_hash31
+    from irclogbot_spark.operators.novelty import ngram_novelty
+
+    docs = _t(spark, sf_dir, "documents")
+    return ngram_novelty(docs, n=8, min_docs=2, hash_fn=md5_hash31)
 
 
 def queries() -> dict[str, QueryFn]:

@@ -1,0 +1,210 @@
+"""Semantics tests for the round-6 additions: JL random projection
+(distortion + exactness + plan shape), contrastive hard-negative
+mining (label/ceiling/rank contracts), and per-doc n-gram novelty
+(planted duplicates, short docs, hash-agnostic counts, partitioning
+invariance). The DuckDB parity suite value-checks all three against
+SQL twins; these pin the contracts a twin could share a bug with.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entrymod
+
+SF = "/root/testdata/sf0.001"
+SF01 = "/root/testdata/sf0.01"
+
+
+# ------------------------------------------------------------ projection
+def test_achlioptas_matrix_deterministic_and_signed():
+    from irclogbot_spark.operators.projection import achlioptas_matrix
+
+    a = achlioptas_matrix(64, 8, seed=7)
+    b = achlioptas_matrix(64, 8, seed=7)
+    assert a == b
+    assert len(a) == 8 and all(len(r) == 64 for r in a)
+    assert {v for r in a for v in r} <= {-1, 0, 1}
+    # sparse: roughly 2/3 zeros (binomial, generous band)
+    n_zero = sum(v == 0 for r in a for v in r)
+    assert 0.5 < n_zero / (8 * 64) < 0.8
+
+
+def test_projection_map_only_plan(spark):
+    """Zero data movement: no hash exchange, no join, no aggregate
+    node — the projection is a pure in-row expression."""
+    df = entrymod.queries()["emb_random_projection"](spark, SF)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "hashpartitioning" not in plan, plan
+    assert "Join" not in plan, plan
+    assert "HashAggregate" not in plan, plan
+
+
+def test_projection_exact_integer_replica(spark):
+    """Every projected coordinate equals the numpy integer replica:
+    floor-milli quantization then signed sums — no float drift."""
+    from irclogbot_spark.operators.projection import achlioptas_matrix
+
+    emb = (
+        spark.read.parquet(f"{SF}/embeddings.parquet")
+        .limit(50)
+        .toPandas()
+        .sort_values("vec_id")
+    )
+    got = (
+        entrymod.queries()["emb_random_projection"](spark, SF)
+        .filter(F.col("vec_id").isin([int(v) for v in emb.vec_id]))
+        .toPandas()
+        .sort_values("vec_id")
+    )
+    m = np.array(achlioptas_matrix(64, 8, seed=7))
+    for _, row in emb.iterrows():
+        q = np.floor(np.array(row.embedding, dtype=np.float64) * 1000.0).astype(
+            np.int64
+        )
+        want = m @ q
+        have = got[got.vec_id == row.vec_id].iloc[0]
+        assert [int(have[f"p{j}"]) for j in range(8)] == [int(x) for x in want]
+
+
+def test_projection_preserves_cluster_structure(spark):
+    """JL contract, pinned on PLANTED structure (the sf* embeddings
+    are isotropic noise — original same-label cosine ~0.002, nothing
+    to preserve): 20 clusters x 10 points at noise 0.3 project to
+    same-cluster cosine >> cross-cluster cosine, and >= 95% of points
+    keep a same-cluster nearest neighbor at k=8. That is the property
+    the dedup/ANN tiers buy the reduction for."""
+    from irclogbot_spark.operators.projection import project_embeddings
+
+    rng = np.random.RandomState(3)
+    centers = rng.standard_normal((20, 64))
+    pts = np.vstack(
+        [c + 0.3 * rng.standard_normal((10, 64)) for c in centers]
+    )
+    df = spark.createDataFrame(
+        [
+            Row(vec_id=i, embedding=[float(x) for x in v])
+            for i, v in enumerate(pts)
+        ]
+    )
+    out = (
+        project_embeddings(df, k=8, dim=64, seed=7)
+        .toPandas()
+        .sort_values("vec_id")
+    )
+    pm = np.array(out.proj.tolist(), dtype=np.float64)
+    pu = pm / np.linalg.norm(pm, axis=1, keepdims=True)
+    cp = pu @ pu.T
+    cluster = np.repeat(np.arange(20), 10)
+    iu = np.triu_indices(len(pts), 1)
+    same = cluster[iu[0]] == cluster[iu[1]]
+    assert cp[iu][same].mean() > 0.7, cp[iu][same].mean()
+    assert cp[iu][~same].mean() < 0.3, cp[iu][~same].mean()
+    np.fill_diagonal(cp, -2.0)
+    nn_same = cluster[cp.argmax(axis=1)] == cluster
+    assert nn_same.mean() >= 0.95, nn_same.mean()
+
+
+# --------------------------------------------------------- hard negatives
+def test_hard_negatives_contracts(spark):
+    out = entrymod.queries()["emb_hard_negatives"](spark, SF).toPandas()
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").toPandas()
+    qlabel = dict(zip(emb.vec_id, emb.label))
+    assert set(out.query_id) == {0, 1, 2}
+    for _, r in out.iterrows():
+        assert r.label != qlabel[r.query_id], "same-label row leaked"
+        assert r.cosine < 0.95, "ceiling violated"
+        assert r.vec_id != r.query_id
+    for q in (0, 1, 2):
+        ranks = sorted(out[out.query_id == q].neg_rank)
+        assert ranks == [1, 2, 3, 4, 5]
+
+
+def test_hard_negatives_are_hardest_eligible(spark):
+    """Rank-1 negative really is the max-cosine different-label row
+    under the ceiling (numpy replica over the tiny SF)."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").toPandas()
+    out = entrymod.queries()["emb_hard_negatives"](spark, SF).toPandas()
+    vecs = np.array(emb.embedding.tolist(), dtype=np.float64)
+    norms = np.linalg.norm(vecs, axis=1)
+    for q in (0, 1, 2):
+        qi = emb.index[emb.vec_id == q][0]
+        cs = (vecs @ vecs[qi]) / (norms * norms[qi])
+        elig = (emb.label != emb.label[qi]) & (emb.vec_id != q) & (cs < 0.95)
+        best = emb.vec_id[elig.values & (cs == cs[elig.values].max())].min()
+        got = out[(out.query_id == q) & (out.neg_rank == 1)].vec_id.iloc[0]
+        assert got == best
+
+
+# ------------------------------------------------------------- novelty
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(texts)]
+    )
+
+
+def test_novelty_planted_duplicates(spark):
+    from irclogbot_spark.operators.novelty import ngram_novelty
+
+    texts = [
+        "a b c d e f g h",          # 1 gram, shared with doc 1
+        "a b c d e f g h i",        # 2 grams, 1 shared
+        "p q r s t u v w",          # 1 gram, unique
+        "x y z",                    # too short: no 8-gram
+    ]
+    out = {
+        r.doc_id: r
+        for r in ngram_novelty(_docs(spark, texts), n=8).collect()
+    }
+    assert (out[0].n_grams, out[0].dup_grams, out[0].novelty_milli) == (1, 1, 0)
+    assert (out[1].n_grams, out[1].dup_grams, out[1].novelty_milli) == (2, 1, 500)
+    assert (out[2].n_grams, out[2].dup_grams, out[2].novelty_milli) == (1, 0, 1000)
+    assert (out[3].n_grams, out[3].dup_grams, out[3].novelty_milli) == (0, 0, 1000)
+
+
+def test_novelty_in_doc_repeat_does_not_inflate(spark):
+    """The same 8-gram appearing twice INSIDE one doc is one distinct
+    gram and is not corpus-duplicated by itself."""
+    from irclogbot_spark.operators.novelty import ngram_novelty
+
+    texts = ["a b c d e f g h a b c d e f g h"]
+    row = ngram_novelty(_docs(spark, texts), n=8).collect()[0]
+    # 9 positional grams, 8 distinct (the wrap repeats 'a..h'); none
+    # occur in a second document
+    assert row.dup_grams == 0 and row.novelty_milli == 1000
+
+
+def test_novelty_hash_agnostic_and_partition_invariant(spark):
+    """xxhash (scale) and md5 (oracle) paths agree on every count at
+    sf0.001, and a hostile repartition changes nothing."""
+    from irclogbot_spark.operators.dedup import md5_hash31
+    from irclogbot_spark.operators.novelty import ngram_novelty
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    a = ngram_novelty(docs, n=8).toPandas().sort_values("doc_id")
+    b = (
+        ngram_novelty(docs, n=8, hash_fn=md5_hash31)
+        .toPandas()
+        .sort_values("doc_id")
+    )
+    c = (
+        ngram_novelty(docs.repartition(7), n=8)
+        .toPandas()
+        .sort_values("doc_id")
+    )
+    for col in ("n_grams", "dup_grams", "novelty_milli"):
+        assert list(a[col]) == list(b[col]) == list(c[col])
+
+
+def test_novelty_min_docs_guard(spark):
+    from irclogbot_spark.operators.novelty import ngram_novelty
+
+    with pytest.raises(ValueError):
+        ngram_novelty(_docs(spark, ["a"]), min_docs=1)
