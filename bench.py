@@ -141,6 +141,7 @@ HEADLINE = [
     "emb_random_projection",
     "emb_hard_negatives",
     "docs_ngram_novelty",
+    "emb_projection_recall",
 ]
 
 #: headline queries that derive from the irclog (re-timed over the

@@ -78,3 +78,59 @@ def project_embeddings(
     return ensure_parallelism(df).select(
         F.col(id_col), proj.alias("proj"), *carry_cols
     )
+
+
+def projected_knn_candidates(
+    corpus: DataFrame,
+    queries: DataFrame,
+    r: int = 50,
+    k_dims: int = 8,
+    corpus_id: str = "vec_id",
+    query_id: str = "query_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    seed: int = 7,
+) -> DataFrame:
+    """Stage 1 of two-stage retrieval: top-``r`` candidates per query
+    by SKETCH cosine (the 8-long exact-integer projection), to be
+    exact-reranked downstream — what the reduction buys: the scan
+    compares k_dims longs per pair instead of ``dim`` floats, and at
+    rest a projected index is 1/8 the bytes. Same broadcast-queries /
+    one-scan / per-query-top-k shape as similarity.knn_join; sketch
+    cosine divides by stored norms with the same association, so the
+    oracle can replicate it bit-for-bit."""
+    from irclogbot_spark.operators.similarity import _cos_pre, dot, norm
+
+    cp = project_embeddings(corpus, k_dims, corpus_id, vec_col, dim, seed)
+    qp = project_embeddings(queries, k_dims, query_id, vec_col, dim, seed)
+    to_d = lambda c: F.col(c).cast("array<double>")  # noqa: E731
+    q = F.broadcast(
+        qp.select(
+            query_id,
+            to_d("proj").alias("qv"),
+            norm(to_d("proj")).alias("qn"),
+        )
+    )
+    scored = (
+        cp.select(
+            corpus_id,
+            to_d("proj").alias("cv"),
+            norm(to_d("proj")).alias("cn"),
+        )
+        .join(q, F.col(corpus_id) != F.col(query_id))
+        .select(
+            query_id,
+            corpus_id,
+            _cos_pre(
+                dot(F.col("cv"), F.col("qv")), F.col("cn"), F.col("qn")
+            ).alias("sketch_cosine"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(query_id).orderBy(
+        F.desc("sketch_cosine"), F.asc(corpus_id)
+    )
+    return scored.withColumn("cand_rank", F.row_number().over(w)).filter(
+        F.col("cand_rank") <= r
+    )

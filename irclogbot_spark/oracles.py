@@ -3570,11 +3570,13 @@ LIMIT 10
 """
 
 
-def _random_projection_sql(dim: int = 64, k: int = 8, seed: int = 7) -> str:
-    """ANSI twin of operators/projection.project_embeddings: the SAME
-    seeded Achlioptas {-1,0,+1} matrix, inlined as signed +/- terms
-    over floor-milli-quantized elements — exact BIGINT arithmetic on
-    both engines (floor on both sides: the CAST-rounds hazard)."""
+def _projection_coords_sql(dim: int = 64, k: int = 8, seed: int = 7) -> list[str]:
+    """The k projected coordinates of `embedding` as SQL expressions:
+    the SAME seeded Achlioptas {-1,0,+1} matrix as
+    operators/projection.achlioptas_matrix, inlined as signed +/-
+    terms over floor-milli-quantized elements — exact BIGINT
+    arithmetic on both engines (floor on both sides: the CAST-rounds
+    hazard)."""
     from irclogbot_spark.operators.projection import achlioptas_matrix
 
     m = achlioptas_matrix(dim, k, seed)
@@ -3588,8 +3590,63 @@ def _random_projection_sql(dim: int = 64, k: int = 8, seed: int = 7) -> str:
         ]
         return "(0 " + " ".join(terms) + ")" if terms else "CAST(0 AS BIGINT)"
 
-    cols = ",\n  ".join(f"{coord(j)} AS p{j}" for j in range(k))
+    return [coord(j) for j in range(k)]
+
+
+def _random_projection_sql(dim: int = 64, k: int = 8, seed: int = 7) -> str:
+    coords = _projection_coords_sql(dim, k, seed)
+    cols = ",\n  ".join(f"{c} AS p{j}" for j, c in enumerate(coords))
     return f"SELECT vec_id,\n  {cols}\nFROM embeddings"
+
+
+def _projection_recall_sql(r: int = 250, k: int = 5, k_dims: int = 16) -> str:
+    """Full re-derivation of the two-stage projected-kNN recall:
+    exact top-k (the emb_knn_join body), sketch top-r candidates over
+    the inlined projection coordinates (integer-valued doubles —
+    products < 2^53, so sketch cosines are bit-equal to Spark's
+    fold), LEFT-JOIN hit flags, integer // milli recall with the
+    n_exact = 0 guard (the docs_lsh_recall degenerate-input rule).
+    The candidate sketch is 16-dim (vs the storage query's 8): on
+    isotropic corpora candidate generation needs a wider sketch than
+    byte-dieting — measured 15/15 vs 5/15 at sf0.01."""
+    coords = _projection_coords_sql(k=k_dims)
+    sk_list = "[" + ", ".join(coords) + "]"
+    return f"""
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id IN (0, 1, 2)
+),
+exact AS (
+  SELECT query_id, vec_id FROM (
+    SELECT q.query_id, e.vec_id,
+      ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+        list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv)
+          / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+             * sqrt(list_dot_product(q.qv, q.qv))) DESC, e.vec_id) AS rk
+    FROM embeddings e, q WHERE e.vec_id <> q.query_id
+  ) WHERE rk <= {k}
+),
+sk AS MATERIALIZED (
+  SELECT vec_id, CAST({sk_list} AS DOUBLE[]) AS sv FROM embeddings
+),
+cand AS (
+  SELECT query_id, vec_id FROM (
+    SELECT qs.query_id, c.vec_id,
+      ROW_NUMBER() OVER (PARTITION BY qs.query_id ORDER BY
+        list_dot_product(c.sv, qs.sv)
+          / (sqrt(list_dot_product(c.sv, c.sv)) * sqrt(list_dot_product(qs.sv, qs.sv))) DESC,
+        c.vec_id) AS rk
+    FROM sk c, (SELECT vec_id AS query_id, sv FROM sk WHERE vec_id IN (0, 1, 2)) qs
+    WHERE c.vec_id <> qs.query_id
+  ) WHERE rk <= {r}
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_exact,
+  CAST(SUM(CASE WHEN c.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+  CAST(CASE WHEN COUNT(*) > 0
+       THEN (1000 * SUM(CASE WHEN c.vec_id IS NOT NULL THEN 1 ELSE 0 END)) // COUNT(*)
+       ELSE 1000 END AS BIGINT) AS recall_milli
+FROM exact e LEFT JOIN cand c ON e.query_id = c.query_id AND e.vec_id = c.vec_id
+"""
 
 
 # Same scoring association as emb_knn_join (list_dot_product /
@@ -3660,4 +3717,5 @@ def oracle_sql() -> dict[str, str]:
     out["docs_importance_resample"] = _importance_resample_sql()
     out["emb_kmeans_clusters"] = _kmeans_clusters_sql()
     out["emb_random_projection"] = _random_projection_sql()
+    out["emb_projection_recall"] = _projection_recall_sql()
     return out

@@ -2083,7 +2083,7 @@ _DRIVER_WINDOW = [
 # completions (q2/q6/q8/q9/q10/q11/q12/q15/q19/q20/q21),
 # docs_adaptive_quality, events_salted_enrich, events_attribution,
 # agg_unpivot, emb_random_projection, emb_hard_negatives,
-# docs_ngram_novelty.
+# docs_ngram_novelty, emb_projection_recall.
 
 
 @query("docs_dedup_keep_best_fast")
@@ -3529,6 +3529,47 @@ def emb_hard_negatives(spark, sf_dir):
     out = hard_negatives(emb, qs, k=5, ceiling=0.95)
     return out.withColumn("label", F.col("label").cast("long")).withColumn(
         "neg_rank", F.col("neg_rank").cast("long")
+    )
+
+
+@query("emb_projection_recall")
+def emb_projection_recall(spark, sf_dir):
+    """Two-stage retrieval quality, driver-MEASURED (the
+    emb_ivf_recall / docs_lsh_recall convention): recall of the exact
+    top-5 inside the sketch-cosine top-250 candidates from a 16-dim
+    JL projection (wider than the 8-dim storage sketch — candidate
+    generation on isotropic corpora needs the extra dims: 15/15 vs
+    5/15 measured at sf0.01). Both stages deterministic, so the
+    oracle re-derives the whole pipeline; integer // milli rate with
+    the n_exact = 0 zero guard (round-5 ADVICE rule)."""
+    from irclogbot_spark.operators.projection import projected_knn_candidates
+    from irclogbot_spark.operators.similarity import knn_join
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id").isin(0, 1, 2)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = knn_join(emb, qs, k=5).select("query_id", "vec_id")
+    cand = (
+        projected_knn_candidates(emb, qs, r=250, k_dims=16)
+        .select("query_id", "vec_id")
+        .withColumn("_hit", F.lit(1))
+    )
+    joined = exact.join(cand, ["query_id", "vec_id"], "left")
+    agg = joined.agg(
+        F.count(F.lit(1)).alias("n_exact"),
+        F.sum(F.coalesce(F.col("_hit"), F.lit(0))).cast("long").alias("n_hit"),
+    )
+    return agg.select(
+        "n_exact",
+        "n_hit",
+        F.when(
+            F.col("n_exact") > 0,
+            F.expr("(1000 * n_hit) DIV n_exact"),
+        )
+        .otherwise(F.lit(1000))
+        .cast("long")
+        .alias("recall_milli"),
     )
 
 

@@ -112,6 +112,15 @@ def test_projection_preserves_cluster_structure(spark):
     assert nn_same.mean() >= 0.95, nn_same.mean()
 
 
+def test_projection_recall_contract(spark):
+    """Single-row metric: n_exact = 3 anchors x 5, hit count bounded,
+    milli rate consistent with the counts (integer DIV)."""
+    row = entrymod.queries()["emb_projection_recall"](spark, SF).collect()[0]
+    assert row.n_exact == 15
+    assert 0 <= row.n_hit <= 15
+    assert row.recall_milli == (1000 * row.n_hit) // row.n_exact
+
+
 # --------------------------------------------------------- hard negatives
 def test_hard_negatives_contracts(spark):
     out = entrymod.queries()["emb_hard_negatives"](spark, SF).toPandas()
