@@ -25,6 +25,16 @@ Scale shape (the paragraph_dedup convention, operators/paragraphs.py):
 ``hash_fn`` defaults to xxhash31 (scale path); pass
 ``dedup.md5_hash31`` for the DuckDB-checkable pipeline (the
 decontamination convention).
+
+Deliberate non-checkpoint: the lazy plan recomputes the in-row
+shingle pass for each of its three consumers (df aggregate, dup
+join probe, per-doc totals). Measured at sf0.1 the whole query is
+0.6 s warm — the recompute is map-side CPU that parallelizes
+perfectly, while a localCheckpoint would materialize ~300 hashes/doc
+to disk. On a 100 TB run where the scan itself dominates, persist
+the narrow (doc_id, h) frame once (`hx.localCheckpoint()`) — the
+prep-pipeline multiply-consumed-frame rule — at the cost of one
+corpus-sized narrow write.
 """
 
 from __future__ import annotations

@@ -152,6 +152,20 @@ def test_hard_negatives_are_hardest_eligible(spark):
         assert got == best
 
 
+def test_hard_negatives_broadcast_plan(spark):
+    """The anchor set broadcasts (BroadcastExchange; the sanctioned
+    bounded nested-loop — identical shape to emb_knn_join) and the
+    top-k is pushed into WindowGroupLimit."""
+    df = entrymod.queries()["emb_hard_negatives"](spark, SF)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "BroadcastExchange" in plan
+    assert "WindowGroupLimit" in plan
+
+
 # ------------------------------------------------------------- novelty
 def _docs(spark, texts):
     return spark.createDataFrame(
@@ -210,6 +224,19 @@ def test_novelty_hash_agnostic_and_partition_invariant(spark):
     )
     for col in ("n_grams", "dup_grams", "novelty_milli"):
         assert list(a[col]) == list(b[col]) == list(c[col])
+
+
+def test_novelty_df_aggregation_is_partial(spark):
+    """The distinct-doc frequency aggregates partially map-side
+    (partial_count(distinct ...) below the hash exchange) — the skew
+    crusher for boilerplate grams present in every doc."""
+    df = entrymod.queries()["docs_ngram_novelty"](spark, SF)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "partial_count(distinct" in plan, plan
 
 
 def test_novelty_min_docs_guard(spark):
