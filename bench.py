@@ -142,6 +142,7 @@ HEADLINE = [
     "emb_hard_negatives",
     "docs_ngram_novelty",
     "emb_projection_recall",
+    "docs_source_containment",
 ]
 
 #: headline queries that derive from the irclog (re-timed over the

@@ -46,6 +46,98 @@ from irclogbot_spark.operators.dedup import hashed_shingles
 from irclogbot_spark.plans.partitioning import ensure_parallelism
 
 
+def source_overlap(
+    df: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "source",
+    hash_fn=None,
+) -> DataFrame:
+    """Pairwise n-gram-set overlap between corpus groups (sources) —
+    the cross-corpus accounting sheet: how much of source A's content
+    is contained in source B (directional containment) and how
+    similar the two are overall (Jaccard). The corpus-level twin of
+    per-doc novelty; release pipelines run it to price a new source's
+    marginal contribution before mixing it in.
+
+    Returns ONE row per unordered group pair (src_a < src_b):
+    ``(src_a, src_b, n_a, n_b, n_common, contain_a_milli,
+    contain_b_milli, jaccard_milli)`` where n_* are distinct hashed
+    n-gram counts, contain_a = |A∩B|/|A| etc., all integer DIV milli
+    rates. Zero-overlap pairs ARE emitted (the full matrix comes from
+    a bounded groups x groups expansion, not from co-occurrence).
+
+    Scale shape: distinct (group, h) is one exchange with map-side
+    partial dedup; per-group sizes and per-pair intersections are
+    partial-agg shuffles of the same narrow frame; the final matrix
+    assembly joins the n_groups-row size table to the
+    C(n_groups, 2)-row pair-count table — both bounded by group
+    cardinality, never by corpus size (broadcast; the
+    log_nick_cooccurrence capped-expansion family). The group-pair
+    self-join runs over (h, group) pairs whose per-h fan-out is
+    bounded by n_groups, so the intersection stage moves at most
+    n_groups x the distinct-gram count.
+    """
+    gh = (
+        ensure_parallelism(df)
+        .select(
+            F.col(group_col).alias("g"),
+            F.explode(hashed_shingles(text_col, n, hash_fn)).alias("h"),
+        )
+        .distinct()
+    )
+    # groups enumerate from the INPUT (a shingle-less source still
+    # owns matrix rows — explode drops its empty gram array from gh)
+    groups = df.select(F.col(group_col).alias("g")).distinct()
+    sizes = groups.join(
+        gh.groupBy("g").agg(F.count(F.lit(1)).alias("_n")), "g", "left"
+    ).select("g", F.coalesce(F.col("_n"), F.lit(0)).alias("n_grams"))
+    common = (
+        gh.alias("a")
+        .join(
+            gh.alias("b"),
+            (F.col("a.h") == F.col("b.h")) & (F.col("a.g") < F.col("b.g")),
+        )
+        .groupBy(
+            F.col("a.g").alias("src_a"), F.col("b.g").alias("src_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("g").alias("src_a"), F.col("n_grams").alias("n_a"))
+    sb = sizes.select(F.col("g").alias("src_b"), F.col("n_grams").alias("n_b"))
+    matrix = sa.join(F.broadcast(sb), F.col("src_a") < F.col("src_b"))
+    out = matrix.join(F.broadcast(common), ["src_a", "src_b"], "left").select(
+        "src_a",
+        "src_b",
+        F.col("n_a").cast("long"),
+        F.col("n_b").cast("long"),
+        F.coalesce(F.col("n_common"), F.lit(0)).cast("long").alias("n_common"),
+    )
+    return out.select(
+        "src_a",
+        "src_b",
+        "n_a",
+        "n_b",
+        "n_common",
+        # CASE guards: a shingle-less group (all docs shorter than n
+        # tokens) must not trip ANSI division-by-zero — report 0
+        # overlap (the docs_lsh_recall degenerate-input rule)
+        F.expr("CASE WHEN n_a > 0 THEN (1000 * n_common) DIV n_a ELSE 0 END")
+        .cast("long")
+        .alias("contain_a_milli"),
+        F.expr("CASE WHEN n_b > 0 THEN (1000 * n_common) DIV n_b ELSE 0 END")
+        .cast("long")
+        .alias("contain_b_milli"),
+        F.expr(
+            "CASE WHEN n_a + n_b - n_common > 0"
+            " THEN (1000 * n_common) DIV (n_a + n_b - n_common) ELSE 0 END"
+        )
+        .cast("long")
+        .alias("jaccard_milli"),
+    )
+
+
 def ngram_novelty(
     df: DataFrame,
     n: int = 8,

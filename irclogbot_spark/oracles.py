@@ -3705,6 +3705,53 @@ LEFT JOIN dup u ON d.doc_id = u.doc_id
 """
 
 
+# Source-overlap matrix: distinct (source, hash) after hashing (so
+# within-source shingle collisions collapse, mirroring the engine's
+# post-hash distinct), bounded sizes x sizes full matrix via the
+# inequality join, CASE-guarded integer // rates.
+ORACLES["docs_source_containment"] = r"""
+WITH t AS (SELECT source, regexp_extract_all(text, '\S+') AS toks FROM documents),
+grams AS (
+  SELECT DISTINCT source, array_to_string(toks[i:i+7], ' ') AS shingle
+  FROM t, UNNEST(range(1, len(toks) - 6)) AS r(i)
+  WHERE len(toks) >= 8
+),
+hs AS (
+  SELECT DISTINCT source,
+    CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT) % 2147483647 AS h
+  FROM grams
+),
+sizes AS (
+  SELECT d.source, COALESCE(c.n, 0) AS n_grams
+  FROM (SELECT DISTINCT source FROM documents) d
+  LEFT JOIN (SELECT source, COUNT(*) AS n FROM hs GROUP BY source) c
+    ON d.source = c.source
+),
+common AS (
+  SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_common
+  FROM hs a JOIN hs b ON a.h = b.h AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT sa.source AS src_a, sb.source AS src_b,
+  CAST(sa.n_grams AS BIGINT) AS n_a,
+  CAST(sb.n_grams AS BIGINT) AS n_b,
+  CAST(COALESCE(c.n_common, 0) AS BIGINT) AS n_common,
+  CAST(CASE WHEN sa.n_grams > 0
+       THEN (1000 * COALESCE(c.n_common, 0)) // sa.n_grams ELSE 0 END AS BIGINT)
+    AS contain_a_milli,
+  CAST(CASE WHEN sb.n_grams > 0
+       THEN (1000 * COALESCE(c.n_common, 0)) // sb.n_grams ELSE 0 END AS BIGINT)
+    AS contain_b_milli,
+  CAST(CASE WHEN sa.n_grams + sb.n_grams - COALESCE(c.n_common, 0) > 0
+       THEN (1000 * COALESCE(c.n_common, 0))
+            // (sa.n_grams + sb.n_grams - COALESCE(c.n_common, 0))
+       ELSE 0 END AS BIGINT) AS jaccard_milli
+FROM sizes sa
+JOIN sizes sb ON sa.source < sb.source
+LEFT JOIN common c ON c.src_a = sa.source AND c.src_b = sb.source
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     out = dict(ORACLES)
     # data-dependent oracles, built lazily so the training corpus

@@ -2083,7 +2083,8 @@ _DRIVER_WINDOW = [
 # completions (q2/q6/q8/q9/q10/q11/q12/q15/q19/q20/q21),
 # docs_adaptive_quality, events_salted_enrich, events_attribution,
 # agg_unpivot, emb_random_projection, emb_hard_negatives,
-# docs_ngram_novelty, emb_projection_recall.
+# docs_ngram_novelty, emb_projection_recall,
+# docs_source_containment.
 
 
 @query("docs_dedup_keep_best_fast")
@@ -3585,6 +3586,20 @@ def docs_ngram_novelty(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")
     return ngram_novelty(docs, n=8, min_docs=2, hash_fn=md5_hash31)
+
+
+@query("docs_source_containment")
+def docs_source_containment(spark, sf_dir):
+    """Pairwise source overlap matrix (directional containment +
+    Jaccard over distinct hashed 8-grams) — the cross-corpus
+    accounting sheet for pricing a source's marginal contribution
+    before mixing. Full bounded matrix (zero-overlap pairs emitted);
+    md5_hash31 for the oracle, xxhash31 the scale default."""
+    from irclogbot_spark.operators.dedup import md5_hash31
+    from irclogbot_spark.operators.novelty import source_overlap
+
+    docs = _t(spark, sf_dir, "documents")
+    return source_overlap(docs, n=8, hash_fn=md5_hash31)
 
 
 def queries() -> dict[str, QueryFn]:

@@ -239,6 +239,50 @@ def test_novelty_df_aggregation_is_partial(spark):
     assert "partial_count(distinct" in plan, plan
 
 
+# -------------------------------------------------------- source overlap
+def test_source_overlap_planted_matrix(spark):
+    """Three sources: A and B share exactly one of A's two grams; C
+    shares nothing and has no 8-gram at all (guard path). Full
+    C(3,2) matrix with exact milli rates."""
+    from irclogbot_spark.operators.novelty import source_overlap
+
+    rows = [
+        Row(doc_id=0, source="A", text="a b c d e f g h i"),  # grams: a..h, b..i
+        Row(doc_id=1, source="B", text="a b c d e f g h"),    # gram: a..h
+        Row(doc_id=2, source="C", text="too short"),          # none
+    ]
+    out = {
+        (r.src_a, r.src_b): r
+        for r in source_overlap(spark.createDataFrame(rows), n=8).collect()
+    }
+    assert set(out) == {("A", "B"), ("A", "C"), ("B", "C")}
+    ab = out[("A", "B")]
+    assert (ab.n_a, ab.n_b, ab.n_common) == (2, 1, 1)
+    assert ab.contain_a_milli == 500      # 1 of A's 2 grams in B
+    assert ab.contain_b_milli == 1000     # all of B inside A
+    assert ab.jaccard_milli == 500        # 1 / (2 + 1 - 1)
+    ac = out[("A", "C")]
+    assert (ac.n_common, ac.contain_a_milli, ac.contain_b_milli, ac.jaccard_milli) == (0, 0, 0, 0)
+
+
+def test_source_overlap_hash_agnostic(spark):
+    """xxhash (scale) and md5 (oracle) paths agree on the full matrix
+    over real data (hash-agnostic counts barring collisions)."""
+    from irclogbot_spark.operators.dedup import md5_hash31
+    from irclogbot_spark.operators.novelty import source_overlap
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    key = ["src_a", "src_b"]
+    a = source_overlap(docs).toPandas().sort_values(key).reset_index(drop=True)
+    b = (
+        source_overlap(docs, hash_fn=md5_hash31)
+        .toPandas()
+        .sort_values(key)
+        .reset_index(drop=True)
+    )
+    assert a.equals(b)
+
+
 def test_novelty_min_docs_guard(spark):
     from irclogbot_spark.operators.novelty import ngram_novelty
 
