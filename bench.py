@@ -143,6 +143,7 @@ HEADLINE = [
     "docs_ngram_novelty",
     "emb_projection_recall",
     "docs_source_containment",
+    "docs_leakage_safe_split",
 ]
 
 #: headline queries that derive from the irclog (re-timed over the

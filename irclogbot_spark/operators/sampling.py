@@ -130,6 +130,52 @@ def train_test_split(
     return df.withColumn("split", split_columns(key_cols, weights, salt, draw_fn))
 
 
+def leakage_safe_split(
+    df: DataFrame,
+    pairs: DataFrame,
+    weights: dict[str, float],
+    id_col: str = "doc_id",
+    salt: str = "lsplit",
+    draw_fn=None,
+) -> DataFrame:
+    """Train/val/test split whose assignment atom is the NEAR-DUP
+    CLUSTER, not the document: connected components over the
+    near-duplicate ``pairs`` (d1, d2) collapse to a min-id label, and
+    the split draw keys on that label — so every member of a cluster
+    lands in the SAME split, and a test document can never have a
+    near-duplicate sibling in train (the eval-leakage failure mode a
+    per-doc hash split cannot prevent: GPT-3 appendix C documents
+    shipping exactly this bug).
+
+    Returns one row per input doc: ``(id_col, cluster_id, split)``.
+    Docs in no pair are their own singleton cluster. Inherits
+    split_columns' stability: clusters never migrate between splits
+    as the corpus grows, as long as the cluster's min id is stable.
+
+    Scale shape: ``pairs`` comes from any bucketed candidate
+    generator (MinHash LSH default elsewhere; exact jaccard_pairs for
+    the oracle-checkable path); components are the iterative min-label
+    propagation (O(diameter) rounds over narrow (a, b) edges —
+    near-dup clusters are shallow); the split itself is one map-only
+    CASE over the label. The only corpus-sized join is the left join
+    of ids to the component table.
+    """
+    from irclogbot_spark.operators.dedup import neardup_components
+
+    comp = neardup_components(pairs).withColumnRenamed("doc_id", "_cid")
+    base = (
+        df.select(F.col(id_col))
+        .join(comp, F.col(id_col) == F.col("_cid"), "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("cluster_id"), F.col(id_col)).alias("cluster_id"),
+        )
+    )
+    return base.withColumn(
+        "split", split_columns(["cluster_id"], weights, salt, draw_fn)
+    )
+
+
 def reservoir_per_group(
     df: DataFrame,
     group_cols: list[str],

@@ -3752,6 +3752,29 @@ LEFT JOIN common c ON c.src_a = sa.source AND c.src_b = sb.source
 """
 
 
+# Cluster-atomic split: the neardup_clusters recursive components,
+# singletons folded in via the LEFT JOIN coalesce, then the exact
+# split CASE keyed on the cluster label (same thresholds helper, so
+# boundary rounding is shared — the docs_sample_split rule).
+ORACLES["docs_leakage_safe_split"] = f"""
+WITH RECURSIVE {_SHINGLES_CTE}, {_COMPONENTS_CTE},
+cl AS (
+  SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+)
+SELECT doc_id, cluster_id,
+  {{split_case}} AS split
+FROM cl
+""".replace(
+    "{split_case}",
+    _split_case_sql(
+        {"train": 0.8, "val": 0.1, "test": 0.1},
+        "lsplit",
+        "CAST(cluster_id AS VARCHAR)",
+    ),
+)
+
+
 def oracle_sql() -> dict[str, str]:
     out = dict(ORACLES)
     # data-dependent oracles, built lazily so the training corpus

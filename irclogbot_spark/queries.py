@@ -2084,7 +2084,7 @@ _DRIVER_WINDOW = [
 # docs_adaptive_quality, events_salted_enrich, events_attribution,
 # agg_unpivot, emb_random_projection, emb_hard_negatives,
 # docs_ngram_novelty, emb_projection_recall,
-# docs_source_containment.
+# docs_source_containment, docs_leakage_safe_split.
 
 
 @query("docs_dedup_keep_best_fast")
@@ -3600,6 +3600,30 @@ def docs_source_containment(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")
     return source_overlap(docs, n=8, hash_fn=md5_hash31)
+
+
+@query("docs_leakage_safe_split")
+def docs_leakage_safe_split(spark, sf_dir):
+    """Cluster-atomic train/val/test split: near-dup components (the
+    docs_neardup_clusters machinery) key the split draw, so no eval
+    doc has a near-duplicate sibling in train (the GPT-3 appendix-C
+    leakage bug a per-doc hash split ships). Portable md5 draw; the
+    oracle re-derives components via WITH RECURSIVE and applies the
+    identical threshold CASE on CAST(cluster_id AS VARCHAR)."""
+    from irclogbot_spark.operators.dedup import jaccard_pairs
+    from irclogbot_spark.operators.sampling import (
+        leakage_safe_split,
+        portable_draw,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(docs, n=5, threshold=0.8)
+    return leakage_safe_split(
+        docs,
+        pairs,
+        {"train": 0.8, "val": 0.1, "test": 0.1},
+        draw_fn=portable_draw,
+    )
 
 
 def queries() -> dict[str, QueryFn]:

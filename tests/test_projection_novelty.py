@@ -283,6 +283,61 @@ def test_source_overlap_hash_agnostic(spark):
     assert a.equals(b)
 
 
+# ---------------------------------------------------- leakage-safe split
+def test_leakage_safe_split_no_cross_split_pairs(spark):
+    """THE property: every near-dup pair lands in one split — and the
+    check is non-vacuous: a naive per-doc hash split DOES separate at
+    least one of these pairs on the same corpus."""
+    from irclogbot_spark.operators.dedup import jaccard_pairs
+    from irclogbot_spark.operators.sampling import (
+        leakage_safe_split,
+        portable_draw,
+        split_columns,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    pairs = jaccard_pairs(docs, n=5, threshold=0.8)
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    out = leakage_safe_split(docs, pairs, w, draw_fn=portable_draw)
+    sp = {r.doc_id: r.split for r in out.collect()}
+    pr = pairs.collect()
+    assert len(pr) > 0
+    assert all(sp[r.d1] == sp[r.d2] for r in pr)
+    naive = {
+        r.doc_id: r.split
+        for r in docs.select(
+            "doc_id",
+            split_columns(["doc_id"], w, "lsplit", portable_draw).alias(
+                "split"
+            ),
+        ).collect()
+    }
+    assert any(naive[r.d1] != naive[r.d2] for r in pr), (
+        "corpus has no cross-split naive pair — property test vacuous"
+    )
+
+
+def test_leakage_safe_split_covers_all_docs_once(spark):
+    from irclogbot_spark.operators.dedup import jaccard_pairs
+    from irclogbot_spark.operators.sampling import (
+        leakage_safe_split,
+        portable_draw,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    pairs = jaccard_pairs(docs, n=5, threshold=0.8)
+    out = leakage_safe_split(
+        docs, pairs, {"train": 0.9, "test": 0.1}, draw_fn=portable_draw
+    ).toPandas()
+    assert len(out) == docs.count()
+    assert out.doc_id.is_unique
+    assert set(out.split) <= {"train", "test"}
+    # singletons label themselves
+    paired = {r.d1 for r in pairs.collect()} | {r.d2 for r in pairs.collect()}
+    singles = out[~out.doc_id.isin(paired)]
+    assert (singles.cluster_id == singles.doc_id).all()
+
+
 def test_novelty_min_docs_guard(spark):
     from irclogbot_spark.operators.novelty import ngram_novelty
 
