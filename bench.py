@@ -144,6 +144,7 @@ HEADLINE = [
     "emb_projection_recall",
     "docs_source_containment",
     "docs_leakage_safe_split",
+    "docs_length_batching",
 ]
 
 #: headline queries that derive from the irclog (re-timed over the

@@ -29,6 +29,64 @@ from irclogbot_spark.functions.text import WORD_RE
 from irclogbot_spark.plans.partitioning import ensure_parallelism
 
 
+def batch_by_length(
+    df: DataFrame,
+    batch_size: int = 8,
+    shards: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Length-bucketed batching (the fairseq/dataloader padding
+    optimization): within each content-derived shard, sort docs by
+    token length and cut consecutive runs of ``batch_size`` into
+    batches, so a batch pads every member to a max length close to
+    its mean. Returns per-batch stats: ``(shard, batch_id, n_docs,
+    max_tokens, sum_tokens, pad_waste)`` where pad_waste =
+    max_tokens * n_docs - sum_tokens — the tokens burned on padding
+    (the number this operator exists to minimize; random batching
+    pays the corpus-max per batch).
+
+    Same scale shape as pack_sequences: shard = pmod(id, shards)
+    (stable under retry/repartition), ONE window shuffle whose
+    partitions are rows/shards, per-batch stats partial-aggregate on
+    the same keys. The trailing short batch per shard is emitted
+    honestly (n_docs < batch_size).
+    """
+    from irclogbot_spark.functions.text import token_count
+
+    base = ensure_parallelism(df).select(
+        F.col(id_col),
+        F.pmod(F.col(id_col), F.lit(shards)).cast("long").alias("shard"),
+        token_count(F.col(text_col)).cast("long").alias("n_tokens"),
+    )
+    w = Window.partitionBy("shard").orderBy("n_tokens", id_col)
+    per_doc = base.select(
+        "shard",
+        "n_tokens",
+        F.row_number().over(w).alias("_rn"),
+    ).select(
+        "shard",
+        "n_tokens",
+        # integer DIV (DuckDB //): the repo's exact floor-rate rule
+        F.expr(f"(_rn - 1) DIV {int(batch_size)}").cast("long").alias("batch_id"),
+    )
+    stats = per_doc.groupBy("shard", "batch_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.max("n_tokens").alias("max_tokens"),
+        F.sum("n_tokens").alias("sum_tokens"),
+    )
+    return stats.select(
+        "shard",
+        "batch_id",
+        "n_docs",
+        "max_tokens",
+        "sum_tokens",
+        (F.col("max_tokens") * F.col("n_docs") - F.col("sum_tokens"))
+        .cast("long")
+        .alias("pad_waste"),
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     budget: int,

@@ -3775,6 +3775,29 @@ FROM cl
 )
 
 
+# Length-bucketed batching: same shard/order/cut arithmetic; COUNT
+# and MAX are engine-agnostic, SUM needs the BIGINT cast (HUGEINT
+# rule), the batch cut is integer //.
+ORACLES["docs_length_batching"] = r"""
+WITH base AS (
+  SELECT doc_id, doc_id % 8 AS shard,
+    len(regexp_extract_all(text, '\S+')) AS n_tokens
+  FROM documents
+),
+rn AS (
+  SELECT shard, n_tokens,
+    ROW_NUMBER() OVER (PARTITION BY shard ORDER BY n_tokens, doc_id) AS r
+  FROM base
+)
+SELECT shard, (r - 1) // 8 AS batch_id,
+  COUNT(*) AS n_docs,
+  CAST(MAX(n_tokens) AS BIGINT) AS max_tokens,
+  CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+  CAST(MAX(n_tokens) * COUNT(*) - SUM(n_tokens) AS BIGINT) AS pad_waste
+FROM rn GROUP BY shard, (r - 1) // 8
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     out = dict(ORACLES)
     # data-dependent oracles, built lazily so the training corpus

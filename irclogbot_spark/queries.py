@@ -2084,7 +2084,8 @@ _DRIVER_WINDOW = [
 # docs_adaptive_quality, events_salted_enrich, events_attribution,
 # agg_unpivot, emb_random_projection, emb_hard_negatives,
 # docs_ngram_novelty, emb_projection_recall,
-# docs_source_containment, docs_leakage_safe_split.
+# docs_source_containment, docs_leakage_safe_split,
+# docs_length_batching.
 
 
 @query("docs_dedup_keep_best_fast")
@@ -3624,6 +3625,19 @@ def docs_leakage_safe_split(spark, sf_dir):
         {"train": 0.8, "val": 0.1, "test": 0.1},
         draw_fn=portable_draw,
     )
+
+
+@query("docs_length_batching")
+def docs_length_batching(spark, sf_dir):
+    """Length-bucketed batch assembly (padding-waste minimization —
+    the fairseq dataloader trick): per content-derived shard, sort by
+    token length, cut runs of 8 into batches, report per-batch
+    padding stats. pad_waste is THE number: tokens burned padding to
+    the batch max."""
+    from irclogbot_spark.operators.packing import batch_by_length
+
+    docs = _t(spark, sf_dir, "documents")
+    return batch_by_length(docs, batch_size=8, shards=8)
 
 
 def queries() -> dict[str, QueryFn]:

@@ -338,6 +338,37 @@ def test_leakage_safe_split_covers_all_docs_once(spark):
     assert (singles.cluster_id == singles.doc_id).all()
 
 
+# ---------------------------------------------------- length batching
+def test_length_batching_reduces_padding_vs_random(spark):
+    """The point of the operator: bucketed batches waste strictly
+    fewer padding tokens than id-order batches on a length-diverse
+    corpus; batch sizes are 8 except one honest trailing short batch
+    per shard; every doc is batched exactly once."""
+    from irclogbot_spark.operators.packing import batch_by_length
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    out = batch_by_length(docs, batch_size=8, shards=4).toPandas()
+    assert out.n_docs.sum() == docs.count()
+    for shard, g in out.groupby("shard"):
+        assert (g.n_docs == 8).sum() >= len(g) - 1  # <=1 short batch
+    assert (out.max_tokens * out.n_docs - out.sum_tokens == out.pad_waste).all()
+    bucketed_waste = out.pad_waste.sum()
+    # id-order strawman: same sharding/cuts but ordered by doc_id
+    import pandas as pd
+
+    pdf = docs.toPandas()
+    pdf["n_tokens"] = pdf.text.str.split().str.len()
+    pdf["shard"] = pdf.doc_id % 4
+    pdf = pdf.sort_values(["shard", "doc_id"]).reset_index(drop=True)
+    pdf["rn"] = pdf.groupby("shard").cumcount()
+    pdf["batch"] = pdf.rn // 8
+    g = pdf.groupby(["shard", "batch"]).agg(
+        mx=("n_tokens", "max"), sm=("n_tokens", "sum"), n=("n_tokens", "size")
+    )
+    random_waste = (g.mx * g.n - g.sm).sum()
+    assert bucketed_waste < random_waste, (bucketed_waste, random_waste)
+
+
 def test_novelty_min_docs_guard(spark):
     from irclogbot_spark.operators.novelty import ngram_novelty
 
