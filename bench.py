@@ -145,6 +145,7 @@ HEADLINE = [
     "docs_source_containment",
     "docs_leakage_safe_split",
     "docs_length_batching",
+    "docs_jsonl_ingest",
 ]
 
 #: headline queries that derive from the irclog (re-timed over the

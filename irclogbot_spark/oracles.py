@@ -3798,6 +3798,20 @@ FROM rn GROUP BY shard, (r - 1) // 8
 """
 
 
+# JSONL round-trip: the oracle never sees the .json.gz files — it
+# re-derives the aggregate from the parquet source plus the planted
+# corrupt-line count, so a lossy write/read (dropped rows, mangled
+# text, silent corrupt-row loss) hash-mismatches.
+ORACLES["docs_jsonl_ingest"] = """
+SELECT
+  CAST((SELECT COUNT(*) FROM documents) AS BIGINT) AS n_valid,
+  CAST(2 AS BIGINT) AS n_corrupt,
+  CAST((SELECT SUM(length(text)) FROM documents) AS BIGINT) AS total_chars,
+  CAST((SELECT MAX(doc_id) FROM documents) AS BIGINT) AS max_doc_id,
+  CAST((SELECT COUNT(DISTINCT source) FROM documents) AS BIGINT) AS n_sources
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     out = dict(ORACLES)
     # data-dependent oracles, built lazily so the training corpus

@@ -2085,7 +2085,7 @@ _DRIVER_WINDOW = [
 # agg_unpivot, emb_random_projection, emb_hard_negatives,
 # docs_ngram_novelty, emb_projection_recall,
 # docs_source_containment, docs_leakage_safe_split,
-# docs_length_batching.
+# docs_length_batching, docs_jsonl_ingest.
 
 
 @query("docs_dedup_keep_best_fast")
@@ -3638,6 +3638,45 @@ def docs_length_batching(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")
     return batch_by_length(docs, batch_size=8, shards=8)
+
+
+@query("docs_jsonl_ingest")
+def docs_jsonl_ingest(spark, sf_dir):
+    """Gzipped-JSONL connector round-trip (the standard web-corpus
+    delivery format): documents -> .json.gz shards -> PERMISSIVE read
+    with corrupt-record accounting (two planted malformed lines in a
+    sidecar shard land in _corrupt_record instead of killing the
+    job). The aggregate proves lossless round-trip (char-exact totals
+    vs the parquet source) and exact corrupt accounting; the oracle
+    re-derives everything from the documents table + the planted
+    count. Two physical dataflows, one value hash — the
+    log_term_time_partitioned convention."""
+    import gzip
+    import os
+
+    from irclogbot_spark.sources.files import (
+        read_documents_jsonl,
+        write_documents_jsonl_gz,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    path = f"/tmp/sparklog_jsonl_{sf_tag}_{os.getpid()}"
+    write_documents_jsonl_gz(
+        docs.select("doc_id", "text", "lang", "source", "n_chars"), path
+    )
+    with gzip.open(os.path.join(path, "zz-corrupt.json.gz"), "wt") as f:
+        f.write('{"doc_id": 1, "text": "unterminated...\n')
+        f.write("not json at all\n")
+    back = read_documents_jsonl(spark, path)
+    valid = F.col("_corrupt_record").isNull()
+    return back.agg(
+        F.count(F.when(valid, 1)).alias("n_valid"),
+        F.count("_corrupt_record").alias("n_corrupt"),
+        F.sum(F.when(valid, F.length("text"))).cast("long").alias("total_chars"),
+        F.max(F.when(valid, F.col("doc_id"))).cast("long").alias("max_doc_id"),
+        F.countDistinct(F.when(valid, F.col("source"))).alias("n_sources"),
+    )
 
 
 def queries() -> dict[str, QueryFn]:

@@ -12,7 +12,13 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import StringType, StructField, StructType, TimestampNTZType
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampNTZType,
+)
 
 #: FIXTURES.md §A2 — the canonical irclog schema.
 IRCLOG_SCHEMA = StructType(
@@ -84,6 +90,46 @@ def write_irclog_bucketed(
         .sortBy(bucket_col)
         .format("parquet")
         .saveAsTable(table)
+    )
+
+
+#: documents-table schema for the JSONL interchange path, plus the
+#: PERMISSIVE-mode capture column (unparseable lines land whole in
+#: _corrupt_record instead of killing the job — web-corpus drops
+#: always contain some).
+DOCUMENTS_JSONL_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("text", StringType()),
+        StructField("lang", StringType()),
+        StructField("source", StringType()),
+        StructField("n_chars", LongType()),
+        StructField("_corrupt_record", StringType()),
+    ]
+)
+
+
+def write_documents_jsonl_gz(df: DataFrame, path: str) -> None:
+    """documents -> gzipped JSONL (the standard web-corpus delivery
+    format: one JSON object per line, .json.gz shards). Spark's JSON
+    writer escapes embedded newlines/quotes, so the round-trip is
+    lossless; gzip trades split-ability for interchange size — at
+    rest convert to parquet (write_irclog's argument) before heavy
+    querying."""
+    df.write.mode("overwrite").option("compression", "gzip").json(path)
+
+
+def read_documents_jsonl(spark: SparkSession, path: str) -> DataFrame:
+    """Gzipped-JSONL ingest with corrupt-record accounting: explicit
+    schema (never inference — it reads the data twice and guesses),
+    PERMISSIVE mode, corrupt lines kept as rows with only
+    _corrupt_record set. Gzip decompression is transparent to the
+    text/json readers."""
+    return (
+        spark.read.schema(DOCUMENTS_JSONL_SCHEMA)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
     )
 
 

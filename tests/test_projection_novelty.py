@@ -369,6 +369,40 @@ def test_length_batching_reduces_padding_vs_random(spark):
     assert bucketed_waste < random_waste, (bucketed_waste, random_waste)
 
 
+# ------------------------------------------------------- JSONL connector
+def test_jsonl_roundtrip_hostile_text_and_corrupt_capture(spark, tmp_path):
+    """Round-trip is lossless for newline/quote/unicode/empty text;
+    corrupt lines are captured verbatim with all data fields null."""
+    import gzip
+
+    from irclogbot_spark.sources.files import (
+        read_documents_jsonl,
+        write_documents_jsonl_gz,
+    )
+
+    rows = [
+        Row(doc_id=0, text='line1\nline2\t"quoted" \\ end', lang="en",
+            source="s0", n_chars=25),
+        Row(doc_id=1, text="中文文本 — em-dash", lang="zh", source="s1",
+            n_chars=11),
+        Row(doc_id=2, text="", lang="en", source="s0", n_chars=0),
+    ]
+    path = str(tmp_path / "jl")
+    write_documents_jsonl_gz(spark.createDataFrame(rows), path)
+    with gzip.open(f"{path}/zz-bad.json.gz", "wt") as f:
+        f.write("{broken\n")
+    back = read_documents_jsonl(spark, path)
+    good = {r.doc_id: r for r in back.filter("_corrupt_record IS NULL").collect()}
+    assert len(good) == 3
+    for r in rows:
+        assert good[r.doc_id].text == r.text
+        assert good[r.doc_id].source == r.source
+    bad = back.filter("_corrupt_record IS NOT NULL").collect()
+    assert len(bad) == 1
+    assert bad[0]._corrupt_record == "{broken"
+    assert bad[0].doc_id is None and bad[0].text is None
+
+
 def test_novelty_min_docs_guard(spark):
     from irclogbot_spark.operators.novelty import ngram_novelty
 
