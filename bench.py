@@ -146,6 +146,7 @@ HEADLINE = [
     "docs_leakage_safe_split",
     "docs_length_batching",
     "docs_jsonl_ingest",
+    "docs_heavy_hitters_cms",
 ]
 
 #: headline queries that derive from the irclog (re-timed over the

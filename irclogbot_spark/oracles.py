@@ -3812,6 +3812,38 @@ SELECT
 """
 
 
+# Count-min heavy hitters: the whole sketch rebuilt in SQL (the
+# Bloom-filter oracle rule — nothing inlined), same md5 bucket hash,
+# same deterministic top-10 probe set.
+ORACLES["docs_heavy_hitters_cms"] = r"""
+WITH tc AS (
+  SELECT term, COUNT(*) AS cnt FROM (
+    SELECT unnest(regexp_extract_all(text, '\S+')) AS term FROM documents
+  ) GROUP BY term
+),
+cells AS (
+  SELECT row, bucket, CAST(SUM(cnt) AS BIGINT) AS cell FROM (
+    SELECT j AS row,
+      CAST('0x' || substr(md5(CAST(j AS VARCHAR) || chr(31) || term), 1, 15) AS BIGINT) % 256 AS bucket,
+      cnt
+    FROM tc, UNNEST([0, 1, 2, 3]) AS t(j)
+  ) GROUP BY row, bucket
+),
+top AS (
+  SELECT term, CAST(cnt AS BIGINT) AS exact_cnt
+  FROM tc ORDER BY cnt DESC, term LIMIT 10
+),
+probe AS (
+  SELECT term, exact_cnt, j AS row,
+    CAST('0x' || substr(md5(CAST(j AS VARCHAR) || chr(31) || term), 1, 15) AS BIGINT) % 256 AS bucket
+  FROM top, UNNEST([0, 1, 2, 3]) AS t(j)
+)
+SELECT p.term, p.exact_cnt, CAST(MIN(c.cell) AS BIGINT) AS cms_estimate
+FROM probe p JOIN cells c ON p.row = c.row AND p.bucket = c.bucket
+GROUP BY p.term, p.exact_cnt
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     out = dict(ORACLES)
     # data-dependent oracles, built lazily so the training corpus

@@ -2085,7 +2085,7 @@ _DRIVER_WINDOW = [
 # agg_unpivot, emb_random_projection, emb_hard_negatives,
 # docs_ngram_novelty, emb_projection_recall,
 # docs_source_containment, docs_leakage_safe_split,
-# docs_length_batching, docs_jsonl_ingest.
+# docs_length_batching, docs_jsonl_ingest, docs_heavy_hitters_cms.
 
 
 @query("docs_dedup_keep_best_fast")
@@ -3677,6 +3677,32 @@ def docs_jsonl_ingest(spark, sf_dir):
         F.max(F.when(valid, F.col("doc_id"))).cast("long").alias("max_doc_id"),
         F.countDistinct(F.when(valid, F.col("source"))).alias("n_sources"),
     )
+
+
+@query("docs_heavy_hitters_cms")
+def docs_heavy_hitters_cms(spark, sf_dir):
+    """Heavy hitters via count-min sketch, exact twin in the same
+    row: top-10 exact term counts beside their CMS estimates (d=4,
+    w=256 — 1024 bounded cells regardless of corpus size). The
+    estimate >= exact overestimate guarantee is the property the
+    driver's value hash certifies here, since the sketch is fully
+    deterministic (portable md5 bucket hash, replicated in SQL)."""
+    from irclogbot_spark.operators.cms import build_cms, cms_estimate
+
+    docs = _t(spark, sf_dir, "documents")
+    terms = docs.select(
+        F.explode(
+            F.regexp_extract_all(F.col("text"), F.lit(r"\S+"), F.lit(0))
+        ).alias("term")
+    )
+    tc = terms.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    cells = build_cms(tc, depth=4, width=256)
+    top = (
+        tc.orderBy(F.desc("cnt"), F.asc("term"))
+        .limit(10)
+        .select("term", F.col("cnt").cast("long").alias("exact_cnt"))
+    )
+    return cms_estimate(top, cells, depth=4, width=256)
 
 
 def queries() -> dict[str, QueryFn]:

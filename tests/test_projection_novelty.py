@@ -403,6 +403,54 @@ def test_jsonl_roundtrip_hostile_text_and_corrupt_capture(spark, tmp_path):
     assert bad[0].doc_id is None and bad[0].text is None
 
 
+# ----------------------------------------------------------------- CMS
+def test_cms_never_underestimates_and_bounds_error(spark):
+    """The CMS contract over the FULL sf0.001 vocabulary: estimate >=
+    exact for every term, and the overestimate is bounded by the
+    classic e*N/w with depth-4 min (loose check: max observed error
+    well under N/w * 4)."""
+    from irclogbot_spark.operators.cms import build_cms, cms_estimate
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    terms = docs.select(
+        F.explode(
+            F.regexp_extract_all(F.col("text"), F.lit(r"\S+"), F.lit(0))
+        ).alias("term")
+    )
+    tc = terms.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    cells = build_cms(tc, depth=4, width=256)
+    est = cms_estimate(
+        tc.select("term", F.col("cnt").cast("long").alias("exact_cnt")),
+        cells,
+        depth=4,
+        width=256,
+    ).toPandas()
+    assert (est.cms_estimate >= est.exact_cnt).all()
+    n_total = int(est.exact_cnt.sum())
+    assert (est.cms_estimate - est.exact_cnt).max() <= 4 * n_total / 256
+
+
+def test_cms_exact_when_no_collision(spark):
+    """A vocabulary far smaller than the width estimates exactly
+    (no bucket ever shared under any of the 4 rows here)."""
+    from irclogbot_spark.operators.cms import build_cms, cms_estimate
+
+    tc = spark.createDataFrame(
+        [Row(term=t, cnt=c) for t, c in [("a", 5), ("b", 3)]]
+    )
+    cells = build_cms(tc, depth=4, width=4096)
+    est = {
+        r.term: r.cms_estimate
+        for r in cms_estimate(
+            tc.select("term", F.col("cnt").cast("long").alias("exact_cnt")),
+            cells,
+            depth=4,
+            width=4096,
+        ).collect()
+    }
+    assert est == {"a": 5, "b": 3}
+
+
 def test_novelty_min_docs_guard(spark):
     from irclogbot_spark.operators.novelty import ngram_novelty
 
