@@ -147,6 +147,7 @@ HEADLINE = [
     "docs_length_batching",
     "docs_jsonl_ingest",
     "docs_heavy_hitters_cms",
+    "emb_sq8_error",
 ]
 
 #: headline queries that derive from the irclog (re-timed over the

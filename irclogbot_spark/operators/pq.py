@@ -512,3 +512,67 @@ def ivfpq_topk(
         query_id=query_id,
         vec_col=vec_col,
     )
+
+
+# --------------------------------------------------------------- SQ8
+def sq8_train_bounds(df: DataFrame, vec_col: str = "embedding", dim: int = 64):
+    """Per-dimension (min, max) of the floor-milli-quantized corpus —
+    the learned table of scalar quantization (faiss SQ8): 2*dim
+    BIGINTs, a bounded plan constant like the PQ codebooks. One
+    partial-agg pass; integer mins/maxes are associative, so the
+    bounds are a pure function of the corpus under any partitioning.
+    Returns (mins, maxes) as Python lists."""
+    q = F.transform(as_double(vec_col), lambda x: F.floor(x * F.lit(1000.0)))
+    aggs = []
+    for i in range(dim):
+        aggs.append(F.min(F.element_at(q, i + 1)).alias(f"mn{i}"))
+        aggs.append(F.max(F.element_at(q, i + 1)).alias(f"mx{i}"))
+    row = df.agg(*aggs).collect()[0]
+    return (
+        [int(row[f"mn{i}"]) for i in range(dim)],
+        [int(row[f"mx{i}"]) for i in range(dim)],
+    )
+
+
+def sq8_error_stats(
+    df: DataFrame,
+    mins: list[int],
+    maxes: list[int],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-vector SQ8 round-trip error: encode each milli-quantized
+    coordinate to a byte code ((m - min) * 255 DIV range), decode
+    (min + code * range DIV 255), report sum/max absolute error in
+    milli units — ALL integer arithmetic, so engine- and
+    partitioning-exact. Map-only against the plan-constant bounds
+    (zero exchanges; the projection-operator rule). Constant
+    dimensions (range 0) encode to code 0 and reconstruct exactly."""
+    from irclogbot_spark.functions.lits import lit_long_array
+
+    q = F.transform(as_double(vec_col), lambda x: F.floor(x * F.lit(1000.0)))
+    mn = lit_long_array(mins)
+    rng = lit_long_array([mx - m for m, mx in zip(mins, maxes)])
+    # err_i = |m_i - (min_i + ((m_i - min_i) * 255 DIV rng_i) * rng_i DIV 255)|
+    errs = F.zip_with(
+        F.zip_with(q, mn, lambda m, lo: m - lo),
+        rng,
+        lambda d, r: F.abs(
+            d
+            - F.when(
+                r > 0,
+                ((d * F.lit(255)).cast("long") / r).cast("long")
+                * r
+                / F.lit(255),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+        ),
+    )
+    return ensure_parallelism(df).select(
+        F.col(id_col),
+        F.aggregate(
+            errs, F.lit(0).cast("long"), lambda a, x: a + x
+        ).alias("sum_abs_err_milli"),
+        F.array_max(errs).cast("long").alias("max_abs_err_milli"),
+    )

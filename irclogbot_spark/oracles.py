@@ -3844,6 +3844,28 @@ GROUP BY p.term, p.exact_cnt
 """
 
 
+# SQ8: bounds re-trained in SQL (nothing inlined — integer MIN/MAX
+# are partitioning-free), same // encode/decode, errors exact.
+ORACLES["emb_sq8_error"] = """
+WITH ms AS (
+  SELECT vec_id, i,
+    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT) AS m
+  FROM embeddings, UNNEST(range(1, 65)) AS r(i)
+),
+st AS (SELECT i, MIN(m) AS mn, MAX(m) - MIN(m) AS rng FROM ms GROUP BY i),
+e AS (
+  SELECT vec_id,
+    (m - mn) - CASE WHEN rng > 0
+      THEN ((((m - mn) * 255) // rng) * rng) // 255 ELSE 0 END AS err
+  FROM ms JOIN st USING (i)
+)
+SELECT vec_id,
+  CAST(SUM(err) AS BIGINT) AS sum_abs_err_milli,
+  CAST(MAX(err) AS BIGINT) AS max_abs_err_milli
+FROM e GROUP BY vec_id
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     out = dict(ORACLES)
     # data-dependent oracles, built lazily so the training corpus

@@ -2085,7 +2085,8 @@ _DRIVER_WINDOW = [
 # agg_unpivot, emb_random_projection, emb_hard_negatives,
 # docs_ngram_novelty, emb_projection_recall,
 # docs_source_containment, docs_leakage_safe_split,
-# docs_length_batching, docs_jsonl_ingest, docs_heavy_hitters_cms.
+# docs_length_batching, docs_jsonl_ingest, docs_heavy_hitters_cms,
+# emb_sq8_error.
 
 
 @query("docs_dedup_keep_best_fast")
@@ -3703,6 +3704,21 @@ def docs_heavy_hitters_cms(spark, sf_dir):
         .select("term", F.col("cnt").cast("long").alias("exact_cnt"))
     )
     return cms_estimate(top, cells, depth=4, width=256)
+
+
+@query("emb_sq8_error")
+def emb_sq8_error(spark, sf_dir):
+    """Scalar quantization (faiss SQ8) round-trip error per vector:
+    per-dim (min, range) bounds trained in one partial-agg pass (a
+    2x64-BIGINT learned table — the bounded-collect rule), then a
+    map-only integer encode/decode against the plan-constant bounds.
+    All milli-integer arithmetic, so the oracle re-trains the bounds
+    in SQL and reproduces every error exactly."""
+    from irclogbot_spark.operators.pq import sq8_error_stats, sq8_train_bounds
+
+    emb = _t(spark, sf_dir, "embeddings")
+    mins, maxes = sq8_train_bounds(emb)
+    return sq8_error_stats(emb, mins, maxes)
 
 
 def queries() -> dict[str, QueryFn]:

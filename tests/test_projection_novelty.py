@@ -451,6 +451,36 @@ def test_cms_exact_when_no_collision(spark):
     assert est == {"a": 5, "b": 3}
 
 
+# ----------------------------------------------------------------- SQ8
+def test_sq8_error_bounds_and_numpy_replica(spark):
+    """SQ8 contract: per-coordinate error < range/255 + 1 milli (the
+    quantization step), zero error on constant dims, and every stat
+    equals the numpy integer replica."""
+    from irclogbot_spark.operators.pq import sq8_error_stats, sq8_train_bounds
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    mins, maxes = sq8_train_bounds(emb)
+    out = (
+        sq8_error_stats(emb, mins, maxes)
+        .toPandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    step = max((mx - mn) // 255 + 1 for mn, mx in zip(mins, maxes))
+    assert (out.max_abs_err_milli <= step).all()
+    pdf = emb.toPandas().sort_values("vec_id").reset_index(drop=True)
+    m = np.floor(
+        np.array(pdf.embedding.tolist(), dtype=np.float64) * 1000.0
+    ).astype(np.int64)
+    mn = np.array(mins)
+    rng = np.array(maxes) - mn
+    d = m - mn
+    code = np.where(rng > 0, (d * 255) // np.maximum(rng, 1), 0)
+    err = d - np.where(rng > 0, (code * rng) // 255, 0)
+    assert list(out.sum_abs_err_milli) == list(err.sum(axis=1))
+    assert list(out.max_abs_err_milli) == list(err.max(axis=1))
+
+
 def test_novelty_min_docs_guard(spark):
     from irclogbot_spark.operators.novelty import ngram_novelty
 
