@@ -451,6 +451,33 @@ def test_cms_exact_when_no_collision(spark):
     assert est == {"a": 5, "b": 3}
 
 
+def test_cms_shard_sketches_merge_exactly(spark):
+    """Mergeability — the property that makes CMS the streaming /
+    partitioned counter: cell-wise SUM of two shard sketches equals
+    the sketch of the union, bit for bit."""
+    from irclogbot_spark.operators.cms import build_cms
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    terms = docs.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.col("text"), F.lit(r"\S+"), F.lit(0))
+        ).alias("term"),
+    )
+    tc = lambda d: d.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))  # noqa: E731
+    whole = build_cms(tc(terms)).toPandas().set_index(["row", "bucket"])
+    a = build_cms(tc(terms.filter("doc_id % 2 = 0")))
+    b = build_cms(tc(terms.filter("doc_id % 2 = 1")))
+    merged = (
+        a.union(b)
+        .groupBy("row", "bucket")
+        .agg(F.sum("cell").alias("cell"))
+        .toPandas()
+        .set_index(["row", "bucket"])
+    )
+    assert whole.cell.sort_index().equals(merged.cell.sort_index())
+
+
 # ----------------------------------------------------------------- SQ8
 def test_sq8_error_bounds_and_numpy_replica(spark):
     """SQ8 contract: per-coordinate error < range/255 + 1 milli (the
