@@ -26,15 +26,16 @@ Scale shape (the paragraph_dedup convention, operators/paragraphs.py):
 ``dedup.md5_hash31`` for the DuckDB-checkable pipeline (the
 decontamination convention).
 
-Deliberate non-checkpoint: the lazy plan recomputes the in-row
-shingle pass for each of its three consumers (df aggregate, dup
-join probe, per-doc totals). Measured at sf0.1 the whole query is
-0.6 s warm — the recompute is map-side CPU that parallelizes
-perfectly, while a localCheckpoint would materialize ~300 hashes/doc
-to disk. On a 100 TB run where the scan itself dominates, persist
-the narrow (doc_id, h) frame once (`hx.localCheckpoint()`) — the
-prep-pipeline multiply-consumed-frame rule — at the cost of one
-corpus-sized narrow write.
+Checkpoint-once discipline (the prep-pipeline multiply-consumed-
+frame rule): the narrow (doc_id, h) frame is localCheckpointed
+EAGERLY because three consumers read it (per-doc totals, the
+doc-frequency aggregate, the dup-join probe) — without it the lazy
+plan re-runs the shingle+hash projection per consumer. Measured at
+sf0.1 under the noop-write bench (NOT count() — Catalyst's join
+elimination makes count() skip the shingle work entirely and
+under-reports 10x): 5.8 s lazy -> ~2 s checkpointed. The
+materialized bytes are 16/row — strictly cheaper than recomputing
+the md5-over-8-gram projection twice more at any scale.
 """
 
 from __future__ import annotations
@@ -159,11 +160,15 @@ def ngram_novelty(
     """
     if min_docs < 2:
         raise ValueError(f"min_docs must be >= 2, got {min_docs}")
-    base = ensure_parallelism(df).select(
-        F.col(id_col),
-        hashed_shingles(text_col, n, hash_fn).alias("_hs"),
+    hx = (
+        ensure_parallelism(df)
+        .select(
+            F.col(id_col),
+            F.explode(hashed_shingles(text_col, n, hash_fn)).alias("h"),
+        )
+        .localCheckpoint(eager=True)
     )
-    hx = base.select(id_col, F.explode("_hs").alias("h"))
+    totals = hx.groupBy(id_col).agg(F.count(F.lit(1)).alias("_ng"))
     dup_hashes = (
         hx.groupBy("h")
         .agg(F.countDistinct(id_col).alias("n_docs"))
@@ -175,10 +180,17 @@ def ngram_novelty(
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("_dup"))
     )
-    ng = F.size("_hs").cast("long")
-    dup = F.coalesce(F.col("_dup"), F.lit(0)).cast("long")
-    counted = base.join(dup_counts, id_col, "left").select(
-        F.col(id_col), ng.alias("n_grams"), dup.alias("dup_grams")
+    # ids re-enumerate from the input so gram-less docs keep their
+    # row; the scan is column-pruned to the id alone
+    counted = (
+        df.select(F.col(id_col))
+        .join(totals, id_col, "left")
+        .join(dup_counts, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("_ng"), F.lit(0)).cast("long").alias("n_grams"),
+            F.coalesce(F.col("_dup"), F.lit(0)).cast("long").alias("dup_grams"),
+        )
     )
     # integer DIV (DuckDB //): exact floor rate with no float division
     rate = F.expr("(1000 * (n_grams - dup_grams)) DIV n_grams")
