@@ -80,6 +80,12 @@ def source_overlap(
     bounded by n_groups, so the intersection stage moves at most
     n_groups x the distinct-gram count.
     """
+    # NO checkpoint here, unlike ngram_novelty: gh ends in the
+    # distinct's hash exchange, which Catalyst re-reads as a
+    # ReusedExchange for all three consumers (sizes + both self-join
+    # sides) — measured identical at sf0.1 with an eager checkpoint.
+    # novelty's frame was a pure map projection (no exchange to
+    # reuse), which is why IT needs one.
     gh = (
         ensure_parallelism(df)
         .select(
