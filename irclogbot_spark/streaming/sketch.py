@@ -1,0 +1,89 @@
+"""Continuous count-min sketch maintenance — the streaming half of
+operators/cms.py, by the corpus.py / annindex.py recipe.
+
+CMS cells are SUMS, so the sketch of a growing corpus is the
+cell-wise sum of per-batch sketches (mergeability, pinned in
+tests/test_projection_novelty.py). Each micro-batch therefore:
+
+    batch docs -> term counts -> d x w batch cells
+               -> OVERWRITE <dir>/cells/batch_id=N/
+
+One write per batch into the batch's OWN partition directory =
+effectively-once at any crash point (a foreachBatch replay rewrites
+identical rows — the sketch is deterministic). ``load_cms`` merges
+all batch partitions with one bounded aggregation: at most
+d*w rows per batch enter it, regardless of corpus size — the
+per-batch state the stream carries is ZERO (no watermarks, no
+applyInPandasWithState; the sketch directory IS the state).
+
+Serving: ``operators.cms.cms_estimate`` over the merged cells
+returns exactly what the one-shot batch sketch over the union corpus
+returns (pinned by test) — the stream-counts + serve-estimates split
+the trending-terms twin uses.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from irclogbot_spark.operators.cms import build_cms
+
+
+def sketch_batch(
+    batch: DataFrame,
+    batch_id: int,
+    sketch_dir: str,
+    depth: int = 4,
+    width: int = 256,
+    text_col: str = "text",
+) -> None:
+    """foreachBatch body: this batch's term-count CMS cells, written
+    idempotently into the batch's own partition dir."""
+    terms = batch.select(
+        F.explode(
+            F.regexp_extract_all(F.col(text_col), F.lit(r"\S+"), F.lit(0))
+        ).alias("term")
+    )
+    tc = terms.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    cells = build_cms(tc, depth=depth, width=width)
+    (
+        cells.withColumn("batch_id", F.lit(int(batch_id)))
+        .write.mode("overwrite")
+        .partitionBy("batch_id")
+        .option("partitionOverwriteMode", "dynamic")
+        .parquet(f"{sketch_dir}/cells")
+    )
+
+
+def continuous_sketch(
+    stream: DataFrame,
+    sketch_dir: str,
+    checkpoint_dir: str,
+    depth: int = 4,
+    width: int = 256,
+    text_col: str = "text",
+):
+    """Wire a document stream into per-batch sketch writes. Returns
+    the started StreamingQuery (callers .trigger/.awaitTermination
+    via the returned handle's lifecycle)."""
+    return (
+        stream.writeStream.foreachBatch(
+            lambda b, i: sketch_batch(
+                b, i, sketch_dir, depth=depth, width=width, text_col=text_col
+            )
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def load_cms(spark: SparkSession, sketch_dir: str) -> DataFrame:
+    """Merged (row, bucket, cell) sketch over every ingested batch —
+    one aggregation of at most d*w rows per batch."""
+    return (
+        spark.read.parquet(f"{sketch_dir}/cells")
+        .groupBy("row", "bucket")
+        .agg(F.sum("cell").cast("long").alias("cell"))
+    )

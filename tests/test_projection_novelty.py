@@ -478,6 +478,64 @@ def test_cms_shard_sketches_merge_exactly(spark):
     assert whole.cell.sort_index().equals(merged.cell.sort_index())
 
 
+def test_streaming_cms_equals_batch_and_replays_idempotently(spark, tmp_path):
+    """The continuous sketch over a 2-batch stream merges to exactly
+    the one-shot sketch of the union corpus; replaying a batch
+    (crash recovery) changes nothing."""
+    from irclogbot_spark.operators.cms import build_cms
+    from irclogbot_spark.streaming.sketch import (
+        continuous_sketch,
+        load_cms,
+        sketch_batch,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    src = str(tmp_path / "src")
+    docs.repartition(2).write.parquet(src)
+    sk = str(tmp_path / "sk")
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = continuous_sketch(stream, sk, str(tmp_path / "ck"))
+    q.awaitTermination(120)
+    merged = load_cms(spark, sk).toPandas().set_index(["row", "bucket"])
+    terms = docs.select(
+        F.explode(
+            F.regexp_extract_all(F.col("text"), F.lit(r"\S+"), F.lit(0))
+        ).alias("term")
+    )
+    oneshot = (
+        build_cms(terms.groupBy("term").agg(F.count(F.lit(1)).alias("cnt")))
+        .toPandas()
+        .set_index(["row", "bucket"])
+    )
+    assert merged.cell.sort_index().equals(oneshot.cell.sort_index())
+    # crash replay: rewrite one batch's partition with the same data
+    half = docs.filter("doc_id % 2 = 0")
+    sketch_batch(half, 7, sk)
+    sketch_batch(half, 7, sk)  # replay
+    again = load_cms(spark, sk).toPandas().set_index(["row", "bucket"])
+    expect = (
+        build_cms(
+            docs.unionByName(half)
+            .select(
+                F.explode(
+                    F.regexp_extract_all(
+                        F.col("text"), F.lit(r"\S+"), F.lit(0)
+                    )
+                ).alias("term")
+            )
+            .groupBy("term")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        .toPandas()
+        .set_index(["row", "bucket"])
+    )
+    assert again.cell.sort_index().equals(expect.cell.sort_index())
+
+
 # ----------------------------------------------------------------- SQ8
 def test_sq8_error_bounds_and_numpy_replica(spark):
     """SQ8 contract: per-coordinate error < range/255 + 1 milli (the
