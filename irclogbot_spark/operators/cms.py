@@ -70,7 +70,10 @@ def cms_estimate(
 ) -> DataFrame:
     """probes plus ``cms_estimate`` = min over the d cells. The cell
     table is broadcast (d*w rows — bounded by sketch geometry, never
-    data)."""
+    data). LEFT join + coalesce-0: a bucket no term ever hashed into
+    has no cell row, and correct CMS semantics read it as 0 — an
+    inner join would silently drop never-seen probe terms (or
+    over-min collided ones)."""
     with_buckets = probes.select(
         "*",
         F.explode(
@@ -85,8 +88,10 @@ def cms_estimate(
             )
         ).alias("rb"),
     ).select("*", F.col("rb.row").alias("row"), F.col("rb.bucket").alias("bucket"))
-    joined = with_buckets.join(F.broadcast(cells), ["row", "bucket"])
+    joined = with_buckets.join(F.broadcast(cells), ["row", "bucket"], "left")
     group_cols = [c for c in probes.columns]
     return joined.groupBy(*group_cols).agg(
-        F.min("cell").cast("long").alias("cms_estimate")
+        F.min(F.coalesce(F.col("cell"), F.lit(0)))
+        .cast("long")
+        .alias("cms_estimate")
     )

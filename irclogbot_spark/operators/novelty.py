@@ -18,9 +18,11 @@ Scale shape (the paragraph_dedup convention, operators/paragraphs.py):
   one row per map task before the exchange — the skew crusher).
 - The duplicated-hash set joins back un-hinted: AQE broadcasts it
   when small, falls back to a skew-aware shuffle join when not.
-- Per-doc readout is one more narrow aggregation; totals come from
-  the shingle array size in-row, so docs with zero duplicated grams
-  never appear in the join at all (left join + coalesce).
+- Per-doc totals re-aggregate the CHECKPOINTED narrow frame (16
+  bytes/row) rather than re-deriving the shingle array in-row —
+  reading the checkpoint is cheaper than a second shingle+hash pass
+  over the text (measured; see the checkpoint note below). Docs with
+  zero grams re-enter via a column-pruned id scan + left join.
 
 ``hash_fn`` defaults to xxhash31 (scale path); pass
 ``dedup.md5_hash31`` for the DuckDB-checkable pipeline (the

@@ -522,7 +522,9 @@ def sq8_train_bounds(df: DataFrame, vec_col: str = "embedding", dim: int = 64):
     partial-agg pass; integer mins/maxes are associative, so the
     bounds are a pure function of the corpus under any partitioning.
     Returns (mins, maxes) as Python lists."""
-    q = F.transform(as_double(vec_col), lambda x: F.floor(x * F.lit(1000.0)))
+    from irclogbot_spark.operators.projection import quantize_milli
+
+    q = quantize_milli(vec_col)
     aggs = []
     for i in range(dim):
         aggs.append(F.min(F.element_at(q, i + 1)).alias(f"mn{i}"))
@@ -542,33 +544,38 @@ def sq8_error_stats(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Per-vector SQ8 round-trip error: encode each milli-quantized
-    coordinate to a byte code ((m - min) * 255 DIV range), decode
-    (min + code * range DIV 255), report sum/max absolute error in
-    milli units — ALL integer arithmetic, so engine- and
-    partitioning-exact. Map-only against the plan-constant bounds
-    (zero exchanges; the projection-operator rule). Constant
-    dimensions (range 0) encode to code 0 and reconstruct exactly."""
+    coordinate to a byte code clamp((m - min) * 255 DIV range,
+    0, 255) — the clamp is real SQ8 behavior AND the cross-engine
+    guard: a vector OUTSIDE the trained bounds (bounds from corpus A
+    applied to corpus B) has negative/overflowing d where truncating
+    and flooring division disagree by one, but both clamp to the
+    same 0/255. Decode is min + code * range DIV 255; sum/max
+    absolute error in milli units. Divisions are exact-integer by
+    range: |d*255| <= 255*range and code*range <= 255*range, both
+    far under 2^53, so the double division + truncate equals integer
+    DIV for the clamped operands on both engines. Map-only against
+    the plan-constant bounds (zero exchanges; the projection-operator
+    rule). Constant dimensions (range 0) encode to code 0 and
+    reconstruct exactly."""
     from irclogbot_spark.functions.lits import lit_long_array
+    from irclogbot_spark.operators.projection import quantize_milli
 
-    q = F.transform(as_double(vec_col), lambda x: F.floor(x * F.lit(1000.0)))
+    q = quantize_milli(vec_col)
     mn = lit_long_array(mins)
     rng = lit_long_array([mx - m for m, mx in zip(mins, maxes)])
-    # err_i = |m_i - (min_i + ((m_i - min_i) * 255 DIV rng_i) * rng_i DIV 255)|
-    errs = F.zip_with(
-        F.zip_with(q, mn, lambda m, lo: m - lo),
-        rng,
-        lambda d, r: F.abs(
-            d
-            - F.when(
-                r > 0,
-                ((d * F.lit(255)).cast("long") / r).cast("long")
-                * r
-                / F.lit(255),
-            )
-            .otherwise(F.lit(0))
-            .cast("long")
-        ),
-    )
+
+    def _err(d, r):
+        code = F.greatest(
+            F.lit(0).cast("long"),
+            F.least(
+                F.lit(255).cast("long"),
+                ((d * F.lit(255)).cast("long") / r).cast("long"),
+            ),
+        )
+        recon = (code * r / F.lit(255)).cast("long")
+        return F.abs(d - F.when(r > 0, recon).otherwise(F.lit(0)).cast("long"))
+
+    errs = F.zip_with(F.zip_with(q, mn, lambda m, lo: m - lo), rng, _err)
     return ensure_parallelism(df).select(
         F.col(id_col),
         F.aggregate(

@@ -3855,8 +3855,9 @@ WITH ms AS (
 st AS (SELECT i, MIN(m) AS mn, MAX(m) - MIN(m) AS rng FROM ms GROUP BY i),
 e AS (
   SELECT vec_id,
-    (m - mn) - CASE WHEN rng > 0
-      THEN ((((m - mn) * 255) // rng) * rng) // 255 ELSE 0 END AS err
+    abs((m - mn) - CASE WHEN rng > 0
+      THEN (greatest(0, least(255, ((m - mn) * 255) // rng)) * rng) // 255
+      ELSE 0 END) AS err
   FROM ms JOIN st USING (i)
 )
 SELECT vec_id,

@@ -3662,7 +3662,10 @@ def docs_jsonl_ingest(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")
     sf_tag = os.path.basename(os.path.normpath(sf_dir))
-    path = f"/tmp/sparklog_jsonl_{sf_tag}_{os.getpid()}"
+    # stable per-sf path (NOT pid-suffixed): mode("overwrite") reuses
+    # it, so repeated runs keep exactly one fixture copy per sf
+    # instead of accumulating a corpus copy per process in /tmp
+    path = f"/tmp/sparklog_jsonl_{sf_tag}"
     write_documents_jsonl_gz(
         docs.select("doc_id", "text", "lang", "source", "n_chars"), path
     )

@@ -63,10 +63,14 @@ def continuous_sketch(
     depth: int = 4,
     width: int = 256,
     text_col: str = "text",
+    trigger: dict | None = None,
 ):
-    """Wire a document stream into per-batch sketch writes. Returns
-    the started StreamingQuery (callers .trigger/.awaitTermination
-    via the returned handle's lifecycle)."""
+    """Wire a document stream into per-batch sketch writes and start
+    the query. ``trigger`` passes through to ``writeStream.trigger``
+    — default ``{"availableNow": True}`` (drain-and-stop, the test
+    and backfill mode); pass e.g. ``{"processingTime": "30 seconds"}``
+    for live continuous maintenance (a trigger cannot be changed
+    after .start(), so it must be chosen here)."""
     return (
         stream.writeStream.foreachBatch(
             lambda b, i: sketch_batch(
@@ -74,16 +78,23 @@ def continuous_sketch(
             )
         )
         .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
+        .trigger(**(trigger or {"availableNow": True}))
         .start()
     )
 
 
 def load_cms(spark: SparkSession, sketch_dir: str) -> DataFrame:
     """Merged (row, bucket, cell) sketch over every ingested batch —
-    one aggregation of at most d*w rows per batch."""
-    return (
-        spark.read.parquet(f"{sketch_dir}/cells")
-        .groupBy("row", "bucket")
-        .agg(F.sum("cell").cast("long").alias("cell"))
+    one aggregation of at most d*w rows per batch. Before the first
+    batch commits, the cells directory does not exist yet: return the
+    empty sketch (serving reads 0 everywhere — correct CMS semantics
+    for 'nothing counted'), not a PATH_NOT_FOUND crash."""
+    try:
+        cells = spark.read.parquet(f"{sketch_dir}/cells")
+    except Exception:
+        return spark.createDataFrame(
+            [], "row int, bucket long, cell long"
+        )
+    return cells.groupBy("row", "bucket").agg(
+        F.sum("cell").cast("long").alias("cell")
     )

@@ -16,7 +16,6 @@ from pyspark.sql import functions as F
 import __spark_entry__ as entrymod
 
 SF = "/root/testdata/sf0.001"
-SF01 = "/root/testdata/sf0.01"
 
 
 # ------------------------------------------------------------ projection
@@ -430,6 +429,28 @@ def test_cms_never_underestimates_and_bounds_error(spark):
     assert (est.cms_estimate - est.exact_cnt).max() <= 4 * n_total / 256
 
 
+def test_cms_unseen_probe_estimates_zero(spark):
+    """A probe term the sketch never saw must estimate 0 (its cells
+    are absent -> read as 0), not vanish from the output or inherit
+    a collided cell's count via an over-min."""
+    from irclogbot_spark.operators.cms import build_cms, cms_estimate
+
+    tc = spark.createDataFrame([Row(term="seen", cnt=7)])
+    cells = build_cms(tc, depth=4, width=4096)
+    out = {
+        r.term: r.cms_estimate
+        for r in cms_estimate(
+            spark.createDataFrame(
+                [Row(term="seen"), Row(term="never-seen")]
+            ),
+            cells,
+            depth=4,
+            width=4096,
+        ).collect()
+    }
+    assert out == {"seen": 7, "never-seen": 0}
+
+
 def test_cms_exact_when_no_collision(spark):
     """A vocabulary far smaller than the width estimates exactly
     (no bucket ever shared under any of the 4 rows here)."""
@@ -537,6 +558,34 @@ def test_streaming_cms_equals_batch_and_replays_idempotently(spark, tmp_path):
 
 
 # ----------------------------------------------------------------- SQ8
+def test_sq8_out_of_bounds_vectors_clamp(spark):
+    """Bounds trained on one corpus, applied to vectors outside them
+    (the cross-corpus API path): codes clamp to 0/255, errors stay
+    exact vs the clamped numpy replica, engines never see a negative
+    or >255 code."""
+    from irclogbot_spark.operators.pq import sq8_error_stats
+
+    rows = [
+        Row(vec_id=0, embedding=[float(x) for x in ([-9.0] * 64)]),
+        Row(vec_id=1, embedding=[float(x) for x in ([9.0] * 64)]),
+        Row(vec_id=2, embedding=[float(x) for x in ([0.5] * 64)]),
+    ]
+    df = spark.createDataFrame(rows)
+    mins = [0] * 64            # trained elsewhere: [0, 1000] milli
+    maxes = [1000] * 64
+    out = {
+        r.vec_id: r
+        for r in sq8_error_stats(df, mins, maxes).collect()
+    }
+    m = {0: -9000, 1: 9000, 2: 500}
+    for vid, mm in m.items():
+        d = mm - 0
+        code = min(255, max(0, (d * 255) // 1000))
+        err = abs(d - (code * 1000) // 255)
+        assert out[vid].max_abs_err_milli == err
+        assert out[vid].sum_abs_err_milli == err * 64
+
+
 def test_sq8_error_bounds_and_numpy_replica(spark):
     """SQ8 contract: per-coordinate error < range/255 + 1 milli (the
     quantization step), zero error on constant dims, and every stat
