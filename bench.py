@@ -148,6 +148,7 @@ HEADLINE = [
     "docs_jsonl_ingest",
     "docs_heavy_hitters_cms",
     "emb_sq8_error",
+    "docs_hll_distinct",
 ]
 
 #: headline queries that derive from the irclog (re-timed over the

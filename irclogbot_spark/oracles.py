@@ -3844,6 +3844,62 @@ GROUP BY p.term, p.exact_cnt
 """
 
 
+# HLL: the sketch REBUILT in SQL (the Bloom/CMS rule) — same 48-bit
+# md5 prefix hash, same bucket/rho split, same BIGINT shift sum and
+# floor-divided alpha constant; the linear-counting table is the
+# SAME Python-precomputed literal the Spark plan inlines, so no
+# runtime ln() is ever compared across engines.
+def _hll_distinct_sql() -> str:
+    from irclogbot_spark.operators.hll import (
+        HLL_C,
+        HLL_SMALL_RANGE,
+        hll_linear_table,
+    )
+
+    lc = ", ".join(str(v) for v in hll_linear_table())
+    return rf"""
+WITH t AS (SELECT source, regexp_extract_all(text, '\S+') AS toks FROM documents),
+terms AS (
+  SELECT source, array_to_string(toks[i:i+7], ' ') AS term
+  FROM t, UNNEST(range(1, len(toks) - 6)) AS r(i)
+  WHERE len(toks) >= 8
+),
+hashed AS (
+  SELECT source, CAST('0x' || substr(md5(term), 1, 12) AS BIGINT) AS h FROM terms
+),
+regs AS (
+  SELECT source, h % 256 AS bucket,
+    MAX(CASE WHEN h // 256 = 0 THEN 41
+             ELSE 41 - length(bin(h // 256)) END) AS register
+  FROM hashed GROUP BY source, h % 256
+),
+st AS (
+  SELECT source,
+    CAST(SUM(CAST(1 AS BIGINT) << (41 - register)) AS BIGINT) AS s_present,
+    COUNT(*) AS n_present
+  FROM regs GROUP BY source
+),
+est AS (
+  SELECT source, 256 - n_present AS v,
+    {HLL_C} // (s_present + (256 - n_present) * (CAST(1 AS BIGINT) << 41)) AS est_raw
+  FROM st
+),
+ex AS (
+  SELECT source, CAST(COUNT(DISTINCT term) AS BIGINT) AS exact_distinct
+  FROM terms GROUP BY source
+)
+SELECT e.source, ex.exact_distinct,
+  CAST(CASE WHEN e.est_raw <= {HLL_SMALL_RANGE} AND e.v > 0
+       THEN ([{lc}])[CAST(e.v AS INT)] ELSE e.est_raw END AS BIGINT)
+    AS hll_estimate,
+  CAST(e.v AS BIGINT) AS n_zero_registers
+FROM est e JOIN ex ON e.source = ex.source
+"""
+
+
+ORACLES["docs_hll_distinct"] = _hll_distinct_sql()
+
+
 # SQ8: bounds re-trained in SQL (nothing inlined — integer MIN/MAX
 # are partitioning-free), same // encode/decode, errors exact.
 ORACLES["emb_sq8_error"] = """

@@ -2086,7 +2086,7 @@ _DRIVER_WINDOW = [
 # docs_ngram_novelty, emb_projection_recall,
 # docs_source_containment, docs_leakage_safe_split,
 # docs_length_batching, docs_jsonl_ingest, docs_heavy_hitters_cms,
-# emb_sq8_error.
+# emb_sq8_error, docs_hll_distinct.
 
 
 @query("docs_dedup_keep_best_fast")
@@ -3707,6 +3707,37 @@ def docs_heavy_hitters_cms(spark, sf_dir):
         .select("term", F.col("cnt").cast("long").alias("exact_cnt"))
     )
     return cms_estimate(top, cells, depth=4, width=256)
+
+
+@query("docs_hll_distinct")
+def docs_hll_distinct(spark, sf_dir):
+    """Per-source distinct-8-gram cardinality via an EXPLICIT
+    HyperLogLog sketch (operators/hll.py), exact twin in the same
+    row. Unlike events_approx_stats (Spark's built-in HLL, rows-only
+    because DuckDB's differs), this sketch is built from portable
+    md5/shift primitives so the oracle REBUILDS it and the estimate
+    itself is value-hashed — the Bloom/CMS convention for
+    cardinality. The key is the decontam/novelty 8-token shingle
+    (thousands per source, so sf0.1 exercises the raw-estimate
+    branch, not just linear counting). Scale shape: the sketch path
+    shuffles only (source, bucket, rho) with map-side partial MAX —
+    at most 256 rows per source survive and raw shingles never ride
+    a distinct; the exact twin beside it is the full distinct the
+    sketch replaces at 100 TB."""
+    from irclogbot_spark.operators.hll import hll_distinct
+    from irclogbot_spark.operators.repetition import ngrams
+
+    docs = _t(spark, sf_dir, "documents")
+    grams = docs.select(
+        "source", F.explode(ngrams(F.col("text"), 8)).alias("shingle")
+    )
+    sketch = hll_distinct(grams, "shingle", ["source"])
+    exact = grams.groupBy("source").agg(
+        F.countDistinct("shingle").cast("long").alias("exact_distinct")
+    )
+    return exact.join(sketch, "source").select(
+        "source", "exact_distinct", "hll_estimate", "n_zero_registers"
+    )
 
 
 @query("emb_sq8_error")
