@@ -1,5 +1,6 @@
-"""Continuous count-min sketch maintenance — the streaming half of
-operators/cms.py, by the corpus.py / annindex.py recipe.
+"""Continuous sketch maintenance — the streaming half of
+operators/cms.py (count-min) and operators/hll.py (HyperLogLog), by
+the corpus.py / annindex.py recipe.
 
 CMS cells are SUMS, so the sketch of a growing corpus is the
 cell-wise sum of per-batch sketches (mergeability, pinned in
@@ -20,6 +21,13 @@ Serving: ``operators.cms.cms_estimate`` over the merged cells
 returns exactly what the one-shot batch sketch over the union corpus
 returns (pinned by test) — the stream-counts + serve-estimates split
 the trending-terms twin uses.
+
+The HLL half is the same recipe with MAX in place of SUM, and is
+strictly MORE robust: registers are idempotent under re-ingestion of
+the very same documents (MAX absorbs repeats), so not only a batch
+REPLAY but a full duplicate delivery leaves the cardinality estimate
+unchanged — pinned by test. ``load_hll`` merges at most m rows per
+(group, batch); ``operators.hll.hll_estimate`` serves it.
 """
 
 from __future__ import annotations
@@ -97,4 +105,70 @@ def load_cms(spark: SparkSession, sketch_dir: str) -> DataFrame:
         )
     return cells.groupBy("row", "bucket").agg(
         F.sum("cell").cast("long").alias("cell")
+    )
+
+
+def hll_batch(
+    batch: DataFrame,
+    batch_id: int,
+    sketch_dir: str,
+    text_col: str = "text",
+    group_col: str = "source",
+) -> None:
+    """foreachBatch body: this batch's per-group HLL registers over
+    8-gram shingles (the docs_hll_distinct key), written idempotently
+    into the batch's own partition dir."""
+    from irclogbot_spark.operators.hll import hll_registers
+    from irclogbot_spark.operators.repetition import ngrams
+
+    grams = batch.select(
+        group_col, F.explode(ngrams(F.col(text_col), 8)).alias("shingle")
+    )
+    regs = hll_registers(grams, "shingle", [group_col])
+    (
+        regs.withColumn("batch_id", F.lit(int(batch_id)))
+        .write.mode("overwrite")
+        .partitionBy("batch_id")
+        .option("partitionOverwriteMode", "dynamic")
+        .parquet(f"{sketch_dir}/registers")
+    )
+
+
+def continuous_hll(
+    stream: DataFrame,
+    sketch_dir: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    group_col: str = "source",
+    trigger: dict | None = None,
+):
+    """Continuous cardinality maintenance: per-batch register writes,
+    same trigger contract as ``continuous_sketch``."""
+    return (
+        stream.writeStream.foreachBatch(
+            lambda b, i: hll_batch(
+                b, i, sketch_dir, text_col=text_col, group_col=group_col
+            )
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(**(trigger or {"availableNow": True}))
+        .start()
+    )
+
+
+def load_hll(
+    spark: SparkSession, sketch_dir: str, group_col: str = "source"
+) -> DataFrame:
+    """Merged (group, bucket, register) frame over every ingested
+    batch: per-bucket MAX — at most m rows per (group, batch) enter
+    the merge. Empty before the first commit (no keys seen -> no
+    registers -> hll_estimate emits no rows, the batch semantic)."""
+    try:
+        regs = spark.read.parquet(f"{sketch_dir}/registers")
+    except Exception:
+        return spark.createDataFrame(
+            [], f"{group_col} string, bucket long, register long"
+        )
+    return regs.groupBy(group_col, "bucket").agg(
+        F.max("register").cast("long").alias("register")
     )

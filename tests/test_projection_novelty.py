@@ -557,6 +557,73 @@ def test_streaming_cms_equals_batch_and_replays_idempotently(spark, tmp_path):
     assert again.cell.sort_index().equals(expect.cell.sort_index())
 
 
+def test_streaming_hll_equals_batch_and_absorbs_duplicate_delivery(
+    spark, tmp_path
+):
+    """The continuous HLL register store over a 2-batch stream
+    MAX-merges to exactly the one-shot registers of the union corpus;
+    and — stronger than the CMS replay guarantee — re-ingesting the
+    SAME documents again (full duplicate delivery, not just a batch
+    replay) leaves registers and estimate unchanged, because MAX
+    absorbs repeats."""
+    from irclogbot_spark.operators.hll import hll_estimate, hll_registers
+    from irclogbot_spark.operators.repetition import ngrams
+    from irclogbot_spark.streaming.sketch import (
+        continuous_hll,
+        hll_batch,
+        load_hll,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    src = str(tmp_path / "hsrc")
+    docs.repartition(2).write.parquet(src)
+    sk = str(tmp_path / "hsk")
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = continuous_hll(stream, sk, str(tmp_path / "hck"))
+    q.awaitTermination(120)
+
+    def regset(df):
+        return sorted(
+            (r.source, r.bucket, r.register) for r in df.collect()
+        )
+
+    merged = load_hll(spark, sk)
+    grams = docs.select(
+        "source", F.explode(ngrams(F.col("text"), 8)).alias("shingle")
+    )
+    oneshot = hll_registers(grams, "shingle", ["source"])
+    assert regset(merged) == regset(oneshot)
+    est_before = sorted(
+        (r.source, r.hll_estimate)
+        for r in hll_estimate(merged, ["source"]).collect()
+    )
+    # duplicate delivery: the whole corpus arrives again as batch 7
+    hll_batch(docs, 7, sk)
+    hll_batch(docs, 7, sk)  # and the batch itself replays
+    again = load_hll(spark, sk)
+    assert regset(again) == regset(oneshot)
+    assert (
+        sorted(
+            (r.source, r.hll_estimate)
+            for r in hll_estimate(again, ["source"]).collect()
+        )
+        == est_before
+    )
+
+
+def test_load_hll_empty_before_first_commit(spark, tmp_path):
+    from irclogbot_spark.operators.hll import hll_estimate
+    from irclogbot_spark.streaming.sketch import load_hll
+
+    regs = load_hll(spark, str(tmp_path / "nope"))
+    assert regs.count() == 0
+    assert hll_estimate(regs, ["source"]).count() == 0
+
+
 # ----------------------------------------------------------------- SQ8
 def test_sq8_out_of_bounds_vectors_clamp(spark):
     """Bounds trained on one corpus, applied to vectors outside them
