@@ -149,6 +149,7 @@ HEADLINE = [
     "docs_heavy_hitters_cms",
     "emb_sq8_error",
     "docs_hll_distinct",
+    "docs_length_quantile_sketch",
 ]
 
 #: headline queries that derive from the irclog (re-timed over the

@@ -3900,6 +3900,57 @@ FROM est e JOIN ex ON e.source = ex.source
 ORACLES["docs_hll_distinct"] = _hll_distinct_sql()
 
 
+# Histogram quantile sketch: bins, cumulative, rank target, and the
+# integer interpolation all re-derived; the window SUM needs the
+# HUGEINT->BIGINT cast (the r5 lesson) and ranks use // on both
+# sides (the CAST-rounds hazard).
+ORACLES["docs_length_quantile_sketch"] = """
+WITH h AS (
+  SELECT source, n_chars // 16 AS bin, COUNT(*) AS cnt
+  FROM documents GROUP BY source, n_chars // 16
+),
+cb AS (
+  SELECT source, bin, cnt,
+    CAST(SUM(cnt) OVER (PARTITION BY source ORDER BY bin) AS BIGINT) AS cum,
+    CAST(SUM(cnt) OVER (PARTITION BY source ORDER BY bin) - cnt AS BIGINT)
+      AS cum_below
+  FROM h
+),
+tot AS (SELECT source, CAST(SUM(cnt) AS BIGINT) AS n FROM h GROUP BY source),
+qs AS (
+  SELECT source, n, q_milli,
+    CAST(1 + ((n - 1) * q_milli) // 1000 AS BIGINT) AS target
+  FROM tot, UNNEST([500, 950, 990]) AS u(q_milli)
+),
+est AS (
+  SELECT q.source, q.q_milli, q.n,
+    CAST(16000 * c.bin
+         + (16000 * (q.target - c.cum_below)) // c.cnt AS BIGINT) AS est_milli
+  FROM qs q JOIN cb c ON q.source = c.source
+   AND c.cum >= q.target AND c.cum_below < q.target
+),
+vc AS (
+  SELECT source, n_chars AS v, COUNT(*) AS cnt
+  FROM documents GROUP BY source, n_chars
+),
+vcb AS (
+  SELECT source, v, cnt,
+    CAST(SUM(cnt) OVER (PARTITION BY source ORDER BY v) AS BIGINT) AS cum,
+    CAST(SUM(cnt) OVER (PARTITION BY source ORDER BY v) - cnt AS BIGINT)
+      AS cum_below
+  FROM vc
+),
+ex AS (
+  SELECT q.source, q.q_milli, CAST(c.v AS BIGINT) AS exact_value
+  FROM qs q JOIN vcb c ON q.source = c.source
+   AND c.cum >= q.target AND c.cum_below < q.target
+)
+SELECT e.source, CAST(e.q_milli AS BIGINT) AS q_milli, e.n, e.est_milli,
+       x.exact_value
+FROM est e JOIN ex x ON e.source = x.source AND e.q_milli = x.q_milli
+"""
+
+
 # SQ8: bounds re-trained in SQL (nothing inlined — integer MIN/MAX
 # are partitioning-free), same // encode/decode, errors exact.
 ORACLES["emb_sq8_error"] = """

@@ -2086,7 +2086,7 @@ _DRIVER_WINDOW = [
 # docs_ngram_novelty, emb_projection_recall,
 # docs_source_containment, docs_leakage_safe_split,
 # docs_length_batching, docs_jsonl_ingest, docs_heavy_hitters_cms,
-# emb_sq8_error, docs_hll_distinct.
+# emb_sq8_error, docs_hll_distinct, docs_length_quantile_sketch.
 
 
 @query("docs_dedup_keep_best_fast")
@@ -3737,6 +3737,34 @@ def docs_hll_distinct(spark, sf_dir):
     )
     return exact.join(sketch, "source").select(
         "source", "exact_distinct", "hll_estimate", "n_zero_registers"
+    )
+
+
+@query("docs_length_quantile_sketch")
+def docs_length_quantile_sketch(spark, sf_dir):
+    """Per-source length quantiles from the mergeable fixed-width
+    histogram sketch (operators/histogram.py), exact type-1 twin in
+    the same row. The oracle-paired counterpart of the rows-only
+    percentile_approx in events_approx_stats: bin counts
+    partial-aggregate (state bounded by domain/width, shard
+    histograms SUM-merge bit-exactly), the quantile reads off the
+    bounded cumulative with integer rank interpolation — every step
+    BIGINT, so the estimate itself value-hashes. Sketch error is
+    structurally <= one bin width (16 chars here), visible beside
+    the exact column."""
+    from irclogbot_spark.operators.histogram import (
+        exact_quantiles,
+        histogram_counts,
+        histogram_quantiles,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    qs = [500, 950, 990]
+    hist = histogram_counts(docs, "n_chars", 16, ["source"])
+    est = histogram_quantiles(hist, qs, 16, ["source"])
+    ex = exact_quantiles(docs, "n_chars", qs, ["source"])
+    return est.join(ex, ["source", "q_milli"]).select(
+        "source", "q_milli", "n", "est_milli", "exact_value"
     )
 
 
