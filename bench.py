@@ -150,6 +150,7 @@ HEADLINE = [
     "emb_sq8_error",
     "docs_hll_distinct",
     "docs_length_quantile_sketch",
+    "docs_priority_sample",
 ]
 
 #: headline queries that derive from the irclog (re-timed over the

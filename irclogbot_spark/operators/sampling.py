@@ -421,3 +421,66 @@ def corpus_shuffle(
     )
     w = Window.partitionBy("shard").orderBy("shuffle_key", id_col)
     return d.withColumn("pos", F.row_number().over(w).cast("long"))
+
+
+def priority_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    salt: str = "priority",
+    draw_fn=None,
+) -> DataFrame:
+    """Priority sampling (Duffield, Lund & Thorup, JACM 2007) — the
+    weighted-without-replacement counterpart of pps_systematic_sample
+    with a per-item UNBIASED subset-sum estimator: each row gets
+    priority q = w / u for a uniform u in (0, 1], the k largest
+    priorities form the sample, and every sampled row's weight
+    estimate is max(w, tau) where tau is the (k+1)-st priority —
+    SUM(max(w, tau)) over the sample is an unbiased estimate of the
+    population's total weight for ANY subset predicate (the property
+    Bernoulli/PPS lack at fixed sample size).
+
+    Deterministic + exact: u is the integer content-hash draw
+    (u1 = draw + 1 in [1, 1e6]) and q is integer-quantized as
+    ``w * 1e9 DIV u1`` — no float division, bit-identical across
+    engines and partitionings; ties break on id. Headroom: ANSI
+    mode makes w >= ~9.2e9 raise instead of wrap. ``w_hat_nano`` =
+    max(w * 1e9, tau) is the estimator in the same nano units.
+
+    Scale shape: priorities are map-only; the global top-(k+1) is a
+    TakeOrdered (per-partition heap + driver merge of k+1-row
+    partials — no sort shuffle); tau and the final trim run a window
+    over the (k+1)-row frame, bounded at any corpus size."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    u1 = (draw_fn or _draw)([id_col], salt) + F.lit(1)
+    top = (
+        ensure_parallelism(df)
+        .withColumn("_u1", u1.cast("long"))
+        .withColumn(
+            "priority_nano",
+            F.expr(f"CAST({weight_col} AS BIGINT) * 1000000000 DIV _u1"),
+        )
+        .orderBy(F.desc("priority_nano"), F.asc(id_col))
+        .limit(k + 1)
+    )
+    w_all = Window.orderBy(F.desc("priority_nano"), F.asc(id_col))
+    w_tau = w_all.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (
+        top.withColumn("_rn", F.row_number().over(w_all))
+        .withColumn(
+            "tau_nano",
+            F.max(F.when(F.col("_rn") == k + 1, F.col("priority_nano"))).over(w_tau),
+        )
+        .filter(F.col("_rn") <= k)
+        .withColumn("tau_nano", F.coalesce(F.col("tau_nano"), F.lit(0).cast("long")))
+        .withColumn(
+            "w_hat_nano",
+            F.greatest(
+                F.expr(f"CAST({weight_col} AS BIGINT) * 1000000000"),
+                F.col("tau_nano"),
+            ),
+        )
+        .drop("_u1", "_rn")
+    )

@@ -3974,6 +3974,36 @@ FROM e GROUP BY vec_id
 """
 
 
+# ANSI twin of queries.docs_priority_sample: same portable draw,
+# same integer-quantized priority w*1e9 // (draw+1), the (k+1)-st
+# priority as tau, max(w*1e9, tau) estimator — every step BIGINT.
+ORACLES["docs_priority_sample"] = f"""
+WITH d AS (
+  SELECT doc_id, source, n_chars,
+    {_portable_draw_sql('priority', 'CAST(doc_id AS VARCHAR)')} + 1 AS u1
+  FROM documents
+),
+p AS (
+  SELECT doc_id, source, n_chars,
+    (CAST(n_chars AS BIGINT) * 1000000000) // u1 AS priority_nano
+  FROM d
+),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY priority_nano DESC, doc_id) AS rn
+  FROM p
+),
+t AS (
+  SELECT COALESCE(MAX(CASE WHEN rn = 26 THEN priority_nano END), 0) AS tau
+  FROM r
+)
+SELECT doc_id, source, n_chars, priority_nano,
+  CAST(tau AS BIGINT) AS tau_nano,
+  CAST(GREATEST(CAST(n_chars AS BIGINT) * 1000000000, tau) AS BIGINT)
+    AS w_hat_nano
+FROM r, t WHERE rn <= 25
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     out = dict(ORACLES)
     # data-dependent oracles, built lazily so the training corpus

@@ -3783,6 +3783,29 @@ def emb_sq8_error(spark, sf_dir):
     return sq8_error_stats(emb, mins, maxes)
 
 
+@query("docs_priority_sample")
+def docs_priority_sample(spark, sf_dir):
+    """Priority sampling (operators/sampling.py:priority_sample —
+    Duffield/Lund/Thorup): the 25 largest integer-quantized
+    priorities w*1e9 DIV (draw+1) on the portable content-hash
+    line, with the (k+1)-st priority as the threshold tau and the
+    per-row unbiased subset-sum estimator max(w, tau) beside each
+    sample — the fixed-size weighted sample whose estimator the
+    budget/PPS samplers lack. Map-only priorities + a global
+    TakeOrdered of k+1 rows; tau/trim windows run over that bounded
+    frame only. Tail registration (round-7 window queue);
+    value-checked by the local parity suite."""
+    from irclogbot_spark.operators.sampling import (
+        portable_draw,
+        priority_sample,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    return priority_sample(
+        d, 25, weight_col="n_chars", draw_fn=portable_draw
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     out = {n: QUERIES[n] for n in _DRIVER_WINDOW}
     for n, f in QUERIES.items():

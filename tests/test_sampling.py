@@ -346,3 +346,67 @@ def test_corpus_shuffle_partitioning_invariant_and_seeded(spark, docs):
 def test_corpus_shuffle_validates(spark, docs):
     with pytest.raises(ValueError, match="n_shards"):
         sampling.corpus_shuffle(docs, seed="s", n_shards=0)
+
+
+def test_priority_sample_partitioning_invariant_and_sized(spark, docs):
+    a = sampling.priority_sample(docs, 25, "n_chars").toPandas()
+    b = (
+        sampling.priority_sample(docs.repartition(17), 25, "n_chars")
+        .toPandas()
+    )
+    key = ["doc_id", "priority_nano", "tau_nano", "w_hat_nano"]
+    assert sorted(map(tuple, a[key].values.tolist())) == sorted(
+        map(tuple, b[key].values.tolist())
+    ), "priority sample must not depend on partitioning"
+    assert len(a) == 25
+    # tau is the (k+1)-st priority: every sampled priority exceeds it
+    assert (a["priority_nano"] > a["tau_nano"]).all()
+    # the estimator clamps at tau from below
+    assert (a["w_hat_nano"] >= a["tau_nano"]).all()
+    assert (a["w_hat_nano"] >= a["n_chars"] * 1_000_000_000).all()
+
+
+def test_priority_sample_estimator_matches_python_reference(spark):
+    """The integer-quantized engine against a pure-Python replica of
+    Duffield/Lund/Thorup on a toy table — including the exact tau and
+    the per-row max(w, tau) estimate."""
+    rows = [(i, 10 + (i * 37) % 500) for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, n_chars long")
+    k = 7
+    got = {
+        r.doc_id: (r.priority_nano, r.tau_nano, r.w_hat_nano)
+        for r in sampling.priority_sample(
+            df, k, "n_chars", draw_fn=sampling.portable_draw
+        ).collect()
+    }
+
+    import hashlib
+
+    def draw(doc_id):
+        s = f"priority\x1f{doc_id}".encode()
+        return int(hashlib.md5(s).hexdigest()[:15], 16) % 1_000_000
+
+    prio = sorted(
+        (((w * 1_000_000_000) // (draw(i) + 1), i, w) for i, w in rows),
+        key=lambda t: (-t[0], t[1]),
+    )
+    tau = prio[k][0]
+    want = {
+        i: (p, tau, max(w * 1_000_000_000, tau)) for p, i, w in prio[:k]
+    }
+    assert got == want
+
+
+def test_priority_sample_small_population_keeps_all_tau_zero(spark):
+    df = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 30)], "doc_id long, n_chars long"
+    )
+    out = sampling.priority_sample(df, 5, "n_chars").collect()
+    assert len(out) == 3
+    assert all(r.tau_nano == 0 for r in out)
+    assert all(r.w_hat_nano == r.n_chars * 1_000_000_000 for r in out)
+
+
+def test_priority_sample_validates_k(spark, docs):
+    with pytest.raises(ValueError):
+        sampling.priority_sample(docs, 0, "n_chars")
