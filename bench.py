@@ -151,6 +151,7 @@ HEADLINE = [
     "docs_hll_distinct",
     "docs_length_quantile_sketch",
     "docs_priority_sample",
+    "events_anomaly_mad",
 ]
 
 #: headline queries that derive from the irclog (re-timed over the

@@ -268,3 +268,70 @@ def anomaly_counts(
             .alias("n_outliers"),
         )
     )
+
+
+def robust_anomaly_days(
+    events: DataFrame,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    k_mad: int = 3,
+) -> DataFrame:
+    """Per-type ROBUST (median/MAD) anomaly counts over daily event
+    volumes — the companion to anomaly_counts for the case the
+    baseline itself is contaminated: a 3-sigma test's mean and
+    variance are dragged by the very spikes it hunts, while the
+    median and the median-absolute-deviation have a 50% breakdown
+    point (Hampel's rule). A day is anomalous iff
+    ``|cnt - median| > k_mad * MAD``; with MAD = 0 (a majority of
+    identical days) any deviation flags, the standard degenerate-MAD
+    convention and exactly what the integer inequality yields.
+
+    Exact arithmetic: daily counts, both medians, deviations, and
+    the k*MAD compare are all BIGINT — medians are the LOWER median
+    (the value at rank (n+1) DIV 2), selected by rank rather than
+    interpolated, so no .5s and no floats anywhere.
+
+    Scale shape: one (type, day) partial-agg shuffle reduces the
+    corpus to at most types x days rows; the two rank windows (cnt
+    median, then deviation median) run on THAT bounded frame — a
+    window partition is one type's day count (<= days in the
+    corpus), never raw events."""
+    day = F.to_date(F.col(ts_col)).alias("day")
+    daily = events.groupBy(F.col(type_col), day).agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    part = Window.partitionBy(type_col)
+    w_cnt = part.orderBy("cnt", "day")
+    d = (
+        daily.withColumn("_n", F.count(F.lit(1)).over(part))
+        .withColumn("_target", F.expr("(_n + 1) DIV 2"))
+        .withColumn("_rn", F.row_number().over(w_cnt))
+        .withColumn(
+            "median_cnt",
+            F.max(F.when(F.col("_rn") == F.col("_target"), F.col("cnt"))).over(
+                part
+            ),
+        )
+        .withColumn("_dev", F.abs(F.col("cnt") - F.col("median_cnt")))
+    )
+    w_dev = part.orderBy("_dev", "day")
+    d = d.withColumn("_rn2", F.row_number().over(w_dev)).withColumn(
+        "mad_cnt",
+        F.max(F.when(F.col("_rn2") == F.col("_target"), F.col("_dev"))).over(
+            part
+        ),
+    )
+    return (
+        d.groupBy(type_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+            F.min("median_cnt").alias("median_cnt"),
+            F.min("mad_cnt").alias("mad_cnt"),
+            F.sum(
+                F.when(F.col("_dev") > F.lit(int(k_mad)) * F.col("mad_cnt"), 1)
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("n_anomalous_days"),
+        )
+    )

@@ -4004,6 +4004,48 @@ FROM r, t WHERE rn <= 25
 """
 
 
+# ANSI twin of queries.events_anomaly_mad: same (type, day) counts,
+# same rank-selected LOWER medians ((n+1) DIV 2 over (value, day)
+# order), same integer 3*MAD compare — BIGINT end to end.
+ORACLES["events_anomaly_mad"] = """
+WITH daily AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+    CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1, 2
+),
+m AS (
+  SELECT *, COUNT(*) OVER (PARTITION BY event_type) AS n,
+    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY cnt, day) AS rn
+  FROM daily
+),
+med AS (
+  SELECT *,
+    MAX(CASE WHEN rn = (n + 1) // 2 THEN cnt END)
+      OVER (PARTITION BY event_type) AS median_cnt
+  FROM m
+),
+dev AS (
+  SELECT *, abs(cnt - median_cnt) AS d,
+    ROW_NUMBER() OVER (PARTITION BY event_type
+                       ORDER BY abs(cnt - median_cnt), day) AS rn2
+  FROM med
+),
+mad AS (
+  SELECT *,
+    MAX(CASE WHEN rn2 = (n + 1) // 2 THEN d END)
+      OVER (PARTITION BY event_type) AS mad_cnt
+  FROM dev
+)
+SELECT event_type,
+  CAST(COUNT(*) AS BIGINT) AS n_days,
+  CAST(MIN(median_cnt) AS BIGINT) AS median_cnt,
+  CAST(MIN(mad_cnt) AS BIGINT) AS mad_cnt,
+  CAST(SUM(CASE WHEN d > 3 * mad_cnt THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_anomalous_days
+FROM mad GROUP BY event_type
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     out = dict(ORACLES)
     # data-dependent oracles, built lazily so the training corpus

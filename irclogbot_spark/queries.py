@@ -3806,6 +3806,24 @@ def docs_priority_sample(spark, sf_dir):
     )
 
 
+@query("events_anomaly_mad")
+def events_anomaly_mad(spark, sf_dir):
+    """Robust median/MAD daily-volume anomalies per event type
+    (operators/behavior.py:robust_anomaly_days — Hampel's rule): a
+    day flags iff |cnt - median| > 3*MAD, with BOTH medians selected
+    by rank (lower median, BIGINT throughout — no interpolation, no
+    floats), so the 50%-breakdown robust baseline is bit-identical
+    across engines. Complements events_anomaly's 3-sigma square-
+    compare: there the baseline is the (spike-draggable) mean; here
+    it survives a majority-clean corpus with any spike magnitude.
+    One (type, day) partial-agg shuffle; rank windows run on the
+    bounded per-type day frame. Tail registration (round-7 window
+    queue); value-checked by the local parity suite."""
+    from irclogbot_spark.operators.behavior import robust_anomaly_days
+
+    return robust_anomaly_days(_t(spark, sf_dir, "events"))
+
+
 def queries() -> dict[str, QueryFn]:
     out = {n: QUERIES[n] for n in _DRIVER_WINDOW}
     for n, f in QUERIES.items():

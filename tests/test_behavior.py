@@ -274,3 +274,47 @@ def test_events_anomaly_survives_bigint_wrapping_magnitudes(spark):
         for r in anomaly_counts(ev).collect()
     }
     assert got == want
+
+
+def test_robust_anomaly_flags_spike_that_drags_the_mean(spark):
+    """The MAD baseline has a 50% breakdown point: a single enormous
+    spike is flagged even though it drags the mean/variance so far
+    that a sigma test on the same data would swallow it."""
+    from irclogbot_spark.operators.behavior import robust_anomaly_days
+
+    rows = [(i, _ts(1 + i % 20, i % 24), "steady") for i in range(200)]
+    # day 21: a 500-event spike on an otherwise 10-events/day type
+    rows += [(1000 + i, _ts(21, i % 24), "steady") for i in range(500)]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string"
+    )
+    out = robust_anomaly_days(ev).collect()[0]
+    assert out.n_days == 21
+    assert out.median_cnt == 10
+    assert out.mad_cnt == 0  # 20 of 21 days identical
+    assert out.n_anomalous_days == 1
+
+
+def test_robust_anomaly_mad_zero_flags_any_deviation(spark):
+    from irclogbot_spark.operators.behavior import robust_anomaly_days
+
+    # 5 identical days + 1 day off by a single event: MAD = 0, so the
+    # degenerate-MAD convention flags the deviating day
+    rows = [(d * 10 + i, _ts(d), "t") for d in range(1, 6) for i in range(4)]
+    rows += [(99, _ts(6), "t"), (100, _ts(6), "t"), (101, _ts(6), "t"),
+             (102, _ts(6), "t"), (103, _ts(6), "t")]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string"
+    )
+    out = robust_anomaly_days(ev).collect()[0]
+    assert out.mad_cnt == 0 and out.n_anomalous_days == 1
+
+
+def test_robust_anomaly_partitioning_invariant(spark):
+    from irclogbot_spark.operators.behavior import robust_anomaly_days
+    from irclogbot_spark.sources.tables import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    a = sorted(map(tuple, robust_anomaly_days(ev).collect()))
+    b = sorted(map(tuple, robust_anomaly_days(ev.repartition(13)).collect()))
+    assert a == b
