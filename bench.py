@@ -152,6 +152,7 @@ HEADLINE = [
     "docs_length_quantile_sketch",
     "docs_priority_sample",
     "events_anomaly_mad",
+    "docs_multikey_linkage",
 ]
 
 #: headline queries that derive from the irclog (re-timed over the

@@ -635,3 +635,53 @@ def simhash_neardup_pairs(
         )
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def multikey_linkage(
+    df: DataFrame,
+    keys: dict[str, Column],
+    id_col: str = "doc_id",
+    max_bucket: int = 1000,
+    max_iter: int = 10,
+) -> DataFrame:
+    """Multi-key record linkage (entity resolution by blocking): rows
+    sharing ANY of several named blocking keys — content fingerprint,
+    prefix hash, metadata tuple, url/email in a real pipeline — link
+    into one candidate entity via connected components. This is the
+    Fellegi-Sunter blocking stage composed with the engine's
+    union-find: each key family contributes edges, the union of edge
+    sets is one graph, and the component minimum is the entity id.
+
+    Scale shape: every key is an in-row projection; the union of
+    (kind, key, id) triples shuffles ONCE into _bucket_pairs (whose
+    max_bucket cap bounds fan-out per key value exactly like the LSH
+    band join — a key shared by 1% of the corpus is a blocking
+    pathology, not an entity), and min-label propagation runs on the
+    EDGE list only (docs with no shared key never enter the loop).
+    NULL keys never block (dropped before grouping, matching SQL
+    join semantics on NULL).
+
+    Returns (id_col, entity_id, n_members) for linked rows only —
+    singletons are trivially their own entity and stay out of the
+    result, keeping it proportional to the duplicate mass.
+    """
+    if not keys:
+        raise ValueError("keys must name at least one blocking key")
+    keyed = None
+    for kind, expr in keys.items():
+        part = df.select(
+            F.col(id_col),
+            F.lit(kind).alias("kind"),
+            expr.cast("string").alias("key"),
+        ).filter(F.col("key").isNotNull())
+        keyed = part if keyed is None else keyed.unionByName(part)
+    pairs = _bucket_pairs(keyed, id_col, ["kind", "key"], max_bucket)
+    comp = neardup_components(pairs, max_iter)
+    sizes = comp.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members")
+    )
+    return comp.join(F.broadcast(sizes), "cluster_id").select(
+        F.col("doc_id").alias(id_col),
+        F.col("cluster_id").alias("entity_id"),
+        "n_members",
+    )

@@ -4046,6 +4046,57 @@ FROM mad GROUP BY event_type
 """
 
 
+# ANSI twin of queries.docs_multikey_linkage: same three blocking
+# keys (normalized-content md5, 12-token prefix md5, source:len
+# tuple), same 2..max_bucket bucket window, edges closed with the
+# recursive min-label walk (the components fixpoint the engine's
+# iterative propagation converges to).
+ORACLES["docs_multikey_linkage"] = r"""
+WITH RECURSIVE
+norm AS (
+  SELECT doc_id, source, n_chars,
+    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'),
+                        '\s+', ' ', 'g')) AS nt
+  FROM documents
+),
+keyed AS (
+  SELECT doc_id, 'content' AS kind, md5(nt) AS key FROM norm
+  UNION ALL
+  SELECT doc_id, 'prefix',
+    md5(array_to_string(list_slice(regexp_extract_all(nt, '\S+'), 1, 12), ' '))
+  FROM norm
+  UNION ALL
+  SELECT doc_id, 'srclen', source || ':' || CAST(n_chars AS VARCHAR) FROM norm
+),
+cnt AS (
+  SELECT kind, key, COUNT(DISTINCT doc_id) AS n
+  FROM keyed WHERE key IS NOT NULL GROUP BY 1, 2
+),
+ok AS (SELECT kind, key FROM cnt WHERE n > 1 AND n <= 1000),
+lpairs AS (
+  SELECT DISTINCT k1.doc_id AS d1, k2.doc_id AS d2
+  FROM keyed k1
+  JOIN keyed k2 USING (kind, key)
+  JOIN ok USING (kind, key)
+  WHERE k1.doc_id < k2.doc_id
+),
+lsym AS (SELECT d1 AS a, d2 AS b FROM lpairs
+         UNION SELECT d2 AS a, d1 AS b FROM lpairs),
+lnodes AS (SELECT DISTINCT a AS node FROM lsym),
+lwalk(node, label) AS (
+  SELECT node, node FROM lnodes
+  UNION
+  SELECT s.b, w.label FROM lwalk w JOIN lsym s ON s.a = w.node
+),
+lcomp AS (SELECT node AS doc_id, MIN(label) AS entity_id
+          FROM lwalk GROUP BY node),
+lsizes AS (SELECT entity_id, CAST(COUNT(*) AS BIGINT) AS n_members
+           FROM lcomp GROUP BY entity_id)
+SELECT c.doc_id, c.entity_id, s.n_members
+FROM lcomp c JOIN lsizes s USING (entity_id)
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     out = dict(ORACLES)
     # data-dependent oracles, built lazily so the training corpus

@@ -3824,6 +3824,37 @@ def events_anomaly_mad(spark, sf_dir):
     return robust_anomaly_days(_t(spark, sf_dir, "events"))
 
 
+@query("docs_multikey_linkage")
+def docs_multikey_linkage(spark, sf_dir):
+    """Multi-key record linkage (operators/dedup.py:multikey_linkage
+    — Fellegi-Sunter blocking + union-find): docs sharing ANY of
+    three blocking keys (normalized-content md5, 12-token normalized
+    prefix md5, exact (source, n_chars) tuple) become one candidate
+    entity, labeled by the component-minimum id. The entity graph is
+    the union of per-key bucket edges (max_bucket-capped, the LSH
+    skew guard); components run on edges only. Returns linked docs
+    with entity id + entity size. The oracle re-derives the SAME
+    edges in SQL and closes them with a recursive min-label walk —
+    the union-find machinery itself is value-hashed. Tail
+    registration (round-7 window queue); value-checked by the local
+    parity suite."""
+    from irclogbot_spark.functions.text import normalize_text
+    from irclogbot_spark.operators.dedup import multikey_linkage, tokens
+
+    d = _t(spark, sf_dir, "documents")
+    norm = normalize_text(F.col("text"))
+    keys = {
+        "content": F.md5(norm.cast("binary")),
+        "prefix": F.md5(
+            F.array_join(F.slice(tokens(norm), 1, 12), " ").cast("binary")
+        ),
+        "srclen": F.concat(
+            F.col("source"), F.lit(":"), F.col("n_chars").cast("string")
+        ),
+    }
+    return multikey_linkage(d, keys, max_bucket=1000)
+
+
 def queries() -> dict[str, QueryFn]:
     out = {n: QUERIES[n] for n in _DRIVER_WINDOW}
     for n, f in QUERIES.items():

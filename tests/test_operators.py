@@ -743,3 +743,45 @@ def test_wav_rejects_zero_sample_rate():
     st.pack_into("<I", payload, 24, 0)  # sample_rate = 0 in fmt
     with pytest.raises(ValueError, match="sample rate"):
         multimodal.decode_wav(bytes(payload))
+
+
+def test_multikey_linkage_links_across_key_families(spark):
+    """A-B share key family 'u' (url), B-C share family 'e' (email):
+    one entity spanning both hops; D shares nothing and stays out."""
+    rows = [
+        (1, "u1", "e1"),
+        (2, "u1", "e2"),
+        (3, "u9", "e2"),
+        (4, "u4", "e4"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string, email string")
+    out = dedup.multikey_linkage(
+        df, {"u": F.col("url"), "e": F.col("email")}
+    )
+    got = {r.doc_id: (r.entity_id, r.n_members) for r in out.collect()}
+    assert got == {1: (1, 3), 2: (1, 3), 3: (1, 3)}
+
+
+def test_multikey_linkage_null_keys_never_block(spark):
+    rows = [(1, None), (2, None), (3, "k")]
+    df = spark.createDataFrame(rows, "doc_id long, k string")
+    out = dedup.multikey_linkage(df, {"k": F.col("k")})
+    assert out.count() == 0
+
+
+def test_multikey_linkage_partitioning_invariant_and_validates(spark):
+    df = spark.createDataFrame(
+        [(i, f"g{i % 3}") for i in range(30)], "doc_id long, g string"
+    )
+    a = sorted(map(tuple, dedup.multikey_linkage(df, {"g": F.col("g")}).collect()))
+    b = sorted(
+        map(
+            tuple,
+            dedup.multikey_linkage(
+                df.repartition(7), {"g": F.col("g")}
+            ).collect(),
+        )
+    )
+    assert a == b and len(a) == 30
+    with pytest.raises(ValueError):
+        dedup.multikey_linkage(df, {})
