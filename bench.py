@@ -153,6 +153,7 @@ HEADLINE = [
     "docs_priority_sample",
     "events_anomaly_mad",
     "docs_multikey_linkage",
+    "docs_unigram_segment",
 ]
 
 #: headline queries that derive from the irclog (re-timed over the

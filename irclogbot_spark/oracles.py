@@ -4097,11 +4097,99 @@ FROM lcomp c JOIN lsizes s USING (entity_id)
 """
 
 
+def _unigram_segment_sql(k: int = 200) -> str:
+    """ANSI twin of queries.docs_unigram_segment. The gram counts are
+    RE-DERIVED in DuckDB SQL (verified bit-equal to the Spark
+    trainer: same normalization, same 24-char word cap, same
+    frequency-weighted 1..4-gram positions, same (cnt DESC, gram)
+    top-k); only the ln milli-nat quantization is shared Python
+    (operators.unigram.train_unigram_costs — the one place floats
+    exist, the DSIR plan-constant convention). The Viterbi fold
+    replays as a recursive CTE: each iteration appends best[p] =
+    min over starts s in [p-3, p] of best[s] + combined(piece), with
+    the cost table inlined as a CASE in the lambda — identical
+    integer arithmetic to the engine's F.aggregate."""
+    import duckdb
+
+    from irclogbot_spark.operators.unigram import (
+        _PIECES_BASE,
+        train_unigram_costs,
+    )
+
+    import os
+
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    counts_sql = rf"""
+WITH norm AS (
+  SELECT trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'),
+                             '\s+', ' ', 'g')) AS nt
+  FROM read_parquet('{sf_dir}/documents.parquet')
+),
+w0 AS (SELECT unnest(regexp_extract_all(nt, '\S+')) AS w FROM norm),
+wf AS (SELECT substr(w, 1, 24) AS word, CAST(COUNT(*) AS BIGINT) AS wf
+       FROM w0 GROUP BY 1),
+g AS (
+  SELECT substr(word, s.i, l.j) AS gram, CAST(SUM(wf) AS BIGINT) AS cnt
+  FROM wf, unnest(range(1, length(word)+1)) s(i), unnest(range(1, 5)) l(j)
+  WHERE s.i + l.j - 1 <= length(word)
+  GROUP BY 1
+)
+SELECT gram, cnt FROM g ORDER BY cnt DESC, gram LIMIT {int(k)}
+"""
+    pairs = [(g, int(c)) for g, c in duckdb.sql(counts_sql).fetchall()]
+    costs, unk = train_unigram_costs(pairs)
+    branches = " ".join(
+        f"WHEN '{g}' THEN {c * _PIECES_BASE + 1}"
+        for g, c in sorted(costs.items())
+    )
+    case = f"CASE substr(word, s, i + 2 - s) {branches} END"
+    unk_combined = unk * _PIECES_BASE + 1
+    return rf"""
+WITH RECURSIVE
+norm AS (
+  SELECT doc_id,
+    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'),
+                        '\s+', ' ', 'g')) AS nt
+  FROM documents
+),
+occ0 AS (SELECT doc_id, unnest(regexp_extract_all(nt, '\S+')) AS w FROM norm),
+occ AS (SELECT doc_id, substr(w, 1, 24) AS word,
+          CAST(COUNT(*) AS BIGINT) AS n_occ
+        FROM occ0 GROUP BY 1, 2),
+dw AS (SELECT DISTINCT word FROM occ),
+dp(word, i, best) AS (
+  SELECT word, 0, [CAST(0 AS BIGINT)] FROM dw
+  UNION ALL
+  SELECT word, i + 1,
+    list_append(best,
+      list_min(list_filter(
+        list_transform(range(CASE WHEN i + 1 > 4 THEN i - 2 ELSE 1 END, i + 2),
+          s -> best[s] + COALESCE({case},
+                 CASE WHEN i + 2 - s = 1 THEN {unk_combined} END)),
+        x -> x IS NOT NULL)))
+  FROM dp WHERE i < length(word)
+),
+seg AS (
+  SELECT word,
+    best[length(word)+1] // {_PIECES_BASE} AS wc,
+    best[length(word)+1] % {_PIECES_BASE} AS wp
+  FROM dp WHERE i = length(word)
+)
+SELECT occ.doc_id,
+  CAST(SUM(n_occ) AS BIGINT) AS n_words,
+  CAST(SUM(n_occ * wc) AS BIGINT) AS cost_milli,
+  CAST(SUM(n_occ * wp) AS BIGINT) AS n_pieces
+FROM occ JOIN seg USING (word)
+GROUP BY occ.doc_id
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     out = dict(ORACLES)
     # data-dependent oracles, built lazily so the training corpus
     # matches the SF the comparison actually runs at
     out["emb_ivf_topk"] = _ivf_topk_sql()
+    out["docs_unigram_segment"] = _unigram_segment_sql()
     out["emb_semantic_dedup"] = _semantic_dedup_sql()
     out["emb_ivf_recall"] = _ivf_recall_sql()
     out["emb_pq_topk"] = _pq_topk_sql()
