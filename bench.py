@@ -154,6 +154,7 @@ HEADLINE = [
     "events_anomaly_mad",
     "docs_multikey_linkage",
     "docs_unigram_segment",
+    "docs_prefix_filter_join",
 ]
 
 #: headline queries that derive from the irclog (re-timed over the

@@ -4097,6 +4097,24 @@ FROM lcomp c JOIN lsizes s USING (entity_id)
 """
 
 
+# ANSI twin of queries.docs_prefix_filter_join: the straight
+# quadratic all-pairs form over the same distinct 5-gram shingle
+# sets with the same integer threshold compare — equality proves the
+# prefix-filter candidate generation is COMPLETE (recall = 1), not
+# just precise.
+ORACLES["docs_prefix_filter_join"] = f"""
+WITH {_SHINGLES_CTE}
+SELECT d1, d2,
+  CAST(inter AS BIGINT) AS n_common,
+  CAST(s1.n + s2.n - inter AS BIGINT) AS n_union,
+  CAST((1000 * inter) // (s1.n + s2.n - inter) AS BIGINT) AS jaccard_milli
+FROM pairs
+JOIN sizes s1 ON s1.doc_id = d1
+JOIN sizes s2 ON s2.doc_id = d2
+WHERE 5 * inter >= 4 * (s1.n + s2.n - inter)
+"""
+
+
 def _unigram_segment_sql(k: int = 200) -> str:
     """ANSI twin of queries.docs_unigram_segment. The gram counts are
     RE-DERIVED in DuckDB SQL (verified bit-equal to the Spark

@@ -3889,6 +3889,25 @@ def docs_multikey_linkage(spark, sf_dir):
     return multikey_linkage(d, keys, max_bucket=1000)
 
 
+@query("docs_prefix_filter_join")
+def docs_prefix_filter_join(spark, sf_dir):
+    """Exact set-similarity join via prefix filtering
+    (operators/dedup.py:prefix_filter_pairs — PPJoin family): ALL
+    pairs with 5-gram shingle Jaccard >= 4/5, recall = 1 by the
+    prefix-filtering completeness lemma (rarest-first element order;
+    a qualifying pair must collide inside both prefixes). LSH's
+    deterministic complement: the oracle is the straight quadratic
+    all-pairs SQL, and candidates+verify must reproduce it EXACTLY —
+    the completeness guarantee itself is value-hashed. Integer
+    threshold compare (5*inter >= 4*union), no floats. Tail
+    registration (round-7 window queue); value-checked by the local
+    parity suite."""
+    from irclogbot_spark.operators.dedup import prefix_filter_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return prefix_filter_pairs(d, n=5, t_num=4, t_den=5)
+
+
 def queries() -> dict[str, QueryFn]:
     out = {n: QUERIES[n] for n in _DRIVER_WINDOW}
     for n, f in QUERIES.items():

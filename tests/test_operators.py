@@ -785,3 +785,50 @@ def test_multikey_linkage_partitioning_invariant_and_validates(spark):
     assert a == b and len(a) == 30
     with pytest.raises(ValueError):
         dedup.multikey_linkage(df, {})
+
+
+def test_prefix_filter_join_complete_vs_exact_jaccard(spark):
+    """Recall-1 check against jaccard_pairs (the quadratic form) on a
+    corpus with planted near-dups at several overlap levels."""
+    words = [f"w{i}" for i in range(40)]
+    rows = []
+    for d in range(20):
+        toks = words[d : d + 25]
+        rows.append((d, " ".join(toks)))
+        # planted: drop the last token (high overlap)
+        rows.append((100 + d, " ".join(toks[:-1])))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.d1, r.d2)
+        for r in dedup.prefix_filter_pairs(df, t_num=4, t_den=5).collect()
+    }
+    want = {
+        (r.d1, r.d2)
+        for r in dedup.jaccard_pairs(df, threshold=0.8).collect()
+    }
+    assert got == want and len(want) > 0
+
+
+def test_prefix_filter_join_integer_threshold_boundary(spark):
+    # A: 9 tokens -> 5 shingles; B: A's first 8 tokens -> 4 shingles,
+    # all shared. inter=4, union=5 -> J exactly 4/5: the integer
+    # compare 5*4 >= 4*5 must KEEP the boundary pair at 800 milli.
+    a = "t1 t2 t3 t4 t5 t6 t7 t8 t9"
+    b = "t1 t2 t3 t4 t5 t6 t7 t8"
+    # C: one token fewer again -> inter=3, union=5 vs A: J=0.6, out
+    c = "t1 t2 t3 t4 t5 t6 t7"
+    df = spark.createDataFrame(
+        [(1, a), (2, b), (3, c)], "doc_id long, text string"
+    )
+    got = {
+        (r.d1, r.d2): (r.n_common, r.n_union, r.jaccard_milli)
+        for r in dedup.prefix_filter_pairs(df).collect()
+    }
+    # (2,3): inter=3, union=4 -> 0.75 < 0.8, excluded; (1,3): 0.6, out
+    assert got == {(1, 2): (4, 5, 800)}
+
+
+def test_prefix_filter_join_validates(spark):
+    df = spark.createDataFrame([(1, "a b c d e f")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        dedup.prefix_filter_pairs(df, t_num=6, t_den=5)
