@@ -155,6 +155,7 @@ HEADLINE = [
     "docs_multikey_linkage",
     "docs_unigram_segment",
     "docs_prefix_filter_join",
+    "events_theil_sen_trend",
 ]
 
 #: headline queries that derive from the irclog (re-timed over the

@@ -4097,6 +4097,41 @@ FROM lcomp c JOIN lsizes s USING (entity_id)
 """
 
 
+# ANSI twin of queries.events_theil_sen_trend: same (type, day)
+# counts, same truncating integer slope quantization (both engines
+# truncate toward zero — verified on negatives), same rank-selected
+# lower median over (slope, d1, d2) order.
+ORACLES["events_theil_sen_trend"] = """
+WITH daily AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+    CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1, 2
+),
+p AS (
+  SELECT a.event_type, a.day AS d1, b.day AS d2,
+    (1000 * (b.cnt - a.cnt)) // date_diff('day', a.day, b.day) AS slope_milli
+  FROM daily a JOIN daily b
+    ON a.event_type = b.event_type AND a.day < b.day
+),
+r AS (
+  SELECT *, COUNT(*) OVER (PARTITION BY event_type) AS np,
+    ROW_NUMBER() OVER (PARTITION BY event_type
+                       ORDER BY slope_milli, d1, d2) AS rn
+  FROM p
+),
+med AS (
+  SELECT event_type, CAST(MAX(np) AS BIGINT) AS n_pairs,
+    CAST(MIN(CASE WHEN rn = (np + 1) // 2 THEN slope_milli END) AS BIGINT)
+      AS trend_slope_milli
+  FROM r GROUP BY event_type
+),
+nd AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days
+       FROM daily GROUP BY event_type)
+SELECT event_type, n_days, n_pairs, trend_slope_milli
+FROM med JOIN nd USING (event_type)
+"""
+
+
 # ANSI twin of queries.docs_prefix_filter_join: the straight
 # quadratic all-pairs form over the same distinct 5-gram shingle
 # sets with the same integer threshold compare — equality proves the

@@ -3908,6 +3908,21 @@ def docs_prefix_filter_join(spark, sf_dir):
     return prefix_filter_pairs(d, n=5, t_num=4, t_den=5)
 
 
+@query("events_theil_sen_trend")
+def events_theil_sen_trend(spark, sf_dir):
+    """Theil-Sen robust daily-volume trend per event type
+    (operators/behavior.py:theil_sen_trend): the rank-selected lower
+    median of all pairwise day slopes in integer milli-units/day —
+    29%-outlier-tolerant where least squares is spike-dragged.
+    Pairwise expansion is bounded by the CALENDAR (days^2 per type
+    after the (type, day) partial agg), never by event rows. Tail
+    registration (round-7 window queue); value-checked by the local
+    parity suite."""
+    from irclogbot_spark.operators.behavior import theil_sen_trend
+
+    return theil_sen_trend(_t(spark, sf_dir, "events"))
+
+
 def queries() -> dict[str, QueryFn]:
     out = {n: QUERIES[n] for n in _DRIVER_WINDOW}
     for n, f in QUERIES.items():

@@ -318,3 +318,38 @@ def test_robust_anomaly_partitioning_invariant(spark):
     a = sorted(map(tuple, robust_anomaly_days(ev).collect()))
     b = sorted(map(tuple, robust_anomaly_days(ev.repartition(13)).collect()))
     assert a == b
+
+
+def test_theil_sen_recovers_clean_slope_through_outliers(spark):
+    """Daily counts follow cnt = 5 + 3*day with TWO wild spike days
+    out of twelve: the pairwise-slope median must still report
+    3000 milli/day (least squares would not)."""
+    from irclogbot_spark.operators.behavior import theil_sen_trend
+
+    rows = []
+    eid = 0
+    for d in range(1, 13):
+        n = 5 + 3 * d if d not in (4, 9) else 500
+        for _ in range(n):
+            rows.append((eid, _ts(d), "t"))
+            eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string"
+    )
+    out = theil_sen_trend(ev).collect()[0]
+    assert out.n_days == 12 and out.n_pairs == 66
+    assert out.trend_slope_milli == 3000
+
+
+def test_theil_sen_negative_slope_truncates_like_oracle(spark):
+    from irclogbot_spark.operators.behavior import theil_sen_trend
+
+    # counts 10, 3 over 2 days: slope = 1000*(-7) DIV 2 = -3500 on a
+    # 2-day gap; single pair -> median is that slope
+    rows = [(i, _ts(1), "t") for i in range(10)]
+    rows += [(100 + i, _ts(3), "t") for i in range(3)]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string"
+    )
+    out = theil_sen_trend(ev).collect()[0]
+    assert out.trend_slope_milli == -3500
