@@ -156,6 +156,7 @@ HEADLINE = [
     "docs_unigram_segment",
     "docs_prefix_filter_join",
     "events_theil_sen_trend",
+    "events_zorder_layout",
 ]
 
 #: headline queries that derive from the irclog (re-timed over the

@@ -4097,6 +4097,29 @@ FROM lcomp c JOIN lsizes s USING (entity_id)
 """
 
 
+# ANSI twin of queries.events_zorder_layout: the same unrolled
+# shift/mask Morton interleave (bit b of x -> 2b+1, of y -> 2b),
+# two's-complement masking identical across engines.
+_ZORDER_TERMS = " + ".join(
+    f"((((user_id & 255) >> {b}) & 1) << {2 * b + 1})"
+    f" + (((dy >> {b}) & 1) << {2 * b})"
+    for b in range(8)
+)
+ORACLES["events_zorder_layout"] = f"""
+WITH d AS (
+  SELECT event_id, user_id,
+    CAST(date_diff('day', DATE '2024-01-01',
+                   CAST(date_trunc('day', ts) AS DATE)) AS BIGINT) & 255 AS dy
+  FROM events
+)
+SELECT event_id,
+  CAST(user_id & 255 AS BIGINT) AS zx,
+  CAST(dy AS BIGINT) AS zy,
+  CAST({_ZORDER_TERMS} AS BIGINT) AS zkey
+FROM d
+"""
+
+
 # ANSI twin of queries.events_theil_sen_trend: same (type, day)
 # counts, same truncating integer slope quantization (both engines
 # truncate toward zero — verified on negatives), same rank-selected

@@ -34,3 +34,27 @@ def ensure_parallelism(df: DataFrame, min_fraction: float = 0.5) -> DataFrame:
     if current < max(1, int(target * min_fraction)):
         return df.repartition(target)
     return df
+
+
+def zorder_key(x: "Column", y: "Column", bits: int = 8) -> "Column":
+    """Morton (Z-order) interleave of two ``bits``-bit dimensions —
+    the multi-dimensional clustering key behind Delta/Iceberg
+    OPTIMIZE ZORDER: writing a table sorted by this key makes rows
+    close in BOTH dimensions land in the same files, so min/max
+    row-group stats prune scans filtered on EITHER dimension (a
+    single-column sort only ever prunes one). Pure bit arithmetic —
+    bit b of x lands at position 2b+1, bit b of y at 2b — unrolled
+    to ``2*bits`` shift/mask terms that fold into one codegen'd
+    expression; inputs masked to ``bits`` bits first so the key is
+    total and deterministic on any long input."""
+    from pyspark.sql import functions as F
+
+    mask = (1 << bits) - 1
+    xm = x.cast("long").bitwiseAND(F.lit(mask))
+    ym = y.cast("long").bitwiseAND(F.lit(mask))
+    key = F.lit(0).cast("long")
+    for b in range(bits):
+        key = key + F.shiftleft(
+            F.shiftright(xm, b).bitwiseAND(F.lit(1)), 2 * b + 1
+        ) + F.shiftleft(F.shiftright(ym, b).bitwiseAND(F.lit(1)), 2 * b)
+    return key

@@ -3923,6 +3923,33 @@ def events_theil_sen_trend(spark, sf_dir):
     return theil_sen_trend(_t(spark, sf_dir, "events"))
 
 
+@query("events_zorder_layout")
+def events_zorder_layout(spark, sf_dir):
+    """Morton/Z-order clustering key over (user bucket, day index)
+    (plans/partitioning.py:zorder_key — the Delta/Iceberg OPTIMIZE
+    ZORDER primitive): writing events sorted by this key co-locates
+    rows near in BOTH dimensions, so row-group min/max stats prune
+    scans filtered on either user OR time — the multi-dim data-
+    skipping layout a 100 TB event table wants (the single-dim
+    partition-pruning twin is log_term_time_partitioned). Pure
+    unrolled bit arithmetic, map-only; the oracle re-derives every
+    key with the same shift/mask sum. Tail registration (round-7
+    window queue); value-checked by the local parity suite."""
+    from irclogbot_spark.plans.partitioning import zorder_key
+
+    e = _t(spark, sf_dir, "events")
+    zx = F.col("user_id").bitwiseAND(F.lit(255))
+    zy = F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date")).cast(
+        "long"
+    ).bitwiseAND(F.lit(255))
+    return e.select(
+        "event_id",
+        zx.cast("long").alias("zx"),
+        zy.alias("zy"),
+        zorder_key(F.col("user_id"), zy, bits=8).alias("zkey"),
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     out = {n: QUERIES[n] for n in _DRIVER_WINDOW}
     for n, f in QUERIES.items():

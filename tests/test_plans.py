@@ -7,6 +7,7 @@ from __future__ import annotations
 import re
 
 import pytest
+from pyspark.sql import functions as F
 
 import __spark_entry__ as entrymod
 
@@ -514,3 +515,46 @@ def test_winsorize_stats_broadcast_back(spark):
     plan = _plan(spark, "docs_length_winsorize")
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_zorder_key_matches_python_interleave(spark):
+    from irclogbot_spark.plans.partitioning import zorder_key
+
+    rows = [(x, y) for x in range(16) for y in range(16)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    got = {
+        (r.x, r.y): r.z
+        for r in df.select(
+            "x", "y", zorder_key(F.col("x"), F.col("y"), bits=4).alias("z")
+        ).collect()
+    }
+
+    def ref(x, y):
+        z = 0
+        for b in range(4):
+            z |= ((x >> b) & 1) << (2 * b + 1)
+            z |= ((y >> b) & 1) << (2 * b)
+        return z
+
+    assert got == {(x, y): ref(x, y) for x, y in rows}
+
+
+def test_zorder_sort_localizes_both_dimensions(spark):
+    """Sorted by zkey, any 64-key-aligned block spans at most an
+    8x8 tile in (x, y) — the data-skipping property: min/max stats
+    of a block bound BOTH dimensions."""
+    from irclogbot_spark.plans.partitioning import zorder_key
+
+    rows = [(x, y) for x in range(32) for y in range(32)]
+    df = spark.createDataFrame(rows, "x long, y long").select(
+        "x", "y", zorder_key(F.col("x"), F.col("y"), bits=8).alias("z")
+    )
+    blocks = (
+        df.groupBy((F.col("z") / 64).cast("long").alias("blk"))
+        .agg(
+            (F.max("x") - F.min("x")).alias("sx"),
+            (F.max("y") - F.min("y")).alias("sy"),
+        )
+        .collect()
+    )
+    assert all(r.sx <= 7 and r.sy <= 7 for r in blocks)
