@@ -157,6 +157,7 @@ HEADLINE = [
     "docs_prefix_filter_join",
     "events_theil_sen_trend",
     "events_zorder_layout",
+    "docs_backoff_surprisal",
 ]
 
 #: headline queries that derive from the irclog (re-timed over the

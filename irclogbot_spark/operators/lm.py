@@ -83,3 +83,118 @@ def lm_familiarity(
         .otherwise(F.lit(0.0))
         .alias("avg_gram_freq"),
     )
+
+
+def surprisal_tables(
+    df: DataFrame,
+    text_col: str = "text",
+    bigram_k: int = 500,
+    unigram_k: int = 200,
+) -> tuple[list[tuple[str, int]], list[tuple[str, int]], int, int]:
+    """The bounded learned tables of the backoff scorer: top-K
+    bigrams, top-K unigrams (both (cnt DESC, gram ASC) deterministic
+    K-boundaries) and the EXACT corpus gram totals. Two partial-agg
+    shuffles; collects are K rows + two scalars (the learned-table
+    rule)."""
+    g2 = ensure_parallelism(df).select(
+        F.explode(ngrams(F.col(text_col), 2)).alias("gram")
+    )
+    g1 = ensure_parallelism(df).select(
+        F.explode(ngrams(F.col(text_col), 1)).alias("gram")
+    )
+    big = [
+        (r.gram, r.cnt)
+        for r in g2.groupBy("gram")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("gram"))
+        .limit(bigram_k)
+        .collect()
+    ]
+    uni = [
+        (r.gram, r.cnt)
+        for r in g1.groupBy("gram")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("gram"))
+        .limit(unigram_k)
+        .collect()
+    ]
+    n2 = g2.count()
+    n1 = g1.count()
+    return big, uni, int(n2), int(n1)
+
+
+#: stupid backoff alpha = 0.4 -> -ln(0.4) in milli-nats
+BACKOFF_PENALTY_MILLI = 916
+
+
+def train_backoff_costs(
+    big: list[tuple[str, int]],
+    uni: list[tuple[str, int]],
+    n2: int,
+    n1: int,
+) -> tuple[dict[str, int], dict[str, int], int]:
+    """Integer milli-nat surprisals -ln(cnt/total), quantized ONCE
+    driver-side (half-up floor — the unigram/DSIR plan-constant
+    convention) so engine and oracle share identical tables; the
+    unknown-unigram floor is max unigram cost + 1000."""
+    import math
+
+    if not big or not uni:
+        raise ValueError("empty gram tables")
+    q = lambda x: int(math.floor(1000.0 * x + 0.5))  # noqa: E731
+    bc = {g: q(math.log(n2 / c)) for g, c in big}
+    uc = {g: q(math.log(n1 / c)) for g, c in uni}
+    return bc, uc, max(uc.values()) + 1000
+
+
+def backoff_surprisal(
+    df: DataFrame,
+    big_costs: dict[str, int],
+    uni_costs: dict[str, int],
+    unk_cost: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-doc stupid-backoff surprisal (Brants et al. 2007 — the
+    CCNet/KenLM-style LM quality signal): each bigram costs its
+    corpus surprisal if in-table, else backoff penalty (-ln 0.4)
+    plus the second word's unigram surprisal (unknown floor for OOV)
+    — integer milli-nats end to end, so the score value-hashes.
+    Map-only scoring: both cost tables ride the plan as map literals
+    (try_element_at — no join, no shuffle beyond the doc partial
+    agg); docs with < 2 tokens keep a row at (0, 0, 0)."""
+    bmap = F.create_map(
+        *[F.lit(x) for g, c in sorted(big_costs.items()) for x in (g, int(c))]
+    )
+    umap = F.create_map(
+        *[F.lit(x) for g, c in sorted(uni_costs.items()) for x in (g, int(c))]
+    )
+    g = ensure_parallelism(df).select(
+        F.col(id_col), F.explode_outer(ngrams(F.col(text_col), 2)).alias("gram")
+    )
+    w2 = F.element_at(F.split(F.col("gram"), " "), 2)
+    cost = F.coalesce(
+        F.try_element_at(bmap, F.col("gram")).cast("long"),
+        F.lit(BACKOFF_PENALTY_MILLI)
+        + F.coalesce(
+            F.try_element_at(umap, w2).cast("long"),
+            F.lit(int(unk_cost)).cast("long"),
+        ),
+    )
+    per = g.groupBy(id_col).agg(
+        F.count("gram").cast("long").alias("n_grams"),
+        F.coalesce(
+            F.sum(F.when(F.col("gram").isNotNull(), cost)), F.lit(0)
+        )
+        .cast("long")
+        .alias("cost_milli"),
+    )
+    return per.select(
+        id_col,
+        "n_grams",
+        "cost_milli",
+        F.when(F.col("n_grams") > 0, F.expr("cost_milli DIV n_grams"))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("avg_cost_milli"),
+    )

@@ -4260,12 +4260,98 @@ GROUP BY occ.doc_id
 """
 
 
+def _backoff_surprisal_sql(bigram_k: int = 500, unigram_k: int = 200) -> str:
+    """ANSI twin of queries.docs_backoff_surprisal: gram tables
+    RE-DERIVED in DuckDB (same \\S+ tokens, same space-joined
+    bigrams, same (cnt DESC, gram) K-boundary, exact totals), the one
+    Python ln quantization shared (operators.lm.train_backoff_costs),
+    both cost tables inlined as CASE lookups, same integer scoring
+    and DIV average."""
+    import duckdb
+
+    from irclogbot_spark.operators.lm import (
+        BACKOFF_PENALTY_MILLI,
+        train_backoff_costs,
+    )
+
+    import os
+
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    base = rf"""
+WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS t
+              FROM read_parquet('{sf_dir}/documents.parquet')),
+g2 AS (
+  SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+         i -> array_to_string(list_slice(t, i, i + 1), ' '))) AS gram
+  FROM toks WHERE len(t) >= 2
+),
+g1 AS (SELECT unnest(t) AS gram FROM toks)
+"""
+    con = duckdb.connect()
+    big = con.sql(
+        base
+        + f"SELECT gram, CAST(COUNT(*) AS BIGINT) FROM g2 GROUP BY gram "
+        f"ORDER BY COUNT(*) DESC, gram LIMIT {int(bigram_k)}"
+    ).fetchall()
+    uni = con.sql(
+        base
+        + f"SELECT gram, CAST(COUNT(*) AS BIGINT) FROM g1 GROUP BY gram "
+        f"ORDER BY COUNT(*) DESC, gram LIMIT {int(unigram_k)}"
+    ).fetchall()
+    n2 = con.sql(base + "SELECT COUNT(*) FROM g2").fetchone()[0]
+    n1 = con.sql(base + "SELECT COUNT(*) FROM g1").fetchone()[0]
+    bc, uc, unk = train_backoff_costs(
+        [(g, int(c)) for g, c in big], [(g, int(c)) for g, c in uni],
+        int(n2), int(n1),
+    )
+
+    def esc(s: str) -> str:
+        return s.replace("'", "''")
+
+    bcase = " ".join(
+        f"WHEN '{esc(g)}' THEN {c}" for g, c in sorted(bc.items())
+    )
+    ucase = " ".join(
+        f"WHEN '{esc(g)}' THEN {c}" for g, c in sorted(uc.items())
+    )
+    return rf"""
+WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS t
+              FROM documents),
+g AS (
+  SELECT doc_id,
+    unnest(list_transform(generate_series(1, len(t) - 1),
+           i -> array_to_string(list_slice(t, i, i + 1), ' '))) AS gram
+  FROM toks WHERE len(t) >= 2
+),
+scored AS (
+  SELECT doc_id,
+    COALESCE(CASE gram {bcase} END,
+             {BACKOFF_PENALTY_MILLI}
+             + COALESCE(CASE string_split(gram, ' ')[2] {ucase} END, {unk}))
+      AS cost
+  FROM g
+),
+per AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+    CAST(SUM(cost) AS BIGINT) AS cost_milli
+  FROM scored GROUP BY doc_id
+)
+SELECT d.doc_id,
+  COALESCE(p.n_grams, 0) AS n_grams,
+  COALESCE(p.cost_milli, 0) AS cost_milli,
+  CASE WHEN COALESCE(p.n_grams, 0) > 0
+       THEN p.cost_milli // p.n_grams ELSE 0 END AS avg_cost_milli
+FROM documents d LEFT JOIN per p ON p.doc_id = d.doc_id
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     out = dict(ORACLES)
     # data-dependent oracles, built lazily so the training corpus
     # matches the SF the comparison actually runs at
     out["emb_ivf_topk"] = _ivf_topk_sql()
     out["docs_unigram_segment"] = _unigram_segment_sql()
+    out["docs_backoff_surprisal"] = _backoff_surprisal_sql()
     out["emb_semantic_dedup"] = _semantic_dedup_sql()
     out["emb_ivf_recall"] = _ivf_recall_sql()
     out["emb_pq_topk"] = _pq_topk_sql()

@@ -832,3 +832,58 @@ def test_prefix_filter_join_validates(spark):
     df = spark.createDataFrame([(1, "a b c d e f")], "doc_id long, text string")
     with pytest.raises(ValueError):
         dedup.prefix_filter_pairs(df, t_num=6, t_den=5)
+
+
+def test_backoff_surprisal_matches_python_reference(spark):
+    """Engine scoring against a pure-Python stupid-backoff replica on
+    a toy corpus (tables trained on the same corpus)."""
+    import math
+
+    from irclogbot_spark.operators.lm import (
+        BACKOFF_PENALTY_MILLI,
+        backoff_surprisal,
+        surprisal_tables,
+        train_backoff_costs,
+    )
+
+    rows = [
+        (1, "a b a b c"),
+        (2, "a b x"),
+        (3, "q"),
+        (4, "z z z z"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    big, uni, n2, n1 = surprisal_tables(df, bigram_k=3, unigram_k=3)
+    bc, uc, unk = train_backoff_costs(big, uni, n2, n1)
+    got = {
+        r.doc_id: (r.n_grams, r.cost_milli, r.avg_cost_milli)
+        for r in backoff_surprisal(df, bc, uc, unk).collect()
+    }
+
+    def score(text):
+        toks = text.split()
+        grams = [" ".join(toks[i : i + 2]) for i in range(len(toks) - 1)]
+        total = 0
+        for g in grams:
+            if g in bc:
+                total += bc[g]
+            else:
+                total += BACKOFF_PENALTY_MILLI + uc.get(g.split()[1], unk)
+        n = len(grams)
+        return (n, total, total // n if n else 0)
+
+    assert got == {i: score(t) for i, t in rows}
+    assert got[3] == (0, 0, 0)  # single-token doc keeps a zero row
+
+
+def test_backoff_cost_tables_quantization(spark):
+    import math
+
+    from irclogbot_spark.operators.lm import train_backoff_costs
+
+    bc, uc, unk = train_backoff_costs([("a b", 4)], [("a", 8), ("q", 2)], 16, 10)
+    assert bc["a b"] == int(math.floor(1000 * math.log(16 / 4) + 0.5))
+    assert uc["q"] == int(math.floor(1000 * math.log(10 / 2) + 0.5))
+    assert unk == max(uc.values()) + 1000
+    with pytest.raises(ValueError):
+        train_backoff_costs([], [("a", 1)], 1, 1)
