@@ -558,3 +558,43 @@ def test_zorder_sort_localizes_both_dimensions(spark):
         .collect()
     )
     assert all(r.sx <= 7 and r.sy <= 7 for r in blocks)
+
+
+def test_priority_sample_global_topk_is_heap_not_sort(spark):
+    """docs_priority_sample: the k+1 selection must compile to
+    TakeOrderedAndProject (per-partition heap + driver merge), never
+    a global sort exchange over the corpus."""
+    plan = _plan(spark, "docs_priority_sample")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_unigram_dp_is_pure_catalyst_no_python(spark):
+    """docs_unigram_segment: the Viterbi fold must stay JVM-side —
+    no Python evaluation node of any kind in the plan."""
+    plan = _plan(spark, "docs_unigram_segment")
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert node not in plan, f"{node} leaked into the DP plan"
+
+
+def test_backoff_surprisal_scores_without_joins(spark):
+    """docs_backoff_surprisal: both cost tables ride the plan as map
+    literals — scoring must contain NO join node at all (the whole
+    query is scan -> explode -> project -> partial agg)."""
+    plan = _plan(spark, "docs_backoff_surprisal")
+    assert not re.search(r"Join", plan), "cost lookup must not be a join"
+
+
+def test_zorder_key_is_map_only(spark):
+    """events_zorder_layout: pure bit arithmetic — no Exchange in the
+    whole plan."""
+    plan = _plan(spark, "events_zorder_layout")
+    assert "Exchange" not in plan
+
+
+def test_prefix_filter_never_nested_loop(spark):
+    """docs_prefix_filter_join: candidate generation + verification
+    must stay hash-based — no cartesian/nested-loop node even though
+    the oracle is the quadratic all-pairs form."""
+    plan = _plan(spark, "docs_prefix_filter_join")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
