@@ -2086,7 +2086,11 @@ _DRIVER_WINDOW = [
 # docs_ngram_novelty, emb_projection_recall,
 # docs_source_containment, docs_leakage_safe_split,
 # docs_length_batching, docs_jsonl_ingest, docs_heavy_hitters_cms,
-# emb_sq8_error, docs_hll_distinct, docs_length_quantile_sketch.
+# emb_sq8_error, docs_hll_distinct, docs_length_quantile_sketch —
+# and the third wave that followed: docs_priority_sample,
+# events_anomaly_mad, docs_multikey_linkage, docs_unigram_segment,
+# docs_prefix_filter_join, events_theil_sen_trend,
+# events_zorder_layout, docs_backoff_surprisal.
 
 
 @query("docs_dedup_keep_best_fast")
