@@ -96,31 +96,43 @@ def surprisal_tables(
     K-boundaries) and the EXACT corpus gram totals. Two partial-agg
     shuffles; collects are K rows + two scalars (the learned-table
     rule)."""
-    g2 = ensure_parallelism(df).select(
-        F.explode(ngrams(F.col(text_col), 2)).alias("gram")
+    # ONE corpus scan + ONE gram shuffle for both orders: unigrams
+    # and bigrams explode together and the order is recoverable from
+    # the gram itself (bigrams contain the join space). The counts
+    # frame materializes once (localCheckpoint) and serves the two
+    # TakeOrdered top-Ks and the two totals without re-parsing.
+    g = ensure_parallelism(df).select(
+        F.explode(
+            F.concat(ngrams(F.col(text_col), 1), ngrams(F.col(text_col), 2))
+        ).alias("gram")
     )
-    g1 = ensure_parallelism(df).select(
-        F.explode(ngrams(F.col(text_col), 1)).alias("gram")
+    counts = (
+        g.groupBy("gram")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .withColumn("is_bigram", F.col("gram").contains(" "))
+        .localCheckpoint(eager=True)
     )
     big = [
         (r.gram, r.cnt)
-        for r in g2.groupBy("gram")
-        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        for r in counts.filter("is_bigram")
         .orderBy(F.desc("cnt"), F.asc("gram"))
         .limit(bigram_k)
         .collect()
     ]
     uni = [
         (r.gram, r.cnt)
-        for r in g1.groupBy("gram")
-        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        for r in counts.filter(~F.col("is_bigram"))
         .orderBy(F.desc("cnt"), F.asc("gram"))
         .limit(unigram_k)
         .collect()
     ]
-    n2 = g2.count()
-    n1 = g1.count()
-    return big, uni, int(n2), int(n1)
+    totals = {
+        r.is_bigram: r.s
+        for r in counts.groupBy("is_bigram")
+        .agg(F.sum("cnt").alias("s"))
+        .collect()
+    }
+    return big, uni, int(totals.get(True, 0)), int(totals.get(False, 0))
 
 
 #: stupid backoff alpha = 0.4 -> -ln(0.4) in milli-nats
