@@ -1995,102 +1995,87 @@ def docs_importance_resample(spark, sf_dir):
 # registrations only; everything else gets the local parity suite's
 # (stricter) value check but no driver-recorded row. The window is
 # rotated per round so every oracle-paired query accumulates at
-# least one driver-recorded verification. Round 6 executes the
-# rotation planned in round 5: the 17 round-5 tail queries (BPE
-# train/apply, PageRank, paragraph/normalized dedup, Bloom +
-# semantic decontamination, k-means, data card, inline tokenizer,
-# frame plan, LSH recall, anomaly, PPS, trending terms, indexed
-# BM25, top paths) get their FIRST driver rows, plus the new
-# bucketed-layout twin AND the 15 queries added during round 6
-# itself (six TPC-H shapes + Q16, partition-pruned serving twin,
-# edit-distance near-dup/dedup, winsorized stats, snapshot diff,
-# corpus shuffle, audio/resize stats); the long-stable core (4-5
-# green driver rows each across r1-r5) rotates to the tail, still
-# value-checked every session by the local parity suite. Ten
-# round-3/4 flagships keep their slots for a second driver row.
-# Every name here MUST be oracle-paired (pinned by
-# tests/test_driver_contract.py).
+# least one driver-recorded verification. Round 7 executes the plan
+# recorded at the end of round 6 (and VERDICT r6 "Next round" #1):
+# the 35 queries that shipped after the round-6 window froze and
+# therefore carry only local-parity evidence get their FIRST driver
+# rows — the 11 TPC-H completions, the round-6 second wave
+# (adaptive quality gate, salted enrich/attribution, unpivot,
+# random projection + hard negatives + projection recall + SQ8,
+# novelty/containment, leakage-safe split, length batching, JSONL
+# ingest, CMS/HLL/KLL sketches) and third wave (priority sample,
+# MAD anomaly, multikey linkage, unigram segmentation, PPJoin
+# prefix filter, Theil-Sen trend, Z-order layout, backoff
+# surprisal) — plus media_decode_stats, whose only driver row (r4)
+# predates the real BMP decoder (VERDICT r6 "wrong" #1). The 14
+# remaining slots re-pin the retired round-3/4 flagship block and
+# tpch_q3 for freshness. Every name here MUST be oracle-paired
+# (pinned by tests/test_driver_contract.py).
 _DRIVER_WINDOW = [
-    # reference-surface + relational + doc/emb sentinels (one each)
-    "ingest_parse",
-    "tpch_q1_pricing_summary",
-    "docs_minhash_lsh",
-    "events_asof_join",
-    # round-6 rotation: first driver rows for the round-5 tail
-    "docs_bpe_merges",
-    "docs_bpe_tokenize",
-    "graph_pagerank_trade",
-    "docs_paragraph_dedup",
-    "docs_normalized_dedup",
-    "docs_decontam_bloom",
-    "emb_semantic_decontam",
-    "emb_kmeans_clusters",
-    "docs_data_card",
-    "docs_tokenize_fast",
-    "media_frame_plan",
-    "docs_lsh_recall",
-    "events_anomaly",
-    "events_top_paths",
-    "docs_pps_sample",
-    "log_trending_terms",
-    "docs_bm25_indexed",
-    "log_channel_day_bucketed",
-    # round-6 additions: first driver rows (added this round, would
-    # otherwise carry only local-parity evidence)
-    "tpch_q4_order_priority",
-    "tpch_q7_volume_shipping",
-    "tpch_q13_cust_distribution",
-    "tpch_q14_promo_revenue",
-    "tpch_q16_supplier_cnt",
-    "tpch_q17_small_qty_revenue",
-    "tpch_q22_global_sales",
-    "log_term_time_partitioned",
-    "docs_editdist_neardup",
-    "docs_editdist_dedup",
-    "docs_length_winsorize",
-    "docs_snapshot_diff",
-    "docs_corpus_shuffle",
-    "media_audio_stats",
-    "media_resize_stats",
-    # round-3/4 flagships (second driver row)
-    "docs_hybrid_search",
-    "docs_crossdup_remove",
-    "emb_ivfpq_topk",
-    "docs_vocab_coverage",
-    "events_funnel",
-    "events_retention",
-    "docs_reservoir_sample",
-    "events_range_join",
-    "log_nick_cooccurrence",
-    "docs_tokenize",
-    # round 5 flagships (second driver row)
-    "events_funnel_window",
-    "docs_winnow_fingerprint",
-    "docs_importance_resample",
+    # TPC-H completions (first driver rows)
+    "tpch_q2_min_cost_supplier",
+    "tpch_q6_forecast_revenue",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "tpch_q10_returned_items",
+    "tpch_q11_important_stock",
+    "tpch_q12_late_lines",
+    "tpch_q15_top_supplier",
+    "tpch_q19_disjunctive_rev",
+    "tpch_q20_promotion_parts",
+    "tpch_q21_waiting_suppliers",
+    # round-6 second wave (first driver rows)
+    "docs_adaptive_quality",
+    "events_salted_enrich",
+    "events_attribution",
+    "agg_unpivot",
+    "emb_random_projection",
+    "emb_hard_negatives",
+    "emb_projection_recall",
+    "emb_sq8_error",
+    "docs_ngram_novelty",
+    "docs_source_containment",
+    "docs_leakage_safe_split",
+    "docs_length_batching",
+    "docs_jsonl_ingest",
+    "docs_heavy_hitters_cms",
+    "docs_hll_distinct",
+    "docs_length_quantile_sketch",
+    # round-6 third wave (first driver rows)
+    "docs_priority_sample",
+    "events_anomaly_mad",
+    "docs_multikey_linkage",
+    "docs_unigram_segment",
+    "docs_prefix_filter_join",
+    "events_theil_sen_trend",
+    "events_zorder_layout",
+    "docs_backoff_surprisal",
+    # real-BMP decode re-pin (only prior row predates the decoder)
+    "media_decode_stats",
+    # retired round-3/4 flagships (second driver row) + core freshness
+    "docs_c4_clean",
+    "docs_inverted_index",
+    "docs_incremental_dedup",
+    "docs_incremental_dedup_wb",
+    "docs_budget_cap",
+    "tpch_q18_big_orders",
+    "emb_semantic_dedup",
+    "docs_quality_score",
+    "docs_temperature_mix",
+    "docs_chunking",
+    "emb_ivf_recall",
+    "docs_tfidf_topk",
+    "emb_pq_topk",
+    "tpch_q3_shipping_priority",
 ]
-# ROUND-7 ROTATION PLAN: after round 6 every oracle-paired query has
-# at least one hard driver row. Rotate the long-stable core
-# (ingest_*, log_*, tpch_q3/q5, join_*, agg_rollup_sets,
-# events_session_window, docs_bm25_search, docs_decontaminate,
-# emb_knn_join) back in for freshness, give the retired r3/4
-# flagship block (docs_crossdup, docs_c4_clean, docs_inverted_index,
-# docs_incremental_dedup(_wb), docs_budget_cap, tpch_q18_big_orders,
-# emb_semantic_dedup, docs_quality_score, docs_temperature_mix,
-# docs_chunking, emb_ivf_recall, docs_tfidf_topk, emb_pq_topk,
-# docs_dedup_keep_best) their second row back, and rotate any
-# round-7 additions in first — starting with the late-round-6 tail
-# that shipped after this round's window froze: the 11 TPC-H
-# completions (q2/q6/q8/q9/q10/q11/q12/q15/q19/q20/q21),
-# docs_adaptive_quality, events_salted_enrich, events_attribution,
-# agg_unpivot, emb_random_projection, emb_hard_negatives,
-# docs_ngram_novelty, emb_projection_recall,
-# docs_source_containment, docs_leakage_safe_split,
-# docs_length_batching, docs_jsonl_ingest, docs_heavy_hitters_cms,
-# emb_sq8_error, docs_hll_distinct, docs_length_quantile_sketch —
-# and the third wave that followed: docs_priority_sample,
-# events_anomaly_mad, docs_multikey_linkage, docs_unigram_segment,
-# docs_prefix_filter_join, events_theil_sen_trend,
-# events_zorder_layout, docs_backoff_surprisal.
+# ROUND-8 ROTATION PLAN: after round 7 every declared oracle-paired
+# query has at least one hard driver row. Rotate round-7 additions
+# in first (anything registered after this window froze), then give
+# second rows to the round-6 wave above (they'll have exactly one),
+# then refresh the long-stable core (ingest_*, log_*, tpch_q1/q4/q5,
+# join_*, agg_rollup_sets, events_session_window, docs_bm25_search,
+# docs_decontaminate, emb_knn_join, docs_dedup_keep_best,
+# docs_minhash_lsh, events_asof_join).
 
 
 @query("docs_dedup_keep_best_fast")
