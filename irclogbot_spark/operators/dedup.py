@@ -424,16 +424,30 @@ def simhash_table(
     return agg.select(F.col(id_col), packed.alias("sim"))
 
 
-def neardup_components(pairs: DataFrame, max_iter: int = 10) -> DataFrame:
+def neardup_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
     """Connected components over near-dup pairs (d1, d2) -> (doc_id,
     cluster_id), cluster_id = smallest doc id in the component.
 
-    Iterative min-label propagation: each round every node adopts the
-    minimum label in its neighborhood (including itself); converges in
-    O(component diameter) rounds — near-dup clusters are shallow, so
-    max_iter=10 covers pathological chains of length ~2^10 under the
-    doubling behavior of label propagation. Iterative => no SQL
-    oracle (driver records rows-only); tests pin semantics.
+    Min-label propagation WITH pointer doubling and a convergence
+    check: each round every node adopts (1) the minimum label in its
+    edge neighborhood, then (2) the label of its own label
+    (l(n) <- min(l(n), l(l(n))) — pointer jumping), so label chains
+    halve per round and a component of diameter D converges in
+    O(log D) rounds, not O(D); the loop exits as soon as a round
+    changes nothing (exact fixpoint = per-component min id, matching
+    a transitive-closure oracle for ANY chain length), with max_iter
+    as a pathological backstop (~2^25-hop chains). Iterative => no
+    SQL oracle for the standalone query (driver records rows-only);
+    tests pin semantics including a >10-hop chain.
+
+    Scale shape: both joins touch only (node, label) id pairs — never
+    text. The convergence probe costs NO extra job: the round's
+    checkpoint is lazy and the probe aggregate is the action that
+    materializes it (one job per round total). For numeric ids the
+    probe is sum(label) over decimal(38,0) — labels are monotonically
+    non-increasing (every update is a least()), so an unchanged sum
+    IS the exact fixpoint, overflow-proof at any corpus size; for
+    non-numeric ids it falls back to an anti-join change count.
     """
     # materialize the edge list once and truncate lineage every round:
     # without this, iteration i's plan embeds i copies of the whole
@@ -451,22 +465,59 @@ def neardup_components(pairs: DataFrame, max_iter: int = 10) -> DataFrame:
         .withColumn("label", F.col("node"))
         .localCheckpoint(eager=True)
     )
+    from pyspark.sql.types import NumericType
+
+    numeric_ids = isinstance(labels.schema["label"].dataType, NumericType)
+    prev_sum: object = object()  # sentinel: never equals a real sum
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges.b == labels.node)
             .groupBy("a")
             .agg(F.min("label").alias("nmin"))
         )
-        labels = (
-            labels.join(neighbor_min, labels.node == neighbor_min.a, "left")
+        stepped = labels.join(
+            neighbor_min, labels.node == neighbor_min.a, "left"
+        ).select(
+            "node",
+            F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias(
+                "label"
+            ),
+        )
+        # pointer doubling: jump to the label's own label (labels are
+        # node ids inside the same component, so this is sound and
+        # monotone — only ever decreases toward the component min)
+        jump = stepped.select(
+            F.col("node").alias("_jn"), F.col("label").alias("_jl")
+        )
+        new_labels = (
+            stepped.join(jump, stepped.label == jump._jn, "left")
             .select(
                 "node",
-                F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias(
-                    "label"
-                ),
+                F.least(
+                    F.col("label"), F.coalesce(F.col("_jl"), F.col("label"))
+                ).alias("label"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
+        if numeric_ids:
+            # this aggregate is the action that materializes the lazy
+            # checkpoint — the probe rides the round's only job
+            cur_sum = new_labels.agg(
+                F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+            ).collect()[0]["s"]
+            converged = cur_sum == prev_sum
+            prev_sum = cur_sum
+        else:
+            converged = (
+                new_labels.join(labels.withColumnRenamed("label", "_old"), "node")
+                .filter(F.col("label") != F.col("_old"))
+                .limit(1)
+                .count()
+                == 0
+            )
+        labels = new_labels
+        if converged:
+            break
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
 
 
@@ -642,7 +693,7 @@ def multikey_linkage(
     keys: dict[str, Column],
     id_col: str = "doc_id",
     max_bucket: int = 1000,
-    max_iter: int = 10,
+    max_iter: int = 25,
 ) -> DataFrame:
     """Multi-key record linkage (entity resolution by blocking): rows
     sharing ANY of several named blocking keys — content fingerprint,

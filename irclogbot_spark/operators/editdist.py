@@ -12,20 +12,39 @@ al., VLDB 2001: "Approximate String Joins in a Database (Almost) for
 Free"; count filter after Sutinen & Tarhio):
 
 1. distinct positional q-grams per document, computed IN-ROW
-   (sequence -> transform -> array_distinct -> explode) — only
-   (doc_id, gram) pairs ever enter a shuffle, never text;
-2. stop-gram cull: grams appearing in > max_df documents are dropped
-   (the winnow stop-fingerprint / LSH max_bucket convention) — this
-   caps the per-gram pair fan-out at max_df^2 no matter how
-   boilerplate-heavy the corpus;
-3. candidates: pairs whose shared surviving-gram count passes the
-   count filter (one gram-keyed shuffle + one pair-keyed partial-agg
-   shuffle of bare (id, id) pairs);
+   (sequence -> transform -> array_distinct -> explode) and
+   immediately compressed to `xxhash64(gram)` longs — gram STRINGS
+   never enter a shuffle (at 100 TB the q-gram rowset is
+   O(total corpus chars); 8-byte longs with long comparators beat
+   string keys on both shuffle bytes and sort cost), and text never
+   enters one either;
+2. stop-gram cull: gram hashes appearing in > max_df documents are
+   dropped (the winnow stop-fingerprint / LSH max_bucket
+   convention) — this caps the per-gram pair fan-out at max_df^2 no
+   matter how boilerplate-heavy the corpus. The df count is its own
+   partial-aggregated pass (NOT a collect_set-then-filter: a
+   boilerplate gram with df in the billions must die in a partial
+   agg, never materialize as one task's array);
+3. bucket: the culled (hash, id) rows group into per-gram id arrays
+   of size <= max_df, REUSING the cull join's hash partitioning
+   (no new exchange), and candidate pairs expand IN-ROW from each
+   array (<= max_df^2/2 per bucket) — there is no gram-keyed
+   self-join at all; the only pair-shaped shuffle is the bare
+   (id, id) partial-agg count;
 4. verify: exact Levenshtein over the candidate pairs only — the
    THREE-ARG `F.levenshtein(l, r, threshold)` so the JVM runs the
    banded O(len*d) DP, not the full O(len^2); texts are joined back
    ONLY for the (tiny) candidate set, un-hinted so AQE broadcasts
    the candidate frame when small.
+
+Hashing grams is exact for the count filter, not a heuristic trade:
+with h = xxhash64, |h(GA) \\ h(GB)| <= |GA \\ GB| <= q*d, so
+|h(GA) ∩ h(GB)| >= |h(GA)| - q*d and the length-dependent bound
+below still never drops a true pair; a collision can only ADD a
+candidate (killed by the Levenshtein verify) or, vanishingly
+(~n^2/2^65 across the corpus), perturb a df count. The DuckDB
+oracle twin keeps raw gram strings — parity is value-exact at test
+SFs, which also pins collision-freedom there.
 
 The count-filter threshold is length-dependent, not a constant:
 
@@ -83,15 +102,40 @@ def editdist_neardup(
     """Pairs of documents within Levenshtein distance ``max_dist``,
     blocked by the exact q-gram count filter (see module docstring).
     Returns (id_a, id_b, shared, dist), id_a < id_b."""
+    from irclogbot_spark.plans.partitioning import ensure_parallelism
+
     d = docs.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_text"))
-    grams = d.select("_id", F.explode(qgrams("_text", q)).alias("g"))
-    df_counts = grams.groupBy("g").agg(F.count(F.lit(1)).alias("_df"))
-    kept = grams.join(df_counts, "g").filter(F.col("_df") <= max_df)
+    # gram extraction is the CPU-dominant stage (O(total corpus chars)
+    # explode): spread it across the cluster even when the input is a
+    # single small file/partition (the sf0.1 layout)
+    d_wide = ensure_parallelism(d)
+    # (id, gram-hash) longs — the only corpus-sized rowset; strings stay in-row
+    gid = d_wide.select(
+        "_id", F.explode(qgrams("_text", q)).alias("g")
+    ).select("_id", F.xxhash64("g").alias("gh"))
+    # df cull via partial-aggregated count: a billion-df stop gram dies
+    # map-side, never as one task's collected array
+    dfc = gid.groupBy("gh").agg(F.count(F.lit(1)).alias("_df"))
+    kept = gid.join(dfc.filter(F.col("_df") <= max_df), "gh").select("_id", "gh")
     n_kept = kept.groupBy("_id").agg(F.count(F.lit(1)).alias("n_kept"))
-    a = kept.select(F.col("_id").alias("id_a"), "g")
-    b = kept.select(F.col("_id").alias("id_b"), "g")
+    # bucket ids per surviving gram (<= max_df each, reuses the join's
+    # gh partitioning) and expand candidate pairs IN-ROW — no self-join
+    buckets = kept.groupBy("gh").agg(F.collect_set("_id").alias("ids"))
+    pair_arr = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda a: F.filter(
+                F.transform(
+                    F.col("ids"),
+                    lambda b: F.struct(a.alias("id_a"), b.alias("id_b")),
+                ),
+                lambda s: s["id_a"] < s["id_b"],
+            ),
+        )
+    )
     cand = (
-        a.join(b, (a.g == b.g) & (F.col("id_a") < F.col("id_b")))
+        buckets.select(F.explode(pair_arr).alias("p"))
+        .select("p.id_a", "p.id_b")
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("shared"))
     )

@@ -72,6 +72,35 @@ def test_neardup_components_label_propagation(spark):
     assert got == {1: 1, 2: 1, 3: 1, 8: 8, 9: 8}
 
 
+def test_neardup_components_long_chain_exact(spark):
+    # 40-hop path with the min id at the FAR end, ordered so plain
+    # synchronous neighbor-min would need ~40 rounds: pointer doubling
+    # + the convergence loop must still reach the exact transitive-
+    # closure fixpoint (the alternating-key chaining scenario from the
+    # round-6 advice — a >max_iter-hop chain must not mislabel).
+    n = 41
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, n)], "d1 long, d2 long"
+    )
+    got = {
+        r.doc_id: r.cluster_id
+        for r in dedup.neardup_components(pairs, max_iter=8).collect()
+    }
+    assert got == {i: 1 for i in range(1, n + 1)}
+
+
+def test_neardup_components_converges_early(spark):
+    # a 2-node component is done after one round; the convergence
+    # check must terminate the loop (not run out max_iter) and still
+    # return the fixpoint even with an absurd max_iter
+    pairs = spark.createDataFrame([(5, 7)], "d1 long, d2 long")
+    got = {
+        r.doc_id: r.cluster_id
+        for r in dedup.neardup_components(pairs, max_iter=1000).collect()
+    }
+    assert got == {5: 5, 7: 5}
+
+
 def test_dedup_corpus_end_to_end(spark):
     base = "the quick brown fox jumps over the lazy dog in the sunny meadow today"
     rows = [
