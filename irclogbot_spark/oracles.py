@@ -4345,19 +4345,34 @@ FROM documents d LEFT JOIN per p ON p.doc_id = d.doc_id
 """
 
 
+# data-dependent oracles are deterministic per training-corpus dir, so
+# the generated dict memoizes per SPARK_GRAFT_ORACLE_SF_DIR (mirrors
+# the engine side's _UNIGRAM_COSTS/_BACKOFF_COSTS per-sf caches): the
+# parity suite calls oracle_sql() once per parametrized test, and
+# without the memo the unigram/backoff/centroid trainers re-scanned
+# the corpus in DuckDB ~150 times per run (round-6 advice #3)
+_ORACLE_SQL_CACHE: dict[str, dict[str, str]] = {}
+
+
 def oracle_sql() -> dict[str, str]:
-    out = dict(ORACLES)
-    # data-dependent oracles, built lazily so the training corpus
-    # matches the SF the comparison actually runs at
-    out["emb_ivf_topk"] = _ivf_topk_sql()
-    out["docs_unigram_segment"] = _unigram_segment_sql()
-    out["docs_backoff_surprisal"] = _backoff_surprisal_sql()
-    out["emb_semantic_dedup"] = _semantic_dedup_sql()
-    out["emb_ivf_recall"] = _ivf_recall_sql()
-    out["emb_pq_topk"] = _pq_topk_sql()
-    out["emb_ivfpq_topk"] = _ivfpq_topk_sql()
-    out["docs_importance_resample"] = _importance_resample_sql()
-    out["emb_kmeans_clusters"] = _kmeans_clusters_sql()
-    out["emb_random_projection"] = _random_projection_sql()
-    out["emb_projection_recall"] = _projection_recall_sql()
-    return out
+    import os
+
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    if sf_dir not in _ORACLE_SQL_CACHE:
+        out = dict(ORACLES)
+        # data-dependent oracles, built lazily so the training corpus
+        # matches the SF the comparison actually runs at
+        out["emb_ivf_topk"] = _ivf_topk_sql()
+        out["docs_unigram_segment"] = _unigram_segment_sql()
+        out["docs_backoff_surprisal"] = _backoff_surprisal_sql()
+        out["emb_semantic_dedup"] = _semantic_dedup_sql()
+        out["emb_ivf_recall"] = _ivf_recall_sql()
+        out["emb_pq_topk"] = _pq_topk_sql()
+        out["emb_ivfpq_topk"] = _ivfpq_topk_sql()
+        out["docs_importance_resample"] = _importance_resample_sql()
+        out["emb_kmeans_clusters"] = _kmeans_clusters_sql()
+        out["emb_random_projection"] = _random_projection_sql()
+        out["emb_projection_recall"] = _projection_recall_sql()
+        _ORACLE_SQL_CACHE[sf_dir] = out
+    # a copy, so callers can't mutate the memo
+    return dict(_ORACLE_SQL_CACHE[sf_dir])

@@ -344,12 +344,17 @@ def test_theil_sen_recovers_clean_slope_through_outliers(spark):
 def test_theil_sen_negative_slope_truncates_like_oracle(spark):
     from irclogbot_spark.operators.behavior import theil_sen_trend
 
-    # counts 10, 3 over 2 days: slope = 1000*(-7) DIV 2 = -3500 on a
-    # 2-day gap; single pair -> median is that slope
+    # counts 10, 3 over a THREE-day gap: slope = 1000*(-7) DIV 3 is a
+    # NON-exact negative quotient — -2333 under truncate-toward-zero
+    # (Spark DIV and DuckDB //, both verified) vs -2334 under floor
+    # division, so this really pins the truncation convention (the
+    # round-6 advice: the old 2-day case divided exactly, -7000 DIV 2
+    # = -3500 either way, and distinguished nothing); single pair ->
+    # median is that slope
     rows = [(i, _ts(1), "t") for i in range(10)]
-    rows += [(100 + i, _ts(3), "t") for i in range(3)]
+    rows += [(100 + i, _ts(4), "t") for i in range(3)]
     ev = spark.createDataFrame(
         rows, "event_id long, ts timestamp, event_type string"
     )
     out = theil_sen_trend(ev).collect()[0]
-    assert out.trend_slope_milli == -3500
+    assert out.trend_slope_milli == -2333
