@@ -161,3 +161,39 @@ def write_to_elasticsearch(
         flush(buf)
 
     docs.foreachPartition(write_partition)
+
+
+def start_es_stream(
+    spark,
+    source_path: str,
+    host: str,
+    checkpoint_dir: str,
+    index: str = ES_INDEX,
+    watermark: str = "10 minutes",
+    trigger_once: bool = True,
+):
+    """The production ES topology end-to-end: streaming raw lines ->
+    parse chain -> foreachBatch bulk writer — the reference's live
+    loop (recv -> record -> es_client.index, irclogbot.py:36-51)
+    under Structured Streaming. Effectively-once falls out of
+    replayable source + checkpoint + the content-hash _id making
+    every redelivery a PUT-overwrite; a replayed batch (checkpoint
+    loss, task retry) converges to the same keyed store. Driven
+    against the in-process mock bulk endpoint in
+    tests/test_es_sink.py."""
+    from irclogbot_spark.streaming.pipeline import (
+        read_raw_lines_stream,
+        streaming_irclog,
+    )
+
+    log = streaming_irclog(
+        read_raw_lines_stream(spark, path=source_path), watermark
+    )
+    writer = (
+        log.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(lambda b, _i: write_to_elasticsearch(b, host, index))
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
