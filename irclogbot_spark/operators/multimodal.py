@@ -344,6 +344,56 @@ def synthesize_bmp_media(
     return ensure_parallelism(src).mapInPandas(build, MEDIA_SCHEMA)
 
 
+#: color_type by text-length residue — the PNG fixture cycles through
+#: all four supported sample layouts (gray, RGB, gray+alpha, RGBA) so
+#: one query exercises every channel-count path of the decoder
+_PNG_FIXTURE_COLOR_TYPES = (0, 2, 4, 6)
+
+
+def synthesize_png_media(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Real-format PNG fixture (the BMP twin's stronger sibling):
+    every doc becomes a genuine non-interlaced 8-bit PNG — zlib
+    stream, CRC-checked chunks, per-row filter bytes — whose
+    geometry AND color type are pure functions of the text's UTF-8
+    length (width = 4 + n % 13, height = 3 + n % 7, color_type
+    cycling gray/RGB/GA/RGBA by n % 4), pixels the text bytes cycled
+    to fill the raster. A SQL oracle re-derives width/height/channels
+    from the text while the engine must inflate and defilter the
+    bytes it is handed."""
+    src = df.select(
+        F.col(id_col).alias("asset_id"),
+        F.col(text_col).cast("binary").alias("raw"),
+    )
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for raw in pdf["raw"]:
+                b = bytes(raw) if raw is not None else b""
+                n = len(b)
+                w, h = 4 + n % 13, 3 + n % 7
+                ct = _PNG_FIXTURE_COLOR_TYPES[n % 4]
+                ch = _PNG_CHANNELS[ct]
+                need = w * h * ch
+                pix = (b * (need // n + 1))[:need] if n else b"\x00" * need
+                payloads.append(encode_png(w, h, pix, color_type=ct))
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "media_type": "image",
+                    "payload": payloads,
+                    "format": "png",
+                    "source_uri": [
+                        f"synthetic-png://{a}" for a in pdf["asset_id"]
+                    ],
+                }
+            )
+
+    return ensure_parallelism(src).mapInPandas(build, MEDIA_SCHEMA)
+
+
 def _fake_decode(payload: bytes, n_features: int) -> tuple[int, int, int, list[float]]:
     """Deterministic fake 'decode': dimensions and features derived
     from payload bytes. Stands in for libjpeg/PIL — REPLACE with a

@@ -1201,6 +1201,19 @@ SELECT doc_id AS asset_id,
 FROM documents
 """
 
+# PNG twin: same geometry derivation, plus the channel count the
+# fixture's color_type cycle (gray/RGB/GA/RGBA by length % 4) implies
+# — the engine must really inflate+defilter the zlib stream to agree.
+ORACLES["media_png_decode_stats"] = """
+SELECT doc_id AS asset_id,
+  CAST(4 + octet_length(encode(text)) % 13 AS INT) AS width,
+  CAST(3 + octet_length(encode(text)) % 7 AS INT) AS height,
+  CAST(CASE octet_length(encode(text)) % 4
+       WHEN 0 THEN 1 WHEN 1 THEN 3 WHEN 2 THEN 2 ELSE 4 END AS INT)
+    AS n_channels
+FROM documents
+"""
+
 
 # ---------------------------------------------- coverage batteries (round 1)
 ORACLES["window_date_functions"] = """
