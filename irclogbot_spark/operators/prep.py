@@ -34,6 +34,7 @@ from irclogbot_spark.operators.dedup import exact_dedup, tokens
 from irclogbot_spark.operators.packing import pack_sequences
 from irclogbot_spark.operators.repetition import repetition_stats
 from irclogbot_spark.operators.sampling import train_test_split
+from irclogbot_spark.plans.partitioning import ensure_parallelism
 
 
 def prep_corpus(
@@ -65,8 +66,15 @@ def prep_corpus(
     # a 2x wider spread at sf0.1 (VERDICT r3 #6). The cost is local
     # disk for one gated copy of the text — the same order as the
     # `labeled` checkpoint below, which a 100 TB run already budgets.
-    enough = df.filter(
-        F.size(tokens(F.col(text_col))) >= min_tokens
+    # ensure_parallelism BEFORE the checkpoint: a localCheckpoint
+    # freezes the physical layout, so checkpointing a single-partition
+    # input (the sf0.1 one-file layout) would serialize not just this
+    # write but EVERY downstream stage that inherits it — decontam's
+    # 8-gram explode and the packing windows ran (0+1)/1 until round 7
+    # (~8.5s -> ~3.5s at sf0.1). At 100 TB input splits are already
+    # wide and this is a no-op.
+    enough = ensure_parallelism(
+        df.filter(F.size(tokens(F.col(text_col))) >= min_tokens)
     ).localCheckpoint(eager=True)
     # families=("top",): the gate thresholds only top2gram_frac, so
     # skip the dup-5-gram family — it would double the exploded
@@ -83,12 +91,17 @@ def prep_corpus(
     # corpus) — materialize it once or the gate+dedup subtree (incl.
     # the repetition shuffle) re-executes per consumer (the
     # multiply-referenced-frame trap; see simhash_neardup_pairs).
-    labeled = train_test_split(
-        exact_dedup(gated, text_col=text_col, id_col=id_col),
-        weights,
-        [id_col],
-        salt=salt,
-        draw_fn=draw_fn,
+    # same pre-checkpoint widening: AQE coalesces the dedup shuffle's
+    # output to 1 partition at small SFs, and a 1-partition `labeled`
+    # would serialize decontam + packing downstream
+    labeled = ensure_parallelism(
+        train_test_split(
+            exact_dedup(gated, text_col=text_col, id_col=id_col),
+            weights,
+            [id_col],
+            salt=salt,
+            draw_fn=draw_fn,
+        )
     ).localCheckpoint(eager=True)
     tr = labeled.filter(F.col("split") == "train")
     held = labeled.filter(F.col("split") != "train")
