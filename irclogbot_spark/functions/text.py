@@ -541,3 +541,29 @@ def tokenize_with_vocab_inline(
             F.filter(toks, lambda t: F.element_at(m, t).isNull())
         ).cast("long").alias("n_oov"),
     )
+
+
+def nfc_normalize_col(text: Column | str) -> Column:
+    """Unicode NFC normalization — the canonicalization step a
+    multilingual corpus needs before ANY hash-based dedup (decomposed
+    "a+COMBINING ACUTE" and precomposed "á" are different bytes, so
+    unnormalized text silently defeats exact dedup, shingle hashing
+    and decontamination for every non-ASCII language). Spark has no
+    built-in normalizer, so this is one of the engine's few sanctioned
+    Python seams: an Arrow-batched pandas UDF over stdlib
+    unicodedata — vectorized batch transfer, no per-row pickling, and
+    it composes as a plain Column inside any projection (map-only, no
+    shuffle). DuckDB's nfc_normalize() is the cross-engine oracle."""
+    from pyspark.sql.functions import pandas_udf
+
+    c = F.col(text) if isinstance(text, str) else text
+
+    @pandas_udf("string")
+    def _nfc(s):  # pd.Series -> pd.Series
+        import unicodedata
+
+        return s.map(
+            lambda x: unicodedata.normalize("NFC", x) if x is not None else None
+        )
+
+    return _nfc(c)

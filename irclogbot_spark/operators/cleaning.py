@@ -87,3 +87,33 @@ def clean_corpus(
         "n_chars_in",
         (F.size("_kept") >= min_kept_lines).cast("int").alias("doc_kept"),
     )
+
+
+#: entity decode order matters: &amp; LAST, or "&amp;lt;" would
+#: double-decode into "<" (the classic entity-unescape bug)
+_HTML_ENTITIES = (
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&nbsp;", " "),
+    ("&amp;", "&"),
+)
+
+
+def strip_markup(text: Column | str) -> Column:
+    """Web-corpus markup removal — the extraction step every
+    HTML-crawl pipeline (C4/CCNet/FineWeb) runs before any quality
+    or dedup pass: drop <script>/<style> blocks INCLUDING their
+    content, drop every remaining tag, decode the six ubiquitous
+    entities, collapse whitespace. A pure JVM regexp/replace chain —
+    one whole-stage-codegen projection, no UDF, no shuffle — and
+    every pattern is RE2-compatible (no backreferences) so the
+    DuckDB oracle twin runs the clause-identical chain."""
+    c = F.col(text) if isinstance(text, str) else text
+    c = F.regexp_replace(c, r"(?is)<script[^>]*>.*?</script>", " ")
+    c = F.regexp_replace(c, r"(?is)<style[^>]*>.*?</style>", " ")
+    c = F.regexp_replace(c, r"(?s)<[^>]*>", " ")
+    for ent, rep in _HTML_ENTITIES:
+        c = F.replace(c, F.lit(ent), F.lit(rep))
+    return F.trim(F.regexp_replace(c, r"\s+", " "))

@@ -1201,6 +1201,52 @@ SELECT doc_id AS asset_id,
 FROM documents
 """
 
+# Round 7: web-markup extraction — the engine strip chain replayed
+# clause-identically (all patterns RE2-safe by construction; entity
+# decode order pinned with &amp; last).
+ORACLES["docs_html_extract"] = r"""
+WITH page AS (
+  SELECT doc_id,
+    '<html><head><title>doc</title><style type="text/css">p { color: #333; }</style><script>if (1 < 2 && x > 0) { run(); }</script></head><body><h1>'
+    || source || '</h1>' || chr(10) || '<p class="main">' || text
+    || ' &amp; <b>' || lang || '</b>&nbsp;&#39;tail&#39;</p><br/></body></html>'
+    AS html
+  FROM documents
+),
+stripped AS (
+  SELECT doc_id,
+    trim(regexp_replace(
+      replace(replace(replace(replace(replace(replace(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(html, '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+            '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+          '(?s)<[^>]*>', ' ', 'g'),
+        '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', chr(39)),
+        '&nbsp;', ' '), '&amp;', '&'),
+      '\s+', ' ', 'g')) AS t
+  FROM page
+)
+SELECT doc_id, md5(t) AS content_md5, CAST(length(t) AS BIGINT) AS n_chars
+FROM stripped
+"""
+
+# Round 7: NFC normalization over deterministically decomposed text —
+# DuckDB's nfc_normalize is the cross-engine referee for the pandas
+# UDF seam.
+ORACLES["docs_nfc_normalize"] = """
+WITH dec AS (
+  SELECT doc_id,
+    regexp_replace(text, 'a', 'a' || chr(769), 'g') AS d
+  FROM documents
+)
+SELECT doc_id,
+  CAST(octet_length(encode(d)) AS BIGINT) AS n_bytes_decomposed,
+  CAST(octet_length(encode(nfc_normalize(d))) AS BIGINT) AS n_bytes_nfc,
+  md5(nfc_normalize(d)) AS content_md5
+FROM dec
+"""
+
 # PNG twin: same geometry derivation, plus the channel count the
 # fixture's color_type cycle (gray/RGB/GA/RGBA by length % 4) implies
 # — the engine must really inflate+defilter the zlib stream to agree.

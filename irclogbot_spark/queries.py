@@ -3999,6 +3999,73 @@ def docs_backoff_surprisal(spark, sf_dir):
     return backoff_surprisal(d, bc, uc, unk)
 
 
+# ------------------------------------------------------------- round 7
+
+
+@query("docs_html_extract")
+def docs_html_extract(spark, sf_dir):
+    """Web-corpus markup extraction (operators/cleaning.py
+    strip_markup) — the step every HTML-crawl pipeline runs before
+    quality/dedup. The synthetic corpus is plain text, so the query
+    first renders each doc as a deterministic HTML page (head with a
+    style block and a script block whose body contains bare < > &&
+    operators — content that MUST die with its tags, not leak into
+    the text), wraps the doc text in body markup with entity-encoded
+    ampersands and &nbsp;/&#39; entities, then strips. Every regexp
+    in the chain is RE2-safe, so the oracle replays the identical
+    wrap + strip in DuckDB; a tag leak, an entity decode in the wrong
+    order, or a whitespace-collapse difference all hash-mismatch."""
+    from irclogbot_spark.operators.cleaning import strip_markup
+
+    d = _t(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit(
+            '<html><head><title>doc</title><style type="text/css">p '
+            "{ color: #333; }</style><script>if (1 < 2 && x > 0) "
+            "{ run(); }</script></head><body><h1>"
+        ),
+        F.col("source"),
+        F.lit('</h1>\n<p class="main">'),
+        F.col("text"),
+        F.lit(" &amp; <b>"),
+        F.col("lang"),
+        F.lit("</b>&nbsp;&#39;tail&#39;</p><br/></body></html>"),
+    )
+    stripped = strip_markup(html)
+    return d.select(
+        "doc_id",
+        F.md5(stripped.cast("binary")).alias("content_md5"),
+        F.length(stripped).cast("long").alias("n_chars"),
+    )
+
+
+@query("docs_nfc_normalize")
+def docs_nfc_normalize(spark, sf_dir):
+    """Unicode NFC normalization (functions/text.py
+    nfc_normalize_col — Arrow-batched pandas UDF over stdlib
+    unicodedata, one of the engine's few sanctioned Python seams:
+    Spark has no built-in normalizer). Unnormalized text silently
+    defeats every hash-based op — exact dedup, shingles,
+    decontamination — for any language with combining marks. The
+    ASCII corpus is first DE-composed deterministically (every 'a'
+    becomes 'a' + U+0301 COMBINING ACUTE), so the normalizer has
+    real canonical-composition work to do; the oracle runs DuckDB's
+    nfc_normalize over the identically decomposed text. Byte counts
+    before/after pin that composition actually happened (3 bytes ->
+    2 per mark); the md5 pins the exact output bytes."""
+    from irclogbot_spark.functions.text import nfc_normalize_col
+
+    d = _t(spark, sf_dir, "documents")
+    decomposed = F.regexp_replace(F.col("text"), "a", "a\u0301")
+    norm = nfc_normalize_col(decomposed)
+    return d.select(
+        "doc_id",
+        F.octet_length(decomposed).cast("long").alias("n_bytes_decomposed"),
+        F.octet_length(norm).cast("long").alias("n_bytes_nfc"),
+        F.md5(norm.cast("binary")).alias("content_md5"),
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     out = {n: QUERIES[n] for n in _DRIVER_WINDOW}
     for n, f in QUERIES.items():

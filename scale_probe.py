@@ -1,0 +1,142 @@
+"""One-shot super-SF scale probe (VERDICT r6 next #6): build a ~10x
+documents corpus ("sf1") from the sf0.1 parquet and run the hottest
+document pipelines at both SFs, recording wall time and REAL shuffle
+bytes (Spark UI REST stage metrics) so SCALE.md's 100x-survivability
+claims carry a measured scaling point instead of design argument only.
+
+Corpus construction keeps duplicate DENSITY constant — the property
+that makes the ratio meaningful for dedup pipelines: replica k of a
+doc suffixes every token with "k", so replicas of the same doc share
+NO shingles / q-grams across replicas (no artificial 10-way near-dup
+blowup), while each replica internally contains exactly the sf0.1
+corpus's true near-dup structure under fresh ids. 10x docs, 10x true
+pairs, same pair density.
+
+Usage: python scale_probe.py [--out /tmp/sf1] [--reps 2]
+Writes the measured table to stdout (markdown) for SCALE.md.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+import urllib.request
+
+
+def build_sf1(spark, src_sf: str, out_dir: str, replicas: int = 10) -> None:
+    from pyspark.sql import functions as F
+
+    d = spark.read.parquet(os.path.join(src_sf, "documents.parquet"))
+    n = d.count()
+    reps = spark.range(replicas).select(F.col("id").alias("_rep"))
+    # suffix every token with the replica index: replica texts share
+    # no shingles / q-grams across replicas, so duplicate density is
+    # preserved (10x docs, 10x true pairs) instead of multiplied
+    scaled = (
+        d.crossJoin(F.broadcast(reps))
+        .select(
+            (F.col("doc_id") + F.col("_rep") * F.lit(10_000_000)).alias("doc_id"),
+            *[c for c in d.columns if c not in ("doc_id", "text")],
+            F.when(F.col("_rep") == 0, F.col("text"))
+            .otherwise(
+                F.array_join(
+                    F.transform(
+                        F.split(F.col("text"), r"\s+"),
+                        lambda w: F.concat(w, F.col("_rep").cast("string")),
+                    ),
+                    " ",
+                )
+            )
+            .alias("text"),
+        )
+    )
+    scaled.repartition(32).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "documents.parquet")
+    )
+    print(f"built {out_dir}: {n} docs x {replicas} replicas")
+
+
+def _stage_totals(ui: str) -> dict[str, int]:
+    apps = json.load(urllib.request.urlopen(f"{ui}/api/v1/applications"))
+    app_id = apps[0]["id"]
+    stages = json.load(
+        urllib.request.urlopen(f"{ui}/api/v1/applications/{app_id}/stages?status=complete")
+    )
+    return {
+        "shuffle_write": sum(s.get("shuffleWriteBytes", 0) for s in stages),
+        "shuffle_read": sum(s.get("shuffleReadBytes", 0) for s in stages),
+        "input": sum(s.get("inputBytes", 0) for s in stages),
+    }
+
+
+def probe(spark, queries, names, sf_dir: str, reps: int) -> dict[str, dict]:
+    ui = spark.sparkContext.uiWebUrl
+    out = {}
+    for name in names:
+        best, metrics = None, None
+        for _ in range(reps):
+            before = _stage_totals(ui)
+            t0 = time.time()
+            n_rows = queries[name](spark, sf_dir).count()
+            dt = time.time() - t0
+            after = _stage_totals(ui)
+            if best is None or dt < best:
+                best = dt
+                metrics = {
+                    k: after[k] - before[k] for k in after
+                } | {"rows": n_rows}
+        out[name] = {"sec": round(best, 2)} | metrics
+        print(f"  {name} @ {sf_dir}: {best:.2f}s rows={metrics['rows']} "
+              f"shuffleW={metrics['shuffle_write']/1e6:.1f}MB")
+    return out
+
+
+PROBE_QUERIES = [
+    "docs_minhash_neardup",
+    "docs_editdist_neardup",
+    "docs_editdist_dedup",
+    "docs_prep_pipeline",
+    "docs_prep_pipeline_fast",
+    "docs_incremental_dedup_wb",
+    "docs_hll_distinct",
+]
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="/tmp/sf1")
+    ap.add_argument("--reps", type=int, default=2)
+    ap.add_argument("--skip-build", action="store_true")
+    args = ap.parse_args()
+
+    import __spark_entry__ as entry
+    from irclogbot_spark.session import get_spark
+
+    spark = get_spark("scale_probe", master="local[32]")
+    src = "/root/testdata/sf0.1"
+    if not args.skip_build:
+        build_sf1(spark, src, args.out)
+
+    qs = entry.queries()
+    print("== sf0.1 ==")
+    small = probe(spark, qs, PROBE_QUERIES, src, args.reps)
+    print("== sf1 (10x) ==")
+    big = probe(spark, qs, PROBE_QUERIES, args.out, args.reps)
+
+    print("\n| query | sf0.1 s | sf1 s | time x | sf0.1 shufW MB | sf1 shufW MB | shufW x |")
+    print("|---|---|---|---|---|---|---|")
+    for name in PROBE_QUERIES:
+        s, b = small[name], big[name]
+        tr = b["sec"] / s["sec"] if s["sec"] else float("inf")
+        sw_s, sw_b = s["shuffle_write"] / 1e6, b["shuffle_write"] / 1e6
+        swr = (sw_b / sw_s) if sw_s > 0.05 else float("nan")
+        print(
+            f"| {name} | {s['sec']} | {b['sec']} | {tr:.1f} | "
+            f"{sw_s:.1f} | {sw_b:.1f} | {swr:.1f} |"
+        )
+
+
+if __name__ == "__main__":
+    main()

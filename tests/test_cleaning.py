@@ -126,3 +126,54 @@ def test_cleaning_matches_imperative_reference_on_random_corpus(spark):
         assert r.n_kept_lines == len(kept)
         assert r.clean_text == "\n".join(kept)
         assert r.doc_kept == (1 if kept else 0)
+
+
+def test_strip_markup_tags_entities_and_script_content(spark):
+    from irclogbot_spark.operators.cleaning import strip_markup
+    from pyspark.sql import functions as F
+
+    cases = [
+        # script/style content dies WITH its tags (incl. bare < > &&)
+        (
+            '<head><style>p { color: red; }</style>'
+            "<script>if (1 < 2 && x > 0) { run(); }</script></head>"
+            "<body><p>hello</p></body>",
+            "hello",
+        ),
+        # entity decode order: &amp;lt; must become the literal text
+        # "&lt;", NOT double-decode into "<"
+        ("a &amp;lt; b", "a &lt; b"),
+        ("x &lt;tag&gt; &quot;q&quot; &#39;s&#39;&nbsp;y", 'x <tag> "q" \'s\' y'),
+        # whitespace collapses across removed tags
+        ("<h1>one</h1>\n\n<p>two   three</p>", "one two three"),
+        # self-closing + attributes
+        ('<img src="x.png"/>pic<br/><a href="#">link</a>', "pic link"),
+        # case-insensitive script block
+        ("<SCRIPT>var a=1;</SCRIPT>kept", "kept"),
+    ]
+    df = spark.createDataFrame([(i, h) for i, (h, _) in enumerate(cases)], "i int, h string")
+    got = {r.i: r.s for r in df.select("i", strip_markup("h").alias("s")).collect()}
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (i, got[i], want)
+
+
+def test_nfc_normalize_col_composes_and_matches_python(spark):
+    import unicodedata
+
+    from irclogbot_spark.functions.text import nfc_normalize_col
+    from pyspark.sql import functions as F
+
+    rows = [
+        (0, "cafe\u0301 latte"),      # e + combining acute -> \u00e9
+        (1, "a\u0301b\u0308c"),       # multiple combining marks
+        (2, "plain ascii"),            # no-op
+        (3, "\u00e9 already composed"),  # idempotent
+        (4, None),                     # null passthrough
+    ]
+    df = spark.createDataFrame(rows, "i int, t string")
+    got = {r.i: r.n for r in df.select("i", nfc_normalize_col("t").alias("n")).collect()}
+    for i, t in rows:
+        want = unicodedata.normalize("NFC", t) if t is not None else None
+        assert got[i] == want, (i, got[i], want)
+    # composition actually shrank the bytes for the decomposed cases
+    assert len(got[0].encode()) < len(rows[0][1].encode())
