@@ -770,16 +770,33 @@ def prefix_filter_pairs(
     """
     if not (0 < t_num <= t_den):
         raise ValueError(f"threshold must be in (0, 1]: {t_num}/{t_den}")
+    # shingle STRINGS never leave the projection: the materialized
+    # base carries array<long> xxhash64 values (8 bytes/shingle vs
+    # ~30 for a 5-word string — the checkpoint write was the
+    # pipeline's dominant cost), and hashing is EXACT for the
+    # count-compare semantics below modulo a ~n^2/2^65 collision:
+    # |h(A) ∩ h(B)| and set sizes are preserved, the completeness
+    # proof only needs a consistent global element order (the hash
+    # IS one), and the quadratic string-shingle oracle agrees
+    # value-for-value at test SFs, which also pins collision-freedom.
     base = (
         ensure_parallelism(df)
-        .select(F.col(id_col), shingles(text_col, n).alias("sh"))
+        .select(
+            F.col(id_col),
+            F.array_sort(
+                F.transform(shingles(text_col, n), lambda s: F.xxhash64(s))
+            ).alias("sh"),
+        )
         .filter(F.size("sh") > 0)
         .withColumn("m", F.size("sh").cast("long"))
         .localCheckpoint(eager=True)
     )
     ex = base.select(F.col(id_col), F.explode("sh").alias("shingle"))
     freq = ex.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-    ranked = (
+    # re-widen after the doc-keyed reassembly: AQE coalesces the small
+    # post-shuffle byte size to 1 partition at test SFs, which would
+    # serialize the O(m log m) in-row sort + prefix expansion below
+    ranked = ensure_parallelism(
         ex.join(freq, "shingle")
         .groupBy(id_col)
         .agg(

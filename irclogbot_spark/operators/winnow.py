@@ -79,9 +79,13 @@ def winnow_fingerprints(
     stage emits ~len/w rows per doc, never one per window."""
     if k < 1 or w < 1:
         raise ValueError(f"k and w must be >= 1, got k={k} w={w}")
+    from irclogbot_spark.plans.partitioning import ensure_parallelism
+
     hash_fn = hash_fn or xxhash31
     hs = _ordered_gram_hashes(text_col, k, hash_fn)
-    d = df.select(F.col(id_col), hs.alias("_hs"))
+    # the in-row window-minima transform is O(len) per doc and
+    # map-only: spread it even when the input is one small file
+    d = ensure_parallelism(df).select(F.col(id_col), hs.alias("_hs"))
     nwin = F.greatest(F.lit(1), F.size("_hs") - F.lit(w - 1))
     wins = F.transform(
         F.sequence(F.lit(1), nwin),

@@ -29,6 +29,15 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # AQE's coalescer sizes post-shuffle partitions by BYTES (1 MiB
+    # floor), which is the wrong proxy for CPU-bound small-byte
+    # aggregations: a 3 MB hashed-shingle frequency count coalesced
+    # to one partition is a serial 2.5 s task on a 32-core box
+    # (round-7 stage audit of docs_prefix_filter_join). A 64 KiB
+    # floor keeps such stages parallel at test SFs; at cluster scale
+    # partitions dwarf either floor, so this only removes the local
+    # pathology.
+    "spark.sql.adaptive.coalescePartitions.minPartitionSize": "64k",
     # Arrow batching for the pandas-UDF operators (hash-compat,
     # multimodal stubs); 10-100x over row-at-a-time Python UDFs.
     "spark.sql.execution.arrow.pyspark.enabled": "true",
