@@ -158,6 +158,10 @@ HEADLINE = [
     "events_theil_sen_trend",
     "events_zorder_layout",
     "docs_backoff_surprisal",
+    # round 7
+    "media_png_decode_stats",
+    "docs_html_extract",
+    "docs_nfc_normalize",
 ]
 
 #: headline queries that derive from the irclog (re-timed over the

@@ -598,3 +598,38 @@ def test_prefix_filter_never_nested_loop(spark):
     plan = _plan(spark, "docs_prefix_filter_join")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_html_extract_map_only_no_exchange(spark):
+    """docs_html_extract: the wrap + strip chain is ONE codegen'd
+    projection over the scan — no Exchange, no UDF, no Python stage
+    (SCALE: markup extraction at 100 TB is embarrassingly parallel
+    and must stay that way)."""
+    plan = _plan(spark, "docs_html_extract")
+    assert "Exchange" not in plan, plan
+    assert "Python" not in plan, plan
+    # '*' prefix = inside a WholeStageCodegen span in formatted mode
+    assert "* Project" in plan, plan
+
+
+def test_nfc_normalize_no_shuffle_arrow_stage(spark):
+    """docs_nfc_normalize: the unicodedata seam is an Arrow-batched
+    Python eval inside a map-only plan — no key-partitioned shuffle
+    (the UDF must not force one; ensure_parallelism's round-robin
+    widening is the only allowed Exchange), and the Python boundary
+    is the vectorized ArrowEvalPython, never row-at-a-time
+    BatchEvalPython."""
+    plan = _plan(spark, "docs_nfc_normalize")
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "ArrowEvalPython" in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+
+
+def test_png_decode_partition_preserving(spark):
+    """media_png_decode_stats: synthesize + decode are chained
+    mapInPandas stages with no key-partitioned shuffle between them
+    (only ensure_parallelism's round-robin widening) — decode
+    parallelism IS the upstream split count."""
+    plan = _plan(spark, "media_png_decode_stats")
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert plan.count("MapInPandas") >= 2, plan
