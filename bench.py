@@ -162,6 +162,7 @@ HEADLINE = [
     "media_png_decode_stats",
     "docs_html_extract",
     "docs_nfc_normalize",
+    "docs_url_canonicalize",
 ]
 
 #: headline queries that derive from the irclog (re-timed over the

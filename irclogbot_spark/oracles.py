@@ -1201,6 +1201,29 @@ SELECT doc_id AS asset_id,
 FROM documents
 """
 
+# Round 7: URL canonicalization — the oracle derives the EXPECTED
+# canonical string straight from the fixture formula (lowercased
+# host, default port and fragment gone, tracking params dropped,
+# query sorted), independently of the engine's regexp chain, so an
+# algorithmic bug can't self-confirm; group sizes via window count.
+ORACLES["docs_url_canonicalize"] = """
+WITH c AS (
+  SELECT doc_id,
+    CASE CAST(doc_id % 4 AS INT)
+      WHEN 0 THEN 'http://www.' || lower(source) || '.com/' || lang
+                  || '/page?a=1&b=' || CAST(doc_id % 7 AS VARCHAR)
+      WHEN 1 THEN 'http://www.' || source || '.com/' || lang
+                  || '/page?a=1&b=' || CAST(doc_id % 7 AS VARCHAR)
+      WHEN 2 THEN 'https://docs.' || lower(source) || '.org/'
+      ELSE 'https://docs.' || source || '.org/'
+    END AS url_canonical
+  FROM documents
+)
+SELECT doc_id, url_canonical,
+  COUNT(*) OVER (PARTITION BY url_canonical) AS n_same_url
+FROM c
+"""
+
 # Round 7: web-markup extraction — the engine strip chain replayed
 # clause-identically (all patterns RE2-safe by construction; entity
 # decode order pinned with &amp; last).

@@ -4066,6 +4066,65 @@ def docs_nfc_normalize(spark, sf_dir):
     )
 
 
+@query("docs_url_canonicalize")
+def docs_url_canonicalize(spark, sf_dir):
+    """URL canonicalization + URL-level dedup grouping
+    (functions/url.py canonicalize_url) — the crawl-pipeline step
+    that collapses `HTTP://Example.COM:80/a?utm_source=x&b=2&a=1#f`
+    with `http://example.com/a?a=1&b=2` BEFORE content dedup. The
+    fixture renders each doc's URL in one of four messy forms
+    (uppercase scheme/host + default port + tracking params +
+    fragment + unsorted query; the clean twin form; an empty-path
+    HTTPS with :443 and gclid; its canonical twin), so forms 0/1 and
+    2/3 must collapse pairwise. The oracle derives the EXPECTED
+    canonical string independently from the fixture formula — not by
+    replaying the engine's regexp chain — so an algorithmic bug
+    can't self-confirm. n_same_url is the URL-dedup group size (one
+    bare (canon) shuffle; the canonicalization itself is map-only
+    codegen)."""
+    from irclogbot_spark.functions.url import canonicalize_url
+
+    d = _t(spark, sf_dir, "documents")
+    form = F.pmod(F.col("doc_id"), F.lit(4))
+    b = F.pmod(F.col("doc_id"), F.lit(7)).cast("string")
+    url = (
+        F.when(
+            form == 0,
+            F.concat(
+                F.lit("HTTP://WWW."), F.upper("source"), F.lit(".COM:80/"),
+                F.col("lang"), F.lit("/page?utm_source=feed&b="), b,
+                F.lit("&a=1#frag"),
+            ),
+        )
+        .when(
+            form == 1,
+            F.concat(
+                F.lit("http://www."), F.col("source"), F.lit(".com/"),
+                F.col("lang"), F.lit("/page?a=1&b="), b,
+            ),
+        )
+        .when(
+            form == 2,
+            F.concat(
+                F.lit("https://Docs."), F.upper("source"),
+                F.lit(".ORG:443?gclid=xyz"),
+            ),
+        )
+        .otherwise(
+            F.concat(F.lit("https://docs."), F.col("source"), F.lit(".org/"))
+        )
+    )
+    with_canon = d.select(
+        "doc_id", canonicalize_url(url).alias("url_canonical")
+    )
+    sizes = with_canon.groupBy("url_canonical").agg(
+        F.count(F.lit(1)).cast("long").alias("n_same_url")
+    )
+    return with_canon.join(sizes, "url_canonical").select(
+        "doc_id", "url_canonical", "n_same_url"
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     out = {n: QUERIES[n] for n in _DRIVER_WINDOW}
     for n, f in QUERIES.items():

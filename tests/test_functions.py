@@ -115,3 +115,36 @@ def test_compression_ratio_flags_repetitive_text(spark):
     got = {r["doc_id"]: r["m"] for r in df.collect()}
     assert got[1] is not None and got[1] < 100  # highly compressible
     assert got[2] is None and got[3] is None
+
+
+def test_canonicalize_url_rule_battery(spark):
+    from irclogbot_spark.functions.url import canonicalize_url
+
+    cases = [
+        # tracking params + default port + case + fragment + sort
+        ("HTTP://Example.COM:80/a?utm_source=x&b=2&a=1#top",
+         "http://example.com/a?a=1&b=2"),
+        ("http://example.com/a?a=1&b=2", "http://example.com/a?a=1&b=2"),
+        # empty path -> '/', default https port
+        ("https://Site.org:443", "https://site.org/"),
+        ("https://site.org", "https://site.org/"),
+        # all params tracking -> no '?'
+        ("https://site.org/p?fbclid=abc&gclid=1", "https://site.org/p"),
+        # utm_ prefix family, value case preserved
+        ("https://site.org/p?x=UPPER&utm_campaign=z",
+         "https://site.org/p?x=UPPER"),
+        # non-default port kept; ':' in path untouched
+        ("http://h.com:8080/keep:port", "http://h.com:8080/keep:port"),
+        # other schemes: port kept (rule is per-scheme), host lowered
+        ("ftp://Files.net:21/x", "ftp://files.net:21/x"),
+        # path/query case-sensitivity preserved
+        ("https://site.org/Case/Path?Q=V", "https://site.org/Case/Path?Q=V"),
+        # not-a-URL passthrough, lowercased
+        ("not a url at ALL", "not a url at all"),
+    ]
+    df = spark.createDataFrame(
+        [(i, u) for i, (u, _) in enumerate(cases)], "i int, u string"
+    )
+    got = {r.i: r.c for r in df.select("i", canonicalize_url("u").alias("c")).collect()}
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (i, got[i], want)
