@@ -148,3 +148,37 @@ def test_canonicalize_url_rule_battery(spark):
     got = {r.i: r.c for r in df.select("i", canonicalize_url("u").alias("c")).collect()}
     for i, (_, want) in enumerate(cases):
         assert got[i] == want, (i, got[i], want)
+
+
+def test_canonicalize_url_idempotent_over_combinatorial_battery(spark):
+    """The defining property of a canonical form: canon(canon(u)) ==
+    canon(u), over the full combinatorial fixture space (scheme x
+    host-case x port x path x query x fragment = 864 URLs), in one
+    Spark job."""
+    from itertools import product
+
+    from pyspark.sql import functions as F
+
+    from irclogbot_spark.functions.url import canonicalize_url
+
+    urls = [
+        f"{scheme}://{host}{port}{path}{query}{frag}"
+        for scheme, host, port, path, query, frag in product(
+            ["http", "HTTP", "https", "HTTPS"],
+            ["Example.COM", "example.com", "a.b.ORG"],
+            ["", ":80", ":443", ":8080"],
+            ["", "/", "/Path/x"],
+            ["", "?b=2&a=1", "?utm_source=x&k=v"],
+            ["", "#Frag"],
+        )
+    ]
+    df = spark.createDataFrame([(i, u) for i, u in enumerate(urls)], "i int, u string")
+    out = df.select(
+        "i",
+        canonicalize_url("u").alias("c1"),
+        canonicalize_url(canonicalize_url("u")).alias("c2"),
+    ).collect()
+    assert len(out) == len(urls)
+    for r in out:
+        assert r.c1 == r.c2, (urls[r.i], r.c1, r.c2)
+        assert "#" not in r.c1 and "utm_" not in r.c1, (urls[r.i], r.c1)
