@@ -163,6 +163,7 @@ HEADLINE = [
     "docs_html_extract",
     "docs_nfc_normalize",
     "docs_url_canonicalize",
+    "docs_paragraph_langid",
 ]
 
 #: headline queries that derive from the irclog (re-timed over the

@@ -1098,17 +1098,17 @@ FROM enriched e JOIN fp ON fp.doc_id = e.doc_id
 """
 
 
-def _lang_hits(lang_pattern: str) -> str:
-    return rf"len(regexp_extract_all(lower(text), '{lang_pattern}'))"
+def _lang_hits(lang_pattern: str, col: str = "text") -> str:
+    return rf"len(regexp_extract_all(lower({col}), '{lang_pattern}'))"
 
 
-def _lang_id_case() -> str:
+def _lang_id_case(col: str = "text") -> str:
     # must transcribe functions.text.lang_id exactly (alphabetical
     # priority CASE); patterns come from the same stopword lists
     from irclogbot_spark.functions.text import LANG_STOPWORDS, lang_stopword_pattern
 
     langs = sorted(LANG_STOPWORDS)
-    hits = {lg: _lang_hits(lang_stopword_pattern(lg)) for lg in langs}
+    hits = {lg: _lang_hits(lang_stopword_pattern(lg), col) for lg in langs}
     branches = [f"WHEN greatest({', '.join(hits[lg] for lg in langs)}) = 0 THEN 'und'"]
     for i, lg in enumerate(langs[:-1]):
         conds = " AND ".join(f"{hits[lg]} >= {hits[o]}" for o in langs[i + 1 :])
@@ -1199,6 +1199,42 @@ SELECT doc_id AS asset_id,
   CAST(3 + octet_length(encode(text)) % 7 AS INT) AS height,
   CAST(3 AS INT) AS n_channels
 FROM documents
+"""
+
+# Round 7: paragraph-level language segmentation — split replayed
+# with WITH ORDINALITY, the lang CASE transcribed per paragraph, the
+# doc-level distinct count joined back.
+from irclogbot_spark.queries import _FOREIGN_PARAS as _FP  # noqa: E402
+
+ORACLES["docs_paragraph_langid"] = f"""
+WITH fx AS (
+  SELECT doc_id,
+    CASE CAST(doc_id % 4 AS INT)
+      WHEN 0 THEN text
+      WHEN 1 THEN text || chr(10) || chr(10) || '{_FP[1]}'
+      WHEN 2 THEN text || chr(10) || chr(10) || '{_FP[2]}'
+      ELSE text || chr(10) || chr(10) || '{_FP[3]}'
+    END AS ft
+  FROM documents
+),
+p AS (
+  -- parallel unnests zip in DuckDB: (para, 0-based index)
+  SELECT doc_id,
+    unnest(string_split(ft, chr(10) || chr(10))) AS para,
+    CAST(unnest(generate_series(1,
+      len(string_split(ft, chr(10) || chr(10))))) - 1 AS INT) AS para_idx
+  FROM fx
+),
+s AS (
+  SELECT doc_id, para_idx, {_lang_id_case('para')} AS para_lang FROM p
+),
+a AS (
+  SELECT doc_id, CAST(COUNT(DISTINCT para_lang) AS BIGINT) AS n_doc_langs
+  FROM s GROUP BY 1
+)
+SELECT s.doc_id, s.para_idx, s.para_lang, a.n_doc_langs,
+  a.n_doc_langs > 1 AS is_mixed
+FROM s JOIN a USING (doc_id)
 """
 
 # Round 7: URL canonicalization — the oracle derives the EXPECTED

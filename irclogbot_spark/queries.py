@@ -4125,6 +4125,60 @@ def docs_url_canonicalize(spark, sf_dir):
     )
 
 
+#: fixed foreign-language paragraphs for the segmentation fixture —
+#: each is exactly the stopword profile of its language
+_FOREIGN_PARAS = {
+    1: "der und die das ist nicht ein mit auf zu",  # de
+    2: "le la les et est pas une pour dans que",  # fr
+    3: "el la los y es no una por con que",  # es
+}
+
+
+@query("docs_paragraph_langid")
+def docs_paragraph_langid(spark, sf_dir):
+    """Paragraph-level language segmentation — the multilingual-crawl
+    reality check a doc-level lang-id misses: a page that is English
+    prose with an embedded German quote should be flagged MIXED, not
+    averaged into one label (CCNet segments at paragraph grain for
+    exactly this reason). Fixture: docs with doc_id % 4 in {1,2,3}
+    get a second paragraph in de/fr/es (pure stopword profiles);
+    %4==0 stays single-paragraph. The engine posexplodes the
+    paragraph split and runs the same CASE-expressed lang_id per
+    paragraph (map-only), then one bare (doc_id, lang) aggregate for
+    the doc-level distinct-language count; the oracle replays the
+    split with WITH ORDINALITY and the transcribed CASE."""
+    from irclogbot_spark.functions.text import lang_id
+
+    d = _t(spark, sf_dir, "documents")
+    form = F.pmod(F.col("doc_id"), F.lit(4))
+    fixture = F.when(form == 0, F.col("text")).otherwise(
+        F.concat(
+            F.col("text"),
+            F.lit("\n\n"),
+            F.when(form == 1, F.lit(_FOREIGN_PARAS[1]))
+            .when(form == 2, F.lit(_FOREIGN_PARAS[2]))
+            .otherwise(F.lit(_FOREIGN_PARAS[3])),
+        )
+    )
+    paras = d.select(
+        "doc_id",
+        F.posexplode(F.split(fixture, "\n\n")).alias("para_idx", "para"),
+    )
+    scored = paras.select(
+        "doc_id", "para_idx", lang_id(F.col("para")).alias("para_lang")
+    )
+    agg = scored.groupBy("doc_id").agg(
+        F.countDistinct("para_lang").cast("long").alias("n_doc_langs")
+    )
+    return scored.join(agg, "doc_id").select(
+        "doc_id",
+        "para_idx",
+        "para_lang",
+        "n_doc_langs",
+        (F.col("n_doc_langs") > 1).alias("is_mixed"),
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     out = {n: QUERIES[n] for n in _DRIVER_WINDOW}
     for n, f in QUERIES.items():
