@@ -8,11 +8,15 @@ for Spark's native JDBC source/sink, which already does everything
 the reference's helper could (executor-side parallel writes,
 partitioned reads, credential pass-through).
 
-No JDBC driver ships in this environment, so like es_write_conf this
-is a configuration surface: ``df.write.jdbc(**jdbc_write_kwargs(...))``
-on a cluster with the driver jar. Upsert-by-key against MySQL needs
-either a staging table + MERGE/INSERT..ON DUPLICATE KEY on the DB
-side or the keyed parquet sink (streaming.pipeline) in front.
+No MySQL driver ships in this environment, but Spark's own Derby
+(the metastore engine, always on the classpath) exercises the WHOLE
+path for real: ``derby_embedded_kwargs`` builds write/read kwargs for
+an embedded on-disk database, and tests/test_sinks_and_scalars.py
+round-trips the parsed irclog through it — executor-parallel batched
+INSERTs out, a partitioned JDBC scan back. Against MySQL only the
+URL/driver strings change. Upsert-by-key needs either a staging
+table + MERGE/INSERT..ON DUPLICATE KEY on the DB side or the keyed
+parquet sink (streaming.pipeline) in front.
 """
 
 from __future__ import annotations
@@ -20,6 +24,27 @@ from __future__ import annotations
 
 def jdbc_url(host: str, db: str, port: int = 3306, dialect: str = "mysql") -> str:
     return f"jdbc:{dialect}://{host}:{port}/{db}"
+
+
+def derby_embedded_kwargs(
+    db_path: str,
+    table: str,
+    mode: str = "append",
+    batchsize: int = 1000,
+) -> dict:
+    """Write kwargs for the embedded Derby engine on Spark's own
+    classpath — the in-env stand-in that runs the identical
+    ``df.write.jdbc`` code path as MySQL (connection-per-partition,
+    batched INSERTs); swap url/driver for a server dialect."""
+    return {
+        "url": f"jdbc:derby:{db_path};create=true",
+        "table": table,
+        "mode": mode,
+        "properties": {
+            "driver": "org.apache.derby.jdbc.EmbeddedDriver",
+            "batchsize": str(batchsize),
+        },
+    }
 
 
 def jdbc_write_kwargs(
