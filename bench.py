@@ -164,6 +164,7 @@ HEADLINE = [
     "docs_nfc_normalize",
     "docs_url_canonicalize",
     "docs_paragraph_langid",
+    "docs_trgm_search",
 ]
 
 #: headline queries that derive from the irclog (re-timed over the

@@ -1,0 +1,103 @@
+"""Trigram substring-search index (the pg_trgm / Google Code Search
+trick, Cox 2012): answer `%pattern%` scans from an index instead of a
+full-corpus `contains()` pass.
+
+Soundness is LOSSLESS, not probabilistic: any document containing
+`pattern` contains every character trigram of `pattern`, so the
+candidate set {docs containing ALL pattern trigrams} is a superset of
+the answer, and the final in-row `contains()` verify makes the result
+exact. (Contrast MinHash/LSH: recall there is probabilistic; here the
+filter can only over-admit.)
+
+Scale shape: the index is one explode of distinct in-row trigrams —
+(doc_id, tri) pairs, text never shuffles — built once and reusable
+across queries (the inverted-index/band-index convention). A search
+touches only the posting rows whose trigram is in the pattern's
+trigram set (an `isin` over plan constants — partition-prunable if
+the index is written bucketed by trigram), then a partial-agg count
+per doc enforces the ALL-trigrams condition before the text is
+fetched for candidate-only verification. A pattern shorter than 3
+chars has no trigram and falls back to the full scan the oracle
+always does.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from irclogbot_spark.plans.partitioning import ensure_parallelism
+
+
+def trigrams_col(text: Column | str) -> Column:
+    """Distinct character trigrams of ``text``, in-row."""
+    c = F.col(text) if isinstance(text, str) else text
+    n = F.greatest(F.length(c) - F.lit(2), F.lit(0))
+    return F.array_distinct(
+        F.transform(F.sequence(F.lit(1), n), lambda i: c.substr(i, F.lit(3)))
+    )
+
+
+def py_trigrams(pattern: str) -> list[str]:
+    """Driver-side trigram set of a search pattern (plan constants)."""
+    return sorted({pattern[i : i + 3] for i in range(len(pattern) - 2)})
+
+
+def trgm_index(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, tri) posting rows — the persistable index artifact."""
+    return ensure_parallelism(df).select(
+        F.col(id_col), F.explode(trigrams_col(text_col)).alias("tri")
+    )
+
+
+def trgm_search(
+    df: DataFrame,
+    patterns: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    index: DataFrame | None = None,
+) -> DataFrame:
+    """Exact substring search for every pattern: (pattern, id) rows.
+
+    Candidates come from the trigram index (ALL pattern trigrams
+    present, counted with one partial-agg shuffle of bare (id)
+    rows); text is joined back only for the candidate set. Patterns
+    under 3 chars fall back to a direct scan — they have no trigram.
+    """
+    if not patterns:
+        raise ValueError("need at least one pattern")
+    idx = index if index is not None else trgm_index(df, id_col, text_col)
+    outs: list[DataFrame] = []
+    short: list[str] = []
+    for p in patterns:
+        tris = py_trigrams(p)
+        if not tris:
+            short.append(p)
+            continue
+        cand = (
+            idx.filter(F.col("tri").isin(tris))
+            .groupBy(id_col)
+            .agg(F.count_distinct(F.col("tri")).alias("_hit"))
+            .filter(F.col("_hit") == len(tris))
+            .select(id_col)
+        )
+        verified = (
+            df.join(cand, id_col, "left_semi")
+            .filter(F.col(text_col).contains(p))
+            .select(F.lit(p).alias("pattern"), F.col(id_col))
+        )
+        outs.append(verified)
+    if short:
+        direct = None
+        for p in short:
+            one = df.filter(F.col(text_col).contains(p)).select(
+                F.lit(p).alias("pattern"), F.col(id_col)
+            )
+            direct = one if direct is None else direct.unionByName(one)
+        outs.append(direct)
+    result = outs[0]
+    for o in outs[1:]:
+        result = result.unionByName(o)
+    return result

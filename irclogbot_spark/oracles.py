@@ -1201,6 +1201,19 @@ SELECT doc_id AS asset_id,
 FROM documents
 """
 
+# Round 7: trigram substring search — the oracle is the NAIVE full
+# contains() scan over every pattern (the quadratic-twin convention:
+# the engine's index path must agree row-for-row with brute force).
+from irclogbot_spark.queries import _TRGM_PATTERNS as _TP  # noqa: E402
+
+_TP_VALUES = ", ".join(f"('{p}')" for p in _TP)
+ORACLES["docs_trgm_search"] = f"""
+WITH pats(pattern) AS (VALUES {_TP_VALUES})
+SELECT p.pattern, d.doc_id
+FROM documents d, pats p
+WHERE contains(d.text, p.pattern)
+"""
+
 # Round 7: paragraph-level language segmentation — split replayed
 # with WITH ORDINALITY, the lang CASE transcribed per paragraph, the
 # doc-level distinct count joined back.

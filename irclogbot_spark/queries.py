@@ -4179,6 +4179,30 @@ def docs_paragraph_langid(spark, sf_dir):
     )
 
 
+#: substring patterns for the trigram-search query: multi-word (rare,
+#: selective), single-word (common), and a 2-char short-pattern that
+#: exercises the no-trigram fallback arm
+_TRGM_PATTERNS = ["batch batch", "window win", "shuffle", "ag"]
+
+
+@query("docs_trgm_search")
+def docs_trgm_search(spark, sf_dir):
+    """Trigram-indexed substring search (operators/trgm.py — the
+    pg_trgm / Code Search trick): `%pattern%` answered from (doc_id,
+    trigram) posting rows instead of a full-corpus contains() scan.
+    The candidate filter is LOSSLESS (a doc containing the pattern
+    contains all its trigrams), so engine output is exact and the
+    oracle is the NAIVE full scan — plan-vs-plan equivalence, the
+    LSH-vs-quadratic convention. Patterns cover the selective
+    multi-word case, a common word, and a 2-char fallback with no
+    trigram. One (id, tri) explode builds the index; per pattern the
+    search touches only postings in the pattern's trigram set."""
+    from irclogbot_spark.operators.trgm import trgm_search
+
+    d = _t(spark, sf_dir, "documents")
+    return trgm_search(d, _TRGM_PATTERNS)
+
+
 def queries() -> dict[str, QueryFn]:
     out = {n: QUERIES[n] for n in _DRIVER_WINDOW}
     for n, f in QUERIES.items():

@@ -916,3 +916,42 @@ def test_backoff_cost_tables_quantization(spark):
     assert unk == max(uc.values()) + 1000
     with pytest.raises(ValueError):
         train_backoff_costs([], [("a", 1)], 1, 1)
+
+
+def test_trgm_search_exact_vs_bruteforce_and_fallback(spark):
+    from pyspark.sql import functions as F
+
+    from irclogbot_spark.operators import trgm
+
+    rows = [
+        (1, "the quick brown fox"),
+        (2, "quick silver"),
+        (3, "a qu ick break"),        # has 'qu' but not 'quick'
+        (4, "brown paper, quick fix"),
+        (5, "nothing relevant here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = trgm.trgm_search(df, ["quick", "own", "qu"])
+    got = {(r.pattern, r.doc_id) for r in out.collect()}
+    brute = {
+        (p, i) for p in ["quick", "own", "qu"] for i, t in rows if p in t
+    }
+    assert got == brute
+    # the 2-char pattern really matched via the fallback arm (doc 3
+    # has 'qu' but would produce no trigram candidates)
+    assert ("qu", 3) in got
+
+
+def test_trgm_index_is_reusable_and_text_free(spark):
+    from irclogbot_spark.operators import trgm
+
+    df = spark.createDataFrame(
+        [(1, "abcd"), (2, "bcde")], "doc_id long, text string"
+    )
+    idx = trgm.trgm_index(df)
+    assert set(idx.columns) == {"doc_id", "tri"}
+    got = {(r.doc_id, r.tri) for r in idx.collect()}
+    assert got == {(1, "abc"), (1, "bcd"), (2, "bcd"), (2, "cde")}
+    # passing the prebuilt index gives the same answer
+    out = trgm.trgm_search(df, ["bcd"], index=idx)
+    assert {(r.pattern, r.doc_id) for r in out.collect()} == {("bcd", 1), ("bcd", 2)}
