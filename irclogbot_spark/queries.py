@@ -2096,10 +2096,12 @@ _DRIVER_WINDOW = [
 ]
 # ROUND-8 ROTATION PLAN: after round 7 every declared oracle-paired
 # query has at least one hard driver row. Rotate round-7 additions
-# in first (anything registered after this window froze), then give
-# second rows to the round-6 wave above (they'll have exactly one),
-# then refresh the long-stable core (ingest_*, log_*, tpch_q1/q4/q5,
-# join_*, agg_rollup_sets, events_session_window, docs_bm25_search,
+# in first — the queries registered after this window froze:
+# docs_html_extract, docs_nfc_normalize, docs_url_canonicalize,
+# docs_paragraph_langid, docs_trgm_search — then give second rows to
+# the round-6 wave above (they'll have exactly one), then refresh the
+# long-stable core (ingest_*, log_*, tpch_q1/q4/q5, join_*,
+# agg_rollup_sets, events_session_window, docs_bm25_search,
 # docs_decontaminate, emb_knn_join, docs_dedup_keep_best,
 # docs_minhash_lsh, events_asof_join).
 
