@@ -68,35 +68,44 @@ def trgm_search(
     """
     if not patterns:
         raise ValueError("need at least one pattern")
+    spark = df.sparkSession
     idx = index if index is not None else trgm_index(df, id_col, text_col)
     outs: list[DataFrame] = []
-    short: list[str] = []
-    for p in patterns:
-        tris = py_trigrams(p)
-        if not tris:
-            short.append(p)
-            continue
+    long_pats = [p for p in patterns if py_trigrams(p)]
+    short = [p for p in patterns if not py_trigrams(p)]
+    if long_pats:
+        # SET-WISE, not per-pattern: one index pass answers every
+        # pattern — the (pattern, tri) dim broadcasts, candidates
+        # come from one partial-agg count per (pattern, doc), and
+        # the verify joins text back for candidate rows only with a
+        # column-vs-column contains()
+        pat_tris = spark.createDataFrame(
+            [(p, t) for p in long_pats for t in py_trigrams(p)],
+            "pattern string, tri string",
+        )
+        need = spark.createDataFrame(
+            [(p, len(py_trigrams(p))) for p in long_pats],
+            "pattern string, _need long",
+        )
         cand = (
-            idx.filter(F.col("tri").isin(tris))
-            .groupBy(id_col)
+            idx.join(F.broadcast(pat_tris), "tri")
+            .groupBy("pattern", id_col)
             .agg(F.count_distinct(F.col("tri")).alias("_hit"))
-            .filter(F.col("_hit") == len(tris))
-            .select(id_col)
+            .join(F.broadcast(need), "pattern")
+            .filter(F.col("_hit") == F.col("_need"))
+            .select("pattern", id_col)
         )
-        verified = (
-            df.join(cand, id_col, "left_semi")
-            .filter(F.col(text_col).contains(p))
-            .select(F.lit(p).alias("pattern"), F.col(id_col))
+        outs.append(
+            cand.join(df.select(id_col, text_col), id_col)
+            .filter(F.col(text_col).contains(F.col("pattern")))
+            .select("pattern", F.col(id_col))
         )
-        outs.append(verified)
-    if short:
-        direct = None
-        for p in short:
-            one = df.filter(F.col(text_col).contains(p)).select(
+    for p in short:
+        outs.append(
+            df.filter(F.col(text_col).contains(p)).select(
                 F.lit(p).alias("pattern"), F.col(id_col)
             )
-            direct = one if direct is None else direct.unionByName(one)
-        outs.append(direct)
+        )
     result = outs[0]
     for o in outs[1:]:
         result = result.unionByName(o)
