@@ -165,6 +165,7 @@ HEADLINE = [
     "docs_url_canonicalize",
     "docs_paragraph_langid",
     "docs_trgm_search",
+    "docs_hll_sketch_only",
 ]
 
 #: headline queries that derive from the irclog (re-timed over the

@@ -3980,7 +3980,7 @@ GROUP BY p.term, p.exact_cnt
 # floor-divided alpha constant; the linear-counting table is the
 # SAME Python-precomputed literal the Spark plan inlines, so no
 # runtime ln() is ever compared across engines.
-def _hll_distinct_sql() -> str:
+def _hll_distinct_sql(with_exact: bool = True) -> str:
     from irclogbot_spark.operators.hll import (
         HLL_C,
         HLL_SMALL_RANGE,
@@ -3988,6 +3988,17 @@ def _hll_distinct_sql() -> str:
     )
 
     lc = ", ".join(str(v) for v in hll_linear_table())
+    ex_cte = (
+        """,
+ex AS (
+  SELECT source, CAST(COUNT(DISTINCT term) AS BIGINT) AS exact_distinct
+  FROM terms GROUP BY source
+)"""
+        if with_exact
+        else ""
+    )
+    ex_col = "ex.exact_distinct," if with_exact else ""
+    ex_join = " JOIN ex ON e.source = ex.source" if with_exact else ""
     return rf"""
 WITH t AS (SELECT source, regexp_extract_all(text, '\S+') AS toks FROM documents),
 terms AS (
@@ -4014,21 +4025,25 @@ est AS (
   SELECT source, 256 - n_present AS v,
     {HLL_C} // (s_present + (256 - n_present) * (CAST(1 AS BIGINT) << 41)) AS est_raw
   FROM st
-),
-ex AS (
-  SELECT source, CAST(COUNT(DISTINCT term) AS BIGINT) AS exact_distinct
-  FROM terms GROUP BY source
-)
-SELECT e.source, ex.exact_distinct,
+){ex_cte}
+SELECT e.source, {ex_col}
   CAST(CASE WHEN e.est_raw <= {HLL_SMALL_RANGE} AND e.v > 0
        THEN ([{lc}])[CAST(e.v AS INT)] ELSE e.est_raw END AS BIGINT)
     AS hll_estimate,
   CAST(e.v AS BIGINT) AS n_zero_registers
-FROM est e JOIN ex ON e.source = ex.source
+FROM est e{ex_join}
 """
 
 
 ORACLES["docs_hll_distinct"] = _hll_distinct_sql()
+
+# Sketch-only twin (VERDICT r6 next #8): docs_hll_distinct's bench
+# number is dominated by the exact-distinct referee riding in the
+# same query; this twin is the sketch ALONE — the thing a 100 TB
+# deployment actually runs — still value-hashed (the estimate is
+# portable-md5 rebuilt), so its bench slot shows the sketch's real
+# marginal cost.
+ORACLES["docs_hll_sketch_only"] = _hll_distinct_sql(with_exact=False)
 
 
 # Histogram quantile sketch: bins, cumulative, rank target, and the

@@ -4205,6 +4205,27 @@ def docs_trgm_search(spark, sf_dir):
     return trgm_search(d, _TRGM_PATTERNS)
 
 
+@query("docs_hll_sketch_only")
+def docs_hll_sketch_only(spark, sf_dir):
+    """The HLL sketch ALONE (VERDICT r6 next #8): docs_hll_distinct
+    carries its exact-countDistinct referee in the same query, which
+    dominates its bench number; this twin is what a 100 TB deployment
+    actually runs — one (source, bucket, rho) partial-MAX shuffle,
+    at most 256 surviving rows per source — and it's still
+    oracle-paired (the portable-md5 estimate value-hashes without the
+    exact column)."""
+    from irclogbot_spark.operators.hll import hll_distinct
+    from irclogbot_spark.operators.repetition import ngrams
+
+    docs = _t(spark, sf_dir, "documents")
+    grams = docs.select(
+        "source", F.explode(ngrams(F.col("text"), 8)).alias("shingle")
+    )
+    return hll_distinct(grams, "shingle", ["source"]).select(
+        "source", "hll_estimate", "n_zero_registers"
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     out = {n: QUERIES[n] for n in _DRIVER_WINDOW}
     for n, f in QUERIES.items():
