@@ -3744,8 +3744,12 @@ def docs_hll_distinct(spark, sf_dir):
     from irclogbot_spark.operators.hll import hll_distinct
     from irclogbot_spark.operators.repetition import ngrams
 
+    from irclogbot_spark.plans.partitioning import ensure_parallelism
+
     docs = _t(spark, sf_dir, "documents")
-    grams = docs.select(
+    # the 8-gram explode is the CPU-dominant stage: spread it even on
+    # a single-file input layout (no-op on wide cluster layouts)
+    grams = ensure_parallelism(docs).select(
         "source", F.explode(ngrams(F.col("text"), 8)).alias("shingle")
     )
     sketch = hll_distinct(grams, "shingle", ["source"])
@@ -4217,8 +4221,12 @@ def docs_hll_sketch_only(spark, sf_dir):
     from irclogbot_spark.operators.hll import hll_distinct
     from irclogbot_spark.operators.repetition import ngrams
 
+    from irclogbot_spark.plans.partitioning import ensure_parallelism
+
     docs = _t(spark, sf_dir, "documents")
-    grams = docs.select(
+    # the 8-gram explode is the CPU-dominant stage: spread it even on
+    # a single-file input layout (no-op on wide cluster layouts)
+    grams = ensure_parallelism(docs).select(
         "source", F.explode(ngrams(F.col("text"), 8)).alias("shingle")
     )
     return hll_distinct(grams, "shingle", ["source"]).select(
