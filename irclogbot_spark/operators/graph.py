@@ -49,6 +49,7 @@ def pagerank(
     src_col: str = "src",
     dst_col: str = "dst",
     weight_col: str = "w",
+    broadcast_ranks: bool = False,
 ) -> DataFrame:
     """Weighted PageRank over a directed edge list; returns
     ``(node, rank_units)`` for every edge endpoint. Undirected graphs
@@ -78,8 +79,15 @@ def pagerank(
     )
     ranks = nodes.select("node", F.lit(R0).cast("long").alias("r"))
     for _ in range(n_iter):
+        # broadcast_ranks=True is the dimension-sized-node-set fast
+        # path (caller's assertion — e.g. a bipartite trade graph
+        # whose nodes are customers+suppliers): the rank frame ships
+        # to every executor and the 4 rounds never sort/shuffle the
+        # edge list. Default False: a web-scale graph's rank frame is
+        # corpus-sized and must use the shuffle join.
+        rside = F.broadcast(ranks) if broadcast_ranks else ranks
         contribs = (
-            ew.join(ranks, ew["src"] == ranks["node"])
+            ew.join(rside, ew["src"] == ranks["node"])
             .select(
                 F.col("dst").alias("node"),
                 F.expr(

@@ -2424,7 +2424,12 @@ def graph_pagerank_trade(spark, sf_dir):
         F.concat(F.lit("c"), F.col("o_custkey")).alias("dst"),
         "w",
     )
-    ranks = pagerank(fwd.unionByName(rev), n_iter=4, damping_milli=850)
+    # broadcast_ranks: the node set here is customers+suppliers —
+    # dimension-sized by construction — so the rank frame broadcasts
+    # and the 4 rounds never re-shuffle the 1.1M-row edge list
+    ranks = pagerank(
+        fwd.unionByName(rev), n_iter=4, damping_milli=850, broadcast_ranks=True
+    )
     return ranks.orderBy(F.desc("rank_units"), F.asc("node")).limit(25)
 
 
