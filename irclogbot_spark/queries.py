@@ -2019,91 +2019,85 @@ def docs_importance_resample(spark, sf_dir):
 # registrations only; everything else gets the local parity suite's
 # (stricter) value check but no driver-recorded row. The window is
 # rotated per round so every oracle-paired query accumulates at
-# least one driver-recorded verification. Round 7 executes the plan
-# recorded at the end of round 6 (and VERDICT r6 "Next round" #1):
-# the 35 queries that shipped after the round-6 window froze and
-# therefore carry only local-parity evidence get their FIRST driver
-# rows — the 11 TPC-H completions, the round-6 second wave
-# (adaptive quality gate, salted enrich/attribution, unpivot,
-# random projection + hard negatives + projection recall + SQ8,
-# novelty/containment, leakage-safe split, length batching, JSONL
-# ingest, CMS/HLL/KLL sketches) and third wave (priority sample,
-# MAD anomaly, multikey linkage, unigram segmentation, PPJoin
-# prefix filter, Theil-Sen trend, Z-order layout, backoff
-# surprisal) — plus media_decode_stats, whose only driver row (r4)
-# predates the real BMP decoder (VERDICT r6 "wrong" #1), and the
-# round-7 PNG twin media_png_decode_stats (zlib inflate + defilter
-# proven by oracle row, not just golden tests). The 13 remaining
-# slots re-pin the retired round-3/4 flagship block. Every name here
-# MUST be oracle-paired (pinned by tests/test_driver_contract.py).
+# least one driver-recorded verification. Round 8 executes the plan
+# recorded at the end of round 7 (VERDICT r7 "Next round" #1):
+# (a) FIRST driver rows for the six round-7 additions that registered
+# after the round-7 window froze (HTML extraction, NFC normalize,
+# URL canonicalization, paragraph lang-id, trigram substring index,
+# sketch-only HLL); (b) RE-PIN the eight queries whose operators were
+# rewritten in round 7 AFTER their last hard row (editdist hashed
+# grams, pointer-doubling components + everything layered on them,
+# parallelized prep checkpoints and winnowing, PageRank broadcast
+# path) so the hard signal postdates the code again; (c) refresh the
+# oldest surviving rows — the full r4-vintage block, then the oldest
+# r5 core (ingest filters/dedup/action, channel catalog, the log_*
+# scan family, tpch_q3/q5, decontamination, kNN join, BM25).
+# Still r5-vintage and queued for round 9: log_point_lookup,
+# join_anti/semi, agg_rollup_sets, events_session_window,
+# log_search_terms, docs_crossdup. Every name here MUST be
+# oracle-paired (pinned by tests/test_driver_contract.py).
 _DRIVER_WINDOW = [
-    # TPC-H completions (first driver rows)
-    "tpch_q2_min_cost_supplier",
-    "tpch_q6_forecast_revenue",
-    "tpch_q8_market_share",
-    "tpch_q9_product_profit",
-    "tpch_q10_returned_items",
-    "tpch_q11_important_stock",
-    "tpch_q12_late_lines",
-    "tpch_q15_top_supplier",
-    "tpch_q19_disjunctive_rev",
-    "tpch_q20_promotion_parts",
-    "tpch_q21_waiting_suppliers",
-    # round-6 second wave (first driver rows)
-    "docs_adaptive_quality",
-    "events_salted_enrich",
-    "events_attribution",
-    "agg_unpivot",
-    "emb_random_projection",
-    "emb_hard_negatives",
-    "emb_projection_recall",
-    "emb_sq8_error",
-    "docs_ngram_novelty",
-    "docs_source_containment",
-    "docs_leakage_safe_split",
-    "docs_length_batching",
-    "docs_jsonl_ingest",
-    "docs_heavy_hitters_cms",
-    "docs_hll_distinct",
-    "docs_length_quantile_sketch",
-    # round-6 third wave (first driver rows)
-    "docs_priority_sample",
-    "events_anomaly_mad",
-    "docs_multikey_linkage",
-    "docs_unigram_segment",
-    "docs_prefix_filter_join",
-    "events_theil_sen_trend",
-    "events_zorder_layout",
-    "docs_backoff_surprisal",
-    # real-BMP decode re-pin (only prior row predates the decoder) +
-    # first row for the round-7 PNG twin (zlib inflate + defilter)
-    "media_decode_stats",
-    "media_png_decode_stats",
-    # retired round-3/4 flagships (second driver row) + core freshness
-    "docs_c4_clean",
-    "docs_inverted_index",
-    "docs_incremental_dedup",
-    "docs_incremental_dedup_wb",
-    "docs_budget_cap",
-    "tpch_q18_big_orders",
-    "emb_semantic_dedup",
-    "docs_quality_score",
-    "docs_temperature_mix",
-    "docs_chunking",
-    "emb_ivf_recall",
-    "docs_tfidf_topk",
-    "emb_pq_topk",
+    # round-7 additions, first driver rows
+    "docs_html_extract",
+    "docs_nfc_normalize",
+    "docs_url_canonicalize",
+    "docs_paragraph_langid",
+    "docs_trgm_search",
+    "docs_hll_sketch_only",
+    # operators rewritten in r7 after their last row — re-pin at HEAD
+    "docs_editdist_neardup",
+    "docs_editdist_dedup",
+    "docs_neardup_clusters",
+    "docs_dedup_pipeline",
+    "docs_dedup_keep_best",
+    "docs_prep_pipeline",
+    "docs_winnow_fingerprint",
+    "graph_pagerank_trade",
+    # r4-vintage rows (oldest surviving hard signal)
+    "log_nick_rank_per_channel",
+    "log_inter_message_gap",
+    "join_top_customers",
+    "set_ops",
+    "scalar_human_fmt",
+    "events_windows",
+    "events_json_extract",
+    "docs_token_stats",
+    "docs_quality",
+    "emb_cosine_neardup",
+    "docs_neardup_jaccard",
+    "docs_dedup_keep_first",
+    "docs_lang_id",
+    "docs_sample_split",
+    "docs_lm_score",
+    "docs_pack_sequences",
+    "docs_pii_redact",
+    "emb_ann_topk",
+    "emb_ivf_topk",
+    "emb_ann_recall",
+    "window_date_functions",
+    "math_array_functions",
+    "agg_stats",
+    "agg_pivot",
+    # oldest r5 core
+    "ingest_filter_stats",
+    "ingest_dedup",
+    "ingest_action_rows",
+    "channels_catalog",
+    "log_term_time_filter",
+    "log_msgs_per_channel_day",
+    "log_top_nicks",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier",
+    "docs_decontaminate",
+    "emb_knn_join",
+    "docs_bm25_search",
 ]
-# ROUND-8 ROTATION PLAN: after round 7 every declared oracle-paired
-# query has at least one hard driver row. Rotate round-7 additions
-# in first — the queries registered after this window froze:
-# docs_html_extract, docs_nfc_normalize, docs_url_canonicalize,
-# docs_paragraph_langid, docs_trgm_search — then give second rows to
-# the round-6 wave above (they'll have exactly one), then refresh the
-# long-stable core (ingest_*, log_*, tpch_q1/q4/q5, join_*,
-# agg_rollup_sets, events_session_window, docs_bm25_search,
-# docs_decontaminate, emb_knn_join, docs_dedup_keep_best,
-# docs_minhash_lsh, events_asof_join).
+# ROUND-9 ROTATION PLAN: give second rows to the remaining r5-vintage
+# core (log_point_lookup, join_anti_customers_no_orders,
+# join_semi_parts_ordered, agg_rollup_sets, events_session_window,
+# log_search_terms, docs_crossdup), then the r6 block (50 queries —
+# rotate the oldest ~43 of them), then any round-8 additions that
+# register after THIS window freezes.
 
 
 @query("docs_dedup_keep_best_fast")
