@@ -443,11 +443,13 @@ def neardup_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
     Scale shape: both joins touch only (node, label) id pairs — never
     text. The convergence probe costs NO extra job: the round's
     checkpoint is lazy and the probe aggregate is the action that
-    materializes it (one job per round total). For numeric ids the
+    materializes it (one job per round total). For INTEGRAL ids the
     probe is sum(label) over decimal(38,0) — labels are monotonically
     non-increasing (every update is a least()), so an unchanged sum
     IS the exact fixpoint, overflow-proof at any corpus size; for
-    non-numeric ids it falls back to an anti-join change count.
+    everything else (strings, and fractional numerics whose
+    decimal(38,0) cast would round away sub-unit label changes) it
+    falls back to an exact anti-join change count.
     """
     # materialize the edge list once and truncate lineage every round:
     # without this, iteration i's plan embeds i copies of the whole
@@ -465,9 +467,14 @@ def neardup_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
         .withColumn("label", F.col("node"))
         .localCheckpoint(eager=True)
     )
-    from pyspark.sql.types import NumericType
+    from pyspark.sql.types import IntegralType
 
-    numeric_ids = isinstance(labels.schema["label"].dataType, NumericType)
+    # Sum-probe convergence is exact only for integral ids: the
+    # decimal(38,0) cast HALF_UP-rounds fractional labels, so two
+    # distinct fixpoint states could sum equal after rounding and
+    # stop the loop early. Fractional/decimal numeric ids take the
+    # anti-join change-count probe like strings do.
+    numeric_ids = isinstance(labels.schema["label"].dataType, IntegralType)
     prev_sum: object = object()  # sentinel: never equals a real sum
     for _ in range(max_iter):
         neighbor_min = (

@@ -87,7 +87,7 @@ def pagerank(
         # corpus-sized and must use the shuffle join.
         rside = F.broadcast(ranks) if broadcast_ranks else ranks
         contribs = (
-            ew.join(rside, ew["src"] == ranks["node"])
+            ew.join(rside, ew["src"] == rside["node"])
             .select(
                 F.col("dst").alias("node"),
                 F.expr(

@@ -1206,7 +1206,9 @@ FROM documents
 # the engine's index path must agree row-for-row with brute force).
 from irclogbot_spark.queries import _TRGM_PATTERNS as _TP  # noqa: E402
 
-_TP_VALUES = ", ".join(f"('{p}')" for p in _TP)
+# escape single quotes so a future pattern containing ' cannot break
+# (or inject into) the DuckDB oracle SQL
+_TP_VALUES = ", ".join("('{}')".format(p.replace("'", "''")) for p in _TP)
 ORACLES["docs_trgm_search"] = f"""
 WITH pats(pattern) AS (VALUES {_TP_VALUES})
 SELECT p.pattern, d.doc_id

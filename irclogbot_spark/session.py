@@ -70,9 +70,17 @@ def get_spark(app_name: str = "sparklog", master: str | None = None) -> SparkSes
         # local[32] over sf<=0.1 keep shuffle fan-out modest.
         .config("spark.sql.shuffle.partitions", str(int(cpus) if str(cpus).isdigit() else 32))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
-        # UI off by default (test noise); SPARK_GRAFT_UI=1 turns it on
-        # for metric probes that read the REST stage API (scale_probe)
-        .config("spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI", "false"))
+        # UI off by default (test noise); SPARK_GRAFT_UI=1/true/yes
+        # turns it on for metric probes that read the REST stage API
+        # (scale_probe). Spark only parses 'true'/'false', so
+        # normalize the conventional truthy spellings here.
+        .config(
+            "spark.ui.enabled",
+            "true"
+            if os.environ.get("SPARK_GRAFT_UI", "").strip().lower()
+            in ("1", "true", "yes", "on")
+            else "false",
+        )
     )
     for k, v in RUNTIME_CONFS.items():
         builder = builder.config(k, v)

@@ -111,10 +111,20 @@ def main() -> None:
     ap.add_argument("--skip-build", action="store_true")
     args = ap.parse_args()
 
+    # the probe reads the UI REST stage API — force the UI on before
+    # the session builds (get_spark normalizes truthy spellings)
+    os.environ.setdefault("SPARK_GRAFT_UI", "true")
+
     import __spark_entry__ as entry
     from irclogbot_spark.session import get_spark
 
     spark = get_spark("scale_probe", master="local[32]")
+    if spark.sparkContext.uiWebUrl is None:
+        raise SystemExit(
+            "Spark UI is disabled (uiWebUrl=None) — scale_probe needs the "
+            "REST stage API. Unset SPARK_GRAFT_UI=0/false, or stop the "
+            "already-running SparkSession that was built with the UI off."
+        )
     src = "/root/testdata/sf0.1"
     if not args.skip_build:
         build_sf1(spark, src, args.out)

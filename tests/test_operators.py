@@ -101,6 +101,22 @@ def test_neardup_components_converges_early(spark):
     assert got == {5: 5, 7: 5}
 
 
+def test_neardup_components_fractional_ids_exact(spark):
+    # round-8 advice regression: double ids whose values differ by
+    # <0.5 would sum identically after the decimal(38,0) HALF_UP cast
+    # (2.6 and 2.5 both round to 3), so the sum probe must NOT be
+    # used — fractional numerics route to the anti-join change count
+    # and still reach the exact per-component minimum.
+    pairs = spark.createDataFrame(
+        [(2.6, 2.5), (2.5, 2.4), (9.1, 9.05)], "d1 double, d2 double"
+    )
+    got = {
+        r.doc_id: r.cluster_id
+        for r in dedup.neardup_components(pairs).collect()
+    }
+    assert got == {2.4: 2.4, 2.5: 2.4, 2.6: 2.4, 9.05: 9.05, 9.1: 9.05}
+
+
 def test_dedup_corpus_end_to_end(spark):
     base = "the quick brown fox jumps over the lazy dog in the sunny meadow today"
     rows = [
