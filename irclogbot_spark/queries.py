@@ -18,6 +18,9 @@ Scale notes baked in:
 
 from __future__ import annotations
 
+import glob as _glob
+import os
+import shutil as _shutil
 from collections.abc import Callable
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window
@@ -142,6 +145,26 @@ def channels_catalog(spark, sf_dir):
     )
 
 
+def _reap_stale_process_dirs(prefix: str) -> None:
+    """Best-effort cleanup of per-process materialization dirs
+    (``{prefix}{pid}``) left behind by processes that no longer
+    exist. Live pids (including other concurrent suites) are left
+    alone — that is the whole point of the per-pid suffix."""
+    for d in _glob.glob(f"{prefix}[0-9]*"):
+        tail = d[len(prefix):]
+        if not tail.isdigit():
+            continue
+        pid = int(tail)
+        if pid == os.getpid():
+            continue
+        try:
+            os.kill(pid, 0)  # signal 0: existence probe only
+        except ProcessLookupError:
+            _shutil.rmtree(d, ignore_errors=True)
+        except PermissionError:
+            pass  # pid alive under another uid — leave it
+
+
 # session-scoped registry of day-partitioned irclog materializations
 _PARTITIONED_IRCLOG: dict[str, str] = {}
 
@@ -165,8 +188,14 @@ def log_term_time_partitioned(spark, sf_dir):
 
     path = _PARTITIONED_IRCLOG.get(sf_dir)
     if path is None:
+        # Per-PROCESS path (VERDICT r7 wrong #1): two concurrent
+        # suites on one box must not rmtree each other's live
+        # materialization mid-read. Stale dirs left by dead pids are
+        # reaped best-effort on first touch.
         suffix = "".join(c if c.isalnum() else "_" for c in sf_dir).strip("_")
-        path = f"/tmp/sparklog_irclog_byday_{suffix}"
+        base = f"/tmp/sparklog_irclog_byday_{suffix}"
+        _reap_stale_process_dirs(f"{base}_p")
+        path = f"{base}_p{os.getpid()}"
         shutil.rmtree(path, ignore_errors=True)
         write_irclog(synth.irclog(spark, sf_dir), path, partition_by_day=True)
         _PARTITIONED_IRCLOG[sf_dir] = path
@@ -256,17 +285,20 @@ def log_channel_day_bucketed(spark, sf_dir):
 
     tbl = _BUCKETED_IRCLOG.get(sf_dir)
     if tbl is None or not spark.catalog.tableExists(tbl):
-        # deterministic name, overwritten in place each session: the
-        # warehouse never accumulates per-pid copies, and the stale
-        # directory a previous PROCESS left behind (absent from this
+        # Per-PROCESS table name (VERDICT r7 wrong #1): a shared
+        # deterministic name let two concurrent suites DROP/rmtree
+        # each other's live table mid-read. The pid suffix isolates
+        # them; stale warehouse dirs from dead pids (absent from this
         # session's in-memory catalog, so saveAsTable would fail with
-        # LOCATION_ALREADY_EXISTS — code-review r6 finding) is removed
-        # before the CREATE.
+        # LOCATION_ALREADY_EXISTS — code-review r6 finding) are
+        # reaped before the CREATE.
         suffix = "".join(c if c.isalnum() else "_" for c in sf_dir)
-        tbl = f"irclog_bkt_{suffix}".strip("_")
-        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
         wh = urlparse(spark.conf.get("spark.sql.warehouse.dir"))
-        shutil.rmtree(os.path.join(wh.path, tbl.lower()), ignore_errors=True)
+        base = f"irclog_bkt_{suffix}".strip("_").lower()
+        _reap_stale_process_dirs(os.path.join(wh.path, f"{base}_p"))
+        tbl = f"{base}_p{os.getpid()}"
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        shutil.rmtree(os.path.join(wh.path, tbl), ignore_errors=True)
         write_irclog_bucketed(synth.irclog(spark, sf_dir), tbl, buckets=8)
         _BUCKETED_IRCLOG[sf_dir] = tbl
     log = spark.table(tbl)
@@ -3678,10 +3710,11 @@ def docs_jsonl_ingest(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")
     sf_tag = os.path.basename(os.path.normpath(sf_dir))
-    # stable per-sf path (NOT pid-suffixed): mode("overwrite") reuses
-    # it, so repeated runs keep exactly one fixture copy per sf
-    # instead of accumulating a corpus copy per process in /tmp
-    path = f"/tmp/sparklog_jsonl_{sf_tag}"
+    # per-PROCESS path (VERDICT r7 wrong #1: concurrent suites must
+    # not overwrite each other's fixture mid-read); stale copies from
+    # dead pids are reaped so /tmp keeps ~one live copy per sf
+    _reap_stale_process_dirs(f"/tmp/sparklog_jsonl_{sf_tag}_p")
+    path = f"/tmp/sparklog_jsonl_{sf_tag}_p{os.getpid()}"
     write_documents_jsonl_gz(
         docs.select("doc_id", "text", "lang", "source", "n_chars"), path
     )
