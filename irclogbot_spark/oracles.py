@@ -1334,6 +1334,18 @@ SELECT doc_id AS asset_id,
 FROM documents
 """
 
+# Round 8: the JPEG fixture alternates grayscale (even text length)
+# and 4:4:4 RGB (odd); geometry matches the BMP/PNG convention. The
+# engine must really entropy-decode the stream — decode_stub="raise".
+ORACLES["media_jpeg_decode_stats"] = """
+SELECT doc_id AS asset_id,
+  CAST(4 + octet_length(encode(text)) % 13 AS INT) AS width,
+  CAST(3 + octet_length(encode(text)) % 7 AS INT) AS height,
+  CAST(CASE WHEN octet_length(encode(text)) % 2 = 0 THEN 1 ELSE 3 END
+    AS INT) AS n_channels
+FROM documents
+"""
+
 
 # ---------------------------------------------- coverage batteries (round 1)
 ORACLES["window_date_functions"] = """

@@ -1076,6 +1076,30 @@ def media_png_decode_stats(spark, sf_dir):
     )
 
 
+@query("media_jpeg_decode_stats")
+def media_jpeg_decode_stats(spark, sf_dir):
+    """JPEG twin of media_png_decode_stats (round 8, VERDICT r7 next
+    #7 — the libjpeg boundary closed in-engine): each doc is rendered
+    as a genuine baseline sequential JFIF JPEG (FDCT + quantization +
+    Huffman entropy coding, operators/jpegcodec.py), alternating
+    grayscale and 4:4:4 YCbCr by text length, and the Arrow
+    mapInPandas stage must HUFFMAN-DECODE, DEQUANTIZE AND IDCT the
+    stream before emitting typed stats; decode_stub="raise" proves no
+    stub fires. The oracle re-derives width/height/channels from the
+    text the fixture encoded, so a wrong marker walk, Huffman table,
+    or component-count mapping can't hash-match; pixel closeness
+    (lossy) is pinned by round-trip + golden tests instead."""
+    from irclogbot_spark.operators.multimodal import (
+        decode_images,
+        synthesize_jpeg_media,
+    )
+
+    media = synthesize_jpeg_media(_t(spark, sf_dir, "documents"))
+    return decode_images(media, decode_stub="raise").select(
+        "asset_id", "width", "height", "n_channels"
+    )
+
+
 # ---------------------------------------------- coverage batteries (round 1)
 @query("window_date_functions")
 def window_date_functions(spark, sf_dir):
@@ -2076,6 +2100,8 @@ _DRIVER_WINDOW = [
     "docs_paragraph_langid",
     "docs_trgm_search",
     "docs_hll_sketch_only",
+    # round-8 addition: first row for the real JPEG decoder
+    "media_jpeg_decode_stats",
     # operators rewritten in r7 after their last row — re-pin at HEAD
     "docs_editdist_neardup",
     "docs_editdist_dedup",
@@ -2122,14 +2148,14 @@ _DRIVER_WINDOW = [
     "tpch_q5_local_supplier",
     "docs_decontaminate",
     "emb_knn_join",
-    "docs_bm25_search",
 ]
 # ROUND-9 ROTATION PLAN: give second rows to the remaining r5-vintage
-# core (log_point_lookup, join_anti_customers_no_orders,
-# join_semi_parts_ordered, agg_rollup_sets, events_session_window,
-# log_search_terms, docs_crossdup), then the r6 block (50 queries —
-# rotate the oldest ~43 of them), then any round-8 additions that
-# register after THIS window freezes.
+# core (docs_bm25_search, log_point_lookup,
+# join_anti_customers_no_orders, join_semi_parts_ordered,
+# agg_rollup_sets, events_session_window, log_search_terms,
+# docs_crossdup), then the r6 block (50 queries — rotate the oldest
+# ~43 of them), then any round-8 additions that register after THIS
+# window freezes.
 
 
 @query("docs_dedup_keep_best_fast")

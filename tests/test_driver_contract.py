@@ -112,3 +112,19 @@ def test_every_oracle_has_a_query():
     qs = entrymod.queries()
     for name in entrymod.oracle_sql():
         assert name in qs, name
+
+
+def test_bench_covers_every_registered_query():
+    # VERDICT r7 missing #4: every name in queries() must have a
+    # recorded bench time — HEADLINE (median-of-3) or CHEAP (single
+    # warmed pass). A new registration missing from both lists fails
+    # here instead of silently going unbenched.
+    import bench
+
+    qs = set(entrymod.queries())
+    benched = set(bench.HEADLINE) | set(bench.CHEAP)
+    assert benched == qs, (
+        sorted(qs - benched),  # registered but unbenched
+        sorted(benched - qs),  # benched but unregistered (stale name)
+    )
+    assert not set(bench.HEADLINE) & set(bench.CHEAP)
