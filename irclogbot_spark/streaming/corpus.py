@@ -243,3 +243,159 @@ def continuous_ingest(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+# ----------------------------------------------------- crawl-shaped admission
+# Round 8 (VERDICT r7 next #9): the round-7 URL canonicalizer becomes
+# the stream's admission key — the crawl pipeline a web-corpus build
+# actually runs: canonicalize -> URL-dedup (refetches of a seen URL
+# never touch content hashing) -> content-dedup (the probe-and-admit
+# machinery above) -> admit. A fifth batch_id-partitioned table
+#
+#     <corpus_dir>/url_index/batch_id=N/   (canon_url, doc_id)
+#
+# records every canonical URL first seen in batch N; probes exclude
+# the current batch's id, so the whole five-write batch keeps the
+# partition-overwrite replay idempotence documented at module top.
+
+CRAWL_DOC_SCHEMA = "doc_id long, url string, text string"
+
+
+def crawl_ingest_batch(
+    batch: DataFrame,
+    batch_id: int,
+    corpus_dir: str,
+    threshold: float = 0.8,
+    hash_fn=None,
+    num_perm: int = 32,
+    bands: int = 16,
+    n: int = 5,
+    seed: int = 42,
+    within_batch: bool = True,
+) -> None:
+    """foreachBatch body for (doc_id, url, text) crawl records.
+
+    Verdicts: ``url_duplicate`` (canonical URL already indexed, or a
+    smaller doc_id in this batch claimed it — content never hashed),
+    else the content verdicts of :func:`verdict_frame`
+    (exact_dup_history/batch, near_dup_history/batch, new). Audit
+    rows carry (doc_id, canon_url, verdict, dup_of, jaccard); only
+    ``new`` docs land in history and the three indexes.
+
+    Scale shape: the URL layer is one narrow (canon_url, doc_id)
+    probe join + a per-URL min — no text moves; refetch-heavy crawl
+    streams (the common case) are settled before MinHash runs.
+    """
+    from irclogbot_spark.functions.url import canonicalize_url
+
+    spark = batch.sparkSession
+    canon = batch.withColumn(
+        "canon_url", canonicalize_url("url")
+    ).localCheckpoint(eager=True)
+
+    not_self = F.col("batch_id") != F.lit(batch_id)
+    uidx_template = canon.select("canon_url", "doc_id").limit(0)
+    uidx = _read_parts(spark, f"{corpus_dir}/url_index", uidx_template)
+    hist_urls = (
+        uidx.filter(not_self)
+        .groupBy("canon_url")
+        .agg(F.min("doc_id").alias("_hist_keeper"))
+    )
+    batch_keep = canon.groupBy("canon_url").agg(
+        F.min("doc_id").alias("_batch_keeper")
+    )
+    flagged = (
+        canon.join(batch_keep, "canon_url")
+        .join(hist_urls, "canon_url", "left")
+        .withColumn(
+            "_url_dup_of",
+            F.coalesce(
+                F.col("_hist_keeper"),
+                F.when(
+                    F.col("doc_id") != F.col("_batch_keeper"),
+                    F.col("_batch_keeper"),
+                ),
+            ),
+        )
+        .localCheckpoint(eager=True)  # two consumers below
+    )
+    url_dups = flagged.filter(F.col("_url_dup_of").isNotNull())
+    survivors = flagged.filter(F.col("_url_dup_of").isNull()).select(
+        "doc_id", "url", "canon_url", "text"
+    )
+
+    content_verdicts = verdict_frame(
+        survivors.select("doc_id", "text"),
+        batch_id,
+        corpus_dir,
+        threshold,
+        hash_fn,
+        num_perm,
+        bands,
+        n,
+        seed,
+        within_batch,
+    ).localCheckpoint(eager=True)  # audit + admission filter
+
+    audit = (
+        url_dups.select(
+            "doc_id",
+            "canon_url",
+            F.lit("url_duplicate").alias("verdict"),
+            F.col("_url_dup_of").alias("dup_of"),
+            F.lit(None).cast("double").alias("jaccard"),
+        )
+        .unionByName(
+            content_verdicts.join(
+                survivors.select("doc_id", "canon_url"), "doc_id"
+            ).select("doc_id", "canon_url", "verdict", "dup_of", "jaccard")
+        )
+    )
+    _overwrite(audit, f"{corpus_dir}/audit/batch_id={batch_id}")
+
+    admitted = survivors.join(
+        content_verdicts.filter(F.col("verdict") == "new").select("doc_id"),
+        "doc_id",
+        "left_semi",
+    ).localCheckpoint(eager=True)  # reused by three writes
+    _overwrite(admitted, f"{corpus_dir}/history/batch_id={batch_id}")
+    _overwrite(
+        fingerprint_index(admitted),
+        f"{corpus_dir}/fp_index/batch_id={batch_id}",
+    )
+    _overwrite(
+        band_index(
+            admitted, num_perm=num_perm, bands=bands, n=n, seed=seed, hash_fn=hash_fn
+        ),
+        f"{corpus_dir}/band_index/batch_id={batch_id}",
+    )
+    # every canonical URL FIRST SEEN this batch (its in-batch keeper),
+    # regardless of the content verdict: a refetch of a URL whose
+    # content was a duplicate is still a refetch
+    _overwrite(
+        survivors.select("canon_url", "doc_id"),
+        f"{corpus_dir}/url_index/batch_id={batch_id}",
+    )
+
+
+def crawl_continuous_ingest(
+    stream: DataFrame,
+    corpus_dir: str,
+    checkpoint_dir: str,
+    threshold: float = 0.8,
+    hash_fn=None,
+    within_batch: bool = True,
+    trigger_available_now: bool = True,
+):
+    """Wire a (doc_id, url, text) crawl stream into the canonicalize →
+    URL-dedup → content-dedup → admit loop. Returns the started
+    StreamingQuery."""
+    writer = stream.writeStream.foreachBatch(
+        lambda b, i: crawl_ingest_batch(
+            b, i, corpus_dir, threshold=threshold, hash_fn=hash_fn,
+            within_batch=within_batch,
+        )
+    ).option("checkpointLocation", checkpoint_dir)
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -860,3 +860,152 @@ def test_streaming_last_touch_attribution_matches_batch(spark, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def _crawl_writer(spark, tmp_path):
+    """(run_batch, corpus_dir): feed one micro-batch of (doc_id, url,
+    text) crawl records through crawl_continuous_ingest against a
+    shared checkpoint."""
+    from irclogbot_spark.streaming.corpus import (
+        CRAWL_DOC_SCHEMA,
+        crawl_continuous_ingest,
+    )
+
+    src = tmp_path / "crawl_src"
+    src.mkdir()
+    corpus_dir = str(tmp_path / "crawl_corpus")
+
+    def run_batch(rows):
+        import json
+
+        fname = src / f"b{len(list(src.iterdir()))}.json"
+        fname.write_text(
+            "\n".join(
+                json.dumps({"doc_id": i, "url": u, "text": t})
+                for i, u, t in rows
+            )
+        )
+        q = crawl_continuous_ingest(
+            spark.readStream.schema(CRAWL_DOC_SCHEMA).json(str(src)),
+            corpus_dir,
+            str(tmp_path / "crawl_ckpt"),
+        )
+        q.awaitTermination(120)
+
+    return run_batch, corpus_dir
+
+
+def test_crawl_ingest_url_then_content_dedup(spark, tmp_path):
+    """streaming/corpus.py crawl layer: canonicalize -> URL-dedup ->
+    content-dedup -> admit, across two batches. Refetches of a seen
+    canonical URL (tracking params, fragments, default ports, case)
+    are settled at the URL layer; distinct URLs with duplicate
+    content fall through to the content layer; the url_index tracks
+    every first-seen canonical URL even when its content was a dup."""
+    run_batch, corpus_dir = _crawl_writer(spark, tmp_path)
+
+    run_batch(
+        [
+            (1, "https://Example.com:443/a?utm_source=x", BASE_DOC),
+            # same canonical URL as doc 1 -> within-batch url dup,
+            # content never consulted
+            (2, "https://example.com/a#frag", "totally different text"),
+            (3, "http://other.org/b", "an unrelated first-batch document here"),
+        ]
+    )
+    run_batch(
+        [
+            # refetch of batch-1 URL -> url_duplicate against history
+            (11, "https://example.com/a?utm_medium=y", "whatever content"),
+            # new URL, exact content dup of history doc 1
+            (12, "https://mirror.net/copy", BASE_DOC),
+            # new URL, near-dup content of history doc 1
+            (13, "https://mirror.net/near", BASE_DOC + " lambda"),
+            # genuinely new
+            (14, "https://fresh.io/x", "a fresh unseen doc with distinct tokens"),
+        ]
+    )
+
+    audit = {
+        r.doc_id: (r.verdict, r.dup_of)
+        for r in spark.read.parquet(f"{corpus_dir}/audit").collect()
+    }
+    assert audit[1] == ("new", None)
+    assert audit[2] == ("url_duplicate", 1)
+    assert audit[3] == ("new", None)
+    assert audit[11] == ("url_duplicate", 1)
+    assert audit[12] == ("exact_dup_history", 1)
+    assert audit[13] == ("near_dup_history", 1)
+    assert audit[14] == ("new", None)
+
+    hist = spark.read.parquet(f"{corpus_dir}/history")
+    assert {r.doc_id for r in hist.collect()} == {1, 3, 14}
+    # canon_url landed canonicalized in history
+    canon = {r.doc_id: r.canon_url for r in hist.collect()}
+    assert canon[1] == "https://example.com/a"
+    # url_index covers every FIRST-SEEN canonical URL, including the
+    # ones whose content was rejected as duplicate (12, 13)
+    uidx = {
+        (r.canon_url, r.doc_id)
+        for r in spark.read.parquet(f"{corpus_dir}/url_index").collect()
+    }
+    assert ("https://example.com/a", 1) in uidx
+    assert ("https://mirror.net/copy", 12) in uidx
+    assert ("https://mirror.net/near", 13) in uidx
+    assert ("https://fresh.io/x", 14) in uidx
+    # content indexes only track ADMITTED docs
+    fp_ids = {
+        r.doc_id for r in spark.read.parquet(f"{corpus_dir}/fp_index").collect()
+    }
+    assert fp_ids == {1, 3, 14}
+
+
+def test_crawl_ingest_crash_replay_idempotent(spark, tmp_path):
+    """The five-write crawl batch keeps the partition-overwrite replay
+    contract: a crash after audit+history+fp_index+band_index but
+    before the url_index write replays to exactly the clean outcome."""
+    import pytest
+
+    from irclogbot_spark.streaming import corpus as C
+
+    run_batch, corpus_dir = _crawl_writer(spark, tmp_path)
+    run_batch([(1, "https://a.com/x", BASE_DOC)])
+
+    batch2 = [
+        (11, "https://a.com/x?utm_source=s", "refetched content"),
+        (12, "https://b.com/y", BASE_DOC),  # content dup of 1
+        (13, "https://c.com/z", "a fresh unseen doc with distinct tokens"),
+    ]
+    batch2_df = spark.createDataFrame(batch2, C.CRAWL_DOC_SCHEMA)
+    real_overwrite = C._overwrite
+
+    def failing_overwrite(df, path):
+        if "url_index" in path and "batch_id=1" in path:
+            raise RuntimeError("simulated crash before the url_index write")
+        real_overwrite(df, path)
+
+    C._overwrite = failing_overwrite
+    try:
+        with pytest.raises(RuntimeError, match="simulated crash"):
+            C.crawl_ingest_batch(batch2_df, 1, corpus_dir)
+    finally:
+        C._overwrite = real_overwrite
+    assert (tmp_path / "crawl_corpus" / "audit" / "batch_id=1").exists()
+
+    run_batch(batch2)  # checkpoint never committed batch 1 -> replay
+
+    audit = spark.read.parquet(f"{corpus_dir}/audit").filter(
+        F.col("batch_id") == 1
+    )
+    got = {r.doc_id: (r.verdict, r.dup_of) for r in audit.collect()}
+    assert got == {
+        11: ("url_duplicate", 1),
+        12: ("exact_dup_history", 1),
+        13: ("new", None),
+    }
+    assert audit.count() == 3
+    hist = spark.read.parquet(f"{corpus_dir}/history")
+    assert {r.doc_id for r in hist.collect()} == {1, 13}
+    assert hist.count() == 2
+    uidx = spark.read.parquet(f"{corpus_dir}/url_index")
+    assert uidx.count() == 3  # a.com/x, b.com/y, c.com/z — no dups
