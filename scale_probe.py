@@ -12,6 +12,13 @@ blowup), while each replica internally contains exactly the sf0.1
 corpus's true near-dup structure under fresh ids. 10x docs, 10x true
 pairs, same pair density.
 
+Round 8 extends the probe to the embedding family: sf1 also carries
+10x embeddings (per-replica cyclic dimension shift — an orthogonal
+permutation, so intra-replica neighbor structure is exact and
+cross-replica cosines decorrelate; see build_sf1) and PROBE_QUERIES
+gains emb_ivfpq_topk / emb_semantic_dedup / emb_knn_join /
+emb_projection_recall. `--queries a,b` selects a subset.
+
 Usage: python scale_probe.py [--out /tmp/sf1] [--reps 2]
 Writes the measured table to stdout (markdown) for SCALE.md.
 """
@@ -57,6 +64,47 @@ def build_sf1(spark, src_sf: str, out_dir: str, replicas: int = 10) -> None:
     )
     print(f"built {out_dir}: {n} docs x {replicas} replicas")
 
+    # Embeddings (round 8, VERDICT r7 next #6): replica k CYCLICALLY
+    # SHIFTS each vector by k dimensions — a permutation, hence
+    # orthogonal: norms and every intra-replica cosine are preserved
+    # EXACTLY (each replica contains the sf0.1 corpus's true
+    # neighbor structure under fresh ids), while cross-replica
+    # cosines decorrelate to the corpus background level. 10x
+    # vectors, 10x true neighbor pairs, same pair density — the same
+    # invariant the token-suffix trick gives documents.
+    e = spark.read.parquet(os.path.join(src_sf, "embeddings.parquet"))
+    dim_row = e.select(F.size("embedding").alias("d")).first()
+    dim = int(dim_row["d"])
+    ne = e.count()
+    others = [c for c in e.columns if c not in ("vec_id", "embedding")]
+    scaled_e = (
+        e.crossJoin(F.broadcast(reps))
+        .select(
+            (F.col("vec_id") + F.col("_rep") * F.lit(10_000_000)).alias(
+                "vec_id"
+            ),
+            *others,
+            F.when(F.col("_rep") == 0, F.col("embedding"))
+            .otherwise(
+                F.concat(
+                    F.slice(
+                        F.col("embedding"),
+                        (F.col("_rep") % dim) + F.lit(1),
+                        F.lit(dim) - (F.col("_rep") % dim),
+                    ),
+                    F.slice(
+                        F.col("embedding"), F.lit(1), F.col("_rep") % dim
+                    ),
+                )
+            )
+            .alias("embedding"),
+        )
+    )
+    scaled_e.repartition(32).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "embeddings.parquet")
+    )
+    print(f"built {out_dir}: {ne} vectors x {replicas} replicas (dim={dim})")
+
 
 def _stage_totals(ui: str) -> dict[str, int]:
     apps = json.load(urllib.request.urlopen(f"{ui}/api/v1/applications"))
@@ -101,6 +149,11 @@ PROBE_QUERIES = [
     "docs_prep_pipeline_fast",
     "docs_incremental_dedup_wb",
     "docs_hll_distinct",
+    # round 8: the embedding family (VERDICT r7 next #6)
+    "emb_ivfpq_topk",
+    "emb_semantic_dedup",
+    "emb_knn_join",
+    "emb_projection_recall",
 ]
 
 
@@ -109,7 +162,17 @@ def main() -> None:
     ap.add_argument("--out", default="/tmp/sf1")
     ap.add_argument("--reps", type=int, default=2)
     ap.add_argument("--skip-build", action="store_true")
+    ap.add_argument(
+        "--queries",
+        default=None,
+        help="comma-separated subset of PROBE_QUERIES to run",
+    )
     args = ap.parse_args()
+    probe_queries = (
+        [q for q in args.queries.split(",") if q]
+        if args.queries
+        else PROBE_QUERIES
+    )
 
     # the probe reads the UI REST stage API — force the UI on before
     # the session builds (get_spark normalizes truthy spellings)
@@ -131,13 +194,13 @@ def main() -> None:
 
     qs = entry.queries()
     print("== sf0.1 ==")
-    small = probe(spark, qs, PROBE_QUERIES, src, args.reps)
+    small = probe(spark, qs, probe_queries, src, args.reps)
     print("== sf1 (10x) ==")
-    big = probe(spark, qs, PROBE_QUERIES, args.out, args.reps)
+    big = probe(spark, qs, probe_queries, args.out, args.reps)
 
     print("\n| query | sf0.1 s | sf1 s | time x | sf0.1 shufW MB | sf1 shufW MB | shufW x |")
     print("|---|---|---|---|---|---|---|")
-    for name in PROBE_QUERIES:
+    for name in probe_queries:
         s, b = small[name], big[name]
         tr = b["sec"] / s["sec"] if s["sec"] else float("inf")
         sw_s, sw_b = s["shuffle_write"] / 1e6, b["shuffle_write"] / 1e6
