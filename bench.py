@@ -168,6 +168,7 @@ HEADLINE = [
     "docs_hll_sketch_only",
     # round 8
     "media_jpeg_decode_stats",
+    "docs_trgm_search_indexed",
 ]
 
 #: Every registered query NOT in HEADLINE (VERDICT r7 missing #4:

@@ -1216,6 +1216,11 @@ FROM documents d, pats p
 WHERE contains(d.text, p.pattern)
 """
 
+# Round 8: the persisted-bucketed-index twin serves the SAME answer
+# from partition-pruned posting directories; clause-identical naive
+# oracle (two physical dataflows, one value hash).
+ORACLES["docs_trgm_search_indexed"] = ORACLES["docs_trgm_search"]
+
 # Round 7: paragraph-level language segmentation — split replayed
 # with WITH ORDINALITY, the lang CASE transcribed per paragraph, the
 # doc-level distinct count joined back.
