@@ -209,6 +209,8 @@ CHEAP = [
     "window_date_functions",
     "math_array_functions",
     "tpch_q18_big_orders",
+    # round 8
+    "emb_anchor_gate",
 ]
 
 #: headline queries that derive from the irclog (re-timed over the

@@ -517,3 +517,51 @@ def ann_topk(
         .withColumn("knn_rank", F.row_number().over(w))
         .filter(F.col("knn_rank") <= k)
     )
+
+
+# ------------------------------------------------ anchor-score quality gate
+def anchor_centroid_milli(
+    anchors: DataFrame, vec_col: str = "embedding"
+) -> list[int]:
+    """Integer-milli anchor centroid DIRECTION: coordinate j =
+    SUM over anchors of round(x_j * 1000) — an exact, order-free
+    BIGINT (cross-engine reproducible: float summation order can
+    never perturb it). The vector is deliberately left UN-divided by
+    the anchor count: cosine scoring is scale-invariant, so the raw
+    integer sum IS the centroid direction and no float division ever
+    enters the learned constant. The collect is dimension-sized (the
+    _IVF_CENTROIDS convention), never corpus data."""
+    cent = (
+        anchors.select(F.posexplode(as_double(vec_col)).alias("pos", "x"))
+        .groupBy("pos")
+        .agg(F.sum(F.round(F.col("x") * 1000).cast("long")).alias("c"))
+        .orderBy("pos")
+        .collect()
+    )
+    return [int(r.c) for r in cent]
+
+
+def anchor_gate(
+    emb: DataFrame,
+    centroid_milli: list[int],
+    k: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """CLIP-score-style data filtering (the DataComp/LAION recipe —
+    keep the k corpus items best aligned with a trusted anchor set):
+    score every vector by cosine against the anchor centroid and keep
+    the deterministic top-k (score desc, id asc tiebreak).
+
+    Scale shape: the centroid is a plan constant (a literal array),
+    so scoring is MAP-ONLY over the corpus — one in-row fold per
+    vector, no join, no shuffle until the single top-k aggregation
+    of (id, score) pairs; vectors never move. At 100 TB this is the
+    cheapest possible full-corpus pass, the same economics as the
+    JL-projection scorer."""
+    cvec = F.array(*[F.lit(float(c)) for c in centroid_milli])
+    scored = emb.select(
+        F.col(id_col),
+        cosine(as_double(vec_col), cvec).alias("anchor_cos"),
+    )
+    return scored.orderBy(F.desc("anchor_cos"), F.asc(id_col)).limit(k)

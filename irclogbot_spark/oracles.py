@@ -4541,3 +4541,28 @@ def oracle_sql() -> dict[str, str]:
         _ORACLE_SQL_CACHE[sf_dir] = out
     # a copy, so callers can't mutate the memo
     return dict(_ORACLE_SQL_CACHE[sf_dir])
+
+# Round 8: CLIP-score-style anchor gate — the centroid direction is
+# an exact integer sum (order-free, so cross-engine reproducible);
+# the cosine is the same sequential fold both engines use everywhere
+# else in the embedding family.
+ORACLES["emb_anchor_gate"] = """
+WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+coords AS (
+  SELECT unnest(v) AS x,
+         unnest(generate_series(1, len(v))) AS pos
+  FROM base WHERE vec_id < 8
+),
+anch AS (
+  SELECT pos, SUM(CAST(round(x * 1000) AS BIGINT)) AS c
+  FROM coords GROUP BY pos
+),
+cent AS (SELECT list(CAST(c AS DOUBLE) ORDER BY pos) AS cv FROM anch)
+SELECT vec_id,
+  list_dot_product(v, cv)
+    / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cv, cv)))
+    AS anchor_cos
+FROM base, cent
+ORDER BY anchor_cos DESC, vec_id ASC
+LIMIT 50
+"""

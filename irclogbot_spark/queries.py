@@ -4304,6 +4304,26 @@ def docs_trgm_search_indexed(spark, sf_dir):
     return trgm_search(d, _TRGM_PATTERNS, index=idx, index_buckets=n_buckets)
 
 
+@query("emb_anchor_gate")
+def emb_anchor_gate(spark, sf_dir):
+    """CLIP-score-style anchor-alignment data filtering (round 8 —
+    the DataComp/LAION curation recipe): vectors vec_id < 8 act as
+    the trusted anchor set, their integer-milli centroid direction
+    is learned order-free (exact BIGINT sums, a plan constant), and
+    the corpus keeps its top-50 by cosine against it. Scoring is
+    map-only — no join, vectors never shuffle; the only exchange is
+    the (id, score) top-k. The oracle replays the integer centroid
+    and the same sequential-fold cosine in SQL."""
+    from irclogbot_spark.operators.similarity import (
+        anchor_centroid_milli,
+        anchor_gate,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cent = anchor_centroid_milli(emb.filter(F.col("vec_id") < 8))
+    return anchor_gate(emb, cent, k=50)
+
+
 @query("docs_hll_sketch_only")
 def docs_hll_sketch_only(spark, sf_dir):
     """The HLL sketch ALONE (VERDICT r6 next #8): docs_hll_distinct

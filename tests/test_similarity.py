@@ -142,3 +142,42 @@ def test_kmeans_clusters_partition_all_vectors(spark, sf_dir):
     assert sum(r["n_vecs"] for r in rows) == emb_n
     assert all(0 <= r["cell"] < 16 for r in rows)
     assert all(r["n_vecs"] >= 1 for r in rows)
+
+
+def test_anchor_gate_ranks_aligned_vectors_first(spark):
+    from irclogbot_spark.operators.similarity import (
+        anchor_centroid_milli,
+        anchor_gate,
+    )
+
+    # anchors point along +e0; planted vec 100 aligns, 101 is
+    # orthogonal, 102 anti-aligned
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),
+        (100, [5.0, 0.1, 0.0]),
+        (101, [0.0, 3.0, 0.0]),
+        (102, [-2.0, 0.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cent = anchor_centroid_milli(emb.filter("vec_id < 2"))
+    assert cent == [1900, 100, 0]  # exact integer milli sums
+    out = [r.vec_id for r in anchor_gate(emb, cent, k=5).collect()]
+    # aligned first (anchors + 100), orthogonal next, anti-aligned last
+    assert set(out[:3]) == {0, 1, 100}
+    assert out[3] == 101 and out[4] == 102
+
+
+def test_anchor_gate_is_map_only_until_topk(spark):
+    from irclogbot_spark.operators.similarity import anchor_gate
+    from irclogbot_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    plan = (
+        anchor_gate(emb, [1000] * 64, k=10)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    # no join anywhere: the centroid is a literal, scoring is in-row
+    assert "Join" not in plan
