@@ -124,9 +124,13 @@ def ingest_dedup(spark, sf_dir):
 
 @query("ingest_action_rows")
 def ingest_action_rows(spark, sf_dir):
-    """P3 coverage: rows that went through the ACTION -> /me rewrite."""
+    """P3 coverage: rows that went through the ACTION -> /me rewrite.
+    Filters on the MATERIALIZED log (what a stored log gives you):
+    pushing remark predicates below the parse projection makes
+    Catalyst re-derive the regex chain inside the filter (5.9 vs
+    ~2 s at sf0.1)."""
     return (
-        synth.irclog(spark, sf_dir)
+        synth.irclog_materialized(spark, sf_dir)
         .filter(F.col("remark").startswith("/me "))
         .groupBy("channel")
         .agg(F.count(F.lit(1)).alias("n_me"))
@@ -224,8 +228,11 @@ def log_term_time_filter(spark, sf_dir):
     free a recorded slot for docs_pii_redact): 'term_time' = exact term
     (ES .keyword semantics) AND time-range scan on posted, 'fulltext' =
     LIKE full-text over remark. Both predicate sets are pushed ahead of
-    any shuffle, and the two arms share one log scan."""
-    log = synth.irclog(spark, sf_dir)
+    any shuffle, and the two arms share one MATERIALIZED log scan
+    (irclog_materialized — round 8: without the barrier Catalyst
+    re-ran the parse chain once per union arm, 7.1 vs 1.8 s at
+    sf0.1)."""
+    log = synth.irclog_materialized(spark, sf_dir)
     tt = log.filter(
         (F.col("channel") == "#purchase")
         & (F.col("posted") >= _ntz("2024-01-08 00:00:00"))
@@ -241,8 +248,17 @@ def log_term_time_filter(spark, sf_dir):
 @query("log_point_lookup")
 def log_point_lookup(spark, sf_dir):
     """§2H point lookup by content id (keyed PUT analog). The key set
-    is one row — broadcast to every executor, no shuffle of the log."""
-    log = synth.irclog(spark, sf_dir)
+    is one row — broadcast to every executor, no shuffle of the log.
+    (Round 8 measured the literal-predicate alternative — resolve
+    min(id) to a literal, filter-pushdown the lookup — and it was
+    SLOWER here: the id is computed by the parse chain, so nothing
+    pushes below it and the extra first() job costs more than the
+    broadcast subquery. On a STORED keyed log the literal form wins;
+    log_term_time_partitioned carries that layout story.) The log is
+    materialized once (irclog_materialized) so the key-agg pass and
+    the probe pass share one chain evaluation: 8.6 -> 2.2 s at
+    sf0.1."""
+    log = synth.irclog_materialized(spark, sf_dir)
     key = log.agg(F.min("id").alias("id"))
     return (
         log.join(F.broadcast(key), "id")
@@ -1179,10 +1195,13 @@ def log_search_terms(spark, sf_dir):
     irclogbot.py:145-157) -> explode terms -> top-k counts — the
     inverted-index-style form of the ES analyzed-text capability
     (SURVEY.md §2H) composed with the multi-needle substring filter
-    (merged from log_substring_any, round 2)."""
+    (merged from log_substring_any, round 2). The contains-any gate
+    runs on the MATERIALIZED log — same round-8 rationale as
+    ingest_action_rows (pushed-down remark predicates re-derive the
+    parse regex)."""
     from irclogbot_spark.ingest import contains_any
 
-    log = synth.irclog(spark, sf_dir)
+    log = synth.irclog_materialized(spark, sf_dir)
     hits = log.filter(contains_any("remark", ['"k": 7', '"k": 13', '"k": 42']))
     terms = hits.select(
         F.explode(F.regexp_extract_all(F.col("remark"), F.lit(r"\S+"), F.lit(0))).alias("term")
