@@ -196,7 +196,11 @@ def compact(spark: SparkSession, corpus_dir: str, upto_batch_id: int) -> None:
     gen = -(upto_batch_id + 1)
     jvm = spark._jvm
     path_cls = jvm.org.apache.hadoop.fs.Path
-    for sub in ("history", "fp_index", "band_index"):
+    # url_index exists only for crawl-shaped corpora (round 8); the
+    # fs.exists() guard below makes its inclusion a no-op elsewhere.
+    # Its probe min-aggregates per canon_url, so the same
+    # duplicate-tolerant idempotent-rerun argument applies.
+    for sub in ("history", "fp_index", "band_index", "url_index"):
         root = f"{corpus_dir}/{sub}"
         p = path_cls(root)
         fs = p.getFileSystem(spark._jsc.hadoopConfiguration())

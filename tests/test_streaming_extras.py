@@ -1009,3 +1009,33 @@ def test_crawl_ingest_crash_replay_idempotent(spark, tmp_path):
     assert hist.count() == 2
     uidx = spark.read.parquet(f"{corpus_dir}/url_index")
     assert uidx.count() == 3  # a.com/x, b.com/y, c.com/z — no dups
+
+
+def test_crawl_compact_folds_url_index_and_ingest_continues(spark, tmp_path):
+    """compact() folds the crawl layer's url_index generation too
+    (round 8): after folding batches 0..1, a batch-2 refetch of a
+    batch-0 URL is still settled at the URL layer from the compacted
+    generation partition."""
+    from irclogbot_spark.streaming import corpus as C
+
+    run_batch, corpus_dir = _crawl_writer(spark, tmp_path)
+    run_batch([(1, "https://a.com/x", BASE_DOC)])
+    run_batch([(11, "https://b.com/y", "a second distinct document body")])
+    C.compact(spark, corpus_dir, upto_batch_id=1)
+
+    # per-batch url_index partitions folded into the generation
+    parts = {
+        p.name
+        for p in (tmp_path / "crawl_corpus" / "url_index").iterdir()
+        if p.name.startswith("batch_id=")
+    }
+    assert parts == {"batch_id=-2"}
+
+    run_batch([(21, "https://a.com/x?utm_source=z", "whatever refetch")])
+    audit = {
+        r.doc_id: (r.verdict, r.dup_of)
+        for r in spark.read.parquet(f"{corpus_dir}/audit").collect()
+    }
+    assert audit[21] == ("url_duplicate", 1)
+    uidx = spark.read.parquet(f"{corpus_dir}/url_index")
+    assert uidx.count() == 2  # a.com/x, b.com/y — refetch added nothing
