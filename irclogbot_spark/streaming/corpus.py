@@ -293,8 +293,18 @@ def crawl_ingest_batch(
     from irclogbot_spark.functions.url import canonicalize_url
 
     spark = batch.sparkSession
+    # A null/blank url canonicalizes to null/"" — null keys would
+    # silently VANISH in the inner join below and blank ones would
+    # alias every unknown-URL doc together. Substitute a per-doc
+    # pseudo-URL so such records pass the URL layer untouched and are
+    # judged on content alone.
+    cu = canonicalize_url("url")
     canon = batch.withColumn(
-        "canon_url", canonicalize_url("url")
+        "canon_url",
+        F.when(
+            cu.isNull() | (F.trim(cu) == ""),
+            F.concat(F.lit("about:blank#"), F.col("doc_id").cast("string")),
+        ).otherwise(cu),
     ).localCheckpoint(eager=True)
 
     not_self = F.col("batch_id") != F.lit(batch_id)

@@ -1039,3 +1039,29 @@ def test_crawl_compact_folds_url_index_and_ingest_continues(spark, tmp_path):
     assert audit[21] == ("url_duplicate", 1)
     uidx = spark.read.parquet(f"{corpus_dir}/url_index")
     assert uidx.count() == 2  # a.com/x, b.com/y — refetch added nothing
+
+
+def test_crawl_ingest_null_and_blank_urls_judged_on_content(spark, tmp_path):
+    """A record with a missing/blank url must NOT vanish (null join
+    keys) or alias other unknown-URL docs: it gets a per-doc
+    pseudo-URL and is verdicted purely on content."""
+    from irclogbot_spark.streaming import corpus as C
+
+    corpus_dir = str(tmp_path / "nullcorpus")
+    batch = spark.createDataFrame(
+        [
+            (1, None, BASE_DOC),
+            (2, "", "a different document body entirely here"),
+            (3, None, BASE_DOC),  # content dup of 1, url unknown
+        ],
+        C.CRAWL_DOC_SCHEMA,
+    )
+    C.crawl_ingest_batch(batch, 0, corpus_dir)
+    audit = {
+        r.doc_id: r.verdict
+        for r in spark.read.parquet(f"{corpus_dir}/audit").collect()
+    }
+    # all three rows accounted for; 3 is a content dup, NOT a url dup
+    assert audit == {1: "new", 2: "new", 3: "exact_dup_batch"}
+    hist = {r.doc_id for r in spark.read.parquet(f"{corpus_dir}/history").collect()}
+    assert hist == {1, 2}
