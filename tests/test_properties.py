@@ -383,3 +383,48 @@ def test_png_random_filter_decode_property(w, h, data):
     assert mm.decode_png(_png_with_filters(w, h, 3, pix, filters)) == (
         w, h, 3, pix,
     )
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    w=st.integers(1, 20),
+    h=st.integers(1, 14),
+    ch=st.sampled_from([1, 3]),
+    data=st.data(),
+)
+def test_jpeg_round_trip_property(w, h, ch, data):
+    """Baseline JPEG property: for ANY geometry (including widths and
+    heights that are not multiples of the 8x8 block size, forcing
+    edge-replicated partial MCUs) and any pixel content, the decoded
+    header is exact and every decoded sample is within a bounded
+    quantization error of the input at quality 95."""
+    from irclogbot_spark.operators import jpegcodec as jc
+
+    pix = bytes(
+        data.draw(
+            st.lists(
+                st.integers(0, 255), min_size=w * h * ch, max_size=w * h * ch
+            )
+        )
+    )
+    W, H, C, out = jc.decode_jpeg(jc.encode_jpeg(w, h, pix, ch, quality=95))
+    assert (W, H, C, len(out)) == (w, h, ch, w * h * ch)
+    # q95 luma quant steps are small; chroma coarser. Arbitrary noise
+    # is the worst case for DCT — bound loosely but meaningfully.
+    worst = max(abs(a - b) for a, b in zip(out, pix))
+    assert worst <= 64, f"decode drifted {worst} at {w}x{h}x{ch}"
+
+
+@settings(max_examples=30, deadline=None)
+@given(w=st.integers(1, 16), h=st.integers(1, 10), ch=st.sampled_from([1, 3]))
+def test_jpeg_flat_images_round_trip_exactly(w, h, ch):
+    """Constant-color images quantize to DC-only blocks: the codec
+    must reproduce them EXACTLY at q95 for every geometry (incl.
+    partial edge MCUs whose replicated padding keeps blocks flat)."""
+    from irclogbot_spark.operators import jpegcodec as jc
+
+    for val in (0, 128, 200, 255):
+        pix = bytes([val] * (w * h * ch))
+        W, H, C, out = jc.decode_jpeg(jc.encode_jpeg(w, h, pix, ch, quality=95))
+        assert (W, H, C) == (w, h, ch)
+        assert out == pix, f"flat {val} drifted at {w}x{h}x{ch}"
