@@ -169,6 +169,7 @@ HEADLINE = [
     # round 8
     "media_jpeg_decode_stats",
     "docs_trgm_search_indexed",
+    "docs_warc_ingest",
 ]
 
 #: Every registered query NOT in HEADLINE (VERDICT r7 missing #4:

@@ -3952,6 +3952,20 @@ FROM rn GROUP BY shard, (r - 1) // 8
 # re-derives the aggregate from the parquet source plus the planted
 # corrupt-line count, so a lossy write/read (dropped rows, mangled
 # text, silent corrupt-row loss) hash-mismatches.
+# Round 8: WARC round trip — counts/chars/urls re-derived straight
+# from documents (every record is a 200 response whose body is the
+# doc text and whose target URI embeds source/doc_id, so each field
+# checks one leg of the envelope framing).
+ORACLES["docs_warc_ingest"] = """
+SELECT
+  CAST((SELECT COUNT(*) FROM documents) AS BIGINT) AS n_records,
+  CAST((SELECT SUM(length(text)) FROM documents) AS BIGINT) AS total_chars,
+  CAST((SELECT COUNT(DISTINCT source || '/' || doc_id) FROM documents) AS BIGINT)
+    AS n_urls,
+  CAST((SELECT COUNT(*) FROM documents) AS BIGINT) AS n_ok,
+  CAST((SELECT COUNT(*) FROM documents) AS BIGINT) AS n_url_preserved
+"""
+
 ORACLES["docs_jsonl_ingest"] = """
 SELECT
   CAST((SELECT COUNT(*) FROM documents) AS BIGINT) AS n_valid,

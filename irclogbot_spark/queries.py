@@ -3734,6 +3734,57 @@ def docs_length_batching(spark, sf_dir):
     return batch_by_length(docs, batch_size=8, shards=8)
 
 
+@query("docs_warc_ingest")
+def docs_warc_ingest(spark, sf_dir):
+    """WARC round trip (round 8 — the crawl-native interchange
+    format, sources/warc.py): documents -> gzip WARC response
+    shards (full HTTP envelope, exact Content-Length framing) ->
+    binaryFile scan + record-walk parse back into the crawl shape.
+    The aggregate proves a lossless round trip (record count,
+    char-exact body totals, URL preservation through the HTTP
+    envelope split, all-200 statuses); the oracle re-derives
+    everything from the documents table. Two physical dataflows,
+    one value hash — the docs_jsonl_ingest convention. Scale note:
+    one shard = one task (WARC is length-prefixed, not splittable
+    without an index — Common Crawl's ~1 GiB sharding convention
+    IS the parallelism model)."""
+    import os
+
+    from irclogbot_spark.sources.warc import (
+        read_warc,
+        warc_documents,
+        write_warc,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    _reap_stale_process_dirs(f"/tmp/sparklog_warc_{sf_tag}_p")
+    path = f"/tmp/sparklog_warc_{sf_tag}_p{os.getpid()}"
+    write_warc(
+        docs.select(
+            F.concat(F.lit("https://corpus.example/"), "source", F.lit("/"), "doc_id")
+            .alias("url"),
+            "text",
+        ),
+        path,
+        compress=True,
+    )
+    w = read_warc(spark, path)
+    back = warc_documents(w).join(
+        w.select(F.abs(F.xxhash64("record_id")).alias("doc_id"), "http_status"),
+        "doc_id",
+    )
+    return back.agg(
+        F.count(F.lit(1)).alias("n_records"),
+        F.sum(F.length("text")).cast("long").alias("total_chars"),
+        F.countDistinct("url").alias("n_urls"),
+        F.count(F.when(F.col("http_status") == 200, 1)).alias("n_ok"),
+        F.count(F.when(F.col("url").startswith("https://corpus.example/"), 1)).alias(
+            "n_url_preserved"
+        ),
+    )
+
+
 @query("docs_jsonl_ingest")
 def docs_jsonl_ingest(spark, sf_dir):
     """Gzipped-JSONL connector round-trip (the standard web-corpus
