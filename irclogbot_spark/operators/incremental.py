@@ -181,6 +181,15 @@ def dedup_against_index(
 
     # ---- near layer: batch survivors probe the band index ---------------
     bb = band_index(survivors, id_col, text_col, num_perm, bands, n, seed, hash_fn)
+    if within_batch:
+        # the wb arm references bb three more times (both self-join
+        # sides + the bucket-size cap), and band_index is a pure
+        # projection — no exchange for Spark to reuse — so without a
+        # barrier the 32-permutation signature fold runs 3-4x per
+        # call (round 8: measured ~1.4x on the _wb query). One eager
+        # materialization of the narrow (id, band) rows fixes it;
+        # the non-wb path keeps its single lazy reference.
+        bb = _ckpt(bb, materialize)
     # checkpoint once AFTER the distinct: the band join runs a single
     # time, and only the (small) matched bucket rows materialize;
     # distinct also collapses replay-duplicated index rows
