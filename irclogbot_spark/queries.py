@@ -2119,8 +2119,16 @@ _DRIVER_WINDOW = [
     "docs_paragraph_langid",
     "docs_trgm_search",
     "docs_hll_sketch_only",
-    # round-8 addition: first row for the real JPEG decoder
+    # round-8 additions: first rows for the real JPEG decoder, the
+    # partition-pruned trgm twin, the anchor gate, and the WARC
+    # round trip (new operators' hard rows outrank refreshes of
+    # stable r4 scalar batteries — agg_pivot/agg_stats/
+    # math_array_functions wait for round 9, their operators
+    # untouched since round 4)
     "media_jpeg_decode_stats",
+    "docs_trgm_search_indexed",
+    "emb_anchor_gate",
+    "docs_warc_ingest",
     # operators rewritten in r7 after their last row — re-pin at HEAD
     "docs_editdist_neardup",
     "docs_editdist_dedup",
@@ -2152,9 +2160,6 @@ _DRIVER_WINDOW = [
     "emb_ivf_topk",
     "emb_ann_recall",
     "window_date_functions",
-    "math_array_functions",
-    "agg_stats",
-    "agg_pivot",
     # oldest r5 core
     "ingest_filter_stats",
     "ingest_dedup",
@@ -2168,13 +2173,13 @@ _DRIVER_WINDOW = [
     "docs_decontaminate",
     "emb_knn_join",
 ]
-# ROUND-9 ROTATION PLAN: give second rows to the remaining r5-vintage
-# core (docs_bm25_search, log_point_lookup,
-# join_anti_customers_no_orders, join_semi_parts_ordered,
-# agg_rollup_sets, events_session_window, log_search_terms,
-# docs_crossdup), then the r6 block (50 queries — rotate the oldest
-# ~43 of them), then any round-8 additions that register after THIS
-# window freezes.
+# ROUND-9 ROTATION PLAN: refresh the r4 scalar batteries displaced
+# above (agg_pivot, agg_stats, math_array_functions) and give second
+# rows to the remaining r5-vintage core (docs_bm25_search,
+# log_point_lookup, join_anti_customers_no_orders,
+# join_semi_parts_ordered, agg_rollup_sets, events_session_window,
+# log_search_terms, docs_crossdup), then the r6 block (50 queries —
+# rotate the oldest of them).
 
 
 @query("docs_dedup_keep_best_fast")
