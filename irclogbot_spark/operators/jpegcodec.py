@@ -404,6 +404,10 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError(f"bad JPEG marker alignment at {pos}")
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may precede a
+        # marker code
+        while payload[pos + 1] == 0xFF and pos + 4 <= len(payload):
+            pos += 1
         marker = payload[pos + 1]
         if marker == 0xD9:  # EOI before SOS data?
             break

@@ -158,3 +158,12 @@ def test_resize_jpeg_in_family(spark):
     assert (row.src_width, row.src_height) == (16, 12)
     W, H, C, _ = decode_jpeg(bytes(row.payload))
     assert (W, H, C) == (8, 8, 3)  # payload re-encoded in-family
+
+
+def test_fill_bytes_before_markers_are_skipped():
+    # T.81 B.1.1.2: 0xFF fill bytes may pad before any marker code
+    payload = encode_jpeg(8, 8, bytes([200] * 64), 1, quality=95)
+    pos = payload.find(b"\xff\xdb")  # first DQT
+    padded = payload[:pos] + b"\xff\xff\xff" + payload[pos:]
+    W, H, C, out = decode_jpeg(padded)
+    assert (W, H, C) == (8, 8, 1) and set(out) == {200}
