@@ -172,3 +172,74 @@ def load_hll(
     return regs.groupBy(group_col, "bucket").agg(
         F.max("register").cast("long").alias("register")
     )
+
+
+def histogram_batch(
+    batch: DataFrame,
+    batch_id: int,
+    sketch_dir: str,
+    value_col: str = "n_chars",
+    width: int = 100,
+    group_col: str = "source",
+) -> None:
+    """foreachBatch body for the fixed-width histogram / quantile
+    sketch (operators/histogram.py — the KLL-tier leg of the sketch
+    family, round 8): this batch's (group, bin, cnt) cells written
+    idempotently into the batch's own partition dir. Bin counts are
+    SUMS, so the merged histogram of a growing corpus is the
+    cell-wise sum of per-batch histograms — the CMS recipe verbatim,
+    with the same zero-stream-state property (the directory IS the
+    state; per-batch merge input is bounded by value-domain/width,
+    not rows)."""
+    from irclogbot_spark.operators.histogram import histogram_counts
+
+    cells = histogram_counts(batch, value_col, width, [group_col])
+    (
+        cells.withColumn("batch_id", F.lit(int(batch_id)))
+        .write.mode("overwrite")
+        .partitionBy("batch_id")
+        .option("partitionOverwriteMode", "dynamic")
+        .parquet(f"{sketch_dir}/bins")
+    )
+
+
+def continuous_histogram(
+    stream: DataFrame,
+    sketch_dir: str,
+    checkpoint_dir: str,
+    value_col: str = "n_chars",
+    width: int = 100,
+    group_col: str = "source",
+    trigger: dict | None = None,
+):
+    """Continuous quantile-sketch maintenance: per-batch bin writes,
+    same trigger contract as ``continuous_sketch``."""
+    return (
+        stream.writeStream.foreachBatch(
+            lambda b, i: histogram_batch(
+                b, i, sketch_dir, value_col=value_col, width=width,
+                group_col=group_col,
+            )
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(**(trigger or {"availableNow": True}))
+        .start()
+    )
+
+
+def load_histogram(
+    spark: SparkSession, sketch_dir: str, group_col: str = "source"
+) -> DataFrame:
+    """Merged (group, bin, cnt) histogram over every ingested batch —
+    per-bin SUM, at most domain/width rows per (group, batch) enter
+    the merge. Empty before the first commit (no bins -> quantile
+    serving emits no rows, the batch semantic)."""
+    try:
+        bins = spark.read.parquet(f"{sketch_dir}/bins")
+    except Exception:
+        return spark.createDataFrame(
+            [], f"{group_col} string, bin long, cnt long"
+        )
+    return bins.groupBy(group_col, "bin").agg(
+        F.sum("cnt").cast("long").alias("cnt")
+    )

@@ -687,3 +687,56 @@ def test_novelty_min_docs_guard(spark):
 
     with pytest.raises(ValueError):
         ngram_novelty(_docs(spark, ["a"]), min_docs=1)
+
+
+def test_streaming_histogram_equals_batch_and_serves_quantiles(spark, tmp_path):
+    """Round 8: the continuous fixed-width histogram over a 2-batch
+    stream merges bit-exactly to the one-shot histogram of the union
+    corpus; the served quantiles match the batch sketch's; a batch
+    replay (idempotent partition overwrite) changes nothing."""
+    from irclogbot_spark.operators.histogram import (
+        histogram_counts,
+        histogram_quantiles,
+    )
+    from irclogbot_spark.streaming.sketch import (
+        continuous_histogram,
+        histogram_batch,
+        load_histogram,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    src = str(tmp_path / "hsrc")
+    docs.repartition(2).write.parquet(src)
+    sk = str(tmp_path / "hsk")
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = continuous_histogram(stream, sk, str(tmp_path / "hck"), width=100)
+    q.awaitTermination(120)
+
+    merged = load_histogram(spark, sk)
+    oneshot = histogram_counts(docs, "n_chars", 100, ["source"])
+    key = lambda df: {  # noqa: E731
+        (r.source, r.bin): r.cnt for r in df.collect()
+    }
+    assert key(merged) == key(oneshot)
+
+    # quantiles served from the streamed cells == batch quantiles
+    qa = histogram_quantiles(merged, [0.5, 0.9], width=100, group_cols=["source"])
+    qb = histogram_quantiles(oneshot, [0.5, 0.9], width=100, group_cols=["source"])
+    assert sorted(map(tuple, qa.collect())) == sorted(map(tuple, qb.collect()))
+
+    # replay: same batch id rewritten twice — no double counting
+    half = docs.filter("doc_id % 2 = 0")
+    histogram_batch(half, 7, sk, width=100)
+    histogram_batch(half, 7, sk, width=100)
+    again = load_histogram(spark, sk)
+    expect = histogram_counts(
+        docs.unionByName(half), "n_chars", 100, ["source"]
+    )
+    assert key(again) == key(expect)
+
+    # empty-before-first-commit serve
+    assert load_histogram(spark, str(tmp_path / "nowhere")).count() == 0
