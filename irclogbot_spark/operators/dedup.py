@@ -830,8 +830,27 @@ def prefix_filter_pairs(
         ).alias("pshingle"),
     )
     cand = _bucket_pairs(prefix, id_col, ["pshingle"], max_bucket=1 << 30)
-    s1 = base.select(F.col(id_col).alias("d1"), F.col("sh").alias("sh1"), F.col("m").alias("m1"))
-    s2 = base.select(F.col(id_col).alias("d2"), F.col("sh").alias("sh2"), F.col("m").alias("m2"))
+    # PPJoin length filter (round 8): J >= t implies
+    # t_den * min(m1, m2) >= t_num * max(m1, m2) (J <= min/max), so
+    # size-incompatible candidates die on a join that carries only
+    # (id, m) longs — BEFORE the verify joins ship the shingle
+    # arrays. Exact (implied by the final threshold). On THIS
+    # fixture it prunes 0% (prefix buckets already leave only
+    # length-compatible pairs — measured at sf0.1); it earns its two
+    # long-typed joins on heterogeneous-length corpora, where
+    # near-threshold candidates straddle size classes.
+    m1f = base.select(F.col(id_col).alias("d1"), F.col("m").alias("m1"))
+    m2f = base.select(F.col(id_col).alias("d2"), F.col("m").alias("m2"))
+    cand = (
+        cand.join(m1f, "d1")
+        .join(m2f, "d2")
+        .filter(
+            F.lit(int(t_den)) * F.least("m1", "m2")
+            >= F.lit(int(t_num)) * F.greatest("m1", "m2")
+        )
+    )
+    s1 = base.select(F.col(id_col).alias("d1"), F.col("sh").alias("sh1"))
+    s2 = base.select(F.col(id_col).alias("d2"), F.col("sh").alias("sh2"))
     inter = F.size(F.array_intersect("sh1", "sh2")).cast("long")
     verified = (
         cand.join(s1, "d1")
