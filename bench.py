@@ -173,8 +173,8 @@ HEADLINE = [
 ]
 
 #: Every registered query NOT in HEADLINE (VERDICT r7 missing #4:
-#: 31 mostly sub-second scalar/filter/agg queries had no recorded
-#: time at all, so a regression there was invisible). Benched ONCE
+#: the scalar/filter/agg queries had no recorded time at all, so a
+#: regression there was invisible). Benched ONCE
 #: per round at SF_DIR (single pass, no median — these are cheap and
 #: a coarse number beats none); a test pins HEADLINE ∪ CHEAP ==
 #: queries() so future registrations can't silently go unbenched.
