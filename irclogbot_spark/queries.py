@@ -2094,92 +2094,84 @@ def docs_importance_resample(spark, sf_dir):
 # registrations only; everything else gets the local parity suite's
 # (stricter) value check but no driver-recorded row. The window is
 # rotated per round so every oracle-paired query accumulates at
-# least one driver-recorded verification. Round 8 executes the plan
-# recorded at the end of round 7 (VERDICT r7 "Next round" #1):
-# (a) FIRST driver rows for the six round-7 additions that registered
-# after the round-7 window froze (HTML extraction, NFC normalize,
-# URL canonicalization, paragraph lang-id, trigram substring index,
-# sketch-only HLL); (b) RE-PIN the eight queries whose operators were
-# rewritten in round 7 AFTER their last hard row (editdist hashed
-# grams, pointer-doubling components + everything layered on them,
-# parallelized prep checkpoints and winnowing, PageRank broadcast
-# path) so the hard signal postdates the code again; (c) refresh the
-# oldest surviving rows — the full r4-vintage block, then the oldest
-# r5 core (ingest filters/dedup/action, channel catalog, the log_*
-# scan family, tpch_q3/q5, decontamination, kNN join, BM25).
-# Still r5-vintage and queued for round 9: log_point_lookup,
-# join_anti/semi, agg_rollup_sets, events_session_window,
-# log_search_terms, docs_crossdup. Every name here MUST be
-# oracle-paired (pinned by tests/test_driver_contract.py).
+# least one driver-recorded verification. Round 9 executes the plan
+# recorded at the end of round 8 (VERDICT r8 "Next round" #2):
+# (a) second rows for the r5-vintage core that has waited since
+# round 5; (b) RE-PIN the two queries whose operators were touched
+# in round 8 AFTER their last hard row (PPJoin length filter at
+# dedup.py, within-batch band-row materialization in
+# incremental.py) — both are ALSO touched again this round (the
+# length-filter gate), so the re-pin lands on the newest code;
+# (c) refresh the three r4 scalar batteries displaced by round-8's
+# new-operator rows; (d) then the oldest of the r6 block (37 of 46
+# — the remainder, media_audio_stats/media_resize_stats/
+# docs_corpus_shuffle/docs_length_winsorize/docs_snapshot_diff/
+# tpch_q4/q7/q13/q14/q17/q22, is queued for round 10).
+# Every name here MUST be oracle-paired (pinned by
+# tests/test_driver_contract.py).
 _DRIVER_WINDOW = [
-    # round-7 additions, first driver rows
-    "docs_html_extract",
-    "docs_nfc_normalize",
-    "docs_url_canonicalize",
-    "docs_paragraph_langid",
-    "docs_trgm_search",
-    "docs_hll_sketch_only",
-    # round-8 additions: first rows for the real JPEG decoder, the
-    # partition-pruned trgm twin, the anchor gate, and the WARC
-    # round trip (new operators' hard rows outrank refreshes of
-    # stable r4 scalar batteries — agg_pivot/agg_stats/
-    # math_array_functions wait for round 9, their operators
-    # untouched since round 4)
-    "media_jpeg_decode_stats",
-    "docs_trgm_search_indexed",
-    "emb_anchor_gate",
-    "docs_warc_ingest",
-    # operators rewritten in r7 after their last row — re-pin at HEAD
-    "docs_editdist_neardup",
-    "docs_editdist_dedup",
-    "docs_neardup_clusters",
-    "docs_dedup_pipeline",
-    "docs_dedup_keep_best",
-    "docs_prep_pipeline",
-    "docs_winnow_fingerprint",
-    "graph_pagerank_trade",
-    # r4-vintage rows (oldest surviving hard signal)
-    "log_nick_rank_per_channel",
-    "log_inter_message_gap",
-    "join_top_customers",
-    "set_ops",
-    "scalar_human_fmt",
-    "events_windows",
-    "events_json_extract",
-    "docs_token_stats",
-    "docs_quality",
-    "emb_cosine_neardup",
-    "docs_neardup_jaccard",
-    "docs_dedup_keep_first",
-    "docs_lang_id",
-    "docs_sample_split",
-    "docs_lm_score",
-    "docs_pack_sequences",
-    "docs_pii_redact",
-    "emb_ann_topk",
-    "emb_ivf_topk",
-    "emb_ann_recall",
-    "window_date_functions",
-    # oldest r5 core
-    "ingest_filter_stats",
-    "ingest_dedup",
-    "ingest_action_rows",
-    "channels_catalog",
-    "log_term_time_filter",
-    "log_msgs_per_channel_day",
-    "log_top_nicks",
-    "tpch_q3_shipping_priority",
-    "tpch_q5_local_supplier",
-    "docs_decontaminate",
-    "emb_knn_join",
+    # r5-vintage core: second hard rows, waited since round 5
+    "log_point_lookup",
+    "join_anti_customers_no_orders",
+    "join_semi_parts_ordered",
+    "agg_rollup_sets",
+    "events_session_window",
+    "docs_bm25_search",
+    "log_search_terms",
+    "docs_crossdup",
+    # operators touched in r8/r9 after their last row — re-pin at HEAD
+    "docs_prefix_filter_join",
+    "docs_incremental_dedup_wb",
+    # r4 scalar batteries displaced by round-8's new-operator rows
+    "agg_pivot",
+    "agg_stats",
+    "math_array_functions",
+    # oldest of the r6 block (37 of 46; rest queued for round 10)
+    "ingest_parse",
+    "log_term_time_partitioned",
+    "log_channel_day_bucketed",
+    "tpch_q1_pricing_summary",
+    "docs_minhash_lsh",
+    "events_asof_join",
+    "tpch_q16_supplier_cnt",
+    "docs_hybrid_search",
+    "docs_crossdup_remove",
+    "emb_ivfpq_topk",
+    "docs_vocab_coverage",
+    "events_funnel",
+    "events_retention",
+    "docs_reservoir_sample",
+    "events_range_join",
+    "log_nick_cooccurrence",
+    "docs_tokenize",
+    "events_funnel_window",
+    "docs_importance_resample",
+    "docs_bm25_indexed",
+    "docs_paragraph_dedup",
+    "docs_decontam_bloom",
+    "events_top_paths",
+    "emb_semantic_decontam",
+    "docs_normalized_dedup",
+    "docs_bpe_merges",
+    "emb_kmeans_clusters",
+    "docs_data_card",
+    "docs_bpe_tokenize",
+    "docs_tokenize_fast",
+    "media_frame_plan",
+    "docs_lsh_recall",
+    "events_anomaly",
+    "docs_pps_sample",
+    "log_trending_terms",
+    "media_audio_stats",
+    "media_resize_stats",
 ]
-# ROUND-9 ROTATION PLAN: refresh the r4 scalar batteries displaced
-# above (agg_pivot, agg_stats, math_array_functions) and give second
-# rows to the remaining r5-vintage core (docs_bm25_search,
-# log_point_lookup, join_anti_customers_no_orders,
-# join_semi_parts_ordered, agg_rollup_sets, events_session_window,
-# log_search_terms, docs_crossdup), then the r6 block (50 queries —
-# rotate the oldest of them).
+# ROUND-10 ROTATION PLAN: the r6 remainder (docs_corpus_shuffle,
+# docs_length_winsorize, docs_snapshot_diff, tpch_q4/q7/q13/q14/
+# q17/q22), then the oldest r7 rows (media_decode_stats,
+# media_png_decode_stats, agg_unpivot, docs_c4_clean,
+# docs_inverted_index, docs_incremental_dedup, the tpch r7 block,
+# ...) — plus first rows for any round-9 additions and re-pins for
+# any operator touched after its newest row.
 
 
 @query("docs_dedup_keep_best_fast")
