@@ -405,9 +405,13 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
         if payload[pos] != 0xFF:
             raise ValueError(f"bad JPEG marker alignment at {pos}")
         # T.81 B.1.1.2: any number of 0xFF fill bytes may precede a
-        # marker code
-        while payload[pos + 1] == 0xFF and pos + 4 <= len(payload):
+        # marker code (bound checked BEFORE the byte read: a payload
+        # truncated inside a fill run must raise the codec's
+        # ValueError, not IndexError)
+        while pos + 4 <= len(payload) and payload[pos + 1] == 0xFF:
             pos += 1
+        if pos + 4 > len(payload):
+            raise ValueError(f"truncated JPEG stream in fill bytes at {pos}")
         marker = payload[pos + 1]
         if marker == 0xD9:  # EOI before SOS data?
             break

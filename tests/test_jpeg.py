@@ -167,3 +167,14 @@ def test_fill_bytes_before_markers_are_skipped():
     padded = payload[:pos] + b"\xff\xff\xff" + payload[pos:]
     W, H, C, out = decode_jpeg(padded)
     assert (W, H, C) == (8, 8, 1) and set(out) == {200}
+
+
+def test_truncated_fill_run_raises_valueerror_not_indexerror():
+    # ADVICE r8: a payload truncated INSIDE a 0xFF fill run used to
+    # read payload[pos + 1] past the bound check -> IndexError; the
+    # codec's error contract is ValueError for any malformed stream
+    payload = encode_jpeg(8, 8, bytes(64), 1)
+    pos = payload.find(b"\xff\xdb")
+    truncated = payload[:pos] + b"\xff\xff\xff\xff"
+    with pytest.raises(ValueError):
+        decode_jpeg(truncated)
