@@ -80,6 +80,17 @@ def irclog(spark: SparkSession, sf_dir: str, compat_id: bool = False) -> DataFra
     return parse_pipeline(raw_lines(spark, sf_dir), ts_col="ts", compat_id=compat_id)
 
 
+#: memo of the lazy-checkpointed frame built by irclog_materialized,
+#: keyed by (applicationId, sf_dir, compat_id) — ADVICE r8: without
+#: it, each of the five queries sharing the materialized log built
+#: its OWN checkpoint barrier on a cold session, materializing five
+#: full parsed-log copies into block storage (reclaimed only by
+#: ContextCleaner GC). The applicationId in the key drops frames
+#: whose SparkContext has been restarted (their checkpoint RDDs are
+#: unusable in the new context).
+_MATERIALIZED_CACHE: dict[tuple[str, str, bool], DataFrame] = {}
+
+
 def irclog_materialized(
     spark: SparkSession, sf_dir: str, compat_id: bool = False
 ) -> DataFrame:
@@ -91,12 +102,19 @@ def irclog_materialized(
     7.1->1.8s, log_point_lookup 8.6->2.2s at sf0.1 — Catalyst was
     re-running the PRIVMSG regex chain per consumer). When the bench's
     session cache is active the pinned frame already IS materialized,
-    so no extra barrier is added."""
+    so no extra barrier is added. The checkpointed frame is memoized
+    per (application, sf_dir, compat_id) so consumers in one session
+    share ONE materialized copy."""
     key = (sf_dir.rstrip("/"), compat_id)
     cached = _IRCLOG_CACHE.get(key)
     if cached is not None:
         return cached
-    return irclog(spark, sf_dir, compat_id).localCheckpoint(eager=False)
+    mkey = (spark.sparkContext.applicationId, *key)
+    memo = _MATERIALIZED_CACHE.get(mkey)
+    if memo is None:
+        memo = irclog(spark, sf_dir, compat_id).localCheckpoint(eager=False)
+        _MATERIALIZED_CACHE[mkey] = memo
+    return memo
 
 
 def cache_irclog(spark: SparkSession, sf_dir: str, compat_id: bool = False) -> DataFrame:
