@@ -19,10 +19,13 @@ Scale shape: one WARC shard = one task (records inside a shard are
 length-prefixed, so the format is NOT arbitrarily splittable without
 an index — the same per-shard parallelism every WARC reader uses;
 Common Crawl sizes shards ~1 GiB for exactly this reason). The
-parser streams record-by-record over the shard bytes; per-record
-work is header scan + one slice. gzip shards are inflated whole
-(WARC gzip is conventionally per-record-member, which zlib handles
-transparently when decompressing the concatenated stream).
+parser streams record-by-record over the shard; per-record work is
+header scan + one exact-length read. gzip shards decompress
+INCREMENTALLY through GzipFile (WARC gzip is conventionally
+per-record-member, which the stdlib reads transparently as one
+concatenated stream), and parsed rows leave the task in bounded
+Arrow chunks — the 3-5x decompressed shard (ADVICE r8) is never
+materialized in executor memory; peak extra memory is one chunk.
 
 Reference scope: the irclogbot reference ingests a line protocol
 (SURVEY §2A S1); WARC is the corpus-scale analog of that source for
@@ -66,38 +69,42 @@ WARC_SCHEMA = StructType(
 _CRLF = b"\r\n"
 
 
-def _parse_warc_bytes(
-    raw: bytes, shard: str
+def _parse_warc_stream(
+    stream, shard: str
 ) -> Iterator[tuple[str, str, str, str, str, int | None, bytes, str, int]]:
-    """Yield one tuple per WARC record in a (decompressed) shard."""
-    pos, n = 0, len(raw)
-    while pos < n:
-        # skip inter-record blank lines
-        while pos < n and raw[pos : pos + 2] == _CRLF:
-            pos += 2
-        if pos >= n:
-            break
+    """Yield one tuple per WARC record from a binary file-like
+    (plain bytes or a streaming decompressor such as GzipFile).
+    Offsets are byte positions in the DECOMPRESSED stream, tracked
+    by the parser itself (GzipFile.tell() would work but costs a
+    method call per line)."""
+    readline, read = stream.readline, stream.read
+    pos = 0
+    while True:
+        line = readline()
+        if not line:
+            return
         offset = pos
-        eol = raw.find(_CRLF, pos)
-        if eol < 0:
-            raise ValueError(f"{shard}: truncated WARC version line at {pos}")
-        version = raw[pos:eol]
+        pos += len(line)
+        if line == _CRLF:
+            continue  # inter-record blank line
+        if not line.endswith(b"\n"):
+            raise ValueError(f"{shard}: truncated WARC version line at {offset}")
+        version = line.rstrip(b"\r\n")
         if not version.startswith(b"WARC/"):
             raise ValueError(
-                f"{shard}: expected WARC/x.y record header at {pos}, "
+                f"{shard}: expected WARC/x.y record header at {offset}, "
                 f"got {version[:20]!r}"
             )
-        pos = eol + 2
         headers: dict[str, str] = {}
         while True:
-            eol = raw.find(_CRLF, pos)
-            if eol < 0:
+            hline = readline()
+            if not hline or not hline.endswith(b"\n"):
                 raise ValueError(f"{shard}: truncated WARC headers at {pos}")
-            line = raw[pos:eol]
-            pos = eol + 2
-            if not line:
+            pos += len(hline)
+            hline = hline.rstrip(b"\r\n")
+            if not hline:
                 break  # blank line ends the header block
-            k, _, v = line.partition(b":")
+            k, _, v = hline.partition(b":")
             headers[k.strip().decode("ascii", "replace").lower()] = (
                 v.strip().decode("utf-8", "replace")
             )
@@ -105,10 +112,10 @@ def _parse_warc_bytes(
             length = int(headers["content-length"])
         except (KeyError, ValueError) as exc:
             raise ValueError(f"{shard}: bad Content-Length at {offset}") from exc
-        block = raw[pos : pos + length]
+        block = read(length)
+        pos += len(block)
         if len(block) != length:
             raise ValueError(f"{shard}: truncated record body at {offset}")
-        pos += length
 
         wtype = headers.get("warc-type", "")
         status: int | None = None
@@ -140,29 +147,54 @@ def _parse_warc_bytes(
         )
 
 
+def _parse_warc_bytes(
+    raw: bytes, shard: str
+) -> Iterator[tuple[str, str, str, str, str, int | None, bytes, str, int]]:
+    """Yield one tuple per WARC record in a (decompressed) shard —
+    the in-memory twin of :func:`_parse_warc_stream`."""
+    return _parse_warc_stream(io.BytesIO(raw), shard)
+
+
+#: chunking bounds for the mapInPandas record walk: flush parsed rows
+#: to Arrow whenever either trips, so one shard's decompressed corpus
+#: never accumulates in a single pandas frame
+_CHUNK_ROWS = 4096
+_CHUNK_BYTES = 64 << 20
+
+
+def _warc_parse_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    cols = [f.name for f in WARC_SCHEMA.fields]
+    for pdf in batches:
+        for p, content in zip(pdf["path"], pdf["content"]):
+            name = os.path.basename(p)
+            bio = io.BytesIO(bytes(content))
+            stream = gzip.GzipFile(fileobj=bio) if p.endswith(".gz") else bio
+            rows: list[tuple] = []
+            payload_bytes = 0
+            for rec in _parse_warc_stream(stream, name):
+                rows.append(rec)
+                payload_bytes += len(rec[6])
+                if len(rows) >= _CHUNK_ROWS or payload_bytes >= _CHUNK_BYTES:
+                    yield pd.DataFrame(rows, columns=cols)
+                    rows, payload_bytes = [], 0
+            if rows:
+                yield pd.DataFrame(rows, columns=cols)
+
+
 def read_warc(spark: SparkSession, path: str) -> DataFrame:
     """Scan `.warc` / `.warc.gz` shards under ``path`` into
-    WARC_SCHEMA rows (one task per shard — see module docstring)."""
+    WARC_SCHEMA rows (one task per shard, streaming decompression,
+    bounded-chunk output — see module docstring)."""
     files = spark.read.format("binaryFile").load(path).select("path", "content")
-
-    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        cols = [f.name for f in WARC_SCHEMA.fields]
-        for pdf in batches:
-            rows = []
-            for p, content in zip(pdf["path"], pdf["content"]):
-                raw = bytes(content)
-                if p.endswith(".gz"):
-                    raw = gzip.decompress(raw)
-                rows.extend(_parse_warc_bytes(raw, os.path.basename(p)))
-            yield pd.DataFrame(rows, columns=cols)
-
-    return files.mapInPandas(parse, WARC_SCHEMA)
+    return files.mapInPandas(_warc_parse_fn, WARC_SCHEMA)
 
 
 def warc_documents(warc: DataFrame) -> DataFrame:
     """response records → the crawl-ingest shape (doc_id, url, text):
-    doc_id = abs(xxhash64(record_id)) (stable, collision-negligible
-    per shard-set), text = UTF-8 body."""
+    doc_id = abs(xxhash64(record_id)) (stable; record ids are unique
+    per record — write_warc keys them by (shard, offset, url) — so
+    collisions are the 64-bit-hash birthday bound), text = UTF-8
+    body."""
     resp = warc.filter(F.col("warc_type") == "response")
     return resp.select(
         F.abs(F.xxhash64("record_id")).alias("doc_id"),
@@ -181,13 +213,19 @@ def write_warc(
 ) -> None:
     """Serialize rows as WARC `response` records (one shard per
     partition) — the fixture/round-trip twin of :func:`read_warc`.
-    ``date`` is a fixed literal so shards are deterministic."""
+    ``date`` is a fixed literal; record ids are uuid5 over
+    (shard, record offset, url), so they are unique PER RECORD even
+    when urls repeat or are null (ADVICE r8: a url-only uuid5
+    collided doc_ids downstream, exploding self-joins keyed on
+    them)."""
     os.makedirs(path, exist_ok=True)
     schema = "shard string, n_records long"
 
     ucol, tcol = url_col, text_col
+    ext = "warc.gz" if compress else "warc"
 
     def dump(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        name = f"part-{uuid.uuid4().hex[:12]}.{ext}"
         buf = io.BytesIO()
         n = 0
         for pdf in batches:
@@ -200,7 +238,8 @@ def write_warc(
                     + b"\r\n\r\n"
                     + body
                 )
-                rid = f"<urn:uuid:{uuid.uuid5(uuid.NAMESPACE_URL, str(u))}>"
+                rid_key = f"{name}/{buf.tell()}/{u}"
+                rid = f"<urn:uuid:{uuid.uuid5(uuid.NAMESPACE_URL, rid_key)}>"
                 hdr = (
                     b"WARC/1.0\r\n"
                     b"WARC-Type: response\r\n"
@@ -215,8 +254,6 @@ def write_warc(
                 n += 1
         if n:
             data = buf.getvalue()
-            ext = "warc.gz" if compress else "warc"
-            name = f"part-{uuid.uuid4().hex[:12]}.{ext}"
             if compress:
                 data = gzip.compress(data)
             with open(os.path.join(path, name), "wb") as f:

@@ -134,3 +134,42 @@ def test_warc_feeds_crawl_ingest_end_to_end(spark, tmp_path):
     assert url_dup.canon_url == "https://a.com/x"
     content_dup = next(r for r in audit if r.verdict == "exact_dup_batch")
     assert content_dup.canon_url in ("https://b.com/y", "https://c.com/z")
+
+
+def test_duplicate_and_null_urls_get_distinct_record_ids(spark, tmp_path):
+    """ADVICE r8: record ids were uuid5(url) — two rows with the same
+    (or null) url collided, colliding doc_ids downstream. Now keyed
+    by (shard, offset, url): unique per record."""
+    docs = spark.createDataFrame(
+        [
+            ("https://dup.com/x", "body one"),
+            ("https://dup.com/x", "body two"),
+            (None, "null url a"),
+            (None, "null url b"),
+        ],
+        "url string, text string",
+    ).coalesce(1)
+    W.write_warc(docs, str(tmp_path / "out"), compress=True)
+    back = W.read_warc(spark, str(tmp_path / "out")).collect()
+    assert len(back) == 4
+    assert len({r.record_id for r in back}) == 4
+    ids = {r.doc_id for r in W.warc_documents(
+        W.read_warc(spark, str(tmp_path / "out"))).collect()}
+    assert len(ids) == 4
+
+
+def test_streaming_parse_chunks_bound_memory(spark, tmp_path, monkeypatch):
+    """The record walk yields bounded Arrow chunks instead of one
+    shard-sized frame: with _CHUNK_ROWS forced to 3, a 10-record
+    shard must still produce all 10 rows (across >= 4 chunks)."""
+    monkeypatch.setattr(W, "_CHUNK_ROWS", 3)
+    raw = b"".join(
+        _record("response", f"https://s.com/{i}", _http(f"body {i}".encode()))
+        for i in range(10)
+    )
+    (tmp_path / "big.warc.gz").write_bytes(gzip.compress(raw))
+    rows = W.read_warc(spark, str(tmp_path)).collect()
+    assert len(rows) == 10
+    assert sorted(bytes(r.payload).decode() for r in rows) == sorted(
+        f"body {i}" for i in range(10)
+    )
