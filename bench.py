@@ -170,6 +170,8 @@ HEADLINE = [
     "media_jpeg_decode_stats",
     "docs_trgm_search_indexed",
     "docs_warc_ingest",
+    # round 9
+    "docs_trgm_multi_search",
 ]
 
 #: Every registered query NOT in HEADLINE (VERDICT r7 missing #4:

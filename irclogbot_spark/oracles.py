@@ -1221,6 +1221,18 @@ WHERE contains(d.text, p.pattern)
 # oracle (two physical dataflows, one value hash).
 ORACLES["docs_trgm_search_indexed"] = ORACLES["docs_trgm_search"]
 
+# Round 9: the 16-pattern amortization probe — same naive-scan shape
+# over the larger pattern set.
+from irclogbot_spark.queries import _TRGM_MULTI_PATTERNS as _TMP  # noqa: E402
+
+_TMP_VALUES = ", ".join("('{}')".format(p.replace("'", "''")) for p in _TMP)
+ORACLES["docs_trgm_multi_search"] = f"""
+WITH pats(pattern) AS (VALUES {_TMP_VALUES})
+SELECT p.pattern, d.doc_id
+FROM documents d, pats p
+WHERE contains(d.text, p.pattern)
+"""
+
 # Round 7: paragraph-level language segmentation — split replayed
 # with WITH ORDINALITY, the lang CASE transcribed per paragraph, the
 # doc-level distinct count joined back.

@@ -2163,11 +2163,13 @@ _DRIVER_WINDOW = [
     "docs_pps_sample",
     "log_trending_terms",
     "media_audio_stats",
-    "media_resize_stats",
+    # round-9 addition: first hard row (displaces media_resize_stats
+    # to the round-10 remainder — new-operator rows outrank refreshes)
+    "docs_trgm_multi_search",
 ]
-# ROUND-10 ROTATION PLAN: the r6 remainder (docs_corpus_shuffle,
-# docs_length_winsorize, docs_snapshot_diff, tpch_q4/q7/q13/q14/
-# q17/q22), then the oldest r7 rows (media_decode_stats,
+# ROUND-10 ROTATION PLAN: the r6 remainder (media_resize_stats,
+# docs_corpus_shuffle, docs_length_winsorize, docs_snapshot_diff,
+# tpch_q4/q7/q13/q14/q17/q22), then the oldest r7 rows (media_decode_stats,
 # media_png_decode_stats, agg_unpivot, docs_c4_clean,
 # docs_inverted_index, docs_incremental_dedup, the tpch r7 block,
 # ...) — plus first rows for any round-9 additions and re-pins for
@@ -4315,6 +4317,29 @@ def docs_paragraph_langid(spark, sf_dir):
 #: exercises the no-trigram fallback arm
 _TRGM_PATTERNS = ["batch batch", "window win", "shuffle", "ag"]
 
+#: the 16-pattern amortization set for docs_trgm_multi_search —
+#: mixed selectivity over the corpus vocabulary (two-word phrases,
+#: single words, rare-ish substrings), all >= 3 chars so the whole
+#: set rides ONE set-wise index pass
+_TRGM_MULTI_PATTERNS = [
+    "key agg",
+    "row scan",
+    "scan slow",
+    "slow fast",
+    "fast table",
+    "value part",
+    "hash value",
+    "merge batch",
+    "table window",
+    "line sort",
+    "sort table",
+    "spark",
+    "shuffle",
+    "window key",
+    "the line",
+    "agg row",
+]
+
 
 @query("docs_trgm_search")
 def docs_trgm_search(spark, sf_dir):
@@ -4369,6 +4394,41 @@ def docs_trgm_search_indexed(spark, sf_dir):
         _TRGM_INDEX[sf_dir] = path
     idx, n_buckets = read_trgm_index(spark, path)
     return trgm_search(d, _TRGM_PATTERNS, index=idx, index_buckets=n_buckets)
+
+
+@query("docs_trgm_multi_search")
+def docs_trgm_multi_search(spark, sf_dir):
+    """Amortization probe of the persisted trigram index (round 9 —
+    VERDICT r8 next #7): SIXTEEN patterns answered by ONE set-wise
+    index pass — the (pattern, tri) dim broadcasts, the ALL-trigrams
+    candidate count is one partial agg over just the probed bucket
+    directories (PartitionFilters on the crc32 bucket list), and
+    text joins back for candidate rows only. Benched beside the
+    4-pattern docs_trgm_search_indexed: the per-pattern marginal
+    cost amortizing across one pass is the reason to persist the
+    index at all. Shares the naive contains()-scan ORACLE shape —
+    two physical dataflows, one value hash."""
+    import os as _os
+
+    from irclogbot_spark.operators.trgm import (
+        read_trgm_index,
+        trgm_search,
+        write_trgm_index,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    path = _TRGM_INDEX.get(sf_dir)
+    if path is None:
+        suffix = "".join(c if c.isalnum() else "_" for c in sf_dir).strip("_")
+        base = f"/tmp/sparklog_trgm_idx_{suffix}"
+        _reap_stale_process_dirs(f"{base}_p")
+        path = f"{base}_p{_os.getpid()}"
+        write_trgm_index(d, path, n_buckets=64)
+        _TRGM_INDEX[sf_dir] = path
+    idx, n_buckets = read_trgm_index(spark, path)
+    return trgm_search(
+        d, _TRGM_MULTI_PATTERNS, index=idx, index_buckets=n_buckets
+    )
 
 
 @query("emb_anchor_gate")

@@ -189,6 +189,27 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
     return files.mapInPandas(_warc_parse_fn, WARC_SCHEMA)
 
 
+def stream_warc(spark: SparkSession, path: str) -> DataFrame:
+    """Streaming twin of :func:`read_warc`: a binaryFile file-stream
+    source over ``path`` through the same record walk — shard
+    ARRIVAL is the trigger, one shard = one task per micro-batch
+    (the Common Crawl delivery model: new .warc.gz files land in a
+    prefix and the pipeline picks them up). Same schema, same
+    streaming decompression and bounded-chunk parse as the batch
+    reader; downstream, :func:`warc_documents` and the crawl-ingest
+    loop are source-agnostic."""
+    files = (
+        spark.readStream.format("binaryFile")
+        .schema(
+            "path string, modificationTime timestamp, "
+            "length long, content binary"
+        )
+        .load(path)
+        .select("path", "content")
+    )
+    return files.mapInPandas(_warc_parse_fn, WARC_SCHEMA)
+
+
 def warc_documents(warc: DataFrame) -> DataFrame:
     """response records → the crawl-ingest shape (doc_id, url, text):
     doc_id = abs(xxhash64(record_id)) (stable; record ids are unique

@@ -413,3 +413,36 @@ def crawl_continuous_ingest(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def warc_crawl_ingest(
+    spark: SparkSession,
+    warc_dir: str,
+    corpus_dir: str,
+    checkpoint_dir: str,
+    threshold: float = 0.8,
+    hash_fn=None,
+    within_batch: bool = True,
+    trigger_available_now: bool = True,
+):
+    """The full Common-Crawl-shaped pipeline as ONE streaming query:
+    `.warc.gz` shards arriving in ``warc_dir`` stream through the
+    record walk + HTTP envelope split (sources/warc.stream_warc),
+    then canonicalize → URL-dedup → content-dedup → admit
+    (:func:`crawl_continuous_ingest`). Shard arrival is the trigger;
+    the file-source checkpoint remembers which shards each batch
+    consumed, so a crash replay re-reads the same shards into the
+    same batch_id and the partition-overwrite recipe keeps every
+    table exactly-once. Returns the started StreamingQuery."""
+    from irclogbot_spark.sources.warc import stream_warc, warc_documents
+
+    stream = warc_documents(stream_warc(spark, warc_dir))
+    return crawl_continuous_ingest(
+        stream,
+        corpus_dir,
+        checkpoint_dir,
+        threshold=threshold,
+        hash_fn=hash_fn,
+        within_batch=within_batch,
+        trigger_available_now=trigger_available_now,
+    )

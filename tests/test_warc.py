@@ -173,3 +173,55 @@ def test_streaming_parse_chunks_bound_memory(spark, tmp_path, monkeypatch):
     assert sorted(bytes(r.payload).decode() for r in rows) == sorted(
         f"body {i}" for i in range(10)
     )
+
+
+def test_warc_streaming_crawl_ingest_two_batches(spark, tmp_path):
+    """VERDICT r8 next #6: the full Common-Crawl-shaped pipeline as
+    ONE streaming query — WARC shards -> record walk -> HTTP split ->
+    canonicalize -> URL-dedup -> content-dedup -> admit. Shard
+    arrival is the trigger: two availableNow runs against one
+    checkpoint consume exactly the newly-landed shard each time."""
+    from irclogbot_spark.streaming.corpus import warc_crawl_ingest
+
+    warc_dir = tmp_path / "warc_in"
+    warc_dir.mkdir()
+
+    def run(rows):
+        docs = spark.createDataFrame(rows, "url string, text string").coalesce(1)
+        W.write_warc(docs, str(warc_dir), compress=True)
+        q = warc_crawl_ingest(
+            spark, str(warc_dir), str(tmp_path / "corpus"), str(tmp_path / "ckpt")
+        )
+        q.awaitTermination(120)
+
+    run(
+        [
+            ("https://a.com/x", "alpha body one two three"),
+            ("https://b.com/y", "bravo body four five six"),
+        ]
+    )
+    run(
+        [
+            # tracking-param refetch of a batch-0 URL: settled at the
+            # URL layer, content never hashed
+            ("https://A.com/x?utm_source=s", "refetched alpha variant"),
+            # new URL, byte-identical to batch-0 content: exact dup
+            ("https://c.com/z", "alpha body one two three"),
+            ("https://d.com/w", "fresh delta body seven"),
+        ]
+    )
+    audit = spark.read.parquet(str(tmp_path / "corpus" / "audit"))
+    b0 = {r.canon_url: r.verdict for r in audit.filter("batch_id = 0").collect()}
+    b1 = {r.canon_url: r.verdict for r in audit.filter("batch_id = 1").collect()}
+    assert b0 == {"https://a.com/x": "new", "https://b.com/y": "new"}
+    assert b1 == {
+        "https://a.com/x": "url_duplicate",
+        "https://c.com/z": "exact_dup_history",
+        "https://d.com/w": "new",
+    }
+    hist = spark.read.parquet(str(tmp_path / "corpus" / "history"))
+    assert sorted(r.url for r in hist.collect()) == [
+        "https://a.com/x",
+        "https://b.com/y",
+        "https://d.com/w",
+    ]
