@@ -141,6 +141,82 @@ def probe(spark, queries, names, sf_dir: str, reps: int) -> dict[str, dict]:
     return out
 
 
+def crawl_probe(spark, sf_dir: str, work_dir: str) -> dict[str, dict]:
+    """Round-9 probe (VERDICT r8 next #4): the crawl-admission path
+    and the WARC record walk at a scale factor — seed batch (every
+    URL new: full canonicalize -> URL-layer -> content-dedup ->
+    admit + 4 index writes), an ALL-REFETCH batch (every URL already
+    indexed: must settle at the URL layer with zero text hashed),
+    and the WARC write + record-walk read. Shuffle bytes from the UI
+    REST stage API, same as probe()."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from irclogbot_spark.sources.warc import read_warc, write_warc
+    from irclogbot_spark.streaming.corpus import crawl_ingest_batch
+
+    ui = spark.sparkContext.uiWebUrl
+    d = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    docs = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://corpus.example/"), "source", F.lit("/"), F.col("doc_id")
+        ).alias("url"),
+        "text",
+    )
+    out: dict[str, dict] = {}
+
+    def timed(label: str, fn) -> None:
+        before = _stage_totals(ui)
+        t0 = time.time()
+        rows = fn()
+        dt = time.time() - t0
+        after = _stage_totals(ui)
+        out[label] = {"sec": round(dt, 2), "rows": rows} | {
+            k: after[k] - before[k] for k in after
+        }
+        print(
+            f"  {label} @ {sf_dir}: {dt:.2f}s rows={rows} "
+            f"shuffleW={out[label]['shuffle_write']/1e6:.1f}MB"
+        )
+
+    corpus_dir = os.path.join(work_dir, "corpus")
+    shutil.rmtree(corpus_dir, ignore_errors=True)
+    timed(
+        "crawl_seed_batch",
+        lambda: (
+            crawl_ingest_batch(docs, 0, corpus_dir),
+            spark.read.parquet(f"{corpus_dir}/audit").count(),
+        )[1],
+    )
+    refetch = docs.withColumn(
+        "doc_id", F.col("doc_id") + F.lit(500_000_000)
+    ).withColumn("text", F.concat(F.lit("refetched "), F.col("text")))
+    timed(
+        "crawl_refetch_batch",
+        lambda: (
+            crawl_ingest_batch(refetch, 1, corpus_dir),
+            spark.read.parquet(f"{corpus_dir}/audit")
+            .filter("batch_id = 1 AND verdict = 'url_duplicate'")
+            .count(),
+        )[1],
+    )
+    warc_dir = os.path.join(work_dir, "warc")
+    shutil.rmtree(warc_dir, ignore_errors=True)
+    timed("warc_write", lambda: write_warc(docs, warc_dir, compress=True) or 0)
+    timed("warc_record_walk", lambda: read_warc(spark, warc_dir).count())
+    return out
+
+
+CRAWL_LABELS = [
+    "crawl_seed_batch",
+    "crawl_refetch_batch",
+    "warc_write",
+    "warc_record_walk",
+]
+
+
 PROBE_QUERIES = [
     "docs_minhash_neardup",
     "docs_editdist_neardup",
@@ -167,6 +243,11 @@ def main() -> None:
         default=None,
         help="comma-separated subset of PROBE_QUERIES to run",
     )
+    ap.add_argument(
+        "--crawl",
+        action="store_true",
+        help="run the crawl-admission + WARC probe instead of PROBE_QUERIES",
+    )
     args = ap.parse_args()
     probe_queries = (
         [q for q in args.queries.split(",") if q]
@@ -192,11 +273,18 @@ def main() -> None:
     if not args.skip_build:
         build_sf1(spark, src, args.out)
 
-    qs = entry.queries()
-    print("== sf0.1 ==")
-    small = probe(spark, qs, probe_queries, src, args.reps)
-    print("== sf1 (10x) ==")
-    big = probe(spark, qs, probe_queries, args.out, args.reps)
+    if args.crawl:
+        print("== sf0.1 (crawl) ==")
+        small = crawl_probe(spark, src, "/tmp/crawl_probe_sf01")
+        print("== sf1 (10x, crawl) ==")
+        big = crawl_probe(spark, args.out, "/tmp/crawl_probe_sf1")
+        probe_queries = CRAWL_LABELS
+    else:
+        qs = entry.queries()
+        print("== sf0.1 ==")
+        small = probe(spark, qs, probe_queries, src, args.reps)
+        print("== sf1 (10x) ==")
+        big = probe(spark, qs, probe_queries, args.out, args.reps)
 
     print("\n| query | sf0.1 s | sf1 s | time x | sf0.1 shufW MB | sf1 shufW MB | shufW x |")
     print("|---|---|---|---|---|---|---|")
