@@ -172,6 +172,7 @@ HEADLINE = [
     "docs_warc_ingest",
     # round 9
     "docs_trgm_multi_search",
+    "docs_crawl_admit",
 ]
 
 #: Every registered query NOT in HEADLINE (VERDICT r7 missing #4:

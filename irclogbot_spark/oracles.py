@@ -1233,6 +1233,46 @@ FROM documents d, pats p
 WHERE contains(d.text, p.pattern)
 """
 
+# Round 9: the crawl-admission batch twin. The canonical slot URL is
+# derived INDEPENDENTLY from the fixture formula (all three messy
+# spellings collapse to it by construction — the engine must get
+# there through its regexp chain); both keeper layers re-derive in
+# SQL with window minima.
+ORACLES["docs_crawl_admit"] = """
+WITH batch AS (
+  SELECT doc_id,
+    'https://corpus.example/docs/' || CAST(doc_id - (doc_id % 3) AS VARCHAR)
+      || '?q=1' AS canon_url,
+    text
+  FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id,
+    'https://mirror.example/m/' || CAST(doc_id AS VARCHAR) AS canon_url,
+    text
+  FROM documents WHERE doc_id % 10 = 0
+),
+k AS (
+  SELECT *, MIN(doc_id) OVER (PARTITION BY canon_url) AS uk FROM batch
+),
+ud AS (
+  SELECT doc_id, canon_url, 'url_duplicate' AS verdict,
+         CAST(uk AS BIGINT) AS dup_of
+  FROM k WHERE doc_id <> uk
+),
+surv AS (
+  SELECT doc_id, canon_url, md5(text) AS fp FROM k WHERE doc_id = uk
+),
+c AS (
+  SELECT *, MIN(doc_id) OVER (PARTITION BY fp) AS ck FROM surv
+)
+SELECT doc_id, canon_url, verdict, dup_of FROM ud
+UNION ALL
+SELECT doc_id, canon_url,
+  CASE WHEN doc_id = ck THEN 'new' ELSE 'exact_dup_batch' END AS verdict,
+  CAST(CASE WHEN doc_id = ck THEN NULL ELSE ck END AS BIGINT) AS dup_of
+FROM c
+"""
+
 # Round 7: paragraph-level language segmentation — split replayed
 # with WITH ORDINALITY, the lang CASE transcribed per paragraph, the
 # doc-level distinct count joined back.

@@ -2162,14 +2162,15 @@ _DRIVER_WINDOW = [
     "events_anomaly",
     "docs_pps_sample",
     "log_trending_terms",
-    "media_audio_stats",
-    # round-9 addition: first hard row (displaces media_resize_stats
-    # to the round-10 remainder — new-operator rows outrank refreshes)
+    # round-9 additions: first hard rows (displace media_audio_stats /
+    # media_resize_stats to the round-10 remainder — new-operator
+    # rows outrank refreshes)
     "docs_trgm_multi_search",
+    "docs_crawl_admit",
 ]
-# ROUND-10 ROTATION PLAN: the r6 remainder (media_resize_stats,
-# docs_corpus_shuffle, docs_length_winsorize, docs_snapshot_diff,
-# tpch_q4/q7/q13/q14/q17/q22), then the oldest r7 rows (media_decode_stats,
+# ROUND-10 ROTATION PLAN: the r6 remainder (media_audio_stats,
+# media_resize_stats, docs_corpus_shuffle, docs_length_winsorize,
+# docs_snapshot_diff, tpch_q4/q7/q13/q14/q17/q22), then the oldest r7 rows (media_decode_stats,
 # media_png_decode_stats, agg_unpivot, docs_c4_clean,
 # docs_inverted_index, docs_incremental_dedup, the tpch r7 block,
 # ...) — plus first rows for any round-9 additions and re-pins for
@@ -4429,6 +4430,94 @@ def docs_trgm_multi_search(spark, sf_dir):
     return trgm_search(
         d, _TRGM_MULTI_PATTERNS, index=idx, index_buckets=n_buckets
     )
+
+
+@query("docs_crawl_admit")
+def docs_crawl_admit(spark, sf_dir):
+    """Batch twin of the crawl admission path (round 9 — the
+    oracle-paired option of VERDICT r8 next #6): the SAME
+    url_admission operator crawl_ingest_batch runs
+    (streaming/corpus.py), then the exact content layer on URL
+    survivors (md5 fingerprint keep-first — operators/incremental.py
+    fingerprint_index's key). Fixture: every doc's URL arrives in
+    one of three messy spellings of its slot URL (groups of <= 3
+    doc_ids share one canonical URL: tracking params, default :443,
+    case, fragment), plus a MIRROR SITE — every doc_id % 10 == 0 doc
+    re-arrives under a fresh id and a clean mirror URL, so it passes
+    the URL layer and must be caught by the content layer exactly
+    when its original also survived (doc_id % 30 == 0). Verdicts:
+    url_duplicate (a smaller doc_id claimed the canonical URL),
+    exact_dup_batch (fingerprint already admitted under a smaller
+    id), else new. The ORACLE derives the canonical slot URL
+    independently from the fixture formula — not by replaying the
+    engine's regexp chain — and recomputes both keeper layers in
+    SQL. Near-dup admission stays the streaming path's MinHash
+    probe, oracle-checked by docs_minhash_lsh/docs_incremental_*;
+    this twin pins the admission CONTROL FLOW. Scale shape: one
+    (canon_url, doc_id) min-agg + keeper join, one (fp, doc_id)
+    min-agg + join — text rides rows, never keys an exchange."""
+    from irclogbot_spark.streaming.corpus import url_admission
+
+    d = _t(spark, sf_dir, "documents")
+    slot = (F.col("doc_id") - F.pmod(F.col("doc_id"), F.lit(3))).cast("string")
+    form = F.pmod(F.col("doc_id"), F.lit(3))
+    url = (
+        F.when(
+            form == 0,
+            F.concat(
+                F.lit("https://corpus.example/docs/"), slot, F.lit("?q=1")
+            ),
+        )
+        .when(
+            form == 1,
+            F.concat(
+                F.lit("HTTPS://CORPUS.EXAMPLE:443/docs/"),
+                slot,
+                F.lit("?q=1&utm_source=feed#frag"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("https://corpus.example/docs/"),
+                slot,
+                F.lit("?utm_campaign=x&q=1&gclid=z"),
+            )
+        )
+    )
+    main = d.select("doc_id", url.alias("url"), "text")
+    mirror = d.filter(F.pmod(F.col("doc_id"), F.lit(10)) == 0).select(
+        (F.col("doc_id") + F.lit(1_000_000)).alias("doc_id"),
+        F.concat(
+            F.lit("https://mirror.example/m/"), F.col("doc_id").cast("string")
+        ).alias("url"),
+        "text",
+    )
+    flagged = url_admission(main.unionByName(mirror))
+    url_dups = flagged.filter(F.col("_url_dup_of").isNotNull()).select(
+        "doc_id",
+        "canon_url",
+        F.lit("url_duplicate").alias("verdict"),
+        F.col("_url_dup_of").alias("dup_of"),
+    )
+    surv = flagged.filter(F.col("_url_dup_of").isNull()).select(
+        "doc_id",
+        "canon_url",
+        F.md5(F.col("text").cast("binary")).alias("_fp"),
+    )
+    keep = surv.groupBy("_fp").agg(F.min("doc_id").alias("_keeper"))
+    content = surv.join(keep, "_fp").select(
+        "doc_id",
+        "canon_url",
+        F.when(F.col("doc_id") == F.col("_keeper"), F.lit("new"))
+        .otherwise(F.lit("exact_dup_batch"))
+        .alias("verdict"),
+        F.when(
+            F.col("doc_id") == F.col("_keeper"), F.lit(None).cast("long")
+        )
+        .otherwise(F.col("_keeper"))
+        .alias("dup_of"),
+    )
+    return url_dups.unionByName(content)
 
 
 @query("emb_anchor_gate")

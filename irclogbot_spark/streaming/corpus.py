@@ -265,6 +265,55 @@ def continuous_ingest(
 CRAWL_DOC_SCHEMA = "doc_id long, url string, text string"
 
 
+def url_admission(batch: DataFrame, hist_urls: DataFrame | None = None) -> DataFrame:
+    """The crawl URL-admission layer as a pure batch transform
+    (round 9 — extracted from :func:`crawl_ingest_batch` so the
+    driver's oracle harness can value-check it): canonicalize each
+    record's url — a null/blank url canonicalizes to null/"" and
+    null keys would silently VANISH in the keeper join while blank
+    ones would alias every unknown-URL doc together, so such records
+    get a per-doc pseudo-URL and are judged on content alone — pick
+    the min-doc_id keeper per canonical URL within the batch, and
+    flag every record whose canonical URL has a history keeper
+    (``hist_urls``: (canon_url, _hist_keeper) — wins over the batch
+    keeper) or a smaller in-batch keeper. Returns the batch columns
+    + (canon_url, _url_dup_of); _url_dup_of is null for URL-layer
+    survivors.
+
+    Scale shape: one (canon_url, doc_id) min-agg + one keeper join —
+    text rides the row but never keys an exchange; the canonicalized
+    frame materializes once for its two consumers."""
+    from irclogbot_spark.functions.url import canonicalize_url
+
+    cu = canonicalize_url("url")
+    canon = batch.withColumn(
+        "canon_url",
+        F.when(
+            cu.isNull() | (F.trim(cu) == ""),
+            F.concat(F.lit("about:blank#"), F.col("doc_id").cast("string")),
+        ).otherwise(cu),
+    ).localCheckpoint(eager=True)
+    batch_keep = canon.groupBy("canon_url").agg(
+        F.min("doc_id").alias("_batch_keeper")
+    )
+    flagged = canon.join(batch_keep, "canon_url")
+    if hist_urls is not None:
+        flagged = flagged.join(hist_urls, "canon_url", "left")
+        hist_keeper = F.col("_hist_keeper")
+    else:
+        hist_keeper = F.lit(None).cast("long")
+    return flagged.withColumn(
+        "_url_dup_of",
+        F.coalesce(
+            hist_keeper,
+            F.when(
+                F.col("doc_id") != F.col("_batch_keeper"),
+                F.col("_batch_keeper"),
+            ),
+        ),
+    ).drop("_batch_keeper", "_hist_keeper")
+
+
 def crawl_ingest_batch(
     batch: DataFrame,
     batch_id: int,
@@ -290,49 +339,20 @@ def crawl_ingest_batch(
     probe join + a per-URL min — no text moves; refetch-heavy crawl
     streams (the common case) are settled before MinHash runs.
     """
-    from irclogbot_spark.functions.url import canonicalize_url
-
     spark = batch.sparkSession
-    # A null/blank url canonicalizes to null/"" — null keys would
-    # silently VANISH in the inner join below and blank ones would
-    # alias every unknown-URL doc together. Substitute a per-doc
-    # pseudo-URL so such records pass the URL layer untouched and are
-    # judged on content alone.
-    cu = canonicalize_url("url")
-    canon = batch.withColumn(
-        "canon_url",
-        F.when(
-            cu.isNull() | (F.trim(cu) == ""),
-            F.concat(F.lit("about:blank#"), F.col("doc_id").cast("string")),
-        ).otherwise(cu),
-    ).localCheckpoint(eager=True)
-
     not_self = F.col("batch_id") != F.lit(batch_id)
-    uidx_template = canon.select("canon_url", "doc_id").limit(0)
+    uidx_template = batch.select(
+        F.col("url").alias("canon_url"), "doc_id"
+    ).limit(0)
     uidx = _read_parts(spark, f"{corpus_dir}/url_index", uidx_template)
     hist_urls = (
         uidx.filter(not_self)
         .groupBy("canon_url")
         .agg(F.min("doc_id").alias("_hist_keeper"))
     )
-    batch_keep = canon.groupBy("canon_url").agg(
-        F.min("doc_id").alias("_batch_keeper")
-    )
-    flagged = (
-        canon.join(batch_keep, "canon_url")
-        .join(hist_urls, "canon_url", "left")
-        .withColumn(
-            "_url_dup_of",
-            F.coalesce(
-                F.col("_hist_keeper"),
-                F.when(
-                    F.col("doc_id") != F.col("_batch_keeper"),
-                    F.col("_batch_keeper"),
-                ),
-            ),
-        )
-        .localCheckpoint(eager=True)  # two consumers below
-    )
+    flagged = url_admission(batch, hist_urls).localCheckpoint(
+        eager=True
+    )  # two consumers below
     url_dups = flagged.filter(F.col("_url_dup_of").isNotNull())
     survivors = flagged.filter(F.col("_url_dup_of").isNull()).select(
         "doc_id", "url", "canon_url", "text"
