@@ -1065,3 +1065,87 @@ def test_crawl_ingest_null_and_blank_urls_judged_on_content(spark, tmp_path):
     assert audit == {1: "new", 2: "new", 3: "exact_dup_batch"}
     hist = {r.doc_id for r in spark.read.parquet(f"{corpus_dir}/history").collect()}
     assert hist == {1, 2}
+
+
+def test_continuous_trgm_index_matches_one_shot(spark, tmp_path):
+    """streaming/trgmindex.py: a two-batch document stream posting-
+    indexed per micro-batch must serve (through trgm_search) exactly
+    what the one-shot persisted index serves — before compaction,
+    after compaction, and after a crash-replay of an already-
+    compacted batch (the max-gen rule must ignore the rewrite)."""
+    import json as _json
+    import re
+
+    from irclogbot_spark.operators.trgm import (
+        read_trgm_index,
+        trgm_search,
+        write_trgm_index,
+    )
+    from irclogbot_spark.streaming import trgmindex as TI
+
+    src = tmp_path / "trgm_src"
+    src.mkdir()
+    index_dir = str(tmp_path / "trgm_idx")
+
+    def feed(rows):
+        fname = src / f"b{len(list(src.iterdir()))}.json"
+        fname.write_text(
+            "\n".join(_json.dumps({"doc_id": i, "text": t}) for i, t in rows)
+        )
+        q = TI.continuous_trgm(
+            spark.readStream.schema(TI.DOC_SCHEMA).json(str(src)),
+            index_dir,
+            str(tmp_path / "trgm_ckpt"),
+            n_buckets=8,
+        )
+        q.awaitTermination(120)
+
+    batch1 = [(1, "alpha shuffle gamma"), (2, "window win table value")]
+    batch2 = [(3, "another shuffle here"), (4, "nothing relevant at all")]
+    feed(batch1)
+    feed(batch2)
+    all_docs = spark.createDataFrame(batch1 + batch2, "doc_id long, text string")
+    pats = ["shuffle", "window win"]
+
+    write_trgm_index(all_docs, str(tmp_path / "oneshot"), n_buckets=8)
+    oidx, onb = read_trgm_index(spark, str(tmp_path / "oneshot"))
+    want = {
+        (r.pattern, r.doc_id)
+        for r in trgm_search(all_docs, pats, index=oidx, index_buckets=onb).collect()
+    }
+    assert {("shuffle", 1), ("shuffle", 3), ("window win", 2)} <= want
+
+    idx, nb = TI.load_trgm(spark, index_dir)
+    got = {
+        (r.pattern, r.doc_id)
+        for r in trgm_search(all_docs, pats, index=idx, index_buckets=nb).collect()
+    }
+    assert got == want
+
+    # compact: served answer unchanged, and the probe's literal
+    # bucket list lands as storage-level PartitionFilters
+    TI.compact(spark, index_dir, upto_batch_id=1)
+    idx2, nb2 = TI.load_trgm(spark, index_dir)
+    probe = trgm_search(all_docs, pats, index=idx2, index_buckets=nb2)
+    assert {
+        (r.pattern, r.doc_id) for r in probe.collect()
+    } == want
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    pf = re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert any("tri_bkt" in m for m in pf), plan[:2000]
+
+    # crash-replay of an already-compacted batch: the rewrite lands
+    # in index/batch_id=1 but gen=2 covers it, so the loader must
+    # ignore it and the served answer stays identical
+    TI.trgm_ingest_batch(
+        spark.createDataFrame(batch2, "doc_id long, text string"),
+        1,
+        index_dir,
+        n_buckets=8,
+    )
+    idx3, nb3 = TI.load_trgm(spark, index_dir)
+    got3 = {
+        (r.pattern, r.doc_id)
+        for r in trgm_search(all_docs, pats, index=idx3, index_buckets=nb3).collect()
+    }
+    assert got3 == want
