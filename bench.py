@@ -173,6 +173,7 @@ HEADLINE = [
     # round 9
     "docs_trgm_multi_search",
     "docs_crawl_admit",
+    "docs_simhash_neardup_md5",
 ]
 
 #: Every registered query NOT in HEADLINE (VERDICT r7 missing #4:

@@ -381,6 +381,7 @@ def simhash_table(
     id_col: str = "doc_id",
     text_col: str = "text",
     weighted: bool = True,
+    hash_fn=None,
 ) -> DataFrame:
     """(id, sim) SimHash table — same fingerprints as ``simhash64``
     (equivalence-tested), computed the fast way.
@@ -401,13 +402,21 @@ def simhash_table(
     the null-propagating SUM/COUNT make every vote NULL > 0 -> false,
     and all 64 bits land 0 — no join-back, so the whole operator is
     one explode + one partial-aggregated shuffle at any scale.
+
+    hash_fn (default xxhash64) is the token->long hash; passing the
+    60-bit md5 parse (md5_hash60) yields the SQL-checkable twin —
+    bits 60-63 are then constant 0, which leaves the pigeonhole
+    banding and hamming semantics intact (the top chunk just has 12
+    live bits).
     """
+    if hash_fn is None:
+        hash_fn = F.xxhash64
     toks = tokens(text_col)
     if not weighted:
         toks = F.array_distinct(toks)
     exploded = df.select(F.col(id_col), F.explode_outer(toks).alias("tok")).select(
         F.col(id_col),
-        F.when(F.col("tok").isNotNull(), F.xxhash64("tok")).alias("h"),
+        F.when(F.col("tok").isNotNull(), hash_fn(F.col("tok"))).alias("h"),
     )
     votes = [
         F.sum(F.shiftrightunsigned("h", j).bitwiseAND(F.lit(1))).alias(f"b{j}")
@@ -642,11 +651,22 @@ def keep_best_dedup(
     )
 
 
+def md5_hash60(c: Column) -> Column:
+    """Portable 60-bit token hash with an exact ANSI twin (the
+    md5_hash31 convention without the mod-p fold): the first 15 hex
+    digits of md5 parsed base-16 (< 2^60, no signed overflow).
+    DuckDB twin: ``CAST('0x' || substr(md5(s), 1, 15) AS BIGINT)``.
+    The ORACLE-CHECK hash for SimHash — the scale path stays
+    xxhash64."""
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
 def simhash_neardup_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 3,
+    hash_fn=None,
 ) -> DataFrame:
     """SimHash near-dup pairs with hamming distance <= max_hamming.
 
@@ -662,9 +682,9 @@ def simhash_neardup_pairs(
     round-2 bench regression (4.0 s -> 5.7 s at sf0.1).
     """
     assert max_hamming < 4
-    sh = simhash_table(ensure_parallelism(df), id_col, text_col).localCheckpoint(
-        eager=True
-    )
+    sh = simhash_table(
+        ensure_parallelism(df), id_col, text_col, hash_fn=hash_fn
+    ).localCheckpoint(eager=True)
     chunks = sh.select(
         id_col,
         F.explode(

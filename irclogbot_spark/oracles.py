@@ -1233,6 +1233,159 @@ FROM documents d, pats p
 WHERE contains(d.text, p.pattern)
 """
 
+# Round 9: the SimHash oracle twin — the whole pipeline (weighted
+# per-bit majority fingerprint over 60-bit md5 token hashes, then
+# the quadratic hamming filter) rebuilt in SQL. The engine's banded
+# candidate path must equal this all-pairs form EXACTLY: hamming<=3
+# implies agreement on one of the four 16-bit chunks (pigeonhole),
+# so banding loses nothing.
+ORACLES["docs_simhash_neardup_md5"] = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS tok FROM documents
+),
+h AS (
+  SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS h FROM toks
+),
+v AS (
+  SELECT doc_id, COUNT(*) AS n,
+    SUM((h >> 0) & 1) AS b0,
+    SUM((h >> 1) & 1) AS b1,
+    SUM((h >> 2) & 1) AS b2,
+    SUM((h >> 3) & 1) AS b3,
+    SUM((h >> 4) & 1) AS b4,
+    SUM((h >> 5) & 1) AS b5,
+    SUM((h >> 6) & 1) AS b6,
+    SUM((h >> 7) & 1) AS b7,
+    SUM((h >> 8) & 1) AS b8,
+    SUM((h >> 9) & 1) AS b9,
+    SUM((h >> 10) & 1) AS b10,
+    SUM((h >> 11) & 1) AS b11,
+    SUM((h >> 12) & 1) AS b12,
+    SUM((h >> 13) & 1) AS b13,
+    SUM((h >> 14) & 1) AS b14,
+    SUM((h >> 15) & 1) AS b15,
+    SUM((h >> 16) & 1) AS b16,
+    SUM((h >> 17) & 1) AS b17,
+    SUM((h >> 18) & 1) AS b18,
+    SUM((h >> 19) & 1) AS b19,
+    SUM((h >> 20) & 1) AS b20,
+    SUM((h >> 21) & 1) AS b21,
+    SUM((h >> 22) & 1) AS b22,
+    SUM((h >> 23) & 1) AS b23,
+    SUM((h >> 24) & 1) AS b24,
+    SUM((h >> 25) & 1) AS b25,
+    SUM((h >> 26) & 1) AS b26,
+    SUM((h >> 27) & 1) AS b27,
+    SUM((h >> 28) & 1) AS b28,
+    SUM((h >> 29) & 1) AS b29,
+    SUM((h >> 30) & 1) AS b30,
+    SUM((h >> 31) & 1) AS b31,
+    SUM((h >> 32) & 1) AS b32,
+    SUM((h >> 33) & 1) AS b33,
+    SUM((h >> 34) & 1) AS b34,
+    SUM((h >> 35) & 1) AS b35,
+    SUM((h >> 36) & 1) AS b36,
+    SUM((h >> 37) & 1) AS b37,
+    SUM((h >> 38) & 1) AS b38,
+    SUM((h >> 39) & 1) AS b39,
+    SUM((h >> 40) & 1) AS b40,
+    SUM((h >> 41) & 1) AS b41,
+    SUM((h >> 42) & 1) AS b42,
+    SUM((h >> 43) & 1) AS b43,
+    SUM((h >> 44) & 1) AS b44,
+    SUM((h >> 45) & 1) AS b45,
+    SUM((h >> 46) & 1) AS b46,
+    SUM((h >> 47) & 1) AS b47,
+    SUM((h >> 48) & 1) AS b48,
+    SUM((h >> 49) & 1) AS b49,
+    SUM((h >> 50) & 1) AS b50,
+    SUM((h >> 51) & 1) AS b51,
+    SUM((h >> 52) & 1) AS b52,
+    SUM((h >> 53) & 1) AS b53,
+    SUM((h >> 54) & 1) AS b54,
+    SUM((h >> 55) & 1) AS b55,
+    SUM((h >> 56) & 1) AS b56,
+    SUM((h >> 57) & 1) AS b57,
+    SUM((h >> 58) & 1) AS b58,
+    SUM((h >> 59) & 1) AS b59
+  FROM h GROUP BY doc_id
+),
+packed AS (
+  SELECT doc_id,
+    CASE WHEN 2*b0 > n THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+    + CASE WHEN 2*b1 > n THEN CAST(2 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+    + CASE WHEN 2*b2 > n THEN CAST(4 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+    + CASE WHEN 2*b3 > n THEN CAST(8 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+    + CASE WHEN 2*b4 > n THEN CAST(16 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+    + CASE WHEN 2*b5 > n THEN CAST(32 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+    + CASE WHEN 2*b6 > n THEN CAST(64 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+    + CASE WHEN 2*b7 > n THEN CAST(128 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+    + CASE WHEN 2*b8 > n THEN CAST(256 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+    + CASE WHEN 2*b9 > n THEN CAST(512 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+    + CASE WHEN 2*b10 > n THEN CAST(1024 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+    + CASE WHEN 2*b11 > n THEN CAST(2048 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+    + CASE WHEN 2*b12 > n THEN CAST(4096 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+    + CASE WHEN 2*b13 > n THEN CAST(8192 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+    + CASE WHEN 2*b14 > n THEN CAST(16384 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+    + CASE WHEN 2*b15 > n THEN CAST(32768 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+    + CASE WHEN 2*b16 > n THEN CAST(65536 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+    + CASE WHEN 2*b17 > n THEN CAST(131072 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+    + CASE WHEN 2*b18 > n THEN CAST(262144 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+    + CASE WHEN 2*b19 > n THEN CAST(524288 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+    + CASE WHEN 2*b20 > n THEN CAST(1048576 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+    + CASE WHEN 2*b21 > n THEN CAST(2097152 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+    + CASE WHEN 2*b22 > n THEN CAST(4194304 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+    + CASE WHEN 2*b23 > n THEN CAST(8388608 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+    + CASE WHEN 2*b24 > n THEN CAST(16777216 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+    + CASE WHEN 2*b25 > n THEN CAST(33554432 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+    + CASE WHEN 2*b26 > n THEN CAST(67108864 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+    + CASE WHEN 2*b27 > n THEN CAST(134217728 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+    + CASE WHEN 2*b28 > n THEN CAST(268435456 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+    + CASE WHEN 2*b29 > n THEN CAST(536870912 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+    + CASE WHEN 2*b30 > n THEN CAST(1073741824 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+    + CASE WHEN 2*b31 > n THEN CAST(2147483648 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+    + CASE WHEN 2*b32 > n THEN CAST(4294967296 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+    + CASE WHEN 2*b33 > n THEN CAST(8589934592 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+    + CASE WHEN 2*b34 > n THEN CAST(17179869184 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+    + CASE WHEN 2*b35 > n THEN CAST(34359738368 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+    + CASE WHEN 2*b36 > n THEN CAST(68719476736 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+    + CASE WHEN 2*b37 > n THEN CAST(137438953472 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+    + CASE WHEN 2*b38 > n THEN CAST(274877906944 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+    + CASE WHEN 2*b39 > n THEN CAST(549755813888 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+    + CASE WHEN 2*b40 > n THEN CAST(1099511627776 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+    + CASE WHEN 2*b41 > n THEN CAST(2199023255552 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+    + CASE WHEN 2*b42 > n THEN CAST(4398046511104 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+    + CASE WHEN 2*b43 > n THEN CAST(8796093022208 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+    + CASE WHEN 2*b44 > n THEN CAST(17592186044416 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+    + CASE WHEN 2*b45 > n THEN CAST(35184372088832 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+    + CASE WHEN 2*b46 > n THEN CAST(70368744177664 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+    + CASE WHEN 2*b47 > n THEN CAST(140737488355328 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+    + CASE WHEN 2*b48 > n THEN CAST(281474976710656 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+    + CASE WHEN 2*b49 > n THEN CAST(562949953421312 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+    + CASE WHEN 2*b50 > n THEN CAST(1125899906842624 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+    + CASE WHEN 2*b51 > n THEN CAST(2251799813685248 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+    + CASE WHEN 2*b52 > n THEN CAST(4503599627370496 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+    + CASE WHEN 2*b53 > n THEN CAST(9007199254740992 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+    + CASE WHEN 2*b54 > n THEN CAST(18014398509481984 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+    + CASE WHEN 2*b55 > n THEN CAST(36028797018963968 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+    + CASE WHEN 2*b56 > n THEN CAST(72057594037927936 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+    + CASE WHEN 2*b57 > n THEN CAST(144115188075855872 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+    + CASE WHEN 2*b58 > n THEN CAST(288230376151711744 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+    + CASE WHEN 2*b59 > n THEN CAST(576460752303423488 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+    AS sim
+  FROM v
+),
+sims AS (
+  SELECT d.doc_id, COALESCE(p.sim, 0) AS sim
+  FROM documents d LEFT JOIN packed p USING (doc_id)
+)
+SELECT a.doc_id AS d1, b.doc_id AS d2,
+       CAST(bit_count(xor(a.sim, b.sim)) AS BIGINT) AS hamming
+FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sim, b.sim)) <= 3
+"""
+
+
 # Round 9: the crawl-admission batch twin. The canonical slot URL is
 # derived INDEPENDENTLY from the fixture formula (all three messy
 # spellings collapse to it by construction — the engine must get

@@ -1365,6 +1365,28 @@ def docs_simhash_neardup(spark, sf_dir):
     return simhash_neardup_pairs(_t(spark, sf_dir, "documents"))
 
 
+@query("docs_simhash_neardup_md5")
+def docs_simhash_neardup_md5(spark, sf_dir):
+    """Oracle-paired SimHash twin (round 9): the docs_simhash_neardup
+    pipeline under the portable 60-bit md5 token hash
+    (operators/dedup.py md5_hash60 — the md5_hash31 convention), so
+    the weighted-majority fingerprint, pigeonhole banding, and exact
+    bit_count verify are value-hashed against a quadratic ANSI
+    replica for the first time (SimHash was the last
+    rows-only-by-design near-dup family). Equality is exact, not a
+    recall bound: hamming <= 3 GUARANTEES agreement on >= 1 of the 4
+    16-bit chunks, so the banded candidate set provably contains
+    every qualifying pair. Production path stays
+    docs_simhash_neardup's xxhash64; tail registration,
+    value-checked by the local parity suite."""
+    from irclogbot_spark.operators.dedup import md5_hash60, simhash_neardup_pairs
+
+    pairs = simhash_neardup_pairs(
+        _t(spark, sf_dir, "documents"), hash_fn=md5_hash60
+    )
+    return pairs.select("d1", "d2", F.col("hamming").cast("long").alias("hamming"))
+
+
 @query("ingest_compat_ids")
 def ingest_compat_ids(spark, sf_dir):
     """Byte-exact blake2b-8 reference ids (H1 compat mode; no SQL
