@@ -633,3 +633,45 @@ def test_png_decode_partition_preserving(spark):
     plan = _plan(spark, "media_png_decode_stats")
     assert "Exchange hashpartitioning" not in plan, plan
     assert plan.count("MapInPandas") >= 2, plan
+
+
+def test_crawl_admit_exchanges_keyed_not_text(spark):
+    """docs_crawl_admit (round 9): every hash exchange is keyed on
+    canon_url / _fp / doc_id — admission verdicts move on keys; the
+    text column rides rows through the keeper join but never KEYS an
+    exchange. Dim-sized sides broadcast at this SF (Catalyst's call,
+    not a hint)."""
+    plan = _plan(spark, "docs_crawl_admit")
+    hashex = [l for l in plan.splitlines() if "hashpartitioning" in l]
+    assert hashex, "expected keeper-agg exchanges"
+    for l in hashex:
+        assert ("canon_url" in l) or ("_fp" in l) or ("doc_id" in l), l
+
+
+def test_simhash_md5_banding_exchanges_and_no_quadratic_join(spark):
+    """docs_simhash_neardup_md5 (round 9): the banded candidate path
+    must survive — exchanges keyed on (chunk_idx, chunk) and
+    (d1, d2) only (the fingerprint table is behind its eager
+    checkpoint), and no nested-loop/sort-merge pair join anywhere
+    (the quadratic form lives ONLY in the DuckDB oracle)."""
+    plan = _plan(spark, "docs_simhash_neardup_md5")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" not in plan
+    hashex = [l for l in plan.splitlines() if "hashpartitioning" in l]
+    for l in hashex:
+        assert ("chunk" in l) or ("d1" in l) or ("d2" in l), l
+
+
+def test_trgm_multi_search_one_setwise_pass(spark):
+    """docs_trgm_multi_search (round 9): the 16-pattern probe rides
+    ONE set-wise pass — the (pattern, tri) dim and the per-pattern
+    need table BROADCAST (never shuffle the postings against them),
+    and the only hash exchanges are the (pattern, doc) candidate
+    count keys."""
+    plan = _plan(spark, "docs_trgm_multi_search")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    hashex = [l for l in plan.splitlines() if "hashpartitioning" in l]
+    assert hashex
+    for l in hashex:
+        assert "pattern" in l and "doc_id" in l, l
