@@ -174,6 +174,7 @@ HEADLINE = [
     "docs_trgm_multi_search",
     "docs_crawl_admit",
     "docs_simhash_neardup_md5",
+    "docs_fuzzy_term_search",
 ]
 
 #: Every registered query NOT in HEADLINE (VERDICT r7 missing #4:

@@ -161,3 +161,56 @@ def editdist_neardup(
         .filter((F.col("dist") >= 0) & (F.col("dist") <= max_dist))
         .select("id_a", "id_b", "shared", "dist")
     )
+
+
+def fuzzy_term_search(
+    df: DataFrame,
+    terms: list[str],
+    max_dist: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """ES-style fuzzy term query (the reference's implied search
+    surface, SURVEY §2H: `{"fuzzy": {"value": t, "fuzziness": d}}`
+    against the irclog/documents index): every (term, doc) pair
+    where the doc contains a TOKEN within Levenshtein distance
+    <= max_dist of the term. Plain Levenshtein (no transposition
+    discount), matching the ANSI twin.
+
+    Scale shape — the Zipf split the unigram segmenter uses: the DP
+    runs per token TYPE, not per occurrence. One distinct shuffle
+    compresses the corpus to its vocabulary; the tiny term list
+    BROADCASTS against it with an in-row length prefilter
+    (|len(tok)-len(term)| <= d — a Levenshtein lower bound) ahead of
+    the banded three-arg levenshtein (JVM O(len*d) DP, -1 above the
+    threshold); the few matching types then broadcast-join back to
+    the (id, type) postings — candidate-only, the trgm verify
+    convention. Text never enters an exchange; the only corpus-sized
+    shuffles are the two distincts.
+
+    Returns distinct (term, doc_id) rows.
+    """
+    if not terms:
+        raise ValueError("need at least one term")
+    if max_dist < 0:
+        raise ValueError(f"max_dist must be >= 0, got {max_dist}")
+    from irclogbot_spark.operators.dedup import tokens
+
+    spark = df.sparkSession
+    tdf = spark.createDataFrame([(t,) for t in terms], "term string")
+    toks = df.select(
+        F.col(id_col), F.explode(F.array_distinct(tokens(text_col))).alias("tok")
+    )
+    vocab = toks.select("tok").distinct()
+    dist = F.levenshtein(F.col("tok"), F.col("term"), max_dist)
+    matches = vocab.join(
+        F.broadcast(tdf),
+        (F.abs(F.length("tok") - F.length("term")) <= F.lit(max_dist))
+        & (dist >= 0)
+        & (dist <= max_dist),
+    )
+    return (
+        toks.join(F.broadcast(matches.select("tok", "term")), "tok")
+        .select("term", F.col(id_col))
+        .distinct()
+    )

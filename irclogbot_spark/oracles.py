@@ -1233,6 +1233,23 @@ FROM documents d, pats p
 WHERE contains(d.text, p.pattern)
 """
 
+# Round 9: the ES fuzzy-query analog — quadratic vocab x terms
+# levenshtein, plain edit distance in both engines.
+from irclogbot_spark.queries import _FUZZY_TERMS as _FZ  # noqa: E402
+
+_FZ_VALUES = ", ".join("('{}')".format(t.replace("'", "''")) for t in _FZ)
+ORACLES["docs_fuzzy_term_search"] = f"""
+WITH pats(term) AS (VALUES {_FZ_VALUES}),
+tok AS (
+  SELECT DISTINCT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS tok
+  FROM documents
+)
+SELECT DISTINCT p.term, t.doc_id
+FROM tok t, pats p
+WHERE levenshtein(t.tok, p.term) <= 1
+"""
+
+
 # Round 9: the SimHash oracle twin — the whole pipeline (weighted
 # per-bit majority fingerprint over 60-bit md5 token hashes, then
 # the quadratic hamming filter) rebuilt in SQL. The engine's banded

@@ -1365,6 +1365,28 @@ def docs_simhash_neardup(spark, sf_dir):
     return simhash_neardup_pairs(_t(spark, sf_dir, "documents"))
 
 
+#: fuzzy-query probe set: one exact hit, two distance-1 misspellings
+#: of corpus vocabulary, one no-hit control
+_FUZZY_TERMS = ["merge", "spack", "windos", "zzzqqq"]
+
+
+@query("docs_fuzzy_term_search")
+def docs_fuzzy_term_search(spark, sf_dir):
+    """ES fuzzy term query analog (round 9 — SURVEY §2H's implied
+    search surface; operators/editdist.py fuzzy_term_search): docs
+    containing a token within Levenshtein distance 1 of each probe
+    term. 'merge' hits exactly, 'spack'/'windos' only through the
+    edit-distance band (spark/window), 'zzzqqq' must hit nothing.
+    The oracle replays the quadratic vocab x terms levenshtein in
+    DuckDB. Tail registration; value-checked by the local parity
+    suite."""
+    from irclogbot_spark.operators.editdist import fuzzy_term_search
+
+    return fuzzy_term_search(
+        _t(spark, sf_dir, "documents"), _FUZZY_TERMS, max_dist=1
+    )
+
+
 @query("docs_simhash_neardup_md5")
 def docs_simhash_neardup_md5(spark, sf_dir):
     """Oracle-paired SimHash twin (round 9): the docs_simhash_neardup
