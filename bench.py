@@ -175,6 +175,7 @@ HEADLINE = [
     "docs_crawl_admit",
     "docs_simhash_neardup_md5",
     "docs_fuzzy_term_search",
+    "log_significant_terms",
 ]
 
 #: Every registered query NOT in HEADLINE (VERDICT r7 missing #4:

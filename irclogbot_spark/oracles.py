@@ -1233,6 +1233,40 @@ FROM documents d, pats p
 WHERE contains(d.text, p.pattern)
 """
 
+# Round 9: the ES significant_terms analog — the whole integer-lift
+# pipeline (term counts, channel totals, background, 1-row corpus
+# total, min-count guard, milli lift, per-channel rank) replayed on
+# the shared irclog CTE.
+ORACLES["log_significant_terms"] = f"""
+WITH {IRCLOG_CTE},
+t AS (
+  SELECT channel, unnest(regexp_extract_all(remark, '\\S+')) AS term FROM irclog
+),
+ct AS (
+  SELECT channel, term, CAST(COUNT(*) AS BIGINT) AS f_cnt
+  FROM t GROUP BY channel, term
+),
+chan AS (
+  SELECT channel, CAST(SUM(f_cnt) AS BIGINT) AS chan_total FROM ct GROUP BY channel
+),
+bg AS (SELECT term, CAST(SUM(f_cnt) AS BIGINT) AS bg_cnt FROM ct GROUP BY term),
+tot AS (SELECT CAST(SUM(f_cnt) AS BIGINT) AS corpus_total FROM ct),
+scored AS (
+  SELECT c.channel, c.term, c.f_cnt,
+    CAST((c.f_cnt * tot.corpus_total * 1000)
+         // (chan.chan_total * bg.bg_cnt) AS BIGINT) AS lift_milli
+  FROM ct c JOIN chan USING (channel) JOIN bg USING (term) CROSS JOIN tot
+  WHERE c.f_cnt >= 3
+)
+SELECT channel, term, f_cnt, lift_milli, rnk FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (
+    PARTITION BY channel ORDER BY lift_milli DESC, f_cnt DESC, term
+  ) AS BIGINT) AS rnk
+  FROM scored
+) WHERE rnk <= 5
+"""
+
+
 # Round 9: the ES fuzzy-query analog — quadratic vocab x terms
 # levenshtein, plain edit distance in both engines.
 from irclogbot_spark.queries import _FUZZY_TERMS as _FZ  # noqa: E402

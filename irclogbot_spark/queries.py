@@ -1365,6 +1365,50 @@ def docs_simhash_neardup(spark, sf_dir):
     return simhash_neardup_pairs(_t(spark, sf_dir, "documents"))
 
 
+@query("log_significant_terms")
+def log_significant_terms(spark, sf_dir):
+    """ES significant_terms aggregation analog (round 9 — §2H's
+    implied search surface; the flagship ES "what makes this subset
+    different" agg): per channel, the top-5 remark terms by exact
+    integer-milli lift over the corpus background rate —
+    lift_milli = (f * B * 1000) DIV (F * b) with f/F the channel
+    term count/total and b/B the corpus ones (the first JLH factor,
+    BIGINT end to end: f*B*1000 < 1e16 at any realistic per-term
+    count, no float division), a min-count guard f >= 3 (ES's
+    min_doc_count), deterministic tiebreak (lift desc, f desc, term
+    asc). Shape: ONE (channel, term) partial-agg shuffle; channel
+    totals and the background table re-aggregate that SAME
+    term-type-sized frame (never the corpus); the 1-row corpus total
+    broadcasts; ranking is a per-channel window over term-type rows.
+    Tail registration; value-checked by the local parity suite."""
+    log = synth.irclog_materialized(spark, sf_dir)
+    terms = log.select(
+        "channel", F.explode(F.split("remark", r"\s+")).alias("term")
+    ).filter(F.col("term") != "")
+    ct = terms.groupBy("channel", "term").agg(F.count(F.lit(1)).alias("f_cnt"))
+    chan_tot = ct.groupBy("channel").agg(F.sum("f_cnt").alias("chan_total"))
+    bg = ct.groupBy("term").agg(F.sum("f_cnt").alias("bg_cnt"))
+    tot = ct.agg(F.sum("f_cnt").alias("corpus_total"))
+    scored = (
+        ct.join(chan_tot, "channel")
+        .join(bg, "term")
+        .crossJoin(F.broadcast(tot))
+        .filter(F.col("f_cnt") >= 3)
+        .withColumn(
+            "lift_milli",
+            F.expr("(f_cnt * corpus_total * 1000) DIV (chan_total * bg_cnt)"),
+        )
+    )
+    w = Window.partitionBy("channel").orderBy(
+        F.desc("lift_milli"), F.desc("f_cnt"), "term"
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 5)
+        .select("channel", "term", "f_cnt", "lift_milli", "rnk")
+    )
+
+
 #: fuzzy-query probe set: one exact hit, two distance-1 misspellings
 #: of corpus vocabulary, one no-hit control
 _FUZZY_TERMS = ["merge", "spack", "windos", "zzzqqq"]
