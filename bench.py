@@ -176,6 +176,7 @@ HEADLINE = [
     "docs_simhash_neardup_md5",
     "docs_fuzzy_term_search",
     "log_significant_terms",
+    "docs_more_like_this",
 ]
 
 #: Every registered query NOT in HEADLINE (VERDICT r7 missing #4:

@@ -567,3 +567,64 @@ def nfc_normalize_col(text: Column | str) -> Column:
         )
 
     return _nfc(c)
+
+
+def more_like_this(
+    df,
+    query_ids: list[int],
+    top_terms: int = 5,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """ES more_like_this analog (round 9 — §2H's implied search
+    surface): for each query doc, select its ``top_terms`` most
+    characteristic terms by exact integer tf·idf (idf_milli =
+    (N*1000) DIV df — the inverse-df weight, BIGINT end to end, no
+    float log), then rank every OTHER doc by the sum of its tf for
+    those terms times the same idf; top ``k`` per query doc with a
+    deterministic (score desc, cand_id) tiebreak.
+
+    Shape: the (id, term, tf) postings and per-term df are ONE
+    map-only projection + one partial-agg shuffle (build_text_index);
+    the query docs' term rows are a tiny frame that BROADCASTS into
+    the postings — candidate scoring touches only postings rows whose
+    term is in the query-term union, one (query, cand) partial agg,
+    then a per-query rank window over candidate-sized rows. The
+    1-row corpus count broadcasts (the docs_tfidf_topk convention).
+
+    Returns (query_id, cand_id, score_milli, rnk).
+    """
+    from pyspark.sql import Window
+
+    if not query_ids:
+        raise ValueError("need at least one query doc id")
+    postings, _ = build_text_index(df, id_col, text_col)
+    dfreq = postings.groupBy("term").agg(F.count(F.lit(1)).alias("dfq"))
+    nrow = df.agg(F.count_distinct(F.col(id_col)).alias("n_docs"))
+    qt = (
+        postings.filter(F.col(id_col).isin([int(i) for i in query_ids]))
+        .join(dfreq, "term")
+        .crossJoin(F.broadcast(nrow))
+        .withColumn("idf_milli", F.expr("(n_docs * 1000) DIV dfq"))
+        .withColumn("w", F.col("tf") * F.col("idf_milli"))
+    )
+    tw = Window.partitionBy(id_col).orderBy(F.desc("w"), "term")
+    qterms = (
+        qt.withColumn("_trnk", F.row_number().over(tw))
+        .filter(F.col("_trnk") <= top_terms)
+        .select(F.col(id_col).alias("query_id"), "term", "idf_milli")
+    )
+    scored = (
+        postings.withColumnRenamed(id_col, "cand_id")
+        .join(F.broadcast(qterms), "term")
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .groupBy("query_id", "cand_id")
+        .agg(F.sum(F.col("tf") * F.col("idf_milli")).alias("score_milli"))
+    )
+    rw = Window.partitionBy("query_id").orderBy(F.desc("score_milli"), "cand_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(rw).cast("long"))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "cand_id", "score_milli", "rnk")
+    )

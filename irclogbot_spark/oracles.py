@@ -1233,6 +1233,48 @@ FROM documents d, pats p
 WHERE contains(d.text, p.pattern)
 """
 
+# Round 9: the ES more_like_this analog — postings, per-term df,
+# integer idf weights, per-query top-terms selection, and the
+# shared-term candidate ranking all replayed. Tokenizer is the
+# WORD_RE \\S+ split with per-doc tf (matching build_text_index).
+ORACLES["docs_more_like_this"] = r"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS term FROM documents
+),
+post AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM tok GROUP BY doc_id, term
+),
+dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS dfq FROM post GROUP BY term),
+n AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs FROM documents),
+qt AS (
+  SELECT p.doc_id AS query_id, p.term,
+    (n.n_docs * 1000) // d.dfq AS idf_milli,
+    p.tf * ((n.n_docs * 1000) // d.dfq) AS w
+  FROM post p JOIN dfreq d USING (term) CROSS JOIN n
+  WHERE p.doc_id IN (0, 1, 2)
+),
+qterms AS (
+  SELECT query_id, term, idf_milli FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY query_id ORDER BY w DESC, term
+    ) AS trnk FROM qt
+  ) WHERE trnk <= 5
+),
+scored AS (
+  SELECT q.query_id, p.doc_id AS cand_id,
+    CAST(SUM(p.tf * q.idf_milli) AS BIGINT) AS score_milli
+  FROM qterms q JOIN post p USING (term)
+  WHERE p.doc_id <> q.query_id
+  GROUP BY q.query_id, p.doc_id
+)
+SELECT query_id, cand_id, score_milli, rnk FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY score_milli DESC, cand_id
+  ) AS BIGINT) AS rnk FROM scored
+) WHERE rnk <= 10
+"""
+
+
 # Round 9: the ES significant_terms analog — the whole integer-lift
 # pipeline (term counts, channel totals, background, 1-row corpus
 # total, min-count guard, milli lift, per-channel rank) replayed on

@@ -1365,6 +1365,22 @@ def docs_simhash_neardup(spark, sf_dir):
     return simhash_neardup_pairs(_t(spark, sf_dir, "documents"))
 
 
+@query("docs_more_like_this")
+def docs_more_like_this(spark, sf_dir):
+    """ES more_like_this analog (round 9 — §2H;
+    functions/text.py more_like_this): docs 0/1/2 as query docs,
+    their top-5 terms by exact integer tf·idf, candidates ranked by
+    shared-term tf·idf sum, top-10 each with deterministic tiebreak.
+    BIGINT end to end (idf_milli = (N*1000) DIV df — no float log),
+    so the oracle replays the whole pipeline exactly. Tail
+    registration; value-checked by the local parity suite."""
+    from irclogbot_spark.functions.text import more_like_this
+
+    return more_like_this(
+        _t(spark, sf_dir, "documents"), [0, 1, 2], top_terms=5, k=10
+    )
+
+
 @query("log_significant_terms")
 def log_significant_terms(spark, sf_dir):
     """ES significant_terms aggregation analog (round 9 — §2H's
