@@ -2262,21 +2262,22 @@ _DRIVER_WINDOW = [
     "docs_bpe_tokenize",
     "docs_tokenize_fast",
     "media_frame_plan",
-    "docs_lsh_recall",
     # round-9 additions: first hard rows (displace media_audio_stats /
     # media_resize_stats / events_anomaly / docs_pps_sample /
-    # log_trending_terms to the round-10 remainder — new-operator
-    # rows outrank refreshes, the round-8 precedent)
+    # log_trending_terms / docs_lsh_recall to the round-10 remainder —
+    # new-operator rows outrank refreshes, the round-8 precedent)
     "docs_trgm_multi_search",
     "docs_crawl_admit",
     "docs_simhash_neardup_md5",
     "docs_fuzzy_term_search",
     "log_significant_terms",
+    "docs_more_like_this",
 ]
 # ROUND-10 ROTATION PLAN: the r6 remainder (media_audio_stats,
 # media_resize_stats, events_anomaly, docs_pps_sample,
-# log_trending_terms, docs_corpus_shuffle, docs_length_winsorize,
-# docs_snapshot_diff, tpch_q4/q7/q13/q14/q17/q22), then the oldest r7 rows (media_decode_stats,
+# log_trending_terms, docs_lsh_recall, docs_corpus_shuffle,
+# docs_length_winsorize, docs_snapshot_diff,
+# tpch_q4/q7/q13/q14/q17/q22), then the oldest r7 rows (media_decode_stats,
 # media_png_decode_stats, agg_unpivot, docs_c4_clean,
 # docs_inverted_index, docs_incremental_dedup, the tpch r7 block,
 # ...) — plus first rows for any round-9 additions and re-pins for
