@@ -576,6 +576,7 @@ def more_like_this(
     k: int = 10,
     id_col: str = "doc_id",
     text_col: str = "text",
+    postings=None,
 ):
     """ES more_like_this analog (round 9 — §2H's implied search
     surface): for each query doc, select its ``top_terms`` most
@@ -593,13 +594,22 @@ def more_like_this(
     then a per-query rank window over candidate-sized rows. The
     1-row corpus count broadcasts (the docs_tfidf_topk convention).
 
+    ``postings`` (optional): a persisted (id, term, tf) index from
+    :func:`build_text_index` — the same artifact BM25 and fuzzy
+    queries probe. The inline path builds it and materializes it
+    ONCE (lazy localCheckpoint): three consumers below (df counts,
+    query-term selection, candidate scoring) would otherwise replay
+    the corpus scan three times.
+
     Returns (query_id, cand_id, score_milli, rnk).
     """
     from pyspark.sql import Window
 
     if not query_ids:
         raise ValueError("need at least one query doc id")
-    postings, _ = build_text_index(df, id_col, text_col)
+    if postings is None:
+        postings, _ = build_text_index(df, id_col, text_col)
+        postings = postings.localCheckpoint(eager=False)
     dfreq = postings.groupBy("term").agg(F.count(F.lit(1)).alias("dfq"))
     nrow = df.agg(F.count_distinct(F.col(id_col)).alias("n_docs"))
     qt = (

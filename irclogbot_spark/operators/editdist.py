@@ -169,6 +169,7 @@ def fuzzy_term_search(
     max_dist: int = 1,
     id_col: str = "doc_id",
     text_col: str = "text",
+    postings: DataFrame | None = None,
 ) -> DataFrame:
     """ES-style fuzzy term query (the reference's implied search
     surface, SURVEY §2H: `{"fuzzy": {"value": t, "fuzziness": d}}`
@@ -188,6 +189,14 @@ def fuzzy_term_search(
     convention. Text never enters an exchange; the only corpus-sized
     shuffles are the two distincts.
 
+    ``postings`` (optional): a persisted (id, term[, ...]) text
+    index — functions/text.py build_text_index's postings frame —
+    serves BOTH the vocabulary and the doc hits instead of the
+    corpus scan, so ONE materialized index answers BM25, fuzzy, and
+    more-like-this queries (the ES deployment shape). The default
+    inline path scans the corpus twice (vocab + hits), both
+    map-only; materializing is the caller's trade.
+
     Returns distinct (term, doc_id) rows.
     """
     if not terms:
@@ -198,9 +207,13 @@ def fuzzy_term_search(
 
     spark = df.sparkSession
     tdf = spark.createDataFrame([(t,) for t in terms], "term string")
-    toks = df.select(
-        F.col(id_col), F.explode(F.array_distinct(tokens(text_col))).alias("tok")
-    )
+    if postings is not None:
+        toks = postings.select(F.col(id_col), F.col("term").alias("tok"))
+    else:
+        toks = df.select(
+            F.col(id_col),
+            F.explode(F.array_distinct(tokens(text_col))).alias("tok"),
+        )
     vocab = toks.select("tok").distinct()
     dist = F.levenshtein(F.col("tok"), F.col("term"), max_dist)
     matches = vocab.join(

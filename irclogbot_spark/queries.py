@@ -1401,7 +1401,14 @@ def log_significant_terms(spark, sf_dir):
     terms = log.select(
         "channel", F.explode(F.split("remark", r"\s+")).alias("term")
     ).filter(F.col("term") != "")
-    ct = terms.groupBy("channel", "term").agg(F.count(F.lit(1)).alias("f_cnt"))
+    # four consumers below (chan_tot, bg, tot, scored): materialize
+    # the term-type-sized aggregate once — the prep.py
+    # multiply-referenced-frame rule
+    ct = (
+        terms.groupBy("channel", "term")
+        .agg(F.count(F.lit(1)).alias("f_cnt"))
+        .localCheckpoint(eager=False)
+    )
     chan_tot = ct.groupBy("channel").agg(F.sum("f_cnt").alias("chan_total"))
     bg = ct.groupBy("term").agg(F.sum("f_cnt").alias("bg_cnt"))
     tot = ct.agg(F.sum("f_cnt").alias("corpus_total"))

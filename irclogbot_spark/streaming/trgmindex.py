@@ -61,9 +61,23 @@ def trgm_ingest_batch(
     """foreachBatch body: post the arriving docs (map-only) and
     overwrite this batch's index partition — idempotent on replay.
     The sidecar meta is rewritten with identical content each batch
-    (same n_buckets by contract), so replay can't tear it."""
+    (same n_buckets by contract), so replay can't tear it; a
+    DIFFERENT n_buckets against an existing index raises — the
+    bucket function is frozen at creation (changing it silently
+    would mix bucketings and break probe pruning; re-bucketing is a
+    rebuild, not maintenance)."""
     os.makedirs(index_dir, exist_ok=True)
-    with open(os.path.join(index_dir, "_trgm_meta.json"), "w") as f:
+    meta_path = os.path.join(index_dir, "_trgm_meta.json")
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            existing = int(json.load(f)["n_buckets"])
+        if existing != n_buckets:
+            raise ValueError(
+                f"index at {index_dir} was created with n_buckets="
+                f"{existing}; got {n_buckets} — rebucketing requires a "
+                "rebuild, not an ingest"
+            )
+    with open(meta_path, "w") as f:
         json.dump({"n_buckets": n_buckets}, f)
     _bucketed_postings(batch, n_buckets).write.mode("overwrite").parquet(
         f"{index_dir}/index/batch_id={batch_id}"

@@ -173,3 +173,57 @@ def test_tokenize_inline_unk_id_validation(spark):
 
     with pytest.raises(ValueError):
         tokenize_with_vocab_inline(None, None, unk_id=1)
+
+
+def test_fuzzy_and_mlt_served_from_the_shared_text_index(spark):
+    """Round 9: ONE materialized text index (build_text_index's
+    postings) answers BM25, fuzzy, and more-like-this — the indexed
+    forms must equal the inline corpus-scan forms row for row."""
+    from irclogbot_spark.functions.text import build_text_index, more_like_this
+    from irclogbot_spark.operators.editdist import fuzzy_term_search
+
+    docs = spark.createDataFrame(
+        [
+            (0, "spark shuffle table merge window"),
+            (1, "spark spark batch value sort"),
+            (2, "window table hash merge merge"),
+            (3, "totally unrelated words here"),
+        ],
+        "doc_id long, text string",
+    )
+    postings, _ = build_text_index(docs)
+    postings = postings.localCheckpoint(eager=True)
+
+    terms = ["spack", "merge", "windos"]
+    inline_f = {(r.term, r.doc_id) for r in fuzzy_term_search(docs, terms).collect()}
+    indexed_f = {
+        (r.term, r.doc_id)
+        for r in fuzzy_term_search(docs, terms, postings=postings).collect()
+    }
+    assert inline_f == indexed_f
+    assert ("spack", 0) in inline_f and ("spack", 1) in inline_f
+
+    inline_m = {
+        tuple(r) for r in more_like_this(docs, [0], top_terms=3, k=3).collect()
+    }
+    indexed_m = {
+        tuple(r)
+        for r in more_like_this(
+            docs, [0], top_terms=3, k=3, postings=postings
+        ).collect()
+    }
+    assert inline_m == indexed_m and len(inline_m) > 0
+
+
+def test_trgm_stream_index_rejects_rebucketing(spark, tmp_path):
+    """streaming/trgmindex.py: ingesting with a different n_buckets
+    than the index was created with must raise, not silently mix
+    bucketings."""
+    import pytest
+
+    from irclogbot_spark.streaming import trgmindex as TI
+
+    docs = spark.createDataFrame([(1, "alpha beta")], "doc_id long, text string")
+    TI.trgm_ingest_batch(docs, 0, str(tmp_path / "idx"), n_buckets=8)
+    with pytest.raises(ValueError, match="n_buckets"):
+        TI.trgm_ingest_batch(docs, 1, str(tmp_path / "idx"), n_buckets=16)
