@@ -177,6 +177,11 @@ HEADLINE = [
     "docs_fuzzy_term_search",
     "log_significant_terms",
     "docs_more_like_this",
+    # round 9 (cont.): the phrase/suggest pair scans or indexes the
+    # whole corpus — headline-weight
+    "docs_phrase_search",
+    "docs_phrase_search_indexed",
+    "docs_prefix_suggest",
 ]
 
 #: Every registered query NOT in HEADLINE (VERDICT r7 missing #4:
@@ -219,6 +224,12 @@ CHEAP = [
     "tpch_q18_big_orders",
     # round 8
     "emb_anchor_gate",
+    # round 9 (cont.): map-only or events-sized — cheap by design
+    "docs_highlight",
+    "events_search_after",
+    "events_composite_agg",
+    "events_geo_distance",
+    "events_geotile_grid",
 ]
 
 #: headline queries that derive from the irclog (re-timed over the

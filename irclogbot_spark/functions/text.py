@@ -638,3 +638,216 @@ def more_like_this(
         .filter(F.col("rnk") <= k)
         .select("query_id", "cand_id", "score_milli", "rnk")
     )
+
+
+def phrase_count_col(toks: Column, terms: list[str]) -> Column:
+    """Exact phrase-occurrence count over a token array, fully
+    in-row (ES match_phrase with slop=0, counted): the number of
+    start positions i where ``toks[i..i+m-1]`` equals the phrase.
+    Overlapping occurrences count (each start position is judged
+    independently — 'a a a' contains 'a a' twice).
+
+    The start-position list guards the degenerate short-document
+    case explicitly: Spark's ``sequence(1, n)`` runs DESCENDING when
+    n < 1, so the candidate list is empty-when-short, never [1, 0].
+    """
+    if not terms:
+        raise ValueError("phrase must be non-empty")
+    m = len(terms)
+    target = F.array(*[F.lit(t) for t in terms])
+    starts = F.when(
+        F.size(toks) >= m, F.sequence(F.lit(1), F.size(toks) - m + 1)
+    ).otherwise(F.array().cast("array<int>"))
+    hits = F.filter(starts, lambda i: F.slice(toks, i, m) == target)
+    return F.size(hits).cast("long")
+
+
+def phrase_search(
+    df, terms: list[str], id_col: str = "doc_id", text_col: str = "text"
+):
+    """ES match_phrase analog, corpus-scan form: docs whose token
+    stream (WORD_RE = ``\\S+``, the engine-wide analyzer) contains
+    the phrase as CONSECUTIVE tokens, with the exact occurrence
+    count (phrase frequency — what ES feeds into phrase scoring).
+
+    Scale shape: MAP-ONLY over the corpus scan. Per-term substring
+    gates (``text CONTAINS term`` for every phrase term) are plain
+    scan-level predicates — a token is always a substring of its
+    document, so the gate is a strict superset of the token-adjacency
+    match and pushes into the parquet scan; only gated rows pay the
+    tokenize + position check. No shuffle at any point — on a
+    1000-executor cluster this is one embarrassing-parallel pass.
+    """
+    gate = None
+    for t in terms:
+        g = F.col(text_col).contains(t)
+        gate = g if gate is None else gate & g
+    toks = F.regexp_extract_all(F.col(text_col), F.lit(WORD_RE), F.lit(0))
+    return (
+        df.filter(gate)
+        .select(F.col(id_col), phrase_count_col(toks, terms).alias("phrase_count"))
+        .filter(F.col("phrase_count") > 0)
+    )
+
+
+def build_positional_index(df, id_col: str = "doc_id", text_col: str = "text"):
+    """Positional postings — (id, term, positions array<int>) — the
+    index form that serves PHRASE and proximity queries without
+    touching document text (ES stores exactly this: term positions
+    per doc). MAP-ONLY like build_text_index: per-row higher-order
+    functions compute each distinct term's 1-based position list,
+    exploded without any exchange; tf is ``size(positions)``, so
+    this index strictly generalizes the (id, term, tf) one.
+
+    At rest a deployment writes it partitioned/bucketed BY TERM
+    (the write_trgm_index layout) so a phrase probe's
+    ``term IN (...)`` filter prunes at the file level."""
+    toks = df.select(
+        F.col(id_col),
+        F.regexp_extract_all(F.col(text_col), F.lit(WORD_RE), F.lit(0)).alias(
+            "_toks"
+        ),
+    )
+    entries = F.transform(
+        F.array_distinct("_toks"),
+        lambda t: F.struct(
+            t.alias("term"),
+            F.filter(
+                F.sequence(F.lit(1), F.size("_toks")),
+                lambda i: F.element_at("_toks", i) == t,
+            ).alias("positions"),
+        ),
+    )
+    return toks.select(F.col(id_col), F.explode(entries).alias("_e")).select(
+        id_col,
+        F.col("_e.term").alias("term"),
+        F.col("_e.positions").alias("positions"),
+    )
+
+
+def phrase_search_indexed(
+    pindex, terms: list[str], id_col: str = "doc_id"
+):
+    """ES match_phrase analog served from the PRE-BUILT positional
+    index (:func:`build_positional_index`) — bit-equal phrase counts
+    to :func:`phrase_search`'s corpus scan (both count every start
+    position; the classic positional-intersection algorithm:
+    a start at p needs term_j's position list to contain p + j for
+    every j, i.e. ``|pos_0 ∩ (pos_1 - 1) ∩ ... ∩ (pos_{m-1} - (m-1))|``).
+    Repeated phrase terms need no special casing — each offset list
+    is shifted independently.
+
+    Scale shape: the postings scan carries ``term IN (...)`` (file-
+    level pruning on a term-partitioned layout — document text is
+    never read); ONE partial-agg shuffle of phrase-term rows only
+    (m conditional MAXes reassemble the per-doc position lists); the
+    intersection is in-row array math on short lists. The corpus
+    never moves.
+    """
+    if not terms:
+        raise ValueError("phrase must be non-empty")
+    p = pindex.filter(F.col("term").isin(list(terms)))
+    agg = p.groupBy(id_col).agg(
+        *[
+            F.max(F.when(F.col("term") == t, F.col("positions"))).alias(f"_p{j}")
+            for j, t in enumerate(terms)
+        ]
+    )
+    def _shift(col: Column, off: int) -> Column:
+        # NB: a default-arg lambda (lambda x, _j=off: ...) would be
+        # introspected by F.transform as the TWO-ARG (element, index)
+        # form and shift by array position — close over off instead
+        if off == 0:
+            return col
+        return F.transform(col, lambda x: x - off)
+
+    inter = None
+    for j in range(len(terms)):
+        shifted = _shift(F.col(f"_p{j}"), j)
+        inter = shifted if inter is None else F.array_intersect(inter, shifted)
+    present = None
+    for j in range(len(terms)):
+        nn = F.col(f"_p{j}").isNotNull()
+        present = nn if present is None else present & nn
+    return (
+        agg.filter(present)
+        .select(F.col(id_col), F.size(inter).cast("long").alias("phrase_count"))
+        .filter(F.col("phrase_count") > 0)
+    )
+
+
+def highlight_snippets(
+    df,
+    term: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    before: int = 30,
+    after: int = 30,
+    tag: str = "em",
+):
+    """ES highlight analog (the plain highlighter): for every doc
+    containing ``term`` as a substring, the snippet around the FIRST
+    occurrence with the hit wrapped in ``<em>...</em>`` —
+    ``before``/``after`` characters of context (clamped at the text
+    boundaries by substring semantics, identical in Spark and ANSI
+    SQL: 1-based start, over-long lengths truncate).
+
+    Scale shape: the CONTAINS gate is a scan-level predicate
+    (pushed); everything else is per-row string math — map-only,
+    zero shuffle. Returns (id, pos, snippet)."""
+    text = F.col(text_col)
+    pos = F.locate(term, text)
+    start = F.greatest(pos - before, F.lit(1))
+    pre = F.substring(text, start, pos - start)
+    post = F.substring(text, pos + len(term), F.lit(after))
+    snippet = F.concat(
+        pre, F.lit(f"<{tag}>"), F.lit(term), F.lit(f"</{tag}>"), post
+    )
+    return df.filter(text.contains(term)).select(
+        F.col(id_col),
+        pos.cast("long").alias("pos"),
+        snippet.alias("snippet"),
+    )
+
+
+def prefix_suggest(
+    df,
+    prefix: str,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    postings=None,
+):
+    """ES completion-suggester analog: vocabulary terms starting
+    with ``prefix``, ranked by total corpus frequency (the
+    suggester's popularity weight), with document frequency
+    alongside; deterministic (freq desc, term asc) top-k.
+
+    Scale shape: per-doc (term, tf) pairs come map-only from
+    :func:`build_text_index` (or a persisted ``postings`` frame —
+    at rest the STARTSWITH filter prunes a term-partitioned layout);
+    the prefix filter cuts before the ONE term-keyed partial-agg
+    shuffle; top-k is a partial TakeOrdered. Document frequency
+    falls out of the same aggregate (postings hold one row per
+    (doc, term)), so no distinct-expand.
+
+    Returns (term, freq, df_docs, rnk)."""
+    from pyspark.sql import Window
+
+    if postings is None:
+        postings, _ = build_text_index(df, id_col, text_col)
+    p = postings.filter(F.col("term").startswith(prefix))
+    agg = p.groupBy("term").agg(
+        F.sum("tf").cast("long").alias("freq"),
+        F.count(F.lit(1)).cast("long").alias("df_docs"),
+    )
+    return (
+        agg.orderBy(F.desc("freq"), F.asc("term"))
+        .limit(k)
+        .withColumn(
+            "rnk",
+            F.row_number()
+            .over(Window.orderBy(F.desc("freq"), F.asc("term")))
+            .cast("long"),
+        )
+    )

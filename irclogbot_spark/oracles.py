@@ -4878,3 +4878,142 @@ FROM base, cent
 ORDER BY anchor_cos DESC, vec_id ASC
 LIMIT 50
 """
+
+
+# Round 9 (cont.): the ES match_phrase analog — list-native start
+# positions (generate_series + list_filter) replay the consecutive-
+# token check; the indexed twin shares this oracle (bit-equal by
+# construction).
+from irclogbot_spark.queries import _PHRASE as _PH  # noqa: E402
+
+_PH_M = len(_PH)
+_PH_PRED = " AND ".join(
+    "toks[i + {}] = '{}'".format(j, t.replace("'", "''"))
+    for j, t in enumerate(_PH)
+)
+_PHRASE_SQL = rf"""
+WITH tok AS (
+  SELECT doc_id, regexp_extract_all(text, '\S+') AS toks FROM documents
+),
+cnt AS (
+  SELECT doc_id,
+    CAST(len(list_filter(generate_series(1, len(toks) - {_PH_M - 1}),
+         i -> {_PH_PRED})) AS BIGINT) AS phrase_count
+  FROM tok
+  WHERE len(toks) >= {_PH_M}
+)
+SELECT doc_id, phrase_count FROM cnt WHERE phrase_count > 0
+"""
+ORACLES["docs_phrase_search"] = _PHRASE_SQL
+ORACLES["docs_phrase_search_indexed"] = _PHRASE_SQL
+
+
+# Round 9 (cont.): ES highlight analog — identical 1-based,
+# boundary-clamping substring math.
+ORACLES["docs_highlight"] = """
+WITH hit AS (
+  SELECT doc_id, text, strpos(text, 'merge') AS pos
+  FROM documents WHERE contains(text, 'merge')
+)
+SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+  substr(text, greatest(pos - 30, 1), pos - greatest(pos - 30, 1))
+    || '<em>' || 'merge' || '</em>'
+    || substr(text, pos + 5, 30) AS snippet
+FROM hit
+"""
+
+
+# Round 9 (cont.): ES completion-suggester analog — prefix-filtered
+# vocabulary ranked by corpus frequency.
+ORACLES["docs_prefix_suggest"] = r"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS term FROM documents
+),
+post AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM tok GROUP BY doc_id, term
+),
+agg AS (
+  SELECT term, CAST(SUM(tf) AS BIGINT) AS freq,
+         CAST(COUNT(*) AS BIGINT) AS df_docs
+  FROM post WHERE term LIKE 's%' GROUP BY term
+)
+SELECT term, freq, df_docs,
+  CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, term ASC) AS BIGINT) AS rnk
+FROM agg
+ORDER BY freq DESC, term ASC
+LIMIT 10
+"""
+
+
+# Round 9 (cont.): ES search_after analog — keyset pagination on the
+# (ts, event_id) total order.
+ORACLES["events_search_after"] = """
+SELECT event_id, ts, user_id, event_type, value
+FROM events
+WHERE ts > TIMESTAMP '2024-01-15 00:00:00'
+   OR (ts = TIMESTAMP '2024-01-15 00:00:00' AND event_id > 0)
+ORDER BY ts, event_id
+LIMIT 20
+"""
+
+
+# Round 9 (cont.): ES composite-agg analog — bucket pagination
+# strictly after the (42, 'click') after-key.
+ORACLES["events_composite_agg"] = f"""
+WITH g AS (
+  SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+         {dsum('value')} AS sum_value
+  FROM events GROUP BY user_id, event_type
+)
+SELECT * FROM g
+WHERE user_id > 42 OR (user_id = 42 AND event_type > 'click')
+ORDER BY user_id, event_type
+LIMIT 25
+"""
+
+
+# Round 9 (cont.): the geo pair — synthetic micro-degree points
+# (operators/geo.py synthetic_point: LCG-multiplied key modulo the
+# degree span), exact BIGINT planar distance / pure-integer grid
+# cells.
+_GEO_PT = """
+  SELECT event_id, user_id, event_type,
+    (user_id * 2654435761) % 180000000 - 90000000 AS lat_micro,
+    (user_id * 2246822519) % 360000000 - 180000000 AS lon_micro
+  FROM events
+"""
+ORACLES["events_geo_distance"] = f"""
+WITH pts AS ({_GEO_PT}),
+hits AS (
+  SELECT * FROM pts
+  WHERE lat_micro BETWEEN -30000000 AND 30000000
+    AND lon_micro BETWEEN -30000000 AND 30000000
+    AND lon_micro * lon_micro + lat_micro * lat_micro
+        <= CAST(30000000 AS BIGINT) * 30000000
+)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM hits GROUP BY event_type
+"""
+ORACLES["events_geotile_grid"] = f"""
+WITH pts AS ({_GEO_PT}),
+cells AS (
+  SELECT *,
+    (lat_micro + 90000000) // 10000000 AS cell_y,
+    (lon_micro + 180000000) // 30000000 AS cell_x
+  FROM pts
+),
+agg AS (
+  SELECT cell_x, cell_y, CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+  FROM cells GROUP BY cell_x, cell_y
+)
+SELECT CAST(cell_x AS BIGINT) AS cell_x, CAST(cell_y AS BIGINT) AS cell_y,
+       n_events, n_users,
+       CAST(ROW_NUMBER() OVER (ORDER BY n_events DESC, cell_x, cell_y)
+            AS BIGINT) AS rnk
+FROM agg
+ORDER BY n_events DESC, cell_x, cell_y
+LIMIT 15
+"""

@@ -2261,34 +2261,44 @@ _DRIVER_WINDOW = [
     "docs_paragraph_dedup",
     "docs_decontam_bloom",
     "events_top_paths",
-    "emb_semantic_decontam",
-    "docs_normalized_dedup",
-    "docs_bpe_merges",
-    "emb_kmeans_clusters",
-    "docs_data_card",
-    "docs_bpe_tokenize",
-    "docs_tokenize_fast",
-    "media_frame_plan",
     # round-9 additions: first hard rows (displace media_audio_stats /
     # media_resize_stats / events_anomaly / docs_pps_sample /
-    # log_trending_terms / docs_lsh_recall to the round-10 remainder —
-    # new-operator rows outrank refreshes, the round-8 precedent)
+    # log_trending_terms / docs_lsh_recall AND, for the second
+    # round-9 batch below, the eight youngest r6-block refreshes
+    # (docs_normalized_dedup, docs_bpe_merges, emb_kmeans_clusters,
+    # docs_data_card, docs_bpe_tokenize, docs_tokenize_fast,
+    # media_frame_plan, emb_semantic_decontam) to the round-10
+    # remainder — new-operator rows outrank refreshes, the round-8
+    # precedent)
     "docs_trgm_multi_search",
     "docs_crawl_admit",
     "docs_simhash_neardup_md5",
     "docs_fuzzy_term_search",
     "log_significant_terms",
     "docs_more_like_this",
+    # round-9 second batch: the ES-surface completion set
+    "docs_phrase_search",
+    "docs_phrase_search_indexed",
+    "docs_highlight",
+    "docs_prefix_suggest",
+    "events_search_after",
+    "events_composite_agg",
+    "events_geo_distance",
+    "events_geotile_grid",
 ]
 # ROUND-10 ROTATION PLAN: the r6 remainder (media_audio_stats,
 # media_resize_stats, events_anomaly, docs_pps_sample,
 # log_trending_terms, docs_lsh_recall, docs_corpus_shuffle,
 # docs_length_winsorize, docs_snapshot_diff,
-# tpch_q4/q7/q13/q14/q17/q22), then the oldest r7 rows (media_decode_stats,
-# media_png_decode_stats, agg_unpivot, docs_c4_clean,
-# docs_inverted_index, docs_incremental_dedup, the tpch r7 block,
-# ...) — plus first rows for any round-9 additions and re-pins for
-# any operator touched after its newest row.
+# tpch_q4/q7/q13/q14/q17/q22) PLUS the eight r6-block refreshes the
+# round-9 second batch displaced (docs_normalized_dedup,
+# docs_bpe_merges, emb_kmeans_clusters, docs_data_card,
+# docs_bpe_tokenize, docs_tokenize_fast, media_frame_plan,
+# emb_semantic_decontam), then the oldest r7 rows
+# (media_decode_stats, media_png_decode_stats, agg_unpivot,
+# docs_c4_clean, docs_inverted_index, docs_incremental_dedup, the
+# tpch r7 block, ...) — plus first rows for any round-10 additions
+# and re-pins for any operator touched after its newest row.
 
 
 @query("docs_dedup_keep_best_fast")
@@ -4676,6 +4686,172 @@ def docs_hll_sketch_only(spark, sf_dir):
     )
     return hll_distinct(grams, "shingle", ["source"]).select(
         "source", "hll_estimate", "n_zero_registers"
+    )
+
+
+#: match_phrase probe: a trigram that actually occurs in the corpus
+#: (planted-template vocabulary), so the hit set is non-trivial
+_PHRASE = ["slow", "hash", "batch"]
+
+
+@query("docs_phrase_search")
+def docs_phrase_search(spark, sf_dir):
+    """ES match_phrase analog, corpus-scan form (round 9 — §2H's
+    implied search surface; functions/text.py phrase_search): docs
+    whose \\S+ token stream contains 'slow hash batch' as consecutive
+    tokens, with the exact occurrence count. MAP-ONLY: per-term
+    CONTAINS gates push into the scan; position math is in-row
+    higher-order functions; zero shuffle. Tail registration;
+    value-checked by the local parity suite."""
+    from irclogbot_spark.functions.text import phrase_search
+
+    return phrase_search(_t(spark, sf_dir, "documents"), _PHRASE)
+
+
+@query("docs_phrase_search_indexed")
+def docs_phrase_search_indexed(spark, sf_dir):
+    """match_phrase served from the PRE-BUILT positional postings
+    index (functions/text.py build_positional_index — what ES
+    actually stores) instead of the corpus scan: term IN (...) prunes
+    the postings, ONE phrase-term-sized partial-agg shuffle, in-row
+    shifted-intersection position math (|p0 ∩ (p1-1) ∩ (p2-2)|).
+    Engineered bit-equal to docs_phrase_search, so the corpus-scan
+    ORACLE doubles as a physical-path differential (the
+    docs_bm25_indexed convention). Tail registration; value-checked
+    by the local parity suite."""
+    from irclogbot_spark.functions.text import (
+        build_positional_index,
+        phrase_search_indexed,
+    )
+
+    pidx = build_positional_index(_t(spark, sf_dir, "documents"))
+    return phrase_search_indexed(pidx, _PHRASE)
+
+
+@query("docs_highlight")
+def docs_highlight(spark, sf_dir):
+    """ES highlight analog (the plain highlighter; functions/text.py
+    highlight_snippets): for docs containing 'merge', the ±30-char
+    snippet around the FIRST occurrence with the hit wrapped in
+    <em></em>. The CONTAINS gate pushes into the scan; snippet
+    assembly is per-row substring math with identical 1-based,
+    boundary-clamping semantics in both engines — map-only, zero
+    shuffle. Tail registration; value-checked by the local parity
+    suite."""
+    from irclogbot_spark.functions.text import highlight_snippets
+
+    return highlight_snippets(_t(spark, sf_dir, "documents"), "merge")
+
+
+@query("docs_prefix_suggest")
+def docs_prefix_suggest(spark, sf_dir):
+    """ES completion-suggester analog (functions/text.py
+    prefix_suggest): vocabulary terms starting with 's', ranked by
+    total corpus frequency with document frequency alongside, top-10
+    deterministic. Map-only postings projection, prefix filter
+    BEFORE the one term-keyed partial-agg shuffle, TakeOrdered
+    top-k. Tail registration; value-checked by the local parity
+    suite."""
+    from irclogbot_spark.functions.text import prefix_suggest
+
+    return prefix_suggest(_t(spark, sf_dir, "documents"), "s", k=10)
+
+
+#: search_after cursor — mid-range of the fixed 2024-01 event month
+_SEARCH_AFTER_TS = "2024-01-15 00:00:00"
+
+
+@query("events_search_after")
+def events_search_after(spark, sf_dir):
+    """ES search_after analog — KEYSET pagination on the (ts,
+    event_id) total order: the 20 events strictly after the cursor.
+    The deep-pagination shape that actually scales: the cursor
+    predicate pushes into the scan (on a time-partitioned layout it
+    prunes whole files — unlike OFFSET, which reads and discards
+    every earlier row on every page) and the top-k compiles to
+    TakeOrderedAndProject, never a global sort. Tail registration;
+    value-checked by the local parity suite."""
+    ev = _t(spark, sf_dir, "events")
+    cur = F.lit(_SEARCH_AFTER_TS).cast("timestamp")
+    after = (F.col("ts") > cur) | (
+        (F.col("ts") == cur) & (F.col("event_id") > 0)
+    )
+    return (
+        ev.filter(after)
+        .orderBy("ts", "event_id")
+        .limit(20)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+    )
+
+
+@query("events_composite_agg")
+def events_composite_agg(spark, sf_dir):
+    """ES composite-aggregation analog — bucket pagination: the
+    (user_id, event_type) buckets ORDERED BY their composite key,
+    resuming strictly after the after-key (42, 'click'), 25 buckets
+    per page. The full aggregate is ONE partial-agg shuffle (counts
+    and the DECIMAL value sum combine map-side); the page cut is a
+    TakeOrdered over bucket-sized rows — re-running per page is how
+    ES itself implements it (the agg is the cheap part; the
+    guaranteed-resumable key order is the point). Tail registration;
+    value-checked by the local parity suite."""
+    ev = _t(spark, sf_dir, "events")
+    g = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dsum("value").alias("sum_value"),
+    )
+    after = (F.col("user_id") > 42) | (
+        (F.col("user_id") == 42) & (F.col("event_type") > "click")
+    )
+    return g.filter(after).orderBy("user_id", "event_type").limit(25)
+
+
+@query("events_geo_distance")
+def events_geo_distance(spark, sf_dir):
+    """ES geo_distance analog (operators/geo.py): events whose
+    user's point (deterministic synthetic micro-degree coordinates —
+    the corpus has no geo columns; a deployment plugs its lat/lon
+    in) lies within 30° of (0, 0), counted per event_type with
+    distinct users. Exact BIGINT planar distance — the bounding box
+    pushes into the scan, the multiply runs on box survivors only;
+    one event_type-keyed partial agg. Tail registration;
+    value-checked by the local parity suite."""
+    from irclogbot_spark.operators.geo import geo_distance_filter, synthetic_point
+
+    ev = _t(spark, sf_dir, "events")
+    lat, lon = synthetic_point("user_id")
+    pts = ev.select("event_id", "user_id", "event_type", lat, lon)
+    hits = geo_distance_filter(pts, 0, 0, 30_000_000)
+    return hits.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count_distinct("user_id").cast("long").alias("n_users"),
+    )
+
+
+@query("events_geotile_grid")
+def events_geotile_grid(spark, sf_dir):
+    """ES geotile_grid aggregation analog (operators/geo.py): every
+    event bucketed into a 12x12 fixed grid (10°x30° cells over
+    non-negative offset coordinates — pure-integer floor division,
+    identical in both engines), event counts + distinct users per
+    cell, top-15 cells with deterministic (n desc, cell_x, cell_y)
+    rank. One cell-keyed partial-agg shuffle; TakeOrdered top-k.
+    Tail registration; value-checked by the local parity suite."""
+    from irclogbot_spark.operators.geo import geotile_cells, synthetic_point
+
+    ev = _t(spark, sf_dir, "events")
+    lat, lon = synthetic_point("user_id")
+    pts = ev.select("event_id", "user_id", lat, lon)
+    cells = geotile_cells(pts, 10_000_000, 30_000_000)
+    agg = cells.groupBy("cell_x", "cell_y").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count_distinct("user_id").cast("long").alias("n_users"),
+    )
+    w = Window.orderBy(F.desc("n_events"), "cell_x", "cell_y")
+    return (
+        agg.orderBy(F.desc("n_events"), "cell_x", "cell_y")
+        .limit(15)
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
     )
 
 

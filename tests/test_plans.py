@@ -675,3 +675,85 @@ def test_trgm_multi_search_one_setwise_pass(spark):
     assert hashex
     for l in hashex:
         assert "pattern" in l and "doc_id" in l, l
+
+
+def test_phrase_search_map_only_with_pushed_gates(spark):
+    """docs_phrase_search (round 9): the corpus-scan match_phrase is
+    MAP-ONLY — zero exchanges of any kind — and the per-term
+    CONTAINS gates reach the parquet scan as PushedFilters
+    (StringContains), so non-matching row groups never tokenize."""
+    plan = _plan(spark, "docs_phrase_search")
+    assert "Exchange" not in plan, plan
+    pushed = "\n".join(l for l in plan.splitlines() if "PushedFilters" in l)
+    assert "StringContains" in pushed, pushed
+
+
+def test_phrase_search_indexed_probe_shape(spark):
+    """docs_phrase_search_indexed (round 9): the positional-index
+    probe filters postings by term IN (...) BEFORE its one partial-
+    agg exchange — the only hash exchange is keyed on doc_id, and
+    the position intersection is in-row (no join at all)."""
+    plan = _plan(spark, "docs_phrase_search_indexed")
+    assert "Join" not in plan, plan
+    hashex = [l for l in plan.splitlines() if "hashpartitioning" in l]
+    assert hashex, "expected the per-doc position-pivot exchange"
+    for l in hashex:
+        assert "doc_id" in l, l
+
+
+def test_highlight_map_only_pushed_contains(spark):
+    """docs_highlight (round 9): snippet assembly is map-only (zero
+    exchanges) with the CONTAINS gate pushed to the scan."""
+    plan = _plan(spark, "docs_highlight")
+    assert "Exchange" not in plan, plan
+    pushed = "\n".join(l for l in plan.splitlines() if "PushedFilters" in l)
+    assert "StringContains" in pushed, pushed
+
+
+def test_search_after_keyset_shape(spark):
+    """events_search_after (round 9): keyset pagination must compile
+    to TakeOrderedAndProject (never a global sort) with the cursor's
+    coarse ts bound reaching the scan as a pushed GreaterThan — the
+    deep-page property that OFFSET pagination cannot have."""
+    plan = _plan(spark, "events_search_after")
+    assert "TakeOrderedAndProject" in plan, plan
+    pushed = "\n".join(l for l in plan.splitlines() if "PushedFilters" in l)
+    assert "ts" in pushed, pushed
+
+
+def test_composite_agg_page_shape(spark):
+    """events_composite_agg (round 9): one partial-agg exchange on
+    the composite (user_id, event_type) key, then a TakeOrdered page
+    cut — the after-key filter must NOT force a second exchange."""
+    plan = _plan(spark, "events_composite_agg")
+    assert "TakeOrderedAndProject" in plan, plan
+    hashex = [l for l in plan.splitlines() if "hashpartitioning" in l]
+    assert len(hashex) >= 1
+    for l in hashex:
+        assert "user_id" in l and "event_type" in l, l
+
+
+def test_geo_distance_box_pushed_map_only_agg(spark):
+    """events_geo_distance (round 9): the bounding-box comparisons
+    are scan-level (the synthetic point is derived in-row, so the
+    filter sits right on top of the scan with no exchange before
+    it); the only hash exchange is the event_type aggregate key."""
+    plan = _plan(spark, "events_geo_distance")
+    hashex = [l for l in plan.splitlines() if "hashpartitioning" in l]
+    assert hashex
+    for l in hashex:
+        assert "event_type" in l or "user_id" in l, l
+    assert "Join" not in plan, plan
+
+
+def test_geotile_grid_one_cell_exchange_takeordered(spark):
+    """events_geotile_grid (round 9): cell derivation is in-row;
+    exchanges are keyed on the (cell_x, cell_y) grid key (plus the
+    distinct-user expansion on the same key), and the top-15 page is
+    a TakeOrdered, never a global sort."""
+    plan = _plan(spark, "events_geotile_grid")
+    assert "TakeOrderedAndProject" in plan, plan
+    hashex = [l for l in plan.splitlines() if "hashpartitioning" in l]
+    assert hashex
+    for l in hashex:
+        assert "cell_x" in l and "cell_y" in l, l

@@ -227,3 +227,90 @@ def test_trgm_stream_index_rejects_rebucketing(spark, tmp_path):
     TI.trgm_ingest_batch(docs, 0, str(tmp_path / "idx"), n_buckets=8)
     with pytest.raises(ValueError, match="n_buckets"):
         TI.trgm_ingest_batch(docs, 1, str(tmp_path / "idx"), n_buckets=16)
+
+
+def test_phrase_search_inline_vs_indexed_and_edges(spark):
+    """functions/text.py phrase ops: overlapping occurrences count
+    once per start position, repeated phrase terms work, the indexed
+    probe is bit-equal to the corpus scan, and short/empty docs never
+    trip the sequence(1, 0) descending trap."""
+    from irclogbot_spark.functions.text import (
+        build_positional_index,
+        phrase_search,
+        phrase_search_indexed,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a a a b"),
+            (2, "slow hash batch slow hash batch x"),
+            (3, "slow  hash\tbatch"),  # any-whitespace tokenizer
+            (4, "hash slow batch"),  # right terms, wrong order
+            (5, ""),
+            (6, "slow hash"),  # shorter than the phrase
+        ],
+        "doc_id long, text string",
+    )
+    pidx = build_positional_index(docs).localCheckpoint(eager=True)
+
+    phrase = ["slow", "hash", "batch"]
+    inline = {(r.doc_id, r.phrase_count) for r in phrase_search(docs, phrase).collect()}
+    indexed = {
+        (r.doc_id, r.phrase_count)
+        for r in phrase_search_indexed(pidx, phrase).collect()
+    }
+    assert inline == {(2, 2), (3, 1)}
+    assert indexed == inline
+
+    # repeated term: 'a a a' contains 'a a' at starts 1 and 2
+    rep = ["a", "a"]
+    inline_r = {(r.doc_id, r.phrase_count) for r in phrase_search(docs, rep).collect()}
+    indexed_r = {
+        (r.doc_id, r.phrase_count) for r in phrase_search_indexed(pidx, rep).collect()
+    }
+    assert inline_r == {(1, 2)}
+    assert indexed_r == inline_r
+
+
+def test_highlight_snippets_boundaries(spark):
+    """functions/text.py highlight_snippets: first occurrence only,
+    <em> wrapping, and clamping at both text boundaries."""
+    from irclogbot_spark.functions.text import highlight_snippets
+
+    docs = spark.createDataFrame(
+        [
+            (1, "merge at the very start of this line"),
+            (2, "x" * 50 + " merge " + "y" * 50),
+            (3, "ends with merge"),
+            (4, "no hit here"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: (r.pos, r.snippet) for r in highlight_snippets(docs, "merge").collect()}
+    assert set(got) == {1, 2, 3}
+    assert got[1][0] == 1 and got[1][1].startswith("<em>merge</em> at the")
+    pos2, snip2 = got[2]
+    assert pos2 == 52
+    assert snip2 == "x" * 29 + " <em>merge</em> " + "y" * 29
+    assert got[3][1].endswith("<em>merge</em>")
+
+
+def test_prefix_suggest_ranking(spark):
+    """functions/text.py prefix_suggest: corpus-frequency ranking
+    with doc frequency from the same aggregate, deterministic ties."""
+    from irclogbot_spark.functions.text import prefix_suggest
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark spark sort"),
+            (2, "spark sort scan other"),
+            (3, "scan table"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = prefix_suggest(docs, "s", k=10).collect()
+    assert [(r.term, r.freq, r.df_docs, r.rnk) for r in rows] == [
+        ("spark", 3, 2, 1),
+        ("scan", 2, 2, 2),
+        ("sort", 2, 2, 3),
+    ]
