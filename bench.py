@@ -182,6 +182,7 @@ HEADLINE = [
     "docs_phrase_search",
     "docs_phrase_search_indexed",
     "docs_prefix_suggest",
+    "docs_percolate",
 ]
 
 #: Every registered query NOT in HEADLINE (VERDICT r7 missing #4:
@@ -230,6 +231,7 @@ CHEAP = [
     "events_composite_agg",
     "events_geo_distance",
     "events_geotile_grid",
+    "events_pipeline_aggs",
 ]
 
 #: headline queries that derive from the irclog (re-timed over the

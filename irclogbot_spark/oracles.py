@@ -5017,3 +5017,52 @@ FROM agg
 ORDER BY n_events DESC, cell_x, cell_y
 LIMIT 15
 """
+
+
+# Round 9 (cont.): the ES pipeline-agg battery — cumulative_sum /
+# derivative / moving_avg over the per-day date histogram, BIGINT
+# end to end (the moving average is (window sum * 1000) // window
+# rows, never a float division).
+ORACLES["events_pipeline_aggs"] = """
+WITH d AS (
+  SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1
+)
+SELECT day, n_events,
+  CAST(SUM(n_events) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+       AS BIGINT) AS cum_events,
+  CAST(n_events - LAG(n_events) OVER (ORDER BY day) AS BIGINT)
+    AS deriv_events,
+  CAST((SUM(n_events) OVER w7 * 1000) // (COUNT(*) OVER w7) AS BIGINT)
+    AS movavg_milli
+FROM d
+WINDOW w7 AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+"""
+
+
+# Round 9 (cont.): the ES percolate analog — the registered-query
+# table inlined as VALUES from the same plan constant the Spark
+# side broadcasts.
+from irclogbot_spark.queries import _PERCOLATE_QUERIES as _PQ  # noqa: E402
+
+_PQ_VALUES = ", ".join(
+    "({}, '{}', {})".format(qid, t.replace("'", "''"), max(1, min(mm, len(set(terms)))))
+    for qid, terms, mm in _PQ
+    for t in sorted(set(terms))
+)
+ORACLES["docs_percolate"] = rf"""
+WITH q(query_id, term, min_match) AS (VALUES {_PQ_VALUES}),
+tok AS (
+  SELECT DISTINCT doc_id, unnest(regexp_extract_all(text, '\S+')) AS term
+  FROM documents
+),
+m AS (
+  SELECT t.doc_id, q.query_id,
+         CAST(COUNT(*) AS BIGINT) AS n_matched,
+         MIN(q.min_match) AS mm
+  FROM tok t JOIN q USING (term)
+  GROUP BY t.doc_id, q.query_id
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, n_matched
+FROM m WHERE n_matched >= mm
+"""

@@ -2256,11 +2256,9 @@ _DRIVER_WINDOW = [
     "log_nick_cooccurrence",
     "docs_tokenize",
     "events_funnel_window",
-    "docs_importance_resample",
     "docs_bm25_indexed",
     "docs_paragraph_dedup",
     "docs_decontam_bloom",
-    "events_top_paths",
     # round-9 additions: first hard rows (displace media_audio_stats /
     # media_resize_stats / events_anomaly / docs_pps_sample /
     # log_trending_terms / docs_lsh_recall AND, for the second
@@ -2285,6 +2283,8 @@ _DRIVER_WINDOW = [
     "events_composite_agg",
     "events_geo_distance",
     "events_geotile_grid",
+    "events_pipeline_aggs",
+    "docs_percolate",
 ]
 # ROUND-10 ROTATION PLAN: the r6 remainder (media_audio_stats,
 # media_resize_stats, events_anomaly, docs_pps_sample,
@@ -2294,7 +2294,8 @@ _DRIVER_WINDOW = [
 # round-9 second batch displaced (docs_normalized_dedup,
 # docs_bpe_merges, emb_kmeans_clusters, docs_data_card,
 # docs_bpe_tokenize, docs_tokenize_fast, media_frame_plan,
-# emb_semantic_decontam), then the oldest r7 rows
+# emb_semantic_decontam, events_top_paths, docs_importance_resample),
+# then the oldest r7 rows
 # (media_decode_stats, media_png_decode_stats, agg_unpivot,
 # docs_c4_clean, docs_inverted_index, docs_incremental_dedup, the
 # tpch r7 block, ...) — plus first rows for any round-10 additions
@@ -4852,6 +4853,71 @@ def events_geotile_grid(spark, sf_dir):
         agg.orderBy(F.desc("n_events"), "cell_x", "cell_y")
         .limit(15)
         .withColumn("rnk", F.row_number().over(w).cast("long"))
+    )
+
+
+#: registered percolator queries: (query_id, terms, min_match) —
+#: pure-AND, 2-of-3 terms_set, a no-hit control, and an OR pair
+_PERCOLATE_QUERIES = [
+    (1, ["spark", "merge"], 2),
+    (2, ["table", "scan", "slow"], 2),
+    (3, ["zzzqqq"], 1),
+    (4, ["data", "vector"], 1),
+]
+
+
+@query("docs_percolate")
+def docs_percolate(spark, sf_dir):
+    """ES percolate-query analog (round 9 — §2H; the alerting
+    primitive: saved searches are the DATA, documents are the
+    probes; operators/percolate.py): four registered queries with
+    per-query minimum_should_match (covering terms_set semantics)
+    matched against the corpus in ONE pass — per-doc distinct tokens
+    map-only, the (term -> query) table broadcasts, one
+    (doc, query) partial-agg shuffle, threshold rides the broadcast
+    row. Tail registration; value-checked by the local parity
+    suite."""
+    from irclogbot_spark.operators.percolate import percolate, query_table
+
+    qt = query_table(spark, _PERCOLATE_QUERIES)
+    return percolate(_t(spark, sf_dir, "documents"), qt)
+
+
+@query("events_pipeline_aggs")
+def events_pipeline_aggs(spark, sf_dir):
+    """ES pipeline-aggregation battery (round 9 — §2H: the
+    date_histogram + cumulative_sum / derivative / moving_avg
+    pipeline aggs): per-day event counts with the running total, the
+    bucket-over-bucket difference (NULL in the first bucket — ES's
+    derivative convention), and a 7-bucket trailing moving average
+    as an exact integer milli value ((window sum * 1000) DIV window
+    size — no float division to drift). Shape: ONE (day) partial-agg
+    shuffle; the pipeline functions are window expressions over the
+    BUCKET-sized frame (~30 rows here, bounded by the date range —
+    never the corpus), so the single-partition window is free at any
+    corpus scale. Tail registration; value-checked by the local
+    parity suite."""
+    ev = _t(spark, sf_dir, "events")
+    day = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    w = Window.orderBy("day")
+    w_cum = w.rowsBetween(Window.unboundedPreceding, 0)
+    w7 = w.rowsBetween(-6, 0)
+    return day.select(
+        "day",
+        "n_events",
+        F.sum("n_events").over(w_cum).cast("long").alias("cum_events"),
+        (F.col("n_events") - F.lag("n_events", 1).over(w))
+        .cast("long")
+        .alias("deriv_events"),
+        F.expr(
+            "(sum(n_events) OVER (ORDER BY day ROWS BETWEEN 6 PRECEDING"
+            " AND CURRENT ROW) * 1000) DIV count(1) OVER (ORDER BY day"
+            " ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)"
+        )
+        .cast("long")
+        .alias("movavg_milli"),
     )
 
 

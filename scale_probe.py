@@ -105,6 +105,27 @@ def build_sf1(spark, src_sf: str, out_dir: str, replicas: int = 10) -> None:
     )
     print(f"built {out_dir}: {ne} vectors x {replicas} replicas (dim={dim})")
 
+    # Events (round 9 — the ES-surface queries aggregate/paginate the
+    # events table): replica k shifts event ids and USERS (fresh user
+    # ids -> 10x distinct users, 10x geo points, 10x composite
+    # buckets — the cardinalities those queries key on — while the
+    # fixed 2024-01 date range keeps the date-histogram bucket count
+    # CONSTANT, which is exactly the pipeline-agg scale claim).
+    ev = spark.read.parquet(os.path.join(src_sf, "events.parquet"))
+    nev = ev.count()
+    ev_others = [c for c in ev.columns if c not in ("event_id", "user_id")]
+    scaled_ev = ev.crossJoin(F.broadcast(reps)).select(
+        (F.col("event_id") + F.col("_rep") * F.lit(100_000_000)).alias(
+            "event_id"
+        ),
+        (F.col("user_id") + F.col("_rep") * F.lit(1_000_000)).alias("user_id"),
+        *ev_others,
+    )
+    scaled_ev.repartition(32).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "events.parquet")
+    )
+    print(f"built {out_dir}: {nev} events x {replicas} replicas")
+
 
 def _stage_totals(ui: str) -> dict[str, int]:
     apps = json.load(urllib.request.urlopen(f"{ui}/api/v1/applications"))
@@ -230,6 +251,18 @@ PROBE_QUERIES = [
     "emb_semantic_dedup",
     "emb_knn_join",
     "emb_projection_recall",
+    # round 9: the ES-surface completion set (phrase scan vs index,
+    # suggester, keyset page, composite page, geo filter/grid,
+    # pipeline aggs over a CONSTANT bucket count)
+    "docs_phrase_search",
+    "docs_phrase_search_indexed",
+    "docs_prefix_suggest",
+    "events_search_after",
+    "events_composite_agg",
+    "events_geo_distance",
+    "events_geotile_grid",
+    "events_pipeline_aggs",
+    "docs_percolate",
 ]
 
 

@@ -757,3 +757,24 @@ def test_geotile_grid_one_cell_exchange_takeordered(spark):
     assert hashex
     for l in hashex:
         assert "cell_x" in l and "cell_y" in l, l
+
+
+def test_pipeline_aggs_bucket_sized_window(spark):
+    """events_pipeline_aggs (round 9): the date histogram is ONE
+    day-keyed partial-agg exchange; the pipeline functions
+    (cumulative sum, derivative, moving average) run as window
+    expressions over the bucket-sized frame — the only other
+    exchange is the SinglePartition gather of ~30 day rows, and
+    nothing re-shuffles the corpus."""
+    plan = _plan(spark, "events_pipeline_aggs")
+    hashex = [l for l in plan.splitlines() if "hashpartitioning" in l]
+    assert hashex
+    for l in hashex:
+        # Catalyst names the in-row to_date group key _groupingexpression
+        assert "day" in l or "_groupingexpression" in l, l
+    assert plan.count("Window") >= 1, plan
+    # all four pipeline functions fold into ONE Window operator over
+    # the bucket-sized frame — never one window pass each
+    assert plan.count("(RowFrame") >= 1 and "Join" not in plan, plan
+    win_args = [l for l in plan.splitlines() if "windowspecdefinition" in l]
+    assert len(win_args) == 1, win_args
