@@ -43,6 +43,7 @@ def ngram_contamination(
     id_col: str = "doc_id",
     text_col: str = "text",
     hash_fn=None,
+    eval_gate: bool = True,
 ) -> DataFrame:
     """Per test-document contamination stats vs a training corpus.
 
@@ -54,7 +55,17 @@ def ngram_contamination(
 
     ``hash_fn`` defaults to xxhash31 (scale path); pass
     ``dedup.md5_hash31`` for the DuckDB-checkable pipeline.
-    """
+
+    ``eval_gate`` (round 9 — default on): semi-join the TRAIN gram
+    stream against the broadcast distinct EVAL gram set BEFORE the
+    train-side distinct. Exact — a train gram that matches no eval
+    gram can't contribute to any overlap count — and it converts the
+    pipeline's one corpus-sized exchange (distinct over ALL train
+    grams) into a matched-grams-sized one: at 100 TB the train
+    corpus sheds ~everything map-side and only eval-colliding hashes
+    ever enter an exchange. Requires the eval gram set to be
+    broadcastable (eval suites are dimension-sized by nature); pass
+    ``eval_gate=False`` for a rare corpus-sized "eval"."""
     # ensure_parallelism: the shingle+hash projection is the dominant
     # CPU stage; a single-file scan would otherwise run it on one core
     # (at cluster scale the scan already has many partitions and this
@@ -66,8 +77,11 @@ def ngram_contamination(
         ensure_parallelism(train)
         .select(hashed_shingles(F.col(text_col), n, hash_fn).alias("hs"))
         .select(F.explode("hs").alias("h"))
-        .distinct()
     )
+    if eval_gate:
+        probe = te.select("h").filter(F.col("h").isNotNull()).distinct()
+        tr = tr.join(F.broadcast(probe), "h", "leftsemi")
+    tr = tr.distinct()
     hit = F.when(F.col("h").isNotNull() & F.col("hit").isNotNull(), 1).otherwise(0)
     return (
         te.join(tr.withColumn("hit", F.lit(1)), "h", "left")

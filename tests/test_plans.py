@@ -778,3 +778,14 @@ def test_pipeline_aggs_bucket_sized_window(spark):
     assert plan.count("(RowFrame") >= 1 and "Join" not in plan, plan
     win_args = [l for l in plan.splitlines() if "windowspecdefinition" in l]
     assert len(win_args) == 1, win_args
+
+
+def test_decontaminate_eval_gate_before_distinct(spark):
+    """docs_decontaminate (round 9): the train gram stream must pass
+    the broadcast eval-gram semi-join BEFORE its distinct — the
+    corpus-sized exchange becomes matched-grams-sized. Pin: a
+    LeftSemi broadcast join exists, and no SortMergeJoin anywhere
+    (the overlap join stays hash/broadcast on 8-byte keys)."""
+    plan = _plan(spark, "docs_decontaminate")
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
