@@ -81,3 +81,37 @@ def test_geotile_cells_floor_semantics(spark):
     assert out[2] == (LON_SPAN // 30_000_000 - 1, LAT_SPAN // 10_000_000 - 1)
     assert out[3] == ((LON_SPAN // 2 - 1) // 30_000_000, (LAT_SPAN // 2 - 1) // 10_000_000)
     assert out[4] == (LON_SPAN // 2 // 30_000_000, LAT_SPAN // 2 // 10_000_000)
+
+
+def test_search_after_walk_covers_everything(spark):
+    """events_search_after semantics: walking pages by feeding each
+    page's last (ts, event_id) back as the cursor visits every event
+    exactly once in (ts, event_id) order — the keyset-pagination
+    invariant (OFFSET pagination can skip/dup under concurrent
+    writes; keyset cannot)."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    rows = [
+        (i, datetime.datetime(2024, 1, 1 + (i % 5), i % 24, 0, 0), i % 3)
+        for i in range(97)
+    ]
+    ev = spark.createDataFrame(rows, "event_id long, ts timestamp, user_id long")
+    full = [
+        (r.ts, r.event_id)
+        for r in ev.orderBy("ts", "event_id").collect()
+    ]
+
+    got = []
+    cur = (datetime.datetime(1970, 1, 1), -1)
+    while True:
+        after = (F.col("ts") > F.lit(cur[0])) | (
+            (F.col("ts") == F.lit(cur[0])) & (F.col("event_id") > cur[1])
+        )
+        page = ev.filter(after).orderBy("ts", "event_id").limit(10).collect()
+        if not page:
+            break
+        got.extend((r.ts, r.event_id) for r in page)
+        cur = (page[-1].ts, page[-1].event_id)
+    assert got == full
