@@ -773,6 +773,7 @@ def prefix_filter_pairs(
     t_num: int = 4,
     t_den: int = 5,
     length_filter: bool | None = None,
+    positional_filter: bool | None = None,
 ) -> DataFrame:
     """EXACT set-similarity join by prefix filtering (Chaudhuri et
     al. ICDE 2006 / PPJoin, Xiao et al. WWW 2008) — every pair with
@@ -802,7 +803,7 @@ def prefix_filter_pairs(
     if not (0 < t_num <= t_den):
         raise ValueError(f"threshold must be in (0, 1]: {t_num}/{t_den}")
     base, cand = _prefix_filter_candidates(
-        df, id_col, text_col, n, t_num, t_den, length_filter
+        df, id_col, text_col, n, t_num, t_den, length_filter, positional_filter
     )
     s1 = base.select(F.col(id_col).alias("d1"), F.col("sh").alias("sh1"))
     s2 = base.select(F.col(id_col).alias("d2"), F.col("sh").alias("sh2"))
@@ -834,13 +835,15 @@ def _prefix_filter_candidates(
     t_num: int,
     t_den: int,
     length_filter: bool | None = None,
+    positional_filter: bool | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """(base, candidates) for :func:`prefix_filter_pairs`: base is
     the checkpointed (id, sh, m) projection; candidates carry
-    (d1, d2, m1, m2) with the in-row PPJoin length filter applied
-    unless length_filter=False (the unfiltered twin exists for
-    differential tests — the filter is exact, so both verify to the
-    same pairs)."""
+    (d1, d2, m1, m2) with the in-row PPJoin length AND positional
+    filters applied unless length_filter=False /
+    positional_filter=False (the unfiltered twins exist for
+    differential tests — both filters are exact, so all variants
+    verify to the same pairs)."""
     # shingle STRINGS never leave the projection: the materialized
     # base carries array<long> xxhash64 values (8 bytes/shingle vs
     # ~30 for a 5-word string — the checkpoint write was the
@@ -883,16 +886,19 @@ def _prefix_filter_candidates(
         - F.expr(f"({t_num} * m + {t_den - 1}) DIV {t_den}")
         + F.lit(1)
     )
+    # posexplode: the position within the rarest-first prefix IS the
+    # element's rank in the global order restricted to the doc — what
+    # the PPJoin positional filter bounds overlap with
     prefix = ranked.select(
         F.col(id_col),
         F.col("m"),
-        F.explode(
+        F.posexplode(
             F.slice(
                 F.transform(F.col("ordered"), lambda s: s.shingle),
                 F.lit(1),
                 p.cast("int"),
             )
-        ).alias("pshingle"),
+        ).alias("ppos", "pshingle"),
     )
     # PPJoin length filter, round 9 form (VERDICT r8 wrong #2): the
     # round-8 version pruned size-incompatible candidates on two
@@ -906,7 +912,13 @@ def _prefix_filter_candidates(
     # length_filter=False keeps the unfiltered twin reachable for
     # differential tests.
     entries = F.array_sort(
-        F.collect_set(F.struct(F.col(id_col).alias("i"), F.col("m").alias("mm")))
+        F.collect_set(
+            F.struct(
+                F.col(id_col).alias("i"),
+                F.col("m").alias("mm"),
+                F.col("ppos").alias("pp"),
+            )
+        )
     )
     buckets = (
         prefix.groupBy("pshingle")
@@ -923,6 +935,8 @@ def _prefix_filter_candidates(
                     y["i"].alias("d2"),
                     x["mm"].alias("m1"),
                     y["mm"].alias("m2"),
+                    x["pp"].alias("p1"),
+                    y["pp"].alias("p2"),
                 ),
             ),
         )
@@ -933,4 +947,23 @@ def _prefix_filter_candidates(
             F.lit(int(t_den)) * F.least("m1", "m2")
             >= F.lit(int(t_num)) * F.greatest("m1", "m2")
         )
-    return base, expanded.distinct()
+    # PPJoin POSITIONAL filter (round 9, Xiao et al. WWW 2008 §3.2),
+    # in-row like the length filter: a pair meeting J >= t in THIS
+    # bucket's element e (at 0-based rarest-first positions p1/p2)
+    # can overlap at most ubound = 1 + min(m1-p1-1, m2-p2-1) — e plus
+    # everything ranked after it on both sides. EXACT despite pairs
+    # surfacing in several buckets: prefixes are downward-closed in
+    # the global order, so the pair's MINIMAL common element also
+    # buckets it, the bound is valid there (nothing before a minimal
+    # common element is common), and J >= t makes it survive that
+    # bucket — pruned duplicates elsewhere only shrink the distinct.
+    # J >= t  <=>  (t_den+t_num)*inter >= t_num*(m1+m2), integers.
+    if positional_filter is None or positional_filter:
+        ub = F.lit(1) + F.least(
+            F.col("m1") - F.col("p1") - 1, F.col("m2") - F.col("p2") - 1
+        )
+        expanded = expanded.filter(
+            F.lit(int(t_den + t_num)) * ub
+            >= F.lit(int(t_num)) * (F.col("m1") + F.col("m2"))
+        )
+    return base, expanded.select("d1", "d2", "m1", "m2").distinct()

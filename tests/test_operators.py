@@ -892,8 +892,14 @@ def test_prefix_filter_length_filter_inrow(spark):
         (5, " ".join(common + [f"u2{i}" for i in range(5)])),      # df ballast
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
-    _, cand_on = dedup._prefix_filter_candidates(df, "doc_id", "text", 1, 4, 5, True)
-    _, cand_off = dedup._prefix_filter_candidates(df, "doc_id", "text", 1, 4, 5, False)
+    # positional_filter=False both sides: this test isolates the
+    # LENGTH filter (the positional filter would kill (1, 3) too)
+    _, cand_on = dedup._prefix_filter_candidates(
+        df, "doc_id", "text", 1, 4, 5, True, False
+    )
+    _, cand_off = dedup._prefix_filter_candidates(
+        df, "doc_id", "text", 1, 4, 5, False, False
+    )
     on = {(r.d1, r.d2) for r in cand_on.collect()}
     off = {(r.d1, r.d2) for r in cand_off.collect()}
     assert (1, 3) in off and (1, 3) not in on  # the filter fired
@@ -1071,3 +1077,52 @@ def test_trgm_persisted_index_partition_pruned(spark, tmp_path):
 
     pf = re.search(r"PartitionFilters: \[([^\]]*)\]", plan).group(1)
     assert "tri_bkt" in pf and pf.strip(), pf
+
+
+def test_prefix_filter_positional_filter_inrow(spark):
+    """The PPJoin POSITIONAL filter (round 9) must (a) prune a
+    candidate the length filter cannot touch (equal sizes), (b) stay
+    exact (on/off twins verify to the same pairs, equal to the
+    quadratic oracle). Fixture (n=1 token sets, t=4/5, m=20 both):
+    docs 11/12 share rare r0 plus 15 high-df ballast tokens
+    (J=16/24 < 0.8 — a true negative). Their four unique df=1 tokens
+    outrank r0, pushing it to prefix position 4 (0-based) on both
+    sides, so ubound = 1 + min(15, 15) = 16 and the integer test
+    9*16 >= 4*40 fails — the pair dies in-row before the distinct
+    and before any array ships; with positional_filter=False it
+    reaches the verify join and dies there instead."""
+    common = [f"c{i}" for i in range(15)]
+    rows = [
+        (11, " ".join([f"a{i}" for i in range(4)] + ["r0"] + common)),
+        (12, " ".join([f"b{i}" for i in range(4)] + ["r0"] + common)),
+        # ballast raising the common tokens' df above r0's 2
+        (13, " ".join(common + [f"u3{i}" for i in range(5)])),
+        (14, " ".join(common + [f"u4{i}" for i in range(5)])),
+        (15, " ".join(common + [f"u5{i}" for i in range(4)] + ["z9"])),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    _, cand_on = dedup._prefix_filter_candidates(
+        df, "doc_id", "text", 1, 4, 5, True, True
+    )
+    _, cand_off = dedup._prefix_filter_candidates(
+        df, "doc_id", "text", 1, 4, 5, True, False
+    )
+    on = {(r.d1, r.d2) for r in cand_on.collect()}
+    off = {(r.d1, r.d2) for r in cand_off.collect()}
+    assert (11, 12) in off and (11, 12) not in on  # positional fired
+    assert on < off
+    want = {
+        (r.d1, r.d2)
+        for r in dedup.jaccard_pairs(df, n=1, threshold=0.8).collect()
+    }
+    got_on = {
+        (r.d1, r.d2)
+        for r in dedup.prefix_filter_pairs(df, n=1, t_num=4, t_den=5).collect()
+    }
+    got_off = {
+        (r.d1, r.d2)
+        for r in dedup.prefix_filter_pairs(
+            df, n=1, t_num=4, t_den=5, positional_filter=False
+        ).collect()
+    }
+    assert got_on == want and got_off == want

@@ -681,7 +681,12 @@ def test_phrase_search_map_only_with_pushed_gates(spark):
     """docs_phrase_search (round 9): the corpus-scan match_phrase is
     MAP-ONLY — zero exchanges of any kind — and the per-term
     CONTAINS gates reach the parquet scan as PushedFilters
-    (StringContains), so non-matching row groups never tokenize."""
+    (StringContains), so non-matching row groups never tokenize.
+    clearCache first: other modules' fixtures cache the documents
+    table, and the cache manager would substitute InMemoryRelation
+    for the scan (hiding pushdown — in production the gate pushes;
+    against a cached table the in-memory filter is just as cheap)."""
+    spark.catalog.clearCache()
     plan = _plan(spark, "docs_phrase_search")
     assert "Exchange" not in plan, plan
     pushed = "\n".join(l for l in plan.splitlines() if "PushedFilters" in l)
@@ -703,7 +708,9 @@ def test_phrase_search_indexed_probe_shape(spark):
 
 def test_highlight_map_only_pushed_contains(spark):
     """docs_highlight (round 9): snippet assembly is map-only (zero
-    exchanges) with the CONTAINS gate pushed to the scan."""
+    exchanges) with the CONTAINS gate pushed to the scan (clearCache:
+    see test_phrase_search_map_only_with_pushed_gates)."""
+    spark.catalog.clearCache()
     plan = _plan(spark, "docs_highlight")
     assert "Exchange" not in plan, plan
     pushed = "\n".join(l for l in plan.splitlines() if "PushedFilters" in l)
