@@ -183,6 +183,7 @@ HEADLINE = [
     "docs_phrase_search_indexed",
     "docs_prefix_suggest",
     "docs_percolate",
+    "docs_span_near",
 ]
 
 #: Every registered query NOT in HEADLINE (VERDICT r7 missing #4:

@@ -851,3 +851,60 @@ def prefix_suggest(
             .cast("long"),
         )
     )
+
+
+def span_near_search(
+    pindex, terms: list[str], slop: int = 0, id_col: str = "doc_id"
+):
+    """ES span_near (in_order=true) analog over the positional index
+    (:func:`build_positional_index`): docs where the terms appear IN
+    ORDER within a window of ``len(terms) - 1 + slop`` positions.
+    ``n_spans`` counts qualifying start positions under the
+    EARLIEST-NEXT chain: from a start p, each following term takes
+    its smallest position greater than the previous — the greedy
+    continuation minimizes the chain's end position, so a start
+    matches iff its greedy chain fits the window (exact for the
+    windowed-ordered-occurrence semantics; slop=0 degenerates to
+    exact phrase adjacency, pinned by test against phrase_search).
+
+    Scale shape: identical to the phrase probe — term IN (...)
+    prunes the postings at rest, ONE doc-keyed partial-agg pivot of
+    phrase-term rows only, then the chain is in-row array math over
+    short position lists (nested higher-order functions; NULL
+    propagation ends broken chains in both engines identically).
+    The corpus never moves."""
+    if not terms:
+        raise ValueError("span phrase must be non-empty")
+    k = len(terms)
+    p = pindex.filter(F.col("term").isin(list(terms)))
+    agg = p.groupBy(id_col).agg(
+        *[
+            F.max(F.when(F.col("term") == t, F.col("positions"))).alias(f"_p{j}")
+            for j, t in enumerate(terms)
+        ]
+    )
+    window = k - 1 + int(slop)
+
+    def _after(arr: Column, prev: Column) -> Column:
+        # NB: closure, never a default-arg lambda — F.filter would
+        # read a two-parameter lambda as the (element, index) form
+        return F.array_min(F.filter(arr, lambda q: q > prev))
+
+    def _chain_fits(start):
+        e = start
+        for j in range(1, k):
+            e = _after(F.col(f"_p{j}"), e)
+        # a broken chain leaves e NULL; NULL <= window is NULL and the
+        # outer filter drops it — same three-valued logic as the oracle
+        return (e - start) <= window if k > 1 else F.lit(True)
+
+    present = None
+    for j in range(k):
+        nn = F.col(f"_p{j}").isNotNull()
+        present = nn if present is None else present & nn
+    starts = F.filter(F.col("_p0"), _chain_fits)
+    return (
+        agg.filter(present)
+        .select(F.col(id_col), F.size(starts).cast("long").alias("n_spans"))
+        .filter(F.col("n_spans") > 0)
+    )

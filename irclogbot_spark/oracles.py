@@ -5066,3 +5066,38 @@ m AS (
 SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, n_matched
 FROM m WHERE n_matched >= mm
 """
+
+
+# Round 9 (cont.): the ES span_near analog — position lists per term
+# re-derived in SQL, the greedy earliest-next chain replayed with
+# nested list lambdas; NULL ends broken chains in both engines.
+_SN_WINDOW = len(_PH) - 1 + 2  # slop=2
+_SN_TERMS = [t.replace("'", "''") for t in _PH]
+_SN_POS_CTES = ",\n".join(
+    f"sp{j} AS (SELECT doc_id, ps AS ps{j} FROM spos WHERE term = '{t}')"
+    for j, t in enumerate(_SN_TERMS)
+)
+_SN_CHAIN = "p"
+for _j in range(1, len(_PH)):
+    _SN_CHAIN = f"list_min(list_filter(ps{_j}, q{_j} -> q{_j} > {_SN_CHAIN}))"
+ORACLES["docs_span_near"] = rf"""
+WITH stok AS (
+  SELECT doc_id, regexp_extract_all(text, '\S+') AS toks FROM documents
+),
+sidx AS (
+  SELECT doc_id, toks, unnest(generate_series(1, len(toks))) AS i FROM stok
+),
+spos AS (
+  SELECT doc_id, toks[i] AS term, list(i ORDER BY i) AS ps
+  FROM sidx GROUP BY doc_id, toks[i]
+),
+{_SN_POS_CTES},
+cnt AS (
+  SELECT sp0.doc_id,
+    CAST(len(list_filter(ps0, p ->
+      {_SN_CHAIN} - p <= {_SN_WINDOW})) AS BIGINT) AS n_spans
+  FROM sp0
+  {' '.join(f'JOIN sp{j} USING (doc_id)' for j in range(1, len(_PH)))}
+)
+SELECT doc_id, n_spans FROM cnt WHERE n_spans > 0
+"""

@@ -2257,8 +2257,6 @@ _DRIVER_WINDOW = [
     "docs_tokenize",
     "events_funnel_window",
     "docs_bm25_indexed",
-    "docs_paragraph_dedup",
-    "docs_decontam_bloom",
     # round-9 additions: first hard rows (displace media_audio_stats /
     # media_resize_stats / events_anomaly / docs_pps_sample /
     # log_trending_terms / docs_lsh_recall AND, for the second
@@ -2285,6 +2283,10 @@ _DRIVER_WINDOW = [
     "events_geotile_grid",
     "events_pipeline_aggs",
     "docs_percolate",
+    "docs_span_near",
+    # re-pin: the round-9 eval gate changed ngram_contamination AFTER
+    # docs_decontaminate's r8 row — the newest-code-gets-a-row rule
+    "docs_decontaminate",
 ]
 # ROUND-10 ROTATION PLAN: the r6 remainder (media_audio_stats,
 # media_resize_stats, events_anomaly, docs_pps_sample,
@@ -2294,8 +2296,8 @@ _DRIVER_WINDOW = [
 # round-9 second batch displaced (docs_normalized_dedup,
 # docs_bpe_merges, emb_kmeans_clusters, docs_data_card,
 # docs_bpe_tokenize, docs_tokenize_fast, media_frame_plan,
-# emb_semantic_decontam, events_top_paths, docs_importance_resample),
-# then the oldest r7 rows
+# emb_semantic_decontam, events_top_paths, docs_importance_resample,
+# docs_paragraph_dedup, docs_decontam_bloom), then the oldest r7 rows
 # (media_decode_stats, media_png_decode_stats, agg_unpivot,
 # docs_c4_clean, docs_inverted_index, docs_incremental_dedup, the
 # tpch r7 block, ...) — plus first rows for any round-10 additions
@@ -4854,6 +4856,26 @@ def events_geotile_grid(spark, sf_dir):
         .limit(15)
         .withColumn("rnk", F.row_number().over(w).cast("long"))
     )
+
+
+@query("docs_span_near")
+def docs_span_near(spark, sf_dir):
+    """ES span_near (in_order) analog (round 9 — §2H;
+    functions/text.py span_near_search): 'slow ... hash ... batch'
+    in order within a window of 2+2 extra positions (slop=2),
+    served from the positional postings index — term IN (...)
+    pruning, one doc-keyed pivot, in-row greedy earliest-next chain
+    over position lists (NULL ends broken chains identically in both
+    engines). slop=0 degenerates to exact phrase adjacency (pinned
+    against phrase_search by test). Tail registration; value-checked
+    by the local parity suite."""
+    from irclogbot_spark.functions.text import (
+        build_positional_index,
+        span_near_search,
+    )
+
+    pidx = build_positional_index(_t(spark, sf_dir, "documents"))
+    return span_near_search(pidx, _PHRASE, slop=2)
 
 
 #: registered percolator queries: (query_id, terms, min_match) —

@@ -796,3 +796,15 @@ def test_decontaminate_eval_gate_before_distinct(spark):
     plan = _plan(spark, "docs_decontaminate")
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_span_near_probe_shape(spark):
+    """docs_span_near (round 9): same probe shape as the phrase
+    index — term IN (...) before the one doc-keyed pivot exchange,
+    chain math in-row, no join."""
+    plan = _plan(spark, "docs_span_near")
+    assert "Join" not in plan, plan
+    hashex = [l for l in plan.splitlines() if "hashpartitioning" in l]
+    assert hashex
+    for l in hashex:
+        assert "doc_id" in l, l

@@ -314,3 +314,45 @@ def test_prefix_suggest_ranking(spark):
         ("scan", 2, 2, 2),
         ("sort", 2, 2, 3),
     ]
+
+
+def test_span_near_semantics_and_phrase_degeneration(spark):
+    """functions/text.py span_near_search: in-order window matching
+    with the greedy earliest-next chain; slop=0 equals phrase
+    adjacency counts exactly; out-of-order and over-window misses."""
+    from irclogbot_spark.functions.text import (
+        build_positional_index,
+        phrase_search,
+        span_near_search,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "slow hash batch"),  # adjacent
+            (2, "slow x hash y batch"),  # gaps 2+2 -> window 4 hits slop>=2
+            (3, "batch hash slow"),  # wrong order
+            (4, "slow x x x hash batch"),  # span 5 > window 4
+            (5, "slow hash slow hash batch"),  # adjacent hit at 3..5
+            #    plus a slop-2 start at 1 (1 -> 2 -> 5, span 4)
+            (6, "a a a b"),
+        ],
+        "doc_id long, text string",
+    )
+    pidx = build_positional_index(docs).localCheckpoint(eager=True)
+    phrase = ["slow", "hash", "batch"]
+
+    slop0 = {(r.doc_id, r.n_spans) for r in span_near_search(pidx, phrase, 0).collect()}
+    ph = {
+        (r.doc_id, r.phrase_count) for r in phrase_search(docs, phrase).collect()
+    }
+    assert slop0 == ph == {(1, 1), (5, 1)}
+
+    slop2 = {(r.doc_id, r.n_spans) for r in span_near_search(pidx, phrase, 2).collect()}
+    # doc 2: span 1->3->5 = window 4 (= 2 + slop 2) fits; doc 4's
+    # chain spans 5 (misses); doc 5: start 1 chains 1->2->5 (span 4,
+    # fits), start 3 chains 3->4->5 (adjacent)
+    assert slop2 == {(1, 1), (2, 1), (5, 2)}
+
+    # repeated-term phrase through the same machinery
+    rep = {(r.doc_id, r.n_spans) for r in span_near_search(pidx, ["a", "a"], 0).collect()}
+    assert rep == {(6, 2)}
