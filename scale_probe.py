@@ -263,6 +263,7 @@ PROBE_QUERIES = [
     "events_geotile_grid",
     "events_pipeline_aggs",
     "docs_percolate",
+    "docs_span_near",
 ]
 
 
