@@ -428,3 +428,83 @@ def test_jpeg_flat_images_round_trip_exactly(w, h, ch):
         W, H, C, out = jc.decode_jpeg(jc.encode_jpeg(w, h, pix, ch, quality=95))
         assert (W, H, C) == (w, h, ch)
         assert out == pix, f"flat {val} drifted at {w}x{h}x{ch}"
+
+
+def test_phrase_and_span_counts_match_python_reference(spark):
+    """Property (round 9): over random token streams, phrase_count
+    equals the naive Python slide, and span_near's GREEDY
+    earliest-next chain count equals brute force over ALL ordered
+    chains — the greedy-optimality claim (earliest next minimizes
+    the chain end, so a start matches iff its greedy chain fits),
+    exercised at every slop in 0..3. One batched Spark round-trip
+    for all examples (the chunk_documents convention)."""
+    import itertools
+    import random
+
+    from irclogbot_spark.functions.text import (
+        build_positional_index,
+        phrase_search,
+        phrase_search_indexed,
+        span_near_search,
+    )
+
+    rng = random.Random(90210)
+    alphabet = ["a", "b", "c"]
+    docs = [
+        (i, " ".join(rng.choice(alphabet) for _ in range(rng.randint(0, 14))))
+        for i in range(120)
+    ]
+    phrase = ["a", "b"] if True else None
+    three = ["a", "b", "a"]
+
+    def py_phrase(toks, terms):
+        m = len(terms)
+        return sum(
+            1
+            for i in range(len(toks) - m + 1)
+            if toks[i : i + m] == terms
+        )
+
+    def py_span_bruteforce(toks, terms, slop):
+        # a start matches iff ANY strictly-increasing chain of the
+        # remaining terms fits the window — not just the greedy one
+        pos = {t: [i for i, x in enumerate(toks) if x == t] for t in set(terms)}
+        window = len(terms) - 1 + slop
+        n = 0
+        for p1 in pos.get(terms[0], []):
+            found = False
+            for chain in itertools.product(*[pos[t] for t in terms[1:]]):
+                seq = (p1, *chain)
+                if all(b > a for a, b in zip(seq, seq[1:])) and seq[-1] - p1 <= window:
+                    found = True
+                    break
+            n += found
+        return n
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    pidx = build_positional_index(df).localCheckpoint(eager=True)
+
+    for terms in (phrase, three):
+        want = {
+            i: py_phrase(t.split(), terms) for i, t in docs if py_phrase(t.split(), terms)
+        }
+        got_scan = {
+            r.doc_id: r.phrase_count for r in phrase_search(df, terms).collect()
+        }
+        got_idx = {
+            r.doc_id: r.phrase_count
+            for r in phrase_search_indexed(pidx, terms).collect()
+        }
+        assert got_scan == want, terms
+        assert got_idx == want, terms
+        for slop in range(4):
+            want_s = {
+                i: py_span_bruteforce(t.split(), terms, slop)
+                for i, t in docs
+                if py_span_bruteforce(t.split(), terms, slop)
+            }
+            got_s = {
+                r.doc_id: r.n_spans
+                for r in span_near_search(pidx, terms, slop).collect()
+            }
+            assert got_s == want_s, (terms, slop)
