@@ -184,6 +184,7 @@ HEADLINE = [
     "docs_prefix_suggest",
     "docs_percolate",
     "docs_span_near",
+    "docs_phrase_search_atrest",
 ]
 
 #: Every registered query NOT in HEADLINE (VERDICT r7 missing #4:

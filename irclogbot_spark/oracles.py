@@ -4906,6 +4906,7 @@ SELECT doc_id, phrase_count FROM cnt WHERE phrase_count > 0
 """
 ORACLES["docs_phrase_search"] = _PHRASE_SQL
 ORACLES["docs_phrase_search_indexed"] = _PHRASE_SQL
+ORACLES["docs_phrase_search_atrest"] = _PHRASE_SQL
 
 
 # Round 9 (cont.): ES highlight analog — identical 1-based,

@@ -2251,7 +2251,6 @@ _DRIVER_WINDOW = [
     "docs_vocab_coverage",
     "events_funnel",
     "events_retention",
-    "docs_reservoir_sample",
     "events_range_join",
     "log_nick_cooccurrence",
     "docs_tokenize",
@@ -2284,6 +2283,7 @@ _DRIVER_WINDOW = [
     "events_pipeline_aggs",
     "docs_percolate",
     "docs_span_near",
+    "docs_phrase_search_atrest",
     # re-pin: the round-9 eval gate changed ngram_contamination AFTER
     # docs_decontaminate's r8 row — the newest-code-gets-a-row rule
     "docs_decontaminate",
@@ -2297,7 +2297,8 @@ _DRIVER_WINDOW = [
 # docs_bpe_merges, emb_kmeans_clusters, docs_data_card,
 # docs_bpe_tokenize, docs_tokenize_fast, media_frame_plan,
 # emb_semantic_decontam, events_top_paths, docs_importance_resample,
-# docs_paragraph_dedup, docs_decontam_bloom), then the oldest r7 rows
+# docs_paragraph_dedup, docs_decontam_bloom, docs_reservoir_sample),
+# then the oldest r7 rows
 # (media_decode_stats, media_png_decode_stats, agg_unpivot,
 # docs_c4_clean, docs_inverted_index, docs_incremental_dedup, the
 # tpch r7 block, ...) — plus first rows for any round-10 additions
@@ -4876,6 +4877,51 @@ def docs_span_near(spark, sf_dir):
 
     pidx = build_positional_index(_t(spark, sf_dir, "documents"))
     return span_near_search(pidx, _PHRASE, slop=2)
+
+
+#: session-scoped at-rest text-index path per sf_dir (the
+#: _TRGM_INDEX convention: per-pid temp dirs + stale-pid reaping)
+_TEXT_INDEX: dict[str, str] = {}
+
+
+def _text_index_at_rest(spark, sf_dir):
+    import os as _os
+
+    from irclogbot_spark.operators.textindex import (
+        read_text_index,
+        write_text_index,
+    )
+
+    path = _TEXT_INDEX.get(sf_dir)
+    if path is None:
+        suffix = "".join(c if c.isalnum() else "_" for c in sf_dir).strip("_")
+        base = f"/tmp/sparklog_text_idx_{suffix}"
+        _reap_stale_process_dirs(f"{base}_p")
+        path = f"{base}_p{_os.getpid()}"
+        write_text_index(_t(spark, sf_dir, "documents"), path, n_buckets=64)
+        _TEXT_INDEX[sf_dir] = path
+    return read_text_index(spark, path)
+
+
+@query("docs_phrase_search_atrest")
+def docs_phrase_search_atrest(spark, sf_dir):
+    """THIRD physical path for the match_phrase oracle (round 9 —
+    operators/textindex.py): the phrase probe served from the
+    AT-REST text index — positional postings written once per
+    session PARTITIONED by crc32(term) % 64, probed with a literal
+    bucket list so the scan reads only the probed bucket directories
+    (storage-level PartitionFilters, plan-asserted) — the
+    write-once/probe-forever deployment shape of an ES index on
+    disk. Clause-identical oracle to docs_phrase_search: three
+    dataflows (corpus scan, in-session index, at-rest bucketed
+    index), one value hash. Tail registration; value-checked by the
+    local parity suite."""
+    from irclogbot_spark.functions.text import phrase_search_indexed
+    from irclogbot_spark.operators.textindex import probe_postings
+
+    pidx, _lens, n_buckets = _text_index_at_rest(spark, sf_dir)
+    probed = probe_postings(pidx, _PHRASE, n_buckets)
+    return phrase_search_indexed(probed, _PHRASE)
 
 
 #: registered percolator queries: (query_id, terms, min_match) —

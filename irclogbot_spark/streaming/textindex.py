@@ -1,0 +1,93 @@
+"""Continuous TEXT-index maintenance: the at-rest positional
+postings (operators/textindex.py — the one artifact serving BM25,
+match_phrase, span_near, fuzzy, more_like_this, prefix_suggest)
+kept fresh from a document stream, on the shared bucketed-posting
+machinery (streaming/postingindex.py — layout, replay idempotence,
+crash-safe generation compaction identical to the trigram index):
+
+    <index_dir>/index/batch_id=N/          live per-batch appends
+    <index_dir>/buckets/gen=G/term_bkt=K/  compacted generations
+    <index_dir>/doclens/batch_id=N/        per-batch doclens rows
+
+Per-batch work is MAP-ONLY (the in-row positional posting explode +
+a crc32 term bucket — no shuffle, no state). Doclens rows (one per
+doc) ride their own batch partitions under the same overwrite-own-
+partition idempotence; BM25's integer dl-sum re-aggregates them at
+probe time, so the stream needs no running aggregate state.
+``load_text`` plugs straight into probe_postings / postings_tf +
+bm25_rank_indexed and serves exactly what the one-shot
+write_text_index artifact serves (pinned by test across compaction
+and crash replay)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from irclogbot_spark.functions.text import WORD_RE, build_positional_index
+from irclogbot_spark.operators.textindex import term_bucket_col
+from irclogbot_spark.streaming import postingindex as _pi
+
+_POSTING_SCHEMA = "doc_id long, term string, positions array<int>, term_bkt int"
+_COLS = ["doc_id", "term", "positions", "term_bkt"]
+_DOCLEN_SCHEMA = "doc_id long, dl int"
+_META = "_text_index_meta.json"
+
+
+def text_ingest_batch(
+    batch: DataFrame, batch_id: int, index_dir: str, n_buckets: int = 64
+) -> None:
+    """foreachBatch body: positional postings + doclens for the
+    arriving docs (both map-only), each overwriting its own batch
+    partition — idempotent on replay; a different n_buckets against
+    an existing index raises (frozen bucket function)."""
+    postings = build_positional_index(batch).withColumn(
+        "term_bkt", term_bucket_col("term", n_buckets).cast("int")
+    )
+    _pi.ingest_batch(
+        postings, batch_id, index_dir, {"n_buckets": n_buckets}, _META
+    )
+    toks = F.regexp_extract_all(F.col("text"), F.lit(WORD_RE), F.lit(0))
+    batch.select(F.col("doc_id"), F.size(toks).alias("dl")).write.mode(
+        "overwrite"
+    ).parquet(f"{index_dir}/doclens/batch_id={batch_id}")
+
+
+def continuous_text_index(
+    stream: DataFrame,
+    index_dir: str,
+    checkpoint_dir: str,
+    n_buckets: int = 64,
+):
+    """Wire a (doc_id, text) stream into the text index. Returns the
+    started StreamingQuery (caller manages lifecycle)."""
+    return (
+        stream.writeStream.foreachBatch(
+            lambda b, i: text_ingest_batch(b, i, index_dir, n_buckets)
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def compact(spark: SparkSession, index_dir: str, upto_batch_id: int) -> None:
+    """Fold batch posting partitions into ``buckets/gen = upto + 1``
+    laid out partitionBy("term_bkt") — literal probe-term bucket
+    filters land as PartitionFilters on the generation dirs.
+    Doclens partitions stay as written (a narrow two-column table;
+    nothing probes it by term)."""
+    _pi.compact(
+        spark, index_dir, upto_batch_id, _POSTING_SCHEMA, _COLS, "term_bkt"
+    )
+
+
+def load_text(
+    spark: SparkSession, index_dir: str
+) -> tuple[DataFrame, DataFrame, int]:
+    """(positional postings, doclens, n_buckets) over everything
+    ingested so far — the same triple operators/textindex.py's
+    read_text_index returns for the one-shot artifact."""
+    postings, meta = _pi.load(spark, index_dir, _POSTING_SCHEMA, _COLS, _META)
+    lens = spark.read.schema(_DOCLEN_SCHEMA).parquet(f"{index_dir}/doclens")
+    return postings, lens, int(meta["n_buckets"])

@@ -808,3 +808,19 @@ def test_span_near_probe_shape(spark):
     assert hashex
     for l in hashex:
         assert "doc_id" in l, l
+
+
+def test_phrase_atrest_partition_filters(spark):
+    """docs_phrase_search_atrest (round 9): the at-rest probe's
+    literal term-bucket list must land as storage-level
+    PartitionFilters (only the probed bucket directories are read),
+    and the probe itself keeps the index shape — doc_id-keyed
+    exchange only, no join."""
+    import re as _re
+
+    df = entrymod.queries()["docs_phrase_search_atrest"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    pf = _re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert any("term_bkt" in m for m in pf), plan[:2000]
+    fplan = _plan(spark, "docs_phrase_search_atrest")
+    assert "Join" not in fplan, fplan

@@ -1149,3 +1149,125 @@ def test_continuous_trgm_index_matches_one_shot(spark, tmp_path):
         for r in trgm_search(all_docs, pats, index=idx3, index_buckets=nb3).collect()
     }
     assert got3 == want
+
+
+def test_continuous_text_index_matches_one_shot(spark, tmp_path):
+    """streaming/textindex.py: a two-batch document stream must
+    serve (through the phrase/BM25 probes) exactly what the one-shot
+    write_text_index artifact serves — before compaction, after
+    compaction (with the literal term buckets landing as
+    PartitionFilters), and after a crash-replay of an already-
+    compacted batch (the max-gen rule ignores the rewrite)."""
+    import json as _json
+    import re
+
+    from irclogbot_spark.functions.text import (
+        bm25_rank_indexed,
+        phrase_search_indexed,
+    )
+    from irclogbot_spark.operators.textindex import (
+        postings_tf,
+        probe_postings,
+        read_text_index,
+        write_text_index,
+    )
+    from irclogbot_spark.streaming import textindex as TX
+
+    src = tmp_path / "tx_src"
+    src.mkdir()
+    index_dir = str(tmp_path / "tx_idx")
+
+    def feed(rows):
+        fname = src / f"b{len(list(src.iterdir()))}.json"
+        fname.write_text(
+            "\n".join(_json.dumps({"doc_id": i, "text": t}) for i, t in rows)
+        )
+        q = TX.continuous_text_index(
+            spark.readStream.schema("doc_id long, text string").json(str(src)),
+            index_dir,
+            str(tmp_path / "tx_ckpt"),
+            n_buckets=8,
+        )
+        q.awaitTermination(120)
+
+    batch1 = [(1, "slow hash batch here"), (2, "the data the spark")]
+    batch2 = [(3, "slow hash batch slow hash batch"), (4, "nothing else")]
+    feed(batch1)
+    feed(batch2)
+    all_docs = spark.createDataFrame(batch1 + batch2, "doc_id long, text string")
+    phrase = ["slow", "hash", "batch"]
+
+    write_text_index(all_docs, str(tmp_path / "oneshot"), n_buckets=8)
+    opidx, olens, onb = read_text_index(spark, str(tmp_path / "oneshot"))
+    want_ph = {
+        (r.doc_id, r.phrase_count)
+        for r in phrase_search_indexed(
+            probe_postings(opidx, phrase, onb), phrase
+        ).collect()
+    }
+    assert want_ph == {(1, 1), (3, 2)}
+    want_bm = [
+        tuple(r)
+        for r in bm25_rank_indexed(
+            postings_tf(probe_postings(opidx, ["data"], onb)),
+            olens.select("doc_id", "dl"),
+            ["data"],
+            k=1,
+        ).collect()
+    ]
+
+    def served():
+        pidx, lens, nb = TX.load_text(spark, index_dir)
+        ph = {
+            (r.doc_id, r.phrase_count)
+            for r in phrase_search_indexed(
+                probe_postings(pidx, phrase, nb), phrase
+            ).collect()
+        }
+        bm = [
+            tuple(r)
+            for r in bm25_rank_indexed(
+                postings_tf(probe_postings(pidx, ["data"], nb)),
+                lens.select("doc_id", "dl"),
+                ["data"],
+                k=1,
+            ).collect()
+        ]
+        return ph, bm
+
+    ph1, bm1 = served()
+    assert ph1 == want_ph and bm1 == want_bm
+
+    TX.compact(spark, index_dir, upto_batch_id=1)
+    ph2, bm2 = served()
+    assert ph2 == want_ph and bm2 == want_bm
+    pidx, lens, nb = TX.load_text(spark, index_dir)
+    plan = (
+        phrase_search_indexed(probe_postings(pidx, phrase, nb), phrase)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    pf = re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert any("term_bkt" in m for m in pf), plan[:2000]
+
+    # crash-replay of an already-compacted batch — ignored by max-gen
+    TX.text_ingest_batch(
+        spark.createDataFrame(batch2, "doc_id long, text string"),
+        1,
+        index_dir,
+        n_buckets=8,
+    )
+    ph3, bm3 = served()
+    assert ph3 == want_ph and bm3 == want_bm
+
+    # frozen bucket function: different n_buckets raises
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="n_buckets"):
+        TX.text_ingest_batch(
+            spark.createDataFrame(batch1, "doc_id long, text string"),
+            7,
+            index_dir,
+            n_buckets=16,
+        )

@@ -356,3 +356,84 @@ def test_span_near_semantics_and_phrase_degeneration(spark):
     # repeated-term phrase through the same machinery
     rep = {(r.doc_id, r.n_spans) for r in span_near_search(pidx, ["a", "a"], 0).collect()}
     assert rep == {(6, 2)}
+
+
+def test_at_rest_text_index_serves_all_query_types(spark, tmp_path):
+    """operators/textindex.py: one written artifact serves phrase,
+    span, BM25, and suggest with the same answers as the inline
+    forms, and a literal-term probe prunes at the partition level
+    (PartitionFilters on term_bkt)."""
+    import re
+
+    from irclogbot_spark.functions.text import (
+        bm25_rank,
+        bm25_rank_indexed,
+        phrase_search,
+        phrase_search_indexed,
+        prefix_suggest,
+        span_near_search,
+    )
+    from irclogbot_spark.operators.textindex import (
+        postings_tf,
+        probe_postings,
+        read_text_index,
+        write_text_index,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "slow hash batch slow hash batch"),
+            (2, "slow  hash\tbatch extra words here"),
+            (3, "hash slow batch"),
+            (4, "the data the data spark"),
+            (5, "spark sort scan"),
+        ],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "tidx")
+    write_text_index(docs, path, n_buckets=8)
+    pidx, lens, nb = read_text_index(spark, path)
+    assert nb == 8
+
+    phrase = ["slow", "hash", "batch"]
+    probed = probe_postings(pidx, phrase, nb)
+    want_ph = {
+        (r.doc_id, r.phrase_count) for r in phrase_search(docs, phrase).collect()
+    }
+    got_ph = {
+        (r.doc_id, r.phrase_count)
+        for r in phrase_search_indexed(probed, phrase).collect()
+    }
+    assert got_ph == want_ph == {(1, 2), (2, 1)}
+    # the literal bucket list lands as storage-level PartitionFilters
+    plan = (
+        phrase_search_indexed(probed, phrase)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    pf = re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert any("term_bkt" in m for m in pf), plan[:2000]
+
+    got_sn = {
+        (r.doc_id, r.n_spans)
+        for r in span_near_search(probed, phrase, slop=1).collect()
+    }
+    # doc 3 ('hash slow batch') has no in-order chain from 'slow'
+    assert got_sn == {(1, 2), (2, 1)}
+
+    # k=1: an inverted index only sees docs with >= 1 hit (the
+    # documented bm25_rank_indexed contract), so compare the hit
+    terms = ["the", "data"]
+    want_bm = bm25_rank(docs, terms, k=1).collect()
+    got_bm = bm25_rank_indexed(
+        postings_tf(probe_postings(pidx, terms, nb)), lens, terms, k=1
+    ).collect()
+    assert [tuple(r) for r in got_bm] == [tuple(r) for r in want_bm]
+    assert want_bm[0].doc_id == 4
+
+    want_sg = prefix_suggest(docs, "s", k=5).collect()
+    got_sg = prefix_suggest(
+        docs, "s", k=5, postings=postings_tf(pidx)
+    ).collect()
+    assert [tuple(r) for r in got_sg] == [tuple(r) for r in want_sg]
