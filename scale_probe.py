@@ -264,6 +264,7 @@ PROBE_QUERIES = [
     "events_pipeline_aggs",
     "docs_percolate",
     "docs_span_near",
+    "docs_phrase_search_atrest",
 ]
 
 
