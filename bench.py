@@ -234,6 +234,8 @@ CHEAP = [
     "events_geo_distance",
     "events_geotile_grid",
     "events_pipeline_aggs",
+    "docs_rare_terms",
+    "events_adjacency_matrix",
 ]
 
 #: headline queries that derive from the irclog (re-timed over the

@@ -5102,3 +5102,39 @@ cnt AS (
 )
 SELECT doc_id, n_spans FROM cnt WHERE n_spans > 0
 """
+
+
+# Round 9 (cont.): ES rare_terms analog — the long-tail complement
+# of significant_terms.
+ORACLES["docs_rare_terms"] = r"""
+WITH pairs AS (
+  SELECT DISTINCT doc_id, source,
+         unnest(regexp_extract_all(text, '\S+')) AS term
+  FROM documents
+),
+agg AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS df_docs,
+         list_sort(list(DISTINCT source)) AS sources
+  FROM pairs GROUP BY term
+)
+SELECT term, df_docs, array_to_string(sources, ',') AS sources
+FROM agg ORDER BY df_docs ASC, term ASC LIMIT 10
+"""
+
+
+# Round 9 (cont.): ES adjacency_matrix analog — one conditional-
+# aggregate pass, k singles + C(k,2) intersections.
+ORACLES["events_adjacency_matrix"] = """
+SELECT
+  CAST(SUM(CASE WHEN value >= 10 THEN 1 ELSE 0 END) AS BIGINT) AS a,
+  CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS b,
+  CAST(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-01'
+             AND ts < TIMESTAMP '2024-01-08' THEN 1 ELSE 0 END) AS BIGINT) AS c,
+  CAST(SUM(CASE WHEN value >= 10 AND event_type = 'click'
+            THEN 1 ELSE 0 END) AS BIGINT) AS a_b,
+  CAST(SUM(CASE WHEN value >= 10 AND ts >= TIMESTAMP '2024-01-01'
+             AND ts < TIMESTAMP '2024-01-08' THEN 1 ELSE 0 END) AS BIGINT) AS a_c,
+  CAST(SUM(CASE WHEN event_type = 'click' AND ts >= TIMESTAMP '2024-01-01'
+             AND ts < TIMESTAMP '2024-01-08' THEN 1 ELSE 0 END) AS BIGINT) AS b_c
+FROM events
+"""

@@ -4702,7 +4702,7 @@ _PHRASE = ["slow", "hash", "batch"]
 def docs_phrase_search(spark, sf_dir):
     """ES match_phrase analog, corpus-scan form (round 9 — §2H's
     implied search surface; functions/text.py phrase_search): docs
-    whose \\S+ token stream contains 'slow hash batch' as consecutive
+    whose \S+ token stream contains 'slow hash batch' as consecutive
     tokens, with the exact occurrence count. MAP-ONLY: per-term
     CONTAINS gates push into the scan; position math is in-row
     higher-order functions; zero shuffle. Tail registration;
@@ -4987,6 +4987,72 @@ def events_pipeline_aggs(spark, sf_dir):
         .cast("long")
         .alias("movavg_milli"),
     )
+
+
+@query("docs_rare_terms")
+def docs_rare_terms(spark, sf_dir):
+    """ES rare_terms aggregation analog (round 9 — §2H): the
+    long-tail complement of significant_terms — the 10 RAREST terms
+    by document frequency (df asc, term asc: ES's max_doc_count cut
+    expressed as a deterministic bottom-k so the synthetic corpus's
+    dense vocabulary can't make the result degenerate), with doc
+    counts and the sources each appears in. Shape: map-only distinct
+    (doc, term) pairs, ONE term-keyed partial-agg shuffle (df and
+    the source set fall out of the same aggregate), bottom-k as a
+    partial TakeOrdered over term-type rows. Tail registration
+    (queued for a round-10 window row); value-checked by the local
+    parity suite."""
+    d = _t(spark, sf_dir, "documents")
+    pairs = d.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.array_distinct(
+                F.regexp_extract_all(F.col("text"), F.lit(r"\S+"), F.lit(0))
+            )
+        ).alias("term"),
+    )
+    agg = pairs.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df_docs"),
+        F.array_sort(F.collect_set("source")).alias("sources"),
+    )
+    return (
+        agg.orderBy(F.asc("df_docs"), F.asc("term"))
+        .limit(10)
+        .select(
+            "term",
+            F.col("df_docs").cast("long").alias("df_docs"),
+            F.array_join("sources", ",").alias("sources"),
+        )
+    )
+
+
+@query("events_adjacency_matrix")
+def events_adjacency_matrix(spark, sf_dir):
+    """ES adjacency_matrix aggregation analog (round 9 — §2H): named
+    filters A (value >= 10), B (event_type = 'click'), C (January
+    week 1), and the doc counts of every filter AND every pairwise
+    intersection — computed in ONE conditional-aggregate pass over
+    the events scan (no joins, no second scan; the matrix is k + C
+    (k, 2) integer sums). Tail registration (queued for a round-10
+    window row); value-checked by the local parity suite."""
+    ev = _t(spark, sf_dir, "events")
+    a = F.col("value") >= 10
+    b = F.col("event_type") == "click"
+    c = (F.col("ts") >= F.lit("2024-01-01").cast("timestamp")) & (
+        F.col("ts") < F.lit("2024-01-08").cast("timestamp")
+    )
+    flags = {"a": a, "b": b, "c": c}
+
+    def cnt(cond):
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("long")
+
+    names = sorted(flags)
+    cells = [cnt(flags[n]).alias(n) for n in names]
+    for i, n1 in enumerate(names):
+        for n2 in names[i + 1 :]:
+            cells.append(cnt(flags[n1] & flags[n2]).alias(f"{n1}_{n2}"))
+    return ev.agg(*cells)
 
 
 def queries() -> dict[str, QueryFn]:
