@@ -824,3 +824,28 @@ def test_phrase_atrest_partition_filters(spark):
     assert any("term_bkt" in m for m in pf), plan[:2000]
     fplan = _plan(spark, "docs_phrase_search_atrest")
     assert "Join" not in fplan, fplan
+
+
+def test_rare_terms_bottomk_shape(spark):
+    """docs_rare_terms (round 9): one term-keyed partial-agg
+    exchange, bottom-k via TakeOrderedAndProject (never a global
+    sort), no join."""
+    plan = _plan(spark, "docs_rare_terms")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Join" not in plan, plan
+    hashex = [l for l in plan.splitlines() if "hashpartitioning" in l]
+    assert hashex
+    for l in hashex:
+        assert "term" in l, l
+
+
+def test_adjacency_matrix_single_pass(spark):
+    """events_adjacency_matrix (round 9): the whole filter matrix is
+    ONE aggregate pass over the scan — no hash exchange (only the
+    final single-partition gather), no join, one scan."""
+    plan = _plan(spark, "events_adjacency_matrix")
+    assert "hashpartitioning" not in plan, plan
+    assert "Join" not in plan, plan
+    # the formatted plan names each node twice (tree + detail):
+    # exactly one scan node => exactly two mentions
+    assert plan.count("Scan parquet") == 2, plan
