@@ -79,6 +79,13 @@ def ngram_contamination(
         .select(F.explode("hs").alias("h"))
     )
     if eval_gate:
+        # The gate makes `te` a TWO-consumer frame (broadcast probe
+        # build + the final left join): without a materialization
+        # barrier the eval shingle/hash pipeline re-executes per
+        # consumer. Lazy localCheckpoint — computed at the probe
+        # build (the first action), reused by the join; eval suites
+        # are dimension-sized so the local copy is bounded.
+        te = te.localCheckpoint(eager=False)
         probe = te.select("h").filter(F.col("h").isNotNull()).distinct()
         tr = tr.join(F.broadcast(probe), "h", "leftsemi")
     tr = tr.distinct()

@@ -2959,6 +2959,10 @@ ORDER BY n_shared DESC, doc_a, doc_b LIMIT 20
 # bit-identical to the scan form, so the corpus-scan oracle doubles
 # as a physical-path differential (index dataflow vs SQL re-scan).
 ORACLES["docs_bm25_indexed"] = ORACLES["docs_bm25_search"]
+# docs_bm25_atrest (round 10): the SAME logical query served from the
+# at-rest bucket-partitioned POSITIONAL index — third physical path
+# on the one BM25 oracle (the docs_phrase_search_atrest convention).
+ORACLES["docs_bm25_atrest"] = ORACLES["docs_bm25_search"]
 # map-literal encode vs explode/join/reassemble: two physical paths,
 # one value hash (the same convention)
 ORACLES["docs_tokenize_fast"] = ORACLES["docs_tokenize"]

@@ -4700,7 +4700,7 @@ _PHRASE = ["slow", "hash", "batch"]
 
 @query("docs_phrase_search")
 def docs_phrase_search(spark, sf_dir):
-    """ES match_phrase analog, corpus-scan form (round 9 — §2H's
+    r"""ES match_phrase analog, corpus-scan form (round 9 — §2H's
     implied search surface; functions/text.py phrase_search): docs
     whose \S+ token stream contains 'slow hash batch' as consecutive
     tokens, with the exact occurrence count. MAP-ONLY: per-term
@@ -4922,6 +4922,32 @@ def docs_phrase_search_atrest(spark, sf_dir):
     pidx, _lens, n_buckets = _text_index_at_rest(spark, sf_dir)
     probed = probe_postings(pidx, _PHRASE, n_buckets)
     return phrase_search_indexed(probed, _PHRASE)
+
+
+@query("docs_bm25_atrest")
+def docs_bm25_atrest(spark, sf_dir):
+    """THIRD physical path for the BM25 oracle (round 10 — closing
+    VERDICT r9 next #3): docs_bm25_search served from the AT-REST
+    positional index (operators/textindex.py) — the same persisted
+    artifact the phrase/span/suggest probes read. The literal probe
+    terms compute their crc32 bucket list driver-side, so the
+    postings scan reads only the probed bucket directories
+    (storage-level PartitionFilters, plan-asserted by test); tf is
+    derived in-row as size(positions) (postings_tf — the positional
+    artifact strictly generalizes the tf one), then
+    bm25_rank_indexed's bit-exact score assembly runs unchanged.
+    Three dataflows (corpus scan, in-session tf index, at-rest
+    bucketed positional index), ONE value hash. Tail registration;
+    first driver row queued in the round-10 window."""
+    from irclogbot_spark.functions.text import bm25_rank_indexed
+    from irclogbot_spark.operators.textindex import (
+        postings_tf,
+        probe_postings,
+    )
+
+    pidx, doclens, n_buckets = _text_index_at_rest(spark, sf_dir)
+    probed = probe_postings(pidx, ["the", "data"], n_buckets)
+    return bm25_rank_indexed(postings_tf(probed), doclens, ["the", "data"], k=10)
 
 
 #: registered percolator queries: (query_id, terms, min_match) —

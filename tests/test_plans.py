@@ -826,6 +826,26 @@ def test_phrase_atrest_partition_filters(spark):
     assert "Join" not in fplan, fplan
 
 
+def test_bm25_atrest_partition_filters_and_values(spark):
+    """docs_bm25_atrest (round 10): the at-rest BM25 probe's literal
+    term-bucket list must land as storage-level PartitionFilters
+    (only the probed bucket directories are read), and its values
+    must be BIT-IDENTICAL to the corpus-scan docs_bm25_search — the
+    third physical path on the one BM25 oracle."""
+    import re as _re
+
+    df = entrymod.queries()["docs_bm25_atrest"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    pf = _re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert any("term_bkt" in m for m in pf), plan[:2000]
+    got = [(r.doc_id, r.score) for r in df.collect()]
+    want = [
+        (r.doc_id, r.score)
+        for r in entrymod.queries()["docs_bm25_search"](spark, SF).collect()
+    ]
+    assert got == want
+
+
 def test_rare_terms_bottomk_shape(spark):
     """docs_rare_terms (round 9): one term-keyed partial-agg
     exchange, bottom-k via TakeOrderedAndProject (never a global
