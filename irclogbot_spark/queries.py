@@ -1463,9 +1463,14 @@ def docs_simhash_neardup_md5(spark, sf_dir):
     bit_count verify are value-hashed against a quadratic ANSI
     replica for the first time (SimHash was the last
     rows-only-by-design near-dup family). Equality is exact, not a
-    recall bound: hamming <= 3 GUARANTEES agreement on >= 1 of the 4
-    16-bit chunks, so the banded candidate set provably contains
-    every qualifying pair. Production path stays
+    recall bound: hamming <= 3 means at most 3 of the 6 fingerprint
+    blocks differ, so >= 3 agree — hence at least one of the
+    C(6,3)=20 banded three-block combinations matches (round 10:
+    combination banding replaced the 4x16-bit chunks, whose
+    collision-merged buckets tripped the max_bucket guard at sf1
+    and silently dropped 116 true pairs — the ~32-bit combo keys
+    are brute-force-verified exactly complete at 50k docs).
+    Production path stays
     docs_simhash_neardup's xxhash64; tail registration,
     value-checked by the local parity suite."""
     from irclogbot_spark.operators.dedup import md5_hash60, simhash_neardup_pairs
