@@ -325,6 +325,8 @@ def crawl_ingest_batch(
     n: int = 5,
     seed: int = 42,
     within_batch: bool = True,
+    index_dir: str | None = None,
+    index_buckets: int = 64,
 ) -> None:
     """foreachBatch body for (doc_id, url, text) crawl records.
 
@@ -335,9 +337,21 @@ def crawl_ingest_batch(
     rows carry (doc_id, canon_url, verdict, dup_of, jaccard); only
     ``new`` docs land in history and the three indexes.
 
+    With ``index_dir`` set (round 10 — the ES deployment loop: crawl
+    in, searchable immediately), ADMITTED docs additionally feed the
+    continuous text index (streaming/textindex.py) inside the SAME
+    batch: positional postings + doclens land under the batch's own
+    partitions, so the admit decision and the searchability of its
+    survivors commit together — a crash replay re-runs both under
+    the identical batch_id and every table overwrites its own
+    partition (the established idempotence recipe, now spanning two
+    artifacts).
+
     Scale shape: the URL layer is one narrow (canon_url, doc_id)
     probe join + a per-URL min — no text moves; refetch-heavy crawl
-    streams (the common case) are settled before MinHash runs.
+    streams (the common case) are settled before MinHash runs. The
+    text-index append is map-only over the (already materialized)
+    admitted frame.
     """
     spark = batch.sparkSession
     not_self = F.col("batch_id") != F.lit(batch_id)
@@ -410,6 +424,15 @@ def crawl_ingest_batch(
         survivors.select("canon_url", "doc_id"),
         f"{corpus_dir}/url_index/batch_id={batch_id}",
     )
+    if index_dir is not None:
+        from irclogbot_spark.streaming.textindex import text_ingest_batch
+
+        text_ingest_batch(
+            admitted.select("doc_id", "text"),
+            batch_id,
+            index_dir,
+            n_buckets=index_buckets,
+        )
 
 
 def crawl_continuous_ingest(
@@ -420,14 +443,19 @@ def crawl_continuous_ingest(
     hash_fn=None,
     within_batch: bool = True,
     trigger_available_now: bool = True,
+    index_dir: str | None = None,
+    index_buckets: int = 64,
 ):
     """Wire a (doc_id, url, text) crawl stream into the canonicalize →
-    URL-dedup → content-dedup → admit loop. Returns the started
+    URL-dedup → content-dedup → admit loop; with ``index_dir``,
+    admitted docs become phrase/BM25-searchable in the same batch
+    (crawl in, searchable immediately). Returns the started
     StreamingQuery."""
     writer = stream.writeStream.foreachBatch(
         lambda b, i: crawl_ingest_batch(
             b, i, corpus_dir, threshold=threshold, hash_fn=hash_fn,
-            within_batch=within_batch,
+            within_batch=within_batch, index_dir=index_dir,
+            index_buckets=index_buckets,
         )
     ).option("checkpointLocation", checkpoint_dir)
     if trigger_available_now:

@@ -1271,3 +1271,97 @@ def test_continuous_text_index_matches_one_shot(spark, tmp_path):
             index_dir,
             n_buckets=16,
         )
+
+
+def test_crawl_admit_to_text_index_one_batch(spark, tmp_path):
+    """Round 10 (VERDICT r9 next #5): crawl admission and text-index
+    maintenance composed in ONE foreachBatch — the ES deployment
+    loop (crawl in, searchable immediately). Admitted docs are
+    phrase-searchable right after their batch; REJECTED docs
+    (url-dup / content-dup) never enter the index; replaying a batch
+    under the same batch_id (crash recovery) changes nothing in
+    either artifact; compaction preserves what the index serves."""
+    import json as _json
+
+    from irclogbot_spark.functions.text import phrase_search_indexed
+    from irclogbot_spark.operators.textindex import probe_postings
+    from irclogbot_spark.streaming import corpus as C
+    from irclogbot_spark.streaming import textindex as TX
+
+    src = tmp_path / "csrc"
+    src.mkdir()
+    corpus_dir = str(tmp_path / "ccorpus")
+    index_dir = str(tmp_path / "cindex")
+
+    def feed(rows):
+        fname = src / f"b{len(list(src.iterdir()))}.json"
+        fname.write_text(
+            "\n".join(
+                _json.dumps({"doc_id": i, "url": u, "text": t})
+                for i, u, t in rows
+            )
+        )
+        q = C.crawl_continuous_ingest(
+            spark.readStream.schema(C.CRAWL_DOC_SCHEMA).json(str(src)),
+            corpus_dir,
+            str(tmp_path / "cckpt"),
+            index_dir=index_dir,
+            index_buckets=8,
+        )
+        q.awaitTermination(120)
+
+    def phrase_hits(terms):
+        pidx, _lens, nb = TX.load_text(spark, index_dir)
+        probed = probe_postings(pidx, terms, nb)
+        return {
+            r.doc_id for r in phrase_search_indexed(probed, terms).collect()
+        }
+
+    # batch 0: doc 1 admitted; doc 2 is a URL dup whose text contains
+    # the probe phrase — it must NOT become searchable
+    feed(
+        [
+            (1, "https://a.com/x", BASE_DOC),
+            (2, "https://A.com:443/x?utm_source=s", "slow hash batch decoy"),
+        ]
+    )
+    assert phrase_hits(["alpha", "beta", "gamma"]) == {1}
+    assert phrase_hits(["slow", "hash", "batch"]) == set()
+
+    # batch 1: doc 11 genuinely new (carries the phrase), doc 12 an
+    # exact content dup of history doc 1 — searchable set grows by 11 only
+    feed(
+        [
+            (11, "https://b.com/y", "the slow hash batch pipeline doc"),
+            (12, "https://c.com/z", BASE_DOC),
+        ]
+    )
+    assert phrase_hits(["slow", "hash", "batch"]) == {11}
+    assert phrase_hits(["alpha", "beta", "gamma"]) == {1}
+    admitted = {
+        r.doc_id for r in spark.read.parquet(f"{corpus_dir}/history").collect()
+    }
+    pidx, lens, _nb = TX.load_text(spark, index_dir)
+    indexed = {r.doc_id for r in pidx.select("doc_id").distinct().collect()}
+    assert indexed == admitted == {1, 11}
+    assert {r.doc_id for r in lens.collect()} == admitted
+
+    # crash replay: re-run batch 1's body under the same batch_id —
+    # both artifacts overwrite their own partitions, nothing doubles
+    batch1_df = spark.createDataFrame(
+        [
+            (11, "https://b.com/y", "the slow hash batch pipeline doc"),
+            (12, "https://c.com/z", BASE_DOC),
+        ],
+        C.CRAWL_DOC_SCHEMA,
+    )
+    before = TX.load_text(spark, index_dir)[0].count()
+    C.crawl_ingest_batch(batch1_df, 1, corpus_dir, index_dir=index_dir,
+                         index_buckets=8)
+    assert TX.load_text(spark, index_dir)[0].count() == before
+    assert phrase_hits(["slow", "hash", "batch"]) == {11}
+
+    # compaction folds the per-batch partitions; served set unchanged
+    TX.compact(spark, index_dir, upto_batch_id=1)
+    assert phrase_hits(["slow", "hash", "batch"]) == {11}
+    assert phrase_hits(["alpha", "beta", "gamma"]) == {1}
