@@ -185,6 +185,7 @@ HEADLINE = [
     "docs_percolate",
     "docs_span_near",
     "docs_phrase_search_atrest",
+    "docs_bm25_atrest",
 ]
 
 #: Every registered query NOT in HEADLINE (VERDICT r7 missing #4:

@@ -2210,104 +2210,91 @@ def docs_importance_resample(spark, sf_dir):
 # registrations only; everything else gets the local parity suite's
 # (stricter) value check but no driver-recorded row. The window is
 # rotated per round so every oracle-paired query accumulates at
-# least one driver-recorded verification. Round 9 executes the plan
-# recorded at the end of round 8 (VERDICT r8 "Next round" #2):
-# (a) second rows for the r5-vintage core that has waited since
-# round 5; (b) RE-PIN the two queries whose operators were touched
-# in round 8 AFTER their last hard row (PPJoin length filter at
-# dedup.py, within-batch band-row materialization in
-# incremental.py) — both are ALSO touched again this round (the
-# length-filter gate), so the re-pin lands on the newest code;
-# (c) refresh the three r4 scalar batteries displaced by round-8's
-# new-operator rows; (d) then the oldest of the r6 block (37 of 46
-# — the remainder, media_audio_stats/media_resize_stats/
-# docs_corpus_shuffle/docs_length_winsorize/docs_snapshot_diff/
-# tpch_q4/q7/q13/q14/q17/q22, is queued for round 10).
-# Every name here MUST be oracle-paired (pinned by
-# tests/test_driver_contract.py).
+# least one driver-recorded verification. Round 10 executes the plan
+# recorded at the end of round 9 (VERDICT r9 "Next round" #2),
+# assembled by staleness of each query's newest driver row:
+# (a) FIRST rows for the never-driver-checked names — the two
+# post-window r9 tail registrations (docs_rare_terms,
+# events_adjacency_matrix) and the round-10 addition
+# (docs_bm25_atrest); (b) RE-PINS for the three queries whose
+# operators changed this round after their newest hard row
+# (docs_prep_pipeline: the eval gate was disabled in prep_corpus;
+# docs_decontaminate: the gated path's lazy te checkpoint;
+# docs_simhash_neardup_md5: combination banding replaced the 16-bit
+# chunks); (c) the ENTIRE r6-vintage backlog — the r6 remainder plus
+# the refreshes the round-9 ES-surface batch displaced (28 names,
+# every oracle-paired query whose newest row is round 6); (d) the 16
+# oldest round-7 rows. Every name here MUST be oracle-paired (pinned
+# by tests/test_driver_contract.py).
 _DRIVER_WINDOW = [
-    # r5-vintage core: second hard rows, waited since round 5
-    "log_point_lookup",
-    "join_anti_customers_no_orders",
-    "join_semi_parts_ordered",
-    "agg_rollup_sets",
-    "events_session_window",
-    "docs_bm25_search",
-    "log_search_terms",
-    "docs_crossdup",
-    # operators touched in r8/r9 after their last row — re-pin at HEAD
-    "docs_prefix_filter_join",
-    "docs_incremental_dedup_wb",
-    # r4 scalar batteries displaced by round-8's new-operator rows
-    "agg_pivot",
-    "agg_stats",
-    "math_array_functions",
-    # oldest of the r6 block (37 of 46; rest queued for round 10)
-    "ingest_parse",
-    "log_term_time_partitioned",
-    "log_channel_day_bucketed",
-    "tpch_q1_pricing_summary",
-    "docs_minhash_lsh",
-    "events_asof_join",
-    "tpch_q16_supplier_cnt",
-    "docs_hybrid_search",
-    "docs_crossdup_remove",
-    "emb_ivfpq_topk",
-    "docs_vocab_coverage",
-    "events_funnel",
-    "events_retention",
-    "events_range_join",
-    "log_nick_cooccurrence",
-    "docs_tokenize",
-    "events_funnel_window",
-    "docs_bm25_indexed",
-    # round-9 additions: first hard rows (displace media_audio_stats /
-    # media_resize_stats / events_anomaly / docs_pps_sample /
-    # log_trending_terms / docs_lsh_recall AND, for the second
-    # round-9 batch below, the eight youngest r6-block refreshes
-    # (docs_normalized_dedup, docs_bpe_merges, emb_kmeans_clusters,
-    # docs_data_card, docs_bpe_tokenize, docs_tokenize_fast,
-    # media_frame_plan, emb_semantic_decontam) to the round-10
-    # remainder — new-operator rows outrank refreshes, the round-8
-    # precedent)
-    "docs_trgm_multi_search",
-    "docs_crawl_admit",
-    "docs_simhash_neardup_md5",
-    "docs_fuzzy_term_search",
-    "log_significant_terms",
-    "docs_more_like_this",
-    # round-9 second batch: the ES-surface completion set
-    "docs_phrase_search",
-    "docs_phrase_search_indexed",
-    "docs_highlight",
-    "docs_prefix_suggest",
-    "events_search_after",
-    "events_composite_agg",
-    "events_geo_distance",
-    "events_geotile_grid",
-    "events_pipeline_aggs",
-    "docs_percolate",
-    "docs_span_near",
-    "docs_phrase_search_atrest",
-    # re-pin: the round-9 eval gate changed ngram_contamination AFTER
-    # docs_decontaminate's r8 row — the newest-code-gets-a-row rule
+    # (a) never driver-checked: the r9 post-window tail registrations
+    # and the round-10 at-rest BM25 path
+    "docs_rare_terms",
+    "events_adjacency_matrix",
+    "docs_bm25_atrest",
+    # (b) re-pins — operator code changed this round after the
+    # query's newest hard row (newest-code-gets-a-row rule)
+    "docs_prep_pipeline",
     "docs_decontaminate",
+    "docs_simhash_neardup_md5",
+    # (c) the full r6-vintage backlog: every oracle-paired query
+    # whose newest driver row is round 6 (r6 remainder + the
+    # refreshes the round-9 ES-surface batch displaced)
+    "media_audio_stats",
+    "media_resize_stats",
+    "events_anomaly",
+    "docs_pps_sample",
+    "log_trending_terms",
+    "docs_lsh_recall",
+    "docs_corpus_shuffle",
+    "docs_length_winsorize",
+    "docs_snapshot_diff",
+    "tpch_q4_order_priority",
+    "tpch_q7_volume_shipping",
+    "tpch_q13_cust_distribution",
+    "tpch_q14_promo_revenue",
+    "tpch_q17_small_qty_revenue",
+    "tpch_q22_global_sales",
+    "docs_normalized_dedup",
+    "docs_bpe_merges",
+    "emb_kmeans_clusters",
+    "docs_data_card",
+    "docs_bpe_tokenize",
+    "docs_tokenize_fast",
+    "media_frame_plan",
+    "emb_semantic_decontam",
+    "events_top_paths",
+    "docs_importance_resample",
+    "docs_paragraph_dedup",
+    "docs_decontam_bloom",
+    "docs_reservoir_sample",
+    # (d) the 16 oldest round-7 rows
+    "agg_unpivot",
+    "docs_adaptive_quality",
+    "docs_backoff_surprisal",
+    "docs_budget_cap",
+    "docs_c4_clean",
+    "docs_chunking",
+    "docs_heavy_hitters_cms",
+    "docs_hll_distinct",
+    "docs_incremental_dedup",
+    "docs_inverted_index",
+    "docs_jsonl_ingest",
+    "docs_leakage_safe_split",
+    "docs_length_batching",
+    "docs_length_quantile_sketch",
+    "docs_multikey_linkage",
+    "docs_ngram_novelty",
 ]
-# ROUND-10 ROTATION PLAN: the r6 remainder (media_audio_stats,
-# media_resize_stats, events_anomaly, docs_pps_sample,
-# log_trending_terms, docs_lsh_recall, docs_corpus_shuffle,
-# docs_length_winsorize, docs_snapshot_diff,
-# tpch_q4/q7/q13/q14/q17/q22) PLUS the eight r6-block refreshes the
-# round-9 second batch displaced (docs_normalized_dedup,
-# docs_bpe_merges, emb_kmeans_clusters, docs_data_card,
-# docs_bpe_tokenize, docs_tokenize_fast, media_frame_plan,
-# emb_semantic_decontam, events_top_paths, docs_importance_resample,
-# docs_paragraph_dedup, docs_decontam_bloom, docs_reservoir_sample),
-# then the oldest r7 rows
-# (media_decode_stats, media_png_decode_stats, agg_unpivot,
-# docs_c4_clean, docs_inverted_index, docs_incremental_dedup, the
-# tpch r7 block, ...) — plus first rows for any round-10 additions
-# and re-pins for any operator touched after its newest row.
+# ROUND-11 ROTATION PLAN: the remaining r7-vintage rows
+# (docs_priority_sample, docs_quality_score, docs_source_containment,
+# docs_temperature_mix, docs_tfidf_topk, docs_unigram_segment,
+# emb_hard_negatives, emb_ivf_recall, emb_pq_topk,
+# emb_projection_recall, emb_random_projection, emb_semantic_dedup,
+# emb_sq8_error, media_decode_stats, media_png_decode_stats, the
+# r7 tpch block, ...), then the oldest r8 rows — plus first rows for
+# any round-11 additions and re-pins for any operator touched after
+# its newest row.
 
 
 @query("docs_dedup_keep_best_fast")
