@@ -798,6 +798,22 @@ def test_decontaminate_eval_gate_before_distinct(spark):
     assert "SortMergeJoin" not in plan, plan
 
 
+def test_prep_pipeline_contamination_is_ungated(spark):
+    """docs_prep_pipeline (round 10 — VERDICT r9 wrong #1): the
+    contamination stage inside prep_corpus must run UNGATED — its
+    ngram_contamination TEST-param side is the 90% train corpus, so
+    the gate's broadcast-the-distinct-gram-set probe would be
+    corpus-proportional (driver OOM at scale). Pin: no semi-join
+    keyed on gram hashes anywhere in the plan (the LeftSemi joins
+    prep does have are all doc_id-keyed admission filters); the
+    overlap join stays the plain AQE-broadcastable equality join."""
+    import re as _re
+
+    plan = _plan(spark, "docs_prep_pipeline")
+    gated = _re.findall(r"Join \[h#\d+L?\], \[h#\d+L?\], LeftSemi", plan)
+    assert not gated, gated
+
+
 def test_span_near_probe_shape(spark):
     """docs_span_near (round 9): same probe shape as the phrase
     index — term IN (...) before the one doc-keyed pivot exchange,
