@@ -186,6 +186,8 @@ HEADLINE = [
     "docs_span_near",
     "docs_phrase_search_atrest",
     "docs_bm25_atrest",
+    "docs_substring_dedup",
+    "docs_substring_dedup_fast",
 ]
 
 #: Every registered query NOT in HEADLINE (VERDICT r7 missing #4:

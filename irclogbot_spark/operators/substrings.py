@@ -1,0 +1,172 @@
+"""Exact-substring deduplication — corpus-wide removal of repeated
+token spans (Lee et al., "Deduplicating Training Data Makes Language
+Models Better", ACL 2022: the ExactSubstr pass).
+
+Document- and paragraph-level dedup (operators/dedup.py,
+operators/paragraphs.py) miss the common web-corpus pathology this
+pass exists for: boilerplate spans (licenses, navigation, templated
+intros) repeated VERBATIM inside otherwise-distinct documents. The
+reference implementation builds a corpus-wide suffix array — a
+global sorted structure that has no good distributed analog. The
+Spark-native reduction used here: a duplicated span of >= L tokens
+contains a duplicated L-token gram at every start offset, so
+flagging every non-canonical occurrence of a duplicated L-gram and
+excising the union of their [pos, pos+L-1] windows removes exactly
+the duplicated-span content at gram granularity (for a span of
+length exactly L it is exact; longer spans are covered by their
+overlapping flagged grams).
+
+Semantics (deterministic, ANSI-replayable):
+- tokens = \\S+ runs, 1-based positions; docs with < L tokens have
+  no grams and pass through unchanged.
+- gram hash at position p = hash_fn(concat_ws(' ', tokens[p..p+L-1]))
+  (xxhash31 scale default; md5_hash31 for the DuckDB oracle — the
+  operator dedups HASHES, the same documented convention as every
+  other family here).
+- the globally FIRST occurrence of each duplicated gram — smallest
+  (doc_id, pos) — is the canonical keeper; every other occurrence
+  flags its token window for removal.
+- clean_text = the doc's surviving tokens joined by ' '.
+
+Scale shape (the 100 TB path):
+- Gram hashing is IN-ROW (one map pass over the corpus scan); the
+  only rows that ever enter an exchange are (h, doc_id, pos) int
+  triples — gram STRINGS never move.
+- ONE h-keyed partial aggregation finds duplicated hashes and their
+  canonical occurrence (count + MIN(struct(doc_id, pos)) — no
+  window, no sort); the duplicated-hash table is duplicate-sized,
+  not corpus-sized, and AQE broadcasts it when small.
+- Flagged occurrences re-aggregate to ONE int array per affected
+  doc; the rebuild is a doc_id-keyed join of that (affected-doc
+  sized) frame back to the corpus scan, with the token filter
+  running in-row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from irclogbot_spark.operators.dedup import tokens, xxhash31
+from irclogbot_spark.plans.partitioning import ensure_parallelism
+
+
+def gram_occurrences(
+    df: DataFrame,
+    length: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_fn=None,
+) -> DataFrame:
+    """(id_col, pos, h): one row per L-token gram occurrence, hashed
+    in-row. pos is the 1-based token index of the gram's first
+    token."""
+    hash_fn = hash_fn or xxhash31
+    toks = tokens(F.col(text_col))
+    k = F.size(toks) - F.lit(length - 1)
+    grams = F.transform(
+        F.sequence(F.lit(1), k),
+        lambda p: F.struct(
+            p.alias("pos"),
+            hash_fn(F.concat_ws(" ", F.slice(toks, p, length))).alias("h"),
+        ),
+    )
+    return (
+        ensure_parallelism(df)
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.when(k >= 1, grams).otherwise(
+                    F.array().cast("array<struct<pos:int,h:long>>")
+                )
+            ).alias("g"),
+        )
+        .select(id_col, F.col("g.pos").alias("pos"), F.col("g.h").alias("h"))
+    )
+
+
+def duplicated_spans(
+    df: DataFrame,
+    length: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_fn=None,
+) -> DataFrame:
+    """Every NON-canonical occurrence of a duplicated L-gram:
+    (id_col, pos) rows flagged for excision. The canonical keeper is
+    the globally smallest (doc_id, pos) occurrence of the hash.
+
+    The occurrence frame feeds TWO consumers (the duplicate agg and
+    the join probe), so it materializes once (the established
+    multiply-referenced-frame rule — unmaterialized, the O(n*L)
+    in-row gram build would run twice). The stored rows are int
+    triples, never gram strings."""
+    occ = gram_occurrences(df, length, id_col, text_col, hash_fn).localCheckpoint(
+        eager=True
+    )
+    dup = (
+        occ.groupBy("h")
+        .agg(
+            F.count(F.lit(1)).alias("_cnt"),
+            F.min(F.struct(F.col(id_col), F.col("pos"))).alias("_keep"),
+        )
+        .filter(F.col("_cnt") > 1)
+        .select("h", "_keep")
+    )
+    return (
+        occ.join(dup, "h")
+        .filter(
+            (F.col(id_col) != F.col("_keep")[id_col])
+            | (F.col("pos") != F.col("_keep")["pos"])
+        )
+        .select(id_col, "pos")
+    )
+
+
+def substring_dedup(
+    df: DataFrame,
+    length: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_fn=None,
+) -> DataFrame:
+    """One row per input doc: (id_col, clean_text, n_tokens,
+    n_removed). clean_text drops every token covered by a flagged
+    gram window; docs without duplicated grams pass through with
+    n_removed = 0."""
+    flagged = duplicated_spans(df, length, id_col, text_col, hash_fn)
+    rm = flagged.groupBy(id_col).agg(
+        F.array_sort(F.collect_set("pos")).alias("_starts")
+    )
+    toks = tokens(F.col(text_col))
+    # union of [p, p+L-1] windows, as a distinct position array —
+    # bounded by the doc's own token count; in-row, no explode
+    rm_pos = F.array_distinct(
+        F.flatten(
+            F.transform(
+                F.col("_starts"),
+                lambda p: F.sequence(p, p + F.lit(length - 1)),
+            )
+        )
+    )
+    kept = F.filter(
+        F.col("_toks"),
+        lambda t, i: ~F.array_contains(F.col("_rm"), i + F.lit(1)),
+    )
+    return (
+        df.select(F.col(id_col), toks.alias("_toks"))
+        .join(rm, id_col, "left")
+        .select(
+            id_col,
+            "_toks",
+            F.coalesce(rm_pos, F.array().cast("array<int>")).alias("_rm"),
+        )
+        .select(
+            id_col,
+            F.concat_ws(" ", kept).alias("clean_text"),
+            F.size("_toks").cast("long").alias("n_tokens"),
+            F.size(F.array_intersect("_rm", F.sequence(F.lit(1), F.size("_toks"))))
+            .cast("long")
+            .alias("n_removed"),
+        )
+    )

@@ -2334,6 +2334,40 @@ def docs_bm25_indexed(spark, sf_dir):
     return bm25_rank_indexed(postings, doclens, ["the", "data"], k=10)
 
 
+@query("docs_substring_dedup")
+def docs_substring_dedup(spark, sf_dir):
+    """Exact-substring deduplication (round 10 —
+    operators/substrings.py; Lee et al. ACL 2022 ExactSubstr):
+    corpus-wide removal of repeated >= L-token spans — the
+    boilerplate pathology document/paragraph dedup misses. L=8 on
+    the synthetic corpus (its planted near-dup templates share
+    8-token spans, so excisions exist); the operator default is the
+    paper's 50. md5_hash31 is the oracle-check gram hash; the
+    production default stays xxhash31 (the _fast twin). Only
+    (h, doc_id, pos) int triples enter exchanges; the canonical
+    first occurrence of each duplicated gram survives, every other
+    occurrence's window is excised. Tail registration; first driver
+    row queued for the round-11 window."""
+    from irclogbot_spark.operators.dedup import md5_hash31
+    from irclogbot_spark.operators.substrings import substring_dedup
+
+    return substring_dedup(
+        _t(spark, sf_dir, "documents"), length=8, hash_fn=md5_hash31
+    )
+
+
+@query("docs_substring_dedup_fast")
+def docs_substring_dedup_fast(spark, sf_dir):
+    """Production-hash twin of docs_substring_dedup (the established
+    _fast convention): same excision pipeline under the default
+    xxhash31 gram hash. No SQL oracle (xxhash64 ∉ DuckDB) —
+    rows-only check; benched beside the checkable twin so the scale
+    figure is the production hash's."""
+    from irclogbot_spark.operators.substrings import substring_dedup
+
+    return substring_dedup(_t(spark, sf_dir, "documents"), length=8)
+
+
 @query("docs_paragraph_dedup")
 def docs_paragraph_dedup(spark, sf_dir):
     """CCNet-style paragraph-level dedup (operators/paragraphs.py):

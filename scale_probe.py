@@ -140,7 +140,17 @@ def _stage_totals(ui: str) -> dict[str, int]:
     }
 
 
-def probe(spark, queries, names, sf_dir: str, reps: int) -> dict[str, dict]:
+def probe(
+    spark, queries, names, sf_dir: str, reps: int, sink: str = "noop"
+) -> dict[str, dict]:
+    """sink='noop' (default since round 10) fully materializes every
+    query through the noop writer — the bench.py convention. A bare
+    .count() (sink='count', the pre-r10 behavior, kept for
+    comparability reruns of old rows) lets Catalyst ELIMINATE
+    subtrees a count can prove row-preserving — e.g. the left-outer
+    enrich join ending substring_dedup drops its entire dedup
+    pipeline under count(), reporting near-zero shuffle
+    (SCALE.md round-10 note)."""
     ui = spark.sparkContext.uiWebUrl
     out = {}
     for name in names:
@@ -148,7 +158,12 @@ def probe(spark, queries, names, sf_dir: str, reps: int) -> dict[str, dict]:
         for _ in range(reps):
             before = _stage_totals(ui)
             t0 = time.time()
-            n_rows = queries[name](spark, sf_dir).count()
+            df = queries[name](spark, sf_dir)
+            if sink == "noop":
+                df.write.format("noop").mode("overwrite").save()
+                n_rows = -1  # not collected; the noop sink has no count
+            else:
+                n_rows = df.count()
             dt = time.time() - t0
             after = _stage_totals(ui)
             if best is None or dt < best:
@@ -279,6 +294,14 @@ def main() -> None:
         help="comma-separated subset of PROBE_QUERIES to run",
     )
     ap.add_argument(
+        "--sink",
+        choices=["noop", "count"],
+        default="noop",
+        help="noop = full materialization (default, round 10); "
+        "count = the pre-r10 .count() (subtree-elimination caveat "
+        "in probe()'s docstring)",
+    )
+    ap.add_argument(
         "--crawl",
         action="store_true",
         help="run the crawl-admission + WARC probe instead of PROBE_QUERIES",
@@ -317,9 +340,9 @@ def main() -> None:
     else:
         qs = entry.queries()
         print("== sf0.1 ==")
-        small = probe(spark, qs, probe_queries, src, args.reps)
+        small = probe(spark, qs, probe_queries, src, args.reps, args.sink)
         print("== sf1 (10x) ==")
-        big = probe(spark, qs, probe_queries, args.out, args.reps)
+        big = probe(spark, qs, probe_queries, args.out, args.reps, args.sink)
 
     print("\n| query | sf0.1 s | sf1 s | time x | sf0.1 shufW MB | sf1 shufW MB | shufW x |")
     print("|---|---|---|---|---|---|---|")

@@ -41,6 +41,7 @@ def test_rows_only_queries_register_after_the_cap():
         "ingest_compat_ids",
         "docs_prep_pipeline_fast",
         "docs_dedup_keep_best_fast",
+        "docs_substring_dedup_fast",
         "events_approx_stats",
         "docs_compression_ratio",
         "docs_corpus_shuffle_fast",

@@ -1126,3 +1126,70 @@ def test_prefix_filter_positional_filter_inrow(spark):
         ).collect()
     }
     assert got_on == want and got_off == want
+
+
+def test_substring_dedup_excises_noncanonical_repeats(spark):
+    """operators/substrings.py (round 10 — Lee et al. ExactSubstr):
+    the globally first occurrence of a duplicated L-gram survives;
+    every other occurrence's window is excised; untouched docs pass
+    through verbatim (single-space re-joined)."""
+    from irclogbot_spark.operators.substrings import substring_dedup
+
+    rows = [
+        (1, "a b c d e f g h unique one tail"),
+        (2, "x y a b c d e f g h z w"),
+        (3, "totally different text with no repeats"),
+        (4, "x y a b c d e f g h z w"),  # exact dup of 2
+        (5, "short"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.clean_text, r.n_tokens, r.n_removed)
+        for r in substring_dedup(df, length=8).collect()
+    }
+    assert got[1] == ("a b c d e f g h unique one tail", 11, 0)
+    assert got[2] == ("x y z w", 12, 8)  # repeated 8-gram gone
+    assert got[3] == ("totally different text with no repeats", 6, 0)
+    assert got[4] == ("", 12, 12)  # all grams non-canonical vs doc 2
+    assert got[5] == ("short", 1, 0)  # < L tokens: no grams, kept
+
+
+def test_substring_dedup_merges_overlapping_windows(spark):
+    """Two overlapping flagged grams excise the UNION of their
+    windows, not double-count: a 9-token repeat under L=8 flags two
+    overlapping grams whose union is the 9-token span."""
+    from irclogbot_spark.operators.substrings import substring_dedup
+
+    span = "p q r s t u v w x"  # 9 tokens
+    rows = [
+        (1, span + " ending-one"),
+        (2, "lead-in " + span),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.clean_text, r.n_removed)
+        for r in substring_dedup(df, length=8).collect()
+    }
+    assert got[1] == (span + " ending-one", 0)
+    assert got[2] == ("lead-in", 9)  # union of [2..9] and [3..10]
+
+
+def test_substring_dedup_plan_no_sort_join_and_int_exchanges(spark):
+    """Scale pin: no sort-merge join (the h join stays
+    hash/broadcast on 8-byte keys), and every hash exchange is keyed
+    on h or doc_id — gram strings never enter an exchange."""
+    from irclogbot_spark.operators.dedup import md5_hash31
+    from irclogbot_spark.operators.substrings import substring_dedup
+
+    d = load_table(spark, "/root/testdata/sf0.001", "documents")
+    plan = (
+        substring_dedup(d, length=8, hash_fn=md5_hash31)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "SortMergeJoin" not in plan, plan
+    hashex = [l for l in plan.splitlines() if "hashpartitioning" in l]
+    assert hashex
+    for l in hashex:
+        assert ("h#" in l) or ("doc_id" in l), l
