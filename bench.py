@@ -188,6 +188,7 @@ HEADLINE = [
     "docs_bm25_atrest",
     "docs_substring_dedup",
     "docs_substring_dedup_fast",
+    "docs_substring_dedup_incr",
 ]
 
 #: Every registered query NOT in HEADLINE (VERDICT r7 missing #4:

@@ -170,3 +170,111 @@ def substring_dedup(
             .alias("n_removed"),
         )
     )
+
+
+def gram_index(
+    df: DataFrame,
+    length: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_fn=None,
+) -> DataFrame:
+    """The persistable artifact of the incremental pass: the DISTINCT
+    gram-hash set of a corpus — one (h) long per distinct L-gram
+    (~8 bytes/gram at rest; the Heaps-sublinear vocabulary of
+    spans). A deployment materializes it once and appends each
+    batch's NEW hashes."""
+    return (
+        gram_occurrences(df, length, id_col, text_col, hash_fn)
+        .select("h")
+        .distinct()
+    )
+
+
+def substring_dedup_incremental(
+    batch: DataFrame,
+    hist_hashes: DataFrame,
+    length: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_fn=None,
+    occ: DataFrame | None = None,
+) -> DataFrame:
+    """Excise a NEW batch against an accumulated gram index — the
+    production shape: a crawl lands, only ITS text is ever hashed
+    (nothing re-derives history grams; the index probes by 8-byte
+    hash equality). ``occ`` optionally supplies an
+    already-materialized :func:`gram_occurrences` frame for the
+    batch so a caller with its own consumer (the streaming index
+    append) hashes the batch once.
+
+    HISTORY OUTRANKS: every batch occurrence of a history gram is
+    excised (history already holds the canonical copy); for grams
+    unseen in history the within-batch rule is the one-shot
+    operator's (first (doc_id, pos) occurrence survives). When
+    history doc ids sort before batch ids this equals
+    ``substring_dedup`` over history ∪ batch restricted to the batch
+    rows (pinned by test). Output shape matches
+    :func:`substring_dedup`.
+
+    Scale shape: batch gram hashing in-row; the history probe is a
+    hash-equality join of (h) longs — the index side never carries
+    positions; the within-batch agg is batch-sized."""
+    if occ is None:
+        occ = gram_occurrences(
+            batch, length, id_col, text_col, hash_fn
+        ).localCheckpoint(eager=True)
+    hist = hist_hashes.select("h").distinct()
+    in_hist = occ.join(hist, "h", "left_semi").select(id_col, "pos")
+    fresh = occ.join(hist, "h", "left_anti")
+    dup = (
+        fresh.groupBy("h")
+        .agg(
+            F.count(F.lit(1)).alias("_cnt"),
+            F.min(F.struct(F.col(id_col), F.col("pos"))).alias("_keep"),
+        )
+        .filter(F.col("_cnt") > 1)
+        .select("h", "_keep")
+    )
+    in_batch = (
+        fresh.join(dup, "h")
+        .filter(
+            (F.col(id_col) != F.col("_keep")[id_col])
+            | (F.col("pos") != F.col("_keep")["pos"])
+        )
+        .select(id_col, "pos")
+    )
+    flagged = in_hist.unionByName(in_batch)
+    rm = flagged.groupBy(id_col).agg(
+        F.array_sort(F.collect_set("pos")).alias("_starts")
+    )
+    toks = tokens(F.col(text_col))
+    rm_pos = F.array_distinct(
+        F.flatten(
+            F.transform(
+                F.col("_starts"),
+                lambda p: F.sequence(p, p + F.lit(length - 1)),
+            )
+        )
+    )
+    kept = F.filter(
+        F.col("_toks"),
+        lambda t, i: ~F.array_contains(F.col("_rm"), i + F.lit(1)),
+    )
+    return (
+        batch.select(F.col(id_col), toks.alias("_toks"))
+        .join(rm, id_col, "left")
+        .select(
+            id_col,
+            "_toks",
+            F.coalesce(rm_pos, F.array().cast("array<int>")).alias("_rm"),
+        )
+        .select(
+            id_col,
+            F.concat_ws(" ", kept).alias("clean_text"),
+            F.size("_toks").cast("long").alias("n_tokens"),
+            F.size(F.array_intersect("_rm", F.sequence(F.lit(1), F.size("_toks"))))
+            .cast("long")
+            .alias("n_removed"),
+        )
+    )

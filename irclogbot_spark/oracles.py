@@ -5192,3 +5192,53 @@ SELECT d.doc_id,
   COALESCE(rb.n_removed, 0) AS n_removed
 FROM toks d LEFT JOIN rebuilt rb USING (doc_id)
 """
+
+
+# Round 10 (cont.): the incremental form — history ids sort before
+# batch ids, so the one-shot replay restricted to batch rows IS the
+# incremental semantic (history outranks == globally-first).
+ORACLES["docs_substring_dedup_incr"] = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents
+),
+pos_ AS (
+  SELECT doc_id, t, unnest(generate_series(1, len(t) - 7)) AS pos FROM toks
+),
+occ AS (
+  SELECT doc_id, CAST(pos AS INT) AS pos,
+    CAST('0x' || substr(md5(array_to_string(t[pos:pos+7], ' ')), 1, 15)
+         AS BIGINT) % 2147483647 AS h
+  FROM pos_
+),
+flagged AS (
+  SELECT doc_id, pos FROM (
+    SELECT doc_id, pos,
+      ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn,
+      COUNT(*) OVER (PARTITION BY h) AS c
+    FROM occ
+  ) WHERE c > 1 AND rn > 1
+),
+removed AS (
+  SELECT DISTINCT doc_id, unnest(generate_series(pos, pos + 7)) AS rp
+  FROM flagged
+),
+tokpos_ AS (
+  SELECT doc_id, t, unnest(generate_series(1, len(t))) AS p FROM toks
+),
+tokpos AS (SELECT doc_id, t[p] AS tok, p FROM tokpos_),
+rebuilt AS (
+  SELECT tk.doc_id,
+    string_agg(tk.tok, ' ' ORDER BY tk.p) FILTER (WHERE r.rp IS NULL)
+      AS clean_text,
+    CAST(COUNT(r.rp) AS BIGINT) AS n_removed
+  FROM tokpos tk
+  LEFT JOIN removed r ON r.doc_id = tk.doc_id AND r.rp = tk.p
+  GROUP BY tk.doc_id
+)
+SELECT d.doc_id,
+  COALESCE(rb.clean_text, '') AS clean_text,
+  CAST(len(d.t) AS BIGINT) AS n_tokens,
+  COALESCE(rb.n_removed, 0) AS n_removed
+FROM toks d LEFT JOIN rebuilt rb USING (doc_id)
+WHERE d.doc_id >= 250
+"""

@@ -2286,7 +2286,9 @@ _DRIVER_WINDOW = [
     "docs_multikey_linkage",
     "docs_ngram_novelty",
 ]
-# ROUND-11 ROTATION PLAN: the remaining r7-vintage rows
+# ROUND-11 ROTATION PLAN: FIRST rows for the round-10 tail
+# registrations (docs_substring_dedup, docs_substring_dedup_incr),
+# then the remaining r7-vintage rows
 # (docs_priority_sample, docs_quality_score, docs_source_containment,
 # docs_temperature_mix, docs_tfidf_topk, docs_unigram_segment,
 # emb_hard_negatives, emb_ivf_recall, emb_pq_topk,
@@ -2353,6 +2355,35 @@ def docs_substring_dedup(spark, sf_dir):
 
     return substring_dedup(
         _t(spark, sf_dir, "documents"), length=8, hash_fn=md5_hash31
+    )
+
+
+@query("docs_substring_dedup_incr")
+def docs_substring_dedup_incr(spark, sf_dir):
+    """Incremental exact-substring dedup (round 10 —
+    substring_dedup_incremental): docs with doc_id < 250 are the
+    HISTORY (only their distinct gram-hash index is probed — history
+    text is never re-hashed at excision time), the rest the arriving
+    batch. History outranks; the within-batch rule is the one-shot
+    operator's. Because history ids sort before batch ids, the
+    result EQUALS the one-shot substring_dedup over the whole corpus
+    restricted to batch rows — which is exactly what the oracle
+    replays. Tail registration; first driver row queued for the
+    round-11 window."""
+    from irclogbot_spark.operators.dedup import md5_hash31
+    from irclogbot_spark.operators.substrings import (
+        gram_index,
+        substring_dedup_incremental,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    hist = d.filter(F.col("doc_id") < 250)
+    batch = d.filter(F.col("doc_id") >= 250)
+    return substring_dedup_incremental(
+        batch,
+        gram_index(hist, length=8, hash_fn=md5_hash31),
+        length=8,
+        hash_fn=md5_hash31,
     )
 
 

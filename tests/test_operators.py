@@ -1193,3 +1193,38 @@ def test_substring_dedup_plan_no_sort_join_and_int_exchanges(spark):
     assert hashex
     for l in hashex:
         assert ("h#" in l) or ("doc_id" in l), l
+
+
+def test_substring_dedup_incremental_history_outranks(spark):
+    """substring_dedup_incremental: a batch occurrence of a history
+    gram is excised even when the batch doc_id is SMALLER than the
+    history doc's (history outranks by deployment order, not id);
+    grams unseen in history follow the one-shot within-batch rule."""
+    from irclogbot_spark.operators.substrings import (
+        gram_index,
+        substring_dedup_incremental,
+    )
+
+    span = "a b c d e f g h"
+    hist = spark.createDataFrame(
+        [(100, span + " history tail")], "doc_id long, text string"
+    )
+    batch = spark.createDataFrame(
+        [
+            (1, "x y " + span + " z w"),   # id < history's, still excised
+            (2, "m n o p q r s t fresh"),
+            (3, "m n o p q r s t fresh"),  # in-batch dup of 2
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.clean_text, r.n_removed)
+        for r in substring_dedup_incremental(
+            batch, gram_index(hist, length=8), length=8
+        ).collect()
+    }
+    assert got[1] == ("x y z w", 8)
+    assert got[2] == ("m n o p q r s t fresh", 0)
+    # doc 3 carries TWO duplicated grams (pos 1 and pos 2); their
+    # window union [1..9] covers every token
+    assert got[3] == ("", 9)

@@ -1365,3 +1365,77 @@ def test_crawl_admit_to_text_index_one_batch(spark, tmp_path):
     TX.compact(spark, index_dir, upto_batch_id=1)
     assert phrase_hits(["slow", "hash", "batch"]) == {11}
     assert phrase_hits(["alpha", "beta", "gamma"]) == {1}
+
+
+def test_continuous_substring_dedup_matches_one_shot(spark, tmp_path):
+    """streaming/substrings.py (round 10): a two-batch document
+    stream excised per micro-batch against the accumulated gram
+    index must equal the ONE-SHOT substring_dedup over the combined
+    corpus (history ids sort before batch ids, so history-outranks
+    == globally-first); a crash replay of batch 1 under the same
+    batch_id converges; the index grows by NEW hashes only."""
+    import json as _json
+
+    from irclogbot_spark.operators.substrings import substring_dedup
+    from irclogbot_spark.streaming import substrings as SS
+
+    src = tmp_path / "ss_src"
+    src.mkdir()
+    work = str(tmp_path / "ss_work")
+
+    def feed(rows):
+        fname = src / f"b{len(list(src.iterdir()))}.json"
+        fname.write_text(
+            "\n".join(_json.dumps({"doc_id": i, "text": t}) for i, t in rows)
+        )
+        q = SS.continuous_substring_dedup(
+            spark.readStream.schema("doc_id long, text string").json(str(src)),
+            work,
+            str(tmp_path / "ss_ckpt"),
+            length=8,
+        )
+        q.awaitTermination(120)
+
+    span = "a b c d e f g h"
+    batch1 = [(1, span + " unique one tail"), (2, "nothing shared here at all")]
+    batch2 = [
+        (11, "x y " + span + " z w"),       # repeats a batch-1 span
+        (12, "x y " + span + " z w"),       # AND duplicates doc 11 in-batch
+        (13, "fresh tokens only in this doc"),
+    ]
+    feed(batch1)
+    feed(batch2)
+
+    got = {
+        r.doc_id: (r.clean_text, r.n_removed)
+        for r in spark.read.parquet(f"{work}/clean").collect()
+    }
+    want = {
+        r.doc_id: (r.clean_text, r.n_removed)
+        for r in substring_dedup(
+            spark.createDataFrame(
+                batch1 + batch2, "doc_id long, text string"
+            ),
+            length=8,
+        ).collect()
+    }
+    assert got == want
+    assert got[1] == (span + " unique one tail", 0)  # canonical survives
+    assert got[11] == ("x y z w", 8)
+    assert got[12][1] == 12  # every token of 12 is covered
+
+    # index holds the distinct hashes of everything ingested, split
+    # across the two batch partitions with no overlap
+    idx = spark.read.parquet(f"{work}/gram_index")
+    n_idx = idx.count()
+    assert n_idx == idx.select("h").distinct().count()
+
+    # crash replay: rerun batch 2's body under the same batch_id
+    batch2_df = spark.createDataFrame(batch2, "doc_id long, text string")
+    SS.substring_ingest_batch(batch2_df, 1, work, length=8)
+    got2 = {
+        r.doc_id: (r.clean_text, r.n_removed)
+        for r in spark.read.parquet(f"{work}/clean").collect()
+    }
+    assert got2 == want
+    assert spark.read.parquet(f"{work}/gram_index").count() == n_idx
