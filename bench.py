@@ -189,6 +189,8 @@ HEADLINE = [
     "docs_substring_dedup",
     "docs_substring_dedup_fast",
     "docs_substring_dedup_incr",
+    "docs_fuzzy_term_search_atrest",
+    "docs_more_like_this_atrest",
 ]
 
 #: Every registered query NOT in HEADLINE (VERDICT r7 missing #4:

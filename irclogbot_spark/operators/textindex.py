@@ -10,13 +10,16 @@ bit-identical to Spark's `crc32`), so an exact-term probe — BM25,
 match_phrase, span_near — reads only the probed bucket directories
 (storage-level PartitionFilters), never the whole index.
 
-Honest pruning boundary, stated once: FUZZY term queries and
-more_like_this read the full postings by nature (fuzzy must see
-every vocabulary term within edit distance; MLT derives document
-frequency over all terms), so bucket pruning cannot help them — they
-get the artifact reuse (no corpus re-scan) without the prune. ES has
-the same asymmetry: a term query hits one postings list, a fuzzy
-query walks the term dictionary.
+Pruning boundary (round 10 closes the round-9 asymmetry): FUZZY and
+more_like_this cannot bucket-prune their TERM DISCOVERY — fuzzy
+must see every vocabulary term within edit distance, MLT needs df —
+but ES doesn't read postings for that either: it walks the term
+dictionary. The ``vocab`` sidecar (term, df — term-type-sized,
+Heaps-sublinear) is that dictionary: fuzzy_term_search_atrest /
+more_like_this_atrest walk it, collect the matched/selected types
+(bounded, the learned-table size class), and fetch only those
+terms' postings with literal bucket PartitionFilters. The full
+postings are never read by any query type.
 
 Streaming maintenance lives in streaming/textindex.py (the
 trgmindex.py recipe: per-batch map-only appends into the batch's own
@@ -69,6 +72,15 @@ def write_text_index(
     df.select(F.col(id_col), F.size(toks).alias("dl")).write.mode(
         "overwrite"
     ).parquet(os.path.join(path, "doclens"))
+    # term dictionary (round 10 — ES's term dict/FST analog): the
+    # (term, df) vocabulary, derived from the just-written postings
+    # (an at-rest scan — no re-tokenize). Fuzzy walks THIS instead
+    # of the full postings; matched types then bucket-prune the
+    # postings fetch. Term-type-sized (Heaps-sublinear).
+    spark = df.sparkSession
+    spark.read.parquet(os.path.join(path, "postings")).groupBy("term").agg(
+        F.count(F.lit(1)).alias("df")
+    ).write.mode("overwrite").parquet(os.path.join(path, "vocab"))
     with open(os.path.join(path, META_NAME), "w") as f:
         json.dump({"n_buckets": n_buckets, "id_col": id_col}, f)
 
@@ -110,4 +122,139 @@ def postings_tf(pidx: DataFrame, id_col: str = "doc_id") -> DataFrame:
     positional artifact strictly generalizes the tf one."""
     return pidx.select(
         id_col, "term", F.size("positions").cast("long").alias("tf")
+    )
+
+
+def read_vocab(spark: SparkSession, path: str) -> DataFrame:
+    """(term, df) term dictionary of an at-rest index."""
+    return spark.read.parquet(os.path.join(path, "vocab"))
+
+
+def fuzzy_term_search_atrest(
+    spark: SparkSession,
+    path: str,
+    terms: list[str],
+    max_dist: int = 1,
+    id_col: str = "doc_id",
+    max_expansions: int | None = None,
+) -> DataFrame:
+    """ES fuzzy query against the at-rest index, the way ES actually
+    executes it (round 10 — closing the documented fuzzy-reads-all-
+    buckets asymmetry): walk the TERM DICTIONARY (the vocab sidecar,
+    term-type-sized) with the banded Levenshtein DP, collect the
+    matched types (bounded — the vocabulary within edit distance;
+    the same sanctioned driver-side size class as learned
+    centroids), then fetch ONLY those terms' postings with
+    driver-computed literal bucket filters (PartitionFilters — the
+    probe reads the matched terms' bucket dirs, never the index).
+
+    ``max_expansions`` (ES's knob, default unlimited here so the
+    result equals the exhaustive oracle): keep only the N matched
+    types with the highest document frequency (ties: term asc) —
+    the top-frequency rewrite ES applies.
+
+    Returns distinct (term, doc_id) — the editdist.fuzzy_term_search
+    shape."""
+    if not terms:
+        raise ValueError("need at least one term")
+    pidx, _lens, n_buckets = read_text_index(spark, path)
+    vocab = read_vocab(spark, path)
+    tdf = spark.createDataFrame([(t,) for t in terms], "term string")
+    dist = F.levenshtein(F.col("tok"), F.col("term"), max_dist)
+    matches = (
+        vocab.select(F.col("term").alias("tok"), "df")
+        .join(
+            F.broadcast(tdf),
+            (F.abs(F.length("tok") - F.length("term")) <= F.lit(max_dist))
+            & (dist >= 0)
+            & (dist <= max_dist),
+        )
+        .select("term", "tok", "df")
+    )
+    if max_expansions is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("term").orderBy(F.desc("df"), "tok")
+        matches = (
+            matches.withColumn("_r", F.row_number().over(w))
+            .filter(F.col("_r") <= max_expansions)
+            .drop("_r")
+        )
+    rows = matches.select("term", "tok").collect()
+    mdf = spark.createDataFrame(rows, "term string, tok string")
+    probed = probe_postings(
+        pidx, sorted({r.tok for r in rows}), n_buckets
+    ).select(F.col("term").alias("tok"), id_col)
+    return (
+        probed.join(F.broadcast(mdf), "tok")
+        .select("term", F.col(id_col))
+        .distinct()
+    )
+
+
+def more_like_this_atrest(
+    spark: SparkSession,
+    path: str,
+    corpus: DataFrame,
+    query_ids: list[int],
+    top_terms: int = 5,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """ES more_like_this against the at-rest index, fully pruned
+    (round 10 — closing the documented MLT-reads-all-buckets
+    asymmetry): the query docs' term vectors come from a corpus
+    POINT LOOKUP (id-pushdown scan of a handful of rows, tokenized
+    in-row — ES's "like" text handling); per-term df comes from the
+    VOCAB sidecar (term-type-sized, never the postings); the
+    selected top terms (<= |query_ids| * top_terms — tiny) collect
+    driver-side and bucket-prune the candidate postings fetch.
+    Scores are the bit-identical integer pipeline of
+    functions/text.py more_like_this (same oracle)."""
+    from pyspark.sql import Window
+
+    from irclogbot_spark.functions.text import build_text_index
+
+    if not query_ids:
+        raise ValueError("need at least one query doc id")
+    pidx, lens, n_buckets = read_text_index(spark, path)
+    vocab = read_vocab(spark, path)
+    ids = [int(i) for i in query_ids]
+    qpostings, _ = build_text_index(
+        corpus.filter(F.col(id_col).isin(ids)), id_col, text_col
+    )
+    nrow = lens.agg(F.count(F.lit(1)).alias("n_docs"))
+    qt = (
+        qpostings.join(vocab.withColumnRenamed("df", "dfq"), "term")
+        .crossJoin(F.broadcast(nrow))
+        .withColumn("idf_milli", F.expr("(n_docs * 1000) DIV dfq"))
+        .withColumn("w", F.col("tf") * F.col("idf_milli"))
+    )
+    tw = Window.partitionBy(id_col).orderBy(F.desc("w"), "term")
+    qterms = (
+        qt.withColumn("_trnk", F.row_number().over(tw))
+        .filter(F.col("_trnk") <= top_terms)
+        .select(F.col(id_col).alias("query_id"), "term", "idf_milli")
+    )
+    qrows = qterms.collect()
+    qdf = spark.createDataFrame(
+        qrows, "query_id long, term string, idf_milli long"
+    )
+    probed = postings_tf(
+        probe_postings(pidx, sorted({r.term for r in qrows}), n_buckets),
+        id_col,
+    )
+    scored = (
+        probed.withColumnRenamed(id_col, "cand_id")
+        .join(F.broadcast(qdf), "term")
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .groupBy("query_id", "cand_id")
+        .agg(F.sum(F.col("tf") * F.col("idf_milli")).alias("score_milli"))
+    )
+    rw = Window.partitionBy("query_id").orderBy(F.desc("score_milli"), "cand_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(rw).cast("long"))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "cand_id", "score_milli", "rnk")
     )

@@ -5242,3 +5242,10 @@ SELECT d.doc_id,
 FROM toks d LEFT JOIN rebuilt rb USING (doc_id)
 WHERE d.doc_id >= 250
 """
+
+
+# Round 10 (cont.): the at-rest term-dictionary paths serve the SAME
+# logical queries — second physical path, one value hash each (the
+# bm25_indexed convention).
+ORACLES["docs_fuzzy_term_search_atrest"] = ORACLES["docs_fuzzy_term_search"]
+ORACLES["docs_more_like_this_atrest"] = ORACLES["docs_more_like_this"]

@@ -2287,7 +2287,8 @@ _DRIVER_WINDOW = [
     "docs_ngram_novelty",
 ]
 # ROUND-11 ROTATION PLAN: FIRST rows for the round-10 tail
-# registrations (docs_substring_dedup, docs_substring_dedup_incr),
+# registrations (docs_substring_dedup, docs_substring_dedup_incr,
+# docs_fuzzy_term_search_atrest, docs_more_like_this_atrest),
 # then the remaining r7-vintage rows
 # (docs_priority_sample, docs_quality_score, docs_source_containment,
 # docs_temperature_mix, docs_tfidf_topk, docs_unigram_segment,
@@ -4979,6 +4980,49 @@ def docs_phrase_search_atrest(spark, sf_dir):
     pidx, _lens, n_buckets = _text_index_at_rest(spark, sf_dir)
     probed = probe_postings(pidx, _PHRASE, n_buckets)
     return phrase_search_indexed(probed, _PHRASE)
+
+
+@query("docs_fuzzy_term_search_atrest")
+def docs_fuzzy_term_search_atrest(spark, sf_dir):
+    """ES fuzzy query served the way ES serves it (round 10 —
+    operators/textindex.py fuzzy_term_search_atrest): the banded
+    Levenshtein DP walks the at-rest index's TERM DICTIONARY (the
+    vocab sidecar — term-type-sized, never the postings), the
+    matched types collect driver-side (bounded), and the postings
+    fetch is bucket-pruned with literal PartitionFilters. Closes the
+    round-9 'fuzzy honestly reads all buckets' asymmetry. Same
+    oracle as docs_fuzzy_term_search — second physical path, one
+    value hash. Tail registration; queued for the round-11
+    window."""
+    from irclogbot_spark.operators.textindex import fuzzy_term_search_atrest
+
+    _pidx, _lens, _nb = _text_index_at_rest(spark, sf_dir)
+    return fuzzy_term_search_atrest(
+        spark, _TEXT_INDEX[sf_dir], _FUZZY_TERMS, max_dist=1
+    )
+
+
+@query("docs_more_like_this_atrest")
+def docs_more_like_this_atrest(spark, sf_dir):
+    """ES more_like_this, fully pruned against the at-rest index
+    (round 10 — operators/textindex.py more_like_this_atrest):
+    query-doc term vectors from an id-pushdown corpus point lookup,
+    df from the vocab sidecar, selected top terms collected
+    (<= 15) and bucket-pruning the candidate postings fetch. Bit-
+    identical integer scores to docs_more_like_this — second
+    physical path on its oracle. Tail registration; queued for the
+    round-11 window."""
+    from irclogbot_spark.operators.textindex import more_like_this_atrest
+
+    _pidx, _lens, _nb = _text_index_at_rest(spark, sf_dir)
+    return more_like_this_atrest(
+        spark,
+        _TEXT_INDEX[sf_dir],
+        _t(spark, sf_dir, "documents"),
+        [0, 1, 2],
+        top_terms=5,
+        k=10,
+    )
 
 
 @query("docs_bm25_atrest")

@@ -17,7 +17,12 @@ probe time, so the stream needs no running aggregate state.
 ``load_text`` plugs straight into probe_postings / postings_tf +
 bm25_rank_indexed and serves exactly what the one-shot
 write_text_index artifact serves (pinned by test across compaction
-and crash replay)."""
+and crash replay). The one-shot artifact's ``vocab`` term
+dictionary (round 10) is NOT maintained here — a streamed index
+derives a vocabulary on the fly from its postings when a fuzzy/MLT
+probe needs one; the at-rest dictionary is a compaction-time
+artifact by nature (ES builds its term dict per segment the same
+way)."""
 
 from __future__ import annotations
 

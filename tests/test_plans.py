@@ -885,3 +885,57 @@ def test_adjacency_matrix_single_pass(spark):
     # the formatted plan names each node twice (tree + detail):
     # exactly one scan node => exactly two mentions
     assert plan.count("Scan parquet") == 2, plan
+
+
+def test_fuzzy_atrest_walks_vocab_and_prunes_postings(spark):
+    """docs_fuzzy_term_search_atrest (round 10): the postings fetch
+    must carry term_bkt PartitionFilters (only the matched types'
+    bucket dirs are read — the term-discovery walk happens on the
+    vocab sidecar, never the postings), and values must equal the
+    corpus-scan form exactly."""
+    import re as _re
+
+    df = entrymod.queries()["docs_fuzzy_term_search_atrest"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    pf = _re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert any("term_bkt" in m for m in pf), plan[:2000]
+    got = {(r.term, r.doc_id) for r in df.collect()}
+    want = {
+        (r.term, r.doc_id)
+        for r in entrymod.queries()["docs_fuzzy_term_search"](
+            spark, SF
+        ).collect()
+    }
+    assert got == want
+
+
+def test_mlt_atrest_point_lookup_and_pruned_postings(spark):
+    """docs_more_like_this_atrest (round 10): the candidate postings
+    fetch carries term_bkt PartitionFilters; the query docs come
+    from an id-pushdown corpus point lookup (doc_id pushed to the
+    documents scan); scores bit-equal the inline form."""
+    import re as _re
+
+    df = entrymod.queries()["docs_more_like_this_atrest"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    pf = _re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert any("term_bkt" in m for m in pf), plan[:2000]
+    # the query-doc term vectors run at construction time (the tiny
+    # qterms collect), so the id pushdown is asserted on the
+    # point-lookup frame itself
+    from irclogbot_spark.sources.tables import load_table
+
+    lookup = load_table(spark, SF, "documents").filter(
+        F.col("doc_id").isin([0, 1, 2])
+    )
+    lplan = lookup._jdf.queryExecution().executedPlan().toString()
+    pushed = _re.findall(r"PushedFilters: \[([^\]]*)\]", lplan)
+    assert any("doc_id" in m and "In" in m for m in pushed), pushed
+    got = [tuple(r) for r in df.orderBy("query_id", "rnk").collect()]
+    want = [
+        tuple(r)
+        for r in entrymod.queries()["docs_more_like_this"](spark, SF)
+        .orderBy("query_id", "rnk")
+        .collect()
+    ]
+    assert got == want
