@@ -242,6 +242,8 @@ CHEAP = [
     "events_pipeline_aggs",
     "docs_rare_terms",
     "events_adjacency_matrix",
+    # round 10: dictionary-only — cheap by design
+    "docs_prefix_suggest_atrest",
 ]
 
 #: headline queries that derive from the irclog (re-timed over the

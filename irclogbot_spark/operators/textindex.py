@@ -79,7 +79,8 @@ def write_text_index(
     # postings fetch. Term-type-sized (Heaps-sublinear).
     spark = df.sparkSession
     spark.read.parquet(os.path.join(path, "postings")).groupBy("term").agg(
-        F.count(F.lit(1)).alias("df")
+        F.count(F.lit(1)).alias("df"),
+        F.sum(F.size("positions")).cast("long").alias("freq"),
     ).write.mode("overwrite").parquet(os.path.join(path, "vocab"))
     with open(os.path.join(path, META_NAME), "w") as f:
         json.dump({"n_buckets": n_buckets, "id_col": id_col}, f)
@@ -257,4 +258,31 @@ def more_like_this_atrest(
         scored.withColumn("rnk", F.row_number().over(rw).cast("long"))
         .filter(F.col("rnk") <= k)
         .select("query_id", "cand_id", "score_milli", "rnk")
+    )
+
+
+def prefix_suggest_atrest(
+    spark: SparkSession, path: str, prefix: str, k: int = 10
+) -> DataFrame:
+    """ES completion suggester served ENTIRELY from the term
+    dictionary (round 10): the vocab sidecar already carries each
+    term's corpus frequency and document frequency, so a prefix
+    probe is a filter + TakeOrdered over term-type rows — zero
+    postings read, zero aggregation (ES's completion suggester is
+    likewise a pure dictionary/FST structure, never a postings
+    walk). Returns (term, freq, df_docs, rnk) — bit-identical to
+    functions/text.py prefix_suggest."""
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("freq"), "term")
+    return (
+        read_vocab(spark, path)
+        .filter(F.col("term").startswith(prefix))
+        .select(
+            "term",
+            F.col("freq").cast("long").alias("freq"),
+            F.col("df").cast("long").alias("df_docs"),
+        )
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
     )

@@ -5249,3 +5249,4 @@ WHERE d.doc_id >= 250
 # bm25_indexed convention).
 ORACLES["docs_fuzzy_term_search_atrest"] = ORACLES["docs_fuzzy_term_search"]
 ORACLES["docs_more_like_this_atrest"] = ORACLES["docs_more_like_this"]
+ORACLES["docs_prefix_suggest_atrest"] = ORACLES["docs_prefix_suggest"]

@@ -2288,7 +2288,8 @@ _DRIVER_WINDOW = [
 ]
 # ROUND-11 ROTATION PLAN: FIRST rows for the round-10 tail
 # registrations (docs_substring_dedup, docs_substring_dedup_incr,
-# docs_fuzzy_term_search_atrest, docs_more_like_this_atrest),
+# docs_fuzzy_term_search_atrest, docs_more_like_this_atrest,
+# docs_prefix_suggest_atrest),
 # then the remaining r7-vintage rows
 # (docs_priority_sample, docs_quality_score, docs_source_containment,
 # docs_temperature_mix, docs_tfidf_topk, docs_unigram_segment,
@@ -4980,6 +4981,22 @@ def docs_phrase_search_atrest(spark, sf_dir):
     pidx, _lens, n_buckets = _text_index_at_rest(spark, sf_dir)
     probed = probe_postings(pidx, _PHRASE, n_buckets)
     return phrase_search_indexed(probed, _PHRASE)
+
+
+@query("docs_prefix_suggest_atrest")
+def docs_prefix_suggest_atrest(spark, sf_dir):
+    """ES completion suggester served ENTIRELY from the term
+    dictionary (round 10 — operators/textindex.py
+    prefix_suggest_atrest): the vocab sidecar carries freq + df per
+    term, so the probe is a filter + TakeOrdered over term-type
+    rows — ZERO postings read (ES's completion suggester is a pure
+    FST structure the same way). Same oracle as docs_prefix_suggest
+    — second physical path, one value hash. Tail registration;
+    queued for the round-11 window."""
+    from irclogbot_spark.operators.textindex import prefix_suggest_atrest
+
+    _pidx, _lens, _nb = _text_index_at_rest(spark, sf_dir)
+    return prefix_suggest_atrest(spark, _TEXT_INDEX[sf_dir], "s", k=10)
 
 
 @query("docs_fuzzy_term_search_atrest")

@@ -939,3 +939,19 @@ def test_mlt_atrest_point_lookup_and_pruned_postings(spark):
         .collect()
     ]
     assert got == want
+
+
+def test_suggest_atrest_reads_dictionary_only(spark):
+    """docs_prefix_suggest_atrest (round 10): the completion probe
+    must read ONLY the vocab sidecar — no postings scan anywhere in
+    the plan — and equal the corpus-scan suggester exactly."""
+    df = entrymod.queries()["docs_prefix_suggest_atrest"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "vocab" in plan, plan[:2000]
+    assert "postings" not in plan, plan[:2000]
+    got = [tuple(r) for r in df.collect()]
+    want = [
+        tuple(r)
+        for r in entrymod.queries()["docs_prefix_suggest"](spark, SF).collect()
+    ]
+    assert got == want
