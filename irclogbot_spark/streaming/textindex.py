@@ -81,9 +81,87 @@ def compact(spark: SparkSession, index_dir: str, upto_batch_id: int) -> None:
     laid out partitionBy("term_bkt") — literal probe-term bucket
     filters land as PartitionFilters on the generation dirs.
     Doclens partitions stay as written (a narrow two-column table;
-    nothing probes it by term)."""
+    nothing probes it by term).
+
+    Round 10: compaction also builds the TERM DICTIONARY for the new
+    generation (``vocab/gen=G`` — the ES shape: the term dict is a
+    segment-merge artifact). ``load_vocab`` serves it plus an
+    on-the-fly aggregate of any batches the generation doesn't
+    cover, so the dictionary is always current; a crash between the
+    generation write and the vocab write falls back to deriving the
+    dictionary from the generation postings (max-gen rule)."""
     _pi.compact(
         spark, index_dir, upto_batch_id, _POSTING_SCHEMA, _COLS, "term_bkt"
+    )
+    gen = upto_batch_id + 1
+    vpath = f"{index_dir}/vocab/gen={gen}"
+    _vocab_of(
+        spark.read.schema(_POSTING_SCHEMA)
+        .parquet(f"{index_dir}/buckets/gen={gen}")
+        .select(*_COLS)
+    ).write.mode("overwrite").parquet(vpath)
+    path_cls = spark._jvm.org.apache.hadoop.fs.Path
+    p = path_cls(f"{index_dir}/vocab")
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    for g in _pi.part_ids(spark, f"{index_dir}/vocab", "gen"):
+        if g != gen:
+            fs.delete(path_cls(f"{index_dir}/vocab/gen={g}"), True)
+
+
+_VOCAB_SCHEMA = "term string, df long, freq long"
+
+
+def _vocab_of(postings: DataFrame) -> DataFrame:
+    return postings.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df"),
+        F.sum(F.size("positions")).cast("long").alias("freq"),
+    )
+
+
+def load_vocab(spark: SparkSession, index_dir: str) -> DataFrame:
+    """(term, df, freq) dictionary over everything ingested so far:
+    the compacted generation's persisted vocab (or, after a crash
+    between the generation and vocab writes, a derivation from the
+    generation postings) merged with an on-the-fly aggregate of the
+    uncovered batch dirs. Disjoint sources (a batch is either folded
+    into the generation and deleted, or not), so the merge is a
+    per-term sum."""
+    gens_b = _pi.part_ids(spark, f"{index_dir}/buckets", "gen")
+    gen = max(gens_b) if gens_b else 0
+    gens_v = _pi.part_ids(spark, f"{index_dir}/vocab", "gen")
+    frames = []
+    if gen:
+        if gen in gens_v:
+            frames.append(
+                spark.read.schema(_VOCAB_SCHEMA).parquet(
+                    f"{index_dir}/vocab/gen={gen}"
+                )
+            )
+        else:
+            frames.append(
+                _vocab_of(
+                    spark.read.schema(_POSTING_SCHEMA)
+                    .parquet(f"{index_dir}/buckets/gen={gen}")
+                    .select(*_COLS)
+                )
+            )
+    for b in _pi.part_ids(spark, f"{index_dir}/index", "batch_id"):
+        if b >= gen:
+            frames.append(
+                _vocab_of(
+                    spark.read.schema(_POSTING_SCHEMA)
+                    .parquet(f"{index_dir}/index/batch_id={b}")
+                    .select(*_COLS)
+                )
+            )
+    if not frames:
+        return spark.createDataFrame([], _VOCAB_SCHEMA)
+    data = frames[0]
+    for fr in frames[1:]:
+        data = data.unionByName(fr)
+    return data.groupBy("term").agg(
+        F.sum("df").cast("long").alias("df"),
+        F.sum("freq").cast("long").alias("freq"),
     )
 
 

@@ -1439,3 +1439,68 @@ def test_continuous_substring_dedup_matches_one_shot(spark, tmp_path):
     }
     assert got2 == want
     assert spark.read.parquet(f"{work}/gram_index").count() == n_idx
+
+
+def test_streamed_vocab_matches_one_shot_dictionary(spark, tmp_path):
+    """streaming/textindex.py load_vocab (round 10): the streamed
+    index's term dictionary must equal the one-shot artifact's vocab
+    sidecar — before compaction (on-the-fly batch aggregate), after
+    compaction (the persisted vocab generation), and after a crash
+    replay of a compacted batch (max-gen rule ignores the rewrite)."""
+    import json as _json
+
+    from irclogbot_spark.operators.textindex import (
+        read_vocab,
+        write_text_index,
+    )
+    from irclogbot_spark.streaming import textindex as TX
+
+    src = tmp_path / "v_src"
+    src.mkdir()
+    index_dir = str(tmp_path / "v_idx")
+
+    def feed(rows):
+        fname = src / f"b{len(list(src.iterdir()))}.json"
+        fname.write_text(
+            "\n".join(_json.dumps({"doc_id": i, "text": t}) for i, t in rows)
+        )
+        q = TX.continuous_text_index(
+            spark.readStream.schema("doc_id long, text string").json(str(src)),
+            index_dir,
+            str(tmp_path / "v_ckpt"),
+            n_buckets=8,
+        )
+        q.awaitTermination(120)
+
+    batch1 = [(1, "alpha beta alpha"), (2, "beta gamma")]
+    batch2 = [(3, "alpha delta"), (4, "gamma gamma gamma")]
+    feed(batch1)
+    feed(batch2)
+
+    one_shot_dir = str(tmp_path / "one_shot")
+    write_text_index(
+        spark.createDataFrame(batch1 + batch2, "doc_id long, text string"),
+        one_shot_dir,
+        n_buckets=8,
+    )
+    want = {
+        r.term: (r.df, r.freq) for r in read_vocab(spark, one_shot_dir).collect()
+    }
+
+    def got():
+        return {
+            r.term: (r.df, r.freq)
+            for r in TX.load_vocab(spark, index_dir).collect()
+        }
+
+    assert got() == want  # pre-compaction: on-the-fly aggregate
+    TX.compact(spark, index_dir, upto_batch_id=1)
+    assert got() == want  # persisted vocab generation
+    # crash replay of an already-compacted batch — ignored by max-gen
+    TX.text_ingest_batch(
+        spark.createDataFrame(batch2, "doc_id long, text string"),
+        1,
+        index_dir,
+        n_buckets=8,
+    )
+    assert got() == want
