@@ -191,6 +191,7 @@ HEADLINE = [
     "docs_substring_dedup_incr",
     "docs_fuzzy_term_search_atrest",
     "docs_more_like_this_atrest",
+    "docs_wildcard_search",
 ]
 
 #: Every registered query NOT in HEADLINE (VERDICT r7 missing #4:

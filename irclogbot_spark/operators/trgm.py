@@ -167,3 +167,115 @@ def trgm_search(
     for o in outs[1:]:
         result = result.unionByName(o)
     return result
+
+
+#: wildcard metacharacters (the ES wildcard query's alphabet)
+_WC_META = "*?"
+
+
+def py_wildcard_runs(pattern: str) -> list[str]:
+    """Literal runs of a wildcard pattern (split on * and ?)."""
+    import re as _re
+
+    return [r for r in _re.split(r"[*?]", pattern) if r]
+
+
+def py_wildcard_trigrams(pattern: str) -> list[str]:
+    """REQUIRED trigrams of a wildcard pattern: a token matching the
+    pattern contains every literal run as a substring, hence every
+    trigram of every run — the Cox 2012 regex-to-trigram reduction,
+    restricted to the wildcard alphabet. Lossless over-admission,
+    exactly like the plain substring case."""
+    tris: set[str] = set()
+    for run in py_wildcard_runs(pattern):
+        tris.update(py_trigrams(run))
+    return sorted(tris)
+
+
+def py_wildcard_regex(pattern: str) -> str:
+    """The pattern as an anchored regex: * -> .*, ? -> ., literal
+    chars escaped. Stays inside the Java-regex/RE2 common subset so
+    Spark's rlike and DuckDB's regexp_full_match agree."""
+    out = []
+    for ch in pattern:
+        if ch == "*":
+            out.append(".*")
+        elif ch == "?":
+            out.append(".")
+        elif ch.isalnum():
+            out.append(ch)
+        else:
+            out.append("\\" + ch)
+    return "".join(out)
+
+
+def wildcard_search(
+    df: DataFrame,
+    patterns: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    index: DataFrame | None = None,
+    index_buckets: int | None = None,
+) -> DataFrame:
+    """ES wildcard-query analog (term-level, the ES semantic): docs
+    containing a TOKEN that matches the whole wildcard pattern.
+    Returns distinct (pattern, doc_id).
+
+    Scale shape — the trgm_search reduction with a regex verify:
+    candidates come from the ONE set-wise trigram-index pass (docs
+    holding ALL required trigrams of the pattern's literal runs —
+    lossless over-admission), and only candidate docs pay the
+    in-row exists-token-matches-regex verify. Patterns whose
+    literal runs yield no trigram (e.g. ``a?b``) fall back to the
+    direct scan, the trgm_search convention. A persisted index
+    probe bucket-prunes exactly like trgm_search."""
+    if not patterns:
+        raise ValueError("need at least one pattern")
+    spark = df.sparkSession
+    toks = F.regexp_extract_all(F.col(text_col), F.lit(r"\S+"), F.lit(0))
+
+    def _verify(frame: DataFrame, pattern: str) -> DataFrame:
+        rx = "^" + py_wildcard_regex(pattern) + "$"
+        return frame.filter(
+            F.exists(toks, lambda t: t.rlike(rx))
+        ).select(F.lit(pattern).alias("pattern"), F.col(id_col))
+
+    long_pats = [p for p in patterns if py_wildcard_trigrams(p)]
+    short = [p for p in patterns if not py_wildcard_trigrams(p)]
+    outs: list[DataFrame] = []
+    if long_pats:
+        idx = index if index is not None else trgm_index(df, id_col, text_col)
+        if index_buckets is not None:
+            want = sorted(
+                {
+                    py_tri_bucket(t, index_buckets)
+                    for p in long_pats
+                    for t in py_wildcard_trigrams(p)
+                }
+            )
+            idx = idx.filter(F.col("tri_bkt").isin(want))
+        pat_tris = spark.createDataFrame(
+            [(p, t) for p in long_pats for t in py_wildcard_trigrams(p)],
+            "pattern string, tri string",
+        )
+        need = spark.createDataFrame(
+            [(p, len(py_wildcard_trigrams(p))) for p in long_pats],
+            "pattern string, _need long",
+        )
+        cand = (
+            idx.join(F.broadcast(pat_tris), "tri")
+            .groupBy("pattern", id_col)
+            .agg(F.count_distinct(F.col("tri")).alias("_hit"))
+            .join(F.broadcast(need), "pattern")
+            .filter(F.col("_hit") == F.col("_need"))
+            .select("pattern", id_col)
+        )
+        hydrated = cand.join(df.select(id_col, text_col), id_col)
+        for p in long_pats:
+            outs.append(_verify(hydrated.filter(F.col("pattern") == p), p))
+    for p in short:
+        outs.append(_verify(df, p))
+    result = outs[0]
+    for o in outs[1:]:
+        result = result.unionByName(o)
+    return result.distinct()

@@ -5250,3 +5250,24 @@ WHERE d.doc_id >= 250
 ORACLES["docs_fuzzy_term_search_atrest"] = ORACLES["docs_fuzzy_term_search"]
 ORACLES["docs_more_like_this_atrest"] = ORACLES["docs_more_like_this"]
 ORACLES["docs_prefix_suggest_atrest"] = ORACLES["docs_prefix_suggest"]
+
+
+# Round 10 (cont.): ES wildcard analog — token-level full-regex
+# match, the pattern translated * -> .*, ? -> . in both engines.
+from irclogbot_spark.operators.trgm import py_wildcard_regex as _pwr  # noqa: E402
+from irclogbot_spark.queries import _WILDCARDS as _WC  # noqa: E402
+
+_WC_VALUES = ", ".join(
+    "('{}', '{}')".format(p.replace("'", "''"), _pwr(p).replace("'", "''"))
+    for p in _WC
+)
+ORACLES["docs_wildcard_search"] = f"""
+WITH pats(pattern, re) AS (VALUES {_WC_VALUES}),
+tok AS (
+  SELECT DISTINCT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS tok
+  FROM documents
+)
+SELECT DISTINCT p.pattern, t.doc_id
+FROM tok t, pats p
+WHERE regexp_full_match(t.tok, p.re)
+"""

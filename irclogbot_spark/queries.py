@@ -2289,7 +2289,7 @@ _DRIVER_WINDOW = [
 # ROUND-11 ROTATION PLAN: FIRST rows for the round-10 tail
 # registrations (docs_substring_dedup, docs_substring_dedup_incr,
 # docs_fuzzy_term_search_atrest, docs_more_like_this_atrest,
-# docs_prefix_suggest_atrest),
+# docs_prefix_suggest_atrest, docs_wildcard_search),
 # then the remaining r7-vintage rows
 # (docs_priority_sample, docs_quality_score, docs_source_containment,
 # docs_temperature_mix, docs_tfidf_topk, docs_unigram_segment,
@@ -4981,6 +4981,28 @@ def docs_phrase_search_atrest(spark, sf_dir):
     pidx, _lens, n_buckets = _text_index_at_rest(spark, sf_dir)
     probed = probe_postings(pidx, _PHRASE, n_buckets)
     return phrase_search_indexed(probed, _PHRASE)
+
+
+#: wildcard probes: prefix, suffix, single-char hole (trigram-backed)
+#: and a no-trigram pattern (me?ge — runs 'me','ge') exercising the
+#: direct-scan fallback arm
+_WILDCARDS = ["slo*", "*ndow", "bat?h", "me?ge"]
+
+
+@query("docs_wildcard_search")
+def docs_wildcard_search(spark, sf_dir):
+    """ES wildcard-query analog (round 10 — §2H;
+    operators/trgm.py wildcard_search): docs containing a TOKEN
+    matching the whole pattern (* = any run, ? = one char — the ES
+    term-level semantic). Candidates come from ONE set-wise
+    trigram-index pass over the patterns' literal-run trigrams (the
+    Cox regex-to-trigram reduction; lossless over-admission), the
+    anchored-regex verify runs in-row on candidates only; a pattern
+    with no >= 3-char literal run falls back to the direct scan.
+    Tail registration; queued for the round-11 window."""
+    from irclogbot_spark.operators.trgm import wildcard_search
+
+    return wildcard_search(_t(spark, sf_dir, "documents"), _WILDCARDS)
 
 
 @query("docs_prefix_suggest_atrest")

@@ -1228,3 +1228,38 @@ def test_substring_dedup_incremental_history_outranks(spark):
     # doc 3 carries TWO duplicated grams (pos 1 and pos 2); their
     # window union [1..9] covers every token
     assert got[3] == ("", 9)
+
+
+def test_wildcard_search_semantics_and_fallback(spark):
+    """operators/trgm.py wildcard_search (round 10): term-level full
+    match — * spans any run, ? exactly one char; a prefix pattern
+    must NOT match a longer token's interior; patterns without a
+    >=3-char literal run (no trigram) take the fallback arm and
+    still verify identically."""
+    from irclogbot_spark.operators.trgm import (
+        py_wildcard_trigrams,
+        wildcard_search,
+    )
+
+    rows = [
+        (1, "slow window batch merge"),
+        (2, "slowly unwind"),          # slo* matches 'slowly'; *ndow none
+        (3, "batch botch butch"),      # bat?h matches batch ONLY
+        (4, "merge emerge"),           # me?ge: merge yes, emerge no (full match)
+        (5, "nothing relevant"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.pattern, r.doc_id)
+        for r in wildcard_search(
+            df, ["slo*", "*ndow", "bat?h", "me?ge"]
+        ).collect()
+    }
+    assert got == {
+        ("slo*", 1), ("slo*", 2),
+        ("*ndow", 1),              # 'window' ends in ndow; 'unwind' doesn't
+        ("bat?h", 1), ("bat?h", 3),  # 'batch' only — botch/butch fail at 'a'
+        ("me?ge", 1), ("me?ge", 4),
+    }
+    assert py_wildcard_trigrams("me?ge") == []  # fallback arm exercised
+    assert py_wildcard_trigrams("slo*") == ["slo"]
