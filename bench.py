@@ -192,6 +192,7 @@ HEADLINE = [
     "docs_fuzzy_term_search_atrest",
     "docs_more_like_this_atrest",
     "docs_wildcard_search",
+    "docs_span_near_atrest",
 ]
 
 #: Every registered query NOT in HEADLINE (VERDICT r7 missing #4:

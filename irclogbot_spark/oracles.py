@@ -5271,3 +5271,5 @@ SELECT DISTINCT p.pattern, t.doc_id
 FROM tok t, pats p
 WHERE regexp_full_match(t.tok, p.re)
 """
+# span_near from the at-rest index — second physical path, one hash
+ORACLES["docs_span_near_atrest"] = ORACLES["docs_span_near"]

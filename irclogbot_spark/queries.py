@@ -2289,7 +2289,8 @@ _DRIVER_WINDOW = [
 # ROUND-11 ROTATION PLAN: FIRST rows for the round-10 tail
 # registrations (docs_substring_dedup, docs_substring_dedup_incr,
 # docs_fuzzy_term_search_atrest, docs_more_like_this_atrest,
-# docs_prefix_suggest_atrest, docs_wildcard_search),
+# docs_prefix_suggest_atrest, docs_wildcard_search,
+# docs_span_near_atrest),
 # then the remaining r7-vintage rows
 # (docs_priority_sample, docs_quality_score, docs_source_containment,
 # docs_temperature_mix, docs_tfidf_topk, docs_unigram_segment,
@@ -5088,6 +5089,22 @@ def docs_bm25_atrest(spark, sf_dir):
     pidx, doclens, n_buckets = _text_index_at_rest(spark, sf_dir)
     probed = probe_postings(pidx, ["the", "data"], n_buckets)
     return bm25_rank_indexed(postings_tf(probed), doclens, ["the", "data"], k=10)
+
+
+@query("docs_span_near_atrest")
+def docs_span_near_atrest(spark, sf_dir):
+    """docs_span_near served from the AT-REST bucketed positional
+    index (round 10 — the phrase_atrest convention): the slop-2
+    in-order chain probe reads only the three probe terms' bucket
+    directories (PartitionFilters). Second physical path on the
+    span_near oracle. Tail registration; queued for the round-11
+    window."""
+    from irclogbot_spark.functions.text import span_near_search
+    from irclogbot_spark.operators.textindex import probe_postings
+
+    pidx, _lens, n_buckets = _text_index_at_rest(spark, sf_dir)
+    probed = probe_postings(pidx, _PHRASE, n_buckets)
+    return span_near_search(probed, _PHRASE, slop=2)
 
 
 #: registered percolator queries: (query_id, terms, min_match) —
