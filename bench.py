@@ -193,6 +193,7 @@ HEADLINE = [
     "docs_more_like_this_atrest",
     "docs_wildcard_search",
     "docs_span_near_atrest",
+    "docs_bm25_rescore",
 ]
 
 #: Every registered query NOT in HEADLINE (VERDICT r7 missing #4:

@@ -908,3 +908,48 @@ def span_near_search(
         .select(F.col(id_col), F.size(starts).cast("long").alias("n_spans"))
         .filter(F.col("n_spans") > 0)
     )
+
+
+def bm25_rescore_phrase(
+    df,
+    terms: list[str],
+    window_size: int = 50,
+    k: int = 10,
+    phrase_weight: float = 1000.0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """ES ``rescore`` analog (round 10 — two-phase ranking): the
+    cheap BM25 query ranks everything, the expensive match_phrase of
+    the SAME terms re-scores only the top ``window_size`` hits —
+    ES's canonical proximity-rescore deployment:
+    ``score = bm25 + n_phrase * phrase_weight`` inside the window,
+    reordered, top-k. One multiply + one add on the bit-exact BM25
+    double, so the whole two-phase pipeline value-hashes.
+
+    Scale shape: phase 1 is bm25_rank's TakeOrdered (corpus-wide but
+    cheap); phase 2 joins TEXT back for the window rows ONLY (a
+    window_size-row broadcast side — the expensive position math is
+    paid by <= window_size docs regardless of corpus size, which is
+    the entire point of ES's rescore window).
+
+    Returns (id_col, score_first, n_phrase, score)."""
+    first = bm25_rank(df, terms, id_col=id_col, text_col=text_col, k=window_size)
+    toks = F.regexp_extract_all(F.col(text_col), F.lit(WORD_RE), F.lit(0))
+    joined = df.select(F.col(id_col), F.col(text_col)).join(
+        F.broadcast(first.withColumnRenamed("score", "score_first")), id_col
+    )
+    n_phrase = phrase_count_col(toks, terms)
+    return (
+        joined.select(
+            F.col(id_col),
+            "score_first",
+            n_phrase.alias("n_phrase"),
+            (
+                F.col("score_first")
+                + n_phrase.cast("double") * F.lit(float(phrase_weight))
+            ).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+    )

@@ -5273,3 +5273,40 @@ WHERE regexp_full_match(t.tok, p.re)
 """
 # span_near from the at-rest index — second physical path, one hash
 ORACLES["docs_span_near_atrest"] = ORACLES["docs_span_near"]
+
+
+# Round 10 (cont.): ES rescore — the bm25 oracle's expression as the
+# first phase, phrase-adjacency count re-scoring the top-50 window.
+ORACLES["docs_bm25_rescore"] = r"""
+WITH t AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS toks FROM documents),
+base AS (
+  SELECT doc_id, len(toks) AS dl,
+    len(list_filter(toks, x -> x = 'the')) AS tf0,
+    len(list_filter(toks, x -> x = 'data')) AS tf1
+  FROM t
+),
+stats AS (
+  SELECT CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl, COUNT(*) AS n,
+    SUM(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+    SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1
+  FROM base
+),
+first AS (
+  SELECT doc_id,
+    ((CAST(n - df0 AS DOUBLE) + 0.5) / (df0 + 0.5))
+      * ((tf0 * CAST(1.2 + 1.0 AS DOUBLE)) / (tf0 + 1.2 * ((1.0 - 0.75) + (0.75 * dl) / avgdl)))
+    + ((CAST(n - df1 AS DOUBLE) + 0.5) / (df1 + 0.5))
+      * ((tf1 * CAST(1.2 + 1.0 AS DOUBLE)) / (tf1 + 1.2 * ((1.0 - 0.75) + (0.75 * dl) / avgdl))) AS score_first
+  FROM base, stats
+  ORDER BY score_first DESC, doc_id LIMIT 50
+),
+resc AS (
+  SELECT f.doc_id, f.score_first,
+    CAST(len(list_filter(range(1, len(t.toks)),
+         i -> t.toks[i] = 'the' AND t.toks[i+1] = 'data')) AS BIGINT) AS n_phrase
+  FROM first f JOIN t USING (doc_id)
+)
+SELECT doc_id, score_first, n_phrase,
+  score_first + n_phrase * 1000.0 AS score
+FROM resc ORDER BY score DESC, doc_id LIMIT 10
+"""

@@ -2290,7 +2290,7 @@ _DRIVER_WINDOW = [
 # registrations (docs_substring_dedup, docs_substring_dedup_incr,
 # docs_fuzzy_term_search_atrest, docs_more_like_this_atrest,
 # docs_prefix_suggest_atrest, docs_wildcard_search,
-# docs_span_near_atrest),
+# docs_span_near_atrest, docs_bm25_rescore),
 # then the remaining r7-vintage rows
 # (docs_priority_sample, docs_quality_score, docs_source_containment,
 # docs_temperature_mix, docs_tfidf_topk, docs_unigram_segment,
@@ -5089,6 +5089,23 @@ def docs_bm25_atrest(spark, sf_dir):
     pidx, doclens, n_buckets = _text_index_at_rest(spark, sf_dir)
     probed = probe_postings(pidx, ["the", "data"], n_buckets)
     return bm25_rank_indexed(postings_tf(probed), doclens, ["the", "data"], k=10)
+
+
+@query("docs_bm25_rescore")
+def docs_bm25_rescore(spark, sf_dir):
+    """ES rescore analog (round 10 — §2H two-phase ranking;
+    functions/text.py bm25_rescore_phrase): BM25 for 'the data'
+    ranks the corpus, the match_phrase of the same terms re-scores
+    ONLY the top-50 window (score = bm25 + n_phrase * 1000),
+    reordered top-10 — the canonical proximity-rescore deployment.
+    The window join broadcasts <= 50 rows, so the position math is
+    window-bounded at any corpus size. Tail registration; queued
+    for the round-11 window."""
+    from irclogbot_spark.functions.text import bm25_rescore_phrase
+
+    return bm25_rescore_phrase(
+        _t(spark, sf_dir, "documents"), ["the", "data"], window_size=50, k=10
+    )
 
 
 @query("docs_span_near_atrest")

@@ -437,3 +437,27 @@ def test_at_rest_text_index_serves_all_query_types(spark, tmp_path):
         docs, "s", k=5, postings=postings_tf(pidx)
     ).collect()
     assert [tuple(r) for r in got_sg] == [tuple(r) for r in want_sg]
+
+
+def test_bm25_rescore_reorders_within_window_only(spark):
+    """functions/text.py bm25_rescore_phrase (round 10): the final
+    hits are drawn ONLY from the first-phase top-window (ES's
+    rescore contract — a doc outside the window can never enter),
+    phrase hits outrank phraseless docs of similar BM25, and with
+    phrase_weight=0 the output equals plain BM25 top-k."""
+    from irclogbot_spark.functions.text import bm25_rank, bm25_rescore_phrase
+    from irclogbot_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    terms = ["the", "data"]
+    window = {r.doc_id for r in bm25_rank(docs, terms, k=20).collect()}
+    out = bm25_rescore_phrase(docs, terms, window_size=20, k=5).collect()
+    assert {r.doc_id for r in out} <= window
+    assert out == sorted(out, key=lambda r: (-r.score, r.doc_id))
+    zero = bm25_rescore_phrase(
+        docs, terms, window_size=20, k=5, phrase_weight=0.0
+    ).collect()
+    plain = bm25_rank(docs, terms, k=5).collect()
+    assert [(r.doc_id, r.score) for r in zero] == [
+        (r.doc_id, r.score) for r in plain
+    ]
