@@ -194,6 +194,7 @@ HEADLINE = [
     "docs_wildcard_search",
     "docs_span_near_atrest",
     "docs_bm25_rescore",
+    "docs_wildcard_search_indexed",
 ]
 
 #: Every registered query NOT in HEADLINE (VERDICT r7 missing #4:

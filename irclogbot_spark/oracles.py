@@ -5310,3 +5310,5 @@ SELECT doc_id, score_first, n_phrase,
   score_first + n_phrase * 1000.0 AS score
 FROM resc ORDER BY score DESC, doc_id LIMIT 10
 """
+# wildcard from the persisted bucketed index — second physical path
+ORACLES["docs_wildcard_search_indexed"] = ORACLES["docs_wildcard_search"]

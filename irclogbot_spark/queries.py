@@ -2290,7 +2290,8 @@ _DRIVER_WINDOW = [
 # registrations (docs_substring_dedup, docs_substring_dedup_incr,
 # docs_fuzzy_term_search_atrest, docs_more_like_this_atrest,
 # docs_prefix_suggest_atrest, docs_wildcard_search,
-# docs_span_near_atrest, docs_bm25_rescore),
+# docs_span_near_atrest, docs_bm25_rescore,
+# docs_wildcard_search_indexed),
 # then the remaining r7-vintage rows
 # (docs_priority_sample, docs_quality_score, docs_source_containment,
 # docs_temperature_mix, docs_tfidf_topk, docs_unigram_segment,
@@ -4583,6 +4584,38 @@ def docs_trgm_search_indexed(spark, sf_dir):
         _TRGM_INDEX[sf_dir] = path
     idx, n_buckets = read_trgm_index(spark, path)
     return trgm_search(d, _TRGM_PATTERNS, index=idx, index_buckets=n_buckets)
+
+
+@query("docs_wildcard_search_indexed")
+def docs_wildcard_search_indexed(spark, sf_dir):
+    """Physical-layout twin of docs_wildcard_search (round 10 — the
+    docs_trgm_search_indexed convention): the wildcard probe runs
+    against the session-persisted bucketed trigram index, so the
+    candidate pass reads only the literal-run trigrams' bucket
+    directories (storage-level PartitionFilters); the anchored-regex
+    verify and the no-trigram fallback arm are unchanged. Shares
+    docs_wildcard_search's oracle — two physical dataflows, one
+    value hash. Tail registration; queued for the round-11
+    window."""
+    import os as _os
+
+    from irclogbot_spark.operators.trgm import (
+        read_trgm_index,
+        wildcard_search,
+        write_trgm_index,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    path = _TRGM_INDEX.get(sf_dir)
+    if path is None:
+        suffix = "".join(c if c.isalnum() else "_" for c in sf_dir).strip("_")
+        base = f"/tmp/sparklog_trgm_idx_{suffix}"
+        _reap_stale_process_dirs(f"{base}_p")
+        path = f"{base}_p{_os.getpid()}"
+        write_trgm_index(d, path, n_buckets=64)
+        _TRGM_INDEX[sf_dir] = path
+    idx, n_buckets = read_trgm_index(spark, path)
+    return wildcard_search(d, _WILDCARDS, index=idx, index_buckets=n_buckets)
 
 
 @query("docs_trgm_multi_search")

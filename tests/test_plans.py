@@ -955,3 +955,22 @@ def test_suggest_atrest_reads_dictionary_only(spark):
         for r in entrymod.queries()["docs_prefix_suggest"](spark, SF).collect()
     ]
     assert got == want
+
+
+def test_wildcard_indexed_partition_filters_and_values(spark):
+    """docs_wildcard_search_indexed (round 10): the persisted-index
+    probe must carry tri_bkt PartitionFilters (only the literal-run
+    trigrams' bucket dirs are read) and equal the inline form
+    exactly."""
+    import re as _re
+
+    df = entrymod.queries()["docs_wildcard_search_indexed"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    pf = _re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert any("tri_bkt" in m for m in pf), plan[:2000]
+    got = {(r.pattern, r.doc_id) for r in df.collect()}
+    want = {
+        (r.pattern, r.doc_id)
+        for r in entrymod.queries()["docs_wildcard_search"](spark, SF).collect()
+    }
+    assert got == want
