@@ -78,3 +78,41 @@ def continuous_substring_dedup(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def compact(spark, work_dir: str, upto_batch_id: int) -> None:
+    """Fold the gram index's per-batch partitions (ids
+    0..upto_batch_id plus any previous generation) into ONE
+    generation partition ``batch_id=-(upto_batch_id+1)`` — the
+    corpus.py recipe verbatim: negative generation ids can never
+    collide with stream batch ids, so ingest continues unchanged;
+    crash-safe by idempotent re-run (the probe is a membership test
+    on both sides — left-semi for history hits, left-anti for the
+    append — so duplicates a crash leaves behind are harmless and a
+    re-run converges). ``clean/`` keeps its per-batch partitions:
+    it IS the per-batch output record (the audit-table rule)."""
+    gen = -(upto_batch_id + 1)
+    jvm = spark._jvm
+    path_cls = jvm.org.apache.hadoop.fs.Path
+    root = f"{work_dir}/gram_index"
+    p = path_cls(root)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(p):
+        return
+    parts = [st.getPath().getName() for st in fs.listStatus(p)]
+    ids = [
+        int(n.split("=", 1)[1]) for n in parts if n.startswith("batch_id=")
+    ]
+    src = [i for i in ids if (0 <= i <= upto_batch_id) or (i < 0 and i != gen)]
+    if not src:
+        return
+    df = spark.read.parquet(root)
+    data = (
+        df.filter(F.col("batch_id").isin(src))
+        .drop("batch_id")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    _overwrite(data, f"{root}/batch_id={gen}")
+    for i in src:
+        fs.delete(path_cls(f"{root}/batch_id={i}"), True)

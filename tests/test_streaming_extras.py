@@ -1504,3 +1504,45 @@ def test_streamed_vocab_matches_one_shot_dictionary(spark, tmp_path):
         n_buckets=8,
     )
     assert got() == want
+
+
+def test_substring_dedup_compaction_and_continued_ingest(spark, tmp_path):
+    """streaming/substrings.py compact (round 10): folding the gram
+    index into a generation partition changes nothing the probe
+    sees — a batch arriving AFTER compaction is still excised
+    against spans first seen before it, and re-running the same
+    compact converges (crash-safe idempotent re-run)."""
+    from irclogbot_spark.streaming import substrings as SS
+
+    work = str(tmp_path / "cwork")
+    span = "a b c d e f g h"
+    b0 = spark.createDataFrame(
+        [(1, span + " first tail")], "doc_id long, text string"
+    )
+    b1 = spark.createDataFrame(
+        [(11, "mid " + span + " mid2")], "doc_id long, text string"
+    )
+    SS.substring_ingest_batch(b0, 0, work, length=8)
+    SS.substring_ingest_batch(b1, 1, work, length=8)
+    SS.compact(spark, work, upto_batch_id=1)
+    parts = {
+        p.name
+        for p in (tmp_path / "cwork" / "gram_index").iterdir()
+        if p.name.startswith("batch_id=")
+    }
+    assert parts == {"batch_id=-2"}
+    SS.compact(spark, work, upto_batch_id=1)  # idempotent re-run
+
+    b2 = spark.createDataFrame(
+        [(21, "post " + span + " post2"), (22, "fresh only text here")],
+        "doc_id long, text string",
+    )
+    SS.substring_ingest_batch(b2, 2, work, length=8)
+    got = {
+        r.doc_id: (r.clean_text, r.n_removed)
+        for r in spark.read.parquet(f"{work}/clean")
+        .filter(F.col("batch_id") == 2)
+        .collect()
+    }
+    assert got[21] == ("post post2", 8)  # history (compacted) outranks
+    assert got[22] == ("fresh only text here", 0)
