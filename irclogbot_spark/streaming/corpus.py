@@ -327,6 +327,8 @@ def crawl_ingest_batch(
     within_batch: bool = True,
     index_dir: str | None = None,
     index_buckets: int = 64,
+    substring_dir: str | None = None,
+    substring_length: int = 50,
 ) -> None:
     """foreachBatch body for (doc_id, url, text) crawl records.
 
@@ -346,6 +348,18 @@ def crawl_ingest_batch(
     the identical batch_id and every table overwrites its own
     partition (the established idempotence recipe, now spanning two
     artifacts).
+
+    With ``substring_dir`` ALSO set (round 10 — the complete
+    Common-Crawl-shaped loop), admitted docs first pass the
+    streaming exact-substring excision (streaming/substrings.py:
+    repeated >= substring_length-token spans vs the accumulated gram
+    index are cut, history outranks), and the text index receives
+    the CLEAN text — the realistic pipeline order: dedup whole docs,
+    excise boilerplate spans, then make what remains searchable.
+    History keeps the original text (it is the dedup record); the
+    excised output lives under substring_dir/clean. All writes stay
+    batch-partition overwrites, so the replay contract spans all
+    three artifacts.
 
     Scale shape: the URL layer is one narrow (canon_url, doc_id)
     probe join + a per-URL min — no text moves; refetch-heavy crawl
@@ -424,11 +438,25 @@ def crawl_ingest_batch(
         survivors.select("canon_url", "doc_id"),
         f"{corpus_dir}/url_index/batch_id={batch_id}",
     )
+    to_index = admitted.select("doc_id", "text")
+    if substring_dir is not None:
+        from irclogbot_spark.streaming.substrings import substring_ingest_batch
+
+        substring_ingest_batch(
+            admitted.select("doc_id", "text"),
+            batch_id,
+            substring_dir,
+            length=substring_length,
+        )
+        to_index = (
+            spark.read.parquet(f"{substring_dir}/clean/batch_id={batch_id}")
+            .select("doc_id", F.col("clean_text").alias("text"))
+        )
     if index_dir is not None:
         from irclogbot_spark.streaming.textindex import text_ingest_batch
 
         text_ingest_batch(
-            admitted.select("doc_id", "text"),
+            to_index,
             batch_id,
             index_dir,
             n_buckets=index_buckets,
@@ -445,17 +473,22 @@ def crawl_continuous_ingest(
     trigger_available_now: bool = True,
     index_dir: str | None = None,
     index_buckets: int = 64,
+    substring_dir: str | None = None,
+    substring_length: int = 50,
 ):
     """Wire a (doc_id, url, text) crawl stream into the canonicalize →
     URL-dedup → content-dedup → admit loop; with ``index_dir``,
     admitted docs become phrase/BM25-searchable in the same batch
-    (crawl in, searchable immediately). Returns the started
-    StreamingQuery."""
+    (crawl in, searchable immediately); with ``substring_dir`` too,
+    repeated spans are excised first and the CLEAN text is what
+    becomes searchable — the complete crawl loop. Returns the
+    started StreamingQuery."""
     writer = stream.writeStream.foreachBatch(
         lambda b, i: crawl_ingest_batch(
             b, i, corpus_dir, threshold=threshold, hash_fn=hash_fn,
             within_batch=within_batch, index_dir=index_dir,
-            index_buckets=index_buckets,
+            index_buckets=index_buckets, substring_dir=substring_dir,
+            substring_length=substring_length,
         )
     ).option("checkpointLocation", checkpoint_dir)
     if trigger_available_now:

@@ -1546,3 +1546,80 @@ def test_substring_dedup_compaction_and_continued_ingest(spark, tmp_path):
     }
     assert got[21] == ("post post2", 8)  # history (compacted) outranks
     assert got[22] == ("fresh only text here", 0)
+
+
+def test_crawl_full_loop_excise_then_index(spark, tmp_path):
+    """Round 10 — the complete Common-Crawl-shaped loop in ONE
+    foreachBatch: URL-dedup -> content-dedup -> substring-excise ->
+    index. A boilerplate span repeated across admitted docs stays
+    searchable ONLY through its canonical first doc (later copies
+    are excised before indexing); unique text stays searchable;
+    replay converges."""
+    import json as _json
+
+    from irclogbot_spark.functions.text import phrase_search_indexed
+    from irclogbot_spark.operators.textindex import probe_postings
+    from irclogbot_spark.streaming import corpus as C
+    from irclogbot_spark.streaming import textindex as TX
+
+    src = tmp_path / "fl_src"
+    src.mkdir()
+    corpus_dir = str(tmp_path / "fl_corpus")
+    index_dir = str(tmp_path / "fl_index")
+    sub_dir = str(tmp_path / "fl_sub")
+
+    def feed(rows):
+        fname = src / f"b{len(list(src.iterdir()))}.json"
+        fname.write_text(
+            "\n".join(
+                _json.dumps({"doc_id": i, "url": u, "text": t})
+                for i, u, t in rows
+            )
+        )
+        q = C.crawl_continuous_ingest(
+            spark.readStream.schema(C.CRAWL_DOC_SCHEMA).json(str(src)),
+            corpus_dir,
+            str(tmp_path / "fl_ckpt"),
+            index_dir=index_dir,
+            index_buckets=8,
+            substring_dir=sub_dir,
+            substring_length=8,
+        )
+        q.awaitTermination(120)
+
+    def phrase_hits(terms):
+        pidx, _lens, nb = TX.load_text(spark, index_dir)
+        probed = probe_postings(pidx, terms, nb)
+        return {
+            r.doc_id for r in phrase_search_indexed(probed, terms).collect()
+        }
+
+    boiler = "copyright acme corp all rights reserved legal notice"  # 8 tokens
+    feed([(1, "https://a.com/1", boiler + " first doc body")])
+    feed(
+        [
+            # distinct content (admitted) but carries the boilerplate
+            (11, "https://b.com/2", boiler + " second doc entirely new words"),
+            (12, "https://c.com/3", "no boilerplate just fresh tokens"),
+        ]
+    )
+    bterms = boiler.split()[:3]  # "copyright acme corp"
+    assert phrase_hits(bterms) == {1}  # canonical only — 11's copy excised
+    assert phrase_hits(["second", "doc", "entirely"]) == {11}
+    assert phrase_hits(["fresh", "tokens"]) == {12}
+
+    # replay batch 1 under the same batch_id: all three artifacts
+    # overwrite their own partitions — nothing changes
+    b1 = spark.createDataFrame(
+        [
+            (11, "https://b.com/2", boiler + " second doc entirely new words"),
+            (12, "https://c.com/3", "no boilerplate just fresh tokens"),
+        ],
+        C.CRAWL_DOC_SCHEMA,
+    )
+    C.crawl_ingest_batch(
+        b1, 1, corpus_dir, index_dir=index_dir, index_buckets=8,
+        substring_dir=sub_dir, substring_length=8,
+    )
+    assert phrase_hits(bterms) == {1}
+    assert phrase_hits(["second", "doc", "entirely"]) == {11}
