@@ -246,8 +246,9 @@ CHEAP = [
     "events_pipeline_aggs",
     "docs_rare_terms",
     "events_adjacency_matrix",
-    # round 10: dictionary-only — cheap by design
+    # round 10: dictionary-only / window-bounded — cheap by design
     "docs_prefix_suggest_atrest",
+    "docs_collapse_by_source",
 ]
 
 #: headline queries that derive from the irclog (re-timed over the

@@ -5312,3 +5312,35 @@ FROM resc ORDER BY score DESC, doc_id LIMIT 10
 """
 # wildcard from the persisted bucketed index — second physical path
 ORACLES["docs_wildcard_search_indexed"] = ORACLES["docs_wildcard_search"]
+
+
+# Round 10 (cont.): ES field collapsing — the bm25 expression ranked
+# within source groups, top-2 per group.
+ORACLES["docs_collapse_by_source"] = r"""
+WITH t AS (SELECT doc_id, source, regexp_extract_all(text, '\S+') AS toks FROM documents),
+base AS (
+  SELECT doc_id, source, len(toks) AS dl,
+    len(list_filter(toks, x -> x = 'the')) AS tf0,
+    len(list_filter(toks, x -> x = 'data')) AS tf1
+  FROM t
+),
+stats AS (
+  SELECT CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl, COUNT(*) AS n,
+    SUM(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+    SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1
+  FROM base
+),
+scored AS (
+  SELECT doc_id, source,
+    ((CAST(n - df0 AS DOUBLE) + 0.5) / (df0 + 0.5))
+      * ((tf0 * CAST(1.2 + 1.0 AS DOUBLE)) / (tf0 + 1.2 * ((1.0 - 0.75) + (0.75 * dl) / avgdl)))
+    + ((CAST(n - df1 AS DOUBLE) + 0.5) / (df1 + 0.5))
+      * ((tf1 * CAST(1.2 + 1.0 AS DOUBLE)) / (tf1 + 1.2 * ((1.0 - 0.75) + (0.75 * dl) / avgdl))) AS score
+  FROM base, stats
+)
+SELECT source, doc_id, score, rnk FROM (
+  SELECT source, doc_id, score,
+    CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY score DESC, doc_id) AS BIGINT) AS rnk
+  FROM scored
+) WHERE rnk <= 2
+"""

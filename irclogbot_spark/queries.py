@@ -2291,7 +2291,7 @@ _DRIVER_WINDOW = [
 # docs_fuzzy_term_search_atrest, docs_more_like_this_atrest,
 # docs_prefix_suggest_atrest, docs_wildcard_search,
 # docs_span_near_atrest, docs_bm25_rescore,
-# docs_wildcard_search_indexed),
+# docs_wildcard_search_indexed, docs_collapse_by_source),
 # then the remaining r7-vintage rows
 # (docs_priority_sample, docs_quality_score, docs_source_containment,
 # docs_temperature_mix, docs_tfidf_topk, docs_unigram_segment,
@@ -5122,6 +5122,60 @@ def docs_bm25_atrest(spark, sf_dir):
     pidx, doclens, n_buckets = _text_index_at_rest(spark, sf_dir)
     probed = probe_postings(pidx, ["the", "data"], n_buckets)
     return bm25_rank_indexed(postings_tf(probed), doclens, ["the", "data"], k=10)
+
+
+@query("docs_collapse_by_source")
+def docs_collapse_by_source(spark, sf_dir):
+    """ES field-collapsing analog (round 10 — §2H: collapse +
+    inner_hits): the 'the data' BM25 ranking collapsed on source —
+    top-2 hits per source value, ranked within group, groups ordered
+    by their best hit. Shape: the scoring projection is the scan
+    form's map-only expression; ONE source-keyed window ranks within
+    groups (WindowGroupLimit cuts to 2 before the exchange at
+    scale); the result is group-count-bounded forever. Scores are
+    the bit-exact BM25 doubles, so the collapse value-hashes. Tail
+    registration; queued for the round-11 window."""
+    from irclogbot_spark.functions.text import WORD_RE
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all(F.col("text"), F.lit(WORD_RE), F.lit(0))
+
+    def _eq(t):
+        return lambda x: x == F.lit(t)
+
+    base = docs.select(
+        "doc_id",
+        "source",
+        F.size(toks).alias("dl"),
+        *[
+            F.size(F.filter(toks, _eq(t))).alias(f"tf{i}")
+            for i, t in enumerate(["the", "data"])
+        ],
+    )
+    stats = base.agg(
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.sum(F.when(F.col(f"tf{i}") > 0, 1).otherwise(0)).alias(f"df{i}")
+            for i in range(2)
+        ],
+    )
+    joined = base.join(F.broadcast(stats))
+    denom = F.lit(1.0) - F.lit(0.75) + F.lit(0.75) * F.col("dl") / F.col("avgdl")
+    score = None
+    for i in range(2):
+        tf, dfc = F.col(f"tf{i}"), F.col(f"df{i}")
+        idf = (F.col("n") - dfc + F.lit(0.5)) / (dfc + F.lit(0.5))
+        tfc = (tf * (F.lit(1.2) + F.lit(1.0))) / (tf + F.lit(1.2) * denom)
+        term = idf * tfc
+        score = term if score is None else score + term
+    w = Window.partitionBy("source").orderBy(F.desc("_s"), "doc_id")
+    return (
+        joined.select("doc_id", "source", score.alias("_s"))
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 2)
+        .select("source", "doc_id", F.col("_s").alias("score"), "rnk")
+    )
 
 
 @query("docs_bm25_rescore")
