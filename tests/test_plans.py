@@ -974,3 +974,15 @@ def test_wildcard_indexed_partition_filters_and_values(spark):
         for r in entrymod.queries()["docs_wildcard_search"](spark, SF).collect()
     }
     assert got == want
+
+
+def test_collapse_by_source_window_group_limit(spark):
+    """docs_collapse_by_source (round 10): the per-group cut must
+    run as WindowGroupLimit (partial top-k BEFORE the one
+    source-keyed exchange — the collapse stays group-bounded at any
+    corpus size), with no join anywhere."""
+    df = entrymod.queries()["docs_collapse_by_source"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan, plan[:2000]
+    hashex = [l for l in plan.splitlines() if "hashpartitioning" in l]
+    assert len(hashex) == 1 and "source" in hashex[0], hashex
