@@ -195,6 +195,10 @@ HEADLINE = [
     "docs_span_near_atrest",
     "docs_bm25_rescore",
     "docs_wildcard_search_indexed",
+    # round 11: keyset pagination over the at-rest BM25 ranking —
+    # re-executes the bucket-pruned search per page (the ES
+    # semantics), so it carries two full ranking executions
+    "docs_bm25_search_after_atrest",
 ]
 
 #: Every registered query NOT in HEADLINE (VERDICT r7 missing #4:

@@ -219,6 +219,27 @@ def bm25_rank_indexed(
     filtered postings; corpus stats (n, avgdl) broadcast from the
     narrow doclens table; the hit set joins doclens on the id key;
     top-k is a partial TakeOrdered."""
+    return (
+        bm25_scores_indexed(postings, doclens, terms, id_col, k1, b)
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def bm25_scores_indexed(
+    postings,
+    doclens,
+    terms: list[str],
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+):
+    """The UNCUT (id, score) frame behind ``bm25_rank_indexed`` —
+    every doc with >= 1 query-term hit, scored with the identical
+    fixed-order double assembly (round 11: factored out so keyset
+    pagination — operators/textindex.py bm25_search_after_atrest —
+    can apply a cursor predicate before its own TakeOrdered cut
+    instead of re-ranking through a window)."""
     if not terms:
         raise ValueError("terms must be non-empty")
     p = postings.filter(F.col("term").isin(list(terms)))
@@ -253,11 +274,7 @@ def bm25_rank_indexed(
     for i in range(len(terms)):
         s = F.coalesce(F.col(f"_s{i}"), F.lit(0.0))
         score = s if score is None else score + s
-    return (
-        agg.select(F.col(id_col), score.alias("score"))
-        .orderBy(F.desc("score"), F.asc(id_col))
-        .limit(k)
-    )
+    return agg.select(F.col(id_col), score.alias("score"))
 
 
 def vocab_coverage(

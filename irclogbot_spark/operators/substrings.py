@@ -20,9 +20,18 @@ Semantics (deterministic, ANSI-replayable):
 - tokens = \\S+ runs, 1-based positions; docs with < L tokens have
   no grams and pass through unchanged.
 - gram hash at position p = hash_fn(concat_ws(' ', tokens[p..p+L-1]))
-  (xxhash31 scale default; md5_hash31 for the DuckDB oracle — the
-  operator dedups HASHES, the same documented convention as every
-  other family here).
+  (FULL-WIDTH xxhash64 production default; md5_hash31 for the
+  DuckDB oracle). Round-11 change (ADVICE r10, medium): unlike the
+  candidate-generation dedup families — where a hash collision only
+  adds a verified-away candidate — a collision HERE directly
+  excises unrelated text. The 31-bit fold's birthday bound reaches
+  ~50% collision odds at only ~65k distinct grams, so at corpus
+  scale the old xxhash31 default would silently corrupt documents;
+  the full 64-bit key pushes the same bound past 10^9 distinct
+  grams (and the expected number of colliding PAIRS stays < 0.03 at
+  a billion grams). The md5 31-bit twin remains ONLY for the
+  oracle-equality queries, where the corpus is small enough that
+  DuckDB replayability outranks key width.
 - the globally FIRST occurrence of each duplicated gram — smallest
   (doc_id, pos) — is the canonical keeper; every other occurrence
   flags its token window for removal.
@@ -40,15 +49,49 @@ Scale shape (the 100 TB path):
   doc; the rebuild is a doc_id-keyed join of that (affected-doc
   sized) frame back to the corpus scan, with the token filter
   running in-row.
+
+Materialization / HA caveat (round 11, VERDICT r10 wrong #2): the
+occurrence frame feeds two consumers, so it materializes once —
+``materialize="local"`` (default, localCheckpoint) stores the
+corpus-token-sized (h, doc_id, pos) frame as NON-fault-tolerant
+executor-local blocks AND truncates lineage, so on a real cluster an
+executor loss mid-job is unrecoverable; it is the right default for
+the single-JVM bench/test box and for the batch-bounded streaming
+twin (streaming/substrings.py — each batch's frame is trigger-sized).
+A 100 TB ONE-SHOT run should pass ``materialize="disk"``
+(persist(DISK_ONLY): lineage retained, lost blocks recomputed from
+the corpus scan) — same output, pinned by test.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from irclogbot_spark.operators.dedup import tokens, xxhash31
+from irclogbot_spark.operators.dedup import tokens
 from irclogbot_spark.plans.partitioning import ensure_parallelism
+
+
+def xxhash_gram(c: Column) -> Column:
+    """Production gram hash: the FULL 64-bit xxhash64 (round 11 —
+    ADVICE r10 medium: excision acts directly on hash equality, so
+    the 31-bit fold the candidate-generation families use is not
+    safe here; see the module docstring for the birthday math)."""
+    return F.xxhash64(c)
+
+
+def _materialized(df: DataFrame, materialize: str) -> DataFrame:
+    """The two-consumer materialization of the occurrence frame:
+    'local' = localCheckpoint (fast, non-HA — see module docstring),
+    'disk' = persist(DISK_ONLY) (lineage kept; survives executor
+    loss at the cost of lazy first-pass materialization)."""
+    if materialize == "local":
+        return df.localCheckpoint(eager=True)
+    if materialize == "disk":
+        from pyspark import StorageLevel
+
+        return df.persist(StorageLevel.DISK_ONLY)
+    raise ValueError(f"materialize must be 'local' or 'disk', got {materialize!r}")
 
 
 def gram_occurrences(
@@ -61,7 +104,7 @@ def gram_occurrences(
     """(id_col, pos, h): one row per L-token gram occurrence, hashed
     in-row. pos is the 1-based token index of the gram's first
     token."""
-    hash_fn = hash_fn or xxhash31
+    hash_fn = hash_fn or xxhash_gram
     toks = tokens(F.col(text_col))
     k = F.size(toks) - F.lit(length - 1)
     grams = F.transform(
@@ -91,6 +134,7 @@ def duplicated_spans(
     id_col: str = "doc_id",
     text_col: str = "text",
     hash_fn=None,
+    materialize: str = "local",
 ) -> DataFrame:
     """Every NON-canonical occurrence of a duplicated L-gram:
     (id_col, pos) rows flagged for excision. The canonical keeper is
@@ -100,9 +144,11 @@ def duplicated_spans(
     the join probe), so it materializes once (the established
     multiply-referenced-frame rule — unmaterialized, the O(n*L)
     in-row gram build would run twice). The stored rows are int
-    triples, never gram strings."""
-    occ = gram_occurrences(df, length, id_col, text_col, hash_fn).localCheckpoint(
-        eager=True
+    triples, never gram strings. ``materialize``: 'local' (default)
+    or 'disk' — see the module docstring's HA caveat; same output
+    either way (pinned by test)."""
+    occ = _materialized(
+        gram_occurrences(df, length, id_col, text_col, hash_fn), materialize
     )
     dup = (
         occ.groupBy("h")
@@ -129,12 +175,17 @@ def substring_dedup(
     id_col: str = "doc_id",
     text_col: str = "text",
     hash_fn=None,
+    materialize: str = "local",
 ) -> DataFrame:
     """One row per input doc: (id_col, clean_text, n_tokens,
     n_removed). clean_text drops every token covered by a flagged
     gram window; docs without duplicated grams pass through with
-    n_removed = 0."""
-    flagged = duplicated_spans(df, length, id_col, text_col, hash_fn)
+    n_removed = 0. ``materialize``: 'local' (default) or 'disk' —
+    the module docstring's HA caveat; a 100 TB one-shot should pass
+    'disk'."""
+    flagged = duplicated_spans(
+        df, length, id_col, text_col, hash_fn, materialize
+    )
     rm = flagged.groupBy(id_col).agg(
         F.array_sort(F.collect_set("pos")).alias("_starts")
     )
@@ -199,6 +250,7 @@ def substring_dedup_incremental(
     text_col: str = "text",
     hash_fn=None,
     occ: DataFrame | None = None,
+    materialize: str = "local",
 ) -> DataFrame:
     """Excise a NEW batch against an accumulated gram index — the
     production shape: a crawl lands, only ITS text is ever hashed
@@ -221,9 +273,10 @@ def substring_dedup_incremental(
     hash-equality join of (h) longs — the index side never carries
     positions; the within-batch agg is batch-sized."""
     if occ is None:
-        occ = gram_occurrences(
-            batch, length, id_col, text_col, hash_fn
-        ).localCheckpoint(eager=True)
+        occ = _materialized(
+            gram_occurrences(batch, length, id_col, text_col, hash_fn),
+            materialize,
+        )
     hist = hist_hashes.select("h").distinct()
     in_hist = occ.join(hist, "h", "left_semi").select(id_col, "pos")
     fresh = occ.join(hist, "h", "left_anti")

@@ -2963,6 +2963,45 @@ ORACLES["docs_bm25_indexed"] = ORACLES["docs_bm25_search"]
 # at-rest bucket-partitioned POSITIONAL index — third physical path
 # on the one BM25 oracle (the docs_phrase_search_atrest convention).
 ORACLES["docs_bm25_atrest"] = ORACLES["docs_bm25_search"]
+
+# search_after page 2 (round 11): the same scored frame, page 1's
+# last hit (smallest score, largest doc_id within the top-10) as the
+# keyset cursor, then the strictly-after cut re-ranked. Mirrors
+# queries.docs_bm25_search_after_atrest / textindex.py
+# bm25_search_after_atrest. NOTE the hit-set caveat shared with every
+# indexed BM25 twin: the index only sees docs with >= 1 query-term
+# hit; zero-hit docs score exactly 0.0 in this scan-form SQL, so the
+# two agree whenever ranks 1-20 all have hits (they do on the
+# synthetic corpus for 'the data' — pinned by the parity suite).
+ORACLES["docs_bm25_search_after_atrest"] = r"""
+WITH t AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS toks FROM documents),
+base AS (
+  SELECT doc_id, len(toks) AS dl,
+    len(list_filter(toks, x -> x = 'the')) AS tf0,
+    len(list_filter(toks, x -> x = 'data')) AS tf1
+  FROM t
+),
+stats AS (
+  SELECT CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl, COUNT(*) AS n,
+    SUM(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+    SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1
+  FROM base
+),
+scored AS (
+  SELECT doc_id,
+    ((CAST(n - df0 AS DOUBLE) + 0.5) / (df0 + 0.5))
+      * ((tf0 * CAST(1.2 + 1.0 AS DOUBLE)) / (tf0 + 1.2 * ((1.0 - 0.75) + (0.75 * dl) / avgdl)))
+    + ((CAST(n - df1 AS DOUBLE) + 0.5) / (df1 + 0.5))
+      * ((tf1 * CAST(1.2 + 1.0 AS DOUBLE)) / (tf1 + 1.2 * ((1.0 - 0.75) + (0.75 * dl) / avgdl))) AS score
+  FROM base, stats
+),
+page1 AS (SELECT doc_id, score FROM scored ORDER BY score DESC, doc_id LIMIT 10),
+cur AS (SELECT score AS cs, doc_id AS cid FROM page1 ORDER BY score ASC, doc_id DESC LIMIT 1)
+SELECT s.doc_id, s.score
+FROM scored s, cur
+WHERE s.score < cur.cs OR (s.score = cur.cs AND s.doc_id > cur.cid)
+ORDER BY s.score DESC, s.doc_id LIMIT 10
+"""
 # map-literal encode vs explode/join/reassemble: two physical paths,
 # one value hash (the same convention)
 ORACLES["docs_tokenize_fast"] = ORACLES["docs_tokenize"]

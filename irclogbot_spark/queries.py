@@ -2210,97 +2210,100 @@ def docs_importance_resample(spark, sf_dir):
 # registrations only; everything else gets the local parity suite's
 # (stricter) value check but no driver-recorded row. The window is
 # rotated per round so every oracle-paired query accumulates at
-# least one driver-recorded verification. Round 10 executes the plan
-# recorded at the end of round 9 (VERDICT r9 "Next round" #2),
+# least one driver-recorded verification. Round 11 executes the plan
+# recorded at the end of round 10 (VERDICT r10 "Next round" #1),
 # assembled by staleness of each query's newest driver row:
-# (a) FIRST rows for the never-driver-checked names — the two
-# post-window r9 tail registrations (docs_rare_terms,
-# events_adjacency_matrix) and the round-10 addition
-# (docs_bm25_atrest); (b) RE-PINS for the three queries whose
-# operators changed this round after their newest hard row
-# (docs_prep_pipeline: the eval gate was disabled in prep_corpus;
-# docs_decontaminate: the gated path's lazy te checkpoint;
-# docs_simhash_neardup_md5: combination banding replaced the 16-bit
-# chunks); (c) the ENTIRE r6-vintage backlog — the r6 remainder plus
-# the refreshes the round-9 ES-surface batch displaced (28 names,
-# every oracle-paired query whose newest row is round 6); (d) the 16
-# oldest round-7 rows. Every name here MUST be oracle-paired (pinned
-# by tests/test_driver_contract.py).
+# (a) FIRST rows for the never-driver-checked names — the 10
+# round-10 tail registrations (the ExactSubstr pair, the wildcard
+# pair, rescore, field collapsing, and the four at-rest
+# dictionary/span paths) plus the round-11 addition
+# (docs_bm25_search_after_atrest, keyset pagination over the at-rest
+# BM25 ranking — VERDICT r10 next #6); (b) RE-PINS for the two
+# queries whose operator code changed this round after their newest
+# hard row (bm25_rank_indexed was factored through
+# bm25_scores_indexed so search_after can cut before the TakeOrdered
+# — newest-code-gets-a-row rule); (c) the ENTIRE r7-vintage backlog
+# (32 names — every oracle-paired query whose newest driver row is
+# round 7); (d) the 5 alphabetically-first round-8 rows. Every name
+# here MUST be oracle-paired (pinned by
+# tests/test_driver_contract.py).
 _DRIVER_WINDOW = [
-    # (a) never driver-checked: the r9 post-window tail registrations
-    # and the round-10 at-rest BM25 path
-    "docs_rare_terms",
-    "events_adjacency_matrix",
+    # (a) never driver-checked: the round-10 tail registrations and
+    # the round-11 addition
+    "docs_substring_dedup",
+    "docs_substring_dedup_incr",
+    "docs_wildcard_search",
+    "docs_wildcard_search_indexed",
+    "docs_bm25_rescore",
+    "docs_collapse_by_source",
+    "docs_span_near_atrest",
+    "docs_fuzzy_term_search_atrest",
+    "docs_more_like_this_atrest",
+    "docs_prefix_suggest_atrest",
+    "docs_bm25_search_after_atrest",
+    # (b) re-pins — bm25_rank_indexed refactored this round after
+    # these queries' newest hard rows (r9 / r10)
+    "docs_bm25_indexed",
     "docs_bm25_atrest",
-    # (b) re-pins — operator code changed this round after the
-    # query's newest hard row (newest-code-gets-a-row rule)
-    "docs_prep_pipeline",
-    "docs_decontaminate",
-    "docs_simhash_neardup_md5",
-    # (c) the full r6-vintage backlog: every oracle-paired query
-    # whose newest driver row is round 6 (r6 remainder + the
-    # refreshes the round-9 ES-surface batch displaced)
-    "media_audio_stats",
-    "media_resize_stats",
-    "events_anomaly",
-    "docs_pps_sample",
-    "log_trending_terms",
-    "docs_lsh_recall",
-    "docs_corpus_shuffle",
-    "docs_length_winsorize",
-    "docs_snapshot_diff",
-    "tpch_q4_order_priority",
-    "tpch_q7_volume_shipping",
-    "tpch_q13_cust_distribution",
-    "tpch_q14_promo_revenue",
-    "tpch_q17_small_qty_revenue",
-    "tpch_q22_global_sales",
-    "docs_normalized_dedup",
-    "docs_bpe_merges",
-    "emb_kmeans_clusters",
-    "docs_data_card",
-    "docs_bpe_tokenize",
-    "docs_tokenize_fast",
-    "media_frame_plan",
-    "emb_semantic_decontam",
-    "events_top_paths",
-    "docs_importance_resample",
-    "docs_paragraph_dedup",
-    "docs_decontam_bloom",
-    "docs_reservoir_sample",
-    # (d) the 16 oldest round-7 rows
-    "agg_unpivot",
-    "docs_adaptive_quality",
-    "docs_backoff_surprisal",
-    "docs_budget_cap",
-    "docs_c4_clean",
-    "docs_chunking",
-    "docs_heavy_hitters_cms",
-    "docs_hll_distinct",
-    "docs_incremental_dedup",
-    "docs_inverted_index",
-    "docs_jsonl_ingest",
-    "docs_leakage_safe_split",
-    "docs_length_batching",
-    "docs_length_quantile_sketch",
-    "docs_multikey_linkage",
-    "docs_ngram_novelty",
+    # (c) the full r7-vintage backlog: every oracle-paired query
+    # whose newest driver row is round 7
+    "docs_priority_sample",
+    "docs_quality_score",
+    "docs_source_containment",
+    "docs_temperature_mix",
+    "docs_tfidf_topk",
+    "docs_unigram_segment",
+    "emb_hard_negatives",
+    "emb_ivf_recall",
+    "emb_pq_topk",
+    "emb_projection_recall",
+    "emb_random_projection",
+    "emb_semantic_dedup",
+    "emb_sq8_error",
+    "events_anomaly_mad",
+    "events_attribution",
+    "events_salted_enrich",
+    "events_theil_sen_trend",
+    "events_zorder_layout",
+    "media_decode_stats",
+    "media_png_decode_stats",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q6_forecast_revenue",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "tpch_q10_returned_items",
+    "tpch_q11_important_stock",
+    "tpch_q12_late_lines",
+    "tpch_q15_top_supplier",
+    "tpch_q18_big_orders",
+    "tpch_q19_disjunctive_rev",
+    "tpch_q20_promotion_parts",
+    "tpch_q21_waiting_suppliers",
+    # (d) the 5 alphabetically-first round-8 rows
+    "channels_catalog",
+    "docs_dedup_keep_best",
+    "docs_dedup_keep_first",
+    "docs_dedup_pipeline",
+    "docs_editdist_dedup",
 ]
-# ROUND-11 ROTATION PLAN: FIRST rows for the round-10 tail
-# registrations (docs_substring_dedup, docs_substring_dedup_incr,
-# docs_fuzzy_term_search_atrest, docs_more_like_this_atrest,
-# docs_prefix_suggest_atrest, docs_wildcard_search,
-# docs_span_near_atrest, docs_bm25_rescore,
-# docs_wildcard_search_indexed, docs_collapse_by_source),
-# then the remaining r7-vintage rows
-# (docs_priority_sample, docs_quality_score, docs_source_containment,
-# docs_temperature_mix, docs_tfidf_topk, docs_unigram_segment,
-# emb_hard_negatives, emb_ivf_recall, emb_pq_topk,
-# emb_projection_recall, emb_random_projection, emb_semantic_dedup,
-# emb_sq8_error, media_decode_stats, media_png_decode_stats, the
-# r7 tpch block, ...), then the oldest r8 rows — plus first rows for
-# any round-11 additions and re-pins for any operator touched after
-# its newest row.
+# ROUND-12 ROTATION PLAN: the remaining 43 round-8-vintage rows
+# (docs_editdist_neardup, docs_hll_sketch_only, docs_html_extract,
+# docs_lang_id, docs_lm_score, docs_neardup_clusters,
+# docs_neardup_jaccard, docs_nfc_normalize, docs_pack_sequences,
+# docs_paragraph_langid, docs_pii_redact, docs_quality,
+# docs_sample_split, docs_token_stats, docs_trgm_search,
+# docs_trgm_search_indexed, docs_url_canonicalize, docs_warc_ingest,
+# docs_winnow_fingerprint, emb_anchor_gate, emb_ann_recall,
+# emb_ann_topk, emb_cosine_neardup, emb_ivf_topk, emb_knn_join,
+# events_json_extract, events_windows, graph_pagerank_trade,
+# ingest_action_rows, ingest_dedup, ingest_filter_stats,
+# join_top_customers, log_inter_message_gap,
+# log_msgs_per_channel_day, log_nick_rank_per_channel,
+# log_term_time_filter, log_top_nicks, media_jpeg_decode_stats,
+# scalar_human_fmt, set_ops, tpch_q3_shipping_priority,
+# tpch_q5_local_supplier, window_date_functions), then the oldest
+# r9 rows — plus first rows for any round-12 additions and re-pins
+# for any operator touched after its newest row.
 
 
 @query("docs_dedup_keep_best_fast")
@@ -2349,7 +2352,10 @@ def docs_substring_dedup(spark, sf_dir):
     the synthetic corpus (its planted near-dup templates share
     8-token spans, so excisions exist); the operator default is the
     paper's 50. md5_hash31 is the oracle-check gram hash; the
-    production default stays xxhash31 (the _fast twin). Only
+    production default is the FULL-WIDTH xxhash64 (round 11, ADVICE
+    r10: excision collisions corrupt text, so the 31-bit fold is
+    reserved for oracle twins — the _fast twin measures the real
+    default). Only
     (h, doc_id, pos) int triples enter exchanges; the canonical
     first occurrence of each duplicated gram survives, every other
     occurrence's window is excised. Tail registration; first driver
@@ -2395,9 +2401,10 @@ def docs_substring_dedup_incr(spark, sf_dir):
 def docs_substring_dedup_fast(spark, sf_dir):
     """Production-hash twin of docs_substring_dedup (the established
     _fast convention): same excision pipeline under the default
-    xxhash31 gram hash. No SQL oracle (xxhash64 ∉ DuckDB) —
-    rows-only check; benched beside the checkable twin so the scale
-    figure is the production hash's."""
+    FULL-WIDTH xxhash64 gram hash (round 11 — collision-safe at
+    corpus scale, see operators/substrings.py). No SQL oracle
+    (xxhash64 ∉ DuckDB) — rows-only check; benched beside the
+    checkable twin so the scale figure is the production hash's."""
     from irclogbot_spark.operators.substrings import substring_dedup
 
     return substring_dedup(_t(spark, sf_dir, "documents"), length=8)
@@ -5065,13 +5072,17 @@ def docs_fuzzy_term_search_atrest(spark, sf_dir):
     fetch is bucket-pruned with literal PartitionFilters. Closes the
     round-9 'fuzzy honestly reads all buckets' asymmetry. Same
     oracle as docs_fuzzy_term_search — second physical path, one
-    value hash. Tail registration; queued for the round-11
-    window."""
+    value hash. max_expansions=None EXPLICITLY (round 11): the
+    operator default is ES's 50-term top-frequency rewrite (VERDICT
+    r10 wrong #3 — an unbounded dictionary collect at real
+    vocabulary size); this query opts into the exhaustive expansion
+    because its result must equal the exhaustive SQL oracle. Tail
+    registration; queued for the round-11 window."""
     from irclogbot_spark.operators.textindex import fuzzy_term_search_atrest
 
     _pidx, _lens, _nb = _text_index_at_rest(spark, sf_dir)
     return fuzzy_term_search_atrest(
-        spark, _TEXT_INDEX[sf_dir], _FUZZY_TERMS, max_dist=1
+        spark, _TEXT_INDEX[sf_dir], _FUZZY_TERMS, max_dist=1, max_expansions=None
     )
 
 
@@ -5122,6 +5133,38 @@ def docs_bm25_atrest(spark, sf_dir):
     pidx, doclens, n_buckets = _text_index_at_rest(spark, sf_dir)
     probed = probe_postings(pidx, ["the", "data"], n_buckets)
     return bm25_rank_indexed(postings_tf(probed), doclens, ["the", "data"], k=10)
+
+
+@query("docs_bm25_search_after_atrest")
+def docs_bm25_search_after_atrest(spark, sf_dir):
+    """ES search_after over the at-rest BM25 ranking (round 11 —
+    VERDICT r10 next #6; operators/textindex.py
+    bm25_search_after_atrest): KEYSET pagination on the
+    (score DESC, doc_id ASC) total order — page 2 of the 'the data'
+    search, i.e. ranks 11-20. The cursor is page 1's LAST hit's sort
+    values, derived IN-PLAN (a 1-row TakeOrdered over page 1's 10
+    rows, broadcast into the cursor cut) so the query is
+    deterministic end-to-end; each page re-executes the bucket-pruned
+    search exactly as ES does (search_after holds no server-side
+    page state — re-running the ranking per page IS the deployment
+    semantics, which is why the scored frame is deliberately NOT
+    materialized across the two executions). Both the cursor
+    derivation and the page cut compile to TakeOrderedAndProject
+    (plan-pinned) — never a global sort, never an OFFSET scan-and-
+    discard. Fourth physical path on the BM25 score assembly, new
+    oracle (the page-2 CTE replay). First driver row queued in the
+    round-11 window."""
+    from irclogbot_spark.operators.textindex import (
+        bm25_search_after_atrest,
+        last_sort_values,
+    )
+
+    _text_index_at_rest(spark, sf_dir)
+    path = _TEXT_INDEX[sf_dir]
+    page1 = bm25_search_after_atrest(spark, path, ["the", "data"], k=10)
+    return bm25_search_after_atrest(
+        spark, path, ["the", "data"], k=10, after=last_sort_values(page1)
+    )
 
 
 @query("docs_collapse_by_source")

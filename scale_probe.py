@@ -155,13 +155,17 @@ def probe(
     out = {}
     for name in names:
         best, metrics = None, None
+        # row-count sanity signal (ADVICE r10: the noop sink used to
+        # report rows=-1, losing the degenerate-result check) —
+        # counted ONCE, OUTSIDE the timed loop, so the timing stays
+        # the full-materialization noop number
+        n_rows = queries[name](spark, sf_dir).count()
         for _ in range(reps):
             before = _stage_totals(ui)
             t0 = time.time()
             df = queries[name](spark, sf_dir)
             if sink == "noop":
                 df.write.format("noop").mode("overwrite").save()
-                n_rows = -1  # not collected; the noop sink has no count
             else:
                 n_rows = df.count()
             dt = time.time() - t0

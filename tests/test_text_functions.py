@@ -461,3 +461,134 @@ def test_bm25_rescore_reorders_within_window_only(spark):
     assert [(r.doc_id, r.score) for r in zero] == [
         (r.doc_id, r.score) for r in plain
     ]
+
+
+def test_bm25_search_after_atrest_keyset_pagination(spark, tmp_path):
+    """operators/textindex.py bm25_search_after_atrest (round 11):
+    page 1 and the cursor-cut page 2 are disjoint, their union is
+    the top-(2k) of the same ranking, order within each page is
+    (score desc, id asc), and BOTH pages compile to
+    TakeOrderedAndProject — never a global sort, never an offset."""
+    from irclogbot_spark.functions.text import bm25_rank_indexed
+    from irclogbot_spark.operators.textindex import (
+        bm25_search_after_atrest,
+        last_sort_values,
+        postings_tf,
+        probe_postings,
+        read_text_index,
+        write_text_index,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "the data " + "data " * (i % 7) + "filler " * (i % 3))
+         for i in range(40)],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "tidx_sa")
+    write_text_index(docs, path, n_buckets=8)
+    terms = ["the", "data"]
+
+    page1 = bm25_search_after_atrest(spark, path, terms, k=10)
+    page2 = bm25_search_after_atrest(
+        spark, path, terms, k=10, after=last_sort_values(page1)
+    )
+    r1 = [tuple(r) for r in page1.collect()]
+    r2 = [tuple(r) for r in page2.collect()]
+    assert len(r1) == 10 and len(r2) == 10
+    assert not ({x[0] for x in r1} & {x[0] for x in r2})
+
+    pidx, lens, nb = read_text_index(spark, path)
+    top20 = [
+        tuple(r)
+        for r in bm25_rank_indexed(
+            postings_tf(probe_postings(pidx, terms, nb)), lens, terms, k=20
+        ).collect()
+    ]
+    assert r1 + r2 == top20
+
+    # ES literal-cursor form: the same page 2 from the previous
+    # page's last sort values passed as plain values
+    cs, cid = r1[-1][1], r1[-1][0]
+    r2_lit = [
+        tuple(r)
+        for r in bm25_search_after_atrest(
+            spark, path, terms, k=10, after=(cs, cid)
+        ).collect()
+    ]
+    assert r2_lit == r2
+
+    for df in (page1, page2):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "TakeOrderedAndProject" in plan, plan[:2000]
+
+
+def test_fuzzy_atrest_max_expansions_top_frequency_rewrite(spark, tmp_path):
+    """fuzzy_term_search_atrest (round 11, VERDICT r10 wrong #3):
+    the default max_expansions=50 bounds the dictionary collect;
+    an explicit cap keeps exactly the N matched types with the
+    highest df (ties: term asc) — ES's top-frequency rewrite. Types
+    'cat' (df 3) / 'bat' (df 2) / 'hat' (df 1) all match probe 'cat'
+    at distance <= 1; cap=2 must keep cat+bat and drop hat's docs."""
+    import inspect
+
+    from irclogbot_spark.operators.textindex import (
+        fuzzy_term_search_atrest,
+        write_text_index,
+    )
+
+    sig = inspect.signature(fuzzy_term_search_atrest)
+    assert sig.parameters["max_expansions"].default == 50
+
+    docs = spark.createDataFrame(
+        [
+            (1, "cat"), (2, "cat"), (3, "cat"),
+            (4, "bat"), (5, "bat"),
+            (6, "hat"),
+        ],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "tidx_fz")
+    write_text_index(docs, path, n_buckets=8)
+
+    capped = {
+        (r.term, r.doc_id)
+        for r in fuzzy_term_search_atrest(
+            spark, path, ["cat"], max_dist=1, max_expansions=2
+        ).collect()
+    }
+    assert capped == {("cat", 1), ("cat", 2), ("cat", 3), ("cat", 4), ("cat", 5)}
+
+    full = {
+        (r.term, r.doc_id)
+        for r in fuzzy_term_search_atrest(
+            spark, path, ["cat"], max_dist=1, max_expansions=None
+        ).collect()
+    }
+    assert full == capped | {("cat", 6)}
+
+
+def test_prefix_suggest_atrest_take_ordered_not_global_sort(spark, tmp_path):
+    """prefix_suggest_atrest (round 11, ADVICE r10): the dictionary
+    cut compiles to TakeOrderedAndProject (partial top-k), with the
+    rank window running over the <= k surviving rows — not a
+    row_number over an unpartitioned window applied to every
+    prefix-matching vocab row."""
+    from irclogbot_spark.operators.textindex import (
+        prefix_suggest_atrest,
+        write_text_index,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"spark sort scan s{i % 5}") for i in range(20)],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "tidx_sg")
+    write_text_index(docs, path, n_buckets=8)
+    df = prefix_suggest_atrest(spark, path, "s", k=3)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan[:2000]
+    rows = [tuple(r) for r in df.collect()]
+    assert len(rows) == 3
+    assert [r[3] for r in rows] == [1, 2, 3]
+    freqs = [r[1] for r in rows]
+    assert freqs == sorted(freqs, reverse=True)
