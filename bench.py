@@ -199,6 +199,9 @@ HEADLINE = [
     # re-executes the bucket-pruned search per page (the ES
     # semantics), so it carries two full ranking executions
     "docs_bm25_search_after_atrest",
+    # round 11: the bool query's at-rest path (pivot agg + doclens
+    # join over the probed buckets)
+    "docs_bool_search_atrest",
 ]
 
 #: Every registered query NOT in HEADLINE (VERDICT r7 missing #4:
@@ -230,6 +233,7 @@ CHEAP = [
     "events_approx_stats",
     "docs_quality",
     "docs_bm25_search",
+    "docs_bool_search",
     "docs_neardup_jaccard",
     "docs_dedup_keep_first",
     "docs_lang_id",

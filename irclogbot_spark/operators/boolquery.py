@@ -1,0 +1,228 @@
+"""ES ``bool`` query — the compound must/should/filter/must_not
+search (SURVEY.md §2H; the single most-issued query type of the ES
+DSL the reference feeds: every Kibana search bar, every saved
+search, every alerting rule compiles to one).
+
+Semantics (the ES contract, reproduced exactly):
+
+- ``must``: every term must match; each contributes its BM25
+  per-term score.
+- ``should``: optional matches; each MATCHING term adds its BM25
+  per-term score, and the doc must match at least
+  ``minimum_should_match`` of them (ES defaults msm to 0 when a
+  must/filter clause exists, 1 otherwise — same default here).
+- ``filter``: non-scoring gate. Modeled as a token-length range
+  over the same dl the BM25 norm uses (the ES deployment shape is a
+  numeric/date range over a doc-values field; dl is the one numeric
+  field both the corpus scan AND the at-rest doclens table carry,
+  so both physical paths serve the identical clause).
+- ``must_not``: the doc must contain none of these terms;
+  contributes no score (ES executes it as a filter-context
+  exclusion).
+- score = the per-term BM25 contributions of must + should terms
+  added IN DECLARATION ORDER (a tf=0 should term contributes exactly
+  0.0, so no conditional is needed — the gate conditions and the
+  score expression stay independent, the same fixed-order double
+  assembly as bm25_rank / bm25_scores_indexed keeps the two physical
+  paths and the DuckDB oracle bit-identical).
+
+Scale shape:
+
+- Scan form: one in-row projection computes per-doc dl + one tf per
+  referenced term (must ∪ should ∪ must_not — the token array
+  materializes once); ONE global aggregate produces the corpus-stats
+  row (n, avgdl, per-term df) and broadcasts back; the gates and the
+  score are map-side expressions; top-k is a partial TakeOrdered.
+  Zero corpus shuffles.
+- At-rest form: ONE bucket-pruned postings probe covers all
+  referenced terms (literal crc32 bucket list -> PartitionFilters —
+  the must_not term's postings are READ, bucket-pruned, and used as
+  an in-pivot exclusion; the corpus text is never touched); one
+  doc-keyed pivot aggregation reassembles per-doc tf columns; dl
+  joins from the narrow doclens table; stats and df broadcast.
+  Exactly one corpus-hit-sized exchange.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _per_term_score(tf, dfreq, n, avgdl, dl, k1: float, b: float):
+    """The repo-wide BM25 per-term expression (rational idf — see
+    bm25_rank's determinism note)."""
+    denom_norm = F.lit(1.0) - F.lit(b) + F.lit(b) * dl / avgdl
+    idf = (n - dfreq + F.lit(0.5)) / (dfreq + F.lit(0.5))
+    tfc = (tf * (F.lit(k1) + F.lit(1.0))) / (tf + F.lit(k1) * denom_norm)
+    return idf * tfc
+
+
+def _resolve_msm(
+    minimum_should_match: int | None, must: list[str], should: list[str]
+) -> int:
+    if minimum_should_match is not None:
+        return minimum_should_match
+    # the ES default: should is optional when a must/filter clause
+    # exists, required (>= 1) when it is the only scoring clause
+    return 0 if must else (1 if should else 0)
+
+
+def bool_search(
+    df: DataFrame,
+    must: list[str] | None = None,
+    should: list[str] | None = None,
+    must_not: list[str] | None = None,
+    minimum_should_match: int | None = None,
+    dl_between: tuple[int, int] | None = None,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Scan-form scored bool query. Returns top-k
+    (id_col, score, n_should) ordered (score desc, id asc)."""
+    must, should, must_not = list(must or []), list(should or []), list(must_not or [])
+    if not must and not should:
+        raise ValueError("bool query needs at least one must or should term")
+    msm = _resolve_msm(minimum_should_match, must, should)
+    ref = must + should + must_not
+    toks = F.regexp_extract_all(F.col(text_col), F.lit(r"\S+"), F.lit(0))
+
+    def _eq(t: str):
+        return lambda x: x == F.lit(t)
+
+    base = df.select(
+        F.col(id_col),
+        F.size(toks).alias("dl"),
+        *[
+            F.size(F.filter(toks, _eq(t))).alias(f"tf{i}")
+            for i, t in enumerate(ref)
+        ],
+    )
+    n_scoring = len(must) + len(should)
+    stats = base.agg(
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.sum(F.when(F.col(f"tf{i}") > 0, 1).otherwise(0)).alias(f"df{i}")
+            for i in range(n_scoring)
+        ],
+    )
+    j = base.join(F.broadcast(stats))
+    score = None
+    for i in range(n_scoring):
+        s = _per_term_score(
+            F.col(f"tf{i}"), F.col(f"df{i}"), F.col("n"), F.col("avgdl"),
+            F.col("dl"), k1, b,
+        )
+        score = s if score is None else score + s
+    n_should = None
+    for i in range(len(must), n_scoring):
+        c = F.when(F.col(f"tf{i}") > 0, 1).otherwise(0)
+        n_should = c if n_should is None else n_should + c
+    n_should = (n_should if n_should is not None else F.lit(0)).cast("long")
+    gate = F.lit(True)
+    for i in range(len(must)):
+        gate = gate & (F.col(f"tf{i}") > 0)
+    for i in range(n_scoring, len(ref)):
+        gate = gate & (F.col(f"tf{i}") == 0)
+    if dl_between is not None:
+        lo, hi = dl_between
+        gate = gate & F.col("dl").between(F.lit(int(lo)), F.lit(int(hi)))
+    out = (
+        j.select(F.col(id_col), score.alias("score"), n_should.alias("n_should"), gate.alias("_g"))
+        .filter((F.col("_g")) & (F.col("n_should") >= F.lit(msm)))
+        .drop("_g")
+    )
+    return out.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
+
+
+def bool_search_atrest(
+    spark: SparkSession,
+    path: str,
+    must: list[str] | None = None,
+    should: list[str] | None = None,
+    must_not: list[str] | None = None,
+    minimum_should_match: int | None = None,
+    dl_between: tuple[int, int] | None = None,
+    k: int = 10,
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """The same bool query served from the at-rest text index: one
+    bucket-pruned postings probe over every referenced term
+    (must_not included — its postings rows become the exclusion
+    column of the per-doc pivot), dl from the doclens table, stats
+    and df broadcast. Bit-identical scores to :func:`bool_search`
+    (same fixed-order assembly; df per term from the probed postings
+    equals the scan's tf>0 count because a postings row exists iff
+    tf > 0)."""
+    from irclogbot_spark.operators.textindex import (
+        postings_tf,
+        probe_postings,
+        read_text_index,
+    )
+
+    must, should, must_not = list(must or []), list(should or []), list(must_not or [])
+    if not must and not should:
+        raise ValueError("bool query needs at least one must or should term")
+    msm = _resolve_msm(minimum_should_match, must, should)
+    ref = must + should + must_not
+    n_scoring = len(must) + len(should)
+    pidx, doclens, n_buckets = read_text_index(spark, path)
+    p = postings_tf(probe_postings(pidx, ref, n_buckets), id_col)
+    # per-doc pivot: one doc-keyed partial agg reassembles the tf
+    # columns the scan form projects in-row (absent term -> tf 0)
+    pivot = p.groupBy(id_col).agg(
+        *[
+            F.coalesce(
+                F.max(F.when(F.col("term") == t, F.col("tf"))), F.lit(0)
+            ).alias(f"tf{i}")
+            for i, t in enumerate(ref)
+        ]
+    )
+    dfreq = p.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    stats = doclens.agg(
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    # fold the per-term dfs into one broadcastable row, in ref order
+    dfrow = dfreq.groupBy().pivot("term", ref).agg(F.first("df"))
+    dfrow = dfrow.select(
+        *[F.coalesce(F.col(f"`{t}`"), F.lit(0)).alias(f"df{i}")
+          for i, t in enumerate(ref[:n_scoring])]
+    )
+    j = (
+        pivot.join(doclens, id_col)
+        .join(F.broadcast(stats))
+        .join(F.broadcast(dfrow))
+    )
+    score = None
+    for i in range(n_scoring):
+        s = _per_term_score(
+            F.col(f"tf{i}"), F.col(f"df{i}"), F.col("n"), F.col("avgdl"),
+            F.col("dl"), k1, b,
+        )
+        score = s if score is None else score + s
+    n_should = None
+    for i in range(len(must), n_scoring):
+        c = F.when(F.col(f"tf{i}") > 0, 1).otherwise(0)
+        n_should = c if n_should is None else n_should + c
+    n_should = (n_should if n_should is not None else F.lit(0)).cast("long")
+    gate = F.lit(True)
+    for i in range(len(must)):
+        gate = gate & (F.col(f"tf{i}") > 0)
+    for i in range(n_scoring, len(ref)):
+        gate = gate & (F.col(f"tf{i}") == 0)
+    if dl_between is not None:
+        lo, hi = dl_between
+        gate = gate & F.col("dl").between(F.lit(int(lo)), F.lit(int(hi)))
+    out = (
+        j.select(F.col(id_col), score.alias("score"), n_should.alias("n_should"), gate.alias("_g"))
+        .filter((F.col("_g")) & (F.col("n_should") >= F.lit(msm)))
+        .drop("_g")
+    )
+    return out.orderBy(F.desc("score"), F.asc(id_col)).limit(k)

@@ -3002,6 +3002,48 @@ FROM scored s, cur
 WHERE s.score < cur.cs OR (s.score = cur.cs AND s.doc_id > cur.cid)
 ORDER BY s.score DESC, s.doc_id LIMIT 10
 """
+# ES bool query (round 11): must 'data', should 'spark'/'merge'
+# (msm=1), must_not 'dup', filter dl BETWEEN 20 AND 120. Score = the
+# BM25 per-term contributions of must + should terms in declaration
+# order (tf=0 should terms contribute exactly 0.0); gates are
+# non-scoring. Mirrors operators/boolquery.py bool_search /
+# bool_search_atrest — two physical paths, one value hash.
+_BOOL_TERM = (
+    "((CAST(n - df{i} AS DOUBLE) + 0.5) / (df{i} + 0.5))"
+    " * ((tf{i} * CAST(1.2 + 1.0 AS DOUBLE))"
+    " / (tf{i} + 1.2 * ((1.0 - 0.75) + (0.75 * dl) / avgdl)))"
+)
+ORACLES["docs_bool_search"] = rf"""
+WITH t AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS toks FROM documents),
+base AS (
+  SELECT doc_id, len(toks) AS dl,
+    len(list_filter(toks, x -> x = 'data')) AS tf0,
+    len(list_filter(toks, x -> x = 'spark')) AS tf1,
+    len(list_filter(toks, x -> x = 'merge')) AS tf2,
+    len(list_filter(toks, x -> x = 'dup')) AS tf3
+  FROM t
+),
+stats AS (
+  SELECT CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl, COUNT(*) AS n,
+    SUM(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+    SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+    SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
+  FROM base
+)
+SELECT doc_id,
+  {_BOOL_TERM.format(i=0)}
+  + {_BOOL_TERM.format(i=1)}
+  + {_BOOL_TERM.format(i=2)} AS score,
+  CAST((CASE WHEN tf1 > 0 THEN 1 ELSE 0 END)
+     + (CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_should
+FROM base, stats
+WHERE tf0 > 0 AND tf3 = 0 AND dl BETWEEN 20 AND 120
+  AND (CASE WHEN tf1 > 0 THEN 1 ELSE 0 END)
+    + (CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) >= 1
+ORDER BY score DESC, doc_id LIMIT 10
+"""
+ORACLES["docs_bool_search_atrest"] = ORACLES["docs_bool_search"]
+
 # map-literal encode vs explode/join/reassemble: two physical paths,
 # one value hash (the same convention)
 ORACLES["docs_tokenize_fast"] = ORACLES["docs_tokenize"]

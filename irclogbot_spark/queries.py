@@ -2286,7 +2286,9 @@ _DRIVER_WINDOW = [
     "docs_dedup_pipeline",
     "docs_editdist_dedup",
 ]
-# ROUND-12 ROTATION PLAN: the remaining 43 round-8-vintage rows
+# ROUND-12 ROTATION PLAN: FIRST rows for the round-11 tail
+# registrations (docs_bool_search, docs_bool_search_atrest — the ES
+# bool query pair), then the remaining 43 round-8-vintage rows
 # (docs_editdist_neardup, docs_hll_sketch_only, docs_html_extract,
 # docs_lang_id, docs_lm_score, docs_neardup_clusters,
 # docs_neardup_jaccard, docs_nfc_normalize, docs_pack_sequences,
@@ -5165,6 +5167,59 @@ def docs_bm25_search_after_atrest(spark, sf_dir):
     return bm25_search_after_atrest(
         spark, path, ["the", "data"], k=10, after=last_sort_values(page1)
     )
+
+
+#: the declared bool-query clause set: must 'data' (df ~395/500 at
+#: sf0.01), should 'spark'/'merge' with minimum_should_match=1
+#: (explicit — stricter than ES's default 0-when-must-present, so the
+#: msm gate is exercised), must_not 'dup' (df ~25 — a meaningful
+#: exclusion), filter dl BETWEEN 20 AND 120 (cuts the short tail)
+_BOOL_CLAUSES = dict(
+    must=["data"],
+    should=["spark", "merge"],
+    must_not=["dup"],
+    minimum_should_match=1,
+    dl_between=(20, 120),
+    k=10,
+)
+
+
+@query("docs_bool_search")
+def docs_bool_search(spark, sf_dir):
+    """ES bool query (round 11 — §2H; operators/boolquery.py): the
+    compound must/should/filter/must_not search — the single
+    most-issued ES query type (every Kibana search bar compiles to
+    one), previously absent from the DSL surface. Scored per the ES
+    contract: must + MATCHED should terms add their BM25 per-term
+    contributions in declaration order (a tf=0 should term adds
+    exactly 0.0, so gates and score stay independent expressions);
+    filter (a dl range — the numeric doc-values clause both physical
+    paths can serve) and must_not are non-scoring gates;
+    minimum_should_match=1 enforced. Scan form: in-row tf
+    projection, ONE broadcast stats row, map-side gates, partial
+    TakeOrdered — zero corpus shuffles. Tail registration; first
+    driver row queued for the round-12 window."""
+    from irclogbot_spark.operators.boolquery import bool_search
+
+    return bool_search(_t(spark, sf_dir, "documents"), **_BOOL_CLAUSES)
+
+
+@query("docs_bool_search_atrest")
+def docs_bool_search_atrest(spark, sf_dir):
+    """The same bool query served from the AT-REST index (round 11 —
+    operators/boolquery.py bool_search_atrest): ONE bucket-pruned
+    postings probe covers all four referenced terms (the must_not
+    term's postings are read bucket-pruned and become the exclusion
+    column of the per-doc pivot — the corpus text is never touched),
+    dl joins from the narrow doclens table, stats + per-term df
+    broadcast. Bit-identical scores to the scan form — second
+    physical path on the bool oracle, one value hash. Tail
+    registration; first driver row queued for the round-12
+    window."""
+    from irclogbot_spark.operators.boolquery import bool_search_atrest
+
+    _text_index_at_rest(spark, sf_dir)
+    return bool_search_atrest(spark, _TEXT_INDEX[sf_dir], **_BOOL_CLAUSES)
 
 
 @query("docs_collapse_by_source")

@@ -592,3 +592,103 @@ def test_prefix_suggest_atrest_take_ordered_not_global_sort(spark, tmp_path):
     assert [r[3] for r in rows] == [1, 2, 3]
     freqs = [r[1] for r in rows]
     assert freqs == sorted(freqs, reverse=True)
+
+
+def test_bool_search_clause_semantics(spark):
+    """operators/boolquery.py (round 11 — the ES bool query): must
+    gates + scores, should scores + counts toward
+    minimum_should_match, filter (dl range) and must_not gate
+    without scoring, and the score equals the fixed-order sum of the
+    same per-term BM25 contributions bm25_rank assembles."""
+    from irclogbot_spark.functions.text import bm25_rank
+    from irclogbot_spark.operators.boolquery import bool_search
+
+    docs = spark.createDataFrame(
+        [
+            (1, "data spark merge x y z"),      # must+both should
+            (2, "data spark a b c d"),          # must+1 should
+            (3, "data x y z w v"),              # must, 0 should
+            (4, "spark merge a b c d"),         # no must
+            (5, "data spark dup a b c"),        # must_not hit
+            (6, "data merge " + "pad " * 200),  # dl out of range
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.score, r.n_should)
+        for r in bool_search(
+            docs,
+            must=["data"],
+            should=["spark", "merge"],
+            must_not=["dup"],
+            minimum_should_match=1,
+            dl_between=(3, 50),
+            k=10,
+        ).collect()
+    }
+    assert set(got) == {1, 2}
+    assert got[1][1] == 2 and got[2][1] == 1
+    # score additivity: the three-term bm25 ranking over the SAME
+    # corpus assigns each doc the identical fixed-order sum (its
+    # gates differ, its arithmetic must not)
+    ref = {
+        r.doc_id: r.score
+        for r in bm25_rank(docs, ["data", "spark", "merge"], k=10).collect()
+    }
+    assert got[1][0] == ref[1] and got[2][0] == ref[2]
+    # ES msm default: 0 when a must clause exists -> doc 3 admitted
+    with_default = {
+        r.doc_id
+        for r in bool_search(
+            docs,
+            must=["data"],
+            should=["spark", "merge"],
+            must_not=["dup"],
+            dl_between=(3, 50),
+        ).collect()
+    }
+    assert with_default == {1, 2, 3}
+
+
+def test_bool_search_atrest_bit_equal_and_bucket_pruned(spark, tmp_path):
+    """bool_search_atrest (round 11): bit-identical rows to the scan
+    form from ONE bucket-pruned postings probe (term_bkt
+    PartitionFilters cover all referenced terms, must_not
+    included)."""
+    import re as _re
+
+    from irclogbot_spark.operators.boolquery import (
+        bool_search,
+        bool_search_atrest,
+    )
+    from irclogbot_spark.operators.textindex import write_text_index
+
+    docs = spark.createDataFrame(
+        [
+            (i, ("data " * (1 + i % 3))
+             + ("spark " if i % 2 == 0 else "scan ")
+             + ("merge " if i % 5 == 0 else "")
+             + ("dup " if i % 11 == 0 else "")
+             + "tail words here")
+            for i in range(60)
+        ],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "tidx_bool")
+    write_text_index(docs, path, n_buckets=8)
+    kw = dict(
+        must=["data"],
+        should=["spark", "merge"],
+        must_not=["dup"],
+        minimum_should_match=1,
+        dl_between=(3, 50),
+        k=10,
+    )
+    want = [tuple(r) for r in bool_search(docs, **kw).collect()]
+    at = bool_search_atrest(spark, path, **kw)
+    got = [tuple(r) for r in at.collect()]
+    assert got == want and len(got) > 0
+    plan = at._jdf.queryExecution().executedPlan().toString()
+    pf = _re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert any("term_bkt" in m for m in pf), plan[:2000]
+    assert "TakeOrderedAndProject" in plan
