@@ -202,6 +202,7 @@ HEADLINE = [
     # round 11: the bool query's at-rest path (pivot agg + doclens
     # join over the probed buckets)
     "docs_bool_search_atrest",
+    "docs_dis_max_search_atrest",
 ]
 
 #: Every registered query NOT in HEADLINE (VERDICT r7 missing #4:
@@ -234,6 +235,7 @@ CHEAP = [
     "docs_quality",
     "docs_bm25_search",
     "docs_bool_search",
+    "docs_dis_max_search",
     "docs_neardup_jaccard",
     "docs_dedup_keep_first",
     "docs_lang_id",

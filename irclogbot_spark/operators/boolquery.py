@@ -1,9 +1,9 @@
-"""ES ``bool`` query — the compound must/should/filter/must_not
-search (SURVEY.md §2H; the single most-issued query type of the ES
-DSL the reference feeds: every Kibana search bar, every saved
-search, every alerting rule compiles to one).
+"""ES compound queries — ``bool`` (must/should/filter/must_not) and
+``dis_max`` (disjunction-max), the two compound types every ES
+deployment issues (SURVEY.md §2H; every Kibana search bar compiles
+to a bool query, every multi_match best_fields to a dis_max).
 
-Semantics (the ES contract, reproduced exactly):
+bool semantics (the ES contract, reproduced exactly):
 
 - ``must``: every term must match; each contributes its BM25
   per-term score.
@@ -26,18 +26,25 @@ Semantics (the ES contract, reproduced exactly):
   assembly as bm25_rank / bm25_scores_indexed keeps the two physical
   paths and the DuckDB oracle bit-identical).
 
-Scale shape:
+dis_max semantics: a doc matches when >= 1 clause term matches;
+score = max(per-term scores) + tie_breaker * (sum - max) — the
+best clause dominates, the others contribute at a discount (ES's
+exact formula; tie_breaker=0 is pure best-of, 1.0 degenerates to
+the bool should-sum). max/sum/discount use the identical expression
+tree in the DuckDB twin (GREATEST + the fixed-order sum), so the
+scores value-hash.
+
+Scale shape (both query types, both physical paths):
 
 - Scan form: one in-row projection computes per-doc dl + one tf per
-  referenced term (must ∪ should ∪ must_not — the token array
-  materializes once); ONE global aggregate produces the corpus-stats
-  row (n, avgdl, per-term df) and broadcasts back; the gates and the
-  score are map-side expressions; top-k is a partial TakeOrdered.
-  Zero corpus shuffles.
+  referenced term (the token array materializes once); ONE global
+  aggregate produces the corpus-stats row (n, avgdl, per-term df)
+  and broadcasts back; the gates and the score are map-side
+  expressions; top-k is a partial TakeOrdered. Zero corpus shuffles.
 - At-rest form: ONE bucket-pruned postings probe covers all
   referenced terms (literal crc32 bucket list -> PartitionFilters —
-  the must_not term's postings are READ, bucket-pruned, and used as
-  an in-pivot exclusion; the corpus text is never touched); one
+  a bool must_not term's postings are READ, bucket-pruned, and used
+  as an in-pivot exclusion; the corpus text is never touched); one
   doc-keyed pivot aggregation reassembles per-doc tf columns; dl
   joins from the narrow doclens table; stats and df broadcast.
   Exactly one corpus-hit-sized exchange.
@@ -45,7 +52,7 @@ Scale shape:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
@@ -68,6 +75,136 @@ def _resolve_msm(
     return 0 if must else (1 if should else 0)
 
 
+def _term_frame_scan(
+    df: DataFrame,
+    ref: list[str],
+    n_scoring: int,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """(id, dl, tf0..tfN, n, avgdl, df0..df{n_scoring-1}): the in-row
+    tf projection joined with the ONE broadcast corpus-stats row —
+    the shared frame both compound scorers read. Zero shuffles."""
+    toks = F.regexp_extract_all(F.col(text_col), F.lit(r"\S+"), F.lit(0))
+
+    def _eq(t: str):
+        return lambda x: x == F.lit(t)
+
+    base = df.select(
+        F.col(id_col),
+        F.size(toks).alias("dl"),
+        *[
+            F.size(F.filter(toks, _eq(t))).alias(f"tf{i}")
+            for i, t in enumerate(ref)
+        ],
+    )
+    stats = base.agg(
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.sum(F.when(F.col(f"tf{i}") > 0, 1).otherwise(0)).alias(f"df{i}")
+            for i in range(n_scoring)
+        ],
+    )
+    return base.join(F.broadcast(stats))
+
+
+def _term_frame_atrest(
+    spark: SparkSession,
+    path: str,
+    ref: list[str],
+    n_scoring: int,
+    id_col: str,
+) -> DataFrame:
+    """The same frame reassembled from the at-rest index: one
+    bucket-pruned postings probe over every referenced term, a
+    doc-keyed pivot agg, dl from doclens, stats + per-term df
+    broadcast. df per term from the probed postings equals the
+    scan's tf>0 count because a postings row exists iff tf > 0.
+    Docs with zero referenced-term hits are absent — every compound
+    gate requires >= 1 scoring hit, so the hit sets agree."""
+    from irclogbot_spark.operators.textindex import (
+        postings_tf,
+        probe_postings,
+        read_text_index,
+    )
+
+    pidx, doclens, n_buckets = read_text_index(spark, path)
+    p = postings_tf(probe_postings(pidx, ref, n_buckets), id_col)
+    pivot = p.groupBy(id_col).agg(
+        *[
+            F.coalesce(
+                F.max(F.when(F.col("term") == t, F.col("tf"))), F.lit(0)
+            ).alias(f"tf{i}")
+            for i, t in enumerate(ref)
+        ]
+    )
+    dfreq = p.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    stats = doclens.agg(
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    dfrow = dfreq.groupBy().pivot("term", ref).agg(F.first("df"))
+    dfrow = dfrow.select(
+        *[
+            F.coalesce(F.col(f"`{t}`"), F.lit(0)).alias(f"df{i}")
+            for i, t in enumerate(ref[:n_scoring])
+        ]
+    )
+    return (
+        pivot.join(doclens, id_col)
+        .join(F.broadcast(stats))
+        .join(F.broadcast(dfrow))
+    )
+
+
+def _bool_project(
+    j: DataFrame,
+    must: list[str],
+    should: list[str],
+    must_not: list[str],
+    msm: int,
+    dl_between: tuple[int, int] | None,
+    k: int,
+    id_col: str,
+    k1: float,
+    b: float,
+) -> DataFrame:
+    n_scoring = len(must) + len(should)
+    n_ref = n_scoring + len(must_not)
+    score = None
+    for i in range(n_scoring):
+        s = _per_term_score(
+            F.col(f"tf{i}"), F.col(f"df{i}"), F.col("n"), F.col("avgdl"),
+            F.col("dl"), k1, b,
+        )
+        score = s if score is None else score + s
+    n_should = None
+    for i in range(len(must), n_scoring):
+        c = F.when(F.col(f"tf{i}") > 0, 1).otherwise(0)
+        n_should = c if n_should is None else n_should + c
+    n_should = (n_should if n_should is not None else F.lit(0)).cast("long")
+    gate = F.lit(True)
+    for i in range(len(must)):
+        gate = gate & (F.col(f"tf{i}") > 0)
+    for i in range(n_scoring, n_ref):
+        gate = gate & (F.col(f"tf{i}") == 0)
+    if dl_between is not None:
+        lo, hi = dl_between
+        gate = gate & F.col("dl").between(F.lit(int(lo)), F.lit(int(hi)))
+    out = (
+        j.select(
+            F.col(id_col),
+            score.alias("score"),
+            n_should.alias("n_should"),
+            gate.alias("_g"),
+        )
+        .filter((F.col("_g")) & (F.col("n_should") >= F.lit(msm)))
+        .drop("_g")
+    )
+    return out.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
+
+
 def bool_search(
     df: DataFrame,
     must: list[str] | None = None,
@@ -88,55 +225,10 @@ def bool_search(
         raise ValueError("bool query needs at least one must or should term")
     msm = _resolve_msm(minimum_should_match, must, should)
     ref = must + should + must_not
-    toks = F.regexp_extract_all(F.col(text_col), F.lit(r"\S+"), F.lit(0))
-
-    def _eq(t: str):
-        return lambda x: x == F.lit(t)
-
-    base = df.select(
-        F.col(id_col),
-        F.size(toks).alias("dl"),
-        *[
-            F.size(F.filter(toks, _eq(t))).alias(f"tf{i}")
-            for i, t in enumerate(ref)
-        ],
+    j = _term_frame_scan(df, ref, len(must) + len(should), id_col, text_col)
+    return _bool_project(
+        j, must, should, must_not, msm, dl_between, k, id_col, k1, b
     )
-    n_scoring = len(must) + len(should)
-    stats = base.agg(
-        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
-        F.count(F.lit(1)).alias("n"),
-        *[
-            F.sum(F.when(F.col(f"tf{i}") > 0, 1).otherwise(0)).alias(f"df{i}")
-            for i in range(n_scoring)
-        ],
-    )
-    j = base.join(F.broadcast(stats))
-    score = None
-    for i in range(n_scoring):
-        s = _per_term_score(
-            F.col(f"tf{i}"), F.col(f"df{i}"), F.col("n"), F.col("avgdl"),
-            F.col("dl"), k1, b,
-        )
-        score = s if score is None else score + s
-    n_should = None
-    for i in range(len(must), n_scoring):
-        c = F.when(F.col(f"tf{i}") > 0, 1).otherwise(0)
-        n_should = c if n_should is None else n_should + c
-    n_should = (n_should if n_should is not None else F.lit(0)).cast("long")
-    gate = F.lit(True)
-    for i in range(len(must)):
-        gate = gate & (F.col(f"tf{i}") > 0)
-    for i in range(n_scoring, len(ref)):
-        gate = gate & (F.col(f"tf{i}") == 0)
-    if dl_between is not None:
-        lo, hi = dl_between
-        gate = gate & F.col("dl").between(F.lit(int(lo)), F.lit(int(hi)))
-    out = (
-        j.select(F.col(id_col), score.alias("score"), n_should.alias("n_should"), gate.alias("_g"))
-        .filter((F.col("_g")) & (F.col("n_should") >= F.lit(msm)))
-        .drop("_g")
-    )
-    return out.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
 
 
 def bool_search_atrest(
@@ -152,77 +244,86 @@ def bool_search_atrest(
     k1: float = 1.2,
     b: float = 0.75,
 ) -> DataFrame:
-    """The same bool query served from the at-rest text index: one
-    bucket-pruned postings probe over every referenced term
-    (must_not included — its postings rows become the exclusion
-    column of the per-doc pivot), dl from the doclens table, stats
-    and df broadcast. Bit-identical scores to :func:`bool_search`
-    (same fixed-order assembly; df per term from the probed postings
-    equals the scan's tf>0 count because a postings row exists iff
-    tf > 0)."""
-    from irclogbot_spark.operators.textindex import (
-        postings_tf,
-        probe_postings,
-        read_text_index,
-    )
-
+    """The bool query served from the at-rest text index —
+    bit-identical rows to :func:`bool_search` (same fixed-order
+    assembly over the reassembled term frame)."""
     must, should, must_not = list(must or []), list(should or []), list(must_not or [])
     if not must and not should:
         raise ValueError("bool query needs at least one must or should term")
     msm = _resolve_msm(minimum_should_match, must, should)
     ref = must + should + must_not
-    n_scoring = len(must) + len(should)
-    pidx, doclens, n_buckets = read_text_index(spark, path)
-    p = postings_tf(probe_postings(pidx, ref, n_buckets), id_col)
-    # per-doc pivot: one doc-keyed partial agg reassembles the tf
-    # columns the scan form projects in-row (absent term -> tf 0)
-    pivot = p.groupBy(id_col).agg(
-        *[
-            F.coalesce(
-                F.max(F.when(F.col("term") == t, F.col("tf"))), F.lit(0)
-            ).alias(f"tf{i}")
-            for i, t in enumerate(ref)
-        ]
+    j = _term_frame_atrest(spark, path, ref, len(must) + len(should), id_col)
+    return _bool_project(
+        j, must, should, must_not, msm, dl_between, k, id_col, k1, b
     )
-    dfreq = p.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    stats = doclens.agg(
-        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
-        F.count(F.lit(1)).alias("n"),
-    )
-    # fold the per-term dfs into one broadcastable row, in ref order
-    dfrow = dfreq.groupBy().pivot("term", ref).agg(F.first("df"))
-    dfrow = dfrow.select(
-        *[F.coalesce(F.col(f"`{t}`"), F.lit(0)).alias(f"df{i}")
-          for i, t in enumerate(ref[:n_scoring])]
-    )
-    j = (
-        pivot.join(doclens, id_col)
-        .join(F.broadcast(stats))
-        .join(F.broadcast(dfrow))
-    )
-    score = None
-    for i in range(n_scoring):
-        s = _per_term_score(
+
+
+def _dis_max_project(
+    j: DataFrame,
+    terms: list[str],
+    tie_breaker: float,
+    k: int,
+    id_col: str,
+    k1: float,
+    b: float,
+) -> DataFrame:
+    scores: list[Column] = [
+        _per_term_score(
             F.col(f"tf{i}"), F.col(f"df{i}"), F.col("n"), F.col("avgdl"),
             F.col("dl"), k1, b,
         )
-        score = s if score is None else score + s
-    n_should = None
-    for i in range(len(must), n_scoring):
-        c = F.when(F.col(f"tf{i}") > 0, 1).otherwise(0)
-        n_should = c if n_should is None else n_should + c
-    n_should = (n_should if n_should is not None else F.lit(0)).cast("long")
-    gate = F.lit(True)
-    for i in range(len(must)):
-        gate = gate & (F.col(f"tf{i}") > 0)
-    for i in range(n_scoring, len(ref)):
-        gate = gate & (F.col(f"tf{i}") == 0)
-    if dl_between is not None:
-        lo, hi = dl_between
-        gate = gate & F.col("dl").between(F.lit(int(lo)), F.lit(int(hi)))
-    out = (
-        j.select(F.col(id_col), score.alias("score"), n_should.alias("n_should"), gate.alias("_g"))
-        .filter((F.col("_g")) & (F.col("n_should") >= F.lit(msm)))
-        .drop("_g")
+        for i in range(len(terms))
+    ]
+    total = None
+    for s in scores:
+        total = s if total is None else total + s
+    best = F.greatest(*scores) if len(scores) > 1 else scores[0]
+    score = best + F.lit(float(tie_breaker)) * (total - best)
+    gate = None
+    for i in range(len(terms)):
+        c = F.col(f"tf{i}") > 0
+        gate = c if gate is None else gate | c
+    return (
+        j.filter(gate)
+        .select(F.col(id_col), score.alias("score"))
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
     )
-    return out.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
+
+
+def dis_max_search(
+    df: DataFrame,
+    terms: list[str],
+    tie_breaker: float = 0.3,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Scan-form dis_max: top-k (id_col, score) where score =
+    max(per-term BM25) + tie_breaker * (sum - max); a doc matches
+    when >= 1 term matches."""
+    if not terms:
+        raise ValueError("dis_max needs at least one term")
+    j = _term_frame_scan(df, list(terms), len(terms), id_col, text_col)
+    return _dis_max_project(j, list(terms), tie_breaker, k, id_col, k1, b)
+
+
+def dis_max_search_atrest(
+    spark: SparkSession,
+    path: str,
+    terms: list[str],
+    tie_breaker: float = 0.3,
+    k: int = 10,
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """dis_max served from the at-rest index — bit-identical to
+    :func:`dis_max_search` (the >= 1-hit gate matches the pivot's
+    natural hit set, so no absent-doc asymmetry exists)."""
+    if not terms:
+        raise ValueError("dis_max needs at least one term")
+    j = _term_frame_atrest(spark, path, list(terms), len(terms), id_col)
+    return _dis_max_project(j, list(terms), tie_breaker, k, id_col, k1, b)

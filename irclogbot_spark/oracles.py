@@ -3044,6 +3044,40 @@ ORDER BY score DESC, doc_id LIMIT 10
 """
 ORACLES["docs_bool_search_atrest"] = ORACLES["docs_bool_search"]
 
+# ES dis_max (round 11): terms scan/merge/vector, tie_breaker 0.3.
+# score = GREATEST(per-term BM25) + 0.3 * (fixed-order sum -
+# GREATEST) — the identical expression tree Spark assembles
+# (operators/boolquery.py dis_max_search), so the doubles
+# value-hash. A doc matches when >= 1 term matches.
+_DM_TERMS = ["scan", "merge", "vector"]
+_DM_SCORE = " + ".join(_BOOL_TERM.format(i=i) for i in range(3))
+_DM_BEST = (
+    "GREATEST(" + ", ".join(_BOOL_TERM.format(i=i) for i in range(3)) + ")"
+)
+ORACLES["docs_dis_max_search"] = rf"""
+WITH t AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS toks FROM documents),
+base AS (
+  SELECT doc_id, len(toks) AS dl,
+    len(list_filter(toks, x -> x = '{_DM_TERMS[0]}')) AS tf0,
+    len(list_filter(toks, x -> x = '{_DM_TERMS[1]}')) AS tf1,
+    len(list_filter(toks, x -> x = '{_DM_TERMS[2]}')) AS tf2
+  FROM t
+),
+stats AS (
+  SELECT CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl, COUNT(*) AS n,
+    SUM(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+    SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+    SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
+  FROM base
+)
+SELECT doc_id,
+  {_DM_BEST} + 0.3 * (({_DM_SCORE}) - {_DM_BEST}) AS score
+FROM base, stats
+WHERE tf0 > 0 OR tf1 > 0 OR tf2 > 0
+ORDER BY score DESC, doc_id LIMIT 10
+"""
+ORACLES["docs_dis_max_search_atrest"] = ORACLES["docs_dis_max_search"]
+
 # map-literal encode vs explode/join/reassemble: two physical paths,
 # one value hash (the same convention)
 ORACLES["docs_tokenize_fast"] = ORACLES["docs_tokenize"]

@@ -2287,8 +2287,9 @@ _DRIVER_WINDOW = [
     "docs_editdist_dedup",
 ]
 # ROUND-12 ROTATION PLAN: FIRST rows for the round-11 tail
-# registrations (docs_bool_search, docs_bool_search_atrest — the ES
-# bool query pair), then the remaining 43 round-8-vintage rows
+# registrations (docs_bool_search, docs_bool_search_atrest,
+# docs_dis_max_search, docs_dis_max_search_atrest — the ES compound
+# query pairs), then the remaining 43 round-8-vintage rows
 # (docs_editdist_neardup, docs_hll_sketch_only, docs_html_extract,
 # docs_lang_id, docs_lm_score, docs_neardup_clusters,
 # docs_neardup_jaccard, docs_nfc_normalize, docs_pack_sequences,
@@ -5220,6 +5221,47 @@ def docs_bool_search_atrest(spark, sf_dir):
 
     _text_index_at_rest(spark, sf_dir)
     return bool_search_atrest(spark, _TEXT_INDEX[sf_dir], **_BOOL_CLAUSES)
+
+
+@query("docs_dis_max_search")
+def docs_dis_max_search(spark, sf_dir):
+    """ES dis_max query (round 11 — §2H; operators/boolquery.py
+    dis_max_search): disjunction-max scoring — the multi_match
+    best_fields primitive. score = max(per-term BM25) +
+    tie_breaker(0.3) * (sum - max): the best clause dominates, the
+    rest discount in. max/sum/discount share one expression tree
+    with the GREATEST-based SQL twin, so scores value-hash. Same
+    scan shape as the bool query (one in-row tf projection, one
+    broadcast stats row, partial TakeOrdered — zero corpus
+    shuffles). Tail registration; first driver row queued for the
+    round-12 window."""
+    from irclogbot_spark.operators.boolquery import dis_max_search
+
+    return dis_max_search(
+        _t(spark, sf_dir, "documents"),
+        ["scan", "merge", "vector"],
+        tie_breaker=0.3,
+        k=10,
+    )
+
+
+@query("docs_dis_max_search_atrest")
+def docs_dis_max_search_atrest(spark, sf_dir):
+    """docs_dis_max_search served from the AT-REST index (round 11):
+    the shared term-frame pivot (one bucket-pruned postings probe,
+    dl from doclens, stats/df broadcast) under the dis_max scorer —
+    second physical path, one value hash. Tail registration; first
+    driver row queued for the round-12 window."""
+    from irclogbot_spark.operators.boolquery import dis_max_search_atrest
+
+    _text_index_at_rest(spark, sf_dir)
+    return dis_max_search_atrest(
+        spark,
+        _TEXT_INDEX[sf_dir],
+        ["scan", "merge", "vector"],
+        tie_breaker=0.3,
+        k=10,
+    )
 
 
 @query("docs_collapse_by_source")

@@ -692,3 +692,66 @@ def test_bool_search_atrest_bit_equal_and_bucket_pruned(spark, tmp_path):
     pf = _re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert any("term_bkt" in m for m in pf), plan[:2000]
     assert "TakeOrderedAndProject" in plan
+
+
+def test_dis_max_scoring_and_atrest_twin(spark, tmp_path):
+    """dis_max (round 11 — operators/boolquery.py): score =
+    max(per-term BM25) + tie_breaker * (sum - max). tie_breaker=0
+    is pure best-of (equals the max of the per-term scores);
+    tie_breaker=1 equals the bool should-sum; the at-rest twin is
+    bit-identical and bucket-pruned."""
+    import re as _re
+
+    from irclogbot_spark.operators.boolquery import (
+        bool_search,
+        dis_max_search,
+        dis_max_search_atrest,
+    )
+    from irclogbot_spark.operators.textindex import write_text_index
+
+    docs = spark.createDataFrame(
+        [
+            (i, ("scan " * (1 + i % 4))
+             + ("merge " if i % 2 == 0 else "sort ")
+             + ("vector " if i % 3 == 0 else "")
+             + "pad words x y")
+            for i in range(40)
+        ],
+        "doc_id long, text string",
+    )
+    terms = ["scan", "merge", "vector"]
+    # tie_breaker=1.0 degenerates to the additive should-sum: same
+    # scores as a bool query with only should clauses (msm=1)
+    tb1 = {
+        r.doc_id: r.score
+        for r in dis_max_search(docs, terms, tie_breaker=1.0, k=40).collect()
+    }
+    should = {
+        r.doc_id: r.score
+        for r in bool_search(
+            docs, should=terms, minimum_should_match=1, k=40
+        ).collect()
+    }
+    assert tb1 == should
+    # tie_breaker=0.0: pure best-of — every returned score must
+    # equal one of the doc's per-term scores, and ordering by the
+    # discounted formula must change vs tb=1 for some doc pair
+    tb0 = {
+        r.doc_id: r.score
+        for r in dis_max_search(docs, terms, tie_breaker=0.0, k=40).collect()
+    }
+    assert set(tb0) == set(tb1)
+    assert all(tb0[d] <= tb1[d] for d in tb0)
+
+    path = str(tmp_path / "tidx_dm")
+    write_text_index(docs, path, n_buckets=8)
+    at = dis_max_search_atrest(spark, path, terms, tie_breaker=0.3, k=10)
+    got = [tuple(r) for r in at.collect()]
+    want = [
+        tuple(r)
+        for r in dis_max_search(docs, terms, tie_breaker=0.3, k=10).collect()
+    ]
+    assert got == want and len(got) == 10
+    plan = at._jdf.queryExecution().executedPlan().toString()
+    pf = _re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert any("term_bkt" in m for m in pf), plan[:2000]
