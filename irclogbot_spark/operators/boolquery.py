@@ -115,6 +115,7 @@ def _term_frame_atrest(
     ref: list[str],
     n_scoring: int,
     id_col: str,
+    index: tuple | None = None,
 ) -> DataFrame:
     """The same frame reassembled from the at-rest index: one
     bucket-pruned postings probe over every referenced term, a
@@ -129,7 +130,11 @@ def _term_frame_atrest(
         read_text_index,
     )
 
-    pidx, doclens, n_buckets = read_text_index(spark, path)
+    # ``index``: pre-loaded (pidx, doclens, n_buckets) frames — the
+    # streamed-index form (streaming/textindex.py load_text returns
+    # frames, not a directory; generation layouts carry no single
+    # path). Path form reads the one-shot artifact.
+    pidx, doclens, n_buckets = index if index is not None else read_text_index(spark, path)
     p = postings_tf(probe_postings(pidx, ref, n_buckets), id_col)
     pivot = p.groupBy(id_col).agg(
         *[
@@ -243,16 +248,21 @@ def bool_search_atrest(
     id_col: str = "doc_id",
     k1: float = 1.2,
     b: float = 0.75,
+    index: tuple | None = None,
 ) -> DataFrame:
     """The bool query served from the at-rest text index —
     bit-identical rows to :func:`bool_search` (same fixed-order
-    assembly over the reassembled term frame)."""
+    assembly over the reassembled term frame). ``index`` injects
+    pre-loaded (pidx, doclens, n_buckets) frames — the streamed
+    generation-layout form."""
     must, should, must_not = list(must or []), list(should or []), list(must_not or [])
     if not must and not should:
         raise ValueError("bool query needs at least one must or should term")
     msm = _resolve_msm(minimum_should_match, must, should)
     ref = must + should + must_not
-    j = _term_frame_atrest(spark, path, ref, len(must) + len(should), id_col)
+    j = _term_frame_atrest(
+        spark, path, ref, len(must) + len(should), id_col, index
+    )
     return _bool_project(
         j, must, should, must_not, msm, dl_between, k, id_col, k1, b
     )
@@ -319,11 +329,15 @@ def dis_max_search_atrest(
     id_col: str = "doc_id",
     k1: float = 1.2,
     b: float = 0.75,
+    index: tuple | None = None,
 ) -> DataFrame:
     """dis_max served from the at-rest index — bit-identical to
     :func:`dis_max_search` (the >= 1-hit gate matches the pivot's
-    natural hit set, so no absent-doc asymmetry exists)."""
+    natural hit set, so no absent-doc asymmetry exists). ``index``
+    injects pre-loaded frames, the streamed form."""
     if not terms:
         raise ValueError("dis_max needs at least one term")
-    j = _term_frame_atrest(spark, path, list(terms), len(terms), id_col)
+    j = _term_frame_atrest(
+        spark, path, list(terms), len(terms), id_col, index
+    )
     return _dis_max_project(j, list(terms), tie_breaker, k, id_col, k1, b)

@@ -1623,3 +1623,74 @@ def test_crawl_full_loop_excise_then_index(spark, tmp_path):
     )
     assert phrase_hits(bterms) == {1}
     assert phrase_hits(["second", "doc", "entirely"]) == {11}
+
+
+def test_compound_queries_serve_from_streamed_index(spark, tmp_path):
+    """Round 11: the bool and dis_max compound queries serve from a
+    STREAM-MAINTAINED text index (frames injected via index= — the
+    generation layout has no single path) with rows bit-identical to
+    the scan forms over the union corpus."""
+    import json as _json
+
+    from irclogbot_spark.operators.boolquery import (
+        bool_search,
+        bool_search_atrest,
+        dis_max_search,
+        dis_max_search_atrest,
+    )
+    from irclogbot_spark.streaming import textindex as TX
+
+    src = tmp_path / "cq_src"
+    src.mkdir()
+    index_dir = str(tmp_path / "cq_idx")
+
+    def feed(rows):
+        fname = src / f"b{len(list(src.iterdir()))}.json"
+        fname.write_text(
+            "\n".join(_json.dumps({"doc_id": i, "text": t}) for i, t in rows)
+        )
+        q = TX.continuous_text_index(
+            spark.readStream.schema("doc_id long, text string").json(str(src)),
+            index_dir,
+            str(tmp_path / "cq_ckpt"),
+            n_buckets=8,
+        )
+        q.awaitTermination(120)
+
+    batch1 = [
+        (1, "data spark merge x y"),
+        (2, "data spark a b c"),
+        (3, "data q r s t u"),
+    ]
+    batch2 = [
+        (4, "data merge dup a b"),
+        (5, "scan merge vector w"),
+        (6, "scan scan scan merge"),
+    ]
+    feed(batch1)
+    feed(batch2)
+    all_docs = spark.createDataFrame(batch1 + batch2, "doc_id long, text string")
+    frames = TX.load_text(spark, index_dir)
+
+    kw = dict(
+        must=["data"], should=["spark", "merge"], must_not=["dup"],
+        minimum_should_match=1, dl_between=(2, 50), k=10,
+    )
+    want_bool = [tuple(r) for r in bool_search(all_docs, **kw).collect()]
+    got_bool = [
+        tuple(r)
+        for r in bool_search_atrest(spark, "", **kw, index=frames).collect()
+    ]
+    assert got_bool == want_bool and len(got_bool) == 2  # docs 1, 2
+
+    terms = ["scan", "merge", "vector"]
+    want_dm = [
+        tuple(r) for r in dis_max_search(all_docs, terms, 0.3, k=10).collect()
+    ]
+    got_dm = [
+        tuple(r)
+        for r in dis_max_search_atrest(
+            spark, "", terms, 0.3, k=10, index=frames
+        ).collect()
+    ]
+    assert got_dm == want_dm and len(got_dm) >= 3
