@@ -203,6 +203,8 @@ HEADLINE = [
     # join over the probed buckets)
     "docs_bool_search_atrest",
     "docs_dis_max_search_atrest",
+    "docs_boosting_search_atrest",
+    "docs_constant_score_atrest",
 ]
 
 #: Every registered query NOT in HEADLINE (VERDICT r7 missing #4:
@@ -236,6 +238,8 @@ CHEAP = [
     "docs_bm25_search",
     "docs_bool_search",
     "docs_dis_max_search",
+    "docs_boosting_search",
+    "docs_constant_score",
     "docs_neardup_jaccard",
     "docs_dedup_keep_first",
     "docs_lang_id",

@@ -341,3 +341,174 @@ def dis_max_search_atrest(
         spark, path, list(terms), len(terms), id_col, index
     )
     return _dis_max_project(j, list(terms), tie_breaker, k, id_col, k1, b)
+
+
+def _boosting_project(
+    j: DataFrame,
+    positive: list[str],
+    negative: list[str],
+    negative_boost: float,
+    k: int,
+    id_col: str,
+    k1: float,
+    b: float,
+) -> DataFrame:
+    n_pos = len(positive)
+    score = None
+    for i in range(n_pos):
+        s = _per_term_score(
+            F.col(f"tf{i}"), F.col(f"df{i}"), F.col("n"), F.col("avgdl"),
+            F.col("dl"), k1, b,
+        )
+        score = s if score is None else score + s
+    pos_gate = None
+    for i in range(n_pos):
+        c = F.col(f"tf{i}") > 0
+        pos_gate = c if pos_gate is None else pos_gate | c
+    neg_match = None
+    for i in range(n_pos, n_pos + len(negative)):
+        c = F.col(f"tf{i}") > 0
+        neg_match = c if neg_match is None else neg_match | c
+    if neg_match is not None:
+        score = score * F.when(
+            neg_match, F.lit(float(negative_boost))
+        ).otherwise(F.lit(1.0))
+    return (
+        j.filter(pos_gate)
+        .select(F.col(id_col), score.alias("score"))
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def boosting_search(
+    df: DataFrame,
+    positive: list[str],
+    negative: list[str],
+    negative_boost: float = 0.5,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """ES ``boosting`` query: docs matching >= 1 positive term,
+    scored by the positive terms' fixed-order BM25 sum, DEMOTED (not
+    excluded — the difference from bool must_not) by
+    ``negative_boost`` when any negative term also matches. The
+    demotion is one multiplication on the same expression tree both
+    engines evaluate, so scores value-hash."""
+    if not positive:
+        raise ValueError("boosting needs at least one positive term")
+    ref = list(positive) + list(negative or [])
+    j = _term_frame_scan(df, ref, len(positive), id_col, text_col)
+    return _boosting_project(
+        j, list(positive), list(negative or []), negative_boost, k, id_col, k1, b
+    )
+
+
+def boosting_search_atrest(
+    spark: SparkSession,
+    path: str,
+    positive: list[str],
+    negative: list[str],
+    negative_boost: float = 0.5,
+    k: int = 10,
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    index: tuple | None = None,
+) -> DataFrame:
+    """boosting served from the at-rest index (the negative terms'
+    postings are read bucket-pruned into the pivot's demotion
+    column) — bit-identical to :func:`boosting_search`."""
+    if not positive:
+        raise ValueError("boosting needs at least one positive term")
+    ref = list(positive) + list(negative or [])
+    j = _term_frame_atrest(spark, path, ref, len(positive), id_col, index)
+    return _boosting_project(
+        j, list(positive), list(negative or []), negative_boost, k, id_col, k1, b
+    )
+
+
+def constant_score_search(
+    df: DataFrame,
+    filter_terms: list[str],
+    boost: float = 1.0,
+    dl_between: tuple[int, int] | None = None,
+    k: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """ES ``constant_score`` query: a pure filter-context match
+    (every filter term present + the optional dl range) scoring
+    every hit exactly ``boost`` — the cacheable no-relevance wrapper
+    ES deployments put around term/range filters. Deterministic page:
+    first k hits by id (scores are all equal, so id IS the sort
+    key). Scan form is map-only — no stats row is even computed."""
+    if not filter_terms:
+        raise ValueError("constant_score needs at least one filter term")
+    toks = F.regexp_extract_all(F.col(text_col), F.lit(r"\S+"), F.lit(0))
+
+    def _eq(t: str):
+        return lambda x: x == F.lit(t)
+
+    gate = None
+    for t in filter_terms:
+        c = F.size(F.filter(toks, _eq(t))) > 0
+        gate = c if gate is None else gate & c
+    if dl_between is not None:
+        lo, hi = dl_between
+        gate = gate & F.size(toks).between(F.lit(int(lo)), F.lit(int(hi)))
+    return (
+        df.filter(gate)
+        .select(F.col(id_col), F.lit(float(boost)).alias("score"))
+        .orderBy(F.asc(id_col))
+        .limit(k)
+    )
+
+
+def constant_score_search_atrest(
+    spark: SparkSession,
+    path: str,
+    filter_terms: list[str],
+    boost: float = 1.0,
+    dl_between: tuple[int, int] | None = None,
+    k: int = 20,
+    id_col: str = "doc_id",
+    index: tuple | None = None,
+) -> DataFrame:
+    """constant_score from the at-rest index: the all-terms-present
+    gate is a bucket-pruned postings probe + one doc-keyed distinct
+    count (no tf, no stats); dl joins only when the range clause
+    needs it — bit-identical to :func:`constant_score_search`."""
+    from irclogbot_spark.operators.textindex import (
+        probe_postings,
+        read_text_index,
+    )
+
+    if not filter_terms:
+        raise ValueError("constant_score needs at least one filter term")
+    terms = list(dict.fromkeys(filter_terms))
+    pidx, doclens, n_buckets = (
+        index if index is not None else read_text_index(spark, path)
+    )
+    hits = (
+        probe_postings(pidx, terms, n_buckets)
+        .groupBy(id_col)
+        .agg(F.count_distinct(F.col("term")).alias("_nt"))
+        .filter(F.col("_nt") == F.lit(len(terms)))
+        .select(id_col)
+    )
+    if dl_between is not None:
+        lo, hi = dl_between
+        hits = hits.join(
+            doclens.filter(F.col("dl").between(F.lit(int(lo)), F.lit(int(hi)))),
+            id_col,
+            "left_semi",
+        )
+    return (
+        hits.select(F.col(id_col), F.lit(float(boost)).alias("score"))
+        .orderBy(F.asc(id_col))
+        .limit(k)
+    )

@@ -3078,6 +3078,47 @@ ORDER BY score DESC, doc_id LIMIT 10
 """
 ORACLES["docs_dis_max_search_atrest"] = ORACLES["docs_dis_max_search"]
 
+# ES boosting (round 11): positive batch/window (fixed-order BM25
+# sum over >= 1-match docs), negative 'slow' demotes x0.5 — one
+# multiplication on the shared tree (boolquery.py boosting_search).
+ORACLES["docs_boosting_search"] = rf"""
+WITH t AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS toks FROM documents),
+base AS (
+  SELECT doc_id, len(toks) AS dl,
+    len(list_filter(toks, x -> x = 'batch')) AS tf0,
+    len(list_filter(toks, x -> x = 'window')) AS tf1,
+    len(list_filter(toks, x -> x = 'slow')) AS tf2
+  FROM t
+),
+stats AS (
+  SELECT CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl, COUNT(*) AS n,
+    SUM(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+    SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1
+  FROM base
+)
+SELECT doc_id,
+  ({_BOOL_TERM.format(i=0)} + {_BOOL_TERM.format(i=1)})
+    * (CASE WHEN tf2 > 0 THEN 0.5 ELSE 1.0 END) AS score
+FROM base, stats
+WHERE tf0 > 0 OR tf1 > 0
+ORDER BY score DESC, doc_id LIMIT 10
+"""
+ORACLES["docs_boosting_search_atrest"] = ORACLES["docs_boosting_search"]
+
+# ES constant_score (round 11): pure filter-context — both terms
+# present + the dl range, every hit scores exactly the boost; id is
+# the page's sort key (scores are all equal by construction).
+ORACLES["docs_constant_score"] = r"""
+WITH t AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS toks FROM documents)
+SELECT doc_id, CAST(1.5 AS DOUBLE) AS score
+FROM t
+WHERE len(list_filter(toks, x -> x = 'data')) > 0
+  AND len(list_filter(toks, x -> x = 'merge')) > 0
+  AND len(toks) BETWEEN 20 AND 120
+ORDER BY doc_id LIMIT 20
+"""
+ORACLES["docs_constant_score_atrest"] = ORACLES["docs_constant_score"]
+
 # map-literal encode vs explode/join/reassemble: two physical paths,
 # one value hash (the same convention)
 ORACLES["docs_tokenize_fast"] = ORACLES["docs_tokenize"]

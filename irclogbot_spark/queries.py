@@ -2287,9 +2287,10 @@ _DRIVER_WINDOW = [
     "docs_editdist_dedup",
 ]
 # ROUND-12 ROTATION PLAN: FIRST rows for the round-11 tail
-# registrations (docs_bool_search, docs_bool_search_atrest,
-# docs_dis_max_search, docs_dis_max_search_atrest — the ES compound
-# query pairs), then the remaining 43 round-8-vintage rows
+# registrations (docs_bool_search, docs_dis_max_search,
+# docs_boosting_search, docs_constant_score and their at-rest twins
+# — the complete ES compound-query family), then the remaining 43
+# round-8-vintage rows
 # (docs_editdist_neardup, docs_hll_sketch_only, docs_html_extract,
 # docs_lang_id, docs_lm_score, docs_neardup_clusters,
 # docs_neardup_jaccard, docs_nfc_normalize, docs_pack_sequences,
@@ -5261,6 +5262,89 @@ def docs_dis_max_search_atrest(spark, sf_dir):
         ["scan", "merge", "vector"],
         tie_breaker=0.3,
         k=10,
+    )
+
+
+@query("docs_boosting_search")
+def docs_boosting_search(spark, sf_dir):
+    """ES boosting query (round 11 — §2H; operators/boolquery.py
+    boosting_search): docs matching 'batch' or 'window' scored by
+    their fixed-order BM25 sum, DEMOTED ×0.5 (not excluded — the
+    distinction from bool must_not) when 'slow' also matches. The
+    demotion is one multiplication on the shared expression tree, so
+    scores value-hash. Same zero-shuffle scan shape as the other
+    compound queries. Tail registration; first driver row queued for
+    the round-12 window."""
+    from irclogbot_spark.operators.boolquery import boosting_search
+
+    return boosting_search(
+        _t(spark, sf_dir, "documents"),
+        positive=["batch", "window"],
+        negative=["slow"],
+        negative_boost=0.5,
+        k=10,
+    )
+
+
+@query("docs_boosting_search_atrest")
+def docs_boosting_search_atrest(spark, sf_dir):
+    """docs_boosting_search served from the AT-REST index (round 11):
+    the negative term's postings read bucket-pruned into the pivot's
+    demotion column — second physical path, one value hash. Tail
+    registration; first driver row queued for the round-12 window."""
+    from irclogbot_spark.operators.boolquery import boosting_search_atrest
+
+    _text_index_at_rest(spark, sf_dir)
+    return boosting_search_atrest(
+        spark,
+        _TEXT_INDEX[sf_dir],
+        positive=["batch", "window"],
+        negative=["slow"],
+        negative_boost=0.5,
+        k=10,
+    )
+
+
+@query("docs_constant_score")
+def docs_constant_score(spark, sf_dir):
+    """ES constant_score query (round 11 — §2H; the cacheable
+    filter-context wrapper): docs containing BOTH 'data' and 'merge'
+    with 20 <= dl <= 120 score exactly boost=1.5; first 20 by id
+    (equal scores make id the sort key). The scan form is map-only —
+    no corpus stats are computed at all. Completes the ES COMPOUND
+    QUERY FAMILY: bool, dis_max, boosting, constant_score — each on
+    two physical paths. Tail registration; first driver row queued
+    for the round-12 window."""
+    from irclogbot_spark.operators.boolquery import constant_score_search
+
+    return constant_score_search(
+        _t(spark, sf_dir, "documents"),
+        ["data", "merge"],
+        boost=1.5,
+        dl_between=(20, 120),
+        k=20,
+    )
+
+
+@query("docs_constant_score_atrest")
+def docs_constant_score_atrest(spark, sf_dir):
+    """docs_constant_score from the AT-REST index (round 11): the
+    all-terms gate is a bucket-pruned postings probe + one doc-keyed
+    distinct-term count (no tf, no stats), the dl clause a doclens
+    semi-join — second physical path, one value hash. Tail
+    registration; first driver row queued for the round-12 window."""
+    from irclogbot_spark.operators.boolquery import (
+        constant_score_search_atrest,
+    )
+
+    _text_index_at_rest(spark, sf_dir)
+    return constant_score_search_atrest(
+        spark,
+        _TEXT_INDEX[sf_dir],
+        ["data", "merge"],
+        boost=1.5,
+        dl_between=(20, 120),
+        k=20,
     )
 
 

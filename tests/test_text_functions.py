@@ -755,3 +755,79 @@ def test_dis_max_scoring_and_atrest_twin(spark, tmp_path):
     plan = at._jdf.queryExecution().executedPlan().toString()
     pf = _re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert any("term_bkt" in m for m in pf), plan[:2000]
+
+
+def test_boosting_and_constant_score_compound_queries(spark, tmp_path):
+    """Round 11 — the compound family's last two members
+    (operators/boolquery.py): boosting DEMOTES (never excludes) on a
+    negative match — the demoted doc stays in the result at exactly
+    negative_boost x its positive score; constant_score scores every
+    filter hit exactly the boost. At-rest twins bit-identical."""
+    from irclogbot_spark.operators.boolquery import (
+        boosting_search,
+        boosting_search_atrest,
+        bool_search,
+        constant_score_search,
+        constant_score_search_atrest,
+    )
+    from irclogbot_spark.operators.textindex import write_text_index
+
+    docs = spark.createDataFrame(
+        [
+            (1, "batch window x y z"),
+            (2, "batch window slow y z"),   # demoted, not excluded
+            (3, "batch a b c d"),
+            (4, "slow only here w v"),      # no positive -> absent
+            (5, "data merge p q r s"),
+            (6, "data merge slow " + "pad " * 130),  # dl out of range
+            (7, "data only here x y"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: r.score
+        for r in boosting_search(
+            docs, ["batch", "window"], ["slow"], negative_boost=0.5, k=10
+        ).collect()
+    }
+    assert set(got) == {1, 2, 3}
+    # doc 2 = doc 1's token profile + 'slow': same positive tf/dl
+    # would differ (dl 5 both) -> demotion is exactly x0.5 of the
+    # UNDEMOTED score, read from the should-sum bool twin
+    undemoted = {
+        r.doc_id: r.score
+        for r in bool_search(
+            docs, should=["batch", "window"], minimum_should_match=1, k=10
+        ).collect()
+    }
+    assert got[2] == undemoted[2] * 0.5
+    assert got[1] == undemoted[1]
+
+    cs = constant_score_search(
+        docs, ["data", "merge"], boost=1.5, dl_between=(3, 50), k=20
+    )
+    rows = [(r.doc_id, r.score) for r in cs.collect()]
+    assert rows == [(5, 1.5)]
+
+    path = str(tmp_path / "tidx_bc")
+    write_text_index(docs, path, n_buckets=8)
+    at_b = [
+        tuple(r)
+        for r in boosting_search_atrest(
+            spark, path, ["batch", "window"], ["slow"], 0.5, k=10
+        ).collect()
+    ]
+    want_b = [
+        tuple(r)
+        for r in boosting_search(
+            docs, ["batch", "window"], ["slow"], 0.5, k=10
+        ).collect()
+    ]
+    assert at_b == want_b
+    at_c = [
+        tuple(r)
+        for r in constant_score_search_atrest(
+            spark, path, ["data", "merge"], 1.5, dl_between=(3, 50), k=20
+        ).collect()
+    ]
+    assert at_c == rows
