@@ -205,6 +205,7 @@ HEADLINE = [
     "docs_dis_max_search_atrest",
     "docs_boosting_search_atrest",
     "docs_constant_score_atrest",
+    "docs_collapse_by_source_atrest",
 ]
 
 #: Every registered query NOT in HEADLINE (VERDICT r7 missing #4:

@@ -5500,3 +5500,5 @@ SELECT source, doc_id, score, rnk FROM (
   FROM scored
 ) WHERE rnk <= 2
 """
+ORACLES["docs_collapse_by_source_atrest"] = ORACLES["docs_collapse_by_source"]
+

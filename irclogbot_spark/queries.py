@@ -2289,7 +2289,8 @@ _DRIVER_WINDOW = [
 # ROUND-12 ROTATION PLAN: FIRST rows for the round-11 tail
 # registrations (docs_bool_search, docs_dis_max_search,
 # docs_boosting_search, docs_constant_score and their at-rest twins
-# — the complete ES compound-query family), then the remaining 43
+# — the complete ES compound-query family, plus
+# docs_collapse_by_source_atrest), then the remaining 43
 # round-8-vintage rows
 # (docs_editdist_neardup, docs_hll_sketch_only, docs_html_extract,
 # docs_lang_id, docs_lm_score, docs_neardup_clusters,
@@ -5399,6 +5400,43 @@ def docs_collapse_by_source(spark, sf_dir):
         .withColumn("rnk", F.row_number().over(w).cast("long"))
         .filter(F.col("rnk") <= 2)
         .select("source", "doc_id", F.col("_s").alias("score"), "rnk")
+    )
+
+
+@query("docs_collapse_by_source_atrest")
+def docs_collapse_by_source_atrest(spark, sf_dir):
+    """docs_collapse_by_source served from the AT-REST index (round
+    11): the 'the data' scores come from the bucket-pruned postings
+    probe (bm25_scores_indexed — bit-exact doubles), the collapse
+    field from a COLUMN-PRUNED (doc_id, source) corpus fetch — ES's
+    stored-fields/doc-values read, joined co-keyed on the id — then
+    the same WindowGroupLimit top-2 per source. Hit-set caveat
+    shared with every indexed BM25 twin: the index only sees docs
+    with >= 1 query-term hit, so the twins agree whenever each
+    source's top-2 are hit docs (every source has >= 20 hit docs at
+    the test SFs, and a positive score always outranks the scan
+    form's zero-hit 0.0 whenever the group has >= 2 hits). Second
+    physical path on the collapse oracle. Tail registration; first
+    driver row queued for the round-12 window."""
+    from irclogbot_spark.functions.text import bm25_scores_indexed
+    from irclogbot_spark.operators.textindex import (
+        postings_tf,
+        probe_postings,
+    )
+
+    pidx, doclens, n_buckets = _text_index_at_rest(spark, sf_dir)
+    scored = bm25_scores_indexed(
+        postings_tf(probe_postings(pidx, ["the", "data"], n_buckets)),
+        doclens,
+        ["the", "data"],
+    )
+    src = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    w = Window.partitionBy("source").orderBy(F.desc("score"), "doc_id")
+    return (
+        scored.join(src, "doc_id")
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 2)
+        .select("source", "doc_id", "score", "rnk")
     )
 
 

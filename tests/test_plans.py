@@ -986,3 +986,31 @@ def test_collapse_by_source_window_group_limit(spark):
     assert "WindowGroupLimit" in plan, plan[:2000]
     hashex = [l for l in plan.splitlines() if "hashpartitioning" in l]
     assert len(hashex) == 1 and "source" in hashex[0], hashex
+
+
+def test_collapse_atrest_partition_filters_and_values(spark):
+    """docs_collapse_by_source_atrest (round 11): scores come from
+    the bucket-pruned postings probe (term_bkt PartitionFilters),
+    the collapse field from a column-pruned (doc_id, source) corpus
+    fetch, and WindowGroupLimit cuts each source group before the
+    exchange; rows equal the scan-form collapse exactly."""
+    import re as _re
+
+    df = entrymod.queries()["docs_collapse_by_source_atrest"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    pf = _re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert any("term_bkt" in m for m in pf), plan[:2000]
+    assert "WindowGroupLimit" in plan, plan[:2000]
+    # the stored-fields fetch is column-pruned: the documents scan
+    # reads only (doc_id, source), never text
+    rs = _re.findall(r"ReadSchema: ([^\n]*)", plan)
+    doc_scans = [m for m in rs if "source" in m]
+    assert doc_scans and all("text" not in m for m in doc_scans), rs
+    got = [tuple(r) for r in df.orderBy("source", "rnk").collect()]
+    want = [
+        tuple(r)
+        for r in entrymod.queries()["docs_collapse_by_source"](spark, SF)
+        .orderBy("source", "rnk")
+        .collect()
+    ]
+    assert got == want and len(got) > 0
