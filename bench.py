@@ -206,6 +206,7 @@ HEADLINE = [
     "docs_boosting_search_atrest",
     "docs_constant_score_atrest",
     "docs_collapse_by_source_atrest",
+    "docs_function_score_atrest",
 ]
 
 #: Every registered query NOT in HEADLINE (VERDICT r7 missing #4:
@@ -241,6 +242,7 @@ CHEAP = [
     "docs_dis_max_search",
     "docs_boosting_search",
     "docs_constant_score",
+    "docs_function_score",
     "docs_neardup_jaccard",
     "docs_dedup_keep_first",
     "docs_lang_id",

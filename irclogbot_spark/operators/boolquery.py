@@ -512,3 +512,170 @@ def constant_score_search_atrest(
         .orderBy(F.asc(id_col))
         .limit(k)
     )
+
+
+def _function_factor(spec: dict, fields: dict):
+    """One ES score function as a Column factor. Supported kinds —
+    all pure rational arithmetic, so the factors value-hash against
+    the SQL twin (the gauss/exp decays need exp(), which differs
+    across libms in the last ulp and could never hash — the linear
+    decay is the one ES decay shape with exact cross-engine
+    semantics, the same reasoning as bm25_rank's rational idf):
+
+    - field_value_factor: factor * field (ES modifier 'none';
+      missing -> the ``missing`` default, ES's own knob)
+    - weight: a constant
+    - linear_decay: max(0, (s - max(0, |v - origin| - offset)) / s)
+      with s = scale / (1 - decay) — ES's exact linear decay
+      (factor = decay at distance offset+scale, 1.0 inside offset)
+    """
+    kind = spec["kind"]
+    if kind == "field_value_factor":
+        v = F.coalesce(
+            fields[spec["field"]].cast("double"),
+            F.lit(float(spec.get("missing", 1.0))),
+        )
+        return F.lit(float(spec.get("factor", 1.0))) * v
+    if kind == "weight":
+        return F.lit(float(spec["weight"]))
+    if kind == "linear_decay":
+        s = float(spec["scale"]) / (1.0 - float(spec.get("decay", 0.5)))
+        dist = F.abs(fields[spec["field"]] - F.lit(spec["origin"]))
+        offset = float(spec.get("offset", 0.0))
+        if offset:
+            dist = F.greatest(F.lit(0.0), dist - F.lit(offset))
+        return F.greatest(F.lit(0.0), (F.lit(s) - dist) / F.lit(s))
+    raise ValueError(f"unknown score function kind {kind!r}")
+
+
+def _function_score_project(
+    j: DataFrame,
+    terms: list[str],
+    functions: list[dict],
+    field_cols: dict,
+    score_mode: str,
+    boost_mode: str,
+    k: int,
+    id_col: str,
+    k1: float,
+    b: float,
+) -> DataFrame:
+    qscore = None
+    for i in range(len(terms)):
+        s = _per_term_score(
+            F.col(f"tf{i}"), F.col(f"df{i}"), F.col("n"), F.col("avgdl"),
+            F.col("dl"), k1, b,
+        )
+        qscore = s if qscore is None else qscore + s
+    combined = None
+    for spec in functions:
+        f = _function_factor(spec, field_cols)
+        if combined is None:
+            combined = f
+        elif score_mode == "multiply":
+            combined = combined * f
+        elif score_mode == "sum":
+            combined = combined + f
+        else:
+            raise ValueError(f"unknown score_mode {score_mode!r}")
+    if combined is None:
+        score = qscore
+    elif boost_mode == "multiply":
+        score = qscore * combined
+    elif boost_mode == "sum":
+        score = qscore + combined
+    else:
+        raise ValueError(f"unknown boost_mode {boost_mode!r}")
+    gate = None
+    for i in range(len(terms)):
+        c = F.col(f"tf{i}") > 0
+        gate = c if gate is None else gate | c
+    return (
+        j.filter(gate)
+        .select(F.col(id_col), score.alias("score"))
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def function_score_search(
+    df: DataFrame,
+    terms: list[str],
+    functions: list[dict],
+    score_mode: str = "multiply",
+    boost_mode: str = "multiply",
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """ES function_score query: the match's fixed-order BM25 sum
+    reshaped by document-level score functions (field boosts,
+    constant weights, linear decay — the recency/popularity-boost
+    deployment). Factors combine per ``score_mode`` in declaration
+    order, then fold into the query score per ``boost_mode`` —
+    identical expression trees in the SQL twin. Scan form: the
+    function fields ride the same in-row projection as the tf
+    columns; still zero corpus shuffles."""
+    if not terms:
+        raise ValueError("function_score needs at least one term")
+    fields = sorted({s["field"] for s in functions if "field" in s})
+    toks = F.regexp_extract_all(F.col(text_col), F.lit(r"\S+"), F.lit(0))
+
+    def _eq(t: str):
+        return lambda x: x == F.lit(t)
+
+    base = df.select(
+        F.col(id_col),
+        *[F.col(f) for f in fields],
+        F.size(toks).alias("dl"),
+        *[
+            F.size(F.filter(toks, _eq(t))).alias(f"tf{i}")
+            for i, t in enumerate(terms)
+        ],
+    )
+    stats = base.agg(
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.sum(F.when(F.col(f"tf{i}") > 0, 1).otherwise(0)).alias(f"df{i}")
+            for i in range(len(terms))
+        ],
+    )
+    j = base.join(F.broadcast(stats))
+    return _function_score_project(
+        j, list(terms), functions, {f: F.col(f) for f in fields},
+        score_mode, boost_mode, k, id_col, k1, b,
+    )
+
+
+def function_score_search_atrest(
+    spark: SparkSession,
+    path: str,
+    corpus: DataFrame,
+    terms: list[str],
+    functions: list[dict],
+    score_mode: str = "multiply",
+    boost_mode: str = "multiply",
+    k: int = 10,
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    index: tuple | None = None,
+) -> DataFrame:
+    """function_score from the at-rest index: BM25 inputs from the
+    bucket-pruned probe, the function FIELDS from a column-pruned
+    corpus fetch (the stored-fields/doc-values read — the collapse
+    convention), joined co-keyed on the id. Bit-identical to
+    :func:`function_score_search`."""
+    if not terms:
+        raise ValueError("function_score needs at least one term")
+    fields = sorted({s["field"] for s in functions if "field" in s})
+    j = _term_frame_atrest(spark, path, list(terms), len(terms), id_col, index)
+    if fields:
+        j = j.join(corpus.select(id_col, *fields), id_col)
+    return _function_score_project(
+        j, list(terms), functions, {f: F.col(f) for f in fields},
+        score_mode, boost_mode, k, id_col, k1, b,
+    )

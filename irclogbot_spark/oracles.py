@@ -3119,6 +3119,37 @@ ORDER BY doc_id LIMIT 20
 """
 ORACLES["docs_constant_score_atrest"] = ORACLES["docs_constant_score"]
 
+# ES function_score (round 11): 'data batch' BM25 sum x
+# (0.001 * n_chars field boost) x (linear decay around n_chars=300,
+# scale 200, decay 0.5 -> s=400) — multiply/multiply modes, every
+# factor rational arithmetic on the shared tree
+# (boolquery.py function_score_search).
+ORACLES["docs_function_score"] = rf"""
+WITH t AS (
+  SELECT doc_id, n_chars, regexp_extract_all(text, '\S+') AS toks FROM documents
+),
+base AS (
+  SELECT doc_id, n_chars, len(toks) AS dl,
+    len(list_filter(toks, x -> x = 'data')) AS tf0,
+    len(list_filter(toks, x -> x = 'batch')) AS tf1
+  FROM t
+),
+stats AS (
+  SELECT CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl, COUNT(*) AS n,
+    SUM(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+    SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1
+  FROM base
+)
+SELECT doc_id,
+  ({_BOOL_TERM.format(i=0)} + {_BOOL_TERM.format(i=1)})
+  * ((CAST(0.001 AS DOUBLE) * COALESCE(CAST(n_chars AS DOUBLE), 1.0))
+     * GREATEST(0.0, (400.0 - ABS(n_chars - 300)) / 400.0)) AS score
+FROM base, stats
+WHERE tf0 > 0 OR tf1 > 0
+ORDER BY score DESC, doc_id LIMIT 10
+"""
+ORACLES["docs_function_score_atrest"] = ORACLES["docs_function_score"]
+
 # map-literal encode vs explode/join/reassemble: two physical paths,
 # one value hash (the same convention)
 ORACLES["docs_tokenize_fast"] = ORACLES["docs_tokenize"]

@@ -2289,9 +2289,9 @@ _DRIVER_WINDOW = [
 # ROUND-12 ROTATION PLAN: FIRST rows for the round-11 tail
 # registrations (docs_bool_search, docs_dis_max_search,
 # docs_boosting_search, docs_constant_score and their at-rest twins
-# — the complete ES compound-query family, plus
-# docs_collapse_by_source_atrest), then the remaining 43
-# round-8-vintage rows
+# — the complete ES compound-query family — plus
+# docs_function_score pair and docs_collapse_by_source_atrest),
+# then the remaining 43 round-8-vintage rows
 # (docs_editdist_neardup, docs_hll_sketch_only, docs_html_extract,
 # docs_lang_id, docs_lm_score, docs_neardup_clusters,
 # docs_neardup_jaccard, docs_nfc_normalize, docs_pack_sequences,
@@ -5346,6 +5346,60 @@ def docs_constant_score_atrest(spark, sf_dir):
         boost=1.5,
         dl_between=(20, 120),
         k=20,
+    )
+
+
+#: the declared function_score spec: a 0.001 x n_chars field boost
+#: times ES's exact linear decay around n_chars=300 (scale 200,
+#: decay 0.5 -> s=400: factor 1.0 at the origin, 0.5 at +-200, 0 at
+#: +-400) — the recency/popularity-boost deployment, on the one
+#: numeric doc-values column the corpus carries
+_FSCORE_FUNCS = [
+    {"kind": "field_value_factor", "field": "n_chars", "factor": 0.001},
+    {"kind": "linear_decay", "field": "n_chars", "origin": 300, "scale": 200},
+]
+
+
+@query("docs_function_score")
+def docs_function_score(spark, sf_dir):
+    """ES function_score query (round 11 — §2H;
+    operators/boolquery.py function_score_search): the 'data batch'
+    BM25 sum reshaped by document-level score functions —
+    field_value_factor x linear decay, multiply/multiply modes. The
+    linear decay is the ONE ES decay shape with exact cross-engine
+    semantics (gauss/exp need libm exp() — last-ulp divergence, the
+    same reasoning as bm25_rank's rational idf); every factor is
+    rational arithmetic on one shared expression tree, so the scores
+    value-hash. Scan form: the function fields ride the tf
+    projection — still zero corpus shuffles. Tail registration;
+    first driver row queued for the round-12 window."""
+    from irclogbot_spark.operators.boolquery import function_score_search
+
+    return function_score_search(
+        _t(spark, sf_dir, "documents"), ["data", "batch"], _FSCORE_FUNCS, k=10
+    )
+
+
+@query("docs_function_score_atrest")
+def docs_function_score_atrest(spark, sf_dir):
+    """docs_function_score served from the AT-REST index (round 11):
+    BM25 inputs from the bucket-pruned probe, the function fields
+    from a column-pruned (doc_id, n_chars) stored-fields fetch (the
+    collapse_atrest convention) — second physical path, one value
+    hash. Tail registration; first driver row queued for the
+    round-12 window."""
+    from irclogbot_spark.operators.boolquery import (
+        function_score_search_atrest,
+    )
+
+    _text_index_at_rest(spark, sf_dir)
+    return function_score_search_atrest(
+        spark,
+        _TEXT_INDEX[sf_dir],
+        _t(spark, sf_dir, "documents"),
+        ["data", "batch"],
+        _FSCORE_FUNCS,
+        k=10,
     )
 
 

@@ -831,3 +831,73 @@ def test_boosting_and_constant_score_compound_queries(spark, tmp_path):
         ).collect()
     ]
     assert at_c == rows
+
+
+def test_function_score_factors_and_modes(spark, tmp_path):
+    """function_score (round 11 — operators/boolquery.py): the
+    linear decay hits ES's anchor points exactly (1.0 at the origin,
+    decay at origin±scale, 0.0 at and beyond origin±s); weight and
+    field_value_factor combine per score_mode/boost_mode; the
+    at-rest twin (stored-fields fetch for the function field) is
+    bit-identical."""
+    from irclogbot_spark.operators.boolquery import (
+        bool_search,
+        function_score_search,
+        function_score_search_atrest,
+    )
+    from irclogbot_spark.operators.textindex import write_text_index
+
+    # one 'data' doc per n_chars anchor: origin, ±scale, ±s, beyond
+    docs = spark.createDataFrame(
+        [
+            (1, "data x", 300),
+            (2, "data y", 500),   # +scale -> 0.5
+            (3, "data z", 100),   # -scale -> 0.5
+            (4, "data w", 700),   # +s -> 0.0
+            (5, "data v", 1200),  # beyond -> clamped 0.0
+        ],
+        "doc_id long, text string, n_chars long",
+    )
+    decay = [{"kind": "linear_decay", "field": "n_chars",
+              "origin": 300, "scale": 200}]
+    base = {
+        r.doc_id: r.score
+        for r in bool_search(docs, should=["data"], minimum_should_match=1,
+                             k=10).collect()
+    }
+    got = {
+        r.doc_id: r.score
+        for r in function_score_search(docs, ["data"], decay, k=10).collect()
+    }
+    assert got[1] == base[1] * 1.0
+    assert got[2] == base[2] * 0.5 and got[3] == base[3] * 0.5
+    assert got[4] == 0.0 and got[5] == 0.0
+
+    # weight + sum modes: score = bm25 + (w1 + w2)
+    ws = [{"kind": "weight", "weight": 2.0}, {"kind": "weight", "weight": 3.0}]
+    got_sum = {
+        r.doc_id: r.score
+        for r in function_score_search(
+            docs, ["data"], ws, score_mode="sum", boost_mode="sum", k=10
+        ).collect()
+    }
+    assert all(got_sum[d] == base[d] + 5.0 for d in got_sum)
+
+    # field_value_factor + at-rest twin bit-equality
+    funcs = [
+        {"kind": "field_value_factor", "field": "n_chars", "factor": 0.001},
+        {"kind": "linear_decay", "field": "n_chars", "origin": 300, "scale": 200},
+    ]
+    path = str(tmp_path / "tidx_fs")
+    write_text_index(docs, path, n_buckets=8)
+    want = [
+        tuple(r)
+        for r in function_score_search(docs, ["data"], funcs, k=10).collect()
+    ]
+    at = [
+        tuple(r)
+        for r in function_score_search_atrest(
+            spark, path, docs, ["data"], funcs, k=10
+        ).collect()
+    ]
+    assert at == want
