@@ -207,6 +207,7 @@ HEADLINE = [
     "docs_constant_score_atrest",
     "docs_collapse_by_source_atrest",
     "docs_function_score_atrest",
+    "log_recency_search",
 ]
 
 #: Every registered query NOT in HEADLINE (VERDICT r7 missing #4:

@@ -3150,6 +3150,39 @@ ORDER BY score DESC, doc_id LIMIT 10
 """
 ORACLES["docs_function_score_atrest"] = ORACLES["docs_function_score"]
 
+_RECENCY_TERM = "((CAST(n - df0 AS DOUBLE) + 0.5) / (df0 + 0.5)) * ((tf0 * CAST(1.2 + 1.0 AS DOUBLE)) / (tf0 + 1.2 * ((1.0 - 0.75) + (0.75 * dl) / avgdl)))"
+
+# Recency-boosted log search (round 11): BM25 of the remark term
+# '69}' x the exact linear time decay (origin 2024-01-31 UTC,
+# scale 15 d, decay 0.5 -> s = 30 d) over the replayed irclog —
+# mirrors queries.log_recency_search / boolquery.py
+# function_score_search.
+ORACLES["log_recency_search"] = (
+    "WITH " + IRCLOG_CTE + r""",
+t AS (
+  SELECT id, CAST(epoch(posted) AS BIGINT) AS posted_epoch,
+    regexp_extract_all(remark, '\S+') AS toks
+  FROM irclog
+),
+base AS (
+  SELECT id, posted_epoch, len(toks) AS dl,
+    len(list_filter(toks, x -> x = '69}')) AS tf0
+  FROM t
+),
+stats AS (
+  SELECT CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl, COUNT(*) AS n,
+    SUM(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0
+  FROM base
+)
+SELECT id,
+  """ + _RECENCY_TERM + r"""
+  * GREATEST(0.0, (2592000.0 - ABS(posted_epoch - 1706659200)) / 2592000.0) AS score
+FROM base, stats
+WHERE tf0 > 0
+ORDER BY score DESC, id LIMIT 10
+"""
+)
+
 # map-literal encode vs explode/join/reassemble: two physical paths,
 # one value hash (the same convention)
 ORACLES["docs_tokenize_fast"] = ORACLES["docs_tokenize"]

@@ -2290,7 +2290,8 @@ _DRIVER_WINDOW = [
 # registrations (docs_bool_search, docs_dis_max_search,
 # docs_boosting_search, docs_constant_score and their at-rest twins
 # — the complete ES compound-query family — plus
-# docs_function_score pair and docs_collapse_by_source_atrest),
+# docs_function_score pair, log_recency_search, and
+# docs_collapse_by_source_atrest),
 # then the remaining 43 round-8-vintage rows
 # (docs_editdist_neardup, docs_hll_sketch_only, docs_html_extract,
 # docs_lang_id, docs_lm_score, docs_neardup_clusters,
@@ -5400,6 +5401,46 @@ def docs_function_score_atrest(spark, sf_dir):
         ["data", "batch"],
         _FSCORE_FUNCS,
         k=10,
+    )
+
+
+@query("log_recency_search")
+def log_recency_search(spark, sf_dir):
+    """Recency-boosted log search (round 11 — §2H; THE deployment
+    query of the reference's own domain: an IRC-log search UI ranks
+    by relevance x freshness): function_score over the parsed irclog
+    — BM25 of the remark term '69}' (the k=69 payload messages)
+    times ES's exact linear decay on the message time (origin
+    2024-01-31, scale 15 days, decay 0.5 -> zero weight at 30 days —
+    spanning the corpus month). posted_epoch = unix seconds of the
+    ntz timestamp under the UTC session — bit-equal to DuckDB's
+    epoch(). Same zero-extra-shuffle function_score scan shape over
+    the ingest chain's output. Tail registration; first driver row
+    queued for the round-12 window."""
+    from irclogbot_spark.operators.boolquery import function_score_search
+
+    log = synth.irclog(spark, sf_dir)
+    df = log.select(
+        "id",
+        "remark",
+        F.unix_timestamp(F.col("posted").cast("timestamp")).alias(
+            "posted_epoch"
+        ),
+    )
+    return function_score_search(
+        df,
+        ["69}"],
+        [
+            {
+                "kind": "linear_decay",
+                "field": "posted_epoch",
+                "origin": 1706659200,  # 2024-01-31 00:00:00 UTC
+                "scale": 1296000,  # 15 days; decay 0.5 -> s = 30 days
+            }
+        ],
+        k=10,
+        id_col="id",
+        text_col="remark",
     )
 
 
