@@ -1014,3 +1014,33 @@ def test_collapse_atrest_partition_filters_and_values(spark):
         .collect()
     ]
     assert got == want and len(got) > 0
+
+
+def test_compound_scan_forms_shuffle_nothing(spark):
+    """Round 11 (the SCALE.md claim, pinned): every scan-form
+    compound query — bool, dis_max, boosting, constant_score,
+    function_score — plans ZERO shuffle exchanges. The only
+    exchanges allowed are broadcast (the 1-row stats frame); the
+    top-k is TakeOrderedAndProject, never Sort+Exchange."""
+    import re as _re
+
+    for name in [
+        "docs_bool_search",
+        "docs_dis_max_search",
+        "docs_boosting_search",
+        "docs_constant_score",
+        "docs_function_score",
+    ]:
+        df = entrymod.queries()[name](spark, SF)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        shuffles = [
+            m
+            for m in _re.findall(r"Exchange \w+", plan)
+            if "SinglePartition" not in m and "Broadcast" not in m
+        ]
+        # the stats aggregate legitimately gathers to one partition;
+        # anything hash/range-partitioned would be a corpus shuffle
+        hashed = [m for m in _re.findall(r"Exchange hashpartitioning[^\n]*", plan)]
+        ranged = [m for m in _re.findall(r"Exchange rangepartitioning[^\n]*", plan)]
+        assert not hashed and not ranged, (name, hashed, ranged, plan[:1500])
+        assert "TakeOrderedAndProject" in plan, (name, plan[:1500])
