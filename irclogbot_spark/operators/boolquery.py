@@ -9,8 +9,17 @@ bool semantics (the ES contract, reproduced exactly):
   per-term score.
 - ``should``: optional matches; each MATCHING term adds its BM25
   per-term score, and the doc must match at least
-  ``minimum_should_match`` of them (ES defaults msm to 0 when a
-  must/filter clause exists, 1 otherwise — same default here).
+  ``minimum_should_match`` of them. Default: 0 when a must clause
+  exists, 1 otherwise. DELIBERATE DEVIATION from ES: real ES also
+  defaults msm to 0 when only a filter clause accompanies should,
+  admitting zero-scoring filter-only hits (score 0.0). This engine's
+  compound contract is that every returned doc has >= 1 scoring hit
+  (required for the scan/at-rest bit-identity — the at-rest pivot
+  only materializes docs with a postings hit), so with an empty
+  ``must`` the msm floor is 1 regardless of ``dl_between``, and an
+  explicit ``minimum_should_match <= 0`` with empty must raises
+  ValueError. ES's filter-only-match shape is served by
+  :func:`constant_score_search` instead.
 - ``filter``: non-scoring gate. Modeled as a token-length range
   over the same dl the BM25 norm uses (the ES deployment shape is a
   numeric/date range over a doc-values field; dl is the one numeric
@@ -68,11 +77,43 @@ def _per_term_score(tf, dfreq, n, avgdl, dl, k1: float, b: float):
 def _resolve_msm(
     minimum_should_match: int | None, must: list[str], should: list[str]
 ) -> int:
+    """Resolve minimum_should_match per the module contract: every
+    returned doc needs >= 1 scoring hit, so with empty ``must`` the
+    floor is 1 (explicit msm <= 0 there is rejected — the deliberate
+    ES deviation documented in the module docstring; use
+    constant_score for filter-only matching)."""
     if minimum_should_match is not None:
+        if not must and should and minimum_should_match <= 0:
+            raise ValueError(
+                "minimum_should_match <= 0 with no must clause would "
+                "admit zero-scoring hits, which the at-rest index "
+                "cannot serve (scan/at-rest bit-identity); use "
+                "constant_score_search for filter-only matching"
+            )
         return minimum_should_match
-    # the ES default: should is optional when a must/filter clause
-    # exists, required (>= 1) when it is the only scoring clause
+    # default: should is optional when a must clause exists,
+    # required (>= 1) when should is the only scoring clause —
+    # including when a dl_between filter is present (the documented
+    # deviation from ES's filter-aware default)
     return 0 if must else (1 if should else 0)
+
+
+def _check_no_duplicate_terms(ref: list[str]) -> None:
+    """The at-rest path pivots on the referenced terms —
+    ``pivot('term', ref)`` with a repeated value yields ambiguous
+    duplicate columns and the reassembly select fails with an
+    AnalysisException while the scan form silently accepts the same
+    input. Reject duplicates at every public entry point so both
+    physical forms agree on the accepted input space."""
+    seen: set[str] = set()
+    dups: set[str] = set()
+    for t in ref:
+        (dups if t in seen else seen).add(t)
+    if dups:
+        dups = sorted(dups)
+        raise ValueError(
+            f"duplicate terms across clauses are not allowed: {dups}"
+        )
 
 
 def _term_frame_scan(
@@ -230,6 +271,7 @@ def bool_search(
         raise ValueError("bool query needs at least one must or should term")
     msm = _resolve_msm(minimum_should_match, must, should)
     ref = must + should + must_not
+    _check_no_duplicate_terms(ref)
     j = _term_frame_scan(df, ref, len(must) + len(should), id_col, text_col)
     return _bool_project(
         j, must, should, must_not, msm, dl_between, k, id_col, k1, b
@@ -260,6 +302,7 @@ def bool_search_atrest(
         raise ValueError("bool query needs at least one must or should term")
     msm = _resolve_msm(minimum_should_match, must, should)
     ref = must + should + must_not
+    _check_no_duplicate_terms(ref)
     j = _term_frame_atrest(
         spark, path, ref, len(must) + len(should), id_col, index
     )
@@ -316,6 +359,7 @@ def dis_max_search(
     when >= 1 term matches."""
     if not terms:
         raise ValueError("dis_max needs at least one term")
+    _check_no_duplicate_terms(list(terms))
     j = _term_frame_scan(df, list(terms), len(terms), id_col, text_col)
     return _dis_max_project(j, list(terms), tie_breaker, k, id_col, k1, b)
 
@@ -337,6 +381,7 @@ def dis_max_search_atrest(
     injects pre-loaded frames, the streamed form."""
     if not terms:
         raise ValueError("dis_max needs at least one term")
+    _check_no_duplicate_terms(list(terms))
     j = _term_frame_atrest(
         spark, path, list(terms), len(terms), id_col, index
     )
@@ -401,6 +446,7 @@ def boosting_search(
     if not positive:
         raise ValueError("boosting needs at least one positive term")
     ref = list(positive) + list(negative or [])
+    _check_no_duplicate_terms(ref)
     j = _term_frame_scan(df, ref, len(positive), id_col, text_col)
     return _boosting_project(
         j, list(positive), list(negative or []), negative_boost, k, id_col, k1, b
@@ -425,6 +471,7 @@ def boosting_search_atrest(
     if not positive:
         raise ValueError("boosting needs at least one positive term")
     ref = list(positive) + list(negative or [])
+    _check_no_duplicate_terms(ref)
     j = _term_frame_atrest(spark, path, ref, len(positive), id_col, index)
     return _boosting_project(
         j, list(positive), list(negative or []), negative_boost, k, id_col, k1, b
@@ -539,7 +586,15 @@ def _function_factor(spec: dict, fields: dict):
     if kind == "weight":
         return F.lit(float(spec["weight"]))
     if kind == "linear_decay":
-        s = float(spec["scale"]) / (1.0 - float(spec.get("decay", 0.5)))
+        decay = float(spec.get("decay", 0.5))
+        scale = float(spec["scale"])
+        # decay=1.0 would divide by zero at plan-build; ES itself
+        # requires 0 < decay < 1 and a positive scale
+        if not (0.0 < decay < 1.0):
+            raise ValueError(f"linear_decay requires 0 < decay < 1, got {decay}")
+        if scale <= 0.0:
+            raise ValueError(f"linear_decay requires scale > 0, got {scale}")
+        s = scale / (1.0 - decay)
         dist = F.abs(fields[spec["field"]] - F.lit(spec["origin"]))
         offset = float(spec.get("offset", 0.0))
         if offset:
@@ -560,6 +615,13 @@ def _function_score_project(
     k1: float,
     b: float,
 ) -> DataFrame:
+    # validate modes up front — with <= 1 function the combine
+    # branches never run, so a typo'd mode would otherwise silently
+    # behave like the default
+    if score_mode not in ("multiply", "sum"):
+        raise ValueError(f"unknown score_mode {score_mode!r}")
+    if boost_mode not in ("multiply", "sum"):
+        raise ValueError(f"unknown boost_mode {boost_mode!r}")
     qscore = None
     for i in range(len(terms)):
         s = _per_term_score(
@@ -574,18 +636,14 @@ def _function_score_project(
             combined = f
         elif score_mode == "multiply":
             combined = combined * f
-        elif score_mode == "sum":
+        else:  # "sum" — modes validated above
             combined = combined + f
-        else:
-            raise ValueError(f"unknown score_mode {score_mode!r}")
     if combined is None:
         score = qscore
     elif boost_mode == "multiply":
         score = qscore * combined
-    elif boost_mode == "sum":
+    else:  # "sum"
         score = qscore + combined
-    else:
-        raise ValueError(f"unknown boost_mode {boost_mode!r}")
     gate = None
     for i in range(len(terms)):
         c = F.col(f"tf{i}") > 0
@@ -620,6 +678,7 @@ def function_score_search(
     columns; still zero corpus shuffles."""
     if not terms:
         raise ValueError("function_score needs at least one term")
+    _check_no_duplicate_terms(list(terms))
     fields = sorted({s["field"] for s in functions if "field" in s})
     toks = F.regexp_extract_all(F.col(text_col), F.lit(r"\S+"), F.lit(0))
 
@@ -671,6 +730,7 @@ def function_score_search_atrest(
     :func:`function_score_search`."""
     if not terms:
         raise ValueError("function_score needs at least one term")
+    _check_no_duplicate_terms(list(terms))
     fields = sorted({s["field"] for s in functions if "field" in s})
     j = _term_frame_atrest(spark, path, list(terms), len(terms), id_col, index)
     if fields:

@@ -1038,6 +1038,7 @@ def test_compound_scan_forms_shuffle_nothing(spark):
             for m in _re.findall(r"Exchange \w+", plan)
             if "SinglePartition" not in m and "Broadcast" not in m
         ]
+        assert not shuffles, (name, shuffles, plan[:1500])
         # the stats aggregate legitimately gathers to one partition;
         # anything hash/range-partitioned would be a corpus shuffle
         hashed = [m for m in _re.findall(r"Exchange hashpartitioning[^\n]*", plan)]

@@ -901,3 +901,76 @@ def test_function_score_factors_and_modes(spark, tmp_path):
         ).collect()
     ]
     assert at == want
+
+
+def test_compound_query_input_validation(spark):
+    """Round 12 (ADVICE r11): the compound entry points reject the
+    inputs whose scan/at-rest behavior would diverge or whose plan
+    build would crash — (a) explicit minimum_should_match <= 0 with
+    no must clause (zero-scoring hits exist in the scan form but the
+    at-rest pivot cannot serve them; the documented ES deviation),
+    (b) duplicate terms across clauses (the at-rest pivot('term',
+    ref) would raise AnalysisException while the scan form silently
+    accepts), (c) linear_decay decay outside (0,1) / scale <= 0
+    (ZeroDivisionError at plan build), (d) typo'd
+    score_mode/boost_mode with <= 1 function (previously silently
+    fell through to the default combine)."""
+    import pytest
+
+    from irclogbot_spark.operators.boolquery import (
+        bool_search,
+        boosting_search,
+        dis_max_search,
+        function_score_search,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "data spark merge"), (2, "data scan x")],
+        "doc_id long, text string",
+    )
+    # (a) explicit msm <= 0 with empty must — both forms reject; the
+    # should-only DEFAULT (msm=1) still works, with or without filter
+    with pytest.raises(ValueError, match="constant_score"):
+        bool_search(docs, should=["spark"], minimum_should_match=0)
+    got = {
+        r.doc_id
+        for r in bool_search(
+            docs, should=["spark"], dl_between=(1, 50), k=10
+        ).collect()
+    }
+    assert got == {1}
+    # msm=0 with a must clause remains the valid ES default
+    assert bool_search(docs, must=["data"], should=["merge"], k=10).count() == 2
+    # (b) duplicate terms across clauses, every compound type
+    with pytest.raises(ValueError, match="duplicate"):
+        bool_search(docs, must=["data"], should=["data"])
+    with pytest.raises(ValueError, match="duplicate"):
+        dis_max_search(docs, ["spark", "spark"])
+    with pytest.raises(ValueError, match="duplicate"):
+        boosting_search(docs, ["data"], ["data"])
+    with pytest.raises(ValueError, match="duplicate"):
+        function_score_search(docs, ["data", "data"], [])
+    # (c) decay/scale bounds
+    with pytest.raises(ValueError, match="decay"):
+        function_score_search(
+            docs, ["data"],
+            [{"kind": "linear_decay", "field": "doc_id",
+              "origin": 0, "scale": 10, "decay": 1.0}],
+        )
+    with pytest.raises(ValueError, match="scale"):
+        function_score_search(
+            docs, ["data"],
+            [{"kind": "linear_decay", "field": "doc_id",
+              "origin": 0, "scale": 0.0}],
+        )
+    # (d) mode typos caught even with a single function
+    with pytest.raises(ValueError, match="score_mode"):
+        function_score_search(
+            docs, ["data"], [{"kind": "weight", "weight": 2.0}],
+            score_mode="avg",
+        )
+    with pytest.raises(ValueError, match="boost_mode"):
+        function_score_search(
+            docs, ["data"], [{"kind": "weight", "weight": 2.0}],
+            boost_mode="replace",
+        )
