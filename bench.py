@@ -208,6 +208,13 @@ HEADLINE = [
     "docs_collapse_by_source_atrest",
     "docs_function_score_atrest",
     "log_recency_search",
+    # round 12: multi-field retrieval — the at-rest multi_match pays
+    # one probe+pivot per field index; the phrase-prefix pair pays
+    # the irclog parse + keyed-upsert distinct (scan) / the log-index
+    # build + vocab walk (at-rest)
+    "docs_multi_match_atrest",
+    "log_match_phrase_prefix",
+    "log_match_phrase_prefix_atrest",
 ]
 
 #: Every registered query NOT in HEADLINE (VERDICT r7 missing #4:
@@ -243,6 +250,7 @@ CHEAP = [
     "docs_dis_max_search",
     "docs_boosting_search",
     "docs_constant_score",
+    "docs_multi_match",
     "docs_function_score",
     "docs_neardup_jaccard",
     "docs_dedup_keep_first",

@@ -1,0 +1,415 @@
+"""ES multi-field retrieval — ``multi_match`` (type best_fields) and
+``match_phrase_prefix``, the two high-traffic search-box query types
+(SURVEY.md §2H; the reference's implied search UI — utils.py:93-103's
+Flask vestige — is exactly a search box, and every ES search box
+issues these; VERDICT r11 next #2).
+
+multi_match best_fields semantics (the ES contract): the query
+compiles to a dis_max over per-FIELD match queries. Each field f
+scores sum-over-terms of its own BM25 (per-field dl, avgdl, df — a
+field is its own corpus in ES) times the field's boost; the doc's
+score is max over fields + tie_breaker * (sum - max); a doc matches
+when >= 1 term matches in >= 1 field. Per-field sums and the
+cross-field total use fixed declaration order, so the scores
+value-hash against the SQL twin (the boolquery.py convention).
+
+match_phrase_prefix semantics: a phrase whose LAST position is a
+prefix — the query "quick brown f" matches docs containing
+"quick brown <token starting with f>". ES expands the prefix against
+the term dictionary in TERM ORDER, capped at ``max_expansions``
+(default 50 — the same enforced bound fuzzy_term_search got in r11),
+and only expanded terms count. Result rows carry the phrase-prefix
+occurrence count (every matching start position, overlaps included —
+the phrase_count_col convention).
+
+Scale shape:
+
+- multi_match scan form: one in-row projection computes per-field dl
+  + per-field-per-term tf (each field's token array materializes
+  once); ONE global aggregate produces the corpus-stats row
+  (n, per-field avgdl, per-field-per-term df) and broadcasts back;
+  the per-field scores, the dis_max combine, and the gate are
+  map-side expressions; top-k is a partial TakeOrdered. Zero corpus
+  shuffles — identical to the boolquery.py scan contract.
+- multi_match at-rest form: one bucket-pruned postings probe PER
+  FIELD INDEX (a field is its own index, as in ES), one hit-sized
+  pivot per field, per-field stats broadcast; the per-field score
+  frames full-outer-join on the id (hit-sized — a doc appears only
+  under fields it hits; a missing field contributes exactly 0.0, the
+  same value its tf=0 scan expression yields, so the two physical
+  forms stay bit-identical).
+- match_phrase_prefix scan form: the prefix expansion is a
+  term-type-sized distinct (Heaps-sublinear) cut to max_expansions
+  by a total order; candidate starts are found in-row (the
+  phrase_search start-position filter) and only MATCHED (id,
+  last_token) pairs leave the row — a broadcast join against the
+  tiny expansion set and one hit-sized count aggregate finish it.
+  Document text never shuffles.
+- match_phrase_prefix at-rest form: the expansion walks the vocab
+  sidecar (the ES term-dictionary walk — the fuzzy_term_search_atrest
+  pruning-boundary contract, textindex.py module docstring), collects
+  the <= max_expansions matched types (bounded, the learned-table
+  size class), and probes ONLY the fixed phrase terms' + expanded
+  terms' postings with literal bucket PartitionFilters; position
+  intersection is the phrase_search_indexed algorithm with the last
+  offset tested against the union of expansion position lists.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from irclogbot_spark.functions.text import WORD_RE
+from irclogbot_spark.operators.boolquery import (
+    _check_no_duplicate_terms,
+    _per_term_score,
+)
+
+
+def _norm_fields(fields) -> list[tuple[str, float]]:
+    """Accept [(field, boost), ...] or {field: boost} (dict order is
+    declaration order); validate non-empty, unique, positive."""
+    pairs = list(fields.items()) if isinstance(fields, dict) else [
+        (f, float(b)) for f, b in fields
+    ]
+    if not pairs:
+        raise ValueError("multi_match needs at least one field")
+    names = [f for f, _ in pairs]
+    if len(set(names)) != len(names):
+        raise ValueError(f"duplicate fields: {names}")
+    for f, b in pairs:
+        if float(b) <= 0.0:
+            raise ValueError(f"field boost must be > 0, got {f}={b}")
+    return [(f, float(b)) for f, b in pairs]
+
+
+def _field_score(fname: str, boost: float, n_terms: int, k1: float, b: float) -> Column:
+    """boost * fixed-order sum of per-term BM25 under field ``fname``'s
+    own statistics — the per-field match subquery's score."""
+    s = None
+    for i in range(n_terms):
+        t = _per_term_score(
+            F.col(f"tf_{fname}_{i}"),
+            F.col(f"df_{fname}_{i}"),
+            F.col("n"),
+            F.col(f"avgdl_{fname}"),
+            F.col(f"dl_{fname}"),
+            k1,
+            b,
+        )
+        s = t if s is None else s + t
+    return F.lit(boost) * s
+
+
+def _dis_max_combine(per_field: list[Column], tie_breaker: float) -> Column:
+    total = None
+    for s in per_field:
+        total = s if total is None else total + s
+    best = F.greatest(*per_field) if len(per_field) > 1 else per_field[0]
+    return best + F.lit(float(tie_breaker)) * (total - best)
+
+
+def multi_match_best_fields(
+    df: DataFrame,
+    terms: list[str],
+    fields,
+    tie_breaker: float = 0.0,
+    k: int = 10,
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Scan-form multi_match (best_fields): top-k (id_col, score)
+    ordered (score desc, id asc). ``fields`` maps field column ->
+    boost ([(name, boost), ...] or dict in declaration order)."""
+    if not terms:
+        raise ValueError("multi_match needs at least one term")
+    _check_no_duplicate_terms(list(terms))
+    pairs = _norm_fields(fields)
+
+    def _eq(t: str):
+        return lambda x: x == F.lit(t)
+
+    cols = [F.col(id_col)]
+    for fname, _ in pairs:
+        toks = F.regexp_extract_all(F.col(fname), F.lit(WORD_RE), F.lit(0))
+        cols.append(F.size(toks).alias(f"dl_{fname}"))
+        cols.extend(
+            F.size(F.filter(toks, _eq(t))).alias(f"tf_{fname}_{i}")
+            for i, t in enumerate(terms)
+        )
+    base = df.select(*cols)
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for fname, _ in pairs:
+        aggs.append(
+            (F.sum(f"dl_{fname}").cast("double") / F.count(F.lit(1))).alias(
+                f"avgdl_{fname}"
+            )
+        )
+        aggs.extend(
+            F.sum(
+                F.when(F.col(f"tf_{fname}_{i}") > 0, 1).otherwise(0)
+            ).alias(f"df_{fname}_{i}")
+            for i in range(len(terms))
+        )
+    j = base.join(F.broadcast(base.agg(*aggs)))
+    scores = [
+        _field_score(fname, boost, len(terms), k1, b) for fname, boost in pairs
+    ]
+    gate = None
+    for fname, _ in pairs:
+        for i in range(len(terms)):
+            c = F.col(f"tf_{fname}_{i}") > 0
+            gate = c if gate is None else gate | c
+    return (
+        j.filter(gate)
+        .select(F.col(id_col), _dis_max_combine(scores, tie_breaker).alias("score"))
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def multi_match_best_fields_atrest(
+    spark: SparkSession,
+    paths,
+    terms: list[str],
+    boosts,
+    tie_breaker: float = 0.0,
+    k: int = 10,
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    indexes: dict | None = None,
+) -> DataFrame:
+    """multi_match served from PER-FIELD at-rest indexes (a field is
+    its own index in ES) — bit-identical to
+    :func:`multi_match_best_fields`. ``paths`` maps field -> index
+    directory ([(field, path), ...] or dict in declaration order);
+    ``boosts`` maps field -> boost; ``indexes`` optionally injects
+    pre-loaded (pidx, doclens, n_buckets) frames per field (the
+    streamed-index form)."""
+    from irclogbot_spark.operators.textindex import (
+        postings_tf,
+        probe_postings,
+        read_text_index,
+    )
+
+    if not terms:
+        raise ValueError("multi_match needs at least one term")
+    _check_no_duplicate_terms(list(terms))
+    path_pairs = list(paths.items()) if isinstance(paths, dict) else list(paths)
+    pairs = _norm_fields([(f, dict(boosts)[f]) for f, _ in path_pairs])
+
+    per_field: list[DataFrame] = []
+    for fname, path in path_pairs:
+        pidx, doclens, n_buckets = (
+            indexes[fname]
+            if indexes is not None and fname in indexes
+            else read_text_index(spark, path)
+        )
+        p = postings_tf(probe_postings(pidx, list(terms), n_buckets), id_col)
+        pivot = p.groupBy(id_col).agg(
+            *[
+                F.coalesce(
+                    F.max(F.when(F.col("term") == t, F.col("tf"))), F.lit(0)
+                ).alias(f"tf_{fname}_{i}")
+                for i, t in enumerate(terms)
+            ]
+        )
+        dfreq = p.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+        dfrow = dfreq.groupBy().pivot("term", list(terms)).agg(F.first("df"))
+        dfrow = dfrow.select(
+            *[
+                F.coalesce(F.col(f"`{t}`"), F.lit(0)).alias(f"df_{fname}_{i}")
+                for i, t in enumerate(terms)
+            ]
+        )
+        stats = doclens.agg(
+            (F.sum("dl").cast("double") / F.count(F.lit(1))).alias(
+                f"avgdl_{fname}"
+            ),
+            F.count(F.lit(1)).alias("n"),
+        )
+        j = (
+            pivot.join(
+                doclens.select(F.col(id_col), F.col("dl").alias(f"dl_{fname}")),
+                id_col,
+            )
+            .join(F.broadcast(stats))
+            .join(F.broadcast(dfrow))
+        )
+        boost = dict(pairs)[fname]
+        per_field.append(
+            j.select(
+                F.col(id_col),
+                _field_score(fname, boost, len(terms), k1, b).alias(
+                    f"score_{fname}"
+                ),
+            )
+        )
+    # a doc appears only under fields it hits; the full-outer join
+    # unions the hit sets and a missing field coalesces to exactly
+    # 0.0 — the same value its tf=0 scan expression yields
+    joined = per_field[0]
+    for nxt in per_field[1:]:
+        joined = joined.join(nxt, id_col, "full_outer")
+    scores = [
+        F.coalesce(F.col(f"score_{fname}"), F.lit(0.0)) for fname, _ in pairs
+    ]
+    return (
+        joined.select(
+            F.col(id_col), _dis_max_combine(scores, tie_breaker).alias("score")
+        )
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def match_phrase_prefix(
+    df: DataFrame,
+    terms: list[str],
+    prefix: str,
+    max_expansions: int = 50,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Scan-form match_phrase_prefix: top-k (id_col, phrase_count)
+    of docs containing the fixed ``terms`` followed by a token
+    starting with ``prefix``, counting only the first
+    ``max_expansions`` prefix expansions in term order (ES's
+    dictionary-order expansion cap). ``terms`` may be empty — the
+    pure prefix query, ES's single-partial-term search box."""
+    if not prefix:
+        raise ValueError("match_phrase_prefix needs a non-empty prefix")
+    if max_expansions is not None and max_expansions <= 0:
+        raise ValueError(f"max_expansions must be > 0, got {max_expansions}")
+    terms = list(terms or [])
+    m = len(terms) + 1
+    toks = F.regexp_extract_all(F.col(text_col), F.lit(WORD_RE), F.lit(0))
+
+    # the expansion set: prefix-matching term types in term order,
+    # cut to max_expansions — term-type-sized before the cut
+    expansions = (
+        df.select(F.explode(F.array_distinct(toks)).alias("term"))
+        .filter(F.col("term").startswith(prefix))
+        .distinct()
+    )
+    if max_expansions is not None:
+        expansions = expansions.orderBy("term").limit(int(max_expansions))
+
+    # candidate starts, fully in-row: positions i where toks[i..i+m-2]
+    # equals the fixed terms and toks[i+m-1] starts with the prefix;
+    # only matched (id, last_token) pairs leave the row. sequence()
+    # runs DESCENDING for n < 1, so short docs guard to empty
+    # explicitly (the phrase_count_col convention).
+    starts = F.when(
+        F.size(toks) >= m, F.sequence(F.lit(1), F.size(toks) - m + 1)
+    ).otherwise(F.array().cast("array<int>"))
+
+    def _cand(i):
+        cond = F.element_at(toks, i + m - 1).startswith(prefix)
+        if terms:
+            target = F.array(*[F.lit(t) for t in terms])
+            cond = (F.slice(toks, i, m - 1) == target) & cond
+        return cond
+
+    lasts = df.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(F.filter(starts, _cand), lambda i: F.element_at(toks, i + m - 1))
+        ).alias("_last"),
+    )
+    return (
+        lasts.join(F.broadcast(expansions), lasts["_last"] == expansions["term"])
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("phrase_count"))
+        .orderBy(F.desc("phrase_count"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def match_phrase_prefix_atrest(
+    spark: SparkSession,
+    path: str,
+    terms: list[str],
+    prefix: str,
+    max_expansions: int = 50,
+    k: int = 10,
+    id_col: str = "doc_id",
+    index: tuple | None = None,
+) -> DataFrame:
+    """match_phrase_prefix served from the at-rest positional index —
+    bit-identical counts to :func:`match_phrase_prefix`. The
+    expansion walks the vocab sidecar (the term-dictionary walk —
+    the fuzzy_term_search_atrest pruning boundary) and collects the
+    <= max_expansions matched types (an enforced bound, the r11
+    fuzzy convention); only the fixed terms' + expanded terms'
+    postings are fetched, bucket-pruned. Position intersection is
+    the phrase_search_indexed algorithm with the last offset tested
+    against the union of expansion position lists."""
+    from irclogbot_spark.operators.textindex import (
+        probe_postings,
+        read_text_index,
+        read_vocab,
+    )
+
+    if not prefix:
+        raise ValueError("match_phrase_prefix needs a non-empty prefix")
+    if max_expansions is not None and max_expansions <= 0:
+        raise ValueError(f"max_expansions must be > 0, got {max_expansions}")
+    terms = list(terms or [])
+    m = len(terms) + 1
+    if index is not None:
+        pidx, _doclens, n_buckets = index
+        vocab = (
+            pidx.select("term").distinct()
+        )  # streamed frames carry no vocab sidecar; term types only
+    else:
+        pidx, _doclens, n_buckets = read_text_index(spark, path)
+        vocab = read_vocab(spark, path)
+    exp = vocab.select("term").filter(F.col("term").startswith(prefix)).distinct()
+    if max_expansions is not None:
+        exp = exp.orderBy("term").limit(int(max_expansions))
+    expanded = [r[0] for r in exp.collect()]  # bounded: <= max_expansions
+    probe = list(dict.fromkeys(terms + expanded))
+    if not probe:  # empty prefix expansion with no fixed terms
+        return pidx.select(
+            F.col(id_col), F.lit(0).cast("long").alias("phrase_count")
+        ).limit(0)
+    p = probe_postings(pidx, probe, n_buckets)
+    aggs = [
+        F.max(F.when(F.col("term") == t, F.col("positions"))).alias(f"ps{j}")
+        for j, t in enumerate(terms)
+    ]
+    aggs.append(
+        F.flatten(
+            F.collect_list(
+                F.when(F.col("term").isin(expanded), F.col("positions"))
+            )
+        ).alias("exp_pos")
+    )
+    per_doc = p.groupBy(id_col).agg(*aggs)
+    for j in range(len(terms)):
+        per_doc = per_doc.filter(F.col(f"ps{j}").isNotNull())
+    per_doc = per_doc.filter(F.size("exp_pos") > 0)
+    if terms:
+
+        def _start_ok(pos):
+            cond = F.array_contains(F.col("exp_pos"), pos + m - 1)
+            for j in range(1, len(terms)):
+                cond = F.array_contains(F.col(f"ps{j}"), pos + j) & cond
+            return cond
+
+        count = F.size(F.filter(F.col("ps0"), _start_ok))
+    else:
+        count = F.size("exp_pos")
+    return (
+        per_doc.select(
+            F.col(id_col), count.cast("long").alias("phrase_count")
+        )
+        .filter(F.col("phrase_count") > 0)
+        .orderBy(F.desc("phrase_count"), F.asc(id_col))
+        .limit(k)
+    )

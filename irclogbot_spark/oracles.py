@@ -3183,6 +3183,101 @@ ORDER BY score DESC, id LIMIT 10
 """
 )
 
+# ES multi_match type=best_fields (round 12): 'spark merge' over
+# title^2 (first-8-tokens synthesized short field) + text^1,
+# tie_breaker 0.3. Per-FIELD BM25 (each field has its own dl/avgdl/
+# df — a field is its own corpus), fixed-order per-field sums times
+# the boost, dis_max combine max + 0.3*(sum - max). Mirrors
+# operators/multimatch.py multi_match_best_fields — two physical
+# paths (scan + per-field at-rest indexes), one value hash.
+_MM_TERM = (
+    "((CAST(n - df_{f}_{i} AS DOUBLE) + 0.5) / (df_{f}_{i} + 0.5))"
+    " * ((tf_{f}_{i} * CAST(1.2 + 1.0 AS DOUBLE))"
+    " / (tf_{f}_{i} + 1.2 * ((1.0 - 0.75) + (0.75 * dl_{f}) / avgdl_{f})))"
+)
+
+ORACLES["docs_multi_match"] = rf"""
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(text, '\S+') AS btoks FROM documents
+),
+f AS (SELECT doc_id, btoks, btoks[1:8] AS ttoks FROM t),
+base AS (
+  SELECT doc_id,
+    len(ttoks) AS dl_title, len(btoks) AS dl_text,
+    len(list_filter(ttoks, x -> x = 'spark')) AS tf_title_0,
+    len(list_filter(ttoks, x -> x = 'merge')) AS tf_title_1,
+    len(list_filter(btoks, x -> x = 'spark')) AS tf_text_0,
+    len(list_filter(btoks, x -> x = 'merge')) AS tf_text_1
+  FROM f
+),
+stats AS (
+  SELECT COUNT(*) AS n,
+    CAST(SUM(dl_title) AS DOUBLE) / COUNT(*) AS avgdl_title,
+    CAST(SUM(dl_text) AS DOUBLE) / COUNT(*) AS avgdl_text,
+    SUM(CASE WHEN tf_title_0 > 0 THEN 1 ELSE 0 END) AS df_title_0,
+    SUM(CASE WHEN tf_title_1 > 0 THEN 1 ELSE 0 END) AS df_title_1,
+    SUM(CASE WHEN tf_text_0 > 0 THEN 1 ELSE 0 END) AS df_text_0,
+    SUM(CASE WHEN tf_text_1 > 0 THEN 1 ELSE 0 END) AS df_text_1
+  FROM base
+),
+scored AS (
+  SELECT doc_id,
+    CAST(2.0 AS DOUBLE)
+      * ({_MM_TERM.format(f='title', i=0)} + {_MM_TERM.format(f='title', i=1)})
+      AS s_title,
+    CAST(1.0 AS DOUBLE)
+      * ({_MM_TERM.format(f='text', i=0)} + {_MM_TERM.format(f='text', i=1)})
+      AS s_text
+  FROM base, stats
+  WHERE tf_title_0 > 0 OR tf_title_1 > 0 OR tf_text_0 > 0 OR tf_text_1 > 0
+)
+SELECT doc_id,
+  GREATEST(s_title, s_text)
+  + CAST(0.3 AS DOUBLE) * ((s_title + s_text) - GREATEST(s_title, s_text))
+  AS score
+FROM scored ORDER BY score DESC, doc_id LIMIT 10
+"""
+ORACLES["docs_multi_match_atrest"] = ORACLES["docs_multi_match"]
+
+# ES match_phrase_prefix over the parsed irclog (round 12): the
+# fixed token '{{"k":' followed by a token starting with '5' — the
+# k=50..59 payload messages. Prefix expansion in TERM ORDER capped
+# at max_expansions=50; counts are start positions (overlaps
+# included). Mirrors operators/multimatch.py match_phrase_prefix /
+# match_phrase_prefix_atrest — two physical paths, one value hash.
+ORACLES["log_match_phrase_prefix"] = (
+    "WITH " + IRCLOG_CTE + r""",
+t AS (
+  -- ONE doc per id: the ES sink's keyed upsert stores each
+  -- time-free message id once (dup rows are identical in this
+  -- projection by construction of the id)
+  SELECT id, regexp_extract_all(remark, '\S+') AS toks
+  FROM (SELECT DISTINCT id, remark FROM irclog)
+),
+exps AS (
+  SELECT term FROM (SELECT DISTINCT unnest(toks) AS term FROM t)
+  WHERE starts_with(term, '5') ORDER BY term LIMIT 50
+),
+lasts AS (
+  SELECT id, unnest(list_transform(
+    list_filter(
+      CASE WHEN len(toks) >= 2
+           THEN generate_series(1, len(toks) - 1) ELSE [] END,
+      i -> toks[i] = '{"k":' AND starts_with(toks[i+1], '5')
+    ), i -> toks[i + 1])) AS last_tok
+  FROM t
+),
+cnt AS (
+  SELECT id, CAST(COUNT(*) AS BIGINT) AS phrase_count
+  FROM lasts JOIN exps ON lasts.last_tok = exps.term
+  GROUP BY id
+)
+SELECT id, phrase_count FROM cnt
+ORDER BY phrase_count DESC, id LIMIT 10
+"""
+)
+ORACLES["log_match_phrase_prefix_atrest"] = ORACLES["log_match_phrase_prefix"]
+
 # map-literal encode vs explode/join/reassemble: two physical paths,
 # one value hash (the same convention)
 ORACLES["docs_tokenize_fast"] = ORACLES["docs_tokenize"]

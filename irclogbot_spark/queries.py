@@ -2210,106 +2210,82 @@ def docs_importance_resample(spark, sf_dir):
 # registrations only; everything else gets the local parity suite's
 # (stricter) value check but no driver-recorded row. The window is
 # rotated per round so every oracle-paired query accumulates at
-# least one driver-recorded verification. Round 11 executes the plan
-# recorded at the end of round 10 (VERDICT r10 "Next round" #1),
-# assembled by staleness of each query's newest driver row:
-# (a) FIRST rows for the never-driver-checked names — the 10
-# round-10 tail registrations (the ExactSubstr pair, the wildcard
-# pair, rescore, field collapsing, and the four at-rest
-# dictionary/span paths) plus the round-11 addition
-# (docs_bm25_search_after_atrest, keyset pagination over the at-rest
-# BM25 ranking — VERDICT r10 next #6); (b) RE-PINS for the two
-# queries whose operator code changed this round after their newest
-# hard row (bm25_rank_indexed was factored through
-# bm25_scores_indexed so search_after can cut before the TakeOrdered
-# — newest-code-gets-a-row rule); (c) the ENTIRE r7-vintage backlog
-# (32 names — every oracle-paired query whose newest driver row is
-# round 7); (d) the 5 alphabetically-first round-8 rows. Every name
-# here MUST be oracle-paired (pinned by
+# least one driver-recorded verification. Round 12 executes the plan
+# recorded at the end of round 11 (VERDICT r11 "Next round" #1):
+# (a) FIRST rows for the 12 never-driver-checked round-11 tail
+# registrations — the complete ES compound-query family
+# (bool/dis_max/boosting/constant_score/function_score, scan +
+# at-rest each), the at-rest field collapse, and the recency-boosted
+# log search; (b) FIRST rows for the 4 round-12 registrations —
+# multi_match best_fields (scan + per-field at-rest indexes) and
+# match_phrase_prefix over the irclog (scan + at-rest vocab walk),
+# VERDICT r11 next #2; (c) 34 of the 43-name round-8-vintage
+# staleness backlog, in the plan's alphabetical order (the remaining
+# 9 — log_nick_rank_per_channel onward — lead the r13 plan below).
+# Every name here MUST be oracle-paired (pinned by
 # tests/test_driver_contract.py).
 _DRIVER_WINDOW = [
-    # (a) never driver-checked: the round-10 tail registrations and
-    # the round-11 addition
-    "docs_substring_dedup",
-    "docs_substring_dedup_incr",
-    "docs_wildcard_search",
-    "docs_wildcard_search_indexed",
-    "docs_bm25_rescore",
-    "docs_collapse_by_source",
-    "docs_span_near_atrest",
-    "docs_fuzzy_term_search_atrest",
-    "docs_more_like_this_atrest",
-    "docs_prefix_suggest_atrest",
-    "docs_bm25_search_after_atrest",
-    # (b) re-pins — bm25_rank_indexed refactored this round after
-    # these queries' newest hard rows (r9 / r10)
-    "docs_bm25_indexed",
-    "docs_bm25_atrest",
-    # (c) the full r7-vintage backlog: every oracle-paired query
-    # whose newest driver row is round 7
-    "docs_priority_sample",
-    "docs_quality_score",
-    "docs_source_containment",
-    "docs_temperature_mix",
-    "docs_tfidf_topk",
-    "docs_unigram_segment",
-    "emb_hard_negatives",
-    "emb_ivf_recall",
-    "emb_pq_topk",
-    "emb_projection_recall",
-    "emb_random_projection",
-    "emb_semantic_dedup",
-    "emb_sq8_error",
-    "events_anomaly_mad",
-    "events_attribution",
-    "events_salted_enrich",
-    "events_theil_sen_trend",
-    "events_zorder_layout",
-    "media_decode_stats",
-    "media_png_decode_stats",
-    "tpch_q2_min_cost_supplier",
-    "tpch_q6_forecast_revenue",
-    "tpch_q8_market_share",
-    "tpch_q9_product_profit",
-    "tpch_q10_returned_items",
-    "tpch_q11_important_stock",
-    "tpch_q12_late_lines",
-    "tpch_q15_top_supplier",
-    "tpch_q18_big_orders",
-    "tpch_q19_disjunctive_rev",
-    "tpch_q20_promotion_parts",
-    "tpch_q21_waiting_suppliers",
-    # (d) the 5 alphabetically-first round-8 rows
-    "channels_catalog",
-    "docs_dedup_keep_best",
-    "docs_dedup_keep_first",
-    "docs_dedup_pipeline",
-    "docs_editdist_dedup",
+    # (a) never driver-checked: the round-11 compound-family tail
+    "docs_bool_search",
+    "docs_bool_search_atrest",
+    "docs_dis_max_search",
+    "docs_dis_max_search_atrest",
+    "docs_boosting_search",
+    "docs_boosting_search_atrest",
+    "docs_constant_score",
+    "docs_constant_score_atrest",
+    "docs_function_score",
+    "docs_function_score_atrest",
+    "docs_collapse_by_source_atrest",
+    "log_recency_search",
+    # (b) round-12 registrations: multi-field retrieval
+    "docs_multi_match",
+    "docs_multi_match_atrest",
+    "log_match_phrase_prefix",
+    "log_match_phrase_prefix_atrest",
+    # (c) the round-8-vintage staleness backlog, alphabetical
+    "docs_editdist_neardup",
+    "docs_hll_sketch_only",
+    "docs_html_extract",
+    "docs_lang_id",
+    "docs_lm_score",
+    "docs_neardup_clusters",
+    "docs_neardup_jaccard",
+    "docs_nfc_normalize",
+    "docs_pack_sequences",
+    "docs_paragraph_langid",
+    "docs_pii_redact",
+    "docs_quality",
+    "docs_sample_split",
+    "docs_token_stats",
+    "docs_trgm_search",
+    "docs_trgm_search_indexed",
+    "docs_url_canonicalize",
+    "docs_warc_ingest",
+    "docs_winnow_fingerprint",
+    "emb_anchor_gate",
+    "emb_ann_recall",
+    "emb_ann_topk",
+    "emb_cosine_neardup",
+    "emb_ivf_topk",
+    "emb_knn_join",
+    "events_json_extract",
+    "events_windows",
+    "graph_pagerank_trade",
+    "ingest_action_rows",
+    "ingest_dedup",
+    "ingest_filter_stats",
+    "join_top_customers",
+    "log_inter_message_gap",
+    "log_msgs_per_channel_day",
 ]
-# ROUND-12 ROTATION PLAN: FIRST rows for the round-11 tail
-# registrations (docs_bool_search, docs_dis_max_search,
-# docs_boosting_search, docs_constant_score and their at-rest twins
-# — the complete ES compound-query family — plus
-# docs_function_score pair, log_recency_search, and
-# docs_collapse_by_source_atrest),
-# then the remaining 43 round-8-vintage rows
-# (docs_editdist_neardup, docs_hll_sketch_only, docs_html_extract,
-# docs_lang_id, docs_lm_score, docs_neardup_clusters,
-# docs_neardup_jaccard, docs_nfc_normalize, docs_pack_sequences,
-# docs_paragraph_langid, docs_pii_redact, docs_quality,
-# docs_sample_split, docs_token_stats, docs_trgm_search,
-# docs_trgm_search_indexed, docs_url_canonicalize, docs_warc_ingest,
-# docs_winnow_fingerprint, emb_anchor_gate, emb_ann_recall,
-# emb_ann_topk, emb_cosine_neardup, emb_ivf_topk, emb_knn_join,
-# events_json_extract, events_windows, graph_pagerank_trade,
-# ingest_action_rows, ingest_dedup, ingest_filter_stats,
-# join_top_customers, log_inter_message_gap,
-# log_msgs_per_channel_day, log_nick_rank_per_channel,
+# ROUND-13 ROTATION PLAN: first rows for any round-13 additions and
+# re-pins for any operator touched after its newest row, then the 9
+# remaining round-8-vintage rows (log_nick_rank_per_channel,
 # log_term_time_filter, log_top_nicks, media_jpeg_decode_stats,
 # scalar_human_fmt, set_ops, tpch_q3_shipping_priority,
 # tpch_q5_local_supplier, window_date_functions), then the oldest
-# r9 rows — plus first rows for any round-12 additions and re-pins
-# for any operator touched after its newest row.
+# round-9 rows in alphabetical order until the window fills.
 
 
 @query("docs_dedup_keep_best_fast")
@@ -5532,6 +5508,180 @@ def docs_collapse_by_source_atrest(spark, sf_dir):
         .withColumn("rnk", F.row_number().over(w).cast("long"))
         .filter(F.col("rnk") <= 2)
         .select("source", "doc_id", "score", "rnk")
+    )
+
+
+#: the multi_match title field — a synthesized short field (first 8
+#: tokens of text; the 'title = first line' pipeline convention),
+#: shared by the scan form, the at-rest index build, and the oracle
+def _doc_title_col():
+    from irclogbot_spark.functions.text import WORD_RE
+
+    return F.array_join(
+        F.slice(
+            F.regexp_extract_all(F.col("text"), F.lit(WORD_RE), F.lit(0)),
+            1,
+            8,
+        ),
+        " ",
+    )
+
+
+#: session-scoped at-rest TITLE-field index path per sf_dir (a field
+#: is its own index in ES — the _TEXT_INDEX convention)
+_TITLE_INDEX: dict[str, str] = {}
+
+
+def _title_index_at_rest(spark, sf_dir) -> str:
+    import os as _os
+
+    from irclogbot_spark.operators.textindex import write_text_index
+
+    path = _TITLE_INDEX.get(sf_dir)
+    if path is None:
+        suffix = "".join(c if c.isalnum() else "_" for c in sf_dir).strip("_")
+        base = f"/tmp/sparklog_title_idx_{suffix}"
+        _reap_stale_process_dirs(f"{base}_p")
+        path = f"{base}_p{_os.getpid()}"
+        docs = _t(spark, sf_dir, "documents").select(
+            "doc_id", _doc_title_col().alias("title")
+        )
+        write_text_index(docs, path, text_col="title", n_buckets=64)
+        _TITLE_INDEX[sf_dir] = path
+    return path
+
+
+#: session-scoped at-rest index over the parsed irclog's remark
+#: field (id_col='id'), per sf_dir
+_LOG_INDEX: dict[str, str] = {}
+
+
+def _log_index_at_rest(spark, sf_dir) -> str:
+    import os as _os
+
+    from irclogbot_spark.operators.textindex import write_text_index
+
+    path = _LOG_INDEX.get(sf_dir)
+    if path is None:
+        suffix = "".join(c if c.isalnum() else "_" for c in sf_dir).strip("_")
+        base = f"/tmp/sparklog_log_idx_{suffix}"
+        _reap_stale_process_dirs(f"{base}_p")
+        path = f"{base}_p{_os.getpid()}"
+        # ONE doc per id — the ES sink's keyed upsert (H3): repeats
+        # of the same (channel, nick, remark) share the time-free id
+        # and overwrite the same ES document, so the index holds each
+        # message once. distinct() on the projection is exact (dup
+        # rows are identical in these two columns by construction).
+        log = (
+            synth.irclog_materialized(spark, sf_dir)
+            .select("id", "remark")
+            .distinct()
+        )
+        write_text_index(log, path, id_col="id", text_col="remark", n_buckets=64)
+        _LOG_INDEX[sf_dir] = path
+    return path
+
+
+#: the one declared multi_match: 'spark merge' over title^2 + text^1,
+#: tie_breaker 0.3 — ES best_fields, the search-box query
+_MM_TERMS = ["spark", "merge"]
+_MM_FIELDS = [("title", 2.0), ("text", 1.0)]
+
+
+@query("docs_multi_match")
+def docs_multi_match(spark, sf_dir):
+    """ES multi_match type=best_fields (round 12 — §2H's last
+    high-traffic retrieval gap, VERDICT r11 next #2;
+    operators/multimatch.py multi_match_best_fields): 'spark merge'
+    over title^2 (synthesized first-8-tokens short field) and
+    text^1, tie_breaker 0.3. Each field scores the fixed-order BM25
+    sum under ITS OWN statistics (per-field dl/avgdl/df — a field is
+    its own corpus in ES) times its boost; the doc takes
+    max + 0.3 * (sum - max) — the dis_max combine. Scan form: one
+    in-row projection (both fields' tf/dl), ONE broadcast stats row,
+    map-side combine, partial TakeOrdered — zero corpus shuffles
+    (plan-pinned). Round-12 registration; leads the r12 driver
+    window."""
+    from irclogbot_spark.operators.multimatch import multi_match_best_fields
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", _doc_title_col().alias("title"), "text"
+    )
+    return multi_match_best_fields(
+        docs, _MM_TERMS, _MM_FIELDS, tie_breaker=0.3, k=10
+    )
+
+
+@query("docs_multi_match_atrest")
+def docs_multi_match_atrest(spark, sf_dir):
+    """docs_multi_match served from PER-FIELD at-rest indexes (round
+    12 — a field is its own index in ES: the title field gets its
+    own bucketed postings artifact, the text field reuses the
+    session text index): one bucket-pruned probe + hit-sized pivot
+    per field, per-field stats broadcast, per-field score frames
+    full-outer-joined on doc_id (a missing field coalesces to
+    exactly the 0.0 its tf=0 scan expression yields). Bit-identical
+    scores to the scan form — second physical path, one value hash.
+    Round-12 registration; leads the r12 driver window."""
+    from irclogbot_spark.operators.multimatch import (
+        multi_match_best_fields_atrest,
+    )
+
+    _text_index_at_rest(spark, sf_dir)
+    paths = [
+        ("title", _title_index_at_rest(spark, sf_dir)),
+        ("text", _TEXT_INDEX[sf_dir]),
+    ]
+    return multi_match_best_fields_atrest(
+        spark, paths, _MM_TERMS, dict(_MM_FIELDS), tie_breaker=0.3, k=10
+    )
+
+
+@query("log_match_phrase_prefix")
+def log_match_phrase_prefix(spark, sf_dir):
+    """ES match_phrase_prefix over the parsed irclog (round 12 —
+    §2H; the search-box-as-you-type query: the fixed token '{"k":'
+    followed by a token starting with '5' finds the k=50..59 payload
+    messages; operators/multimatch.py match_phrase_prefix). The
+    prefix expands against the corpus term types in TERM ORDER,
+    capped at ES's default max_expansions=50 (the r11 fuzzy bound
+    convention); counts are start-position counts (overlaps
+    included). The log is deduplicated to ONE doc per id first — the
+    ES sink's keyed upsert (H3) stores each time-free message id
+    once, so the searchable corpus has no repeats. Scan shape:
+    term-type-sized expansion, in-row start matching, only matched
+    (id, last_token) pairs leave the row, one broadcast join +
+    hit-sized count agg — message text never shuffles. Round-12
+    registration; leads the r12 driver window."""
+    from irclogbot_spark.operators.multimatch import match_phrase_prefix
+
+    log = (
+        synth.irclog_materialized(spark, sf_dir)
+        .select("id", "remark")
+        .distinct()
+    )
+    return match_phrase_prefix(
+        log, ['{"k":'], "5", k=10, id_col="id", text_col="remark"
+    )
+
+
+@query("log_match_phrase_prefix_atrest")
+def log_match_phrase_prefix_atrest(spark, sf_dir):
+    """log_match_phrase_prefix served from an at-rest positional
+    index over the irclog remark field (round 12): the expansion
+    walks the vocab sidecar (the ES term-dictionary walk — the
+    fuzzy_term_search_atrest pruning boundary), collects the <= 50
+    matched types, and probes only the fixed + expanded terms'
+    postings bucket-pruned; position intersection is the
+    phrase_search_indexed algorithm with the last offset tested
+    against the union of expansion position lists. Bit-identical
+    counts to the scan form. Round-12 registration; leads the r12
+    driver window."""
+    from irclogbot_spark.operators.multimatch import match_phrase_prefix_atrest
+
+    path = _log_index_at_rest(spark, sf_dir)
+    return match_phrase_prefix_atrest(
+        spark, path, ['{"k":'], "5", k=10, id_col="id"
     )
 
 

@@ -1030,6 +1030,10 @@ def test_compound_scan_forms_shuffle_nothing(spark):
         "docs_boosting_search",
         "docs_constant_score",
         "docs_function_score",
+        # round 12: multi_match best_fields shares the scan contract
+        # (per-field tf/dl in one in-row projection, ONE broadcast
+        # stats row, map-side dis_max combine)
+        "docs_multi_match",
     ]:
         df = entrymod.queries()[name](spark, SF)
         plan = df._jdf.queryExecution().executedPlan().toString()
@@ -1045,3 +1049,36 @@ def test_compound_scan_forms_shuffle_nothing(spark):
         ranged = [m for m in _re.findall(r"Exchange rangepartitioning[^\n]*", plan)]
         assert not hashed and not ranged, (name, hashed, ranged, plan[:1500])
         assert "TakeOrderedAndProject" in plan, (name, plan[:1500])
+
+
+def test_multi_match_atrest_prunes_both_field_indexes(spark):
+    """Round 12: docs_multi_match_atrest probes ONE index PER FIELD
+    (a field is its own index in ES) — BOTH postings scans carry
+    term_bkt PartitionFilters (only the probed bucket directories
+    are read); the corpus text is never scanned; top-k is a partial
+    TakeOrdered."""
+    import re as _re
+
+    df = entrymod.queries()["docs_multi_match_atrest"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    pf = [m for m in _re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
+          if "term_bkt" in m]
+    assert len(pf) >= 2, plan[:2000]  # one pruned probe per field index
+    # document text never read: no ReadSchema carries the text column
+    rs = _re.findall(r"ReadSchema: ([^\n]*)", plan)
+    assert all("text:" not in m and '"text"' not in m for m in rs), rs
+    assert "TakeOrderedAndProject" in plan, plan[:1500]
+
+
+def test_match_phrase_prefix_atrest_walks_vocab_and_prunes(spark):
+    """Round 12: log_match_phrase_prefix_atrest expands the prefix
+    against the vocab sidecar (driver-side bounded collect, the
+    fuzzy convention) and fetches only the fixed + expanded terms'
+    postings with term_bkt PartitionFilters."""
+    import re as _re
+
+    df = entrymod.queries()["log_match_phrase_prefix_atrest"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    pf = _re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert any("term_bkt" in m for m in pf), plan[:2000]
+    assert "TakeOrderedAndProject" in plan, plan[:1500]

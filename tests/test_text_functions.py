@@ -974,3 +974,160 @@ def test_compound_query_input_validation(spark):
             docs, ["data"], [{"kind": "weight", "weight": 2.0}],
             boost_mode="replace",
         )
+
+
+def test_multi_match_best_fields_semantics(spark, tmp_path):
+    """multi_match type=best_fields (round 12 —
+    operators/multimatch.py): each field scores boost x the
+    fixed-order BM25 sum under ITS OWN statistics (per-field
+    dl/avgdl/df); the combine is the dis_max
+    max + tie_breaker * (sum - max); a doc matches on >= 1 term in
+    >= 1 field. Degenerate checks: one field with boost 1 equals the
+    should-only bool query over that field; tie_breaker=1.0 is the
+    plain per-field sum. The at-rest twin (one index PER FIELD,
+    full-outer-joined hit sets) is bit-identical."""
+    from irclogbot_spark.operators.boolquery import bool_search
+    from irclogbot_spark.operators.multimatch import (
+        multi_match_best_fields,
+        multi_match_best_fields_atrest,
+    )
+    from irclogbot_spark.operators.textindex import write_text_index
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark merge intro", "body about spark spark and merge"),
+            (2, "data layout", "merge strategies for spark tables"),
+            (3, "unrelated title", "nothing relevant here"),
+            (4, "spark only title", "body with no query hits"),
+            (5, "plain", "spark appears once"),
+        ],
+        "doc_id long, title string, body string",
+    )
+    terms = ["spark", "merge"]
+    # single-field boost-1 degenerate == should-only bool over body
+    mm1 = {
+        r.doc_id: r.score
+        for r in multi_match_best_fields(
+            docs, terms, [("body", 1.0)], k=10
+        ).collect()
+    }
+    ref = {
+        r.doc_id: r.score
+        for r in bool_search(
+            docs, should=terms, minimum_should_match=1, k=10,
+            text_col="body",
+        ).collect()
+    }
+    assert mm1 == ref
+    # tie_breaker=1.0 degenerates to s_title + s_body; 0.0 to max
+    both = multi_match_best_fields(
+        docs, terms, [("title", 2.0), ("body", 1.0)], tie_breaker=1.0, k=10
+    )
+    best_of = multi_match_best_fields(
+        docs, terms, [("title", 2.0), ("body", 1.0)], tie_breaker=0.0, k=10
+    )
+    s_sum = {r.doc_id: r.score for r in both.collect()}
+    s_max = {r.doc_id: r.score for r in best_of.collect()}
+    assert set(s_sum) == {1, 2, 4, 5}  # doc 3 hits nothing
+    assert all(s_sum[d] >= s_max[d] for d in s_sum)
+    # doc 5 hits body only: max == sum == its body score
+    assert s_sum[5] == s_max[5]
+    # at-rest bit-identity: one index per field, hit sets differ per
+    # field (doc 4 hits title only, doc 5 body only)
+    t1 = str(tmp_path / "idx_title")
+    t2 = str(tmp_path / "idx_body")
+    write_text_index(docs.select("doc_id", "title"), t1, text_col="title", n_buckets=8)
+    write_text_index(docs.select("doc_id", "body"), t2, text_col="body", n_buckets=8)
+    kw = dict(tie_breaker=0.3, k=10)
+    want = [
+        tuple(r)
+        for r in multi_match_best_fields(
+            docs, terms, [("title", 2.0), ("body", 1.0)], **kw
+        ).collect()
+    ]
+    got = [
+        tuple(r)
+        for r in multi_match_best_fields_atrest(
+            spark, [("title", t1), ("body", t2)], terms,
+            {"title": 2.0, "body": 1.0}, **kw
+        ).collect()
+    ]
+    assert got == want and len(got) == 4
+    # validation: duplicate terms, duplicate fields, bad boost
+    import pytest
+
+    with pytest.raises(ValueError, match="duplicate"):
+        multi_match_best_fields(docs, ["spark", "spark"], [("body", 1.0)])
+    with pytest.raises(ValueError, match="duplicate fields"):
+        multi_match_best_fields(docs, terms, [("body", 1.0), ("body", 2.0)])
+    with pytest.raises(ValueError, match="boost"):
+        multi_match_best_fields(docs, terms, [("body", 0.0)])
+
+
+def test_match_phrase_prefix_semantics(spark, tmp_path):
+    """match_phrase_prefix (round 12 — operators/multimatch.py):
+    fixed leading terms + last-position prefix; expansion in TERM
+    ORDER capped at max_expansions (only expanded terms count);
+    overlapping starts count; empty leading terms = the pure prefix
+    query. The at-rest twin (vocab-sidecar expansion walk +
+    bucket-pruned positional probe) is bit-identical."""
+    import pytest
+
+    from irclogbot_spark.operators.multimatch import (
+        match_phrase_prefix,
+        match_phrase_prefix_atrest,
+    )
+    from irclogbot_spark.operators.textindex import write_text_index
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox and the quick brown fence"),
+            (2, "quick brown dog"),
+            (3, "quick silver brown fish"),
+            (4, "a quick brown f"),
+            (5, "quick brown quick brown quick brown fast"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: r.phrase_count
+        for r in match_phrase_prefix(docs, ["quick", "brown"], "f", k=10).collect()
+    }
+    # doc 2: last token 'dog' doesn't start with f; doc 3: not
+    # consecutive; doc 5: only the LAST 'quick brown' precedes 'fast'
+    assert got == {1: 2, 4: 1, 5: 1}
+    # expansion cap: term-ordered types starting with 'f' are
+    # [f, fast, fence, fish, fox]; cap=2 keeps {f, fast}
+    capped = {
+        r.doc_id: r.phrase_count
+        for r in match_phrase_prefix(
+            docs, ["quick", "brown"], "f", max_expansions=2, k=10
+        ).collect()
+    }
+    assert capped == {4: 1, 5: 1}
+    # pure prefix query (no leading terms): every 'qu*' token counts
+    pure = {
+        r.doc_id: r.phrase_count
+        for r in match_phrase_prefix(docs, [], "qu", k=10).collect()
+    }
+    assert pure == {1: 2, 2: 1, 3: 1, 4: 1, 5: 3}
+    # at-rest twin: same three shapes, bit-identical
+    path = str(tmp_path / "idx_pp")
+    write_text_index(docs, path, n_buckets=8)
+    for kw in (
+        dict(terms=["quick", "brown"], prefix="f", k=10),
+        dict(terms=["quick", "brown"], prefix="f", max_expansions=2, k=10),
+        dict(terms=[], prefix="qu", k=10),
+        dict(terms=["quick", "brown"], prefix="zz", k=10),  # no expansion
+    ):
+        want = [tuple(r) for r in match_phrase_prefix(docs, **kw).collect()]
+        got = [
+            tuple(r)
+            for r in match_phrase_prefix_atrest(spark, path, **kw).collect()
+        ]
+        assert got == want, kw
+    # validation
+    with pytest.raises(ValueError, match="prefix"):
+        match_phrase_prefix(docs, ["quick"], "")
+    with pytest.raises(ValueError, match="max_expansions"):
+        match_phrase_prefix(docs, ["quick"], "f", max_expansions=0)
