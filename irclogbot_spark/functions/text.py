@@ -514,6 +514,7 @@ def tokenize_with_vocab_inline(
     id_col: str = "doc_id",
     text_col: str = "text",
     unk_id: int = 0,
+    max_vocab: int = 1_000_000,
 ):
     """MAP-ONLY twin of ``tokenize_with_vocab``: the vocabulary is
     collected once (tokenizer-sized by construction — the same
@@ -531,7 +532,15 @@ def tokenize_with_vocab_inline(
 
     Same robustness contract as the join form: duplicate vocab terms
     collapse to MIN rank; ``unk_id`` must stay outside the 1-based
-    rank space.
+    rank space. ``max_vocab`` is the ENFORCED bound on the driver
+    collect (VERDICT r11 next #5 — the fuzzy_term_search_atrest
+    max_expansions convention): the inline form exists because
+    tokenizer vocabularies are bounded by construction (50k-ish for
+    BPE, 1M generous), so an unboundedly large "vocab" frame is a
+    caller bug — fail fast instead of silently collecting it; the
+    join form (:func:`tokenize_with_vocab`) serves genuinely
+    unbounded mappings. Pass ``max_vocab=None`` to opt out
+    explicitly.
     """
     from irclogbot_spark.functions.lits import lit_string_int_map
 
@@ -539,11 +548,21 @@ def tokenize_with_vocab_inline(
         raise ValueError(
             f"unk_id must be < 1 (ranks are 1-based), got {unk_id}"
         )
+    deduped = vocab.groupBy("term").agg(F.min("rank").alias("rank"))
+    if max_vocab is not None:
+        if max_vocab <= 0:
+            raise ValueError(f"max_vocab must be > 0, got {max_vocab}")
+        # one cheap limit+count probe before the full collect
+        over = deduped.limit(int(max_vocab) + 1).count()
+        if over > max_vocab:
+            raise ValueError(
+                f"vocab has > {max_vocab} distinct terms; the inline "
+                "map literal is for bounded tokenizer vocabularies — "
+                "use tokenize_with_vocab (the join form) or raise "
+                "max_vocab explicitly"
+            )
     pairs = [
-        (r["term"], int(r["rank"]))
-        for r in vocab.groupBy("term")
-        .agg(F.min("rank").alias("rank"))
-        .collect()
+        (r["term"], int(r["rank"])) for r in deduped.collect()
     ]
     m = lit_string_int_map(sorted(pairs))
     toks = F.regexp_extract_all(F.col(text_col), F.lit(WORD_RE), F.lit(0))
