@@ -318,6 +318,37 @@ _SPREAD: dict[str, list[float]] = {}
 
 STRESS_ROWS = int(os.environ.get("SPARK_GRAFT_STRESS_ROWS", "2000000"))
 
+#: calibration anchor (VERDICT r11 next #3 — the host-bimodality
+#: classifier): a FIXED pure-CPU workload in the same JVM before the
+#: suite, whose wall time reads this host's effective CPU speed.
+#: 16e9 xxhash64+bit_xor rows ≈ 2.0 s on the fast host mode (the r12
+#: reference, BENCH_AB.md calibration table); a slow-mode run shows
+#: proportionally larger calibration_sec, so drift in the headline is
+#: classifiable in one line: environmental iff calibration moved too.
+CALIB_ROWS = int(os.environ.get("SPARK_GRAFT_CALIB_ROWS", "16000000000"))
+#: fast-mode anchor measured round 12 — value_norm = value * (REF/cal)
+CALIB_REF_SEC = 2.0
+
+
+def _calibration(spark) -> float:
+    """Median-of-3 wall time of the fixed calibration workload: a
+    whole-stage-codegen xxhash64 fold over spark.range (no I/O, no
+    data shuffle — one 1-row partial-agg gather), bit_xor so the
+    fold can't overflow under ANSI mode. One warm pass first so the
+    measurement excludes first-shape codegen."""
+    from pyspark.sql import functions as F
+
+    def one(n: int) -> float:
+        t0 = time.perf_counter()
+        spark.range(n, numPartitions=int(CPUS)).select(
+            F.expr("bit_xor(xxhash64(id))")
+        ).collect()
+        return time.perf_counter() - t0
+
+    one(CALIB_ROWS // 1000)  # codegen warm-up
+    samples = sorted(one(CALIB_ROWS) for _ in range(3))
+    return round(samples[1], 3)
+
 
 def _ingest_stress(spark) -> dict:
     """The 2M-line ingest stress (SCALE.md's headline throughput
@@ -370,6 +401,7 @@ def main() -> None:
 
     spark = get_spark("sparklog-bench", master=f"local[{CPUS}]")
     qs = queries()
+    calibration = _calibration(spark)
     # warm the JVM/codegen on the smallest corpus so per-query times
     # measure the operator, not first-call compilation
     warm_dir = "/root/testdata/sf0.001"
@@ -413,6 +445,9 @@ def main() -> None:
         "queries_cached_irclog": cached,
         "ingest_stress": stress,
         "cpus": int(CPUS),
+        "calibration_sec": calibration,
+        "calibration_ref_sec": CALIB_REF_SEC,
+        "calibration_rows": CALIB_ROWS,
     }
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "BENCH_DETAIL.json"), "w") as f:
@@ -427,6 +462,14 @@ def main() -> None:
             {
                 "metric": "headline_suite_seconds",
                 "value": round(sum(times.values()), 3),
+                # the calibration-normalized headline: raw * (fast-
+                # mode anchor / this run's calibration) — host-speed
+                # drift divides out, so round-over-round deltas in
+                # value_norm are attributable to the code
+                "value_norm": round(
+                    sum(times.values()) * (CALIB_REF_SEC / calibration), 3
+                ),
+                "calibration_sec": calibration,
                 "unit": "sec",
                 "n_queries": len(times),
                 "n_cheap": len(cheap),
