@@ -215,6 +215,8 @@ HEADLINE = [
     "docs_multi_match_atrest",
     "log_match_phrase_prefix",
     "log_match_phrase_prefix_atrest",
+    "docs_multi_match_most_fields_atrest",
+    "docs_simple_query_string_atrest",
 ]
 
 #: Every registered query NOT in HEADLINE (VERDICT r7 missing #4:
@@ -251,6 +253,8 @@ CHEAP = [
     "docs_boosting_search",
     "docs_constant_score",
     "docs_multi_match",
+    "docs_multi_match_most_fields",
+    "docs_simple_query_string",
     "docs_function_score",
     "docs_neardup_jaccard",
     "docs_dedup_keep_first",

@@ -102,10 +102,22 @@ def _field_score(fname: str, boost: float, n_terms: int, k1: float, b: float) ->
     return F.lit(boost) * s
 
 
-def _dis_max_combine(per_field: list[Column], tie_breaker: float) -> Column:
+def _combine_fields(
+    per_field: list[Column], mm_type: str, tie_breaker: float
+) -> Column:
+    """The cross-field combine: ``best_fields`` is the dis_max
+    max + tie_breaker * (sum - max); ``most_fields`` is ES's bool
+    should over the per-field matches — the plain fixed-order sum
+    (tie_breaker is meaningless there and must stay default)."""
+    if mm_type not in ("best_fields", "most_fields"):
+        raise ValueError(f"unknown multi_match type {mm_type!r}")
     total = None
     for s in per_field:
         total = s if total is None else total + s
+    if mm_type == "most_fields":
+        if tie_breaker != 0.0:
+            raise ValueError("tie_breaker only applies to best_fields")
+        return total
     best = F.greatest(*per_field) if len(per_field) > 1 else per_field[0]
     return best + F.lit(float(tie_breaker)) * (total - best)
 
@@ -119,10 +131,15 @@ def multi_match_best_fields(
     id_col: str = "doc_id",
     k1: float = 1.2,
     b: float = 0.75,
+    mm_type: str = "best_fields",
 ) -> DataFrame:
-    """Scan-form multi_match (best_fields): top-k (id_col, score)
-    ordered (score desc, id asc). ``fields`` maps field column ->
-    boost ([(name, boost), ...] or dict in declaration order)."""
+    """Scan-form multi_match: top-k (id_col, score) ordered
+    (score desc, id asc). ``fields`` maps field column -> boost
+    ([(name, boost), ...] or dict in declaration order). ``mm_type``
+    picks the cross-field combine: ``best_fields`` (dis_max, the
+    default) or ``most_fields`` (per-field sum — ES's
+    the-more-fields-match-the-better variant; same frame, one
+    different combine expression)."""
     if not terms:
         raise ValueError("multi_match needs at least one term")
     _check_no_duplicate_terms(list(terms))
@@ -164,7 +181,10 @@ def multi_match_best_fields(
             gate = c if gate is None else gate | c
     return (
         j.filter(gate)
-        .select(F.col(id_col), _dis_max_combine(scores, tie_breaker).alias("score"))
+        .select(
+            F.col(id_col),
+            _combine_fields(scores, mm_type, tie_breaker).alias("score"),
+        )
         .orderBy(F.desc("score"), F.asc(id_col))
         .limit(k)
     )
@@ -181,6 +201,7 @@ def multi_match_best_fields_atrest(
     k1: float = 1.2,
     b: float = 0.75,
     indexes: dict | None = None,
+    mm_type: str = "best_fields",
 ) -> DataFrame:
     """multi_match served from PER-FIELD at-rest indexes (a field is
     its own index in ES) — bit-identical to
@@ -188,7 +209,7 @@ def multi_match_best_fields_atrest(
     directory ([(field, path), ...] or dict in declaration order);
     ``boosts`` maps field -> boost; ``indexes`` optionally injects
     pre-loaded (pidx, doclens, n_buckets) frames per field (the
-    streamed-index form)."""
+    streamed-index form); ``mm_type`` as in the scan form."""
     from irclogbot_spark.operators.textindex import (
         postings_tf,
         probe_postings,
@@ -259,7 +280,8 @@ def multi_match_best_fields_atrest(
     ]
     return (
         joined.select(
-            F.col(id_col), _dis_max_combine(scores, tie_breaker).alias("score")
+            F.col(id_col),
+            _combine_fields(scores, mm_type, tie_breaker).alias("score"),
         )
         .orderBy(F.desc("score"), F.asc(id_col))
         .limit(k)

@@ -3239,6 +3239,86 @@ FROM scored ORDER BY score DESC, doc_id LIMIT 10
 """
 ORACLES["docs_multi_match_atrest"] = ORACLES["docs_multi_match"]
 
+# ES multi_match type=most_fields (round 12): same per-field frame,
+# score = the PLAIN fixed-order sum of the boosted per-field BM25
+# scores (ES compiles most_fields to a bool should over the
+# per-field matches). Mirrors multi_match_best_fields(mm_type=
+# 'most_fields') — two physical paths, one value hash.
+ORACLES["docs_multi_match_most_fields"] = rf"""
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(text, '\S+') AS btoks FROM documents
+),
+f AS (SELECT doc_id, btoks, btoks[1:8] AS ttoks FROM t),
+base AS (
+  SELECT doc_id,
+    len(ttoks) AS dl_title, len(btoks) AS dl_text,
+    len(list_filter(ttoks, x -> x = 'spark')) AS tf_title_0,
+    len(list_filter(ttoks, x -> x = 'merge')) AS tf_title_1,
+    len(list_filter(btoks, x -> x = 'spark')) AS tf_text_0,
+    len(list_filter(btoks, x -> x = 'merge')) AS tf_text_1
+  FROM f
+),
+stats AS (
+  SELECT COUNT(*) AS n,
+    CAST(SUM(dl_title) AS DOUBLE) / COUNT(*) AS avgdl_title,
+    CAST(SUM(dl_text) AS DOUBLE) / COUNT(*) AS avgdl_text,
+    SUM(CASE WHEN tf_title_0 > 0 THEN 1 ELSE 0 END) AS df_title_0,
+    SUM(CASE WHEN tf_title_1 > 0 THEN 1 ELSE 0 END) AS df_title_1,
+    SUM(CASE WHEN tf_text_0 > 0 THEN 1 ELSE 0 END) AS df_text_0,
+    SUM(CASE WHEN tf_text_1 > 0 THEN 1 ELSE 0 END) AS df_text_1
+  FROM base
+),
+scored AS (
+  SELECT doc_id,
+    CAST(2.0 AS DOUBLE)
+      * ({_MM_TERM.format(f='title', i=0)} + {_MM_TERM.format(f='title', i=1)})
+      AS s_title,
+    CAST(1.0 AS DOUBLE)
+      * ({_MM_TERM.format(f='text', i=0)} + {_MM_TERM.format(f='text', i=1)})
+      AS s_text
+  FROM base, stats
+  WHERE tf_title_0 > 0 OR tf_title_1 > 0 OR tf_text_0 > 0 OR tf_text_1 > 0
+)
+SELECT doc_id, s_title + s_text AS score
+FROM scored ORDER BY score DESC, doc_id LIMIT 10
+"""
+ORACLES["docs_multi_match_most_fields_atrest"] = ORACLES[
+    "docs_multi_match_most_fields"
+]
+
+# ES simple_query_string (round 12): '+data batch -dup window'
+# compiles to must=[data], should=[batch, window], must_not=[dup],
+# msm=0 — the bool SQL with the compiled clause lists (mirrors
+# operators/querystring.py; the parser adds no dataflow).
+ORACLES["docs_simple_query_string"] = rf"""
+WITH t AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS toks FROM documents),
+base AS (
+  SELECT doc_id, len(toks) AS dl,
+    len(list_filter(toks, x -> x = 'data')) AS tf0,
+    len(list_filter(toks, x -> x = 'batch')) AS tf1,
+    len(list_filter(toks, x -> x = 'window')) AS tf2,
+    len(list_filter(toks, x -> x = 'dup')) AS tf3
+  FROM t
+),
+stats AS (
+  SELECT CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl, COUNT(*) AS n,
+    SUM(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+    SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+    SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
+  FROM base
+)
+SELECT doc_id,
+  {_BOOL_TERM.format(i=0)}
+  + {_BOOL_TERM.format(i=1)}
+  + {_BOOL_TERM.format(i=2)} AS score,
+  CAST((CASE WHEN tf1 > 0 THEN 1 ELSE 0 END)
+     + (CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_should
+FROM base, stats
+WHERE tf0 > 0 AND tf3 = 0
+ORDER BY score DESC, doc_id LIMIT 10
+"""
+ORACLES["docs_simple_query_string_atrest"] = ORACLES["docs_simple_query_string"]
+
 # ES match_phrase_prefix over the parsed irclog (round 12): the
 # fixed token '{{"k":' followed by a token starting with '5' — the
 # k=50..59 payload messages. Prefix expansion in TERM ORDER capped

@@ -5685,6 +5685,89 @@ def log_match_phrase_prefix_atrest(spark, sf_dir):
     )
 
 
+@query("docs_multi_match_most_fields")
+def docs_multi_match_most_fields(spark, sf_dir):
+    """ES multi_match type=most_fields (round 12 — the
+    the-more-fields-match-the-better variant: ES compiles it to a
+    bool should over the per-field match queries, i.e. the PLAIN SUM
+    of the per-field boosted BM25 scores instead of best_fields'
+    dis_max). Same terms/fields/frame as docs_multi_match — one
+    different combine expression, same zero-shuffle scan shape. Tail
+    registration; queued for the round-13 window."""
+    from irclogbot_spark.operators.multimatch import multi_match_best_fields
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", _doc_title_col().alias("title"), "text"
+    )
+    return multi_match_best_fields(
+        docs, _MM_TERMS, _MM_FIELDS, k=10, mm_type="most_fields"
+    )
+
+
+@query("docs_multi_match_most_fields_atrest")
+def docs_multi_match_most_fields_atrest(spark, sf_dir):
+    """docs_multi_match_most_fields served from the per-field
+    at-rest indexes — bit-identical (the same full-outer per-field
+    score join, summed instead of dis_max'd). Tail registration;
+    queued for the round-13 window."""
+    from irclogbot_spark.operators.multimatch import (
+        multi_match_best_fields_atrest,
+    )
+
+    _text_index_at_rest(spark, sf_dir)
+    paths = [
+        ("title", _title_index_at_rest(spark, sf_dir)),
+        ("text", _TEXT_INDEX[sf_dir]),
+    ]
+    return multi_match_best_fields_atrest(
+        spark, paths, _MM_TERMS, dict(_MM_FIELDS), k=10,
+        mm_type="most_fields",
+    )
+
+
+#: the declared simple_query_string: one must, two shoulds, one
+#: must_not — the raw search-box string the parser compiles
+_SQS_QUERY = "+data batch -dup window"
+
+
+@query("docs_simple_query_string")
+def docs_simple_query_string(spark, sf_dir):
+    """ES simple_query_string (round 12 —
+    operators/querystring.py): the user-facing +/-/bare search-box
+    syntax parsed with ES's never-throws contract and COMPILED onto
+    the bool machinery — '+data batch -dup window' becomes
+    must=[data], should=[batch, window], must_not=[dup], msm=0 (the
+    must-present default). The physical plan IS bool_search's
+    zero-shuffle scan; the parser adds no dataflow. Prefix clauses
+    (term*) expand against the term dictionary (capped, term order)
+    — unit-tested; the registered query stays prefix-free so the
+    oracle is the static bool SQL. Tail registration; queued for the
+    round-13 window."""
+    from irclogbot_spark.operators.querystring import (
+        simple_query_string_search,
+    )
+
+    return simple_query_string_search(
+        _t(spark, sf_dir, "documents"), _SQS_QUERY, k=10
+    )
+
+
+@query("docs_simple_query_string_atrest")
+def docs_simple_query_string_atrest(spark, sf_dir):
+    """docs_simple_query_string served from the at-rest index (the
+    compiled bool query runs through bool_search_atrest's
+    bucket-pruned probe) — bit-identical to the scan form. Tail
+    registration; queued for the round-13 window."""
+    from irclogbot_spark.operators.querystring import (
+        simple_query_string_atrest,
+    )
+
+    _text_index_at_rest(spark, sf_dir)
+    return simple_query_string_atrest(
+        spark, _TEXT_INDEX[sf_dir], _SQS_QUERY, k=10
+    )
+
+
 @query("docs_bm25_rescore")
 def docs_bm25_rescore(spark, sf_dir):
     """ES rescore analog (round 10 — §2H two-phase ranking;

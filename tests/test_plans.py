@@ -1032,8 +1032,13 @@ def test_compound_scan_forms_shuffle_nothing(spark):
         "docs_function_score",
         # round 12: multi_match best_fields shares the scan contract
         # (per-field tf/dl in one in-row projection, ONE broadcast
-        # stats row, map-side dis_max combine)
+        # stats row, map-side dis_max combine); most_fields is the
+        # same frame with the sum combine; simple_query_string
+        # compiles ONTO bool_search, so its plan IS the bool plan
+        # (the registered query is prefix-free — no vocab distinct)
         "docs_multi_match",
+        "docs_multi_match_most_fields",
+        "docs_simple_query_string",
     ]:
         df = entrymod.queries()[name](spark, SF)
         plan = df._jdf.queryExecution().executedPlan().toString()

@@ -1152,3 +1152,142 @@ def test_tokenize_inline_max_vocab_bound(spark):
     assert tokenize_with_vocab_inline(docs, vocab, max_vocab=None).count() == 1
     with pytest.raises(ValueError, match="max_vocab"):
         tokenize_with_vocab_inline(docs, vocab, max_vocab=0)
+
+
+def test_simple_query_string_parser_and_compile(spark, tmp_path):
+    """simple_query_string (round 12 — operators/querystring.py):
+    the +/-/bare/trailing-* search-box syntax parses with ES's
+    never-throws contract and compiles onto the bool machinery; the
+    compiled query equals the equivalent direct bool_search; prefix
+    clauses expand against the term dictionary (term order, capped,
+    per prefix); the at-rest form is bit-identical."""
+    import pytest
+
+    from irclogbot_spark.operators.boolquery import bool_search
+    from irclogbot_spark.operators.querystring import (
+        parse_simple_query,
+        simple_query_string_atrest,
+        simple_query_string_search,
+    )
+    from irclogbot_spark.operators.textindex import write_text_index
+
+    # parser contract
+    assert parse_simple_query("+data batch -dup window") == {
+        "must": ["data"], "should": ["batch", "window"],
+        "must_not": ["dup"], "prefixes": [],
+    }
+    # never-throws: bare operators drop, duplicates keep FIRST
+    assert parse_simple_query("+ - * +data data -data") == {
+        "must": ["data"], "should": [], "must_not": [], "prefixes": [],
+    }
+    assert parse_simple_query("mer* go")["prefixes"] == ["mer"]
+    with pytest.raises(ValueError, match="prefix"):
+        parse_simple_query("+mer*")
+
+    docs = spark.createDataFrame(
+        [
+            (1, "data batch window x"),
+            (2, "data window only here"),
+            (3, "data dup batch excluded"),
+            (4, "batch window no must"),
+            (5, "data merge mercury value"),
+            (6, "data merged things"),
+        ],
+        "doc_id long, text string",
+    )
+    got = [
+        tuple(r)
+        for r in simple_query_string_search(
+            docs, "+data batch -dup window", k=10
+        ).collect()
+    ]
+    want = [
+        tuple(r)
+        for r in bool_search(
+            docs, must=["data"], should=["batch", "window"],
+            must_not=["dup"], k=10,
+        ).collect()
+    ]
+    assert got == want and {r[0] for r in got} == {1, 2, 5, 6}
+    # prefix expansion: mer* -> {merge, mercury, merged} term-ordered,
+    # capped per prefix; expansions land as should terms
+    exp = [
+        tuple(r)
+        for r in simple_query_string_search(docs, "+data mer*", k=10).collect()
+    ]
+    want_exp = [
+        tuple(r)
+        for r in bool_search(
+            docs, must=["data"], should=["merge", "mercury", "merged"], k=10
+        ).collect()
+    ]
+    assert exp == want_exp
+    capped = [
+        tuple(r)
+        for r in simple_query_string_search(
+            docs, "+data mer*", max_expansions=1, k=10
+        ).collect()
+    ]
+    assert capped == [
+        tuple(r)
+        for r in bool_search(docs, must=["data"], should=["merge"], k=10).collect()
+    ]
+    # at-rest bit-identity, with and without prefix expansion
+    path = str(tmp_path / "idx_sqs")
+    write_text_index(docs, path, n_buckets=8)
+    for q in ("+data batch -dup window", "+data mer*"):
+        a = [
+            tuple(r)
+            for r in simple_query_string_atrest(spark, path, q, k=10).collect()
+        ]
+        s = [
+            tuple(r) for r in simple_query_string_search(docs, q, k=10).collect()
+        ]
+        assert a == s, q
+    with pytest.raises(ValueError, match="positive"):
+        simple_query_string_search(docs, "-dup")
+
+
+def test_multi_match_most_fields_is_per_field_sum(spark, tmp_path):
+    """multi_match type=most_fields (round 12): the combine is the
+    plain sum of the boosted per-field scores — equal to best_fields
+    with tie_breaker=1.0 (the degenerate identity) and strictly >=
+    best_fields at any tie_breaker < 1 where both fields hit; the
+    at-rest twin is bit-identical; tie_breaker with most_fields and
+    unknown types are rejected."""
+    import pytest
+
+    from irclogbot_spark.operators.multimatch import (
+        multi_match_best_fields,
+        multi_match_best_fields_atrest,
+    )
+    from irclogbot_spark.operators.textindex import write_text_index
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark merge intro", "body about spark and merge"),
+            (2, "data layout", "merge strategies for spark tables"),
+            (3, "spark only title", "no hits in body"),
+        ],
+        "doc_id long, title string, body string",
+    )
+    terms, fields = ["spark", "merge"], [("title", 2.0), ("body", 1.0)]
+    most = multi_match_best_fields(
+        docs, terms, fields, k=10, mm_type="most_fields"
+    )
+    tb1 = multi_match_best_fields(docs, terms, fields, tie_breaker=1.0, k=10)
+    assert [tuple(r) for r in most.collect()] == [tuple(r) for r in tb1.collect()]
+    t1, t2 = str(tmp_path / "mf_t"), str(tmp_path / "mf_b")
+    write_text_index(docs.select("doc_id", "title"), t1, text_col="title", n_buckets=8)
+    write_text_index(docs.select("doc_id", "body"), t2, text_col="body", n_buckets=8)
+    at = multi_match_best_fields_atrest(
+        spark, [("title", t1), ("body", t2)], terms,
+        {"title": 2.0, "body": 1.0}, k=10, mm_type="most_fields",
+    )
+    assert [tuple(r) for r in at.collect()] == [tuple(r) for r in most.collect()]
+    with pytest.raises(ValueError, match="tie_breaker"):
+        multi_match_best_fields(
+            docs, terms, fields, tie_breaker=0.5, mm_type="most_fields"
+        )
+    with pytest.raises(ValueError, match="multi_match type"):
+        multi_match_best_fields(docs, terms, fields, mm_type="cross_fields")
