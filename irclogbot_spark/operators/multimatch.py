@@ -1,5 +1,6 @@
-"""ES multi-field retrieval — ``multi_match`` (type best_fields) and
-``match_phrase_prefix``, the two high-traffic search-box query types
+"""ES multi-field retrieval — ``multi_match`` (types best_fields and
+most_fields) and ``match_phrase_prefix``, the high-traffic search-box
+query types
 (SURVEY.md §2H; the reference's implied search UI — utils.py:93-103's
 Flask vestige — is exactly a search box, and every ES search box
 issues these; VERDICT r11 next #2).
@@ -12,6 +13,9 @@ score is max over fields + tie_breaker * (sum - max); a doc matches
 when >= 1 term matches in >= 1 field. Per-field sums and the
 cross-field total use fixed declaration order, so the scores
 value-hash against the SQL twin (the boolquery.py convention).
+``most_fields`` keeps the identical per-field frame and replaces the
+dis_max combine with the plain sum (ES compiles most_fields to a
+bool should over the per-field match queries).
 
 match_phrase_prefix semantics: a phrase whose LAST position is a
 prefix — the query "quick brown f" matches docs containing
