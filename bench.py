@@ -217,6 +217,8 @@ HEADLINE = [
     "log_match_phrase_prefix_atrest",
     "docs_multi_match_most_fields_atrest",
     "docs_simple_query_string_atrest",
+    "docs_terms_set_atrest",
+    "docs_span_first_atrest",
 ]
 
 #: Every registered query NOT in HEADLINE (VERDICT r7 missing #4:
@@ -255,6 +257,8 @@ CHEAP = [
     "docs_multi_match",
     "docs_multi_match_most_fields",
     "docs_simple_query_string",
+    "docs_terms_set",
+    "docs_span_first",
     "docs_function_score",
     "docs_neardup_jaccard",
     "docs_dedup_keep_first",

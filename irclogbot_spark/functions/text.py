@@ -946,6 +946,69 @@ def span_near_search(
     )
 
 
+def span_first_search(
+    pindex,
+    terms: list[str],
+    end: int,
+    slop: int = 0,
+    id_col: str = "doc_id",
+):
+    """ES ``span_first`` analog (round 12 — §2H span-family
+    completion): the wrapped span (a single term, or the span_near
+    in-order windowed chain for multiple terms) must END within the
+    document's first ``end`` token positions (1-based inclusive —
+    the span's LAST matched position <= end; ES's boundary on the
+    span end). ``n_spans`` counts qualifying starts under the same
+    greedy earliest-next chain as :func:`span_near_search` — the
+    greedy continuation minimizes the chain's end, so a start
+    qualifies iff its minimal chain both fits the slop window and
+    ends inside the boundary (exact, same argument as span_near).
+
+    The deployment query: "title-zone match" — a term or phrase
+    appearing in a document's opening tokens, on a corpus that
+    stores no separate title field.
+
+    Scale shape: identical to span_near — pruned postings probe, one
+    doc-keyed pivot of span-term rows, in-row array math; the corpus
+    never moves."""
+    if not terms:
+        raise ValueError("span phrase must be non-empty")
+    if end < 1:
+        raise ValueError(f"end must be >= 1, got {end}")
+    k = len(terms)
+    p = pindex.filter(F.col("term").isin(list(terms)))
+    agg = p.groupBy(id_col).agg(
+        *[
+            F.max(F.when(F.col("term") == t, F.col("positions"))).alias(f"_p{j}")
+            for j, t in enumerate(terms)
+        ]
+    )
+    window = k - 1 + int(slop)
+
+    def _after(arr: Column, prev: Column) -> Column:
+        return F.array_min(F.filter(arr, lambda q: q > prev))
+
+    def _qualifies(start):
+        e = start
+        for j in range(1, k):
+            e = _after(F.col(f"_p{j}"), e)
+        fits = (e - start) <= window if k > 1 else F.lit(True)
+        # a broken chain leaves e NULL; NULL gates drop identically
+        # in both engines (three-valued logic)
+        return fits & (e <= F.lit(int(end)))
+
+    present = None
+    for j in range(k):
+        nn = F.col(f"_p{j}").isNotNull()
+        present = nn if present is None else present & nn
+    starts = F.filter(F.col("_p0"), _qualifies)
+    return (
+        agg.filter(present)
+        .select(F.col(id_col), F.size(starts).cast("long").alias("n_spans"))
+        .filter(F.col("n_spans") > 0)
+    )
+
+
 def bm25_rescore_phrase(
     df,
     terms: list[str],

@@ -561,6 +561,120 @@ def constant_score_search_atrest(
     )
 
 
+def _terms_set_project(
+    j: DataFrame,
+    terms: list[str],
+    msm_col: str,
+    k: int,
+    id_col: str,
+    k1: float,
+    b: float,
+) -> DataFrame:
+    score = None
+    n_matched = None
+    for i in range(len(terms)):
+        s = _per_term_score(
+            F.col(f"tf{i}"), F.col(f"df{i}"), F.col("n"), F.col("avgdl"),
+            F.col("dl"), k1, b,
+        )
+        score = s if score is None else score + s
+        c = F.when(F.col(f"tf{i}") > 0, 1).otherwise(0)
+        n_matched = c if n_matched is None else n_matched + c
+    n_matched = n_matched.cast("long")
+    # the engine-wide >= 1-scoring-hit floor (the at-rest pivot only
+    # materializes hit docs): a per-doc msm of 0 or less clamps to 1
+    # — the module-docstring deviation, same reasoning as bool msm
+    req = F.greatest(F.col(msm_col).cast("long"), F.lit(1).cast("long"))
+    return (
+        j.select(
+            F.col(id_col),
+            score.alias("score"),
+            n_matched.alias("n_matched"),
+            (n_matched >= req).alias("_g"),
+        )
+        .filter(F.col("_g"))
+        .drop("_g")
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def terms_set_search(
+    df: DataFrame,
+    terms: list[str],
+    msm_col: str,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """ES ``terms_set`` query (round 12 — §2H): match the ``terms``
+    where the REQUIRED count comes from a per-document field
+    (``minimum_should_match_field`` — the classic skills/tags
+    deployment: a job posting row says how many of the searched
+    skills it requires). A doc matches when its number of matching
+    terms >= its own msm field (clamped to >= 1 — the engine's
+    >= 1-scoring-hit contract); score = the fixed-order BM25 sum of
+    the matching terms (tf=0 terms contribute exactly 0.0). Returns
+    top-k (id, score, n_matched). Scan form: the msm field rides the
+    same in-row projection as the tf columns — zero corpus
+    shuffles."""
+    if not terms:
+        raise ValueError("terms_set needs at least one term")
+    _check_no_duplicate_terms(list(terms))
+    toks = F.regexp_extract_all(F.col(text_col), F.lit(r"\S+"), F.lit(0))
+
+    def _eq(t: str):
+        return lambda x: x == F.lit(t)
+
+    base = df.select(
+        F.col(id_col),
+        F.col(msm_col),
+        F.size(toks).alias("dl"),
+        *[
+            F.size(F.filter(toks, _eq(t))).alias(f"tf{i}")
+            for i, t in enumerate(terms)
+        ],
+    )
+    stats = base.agg(
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.sum(F.when(F.col(f"tf{i}") > 0, 1).otherwise(0)).alias(f"df{i}")
+            for i in range(len(terms))
+        ],
+    )
+    j = base.join(F.broadcast(stats))
+    return _terms_set_project(j, list(terms), msm_col, k, id_col, k1, b)
+
+
+def terms_set_search_atrest(
+    spark: SparkSession,
+    path: str,
+    corpus: DataFrame,
+    terms: list[str],
+    msm_col: str,
+    k: int = 10,
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    index: tuple | None = None,
+) -> DataFrame:
+    """terms_set from the at-rest index: BM25 inputs from the
+    bucket-pruned probe, the per-doc msm FIELD from a column-pruned
+    corpus fetch (the stored-fields read — the function_score
+    convention), joined co-keyed on the id. Bit-identical to
+    :func:`terms_set_search` (the clamp makes the zero-hit
+    divergence unreachable, as in bool)."""
+    if not terms:
+        raise ValueError("terms_set needs at least one term")
+    _check_no_duplicate_terms(list(terms))
+    j = _term_frame_atrest(spark, path, list(terms), len(terms), id_col, index)
+    j = j.join(corpus.select(id_col, msm_col), id_col)
+    return _terms_set_project(j, list(terms), msm_col, k, id_col, k1, b)
+
+
 def _function_factor(spec: dict, fields: dict):
     """One ES score function as a Column factor. Supported kinds —
     all pure rational arithmetic, so the factors value-hash against

@@ -3319,6 +3319,81 @@ ORDER BY score DESC, doc_id LIMIT 10
 """
 ORACLES["docs_simple_query_string_atrest"] = ORACLES["docs_simple_query_string"]
 
+# ES terms_set query (round 12): four searched terms, required
+# count from the per-doc field 1 + n_chars % 3, clamped >= 1; score
+# = fixed-order BM25 sum of matching terms. Mirrors
+# operators/boolquery.py terms_set_search / _atrest — two physical
+# paths, one value hash.
+ORACLES["docs_terms_set"] = rf"""
+WITH t AS (
+  SELECT doc_id, n_chars, regexp_extract_all(text, '\S+') AS toks
+  FROM documents
+),
+base AS (
+  SELECT doc_id, CAST(1 + (n_chars % 3) AS BIGINT) AS req_matches,
+    len(toks) AS dl,
+    len(list_filter(toks, x -> x = 'data')) AS tf0,
+    len(list_filter(toks, x -> x = 'spark')) AS tf1,
+    len(list_filter(toks, x -> x = 'merge')) AS tf2,
+    len(list_filter(toks, x -> x = 'batch')) AS tf3
+  FROM t
+),
+stats AS (
+  SELECT CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl, COUNT(*) AS n,
+    SUM(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+    SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+    SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2,
+    SUM(CASE WHEN tf3 > 0 THEN 1 ELSE 0 END) AS df3
+  FROM base
+)
+SELECT doc_id,
+  {_BOOL_TERM.format(i=0)}
+  + {_BOOL_TERM.format(i=1)}
+  + {_BOOL_TERM.format(i=2)}
+  + {_BOOL_TERM.format(i=3)} AS score,
+  CAST((CASE WHEN tf0 > 0 THEN 1 ELSE 0 END)
+     + (CASE WHEN tf1 > 0 THEN 1 ELSE 0 END)
+     + (CASE WHEN tf2 > 0 THEN 1 ELSE 0 END)
+     + (CASE WHEN tf3 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_matched
+FROM base, stats
+WHERE (CASE WHEN tf0 > 0 THEN 1 ELSE 0 END)
+    + (CASE WHEN tf1 > 0 THEN 1 ELSE 0 END)
+    + (CASE WHEN tf2 > 0 THEN 1 ELSE 0 END)
+    + (CASE WHEN tf3 > 0 THEN 1 ELSE 0 END)
+    >= GREATEST(req_matches, 1)
+ORDER BY score DESC, doc_id LIMIT 10
+"""
+ORACLES["docs_terms_set_atrest"] = ORACLES["docs_terms_set"]
+
+# ES span_first (round 12): the in-order 'slow hash' chain (slop=1,
+# window = 2) must END within the first 20 positions — the span_near
+# greedy-chain SQL with the boundary conjunct. Mirrors
+# functions/text.py span_first_search.
+ORACLES["docs_span_first"] = r"""
+WITH stok AS (
+  SELECT doc_id, regexp_extract_all(text, '\S+') AS toks FROM documents
+),
+sidx AS (
+  SELECT doc_id, toks, unnest(generate_series(1, len(toks))) AS i FROM stok
+),
+spos AS (
+  SELECT doc_id, toks[i] AS term, list(i ORDER BY i) AS ps
+  FROM sidx GROUP BY doc_id, toks[i]
+),
+sp0 AS (SELECT doc_id, ps AS ps0 FROM spos WHERE term = 'slow'),
+sp1 AS (SELECT doc_id, ps AS ps1 FROM spos WHERE term = 'hash'),
+cnt AS (
+  SELECT sp0.doc_id,
+    CAST(len(list_filter(ps0, p ->
+      list_min(list_filter(ps1, q1 -> q1 > p)) - p <= 2
+      AND list_min(list_filter(ps1, q1 -> q1 > p)) <= 20
+    )) AS BIGINT) AS n_spans
+  FROM sp0 JOIN sp1 USING (doc_id)
+)
+SELECT doc_id, n_spans FROM cnt WHERE n_spans > 0
+"""
+ORACLES["docs_span_first_atrest"] = ORACLES["docs_span_first"]
+
 # ES match_phrase_prefix over the parsed irclog (round 12): the
 # fixed token '{{"k":' followed by a token starting with '5' — the
 # k=50..59 payload messages. Prefix expansion in TERM ORDER capped

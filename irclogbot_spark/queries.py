@@ -5768,6 +5768,91 @@ def docs_simple_query_string_atrest(spark, sf_dir):
     )
 
 
+#: terms_set inputs: four searched "skills", per-doc required count
+#: derived deterministically from n_chars (1..3) — the
+#: minimum_should_match_field a real index stores
+_TS_TERMS = ["data", "spark", "merge", "batch"]
+_TS_REQ = "req_matches"
+
+
+def _docs_with_req(spark, sf_dir):
+    return _t(spark, sf_dir, "documents").withColumn(
+        _TS_REQ, (F.lit(1) + F.pmod(F.col("n_chars"), F.lit(3))).cast("long")
+    )
+
+
+@query("docs_terms_set")
+def docs_terms_set(spark, sf_dir):
+    """ES terms_set query (round 12 — §2H;
+    operators/boolquery.py terms_set_search): four searched terms,
+    the REQUIRED match count read from a per-document field
+    (req_matches = 1 + n_chars % 3 — the
+    minimum_should_match_field deployment: each doc declares how
+    many of the searched skills it needs). Score = fixed-order BM25
+    sum of matching terms; gate n_matched >= the doc's own field
+    (clamped >= 1). The msm field rides the scan's in-row projection
+    — zero corpus shuffles. Tail registration; queued for the
+    round-13 window."""
+    from irclogbot_spark.operators.boolquery import terms_set_search
+
+    return terms_set_search(
+        _docs_with_req(spark, sf_dir), _TS_TERMS, _TS_REQ, k=10
+    )
+
+
+@query("docs_terms_set_atrest")
+def docs_terms_set_atrest(spark, sf_dir):
+    """docs_terms_set served from the at-rest index (BM25 inputs
+    from the bucket-pruned probe, the per-doc required-count field
+    from a column-pruned corpus fetch — the function_score
+    stored-fields convention). Bit-identical to the scan form. Tail
+    registration; queued for the round-13 window."""
+    from irclogbot_spark.operators.boolquery import terms_set_search_atrest
+
+    _text_index_at_rest(spark, sf_dir)
+    return terms_set_search_atrest(
+        spark,
+        _TEXT_INDEX[sf_dir],
+        _docs_with_req(spark, sf_dir),
+        _TS_TERMS,
+        _TS_REQ,
+        k=10,
+    )
+
+
+@query("docs_span_first")
+def docs_span_first(spark, sf_dir):
+    """ES span_first query (round 12 — §2H span-family completion;
+    functions/text.py span_first_search): the in-order 'slow hash'
+    chain (slop=1) must END within the document's first 20 token
+    positions — the title-zone match on a corpus with no separate
+    title field. Same probe shape as span_near: in-session
+    positional index, doc-keyed pivot of span-term rows, in-row
+    greedy-chain array math. Tail registration; queued for the
+    round-13 window."""
+    from irclogbot_spark.functions.text import (
+        build_positional_index,
+        span_first_search,
+    )
+
+    pidx = build_positional_index(_t(spark, sf_dir, "documents"))
+    return span_first_search(pidx, ["slow", "hash"], end=20, slop=1)
+
+
+@query("docs_span_first_atrest")
+def docs_span_first_atrest(spark, sf_dir):
+    """docs_span_first served from the AT-REST bucketed positional
+    index (the span_near_atrest convention: the probe reads only the
+    two span terms' bucket directories). Bit-identical counts. Tail
+    registration; queued for the round-13 window."""
+    from irclogbot_spark.functions.text import span_first_search
+    from irclogbot_spark.operators.textindex import probe_postings
+
+    pidx, _lens, n_buckets = _text_index_at_rest(spark, sf_dir)
+    probed = probe_postings(pidx, ["slow", "hash"], n_buckets)
+    return span_first_search(probed, ["slow", "hash"], end=20, slop=1)
+
+
 @query("docs_bm25_rescore")
 def docs_bm25_rescore(spark, sf_dir):
     """ES rescore analog (round 10 — §2H two-phase ranking;

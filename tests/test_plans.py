@@ -1039,6 +1039,9 @@ def test_compound_scan_forms_shuffle_nothing(spark):
         "docs_multi_match",
         "docs_multi_match_most_fields",
         "docs_simple_query_string",
+        # terms_set: the per-doc msm field rides the same in-row
+        # projection as the tf columns
+        "docs_terms_set",
     ]:
         df = entrymod.queries()[name](spark, SF)
         plan = df._jdf.queryExecution().executedPlan().toString()

@@ -1291,3 +1291,113 @@ def test_multi_match_most_fields_is_per_field_sum(spark, tmp_path):
         )
     with pytest.raises(ValueError, match="multi_match type"):
         multi_match_best_fields(docs, terms, fields, mm_type="cross_fields")
+
+
+def test_terms_set_per_doc_msm_field(spark, tmp_path):
+    """terms_set (round 12 — operators/boolquery.py): the required
+    match count is a PER-DOCUMENT field; n_matched >= the doc's own
+    value gates (clamped to >= 1 — the engine's scoring-hit floor);
+    score is the fixed-order BM25 sum of matching terms. At-rest
+    twin (stored-fields fetch for the msm column) bit-identical."""
+    import pytest
+
+    from irclogbot_spark.operators.boolquery import (
+        terms_set_search,
+        terms_set_search_atrest,
+    )
+    from irclogbot_spark.operators.textindex import write_text_index
+
+    docs = spark.createDataFrame(
+        [
+            (1, "data spark merge", 2),   # 3 matches >= 2 -> in
+            (2, "data only here", 2),     # 1 match  <  2 -> out
+            (3, "data spark", 3),         # 2 matches < 3 -> out
+            (4, "data other words", 1),   # 1 match >= 1 -> in
+            (5, "data spark pad", 0),     # msm 0 clamps to 1 -> in
+            (6, "none of them", 1),       # 0 matches -> out
+        ],
+        "doc_id long, text string, req long",
+    )
+    terms = ["data", "spark", "merge"]
+    got = {
+        r.doc_id: r.n_matched
+        for r in terms_set_search(docs, terms, "req", k=10).collect()
+    }
+    assert got == {1: 3, 4: 1, 5: 2}
+    path = str(tmp_path / "idx_ts")
+    write_text_index(docs.select("doc_id", "text"), path, n_buckets=8)
+    at = [
+        tuple(r)
+        for r in terms_set_search_atrest(
+            spark, path, docs.select("doc_id", "req"), terms, "req", k=10
+        ).collect()
+    ]
+    want = [tuple(r) for r in terms_set_search(docs, terms, "req", k=10).collect()]
+    assert at == want
+    with pytest.raises(ValueError, match="duplicate"):
+        terms_set_search(docs, ["data", "data"], "req")
+
+
+def test_span_first_boundary_semantics(spark, tmp_path):
+    """span_first (round 12 — functions/text.py): the in-order span
+    must END within the first `end` positions; the greedy
+    earliest-next chain argument carries over from span_near
+    (minimal end => a start qualifies iff some qualifying chain
+    exists); single-term degenerates to position <= end; at-rest
+    probe bit-identical."""
+    import pytest
+
+    from irclogbot_spark.functions.text import (
+        build_positional_index,
+        span_first_search,
+    )
+    from irclogbot_spark.operators.textindex import (
+        probe_postings,
+        write_text_index,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "slow hash starts the doc"),              # end@2 -> in
+            (2, "pad pad pad slow hash late"),            # end@5 -> out for end=4
+            (3, "slow pad hash inside slop"),             # window 2, end@3 -> in
+            (4, "slow pad pad hash over slop"),           # window 3 > 2 -> out
+            (5, "slow hash slow hash again"),             # ends @2 and @4
+            (6, "hash slow wrong order only"),            # needs q1 > p; @1? slow@2,hash@1 -> no chain
+        ],
+        "doc_id long, text string",
+    )
+    pidx = build_positional_index(docs)
+    got = {
+        r.doc_id: r.n_spans
+        for r in span_first_search(pidx, ["slow", "hash"], end=4, slop=1).collect()
+    }
+    assert got == {1: 1, 3: 1, 5: 2}
+    # boundary tightens: end=2 admits only the opening-position span
+    tight = {
+        r.doc_id: r.n_spans
+        for r in span_first_search(pidx, ["slow", "hash"], end=2, slop=1).collect()
+    }
+    assert tight == {1: 1, 5: 1}
+    # single term: position <= end
+    one = {
+        r.doc_id: r.n_spans
+        for r in span_first_search(pidx, ["hash"], end=2).collect()
+    }
+    assert one == {1: 1, 5: 1, 6: 1}
+    # at-rest probe twin
+    path = str(tmp_path / "idx_sf")
+    write_text_index(docs, path, n_buckets=8)
+    from irclogbot_spark.operators.textindex import read_text_index
+
+    apidx, _l, nb = read_text_index(spark, path)
+    at = {
+        r.doc_id: r.n_spans
+        for r in span_first_search(
+            probe_postings(apidx, ["slow", "hash"], nb), ["slow", "hash"],
+            end=4, slop=1,
+        ).collect()
+    }
+    assert at == got
+    with pytest.raises(ValueError, match="end"):
+        span_first_search(pidx, ["slow"], end=0)
