@@ -5391,11 +5391,15 @@ def log_recency_search(spark, sf_dir):
     spanning the corpus month). posted_epoch = unix seconds of the
     ntz timestamp under the UTC session — bit-equal to DuckDB's
     epoch(). Same zero-extra-shuffle function_score scan shape over
-    the ingest chain's output. Tail registration; first driver row
-    queued for the round-12 window."""
+    the ingest chain's output — served from the MATERIALIZED irclog
+    (round 12: the scan frame has two consumers, base + the stats
+    aggregate, so the un-materialized plan re-ran the synth+parse
+    chain twice — 4.2 s -> the parse paid once; the r8
+    log_term_time_filter lesson applied). Tail registration; first
+    driver row queued for the round-12 window."""
     from irclogbot_spark.operators.boolquery import function_score_search
 
-    log = synth.irclog(spark, sf_dir)
+    log = synth.irclog_materialized(spark, sf_dir)
     df = log.select(
         "id",
         "remark",
