@@ -2279,12 +2279,15 @@ _DRIVER_WINDOW = [
     "log_inter_message_gap",
     "log_msgs_per_channel_day",
 ]
-# ROUND-13 ROTATION PLAN: first rows for any round-13 additions and
-# re-pins for any operator touched after its newest row, then the 9
+# ROUND-13 ROTATION PLAN: (a) FIRST rows for the 8 round-12 tail
+# registrations (docs_multi_match_most_fields + _atrest,
+# docs_simple_query_string + _atrest, docs_terms_set + _atrest,
+# docs_span_first + _atrest) and any round-13 additions, plus
+# re-pins for any operator touched after its newest row; (b) the 9
 # remaining round-8-vintage rows (log_nick_rank_per_channel,
 # log_term_time_filter, log_top_nicks, media_jpeg_decode_stats,
 # scalar_human_fmt, set_ops, tpch_q3_shipping_priority,
-# tpch_q5_local_supplier, window_date_functions), then the oldest
+# tpch_q5_local_supplier, window_date_functions); (c) the oldest
 # round-9 rows in alphabetical order until the window fills.
 
 

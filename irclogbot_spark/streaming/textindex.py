@@ -40,22 +40,35 @@ _META = "_text_index_meta.json"
 
 
 def text_ingest_batch(
-    batch: DataFrame, batch_id: int, index_dir: str, n_buckets: int = 64
+    batch: DataFrame,
+    batch_id: int,
+    index_dir: str,
+    n_buckets: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
 ) -> None:
     """foreachBatch body: positional postings + doclens for the
     arriving docs (both map-only), each overwriting its own batch
     partition — idempotent on replay; a different n_buckets against
-    an existing index raises (frozen bucket function)."""
-    postings = build_positional_index(batch).withColumn(
+    an existing index raises (frozen bucket function). ``id_col`` /
+    ``text_col`` pick the indexed field — a FIELD is its own index
+    (the multi_match per-field convention, round 12); the artifact
+    always stores (doc_id, ...) so every reader stays field-agnostic."""
+    postings = build_positional_index(batch, id_col, text_col)
+    if id_col != "doc_id":
+        postings = postings.withColumnRenamed(id_col, "doc_id")
+    postings = postings.withColumn(
         "term_bkt", term_bucket_col("term", n_buckets).cast("int")
     )
     _pi.ingest_batch(
         postings, batch_id, index_dir, {"n_buckets": n_buckets}, _META
     )
-    toks = F.regexp_extract_all(F.col("text"), F.lit(WORD_RE), F.lit(0))
-    batch.select(F.col("doc_id"), F.size(toks).alias("dl")).write.mode(
-        "overwrite"
-    ).parquet(f"{index_dir}/doclens/batch_id={batch_id}")
+    toks = F.regexp_extract_all(F.col(text_col), F.lit(WORD_RE), F.lit(0))
+    batch.select(
+        F.col(id_col).alias("doc_id"), F.size(toks).alias("dl")
+    ).write.mode("overwrite").parquet(
+        f"{index_dir}/doclens/batch_id={batch_id}"
+    )
 
 
 def continuous_text_index(
@@ -63,12 +76,16 @@ def continuous_text_index(
     index_dir: str,
     checkpoint_dir: str,
     n_buckets: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
 ):
-    """Wire a (doc_id, text) stream into the text index. Returns the
-    started StreamingQuery (caller manages lifecycle)."""
+    """Wire a (id, text-field) stream into the text index. Returns
+    the started StreamingQuery (caller manages lifecycle)."""
     return (
         stream.writeStream.foreachBatch(
-            lambda b, i: text_ingest_batch(b, i, index_dir, n_buckets)
+            lambda b, i: text_ingest_batch(
+                b, i, index_dir, n_buckets, id_col, text_col
+            )
         )
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)

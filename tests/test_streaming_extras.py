@@ -1792,3 +1792,80 @@ def test_compound_query_against_streamed_index_across_batches(spark, tmp_path):
             ).collect()
         ]
         assert got_fs == want_fs and len(got_fs) > 0, (len(seen),)
+
+
+def test_multi_match_against_streamed_per_field_indexes(spark, tmp_path):
+    """Round 12: multi_match served from CONTINUOUSLY MAINTAINED
+    per-field indexes (two independent streamed index dirs — a field
+    is its own index) matches the scan form at each batch boundary,
+    through the `indexes=` pre-loaded-frames seam."""
+    import json as _json
+
+    from irclogbot_spark.operators.multimatch import (
+        multi_match_best_fields,
+        multi_match_best_fields_atrest,
+    )
+    from irclogbot_spark.streaming import textindex as TX
+
+    src = tmp_path / "mm_src"
+    src.mkdir()
+    dirs = {"title": str(tmp_path / "mm_idx_t"), "body": str(tmp_path / "mm_idx_b")}
+
+    def feed(rows):
+        fname = src / f"b{len(list(src.iterdir()))}.json"
+        fname.write_text(
+            "\n".join(
+                _json.dumps({"doc_id": i, "title": t, "body": b})
+                for i, t, b in rows
+            )
+        )
+        for field, d in dirs.items():
+            q = TX.continuous_text_index(
+                spark.readStream.schema(
+                    "doc_id long, title string, body string"
+                ).json(str(src)),
+                d,
+                str(tmp_path / f"mm_ckpt_{field}"),
+                n_buckets=8,
+                text_col=field,
+            )
+            q.awaitTermination(120)
+
+    terms = ["spark", "merge"]
+    fields = [("title", 2.0), ("body", 1.0)]
+    batch1 = [
+        (1, "spark merge intro", "body about spark and merge"),
+        (2, "data layout", "merge strategies for spark tables"),
+        (3, "unrelated", "nothing here"),
+    ]
+    batch2 = [
+        (4, "spark only title", "no body hits"),
+        (5, "plain", "spark appears once"),
+    ]
+    seen = []
+    for batch in (batch1, batch2):
+        feed(batch)
+        seen.extend(batch)
+        corpus = spark.createDataFrame(
+            seen, "doc_id long, title string, body string"
+        )
+        idx = {f: TX.load_text(spark, d) for f, d in dirs.items()}
+        want = [
+            tuple(r)
+            for r in multi_match_best_fields(
+                corpus, terms, fields, tie_breaker=0.3, k=10
+            ).collect()
+        ]
+        got = [
+            tuple(r)
+            for r in multi_match_best_fields_atrest(
+                spark,
+                [("title", None), ("body", None)],
+                terms,
+                dict(fields),
+                tie_breaker=0.3,
+                k=10,
+                indexes=idx,
+            ).collect()
+        ]
+        assert got == want and len(got) > 0, (len(seen),)
