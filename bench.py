@@ -219,6 +219,7 @@ HEADLINE = [
     "docs_simple_query_string_atrest",
     "docs_terms_set_atrest",
     "docs_span_first_atrest",
+    "docs_span_not_atrest",
 ]
 
 #: Every registered query NOT in HEADLINE (VERDICT r7 missing #4:
@@ -259,6 +260,7 @@ CHEAP = [
     "docs_simple_query_string",
     "docs_terms_set",
     "docs_span_first",
+    "docs_span_not",
     "docs_function_score",
     "docs_neardup_jaccard",
     "docs_dedup_keep_first",

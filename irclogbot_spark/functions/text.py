@@ -1009,6 +1009,109 @@ def span_first_search(
     )
 
 
+def span_not_search(
+    pindex,
+    include: list[str],
+    exclude: list[str],
+    slop: int = 0,
+    exclude_slop: int = 0,
+    pre: int = 0,
+    post: int = 0,
+    id_col: str = "doc_id",
+):
+    """ES ``span_not`` analog (round 12 — §2H span-family
+    completion): count the INCLUDE spans (the span_near in-order
+    windowed chain over ``include``, slop ``slop``) that do NOT
+    overlap any EXCLUDE span (the same chain shape over ``exclude``,
+    slop ``exclude_slop``), with the overlap zone widened by ES's
+    ``pre``/``post`` tokens around the include span — the
+    "match 'slow hash' except inside 'slow hash collision'"
+    deployment. Both chain sets use the greedy earliest-next
+    continuation (the span_near exactness argument: greedy minimizes
+    each chain's end, and the overlap predicate is monotone in the
+    end position only through the fits-window gate, which greedy
+    decides exactly).
+
+    Returns (id, n_spans) with n_spans > 0 — docs whose every
+    include span is excluded drop out, matching ES's hit semantics.
+    A doc with no exclude-term postings keeps all include spans
+    (empty exclusion set, the left-join shape).
+
+    Scale shape: one pruned postings probe covers include + exclude
+    terms, ONE doc-keyed pivot of span-term rows, then pure in-row
+    array math over short position lists — the corpus never moves.
+    """
+    if not include or not exclude:
+        raise ValueError("span_not needs include and exclude terms")
+    inc, exc = list(include), list(exclude)
+    overlap = set(inc) & set(exc)
+    if overlap:
+        raise ValueError(
+            f"terms shared between include and exclude: {sorted(overlap)}"
+        )
+    if pre < 0 or post < 0:
+        raise ValueError("pre/post must be >= 0")
+    ki, ke = len(inc), len(exc)
+    p = pindex.filter(F.col("term").isin(inc + exc))
+    agg = p.groupBy(id_col).agg(
+        *[
+            F.max(F.when(F.col("term") == t, F.col("positions"))).alias(f"_p{j}")
+            for j, t in enumerate(inc)
+        ],
+        *[
+            F.max(F.when(F.col("term") == t, F.col("positions"))).alias(f"_q{j}")
+            for j, t in enumerate(exc)
+        ],
+    )
+    w_inc = ki - 1 + int(slop)
+    w_exc = ke - 1 + int(exclude_slop)
+
+    def _after(arr: Column, prev: Column) -> Column:
+        return F.array_min(F.filter(arr, lambda q: q > prev))
+
+    def _chain_end(start, cols: list[str]):
+        e = start
+        for name in cols[1:]:
+            e = _after(F.col(name), e)
+        return e
+
+    inc_cols = [f"_p{j}" for j in range(ki)]
+    exc_cols = [f"_q{j}" for j in range(ke)]
+    # exclude spans as (start, end) structs: greedy chains over the
+    # exclude terms that fit their window; an absent exclude posting
+    # leaves _q0 NULL -> empty exclusion set
+    exc_spans = F.filter(
+        F.transform(
+            F.coalesce(F.col("_q0"), F.array().cast("array<int>")),
+            lambda s2: F.struct(
+                s2.alias("s"), _chain_end(s2, exc_cols).alias("e")
+            ),
+        ),
+        lambda sp: (sp["e"] - sp["s"]) <= F.lit(w_exc),
+    )
+
+    def _qualifies(start):
+        e = _chain_end(start, inc_cols)
+        fits = (e - start) <= w_inc if ki > 1 else F.lit(True)
+        clash = F.exists(
+            exc_spans,
+            lambda sp: (sp["s"] <= e + F.lit(int(post)))
+            & (sp["e"] >= start - F.lit(int(pre))),
+        )
+        return fits & ~clash
+
+    present = None
+    for name in inc_cols:
+        nn = F.col(name).isNotNull()
+        present = nn if present is None else present & nn
+    starts = F.filter(F.col("_p0"), _qualifies)
+    return (
+        agg.filter(present)
+        .select(F.col(id_col), F.size(starts).cast("long").alias("n_spans"))
+        .filter(F.col("n_spans") > 0)
+    )
+
+
 def bm25_rescore_phrase(
     df,
     terms: list[str],

@@ -3394,6 +3394,43 @@ SELECT doc_id, n_spans FROM cnt WHERE n_spans > 0
 """
 ORACLES["docs_span_first_atrest"] = ORACLES["docs_span_first"]
 
+# ES span_not (round 12): include 'slow hash' (slop=1, window 2),
+# exclude any span overlapping a 'scan' position widened by
+# pre=1/post=1; LEFT JOIN + empty-list coalesce models the
+# no-exclude-postings doc; NULL chain ends drop via 3VL in both
+# engines. Mirrors functions/text.py span_not_search.
+ORACLES["docs_span_not"] = r"""
+WITH stok AS (
+  SELECT doc_id, regexp_extract_all(text, '\S+') AS toks FROM documents
+),
+sidx AS (
+  SELECT doc_id, toks, unnest(generate_series(1, len(toks))) AS i FROM stok
+),
+spos AS (
+  SELECT doc_id, toks[i] AS term, list(i ORDER BY i) AS ps
+  FROM sidx GROUP BY doc_id, toks[i]
+),
+sp0 AS (SELECT doc_id, ps AS ps0 FROM spos WHERE term = 'slow'),
+sp1 AS (SELECT doc_id, ps AS ps1 FROM spos WHERE term = 'hash'),
+sq0 AS (SELECT doc_id, ps AS qs0 FROM spos WHERE term = 'scan'),
+j AS (
+  SELECT sp0.doc_id, ps0, ps1,
+    COALESCE(qs0, CAST([] AS BIGINT[])) AS qs0
+  FROM sp0 JOIN sp1 USING (doc_id) LEFT JOIN sq0 USING (doc_id)
+),
+cnt AS (
+  SELECT doc_id, CAST(len(list_filter(ps0, p ->
+    list_min(list_filter(ps1, q1 -> q1 > p)) - p <= 2
+    AND NOT len(list_filter(qs0, x ->
+      x <= list_min(list_filter(ps1, q1 -> q1 > p)) + 1
+      AND x >= p - 1)) > 0
+  )) AS BIGINT) AS n_spans
+  FROM j
+)
+SELECT doc_id, n_spans FROM cnt WHERE n_spans > 0
+"""
+ORACLES["docs_span_not_atrest"] = ORACLES["docs_span_not"]
+
 # ES match_phrase_prefix over the parsed irclog (round 12): the
 # fixed token '{{"k":' followed by a token starting with '5' — the
 # k=50..59 payload messages. Prefix expansion in TERM ORDER capped

@@ -2279,10 +2279,11 @@ _DRIVER_WINDOW = [
     "log_inter_message_gap",
     "log_msgs_per_channel_day",
 ]
-# ROUND-13 ROTATION PLAN: (a) FIRST rows for the 8 round-12 tail
+# ROUND-13 ROTATION PLAN: (a) FIRST rows for the 10 round-12 tail
 # registrations (docs_multi_match_most_fields + _atrest,
 # docs_simple_query_string + _atrest, docs_terms_set + _atrest,
-# docs_span_first + _atrest) and any round-13 additions, plus
+# docs_span_first + _atrest, docs_span_not + _atrest — 10 names)
+# and any round-13 additions, plus
 # re-pins for any operator touched after its newest row; (b) the 9
 # remaining round-8-vintage rows (log_nick_rank_per_channel,
 # log_term_time_filter, log_top_nicks, media_jpeg_decode_stats,
@@ -5858,6 +5859,44 @@ def docs_span_first_atrest(spark, sf_dir):
     pidx, _lens, n_buckets = _text_index_at_rest(spark, sf_dir)
     probed = probe_postings(pidx, ["slow", "hash"], n_buckets)
     return span_first_search(probed, ["slow", "hash"], end=20, slop=1)
+
+
+@query("docs_span_not")
+def docs_span_not(spark, sf_dir):
+    """ES span_not query (round 12 — §2H span-family completion;
+    functions/text.py span_not_search): the in-order 'slow hash'
+    chain (slop=1), EXCLUDING spans within one token of a 'scan'
+    occurrence (pre=1, post=1) — "match the phrase except in this
+    context". Greedy earliest-next chains on both sides; docs whose
+    every include span is excluded drop out. One probe covers
+    include + exclude terms; everything after the doc-keyed pivot is
+    in-row array math. Tail registration; queued for the round-13
+    window."""
+    from irclogbot_spark.functions.text import (
+        build_positional_index,
+        span_not_search,
+    )
+
+    pidx = build_positional_index(_t(spark, sf_dir, "documents"))
+    return span_not_search(
+        pidx, ["slow", "hash"], ["scan"], slop=1, pre=1, post=1
+    )
+
+
+@query("docs_span_not_atrest")
+def docs_span_not_atrest(spark, sf_dir):
+    """docs_span_not served from the AT-REST bucketed positional
+    index — one bucket-pruned probe covers the include AND exclude
+    terms. Bit-identical counts. Tail registration; queued for the
+    round-13 window."""
+    from irclogbot_spark.functions.text import span_not_search
+    from irclogbot_spark.operators.textindex import probe_postings
+
+    pidx, _lens, n_buckets = _text_index_at_rest(spark, sf_dir)
+    probed = probe_postings(pidx, ["slow", "hash", "scan"], n_buckets)
+    return span_not_search(
+        probed, ["slow", "hash"], ["scan"], slop=1, pre=1, post=1
+    )
 
 
 @query("docs_bm25_rescore")

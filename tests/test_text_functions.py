@@ -1401,3 +1401,85 @@ def test_span_first_boundary_semantics(spark, tmp_path):
     assert at == got
     with pytest.raises(ValueError, match="end"):
         span_first_search(pidx, ["slow"], end=0)
+
+
+def test_span_not_exclusion_semantics(spark, tmp_path):
+    """span_not (round 12 — functions/text.py): include spans
+    (greedy in-order chain) are dropped when any exclude span
+    overlaps the pre/post-widened zone; no exclude postings -> all
+    include spans kept (left-join shape); docs whose every span is
+    excluded drop out; shared include/exclude terms rejected;
+    at-rest probe bit-identical."""
+    import pytest
+
+    from irclogbot_spark.functions.text import (
+        build_positional_index,
+        span_not_search,
+    )
+    from irclogbot_spark.operators.textindex import (
+        probe_postings,
+        read_text_index,
+        write_text_index,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "slow hash clean span here"),
+            (2, "slow hash scan polluted"),           # scan in post zone
+            (3, "scan slow hash polluted front"),     # scan in pre zone
+            (4, "slow hash pad pad scan far"),        # scan outside zone
+            (5, "slow hash and slow hash scan"),      # 1st clean, 2nd excluded
+            (6, "slow pad hash slop span"),           # slop chain, clean
+        ],
+        "doc_id long, text string",
+    )
+    pidx = build_positional_index(docs)
+    kw = dict(slop=1, pre=1, post=1)
+    got = {
+        r.doc_id: r.n_spans
+        for r in span_not_search(pidx, ["slow", "hash"], ["scan"], **kw).collect()
+    }
+    assert got == {1: 1, 4: 1, 5: 1, 6: 1}
+    # pre/post widen: at pre=post=0 the zone is the span itself, and
+    # no scan token sits INSIDE any span — every span survives
+    # (doc 2's scan is one past the end, doc 3's one before the
+    # start, doc 5's second span ends right before its scan)
+    loose = {
+        r.doc_id: r.n_spans
+        for r in span_not_search(
+            pidx, ["slow", "hash"], ["scan"], slop=1, pre=0, post=0
+        ).collect()
+    }
+    assert loose == {1: 1, 2: 1, 3: 1, 4: 1, 5: 2, 6: 1}
+    # exclude CHAIN: 'slow pad' adjacent only in doc 6; its hash@3
+    # doesn't overlap [1,2] at pre=post=0 -> all docs keep all spans
+    chain = {
+        r.doc_id: r.n_spans
+        for r in span_not_search(pidx, ["hash"], ["slow", "pad"]).collect()
+    }
+    assert chain == {1: 1, 2: 1, 3: 1, 4: 1, 5: 2, 6: 1}
+    # ...but widening PRE by one reaches back to the exclude span
+    # ending at position 2 and kills doc 6's hash@3
+    chain_wide = {
+        r.doc_id: r.n_spans
+        for r in span_not_search(
+            pidx, ["hash"], ["slow", "pad"], pre=1
+        ).collect()
+    }
+    assert 6 not in chain_wide and chain_wide[5] == 2
+    # at-rest probe twin
+    path = str(tmp_path / "idx_snot")
+    write_text_index(docs, path, n_buckets=8)
+    apidx, _l, nb = read_text_index(spark, path)
+    at = {
+        r.doc_id: r.n_spans
+        for r in span_not_search(
+            probe_postings(apidx, ["slow", "hash", "scan"], nb),
+            ["slow", "hash"], ["scan"], **kw,
+        ).collect()
+    }
+    assert at == got
+    with pytest.raises(ValueError, match="shared"):
+        span_not_search(pidx, ["slow", "hash"], ["hash"])
+    with pytest.raises(ValueError, match="pre/post"):
+        span_not_search(pidx, ["slow"], ["scan"], pre=-1)
