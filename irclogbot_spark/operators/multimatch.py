@@ -154,7 +154,15 @@ def multi_match_best_fields(
 
     cols = [F.col(id_col)]
     for fname, _ in pairs:
-        toks = F.regexp_extract_all(F.col(fname), F.lit(WORD_RE), F.lit(0))
+        # NULL field -> '' (round 13, per ADVICE r12): tokenizing a
+        # NULL column yields NULL, and F.size(NULL) = -1 would poison
+        # dl/tf (a negative tf feeds BM25), while the at-rest form
+        # coalesces a missing field to exactly 0.0 — the empty string
+        # gives dl=0/tf=0, so a NULL field scores 0.0 in BOTH
+        # physical forms (bit-identity preserved)
+        toks = F.regexp_extract_all(
+            F.coalesce(F.col(fname), F.lit("")), F.lit(WORD_RE), F.lit(0)
+        )
         cols.append(F.size(toks).alias(f"dl_{fname}"))
         cols.extend(
             F.size(F.filter(toks, _eq(t))).alias(f"tf_{fname}_{i}")

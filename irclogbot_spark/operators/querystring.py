@@ -12,15 +12,24 @@ never-raise contract — malformed input degrades to plain terms):
 - ``term*``   -> prefix expansion: the trailing ``*`` expands against
   the corpus/index term dictionary in TERM ORDER, capped at
   ``max_expansions`` (ES default 50 — the engine-wide enforced-bound
-  convention); each expansion joins the clause's polarity (a must
-  prefix with several expansions relaxes to should-group semantics in
-  real ES; here each expansion lands in the SHOULD list and the gate
-  stays ES-compatible for the common search-box case of bare/should
-  prefixes, so must/must_not prefixes are rejected explicitly rather
-  than silently mis-scored)
+  convention); each expansion lands in the SHOULD list (a must prefix
+  with several expansions relaxes to should-group semantics in real
+  ES too, so this matches the common case). ``+term*`` / ``-term*``
+  DEGRADE to the plain should prefix (round 13, per ADVICE r12: ES
+  never throws on raw search-box input — a deployment routing user
+  input must not crash on an unsupported polarity marker; the
+  documented deviation is that the must/must_not polarity is dropped,
+  not honored)
 - a bare ``+`` / ``-`` / ``*`` or duplicate term collapses or drops
   per the never-throws rule (documented per case in
   :func:`parse_simple_query`)
+- a query whose positive clauses all vanish (only ``-term`` clauses,
+  or a prefix expanding to zero dictionary terms — a user typing
+  ``zzz*``) returns the EMPTY (id, score, n_should) frame, exactly
+  ES's empty-hits response (round 13, per ADVICE r12; the underlying
+  programmer-facing :func:`~irclogbot_spark.operators.boolquery.
+  bool_search` still raises on an empty positive clause list — the
+  never-throws contract belongs to the search-box entry points)
 
 The compiled query IS a :mod:`irclogbot_spark.operators.boolquery`
 bool query — the parser produces (must, should, must_not) and both
@@ -54,9 +63,11 @@ def parse_simple_query(query: str) -> dict:
     keeps its FIRST occurrence only (the engine's compound queries
     reject duplicate terms, so the parser dedupes rather than
     forwarding the error to a search box); ``+term*`` / ``-term*``
-    raise ValueError because their expansion semantics are not
-    implemented (a programming-time decision, not user input — the
-    caller chooses the supported syntax)."""
+    degrade to the plain should prefix ``term*`` (round 13 — the
+    polarity marker is dropped, the module-docstring deviation; ES
+    itself relaxes a multi-expansion must prefix to a should group,
+    and a raising parser would break the never-throws contract for
+    raw search-box input)."""
     must: list[str] = []
     should: list[str] = []
     must_not: list[str] = []
@@ -76,11 +87,8 @@ def parse_simple_query(query: str) -> dict:
             continue
         seen.add(tok)
         if prefix:
-            if polarity != "should":
-                raise ValueError(
-                    "must/must_not prefix clauses (+term*, -term*) are "
-                    "not supported — only bare/should prefixes expand"
-                )
+            # polarity dropped for prefixes — +term*/-term* degrade
+            # to the should prefix (never-throws; docstring deviation)
             prefixes.append(tok)
         elif polarity == "must":
             must.append(tok)
@@ -104,21 +112,29 @@ def _expand_prefixes(
 ) -> list[str]:
     """Expand each prefix stem against a (term) frame in TERM ORDER,
     capped PER PREFIX at max_expansions (the ES knob is per prefix
-    clause); drops expansions already referenced by another clause
-    (the engine's no-duplicate-terms contract)."""
+    clause). Terms already referenced by another clause (or by an
+    earlier prefix) are excluded BEFORE the cap (round 13, per ADVICE
+    r12: exclusion after the cap silently shrank the expansion below
+    max_expansions even when more dictionary matches existed), so a
+    prefix always yields the full max_expansions distinct new terms
+    when the dictionary has them. Documented deviation from ES: the
+    excluded term itself loses the extra should-clause score real ES
+    would add for the duplicate clause — the engine's
+    no-duplicate-terms contract (boolquery._check_no_duplicate_terms)
+    keeps each term a single clause."""
     out: list[str] = []
     for p in prefixes:
+        skip = set(exclude) | set(out)
+        exp = vocab_terms.filter(F.col("term").startswith(p))
+        if skip:
+            exp = exp.filter(~F.col("term").isin(sorted(skip)))
         exp = (
-            vocab_terms.filter(F.col("term").startswith(p))
-            .select("term")
+            exp.select("term")
             .distinct()
             .orderBy("term")
             .limit(int(max_expansions))
         )
-        for r in exp.collect():  # bounded: <= max_expansions
-            t = r[0]
-            if t not in exclude and t not in out:
-                out.append(t)
+        out.extend(r[0] for r in exp.collect())  # bounded: <= max_expansions
     return out
 
 
@@ -136,7 +152,10 @@ def simple_query_string_search(
     the corpus term types (term order, capped — a term-type-sized
     distinct, the match_phrase_prefix convention), and run the
     compiled bool query. Output/ordering contract = bool_search's
-    (id, score, n_should)."""
+    (id, score, n_should). A query with no surviving positive clause
+    (only must_not terms, or prefixes expanding to nothing) returns
+    the empty frame — ES's empty-hits response, never an error
+    (round 13, per ADVICE r12)."""
     from irclogbot_spark.operators.boolquery import bool_search
 
     clauses = parse_simple_query(query)
@@ -153,9 +172,11 @@ def simple_query_string_search(
             vocab, clauses["prefixes"], referenced, max_expansions
         )
     if not clauses["must"] and not should:
-        raise ValueError(
-            f"query {query!r} has no positive clause after parsing"
-        )
+        return df.select(
+            F.col(id_col),
+            F.lit(0.0).alias("score"),
+            F.lit(0).cast("long").alias("n_should"),
+        ).limit(0)
     return bool_search(
         df,
         must=clauses["must"],
@@ -184,9 +205,14 @@ def simple_query_string_atrest(
     expansion walks the vocab sidecar (the term-dictionary walk —
     the fuzzy/match_phrase_prefix pruning boundary), then the
     compiled bool query runs through bool_search_atrest —
-    bit-identical to the scan form."""
+    bit-identical to the scan form, including the empty-hits
+    response when no positive clause survives (the empty frame's id
+    rows come from the narrow doclens table — no postings read)."""
     from irclogbot_spark.operators.boolquery import bool_search_atrest
-    from irclogbot_spark.operators.textindex import read_vocab
+    from irclogbot_spark.operators.textindex import (
+        read_text_index,
+        read_vocab,
+    )
 
     clauses = parse_simple_query(query)
     should = list(clauses["should"])
@@ -203,9 +229,14 @@ def simple_query_string_atrest(
             vocab, clauses["prefixes"], referenced, max_expansions
         )
     if not clauses["must"] and not should:
-        raise ValueError(
-            f"query {query!r} has no positive clause after parsing"
+        doclens = (
+            index[1] if index is not None else read_text_index(spark, path)[1]
         )
+        return doclens.select(
+            F.col(id_col),
+            F.lit(0.0).alias("score"),
+            F.lit(0).cast("long").alias("n_should"),
+        ).limit(0)
     return bool_search_atrest(
         spark,
         path,

@@ -68,7 +68,13 @@ def write_text_index(
     pidx.write.partitionBy("term_bkt").mode("overwrite").parquet(
         os.path.join(path, "postings")
     )
-    toks = F.regexp_extract_all(F.col(text_col), F.lit(r"\S+"), F.lit(0))
+    # NULL text -> dl=0 (round 13): size(tokenize(NULL)) is -1, which
+    # would poison this field's avgdl; the scan forms coalesce NULL
+    # fields to '' (multimatch.py, per ADVICE r12), so the at-rest
+    # doclens must agree for scan/at-rest bit-identity
+    toks = F.regexp_extract_all(
+        F.coalesce(F.col(text_col), F.lit("")), F.lit(r"\S+"), F.lit(0)
+    )
     df.select(F.col(id_col), F.size(toks).alias("dl")).write.mode(
         "overwrite"
     ).parquet(os.path.join(path, "doclens"))

@@ -52,8 +52,14 @@ def text_ingest_batch(
     partition — idempotent on replay; a different n_buckets against
     an existing index raises (frozen bucket function). ``id_col`` /
     ``text_col`` pick the indexed field — a FIELD is its own index
-    (the multi_match per-field convention, round 12); the artifact
-    always stores (doc_id, ...) so every reader stays field-agnostic."""
+    (the multi_match per-field convention, round 12). The artifact
+    stores (doc_id, ...) on disk so the fixed posting schema stays
+    field-agnostic, and the meta sidecar records the caller's
+    ``id_col`` so :func:`load_text` renames it BACK on read (round
+    13, per ADVICE r12: the one-shot write_text_index keeps the
+    caller's id_col, so readers of both artifact kinds now pass the
+    same id_col regardless of how the index was built; id_col is
+    frozen per index like n_buckets)."""
     postings = build_positional_index(batch, id_col, text_col)
     if id_col != "doc_id":
         postings = postings.withColumnRenamed(id_col, "doc_id")
@@ -61,9 +67,16 @@ def text_ingest_batch(
         "term_bkt", term_bucket_col("term", n_buckets).cast("int")
     )
     _pi.ingest_batch(
-        postings, batch_id, index_dir, {"n_buckets": n_buckets}, _META
+        postings,
+        batch_id,
+        index_dir,
+        {"n_buckets": n_buckets, "id_col": id_col},
+        _META,
     )
-    toks = F.regexp_extract_all(F.col(text_col), F.lit(WORD_RE), F.lit(0))
+    # NULL text -> dl=0, the write_text_index convention (round 13)
+    toks = F.regexp_extract_all(
+        F.coalesce(F.col(text_col), F.lit("")), F.lit(WORD_RE), F.lit(0)
+    )
     batch.select(
         F.col(id_col).alias("doc_id"), F.size(toks).alias("dl")
     ).write.mode("overwrite").parquet(
@@ -187,7 +200,16 @@ def load_text(
 ) -> tuple[DataFrame, DataFrame, int]:
     """(positional postings, doclens, n_buckets) over everything
     ingested so far — the same triple operators/textindex.py's
-    read_text_index returns for the one-shot artifact."""
+    read_text_index returns for the one-shot artifact, INCLUDING the
+    id-column name: the on-disk doc_id renames back to the
+    meta-recorded ingest id_col (round 13, per ADVICE r12), so a
+    reader passes the same id_col whether the logical index was
+    built one-shot or streamed. Indexes written before the meta
+    carried id_col keep 'doc_id' (the old observable behavior)."""
     postings, meta = _pi.load(spark, index_dir, _POSTING_SCHEMA, _COLS, _META)
     lens = spark.read.schema(_DOCLEN_SCHEMA).parquet(f"{index_dir}/doclens")
+    id_col = meta.get("id_col", "doc_id")
+    if id_col != "doc_id":
+        postings = postings.withColumnRenamed("doc_id", id_col)
+        lens = lens.withColumnRenamed("doc_id", id_col)
     return postings, lens, int(meta["n_buckets"])

@@ -1869,3 +1869,72 @@ def test_multi_match_against_streamed_per_field_indexes(spark, tmp_path):
             ).collect()
         ]
         assert got == want and len(got) > 0, (len(seen),)
+
+
+def test_streamed_index_id_col_matches_one_shot_convention(spark, tmp_path):
+    """Round 13 (ADVICE r12): the streamed and one-shot index
+    artifacts expose the SAME reader contract — load_text renames
+    the on-disk doc_id back to the meta-recorded ingest id_col, so a
+    reader passes the caller's original id_col regardless of how the
+    logical index was built (the one-shot write_text_index keeps the
+    caller's id_col in postings/doclens). id_col is frozen per index
+    like n_buckets."""
+    import pytest
+
+    from irclogbot_spark.operators.boolquery import (
+        bool_search,
+        bool_search_atrest,
+    )
+    from irclogbot_spark.operators.textindex import read_text_index, write_text_index
+    from irclogbot_spark.streaming import textindex as TX
+
+    rows = [
+        (10, "data spark merge x"),
+        (11, "data spark a b"),
+        (12, "no hits here"),
+    ]
+    corpus = spark.createDataFrame(rows, "id long, remark string")
+
+    streamed_dir = str(tmp_path / "sidx")
+    TX.text_ingest_batch(
+        corpus, 0, streamed_dir, n_buckets=8, id_col="id", text_col="remark"
+    )
+    pidx, lens, nb = TX.load_text(spark, streamed_dir)
+    assert "id" in pidx.columns and "doc_id" not in pidx.columns
+    # doclens keeps its batch_id partition column; the id col renames
+    assert "id" in lens.columns and "doc_id" not in lens.columns
+
+    oneshot_dir = str(tmp_path / "oidx")
+    write_text_index(
+        corpus, oneshot_dir, id_col="id", text_col="remark", n_buckets=8
+    )
+    o_pidx, o_lens, _ = read_text_index(spark, oneshot_dir)
+    assert "id" in o_pidx.columns and o_lens.columns == ["id", "dl"]
+
+    # both artifact kinds serve the same query under the SAME id_col
+    kw = dict(must=["data"], should=["merge"], k=10, id_col="id")
+    want = [
+        tuple(r)
+        for r in bool_search(corpus, text_col="remark", **kw).collect()
+    ]
+    got_streamed = [
+        tuple(r)
+        for r in bool_search_atrest(
+            spark, None, index=(pidx, lens, nb), **kw
+        ).collect()
+    ]
+    got_oneshot = [
+        tuple(r)
+        for r in bool_search_atrest(spark, oneshot_dir, **kw).collect()
+    ]
+    assert got_streamed == want == got_oneshot and len(want) == 2
+
+    # id_col is frozen at creation (the n_buckets convention)
+    with pytest.raises(ValueError, match="frozen"):
+        TX.text_ingest_batch(
+            corpus.withColumnRenamed("id", "doc_id"),
+            1,
+            streamed_dir,
+            n_buckets=8,
+            text_col="remark",
+        )

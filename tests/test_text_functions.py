@@ -1064,6 +1064,66 @@ def test_multi_match_best_fields_semantics(spark, tmp_path):
         multi_match_best_fields(docs, terms, [("body", 0.0)])
 
 
+def test_multi_match_null_field_scores_zero_both_forms(spark, tmp_path):
+    """Round 13 (ADVICE r12): a NULL field value must score exactly
+    0.0 in that field in BOTH physical forms — the scan form used to
+    tokenize NULL into a NULL array whose size(-1) poisoned dl/tf
+    (negative tf into BM25) while the at-rest form coalesced the
+    missing field to 0.0. The scan now coalesces NULL to '' and the
+    at-rest doclens writes dl=0 for NULL text, so avgdl and scores
+    stay bit-identical."""
+    from irclogbot_spark.operators.multimatch import (
+        multi_match_best_fields,
+        multi_match_best_fields_atrest,
+    )
+    from irclogbot_spark.operators.textindex import write_text_index
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark merge intro", "body about spark and merge"),
+            (2, None, "merge strategies for spark tables"),
+            (3, "spark only title", None),
+            (4, None, None),
+            (5, "plain", "spark appears once"),
+        ],
+        "doc_id long, title string, body string",
+    )
+    terms = ["spark", "merge"]
+    fields = [("title", 2.0), ("body", 1.0)]
+    for mm_type in ("best_fields", "most_fields"):
+        rows = multi_match_best_fields(
+            docs, terms, fields, k=10, mm_type=mm_type,
+            tie_breaker=0.3 if mm_type == "best_fields" else 0.0,
+        ).collect()
+        got = {r.doc_id: r.score for r in rows}
+        # doc 4 (both NULL) never matches; every score is finite > 0
+        assert 4 not in got and set(got) == {1, 2, 3, 5}
+        assert all(s > 0.0 for s in got.values()), got
+    # at-rest bit-identity with NULL fields present in the corpus
+    t1 = str(tmp_path / "idx_title_null")
+    t2 = str(tmp_path / "idx_body_null")
+    write_text_index(
+        docs.select("doc_id", "title"), t1, text_col="title", n_buckets=8
+    )
+    write_text_index(
+        docs.select("doc_id", "body"), t2, text_col="body", n_buckets=8
+    )
+    want = [
+        tuple(r)
+        for r in multi_match_best_fields(
+            docs, terms, fields, tie_breaker=0.3, k=10
+        ).collect()
+    ]
+    got_at = [
+        tuple(r)
+        for r in multi_match_best_fields_atrest(
+            spark, [("title", t1), ("body", t2)], terms,
+            {"title": 2.0, "body": 1.0}, tie_breaker=0.3, k=10
+        ).collect()
+    ]
+    assert got_at == want and len(got_at) == 4
+
+
 def test_match_phrase_prefix_semantics(spark, tmp_path):
     """match_phrase_prefix (round 12 — operators/multimatch.py):
     fixed leading terms + last-position prefix; expansion in TERM
@@ -1160,9 +1220,12 @@ def test_simple_query_string_parser_and_compile(spark, tmp_path):
     never-throws contract and compiles onto the bool machinery; the
     compiled query equals the equivalent direct bool_search; prefix
     clauses expand against the term dictionary (term order, capped,
-    per prefix); the at-rest form is bit-identical."""
-    import pytest
-
+    per prefix); the at-rest form is bit-identical. Round 13 (ADVICE
+    r12): NO raw search-box input raises — +term*/-term* degrade to
+    the should prefix, a query with no surviving positive clause
+    (only -term, or a prefix expanding to nothing) returns the empty
+    frame, and already-referenced terms are excluded BEFORE the
+    per-prefix cap so the expansion stays full-width."""
     from irclogbot_spark.operators.boolquery import bool_search
     from irclogbot_spark.operators.querystring import (
         parse_simple_query,
@@ -1181,8 +1244,12 @@ def test_simple_query_string_parser_and_compile(spark, tmp_path):
         "must": ["data"], "should": [], "must_not": [], "prefixes": [],
     }
     assert parse_simple_query("mer* go")["prefixes"] == ["mer"]
-    with pytest.raises(ValueError, match="prefix"):
-        parse_simple_query("+mer*")
+    # +term*/-term* degrade to the should prefix (polarity dropped —
+    # the documented deviation; never raises on search-box input)
+    assert parse_simple_query("+mer*") == {
+        "must": [], "should": [], "must_not": [], "prefixes": ["mer"],
+    }
+    assert parse_simple_query("-mer* +data")["prefixes"] == ["mer"]
 
     docs = spark.createDataFrame(
         [
@@ -1232,10 +1299,25 @@ def test_simple_query_string_parser_and_compile(spark, tmp_path):
         tuple(r)
         for r in bool_search(docs, must=["data"], should=["merge"], k=10).collect()
     ]
+    # exclusion BEFORE the cap (round 13, ADVICE r12): 'merge' is
+    # already referenced, so the 2-wide expansion backfills with the
+    # next dictionary terms instead of shrinking to one
+    backfilled = [
+        tuple(r)
+        for r in simple_query_string_search(
+            docs, "+merge mer*", max_expansions=2, k=10
+        ).collect()
+    ]
+    assert backfilled == [
+        tuple(r)
+        for r in bool_search(
+            docs, must=["merge"], should=["mercury", "merged"], k=10
+        ).collect()
+    ]
     # at-rest bit-identity, with and without prefix expansion
     path = str(tmp_path / "idx_sqs")
     write_text_index(docs, path, n_buckets=8)
-    for q in ("+data batch -dup window", "+data mer*"):
+    for q in ("+data batch -dup window", "+data mer*", "+merge mer*"):
         a = [
             tuple(r)
             for r in simple_query_string_atrest(spark, path, q, k=10).collect()
@@ -1244,8 +1326,17 @@ def test_simple_query_string_parser_and_compile(spark, tmp_path):
             tuple(r) for r in simple_query_string_search(docs, q, k=10).collect()
         ]
         assert a == s, q
-    with pytest.raises(ValueError, match="positive"):
-        simple_query_string_search(docs, "-dup")
+    # no surviving positive clause -> ES's empty hits, never an
+    # error (ADVICE r12 medium): pure must_not, a dead prefix, and a
+    # degraded must-prefix that expands to nothing — both physical
+    # forms return the empty (id, score, n_should) frame
+    for q in ("-dup", "zzz*", "+zzz*", "-dup zzz*", "", "+ - *"):
+        empty_scan = simple_query_string_search(docs, q, k=10)
+        assert empty_scan.columns == ["doc_id", "score", "n_should"], q
+        assert empty_scan.count() == 0, q
+        empty_at = simple_query_string_atrest(spark, path, q, k=10)
+        assert empty_at.columns == ["doc_id", "score", "n_should"], q
+        assert empty_at.count() == 0, q
 
 
 def test_multi_match_most_fields_is_per_field_sum(spark, tmp_path):
