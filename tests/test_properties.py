@@ -521,26 +521,16 @@ def test_phrase_and_span_counts_match_python_reference(spark):
 )
 @settings(max_examples=300, deadline=None)
 def test_parse_simple_query_never_throws_and_partitions(tokens):
-    """querystring.parse_simple_query (round 12): the ES never-throws
-    contract, fuzzed — any whitespace-joined input parses (the only
-    sanctioned error is the documented must/must_not-prefix case),
-    the clause lists are disjoint, every parsed term is non-empty,
-    appears in the input, and carries no leading operator and no
-    trailing '*'."""
+    """querystring.parse_simple_query (round 12; tightened round 13
+    per ADVICE r12): the ES never-throws contract, fuzzed — ANY
+    whitespace-joined input parses with no exception at all
+    (+term*/-term* degrade to the should prefix), the clause lists
+    are disjoint, every parsed term is non-empty, appears in the
+    input, and carries no leading operator and no trailing '*'."""
     from irclogbot_spark.operators.querystring import parse_simple_query
 
     q = " ".join(tokens)
-    try:
-        out = parse_simple_query(q)
-    except ValueError as e:
-        # the one documented raise: a +/- clause with a trailing *
-        assert "prefix" in str(e)
-        assert any(
-            t.lstrip("+-").endswith("*") and len(t.lstrip("+-").rstrip("*")) > 0
-            and t[0] in "+-"
-            for t in q.split()
-        )
-        return
+    out = parse_simple_query(q)  # never raises — the whole contract
     all_terms = (
         out["must"] + out["should"] + out["must_not"] + out["prefixes"]
     )
