@@ -1,6 +1,6 @@
-"""ES multi-field retrieval — ``multi_match`` (types best_fields and
-most_fields) and ``match_phrase_prefix``, the high-traffic search-box
-query types
+"""ES multi-field retrieval — ``multi_match`` (types best_fields,
+most_fields, and cross_fields) and ``match_phrase_prefix``, the
+high-traffic search-box query types
 (SURVEY.md §2H; the reference's implied search UI — utils.py:93-103's
 Flask vestige — is exactly a search box, and every ES search box
 issues these; VERDICT r11 next #2).
@@ -16,6 +16,24 @@ value-hash against the SQL twin (the boolquery.py convention).
 ``most_fields`` keeps the identical per-field frame and replaces the
 dis_max combine with the plain sum (ES compiles most_fields to a
 bool should over the per-field match queries).
+
+``cross_fields`` (round 13 — VERDICT r12 next #2, the last
+multi_match type) is TERM-centric where the other two are
+field-centric: ES treats the field group as one logical field for
+term statistics (the structured first-name/last-name, street/city
+deployment — 'Will Smith' should not reward 'Will' being rare in
+last_name). Each term's document frequency BLENDS across the group —
+df_blend(t) = max over fields of df_field(t), ES's
+BlendedTermQuery — and the term then scores in every field with that
+shared df (keeping each field's own dl/avgdl length norm and boost);
+the per-term cross-field combine is the dis_max
+max + tie_breaker * (sum - max) (ES's dismaxBlendedQuery;
+tie_breaker defaults to 0.0 = pure best-of), and the TERMS sum in
+declaration order (operator OR). A single field degenerates all
+three types to the same score — blending over one field is its own
+df and max = sum — the pinned degeneracy test. All arithmetic stays
+the engine's rational BM25, so scores value-hash against the SQL
+twin.
 
 match_phrase_prefix semantics: a phrase whose LAST position is a
 prefix — the query "quick brown f" matches docs containing
@@ -106,13 +124,59 @@ def _field_score(fname: str, boost: float, n_terms: int, k1: float, b: float) ->
     return F.lit(boost) * s
 
 
+#: the supported multi_match types (ES's analyzer-compatible group)
+MM_TYPES = ("best_fields", "most_fields", "cross_fields")
+
+
+def _cross_fields_score(
+    pairs: list[tuple[str, float]],
+    n_terms: int,
+    k1: float,
+    b: float,
+    tie_breaker: float,
+) -> Column:
+    """The term-centric cross_fields score over the shared per-field
+    frame: per term, df blends to the max across the field group
+    (BlendedTermQuery), the term scores in each field with that
+    shared df (own dl/avgdl norm, own boost), fields combine per
+    term as max + tie_breaker * (sum - max), and terms sum in
+    declaration order. Pure map-side arithmetic — no extra dataflow
+    over the best_fields frame."""
+    total = None
+    for i in range(n_terms):
+        dfs = [F.col(f"df_{fname}_{i}") for fname, _ in pairs]
+        df_blend = F.greatest(*dfs) if len(dfs) > 1 else dfs[0]
+        per_field = [
+            F.lit(boost)
+            * _per_term_score(
+                F.col(f"tf_{fname}_{i}"),
+                df_blend,
+                F.col("n"),
+                F.col(f"avgdl_{fname}"),
+                F.col(f"dl_{fname}"),
+                k1,
+                b,
+            )
+            for fname, boost in pairs
+        ]
+        s = None
+        for c in per_field:
+            s = c if s is None else s + c
+        best = F.greatest(*per_field) if len(per_field) > 1 else per_field[0]
+        term_score = best + F.lit(float(tie_breaker)) * (s - best)
+        total = term_score if total is None else total + term_score
+    return total
+
+
 def _combine_fields(
     per_field: list[Column], mm_type: str, tie_breaker: float
 ) -> Column:
-    """The cross-field combine: ``best_fields`` is the dis_max
+    """The field-centric combines: ``best_fields`` is the dis_max
     max + tie_breaker * (sum - max); ``most_fields`` is ES's bool
     should over the per-field matches — the plain fixed-order sum
-    (tie_breaker is meaningless there and must stay default)."""
+    (tie_breaker is meaningless there and must stay default).
+    ``cross_fields`` never reaches here — it is term-centric and
+    goes through :func:`_cross_fields_score`."""
     if mm_type not in ("best_fields", "most_fields"):
         raise ValueError(f"unknown multi_match type {mm_type!r}")
     total = None
@@ -140,10 +204,14 @@ def multi_match_best_fields(
     """Scan-form multi_match: top-k (id_col, score) ordered
     (score desc, id asc). ``fields`` maps field column -> boost
     ([(name, boost), ...] or dict in declaration order). ``mm_type``
-    picks the cross-field combine: ``best_fields`` (dis_max, the
-    default) or ``most_fields`` (per-field sum — ES's
-    the-more-fields-match-the-better variant; same frame, one
-    different combine expression)."""
+    picks the combine over the same per-field frame: ``best_fields``
+    (field dis_max, the default), ``most_fields`` (per-field sum —
+    ES's the-more-fields-match-the-better variant), or
+    ``cross_fields`` (round 13 — term-centric blended-df dis_max,
+    the module-docstring semantics; one different map-side
+    expression, same zero-shuffle scan shape)."""
+    if mm_type not in MM_TYPES:
+        raise ValueError(f"unknown multi_match type {mm_type!r}")
     if not terms:
         raise ValueError("multi_match needs at least one term")
     _check_no_duplicate_terms(list(terms))
@@ -183,9 +251,14 @@ def multi_match_best_fields(
             for i in range(len(terms))
         )
     j = base.join(F.broadcast(base.agg(*aggs)))
-    scores = [
-        _field_score(fname, boost, len(terms), k1, b) for fname, boost in pairs
-    ]
+    if mm_type == "cross_fields":
+        score = _cross_fields_score(pairs, len(terms), k1, b, tie_breaker)
+    else:
+        scores = [
+            _field_score(fname, boost, len(terms), k1, b)
+            for fname, boost in pairs
+        ]
+        score = _combine_fields(scores, mm_type, tie_breaker)
     gate = None
     for fname, _ in pairs:
         for i in range(len(terms)):
@@ -193,10 +266,7 @@ def multi_match_best_fields(
             gate = c if gate is None else gate | c
     return (
         j.filter(gate)
-        .select(
-            F.col(id_col),
-            _combine_fields(scores, mm_type, tie_breaker).alias("score"),
-        )
+        .select(F.col(id_col), score.alias("score"))
         .orderBy(F.desc("score"), F.asc(id_col))
         .limit(k)
     )
@@ -221,21 +291,37 @@ def multi_match_best_fields_atrest(
     directory ([(field, path), ...] or dict in declaration order);
     ``boosts`` maps field -> boost; ``indexes`` optionally injects
     pre-loaded (pidx, doclens, n_buckets) frames per field (the
-    streamed-index form); ``mm_type`` as in the scan form."""
+    streamed-index form); ``mm_type`` as in the scan form.
+
+    cross_fields (round 13) full-outer-joins the per-field RAW
+    tf/dl frames instead of collapsed per-field score frames (the
+    blended df couples terms ACROSS fields, so a field's score is no
+    longer self-contained): the hit-sized pivots join on the id, a
+    missing field's tf coalesces to 0 and dl to 0 — BM25 at tf=0 is
+    exactly 0.0 regardless of dl, the same value the scan expression
+    yields, so bit-identity holds — and each field's 1-row stats /
+    df frame broadcasts onto the joined frame. Same exchange count
+    as best_fields: one hit-sized pivot per field + the id join;
+    broadcasts are 1-row."""
     from irclogbot_spark.operators.textindex import (
         postings_tf,
         probe_postings,
         read_text_index,
     )
 
+    if mm_type not in MM_TYPES:
+        raise ValueError(f"unknown multi_match type {mm_type!r}")
     if not terms:
         raise ValueError("multi_match needs at least one term")
     _check_no_duplicate_terms(list(terms))
     path_pairs = list(paths.items()) if isinstance(paths, dict) else list(paths)
     pairs = _norm_fields([(f, dict(boosts)[f]) for f, _ in path_pairs])
 
+    raw_frames: list[DataFrame] = []
+    stats_frames: list[DataFrame] = []
+    df_frames: list[DataFrame] = []
     per_field: list[DataFrame] = []
-    for fname, path in path_pairs:
+    for fi, (fname, path) in enumerate(path_pairs):
         pidx, doclens, n_buckets = (
             indexes[fname]
             if indexes is not None and fname in indexes
@@ -258,28 +344,66 @@ def multi_match_best_fields_atrest(
                 for i, t in enumerate(terms)
             ]
         )
-        stats = doclens.agg(
+        # every field's doclens covers the whole corpus, so n is the
+        # same from any of them — the cross_fields joined frame
+        # carries it once (first field); the per-field score frames
+        # each need their own copy (field scores are self-contained)
+        stat_cols = [
             (F.sum("dl").cast("double") / F.count(F.lit(1))).alias(
                 f"avgdl_{fname}"
-            ),
-            F.count(F.lit(1)).alias("n"),
-        )
-        j = (
-            pivot.join(
-                doclens.select(F.col(id_col), F.col("dl").alias(f"dl_{fname}")),
-                id_col,
             )
-            .join(F.broadcast(stats))
-            .join(F.broadcast(dfrow))
+        ]
+        if mm_type != "cross_fields" or fi == 0:
+            stat_cols.append(F.count(F.lit(1)).alias("n"))
+        stats = doclens.agg(*stat_cols)
+        raw = pivot.join(
+            doclens.select(F.col(id_col), F.col("dl").alias(f"dl_{fname}")),
+            id_col,
         )
-        boost = dict(pairs)[fname]
-        per_field.append(
-            j.select(
+        if mm_type == "cross_fields":
+            raw_frames.append(raw)
+            stats_frames.append(stats)
+            df_frames.append(dfrow)
+        else:
+            j = raw.join(F.broadcast(stats)).join(F.broadcast(dfrow))
+            boost = dict(pairs)[fname]
+            per_field.append(
+                j.select(
+                    F.col(id_col),
+                    _field_score(fname, boost, len(terms), k1, b).alias(
+                        f"score_{fname}"
+                    ),
+                )
+            )
+    if mm_type == "cross_fields":
+        joined = raw_frames[0]
+        for nxt in raw_frames[1:]:
+            joined = joined.join(nxt, id_col, "full_outer")
+        sel = [F.col(id_col)]
+        for fname, _ in pairs:
+            sel.append(
+                F.coalesce(F.col(f"dl_{fname}"), F.lit(0)).alias(f"dl_{fname}")
+            )
+            sel.extend(
+                F.coalesce(F.col(f"tf_{fname}_{i}"), F.lit(0)).alias(
+                    f"tf_{fname}_{i}"
+                )
+                for i in range(len(terms))
+            )
+        joined = joined.select(*sel)
+        for s in stats_frames:
+            joined = joined.join(F.broadcast(s))
+        for d in df_frames:
+            joined = joined.join(F.broadcast(d))
+        return (
+            joined.select(
                 F.col(id_col),
-                _field_score(fname, boost, len(terms), k1, b).alias(
-                    f"score_{fname}"
+                _cross_fields_score(pairs, len(terms), k1, b, tie_breaker).alias(
+                    "score"
                 ),
             )
+            .orderBy(F.desc("score"), F.asc(id_col))
+            .limit(k)
         )
     # a doc appears only under fields it hits; the full-outer join
     # unions the hit sets and a missing field coalesces to exactly

@@ -3286,6 +3286,68 @@ ORACLES["docs_multi_match_most_fields_atrest"] = ORACLES[
     "docs_multi_match_most_fields"
 ]
 
+# ES multi_match type=cross_fields (round 13): TERM-centric — each
+# term's df blends to the max across the field group (ES
+# BlendedTermQuery), the term scores in every field with that shared
+# df (own dl/avgdl norm, own boost), fields combine per term as the
+# dis_max (tie_breaker 0 = pure max), terms sum in declaration
+# order. Mirrors multi_match_best_fields(mm_type='cross_fields') —
+# two physical paths, one value hash.
+_MM_XTERM = (
+    "((CAST(n - {df} AS DOUBLE) + 0.5) / ({df} + 0.5))"
+    " * ((tf_{f}_{i} * CAST(1.2 + 1.0 AS DOUBLE))"
+    " / (tf_{f}_{i} + 1.2 * ((1.0 - 0.75) + (0.75 * dl_{f}) / avgdl_{f})))"
+)
+
+ORACLES["docs_multi_match_cross_fields"] = rf"""
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(text, '\S+') AS btoks FROM documents
+),
+f AS (SELECT doc_id, btoks, btoks[1:8] AS ttoks FROM t),
+base AS (
+  SELECT doc_id,
+    len(ttoks) AS dl_title, len(btoks) AS dl_text,
+    len(list_filter(ttoks, x -> x = 'spark')) AS tf_title_0,
+    len(list_filter(ttoks, x -> x = 'merge')) AS tf_title_1,
+    len(list_filter(btoks, x -> x = 'spark')) AS tf_text_0,
+    len(list_filter(btoks, x -> x = 'merge')) AS tf_text_1
+  FROM f
+),
+stats AS (
+  SELECT COUNT(*) AS n,
+    CAST(SUM(dl_title) AS DOUBLE) / COUNT(*) AS avgdl_title,
+    CAST(SUM(dl_text) AS DOUBLE) / COUNT(*) AS avgdl_text,
+    SUM(CASE WHEN tf_title_0 > 0 THEN 1 ELSE 0 END) AS df_title_0,
+    SUM(CASE WHEN tf_title_1 > 0 THEN 1 ELSE 0 END) AS df_title_1,
+    SUM(CASE WHEN tf_text_0 > 0 THEN 1 ELSE 0 END) AS df_text_0,
+    SUM(CASE WHEN tf_text_1 > 0 THEN 1 ELSE 0 END) AS df_text_1
+  FROM base
+),
+blended AS (
+  SELECT doc_id,
+    CAST(2.0 AS DOUBLE)
+      * {_MM_XTERM.format(f='title', i=0, df='GREATEST(df_title_0, df_text_0)')}
+      AS s_title_0,
+    CAST(1.0 AS DOUBLE)
+      * {_MM_XTERM.format(f='text', i=0, df='GREATEST(df_title_0, df_text_0)')}
+      AS s_text_0,
+    CAST(2.0 AS DOUBLE)
+      * {_MM_XTERM.format(f='title', i=1, df='GREATEST(df_title_1, df_text_1)')}
+      AS s_title_1,
+    CAST(1.0 AS DOUBLE)
+      * {_MM_XTERM.format(f='text', i=1, df='GREATEST(df_title_1, df_text_1)')}
+      AS s_text_1
+  FROM base, stats
+  WHERE tf_title_0 > 0 OR tf_title_1 > 0 OR tf_text_0 > 0 OR tf_text_1 > 0
+)
+SELECT doc_id,
+  GREATEST(s_title_0, s_text_0) + GREATEST(s_title_1, s_text_1) AS score
+FROM blended ORDER BY score DESC, doc_id LIMIT 10
+"""
+ORACLES["docs_multi_match_cross_fields_atrest"] = ORACLES[
+    "docs_multi_match_cross_fields"
+]
+
 # ES simple_query_string (round 12): '+data batch -dup window'
 # compiles to must=[data], should=[batch, window], must_not=[dup],
 # msm=0 — the bool SQL with the compiled clause lists (mirrors

@@ -5733,6 +5733,55 @@ def docs_multi_match_most_fields_atrest(spark, sf_dir):
     )
 
 
+@query("docs_multi_match_cross_fields")
+def docs_multi_match_cross_fields(spark, sf_dir):
+    """ES multi_match type=cross_fields (round 13 — VERDICT r12 next
+    #2, the last multi_match type: the term-centric
+    structured-name/address search-box variant). Same terms/fields/
+    frame as docs_multi_match, but each term's document frequency
+    BLENDS to the max across the field group (ES BlendedTermQuery —
+    'Will' being rare in last_name must not dominate), the term
+    scores in every field with that shared df (own length norm, own
+    boost), fields combine per term as the dis_max (tie_breaker 0 =
+    pure best-of), and terms sum in declaration order. One different
+    map-side expression over the identical zero-shuffle scan frame
+    (plan-pinned). Round-13 registration; leads the r13 driver
+    window."""
+    from irclogbot_spark.operators.multimatch import multi_match_best_fields
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", _doc_title_col().alias("title"), "text"
+    )
+    return multi_match_best_fields(
+        docs, _MM_TERMS, _MM_FIELDS, k=10, mm_type="cross_fields"
+    )
+
+
+@query("docs_multi_match_cross_fields_atrest")
+def docs_multi_match_cross_fields_atrest(spark, sf_dir):
+    """docs_multi_match_cross_fields served from the per-field
+    at-rest indexes (round 13) — bit-identical. The blended df
+    couples terms across fields, so the per-field RAW tf/dl pivots
+    full-outer-join on doc_id (a missing field's tf coalesces to 0,
+    giving exactly the 0.0 its scan expression yields) and each
+    field's 1-row stats/df frames broadcast onto the joined frame —
+    the same exchange count as best_fields_atrest. Round-13
+    registration; leads the r13 driver window."""
+    from irclogbot_spark.operators.multimatch import (
+        multi_match_best_fields_atrest,
+    )
+
+    _text_index_at_rest(spark, sf_dir)
+    paths = [
+        ("title", _title_index_at_rest(spark, sf_dir)),
+        ("text", _TEXT_INDEX[sf_dir]),
+    ]
+    return multi_match_best_fields_atrest(
+        spark, paths, _MM_TERMS, dict(_MM_FIELDS), k=10,
+        mm_type="cross_fields",
+    )
+
+
 #: the declared simple_query_string: one must, two shoulds, one
 #: must_not — the raw search-box string the parser compiles
 _SQS_QUERY = "+data batch -dup window"

@@ -1038,6 +1038,10 @@ def test_compound_scan_forms_shuffle_nothing(spark):
         # (the registered query is prefix-free — no vocab distinct)
         "docs_multi_match",
         "docs_multi_match_most_fields",
+        # round 13: cross_fields is one different map-side expression
+        # (blended df = greatest of the already-computed per-field
+        # dfs) over the identical frame — still zero corpus shuffles
+        "docs_multi_match_cross_fields",
         "docs_simple_query_string",
         # terms_set: the per-doc msm field rides the same in-row
         # projection as the tf columns

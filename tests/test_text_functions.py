@@ -1064,6 +1064,147 @@ def test_multi_match_best_fields_semantics(spark, tmp_path):
         multi_match_best_fields(docs, terms, [("body", 0.0)])
 
 
+def test_multi_match_cross_fields_blended_df_semantics(spark, tmp_path):
+    """multi_match type=cross_fields (round 13 — VERDICT r12 next
+    #2): TERM-centric scoring — each term's df blends to the max
+    across the field group (BlendedTermQuery), the term scores in
+    every field with that shared df (own dl/avgdl length norm, own
+    boost), fields combine per term as max + tie_breaker*(sum-max),
+    terms sum in declaration order. Checks: (a) exact scores against
+    an independent pure-python BM25 replica; (b) the degeneracy pin —
+    ONE field makes best_fields == most_fields == cross_fields
+    exactly; (c) blending demotes a term that is rare in one field
+    but common in the other (vs best_fields' per-field df); (d) the
+    at-rest per-field-index form is bit-identical; (e) tie_breaker
+    folds the non-best fields in."""
+    from irclogbot_spark.operators.multimatch import (
+        multi_match_best_fields,
+        multi_match_best_fields_atrest,
+    )
+    from irclogbot_spark.operators.textindex import write_text_index
+
+    rows = [
+        (1, "will smith", "will met will at the will office"),
+        (2, "ada smith", "will called about the account"),
+        (3, "grace jones", "nothing to see"),
+        (4, "will jones", "smith street office"),
+        (5, "plain title", "will will will"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, title string, body string")
+    terms = ["will", "smith"]
+    fields = [("title", 2.0), ("body", 1.0)]
+    k1, b = 1.2, 0.75
+
+    # independent replica (python floats == doubles; same op order)
+    toks = {i: (t.split(), bo.split()) for i, t, bo in rows}
+    n = len(rows)
+    dl = {f: {i: len(toks[i][fi]) for i in toks} for fi, f in enumerate(["title", "body"])}
+    avgdl = {f: sum(dl[f].values()) / n for f in dl}
+    tf = {
+        (f, i, t): toks[i][fi].count(t)
+        for fi, f in enumerate(["title", "body"])
+        for i in toks
+        for t in terms
+    }
+    dfreq = {
+        (f, t): sum(1 for i in toks if tf[(f, i, t)] > 0)
+        for f in ["title", "body"]
+        for t in terms
+    }
+
+    def bm25(tf_, df_, f, i):
+        denom_norm = 1.0 - b + b * dl[f][i] / avgdl[f]
+        idf = (n - df_ + 0.5) / (df_ + 0.5)
+        return idf * ((tf_ * (k1 + 1.0)) / (tf_ + k1 * denom_norm))
+
+    def expected(tie):
+        out = {}
+        for i in toks:
+            if not any(tf[(f, i, t)] > 0 for f in dl for t in terms):
+                continue
+            total = 0.0
+            for t in terms:
+                blend = max(dfreq[("title", t)], dfreq[("body", t)])
+                per = [
+                    bo * bm25(tf[(f, i, t)], blend, f, i)
+                    for f, bo in fields
+                ]
+                s = per[0] + per[1]
+                best = max(per)
+                total += best + tie * (s - best)
+            out[i] = total
+        return out
+
+    for tie in (0.0, 0.4):
+        got = {
+            r.doc_id: r.score
+            for r in multi_match_best_fields(
+                docs, terms, fields, k=10, mm_type="cross_fields",
+                tie_breaker=tie,
+            ).collect()
+        }
+        want = expected(tie)
+        assert set(got) == set(want)
+        for i in got:
+            assert abs(got[i] - want[i]) < 1e-12, (tie, i, got[i], want[i])
+
+    # blending demotes: 'smith' is rare in body (df 1) but common in
+    # title (df 2) -> blended df 2 lowers body-smith idf vs the
+    # per-field df best_fields uses, so cross != best on doc 4
+    best = {
+        r.doc_id: r.score
+        for r in multi_match_best_fields(docs, terms, fields, k=10).collect()
+    }
+    cross = {
+        r.doc_id: r.score
+        for r in multi_match_best_fields(
+            docs, terms, fields, k=10, mm_type="cross_fields"
+        ).collect()
+    }
+    assert set(best) == set(cross)  # identical >=1-term gate
+    assert any(abs(best[i] - cross[i]) > 1e-9 for i in best)
+
+    # degeneracy: ONE field -> all three types identical
+    one = [("body", 1.0)]
+    per_type = [
+        {
+            r.doc_id: r.score
+            for r in multi_match_best_fields(
+                docs, terms, one, k=10, mm_type=mt
+            ).collect()
+        }
+        for mt in ("best_fields", "most_fields", "cross_fields")
+    ]
+    assert per_type[0] == per_type[1] == per_type[2]
+
+    # at-rest bit-identity (per-field indexes, full-outer raw join)
+    t1, t2 = str(tmp_path / "xf_t"), str(tmp_path / "xf_b")
+    write_text_index(docs.select("doc_id", "title"), t1, text_col="title", n_buckets=8)
+    write_text_index(docs.select("doc_id", "body"), t2, text_col="body", n_buckets=8)
+    for tie in (0.0, 0.4):
+        want_rows = [
+            tuple(r)
+            for r in multi_match_best_fields(
+                docs, terms, fields, k=10, mm_type="cross_fields",
+                tie_breaker=tie,
+            ).collect()
+        ]
+        got_rows = [
+            tuple(r)
+            for r in multi_match_best_fields_atrest(
+                spark, [("title", t1), ("body", t2)], terms,
+                {"title": 2.0, "body": 1.0}, k=10, mm_type="cross_fields",
+                tie_breaker=tie,
+            ).collect()
+        ]
+        assert got_rows == want_rows and len(got_rows) == 4, tie
+
+    import pytest
+
+    with pytest.raises(ValueError, match="unknown multi_match type"):
+        multi_match_best_fields(docs, terms, fields, mm_type="nope")
+
+
 def test_multi_match_null_field_scores_zero_both_forms(spark, tmp_path):
     """Round 13 (ADVICE r12): a NULL field value must score exactly
     0.0 in that field in BOTH physical forms — the scan form used to
@@ -1380,8 +1521,10 @@ def test_multi_match_most_fields_is_per_field_sum(spark, tmp_path):
         multi_match_best_fields(
             docs, terms, fields, tie_breaker=0.5, mm_type="most_fields"
         )
+    # cross_fields is implemented since round 13 (its own test);
+    # an actually-unknown type still raises
     with pytest.raises(ValueError, match="multi_match type"):
-        multi_match_best_fields(docs, terms, fields, mm_type="cross_fields")
+        multi_match_best_fields(docs, terms, fields, mm_type="worst_fields")
 
 
 def test_terms_set_per_doc_msm_field(spark, tmp_path):
