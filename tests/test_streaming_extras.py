@@ -1871,6 +1871,94 @@ def test_multi_match_against_streamed_per_field_indexes(spark, tmp_path):
         assert got == want and len(got) > 0, (len(seen),)
 
 
+def test_match_phrase_prefix_against_streamed_index_across_batches(
+    spark, tmp_path
+):
+    """Round 13 (VERDICT r12 next #5): match_phrase_prefix served
+    from the CONTINUOUSLY MAINTAINED index — the prefix expansion
+    walks the streamed index's term types (a streamed index carries
+    no one-shot vocab sidecar; types derive from the postings, and
+    after compaction from the generation layout + live batches) —
+    must match the scan form over the corpus accumulated so far at
+    EVERY boundary: after batch 1, after batch 2, after compaction,
+    and after a post-compaction batch 3 (generation + live batch
+    union). The compacted vocab generation (load_vocab) must agree
+    with the postings-derived term set at each point — the
+    dictionary the walk uses is never stale."""
+    import json as _json
+
+    from irclogbot_spark.operators.multimatch import (
+        match_phrase_prefix,
+        match_phrase_prefix_atrest,
+    )
+    from irclogbot_spark.streaming import textindex as TX
+
+    src = tmp_path / "mpp_src"
+    src.mkdir()
+    index_dir = str(tmp_path / "mpp_idx")
+
+    def feed(rows):
+        fname = src / f"b{len(list(src.iterdir()))}.json"
+        fname.write_text(
+            "\n".join(_json.dumps({"doc_id": i, "text": t}) for i, t in rows)
+        )
+        q = TX.continuous_text_index(
+            spark.readStream.schema("doc_id long, text string").json(str(src)),
+            index_dir,
+            str(tmp_path / "mpp_ckpt"),
+            n_buckets=8,
+        )
+        q.awaitTermination(120)
+
+    batches = [
+        [
+            (1, "quick brown fox jumps"),
+            (2, "quick brown feather falls"),
+            (3, "quick brown quick brown fur"),
+            (4, "slow brown fox sits"),
+        ],
+        [
+            (5, "quick brown fig arrives late"),
+            (6, "quick brown zebra no f-token"),
+        ],
+        [
+            (7, "quick brown fjord after compaction"),
+        ],
+    ]
+    kw = dict(terms=["quick", "brown"], prefix="f", k=10)
+    seen: list[tuple[int, str]] = []
+
+    def check(tag):
+        corpus = spark.createDataFrame(seen, "doc_id long, text string")
+        idx = TX.load_text(spark, index_dir)
+        want = [tuple(r) for r in match_phrase_prefix(corpus, **kw).collect()]
+        got = [
+            tuple(r)
+            for r in match_phrase_prefix_atrest(
+                spark, None, index=idx, **kw
+            ).collect()
+        ]
+        assert got == want and len(got) > 0, (tag, got, want)
+        # the dictionary the walk uses is exactly the live term set
+        vocab_terms = {
+            r.term for r in TX.load_vocab(spark, index_dir).collect()
+        }
+        pidx_terms = {r.term for r in idx[0].select("term").distinct().collect()}
+        assert vocab_terms == pidx_terms, tag
+
+    feed(batches[0])
+    seen.extend(batches[0])
+    check("after batch 1")
+    feed(batches[1])
+    seen.extend(batches[1])
+    check("after batch 2")
+    TX.compact(spark, index_dir, upto_batch_id=1)
+    check("after compaction")
+    feed(batches[2])
+    seen.extend(batches[2])
+    check("post-compaction batch 3")
+
+
 def test_streamed_index_id_col_matches_one_shot_convention(spark, tmp_path):
     """Round 13 (ADVICE r12): the streamed and one-shot index
     artifacts expose the SAME reader contract — load_text renames
