@@ -220,6 +220,11 @@ HEADLINE = [
     "docs_terms_set_atrest",
     "docs_span_first_atrest",
     "docs_span_not_atrest",
+    # round 13: cross_fields pays the same per-field probes as the
+    # other at-rest multi_match types; the fuzzy bool pays the vocab
+    # sidecar walk + the compiled bool probe
+    "docs_multi_match_cross_fields_atrest",
+    "docs_bool_fuzzy_search_atrest",
 ]
 
 #: Every registered query NOT in HEADLINE (VERDICT r7 missing #4:
@@ -257,7 +262,9 @@ CHEAP = [
     "docs_constant_score",
     "docs_multi_match",
     "docs_multi_match_most_fields",
+    "docs_multi_match_cross_fields",
     "docs_simple_query_string",
+    "docs_bool_fuzzy_search",
     "docs_terms_set",
     "docs_span_first",
     "docs_span_not",

@@ -2210,86 +2210,101 @@ def docs_importance_resample(spark, sf_dir):
 # registrations only; everything else gets the local parity suite's
 # (stricter) value check but no driver-recorded row. The window is
 # rotated per round so every oracle-paired query accumulates at
-# least one driver-recorded verification. Round 12 executes the plan
-# recorded at the end of round 11 (VERDICT r11 "Next round" #1):
-# (a) FIRST rows for the 12 never-driver-checked round-11 tail
-# registrations — the complete ES compound-query family
-# (bool/dis_max/boosting/constant_score/function_score, scan +
-# at-rest each), the at-rest field collapse, and the recency-boosted
-# log search; (b) FIRST rows for the 4 round-12 registrations —
-# multi_match best_fields (scan + per-field at-rest indexes) and
-# match_phrase_prefix over the irclog (scan + at-rest vocab walk),
-# VERDICT r11 next #2; (c) 34 of the 43-name round-8-vintage
-# staleness backlog, in the plan's alphabetical order (the remaining
-# 9 — log_nick_rank_per_channel onward — lead the r13 plan below).
-# Every name here MUST be oracle-paired (pinned by
+# least one driver-recorded verification. Round 13 executes the plan
+# recorded at the end of round 12 (VERDICT r12 "Next round" #1):
+# (a) FIRST rows for the 10 round-12 tail registrations
+# (multi_match most_fields, simple_query_string, terms_set,
+# span_first, span_not — scan + at-rest each) and the 4 round-13
+# registrations (multi_match cross_fields + _atrest, VERDICT r12
+# next #2; bool_fuzzy_search + _atrest, next #4), plus re-pins for
+# the 4 queries whose operator code changed this round after their
+# r12 rows (multimatch.py NULL-field coalesce + at-rest restructure
+# touches the docs_multi_match pair; that plus the
+# write_text_index doclens fix touches the log_match_phrase_prefix
+# pair); (b) the 9 remaining round-8-vintage rows; (c) the oldest
+# round-9 rows alphabetically until 50. The round-13 textindex.py
+# doclens NULL fix also technically touches every one-shot at-rest
+# artifact build — values are provably unchanged for the registered
+# corpora (no NULL text) and all those rows are r12-fresh, so their
+# re-pins go to the r14 plan below rather than evicting the r9
+# staleness tail. Every name here MUST be oracle-paired (pinned by
 # tests/test_driver_contract.py).
 _DRIVER_WINDOW = [
-    # (a) never driver-checked: the round-11 compound-family tail
-    "docs_bool_search",
-    "docs_bool_search_atrest",
-    "docs_dis_max_search",
-    "docs_dis_max_search_atrest",
-    "docs_boosting_search",
-    "docs_boosting_search_atrest",
-    "docs_constant_score",
-    "docs_constant_score_atrest",
-    "docs_function_score",
-    "docs_function_score_atrest",
-    "docs_collapse_by_source_atrest",
-    "log_recency_search",
-    # (b) round-12 registrations: multi-field retrieval
+    # (a) never driver-checked: the round-12 tail registrations
+    "docs_multi_match_most_fields",
+    "docs_multi_match_most_fields_atrest",
+    "docs_simple_query_string",
+    "docs_simple_query_string_atrest",
+    "docs_terms_set",
+    "docs_terms_set_atrest",
+    "docs_span_first",
+    "docs_span_first_atrest",
+    "docs_span_not",
+    "docs_span_not_atrest",
+    # (a) round-13 registrations
+    "docs_multi_match_cross_fields",
+    "docs_multi_match_cross_fields_atrest",
+    "docs_bool_fuzzy_search",
+    "docs_bool_fuzzy_search_atrest",
+    # (a) re-pins: operator code touched after the r12 rows
     "docs_multi_match",
     "docs_multi_match_atrest",
     "log_match_phrase_prefix",
     "log_match_phrase_prefix_atrest",
-    # (c) the round-8-vintage staleness backlog, alphabetical
-    "docs_editdist_neardup",
-    "docs_hll_sketch_only",
-    "docs_html_extract",
-    "docs_lang_id",
-    "docs_lm_score",
-    "docs_neardup_clusters",
-    "docs_neardup_jaccard",
-    "docs_nfc_normalize",
-    "docs_pack_sequences",
-    "docs_paragraph_langid",
-    "docs_pii_redact",
-    "docs_quality",
-    "docs_sample_split",
-    "docs_token_stats",
-    "docs_trgm_search",
-    "docs_trgm_search_indexed",
-    "docs_url_canonicalize",
-    "docs_warc_ingest",
-    "docs_winnow_fingerprint",
-    "emb_anchor_gate",
-    "emb_ann_recall",
-    "emb_ann_topk",
-    "emb_cosine_neardup",
-    "emb_ivf_topk",
-    "emb_knn_join",
-    "events_json_extract",
-    "events_windows",
-    "graph_pagerank_trade",
-    "ingest_action_rows",
-    "ingest_dedup",
-    "ingest_filter_stats",
-    "join_top_customers",
-    "log_inter_message_gap",
-    "log_msgs_per_channel_day",
+    # (b) the last round-8-vintage rows
+    "log_nick_rank_per_channel",
+    "log_term_time_filter",
+    "log_top_nicks",
+    "media_jpeg_decode_stats",
+    "scalar_human_fmt",
+    "set_ops",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier",
+    "window_date_functions",
+    # (c) the oldest round-9 rows, alphabetical
+    "agg_pivot",
+    "agg_rollup_sets",
+    "agg_stats",
+    "docs_bm25_search",
+    "docs_crawl_admit",
+    "docs_crossdup",
+    "docs_crossdup_remove",
+    "docs_fuzzy_term_search",
+    "docs_highlight",
+    "docs_hybrid_search",
+    "docs_incremental_dedup_wb",
+    "docs_minhash_lsh",
+    "docs_more_like_this",
+    "docs_percolate",
+    "docs_phrase_search",
+    "docs_phrase_search_atrest",
+    "docs_phrase_search_indexed",
+    "docs_prefix_filter_join",
+    "docs_prefix_suggest",
+    "docs_span_near",
+    "docs_tokenize",
+    "docs_trgm_multi_search",
+    "docs_vocab_coverage",
 ]
-# ROUND-13 ROTATION PLAN: (a) FIRST rows for the 10 round-12 tail
-# registrations (docs_multi_match_most_fields + _atrest,
-# docs_simple_query_string + _atrest, docs_terms_set + _atrest,
-# docs_span_first + _atrest, docs_span_not + _atrest — 10 names)
-# and any round-13 additions, plus
-# re-pins for any operator touched after its newest row; (b) the 9
-# remaining round-8-vintage rows (log_nick_rank_per_channel,
-# log_term_time_filter, log_top_nicks, media_jpeg_decode_stats,
-# scalar_human_fmt, set_ops, tpch_q3_shipping_priority,
-# tpch_q5_local_supplier, window_date_functions); (c) the oldest
-# round-9 rows in alphabetical order until the window fills.
+# ROUND-14 ROTATION PLAN: (a) FIRST rows for any round-14
+# registrations, plus re-pins for any operator touched after its
+# newest row — leading with the r12-row at-rest compound family
+# (docs_bool_search_atrest, docs_dis_max_search_atrest,
+# docs_boosting_search_atrest, docs_constant_score_atrest,
+# docs_function_score_atrest, docs_collapse_by_source_atrest)
+# whose one-shot artifact build was touched by the round-13
+# write_text_index doclens fix; (b) the remaining 24 round-9-vintage
+# rows, alphabetical: emb_ivfpq_topk, events_asof_join,
+# events_composite_agg, events_funnel, events_funnel_window,
+# events_geo_distance, events_geotile_grid, events_pipeline_aggs,
+# events_range_join, events_retention, events_search_after,
+# events_session_window, ingest_parse,
+# join_anti_customers_no_orders, join_semi_parts_ordered,
+# log_channel_day_bucketed, log_nick_cooccurrence, log_point_lookup,
+# log_search_terms, log_significant_terms,
+# log_term_time_partitioned, math_array_functions,
+# tpch_q16_supplier_cnt, tpch_q1_pricing_summary; (c) the oldest
+# round-10 rows alphabetically until the window fills.
 
 
 @query("docs_dedup_keep_best_fast")
