@@ -34,10 +34,29 @@ sys.path.insert(0, sys.argv[1])
 os.chdir(sys.argv[1])
 qname = sys.argv[2]
 timed = int(sys.argv[3])
+calibrate = sys.argv[4] == "1"
 from irclogbot_spark.session import get_spark
 from irclogbot_spark.queries import queries
 
 spark = get_spark("ab_worker", master="local[32]")
+if calibrate:
+    # the bench.py calibration microbench, inlined so the worker is
+    # version-independent (the anchor landed in round 12; older refs
+    # have no bench._calibration): median-of-3 codegen xxhash64 fold,
+    # CALIB_REF_SEC = 2.0 on the reference host
+    from pyspark.sql import functions as F
+
+    def _one(n):
+        t0 = time.perf_counter()
+        spark.range(n, numPartitions=32).select(
+            F.expr("bit_xor(xxhash64(id))")
+        ).collect()
+        return time.perf_counter() - t0
+
+    _one(16_000_000)
+    print("ABCALIB " + json.dumps(
+        sorted(_one(16_000_000_000) for _ in range(3))[1]
+    ), flush=True)
 q = queries()[qname]
 for warm_dir in ("/root/testdata/sf0.001", "/root/testdata/sf0.1"):
     q(spark, warm_dir).write.format("noop").mode("overwrite").save()
@@ -51,20 +70,30 @@ spark.stop()
 """
 
 
-def run_once(code_dir: str, query: str, timed: int) -> list[float]:
+def run_once(
+    code_dir: str, query: str, timed: int, calibrate: bool = False
+) -> tuple[list[float], float | None]:
     out = subprocess.run(
-        [sys.executable, "-c", _WORKER, code_dir, query, str(timed)],
+        [
+            sys.executable, "-c", _WORKER, code_dir, query, str(timed),
+            "1" if calibrate else "0",
+        ],
         capture_output=True,
         text=True,
-        timeout=900,
+        timeout=1800,
         cwd=code_dir,
     )
+    times, calib = None, None
     for line in out.stdout.splitlines():
         if line.startswith("ABRESULT "):
-            return json.loads(line[len("ABRESULT "):])
-    raise RuntimeError(
-        f"worker failed in {code_dir}:\n{out.stdout[-2000:]}\n{out.stderr[-2000:]}"
-    )
+            times = json.loads(line[len("ABRESULT "):])
+        elif line.startswith("ABCALIB "):
+            calib = json.loads(line[len("ABCALIB "):])
+    if times is None:
+        raise RuntimeError(
+            f"worker failed in {code_dir}:\n{out.stdout[-2000:]}\n{out.stderr[-2000:]}"
+        )
+    return times, calib
 
 
 def main() -> None:
@@ -74,6 +103,13 @@ def main() -> None:
     ap.add_argument("--rounds", type=int, default=3)
     ap.add_argument("--timed", type=int, default=3)
     ap.add_argument("--worktree", default=None)
+    ap.add_argument(
+        "--calibrate",
+        action="store_true",
+        help="run the bench.py calibration microbench in every JVM "
+        "and report per-side medians (round 13 — drift vs code is "
+        "then classifiable per JVM, not just per run)",
+    )
     args = ap.parse_args()
 
     wt = args.worktree or f"/tmp/ab_{args.query}_worktree"
@@ -86,6 +122,8 @@ def main() -> None:
 
     ref_times: list[float] = []
     head_times: list[float] = []
+    ref_cal: list[float] = []
+    head_cal: list[float] = []
     for i in range(args.rounds):
         order = (
             [("ref", wt), ("head", REPO)]
@@ -93,9 +131,15 @@ def main() -> None:
             else [("head", REPO), ("ref", wt)]
         )
         for label, d in order:
-            ts = run_once(d, args.query, args.timed)
+            ts, cal = run_once(d, args.query, args.timed, args.calibrate)
             (ref_times if label == "ref" else head_times).extend(ts)
-            print(f"  round {i} {label}: {[round(t, 3) for t in ts]}", flush=True)
+            if cal is not None:
+                (ref_cal if label == "ref" else head_cal).append(cal)
+            cal_s = f" calib {cal:.3f}" if cal is not None else ""
+            print(
+                f"  round {i} {label}: {[round(t, 3) for t in ts]}{cal_s}",
+                flush=True,
+            )
 
     ref_med = statistics.median(ref_times)
     head_med = statistics.median(head_times)
@@ -105,6 +149,12 @@ def main() -> None:
         f"| {args.query} | {ref_med:.3f} | {head_med:.3f} | "
         f"{head_med / ref_med:.2f} |"
     )
+    if ref_cal and head_cal:
+        print(
+            f"calibration medians: {args.ref} "
+            f"{statistics.median(ref_cal):.3f}s, HEAD "
+            f"{statistics.median(head_cal):.3f}s (reference host 2.0s)"
+        )
     all_times = sorted(ref_times + head_times)
     print(
         f"spreads: {args.ref} {min(ref_times):.3f}-{max(ref_times):.3f}, "
