@@ -225,6 +225,7 @@ HEADLINE = [
     # sidecar walk + the compiled bool probe
     "docs_multi_match_cross_fields_atrest",
     "docs_bool_fuzzy_search_atrest",
+    "docs_multi_match_operator_and_atrest",
 ]
 
 #: Every registered query NOT in HEADLINE (VERDICT r7 missing #4:
@@ -263,6 +264,7 @@ CHEAP = [
     "docs_multi_match",
     "docs_multi_match_most_fields",
     "docs_multi_match_cross_fields",
+    "docs_multi_match_operator_and",
     "docs_simple_query_string",
     "docs_bool_fuzzy_search",
     "docs_terms_set",

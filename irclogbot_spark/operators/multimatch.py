@@ -35,6 +35,13 @@ df and max = sum — the pinned degeneracy test. All arithmetic stays
 the engine's rational BM25, so scores value-hash against the SQL
 twin.
 
+The ``operator`` knob (round 13) compiles ES's match operator into
+the gate: ``and`` under the field-centric types requires one field
+to contain ALL terms (that field's match query is an AND; a
+non-matching field contributes exactly 0.0), and under cross_fields
+requires every term somewhere in the group (term-centric). Gate and
+expression changes only — no new dataflow in either physical form.
+
 match_phrase_prefix semantics: a phrase whose LAST position is a
 prefix — the query "quick brown f" matches docs containing
 "quick brown <token starting with f>". ES expands the prefix against
@@ -200,6 +207,7 @@ def multi_match_best_fields(
     k1: float = 1.2,
     b: float = 0.75,
     mm_type: str = "best_fields",
+    operator: str = "or",
 ) -> DataFrame:
     """Scan-form multi_match: top-k (id_col, score) ordered
     (score desc, id asc). ``fields`` maps field column -> boost
@@ -209,9 +217,22 @@ def multi_match_best_fields(
     ES's the-more-fields-match-the-better variant), or
     ``cross_fields`` (round 13 — term-centric blended-df dis_max,
     the module-docstring semantics; one different map-side
-    expression, same zero-shuffle scan shape)."""
+    expression, same zero-shuffle scan shape).
+
+    ``operator`` (round 13 — ES's match-operator knob): ``"or"``
+    (default) matches on >= 1 term in >= 1 field. ``"and"`` under
+    best/most_fields requires some FIELD to contain ALL terms (the
+    per-field match queries compile with operator=and; a field
+    missing a term does not match and contributes exactly 0.0 — ES's
+    field-centric AND), and under cross_fields requires every TERM
+    to appear in >= 1 field (the term-centric AND — the blended
+    score expression is unchanged, only the gate tightens). Pure
+    gate/expression changes — the zero-shuffle scan shape is
+    untouched."""
     if mm_type not in MM_TYPES:
         raise ValueError(f"unknown multi_match type {mm_type!r}")
+    if operator not in ("or", "and"):
+        raise ValueError(f"unknown multi_match operator {operator!r}")
     if not terms:
         raise ValueError("multi_match needs at least one term")
     _check_no_duplicate_terms(list(terms))
@@ -251,6 +272,14 @@ def multi_match_best_fields(
             for i in range(len(terms))
         )
     j = base.join(F.broadcast(base.agg(*aggs)))
+
+    def _field_full_match(fname: str):
+        c = None
+        for i in range(len(terms)):
+            t = F.col(f"tf_{fname}_{i}") > 0
+            c = t if c is None else c & t
+        return c
+
     if mm_type == "cross_fields":
         score = _cross_fields_score(pairs, len(terms), k1, b, tie_breaker)
     else:
@@ -258,12 +287,33 @@ def multi_match_best_fields(
             _field_score(fname, boost, len(terms), k1, b)
             for fname, boost in pairs
         ]
+        if operator == "and":
+            # a field missing a term does not match: it contributes
+            # exactly 0.0 (the same literal both physical forms use)
+            scores = [
+                F.when(_field_full_match(fname), s).otherwise(F.lit(0.0))
+                for (fname, _), s in zip(pairs, scores)
+            ]
         score = _combine_fields(scores, mm_type, tie_breaker)
     gate = None
-    for fname, _ in pairs:
+    if operator == "and" and mm_type == "cross_fields":
+        # term-centric AND: every term in >= 1 field
         for i in range(len(terms)):
-            c = F.col(f"tf_{fname}_{i}") > 0
+            c = None
+            for fname, _ in pairs:
+                t = F.col(f"tf_{fname}_{i}") > 0
+                c = t if c is None else c | t
+            gate = c if gate is None else gate & c
+    elif operator == "and":
+        # field-centric AND: some field contains ALL terms
+        for fname, _ in pairs:
+            c = _field_full_match(fname)
             gate = c if gate is None else gate | c
+    else:
+        for fname, _ in pairs:
+            for i in range(len(terms)):
+                c = F.col(f"tf_{fname}_{i}") > 0
+                gate = c if gate is None else gate | c
     return (
         j.filter(gate)
         .select(F.col(id_col), score.alias("score"))
@@ -284,6 +334,7 @@ def multi_match_best_fields_atrest(
     b: float = 0.75,
     indexes: dict | None = None,
     mm_type: str = "best_fields",
+    operator: str = "or",
 ) -> DataFrame:
     """multi_match served from PER-FIELD at-rest indexes (a field is
     its own index in ES) — bit-identical to
@@ -291,7 +342,11 @@ def multi_match_best_fields_atrest(
     directory ([(field, path), ...] or dict in declaration order);
     ``boosts`` maps field -> boost; ``indexes`` optionally injects
     pre-loaded (pidx, doclens, n_buckets) frames per field (the
-    streamed-index form); ``mm_type`` as in the scan form.
+    streamed-index form); ``mm_type`` / ``operator`` as in the scan
+    form (operator="and" rides the per-field frames as one boolean
+    column per field — same exchange count; the hit sets the pivots
+    produce are supersets of the AND gate, which filters map-side
+    after the join).
 
     cross_fields (round 13) full-outer-joins the per-field RAW
     tf/dl frames instead of collapsed per-field score frames (the
@@ -311,6 +366,8 @@ def multi_match_best_fields_atrest(
 
     if mm_type not in MM_TYPES:
         raise ValueError(f"unknown multi_match type {mm_type!r}")
+    if operator not in ("or", "and"):
+        raise ValueError(f"unknown multi_match operator {operator!r}")
     if not terms:
         raise ValueError("multi_match needs at least one term")
     _check_no_duplicate_terms(list(terms))
@@ -367,14 +424,17 @@ def multi_match_best_fields_atrest(
         else:
             j = raw.join(F.broadcast(stats)).join(F.broadcast(dfrow))
             boost = dict(pairs)[fname]
-            per_field.append(
-                j.select(
-                    F.col(id_col),
-                    _field_score(fname, boost, len(terms), k1, b).alias(
-                        f"score_{fname}"
-                    ),
-                )
-            )
+            s = _field_score(fname, boost, len(terms), k1, b)
+            sel = [F.col(id_col)]
+            if operator == "and":
+                fm = None
+                for i in range(len(terms)):
+                    t = F.col(f"tf_{fname}_{i}") > 0
+                    fm = t if fm is None else fm & t
+                s = F.when(fm, s).otherwise(F.lit(0.0))
+                sel.append(fm.alias(f"match_{fname}"))
+            sel.append(s.alias(f"score_{fname}"))
+            per_field.append(j.select(*sel))
     if mm_type == "cross_fields":
         joined = raw_frames[0]
         for nxt in raw_frames[1:]:
@@ -395,6 +455,17 @@ def multi_match_best_fields_atrest(
             joined = joined.join(F.broadcast(s))
         for d in df_frames:
             joined = joined.join(F.broadcast(d))
+        if operator == "and":
+            # term-centric AND over the joined raw frame: every term
+            # present in >= 1 field (the scan gate, verbatim)
+            gate = None
+            for i in range(len(terms)):
+                c = None
+                for fname, _ in pairs:
+                    t = F.col(f"tf_{fname}_{i}") > 0
+                    c = t if c is None else c | t
+                gate = c if gate is None else gate & c
+            joined = joined.filter(gate)
         return (
             joined.select(
                 F.col(id_col),
@@ -411,6 +482,14 @@ def multi_match_best_fields_atrest(
     joined = per_field[0]
     for nxt in per_field[1:]:
         joined = joined.join(nxt, id_col, "full_outer")
+    if operator == "and":
+        # some field matched ALL terms (coalesce: a doc absent from
+        # a field's hit set did not match that field)
+        gate = None
+        for fname, _ in pairs:
+            c = F.coalesce(F.col(f"match_{fname}"), F.lit(False))
+            gate = c if gate is None else gate | c
+        joined = joined.filter(gate)
     scores = [
         F.coalesce(F.col(f"score_{fname}"), F.lit(0.0)) for fname, _ in pairs
     ]

@@ -3348,6 +3348,60 @@ ORACLES["docs_multi_match_cross_fields_atrest"] = ORACLES[
     "docs_multi_match_cross_fields"
 ]
 
+# ES multi_match best_fields with operator=and (round 13): a field
+# matches only when it contains ALL terms (its per-field match query
+# compiles with operator=and); a non-matching field contributes
+# exactly 0.0 to the dis_max; the doc matches when >= 1 field fully
+# matches. Same frame as docs_multi_match with a gated score and a
+# tightened gate — mirrors multi_match_best_fields(operator='and').
+ORACLES["docs_multi_match_operator_and"] = rf"""
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(text, '\S+') AS btoks FROM documents
+),
+f AS (SELECT doc_id, btoks, btoks[1:8] AS ttoks FROM t),
+base AS (
+  SELECT doc_id,
+    len(ttoks) AS dl_title, len(btoks) AS dl_text,
+    len(list_filter(ttoks, x -> x = 'spark')) AS tf_title_0,
+    len(list_filter(ttoks, x -> x = 'merge')) AS tf_title_1,
+    len(list_filter(btoks, x -> x = 'spark')) AS tf_text_0,
+    len(list_filter(btoks, x -> x = 'merge')) AS tf_text_1
+  FROM f
+),
+stats AS (
+  SELECT COUNT(*) AS n,
+    CAST(SUM(dl_title) AS DOUBLE) / COUNT(*) AS avgdl_title,
+    CAST(SUM(dl_text) AS DOUBLE) / COUNT(*) AS avgdl_text,
+    SUM(CASE WHEN tf_title_0 > 0 THEN 1 ELSE 0 END) AS df_title_0,
+    SUM(CASE WHEN tf_title_1 > 0 THEN 1 ELSE 0 END) AS df_title_1,
+    SUM(CASE WHEN tf_text_0 > 0 THEN 1 ELSE 0 END) AS df_text_0,
+    SUM(CASE WHEN tf_text_1 > 0 THEN 1 ELSE 0 END) AS df_text_1
+  FROM base
+),
+scored AS (
+  SELECT doc_id,
+    CASE WHEN tf_title_0 > 0 AND tf_title_1 > 0 THEN
+      CAST(2.0 AS DOUBLE)
+        * ({_MM_TERM.format(f='title', i=0)} + {_MM_TERM.format(f='title', i=1)})
+      ELSE CAST(0.0 AS DOUBLE) END AS s_title,
+    CASE WHEN tf_text_0 > 0 AND tf_text_1 > 0 THEN
+      CAST(1.0 AS DOUBLE)
+        * ({_MM_TERM.format(f='text', i=0)} + {_MM_TERM.format(f='text', i=1)})
+      ELSE CAST(0.0 AS DOUBLE) END AS s_text
+  FROM base, stats
+  WHERE (tf_title_0 > 0 AND tf_title_1 > 0)
+     OR (tf_text_0 > 0 AND tf_text_1 > 0)
+)
+SELECT doc_id,
+  GREATEST(s_title, s_text)
+  + CAST(0.3 AS DOUBLE) * ((s_title + s_text) - GREATEST(s_title, s_text))
+  AS score
+FROM scored ORDER BY score DESC, doc_id LIMIT 10
+"""
+ORACLES["docs_multi_match_operator_and_atrest"] = ORACLES[
+    "docs_multi_match_operator_and"
+]
+
 # ES bool query with a fuzzy clause (round 13): the stem 'mergz'
 # expands against the term dictionary (levenshtein <= 1, ES's
 # top-frequency rewrite order df desc/term asc, capped at 50,

@@ -5797,6 +5797,50 @@ def docs_multi_match_cross_fields_atrest(spark, sf_dir):
     )
 
 
+@query("docs_multi_match_operator_and")
+def docs_multi_match_operator_and(spark, sf_dir):
+    """ES multi_match best_fields with operator=and (round 13 —
+    ES's match-operator knob: the search box that requires EVERY
+    word). Field-centric AND: some field must contain ALL terms
+    (its match query compiles with operator=and); a field missing a
+    term does not match and contributes exactly 0.0 to the dis_max.
+    Same frame and zero-shuffle scan shape as docs_multi_match —
+    the operator is a gate/expression change only. Round-13
+    registration; queued for the round-14 window (the r13 window
+    was committed before this landed)."""
+    from irclogbot_spark.operators.multimatch import multi_match_best_fields
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", _doc_title_col().alias("title"), "text"
+    )
+    return multi_match_best_fields(
+        docs, _MM_TERMS, _MM_FIELDS, tie_breaker=0.3, k=10, operator="and"
+    )
+
+
+@query("docs_multi_match_operator_and_atrest")
+def docs_multi_match_operator_and_atrest(spark, sf_dir):
+    """docs_multi_match_operator_and served from the per-field
+    at-rest indexes (round 13) — bit-identical: each field's frame
+    carries its all-terms-matched boolean through the full-outer
+    join (same exchange count; the pivot hit sets are supersets of
+    the AND gate, filtered map-side after the join). Round-13
+    registration; queued for the round-14 window."""
+    from irclogbot_spark.operators.multimatch import (
+        multi_match_best_fields_atrest,
+    )
+
+    _text_index_at_rest(spark, sf_dir)
+    paths = [
+        ("title", _title_index_at_rest(spark, sf_dir)),
+        ("text", _TEXT_INDEX[sf_dir]),
+    ]
+    return multi_match_best_fields_atrest(
+        spark, paths, _MM_TERMS, dict(_MM_FIELDS), tie_breaker=0.3, k=10,
+        operator="and",
+    )
+
+
 #: the declared fuzzy-in-bool query: must=data, should=batch, one
 #: fuzzy stem 'mergz' (a search-box typo for 'merge') expanding at
 #: edit distance 1 under ES's default max_expansions=50

@@ -1304,6 +1304,112 @@ def test_multi_match_cross_fields_blended_df_semantics(spark, tmp_path):
         multi_match_best_fields(docs, terms, fields, mm_type="nope")
 
 
+def test_multi_match_operator_and_gates(spark, tmp_path):
+    """multi_match operator=and (round 13 — ES's match-operator
+    knob): under the field-centric types some FIELD must contain ALL
+    terms (a field missing a term contributes exactly 0.0 — its
+    match query is an AND); under cross_fields every TERM must
+    appear in >= 1 field. Checks: the field-centric hit set and the
+    non-matching-field zeroing, the term-centric hit set with
+    unchanged scores, degeneracy (a doc fully matching every field
+    scores the same under or/and), and at-rest bit-identity for all
+    three types."""
+    import pytest
+
+    from irclogbot_spark.operators.multimatch import (
+        multi_match_best_fields,
+        multi_match_best_fields_atrest,
+    )
+    from irclogbot_spark.operators.textindex import write_text_index
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark merge plan", "spark merge in body too"),  # both full
+            (2, "spark merge only title", "nothing relevant"),   # title full
+            (3, "spark solo", "merge solo"),                     # split terms
+            (4, "spark only", "spark only body"),                # merge absent
+            (5, "plain", "merge spark in body"),                 # body full
+        ],
+        "doc_id long, title string, body string",
+    )
+    terms = ["spark", "merge"]
+    fields = [("title", 2.0), ("body", 1.0)]
+
+    # field-centric AND: docs 1, 2, 5 (some field has both terms);
+    # doc 3 (terms split across fields) and doc 4 (merge missing) out
+    and_best = {
+        r.doc_id: r.score
+        for r in multi_match_best_fields(
+            docs, terms, fields, tie_breaker=0.3, k=10, operator="and"
+        ).collect()
+    }
+    assert set(and_best) == {1, 2, 5}
+    # a non-matching field contributes 0.0: doc 2's score under
+    # tie_breaker=1.0 (plain sum) equals its title-only score
+    and_sum = {
+        r.doc_id: r.score
+        for r in multi_match_best_fields(
+            docs, terms, fields, tie_breaker=1.0, k=10, operator="and"
+        ).collect()
+    }
+    title_only = {
+        r.doc_id: r.score
+        for r in multi_match_best_fields(
+            docs, terms, [("title", 2.0)], k=10, operator="and"
+        ).collect()
+    }
+    assert and_sum[2] == title_only[2]
+    # cross_fields AND: term-centric — doc 3 (split) is IN, doc 4 out
+    and_cross = {
+        r.doc_id: r.score
+        for r in multi_match_best_fields(
+            docs, terms, fields, k=10, mm_type="cross_fields",
+            operator="and",
+        ).collect()
+    }
+    or_cross = {
+        r.doc_id: r.score
+        for r in multi_match_best_fields(
+            docs, terms, fields, k=10, mm_type="cross_fields"
+        ).collect()
+    }
+    assert set(and_cross) == {1, 2, 3, 5}
+    # ... with scores unchanged (the gate tightens, scoring doesn't)
+    for i in and_cross:
+        assert and_cross[i] == or_cross[i]
+    # a doc fully matching every field scores the same under or/and
+    or_best = {
+        r.doc_id: r.score
+        for r in multi_match_best_fields(
+            docs, terms, fields, tie_breaker=0.3, k=10
+        ).collect()
+    }
+    assert and_best[1] == or_best[1]
+    # at-rest bit-identity for all three types under operator=and
+    t1, t2 = str(tmp_path / "opand_t"), str(tmp_path / "opand_b")
+    write_text_index(docs.select("doc_id", "title"), t1, text_col="title", n_buckets=8)
+    write_text_index(docs.select("doc_id", "body"), t2, text_col="body", n_buckets=8)
+    for mt, tie in (("best_fields", 0.3), ("most_fields", 0.0), ("cross_fields", 0.0)):
+        want = [
+            tuple(r)
+            for r in multi_match_best_fields(
+                docs, terms, fields, tie_breaker=tie, k=10, mm_type=mt,
+                operator="and",
+            ).collect()
+        ]
+        got = [
+            tuple(r)
+            for r in multi_match_best_fields_atrest(
+                spark, [("title", t1), ("body", t2)], terms,
+                {"title": 2.0, "body": 1.0}, tie_breaker=tie, k=10,
+                mm_type=mt, operator="and",
+            ).collect()
+        ]
+        assert got == want and len(got) > 0, mt
+    with pytest.raises(ValueError, match="operator"):
+        multi_match_best_fields(docs, terms, fields, operator="xor")
+
+
 def test_multi_match_null_field_scores_zero_both_forms(spark, tmp_path):
     """Round 13 (ADVICE r12): a NULL field value must score exactly
     0.0 in that field in BOTH physical forms — the scan form used to
