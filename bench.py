@@ -267,6 +267,7 @@ CHEAP = [
     "docs_multi_match_operator_and",
     "docs_simple_query_string",
     "docs_bool_fuzzy_search",
+    "docs_bool_search_msm_pct",
     "docs_terms_set",
     "docs_span_first",
     "docs_span_not",

@@ -74,14 +74,50 @@ def _per_term_score(tf, dfreq, n, avgdl, dl, k1: float, b: float):
     return idf * tfc
 
 
+def parse_minimum_should_match(spec, n_should: int) -> int | None:
+    """ES's minimum_should_match value syntax (round 13): an int (or
+    int-string) passes through; ``"N%"`` resolves to N percent of
+    the optional clause count ROUNDED DOWN (ES: 'percent of total
+    optional clauses, rounded down'); ``"-N%"`` is the
+    maximum-missing form — n_should minus floor(N% of n_should)
+    ('indicates the max number of optional clauses that may be
+    missing'). The combination syntax ('3<90%') is not supported —
+    reject loudly rather than mis-resolve."""
+    if spec is None or isinstance(spec, int):
+        return spec
+    s = str(spec).strip()
+    if "<" in s:
+        raise ValueError(
+            f"minimum_should_match combination syntax is not supported: {s!r}"
+        )
+    if s.endswith("%"):
+        try:
+            pct = int(s[:-1])
+        except ValueError:
+            raise ValueError(f"bad minimum_should_match percentage: {s!r}")
+        missing_or_needed = (abs(pct) * n_should) // 100
+        return (
+            n_should - missing_or_needed if pct < 0 else missing_or_needed
+        )
+    try:
+        return int(s)
+    except ValueError:
+        raise ValueError(f"bad minimum_should_match value: {s!r}")
+
+
 def _resolve_msm(
-    minimum_should_match: int | None, must: list[str], should: list[str]
+    minimum_should_match, must: list[str], should: list[str]
 ) -> int:
     """Resolve minimum_should_match per the module contract: every
     returned doc needs >= 1 scoring hit, so with empty ``must`` the
     floor is 1 (explicit msm <= 0 there is rejected — the deliberate
     ES deviation documented in the module docstring; use
-    constant_score for filter-only matching)."""
+    constant_score for filter-only matching). Accepts ES's value
+    syntax (int, "N", "N%", "-N%" — round 13,
+    :func:`parse_minimum_should_match`)."""
+    minimum_should_match = parse_minimum_should_match(
+        minimum_should_match, len(should)
+    )
     if minimum_should_match is not None:
         if not must and should and minimum_should_match <= 0:
             raise ValueError(
@@ -256,7 +292,7 @@ def bool_search(
     must: list[str] | None = None,
     should: list[str] | None = None,
     must_not: list[str] | None = None,
-    minimum_should_match: int | None = None,
+    minimum_should_match: int | str | None = None,
     dl_between: tuple[int, int] | None = None,
     k: int = 10,
     id_col: str = "doc_id",
@@ -284,7 +320,7 @@ def bool_search_atrest(
     must: list[str] | None = None,
     should: list[str] | None = None,
     must_not: list[str] | None = None,
-    minimum_should_match: int | None = None,
+    minimum_should_match: int | str | None = None,
     dl_between: tuple[int, int] | None = None,
     k: int = 10,
     id_col: str = "doc_id",
@@ -872,7 +908,7 @@ def bool_fuzzy_search(
     fuzzy: list[str] | None = None,
     max_dist: int = 1,
     max_expansions: int = 50,
-    minimum_should_match: int | None = None,
+    minimum_should_match: int | str | None = None,
     dl_between: tuple[int, int] | None = None,
     k: int = 10,
     id_col: str = "doc_id",
@@ -943,7 +979,7 @@ def bool_fuzzy_search_atrest(
     fuzzy: list[str] | None = None,
     max_dist: int = 1,
     max_expansions: int = 50,
-    minimum_should_match: int | None = None,
+    minimum_should_match: int | str | None = None,
     dl_between: tuple[int, int] | None = None,
     k: int = 10,
     id_col: str = "doc_id",

@@ -3402,6 +3402,45 @@ ORACLES["docs_multi_match_operator_and_atrest"] = ORACLES[
     "docs_multi_match_operator_and"
 ]
 
+# ES bool with percentage minimum_should_match (round 13): '50%' of
+# the four optional clauses rounds down to 2 — the resolved query is
+# the plain should-only bool with gate n_should >= 2. Mirrors
+# boolquery.parse_minimum_should_match + bool_search.
+ORACLES["docs_bool_search_msm_pct"] = rf"""
+WITH t AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS toks FROM documents),
+base AS (
+  SELECT doc_id, len(toks) AS dl,
+    len(list_filter(toks, x -> x = 'data')) AS tf0,
+    len(list_filter(toks, x -> x = 'batch')) AS tf1,
+    len(list_filter(toks, x -> x = 'window')) AS tf2,
+    len(list_filter(toks, x -> x = 'merge')) AS tf3
+  FROM t
+),
+stats AS (
+  SELECT CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl, COUNT(*) AS n,
+    SUM(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+    SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+    SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2,
+    SUM(CASE WHEN tf3 > 0 THEN 1 ELSE 0 END) AS df3
+  FROM base
+)
+SELECT doc_id,
+  {_BOOL_TERM.format(i=0)}
+  + {_BOOL_TERM.format(i=1)}
+  + {_BOOL_TERM.format(i=2)}
+  + {_BOOL_TERM.format(i=3)} AS score,
+  CAST((CASE WHEN tf0 > 0 THEN 1 ELSE 0 END)
+     + (CASE WHEN tf1 > 0 THEN 1 ELSE 0 END)
+     + (CASE WHEN tf2 > 0 THEN 1 ELSE 0 END)
+     + (CASE WHEN tf3 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_should
+FROM base, stats
+WHERE (CASE WHEN tf0 > 0 THEN 1 ELSE 0 END)
+    + (CASE WHEN tf1 > 0 THEN 1 ELSE 0 END)
+    + (CASE WHEN tf2 > 0 THEN 1 ELSE 0 END)
+    + (CASE WHEN tf3 > 0 THEN 1 ELSE 0 END) >= 2
+ORDER BY score DESC, doc_id LIMIT 10
+"""
+
 # ES bool query with a fuzzy clause (round 13): the stem 'mergz'
 # expands against the term dictionary (levenshtein <= 1, ES's
 # top-frequency rewrite order df desc/term asc, capped at 50,

@@ -5841,6 +5841,25 @@ def docs_multi_match_operator_and_atrest(spark, sf_dir):
     )
 
 
+@query("docs_bool_search_msm_pct")
+def docs_bool_search_msm_pct(spark, sf_dir):
+    """ES bool query with a PERCENTAGE minimum_should_match (round
+    13 — ES's msm value syntax: '50%' of four optional clauses,
+    rounded down, resolves to 2; boolquery.parse_minimum_should_match
+    also handles the negative max-missing form '-N%'). The resolved
+    query is plain bool_search — same zero-shuffle scan plan; the
+    oracle is the static bool SQL with the resolved gate. Round-13
+    registration; queued for the round-14 window."""
+    from irclogbot_spark.operators.boolquery import bool_search
+
+    return bool_search(
+        _t(spark, sf_dir, "documents"),
+        should=["data", "batch", "window", "merge"],
+        minimum_should_match="50%",
+        k=10,
+    )
+
+
 #: the declared fuzzy-in-bool query: must=data, should=batch, one
 #: fuzzy stem 'mergz' (a search-box typo for 'merge') expanding at
 #: edit distance 1 under ES's default max_expansions=50

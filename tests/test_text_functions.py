@@ -1064,6 +1064,77 @@ def test_multi_match_best_fields_semantics(spark, tmp_path):
         multi_match_best_fields(docs, terms, [("body", 0.0)])
 
 
+def test_minimum_should_match_percentage_syntax(spark, tmp_path):
+    """Round 13: ES's minimum_should_match value syntax — 'N%' is N
+    percent of the optional clauses rounded DOWN, '-N%' is the
+    max-missing form (n_should - floor(N%)), int-strings pass
+    through, the combination syntax ('3<90%') rejects loudly. The
+    percentage query equals the explicitly-resolved int query in
+    both physical forms."""
+    import pytest
+
+    from irclogbot_spark.operators.boolquery import (
+        bool_search,
+        bool_search_atrest,
+        parse_minimum_should_match,
+    )
+    from irclogbot_spark.operators.textindex import write_text_index
+
+    # the resolution table (ES reference semantics)
+    assert parse_minimum_should_match(None, 4) is None
+    assert parse_minimum_should_match(3, 4) == 3
+    assert parse_minimum_should_match("3", 4) == 3
+    assert parse_minimum_should_match("50%", 4) == 2
+    assert parse_minimum_should_match("75%", 4) == 3
+    assert parse_minimum_should_match("75%", 3) == 2  # floor
+    assert parse_minimum_should_match("-25%", 4) == 3  # 1 may miss
+    assert parse_minimum_should_match("-25%", 3) == 3  # floor(0.75)=0 miss
+    assert parse_minimum_should_match("100%", 4) == 4
+    for bad in ("3<90%", "x%", "pct"):
+        with pytest.raises(ValueError):
+            parse_minimum_should_match(bad, 4)
+
+    docs = spark.createDataFrame(
+        [
+            (1, "data batch window merge"),
+            (2, "data batch x y"),
+            (3, "data only here"),
+            (4, "window merge z"),
+            (5, "nothing relevant"),
+        ],
+        "doc_id long, text string",
+    )
+    should = ["data", "batch", "window", "merge"]
+    pct = [
+        tuple(r)
+        for r in bool_search(
+            docs, should=should, minimum_should_match="50%", k=10
+        ).collect()
+    ]
+    explicit = [
+        tuple(r)
+        for r in bool_search(
+            docs, should=should, minimum_should_match=2, k=10
+        ).collect()
+    ]
+    assert pct == explicit and {r[0] for r in pct} == {1, 2, 4}
+    path = str(tmp_path / "idx_msm")
+    write_text_index(docs, path, n_buckets=8)
+    at = [
+        tuple(r)
+        for r in bool_search_atrest(
+            spark, path, should=should, minimum_should_match="-25%", k=10
+        ).collect()
+    ]
+    sc = [
+        tuple(r)
+        for r in bool_search(
+            docs, should=should, minimum_should_match=3, k=10
+        ).collect()
+    ]
+    assert at == sc and len(at) == 1  # only doc 1 has >= 3 of 4
+
+
 def test_bool_fuzzy_clause_expansion_and_atrest(spark, tmp_path):
     """Round 13 (VERDICT r12 next #4): fuzzy clauses composed into
     the bool family — each fuzzy stem expands against the term
