@@ -145,6 +145,13 @@ def train_bpe(
                 "pair_freq": int(best["cnt"]),
             }
         )
+        # NO per-step checkpoint (round-13 optimization): each step's
+        # vocab is ONE narrow string replace over the previous, so
+        # after k steps the lineage is k map-only expressions over the
+        # initial checkpointed word table — re-running them inside the
+        # next argmax job is far cheaper than a blocking
+        # materialization job per merge (the checkpoint halved nothing
+        # but doubled the job count: 2 jobs/merge -> 1).
         vocab = vocab.select(
             F.replace(
                 F.col("syms"),
@@ -152,7 +159,7 @@ def train_bpe(
                 F.lit(SEP + merged + SEP),
             ).alias("syms"),
             "freq",
-        ).localCheckpoint()
+        )
     return merges
 
 

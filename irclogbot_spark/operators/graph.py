@@ -18,18 +18,20 @@ centrality SCORES, not a probability distribution (the common
 large-graph engineering choice; a stochastic-exact variant would need
 a global mass renormalization each round).
 
-Scale shape: edges partition by src for the contribution join
-(co-partitioned with the degree table — one shuffle each, reused
-every round); per round ONE (dst, contrib) partial-agg shuffle and
-one node-keyed left join; ranks/nodes are node-cardinality frames,
-orders of magnitude smaller than edges. Only the loop-invariant inputs (edge weights,
-node table) are checkpointed; the rank recurrence itself stays ONE
-lazy plan across all rounds — lineage is linear in rounds and no
-driver action happens between them, so per-round truncation would
-only add jobs (the fully-lazy-loop rule; contrast the
-driver-coordinated k-means/BPE trainers, which MUST checkpoint per
-iteration because each step's argmax returns to the driver).
-Division is
+Scale shape (round-13 optimization): the weighted edge list is
+materialized ONCE, pre-partitioned on the key the rounds re-use (dst
+on the broadcast path, so every per-target aggregation is
+exchange-free; src on the shuffle path, so the edge list never
+re-shuffles — only the node-sized contribution frame moves). The
+recurrence runs in contribution space — r_k = base + contrib_k folds
+inline into the edge join, so no rank frame and no node join
+materialize per round; the node table is joined once at the end.
+The recurrence stays ONE lazy plan across all rounds — lineage is
+linear in rounds and no driver action happens between them, so
+per-round truncation would only add jobs (the fully-lazy-loop rule;
+contrast the driver-coordinated k-means/BPE trainers, which MUST
+checkpoint per iteration because each step's argmax returns to the
+driver). Division is
 integer DIV, never a double: contributions can exceed 2^53 on a big
 graph, where double division silently loses ulps.
 """
@@ -50,6 +52,7 @@ def pagerank(
     dst_col: str = "dst",
     weight_col: str = "w",
     broadcast_ranks: bool = False,
+    wdeg_col: str | None = None,
 ) -> DataFrame:
     """Weighted PageRank over a directed edge list; returns
     ``(node, rank_units)`` for every edge endpoint. Undirected graphs
@@ -60,6 +63,14 @@ def pagerank(
     contribution semantics — drop or clamp them upstream (no
     distributed assert here; a validation pass would cost a full
     edge scan per call).
+
+    ``wdeg_col`` names a caller-supplied column of ``edges`` holding
+    the src node's TOTAL outgoing weight (sum of ``weight_col`` over
+    all its out-edges). When the caller can derive it cheaply — e.g.
+    a bipartite graph where each direction's degree is a small
+    broadcastable aggregate — passing it skips the operator's own
+    degree aggregation + edge-list re-join (one full-edge-list
+    shuffle). Default None computes it here.
     """
     if not 0 < damping_milli < 1000:
         raise ValueError(f"damping_milli in (0, 1000), got {damping_milli}")
@@ -68,43 +79,76 @@ def pagerank(
         F.col(src_col).alias("src"),
         F.col(dst_col).alias("dst"),
         F.col(weight_col).cast("long").alias("w"),
+        *([F.col(wdeg_col).cast("long").alias("wdeg")] if wdeg_col else []),
     )
-    deg = e.groupBy("src").agg(F.sum("w").alias("wdeg"))
-    ew = e.join(deg, "src").localCheckpoint()
-    nodes = (
-        e.select(F.col("src").alias("node"))
-        .union(e.select(F.col("dst").alias("node")))
-        .distinct()
-        .localCheckpoint()
+    # ONE eager materialization of the loop-invariant weighted edge
+    # list, PRE-PARTITIONED on the key each round re-uses (round-13
+    # optimization; guide §2.4 "remove shuffles outright"):
+    # * broadcast path — partitioned by dst, so the per-round
+    #   per-target aggregation's ClusteredDistribution(node) is
+    #   already satisfied through the dst->node alias and every round
+    #   runs exchange-free;
+    # * shuffle path — partitioned by src, so the per-round rank join
+    #   never re-shuffles the edge list (only the node-sized rank
+    #   frame moves).
+    # The caller's edge pipeline executes exactly ONCE, inside this
+    # checkpoint job (the previous two-checkpoint form re-ran it for
+    # the node table). defaultParallelism pins the layout so AQE's
+    # byte-based coalescer can't serialize the CPU-bound rounds at
+    # small corpus sizes; at cluster scale it equals total cores.
+    part_col = "dst" if broadcast_ranks else "src"
+    if wdeg_col is None:
+        deg = e.groupBy("src").agg(F.sum("w").alias("wdeg"))
+        e = e.join(deg, "src")
+    ew = (
+        e.repartition(e.sparkSession.sparkContext.defaultParallelism, F.col(part_col))
+        .localCheckpoint(eager=True)
     )
-    ranks = nodes.select("node", F.lit(R0).cast("long").alias("r"))
+    # Rank recurrence in CONTRIBUTION space (identical integers):
+    # r_k(u) = base + contrib_k(u) with contrib over in-edges, and
+    # every src is a node, so joining contribs directly to the edge
+    # list and folding base+coalesce inline reproduces the rank join
+    # exactly — without materializing a rank frame per round. Each
+    # round is one (node, contrib) aggregate; the node table is
+    # touched once, at the end.
+    contribs = None
     for _ in range(n_iter):
-        # broadcast_ranks=True is the dimension-sized-node-set fast
-        # path (caller's assertion — e.g. a bipartite trade graph
-        # whose nodes are customers+suppliers): the rank frame ships
-        # to every executor and the 4 rounds never sort/shuffle the
-        # edge list. Default False: a web-scale graph's rank frame is
-        # corpus-sized and must use the shuffle join.
-        rside = F.broadcast(ranks) if broadcast_ranks else ranks
+        if contribs is None:
+            joined = ew.withColumn("r", F.lit(R0).cast("long"))
+        else:
+            # broadcast_ranks=True is the dimension-sized-node-set
+            # fast path (caller's assertion — e.g. a bipartite trade
+            # graph whose nodes are customers+suppliers): the
+            # node-sized contribution frame ships to every executor
+            # and the rounds never sort/shuffle the edge list.
+            # Default False: a web-scale graph's contribution frame
+            # is corpus-sized and must use the shuffle join.
+            cside = F.broadcast(contribs) if broadcast_ranks else contribs
+            joined = ew.join(cside, ew["src"] == cside["node"], "left").withColumn(
+                "r",
+                F.lit(base).cast("long") + F.coalesce("contrib", F.lit(0).cast("long")),
+            )
         contribs = (
-            ew.join(rside, ew["src"] == rside["node"])
-            .select(
+            joined.select(
                 F.col("dst").alias("node"),
-                F.expr(
-                    f"({damping_milli} * r * w) DIV (1000 * wdeg)"
-                ).alias("c"),
+                F.expr(f"({damping_milli} * r * w) DIV (1000 * wdeg)").alias("c"),
             )
             .groupBy("node")
             .agg(F.sum("c").alias("contrib"))
         )
-        ranks = nodes.join(contribs, "node", "left").select(
-            "node",
-            (F.lit(base).cast("long") + F.coalesce("contrib", F.lit(0)))
-            .alias("r"),
-        )
         # NO per-round checkpoint: unlike the BPE loop there is no
         # driver-side argmax between rounds, so the whole power
         # iteration stays ONE lazy plan — lineage grows linearly
-        # (each round references the previous ranks exactly once)
+        # (each round references the previous contribs exactly once)
         # and AQE plans all rounds in a single job.
-    return ranks.select("node", F.col("r").alias("rank_units"))
+    nodes = (
+        ew.select(F.col("src").alias("node"))
+        .union(ew.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    cside = F.broadcast(contribs) if broadcast_ranks else contribs
+    return nodes.join(cside, "node", "left").select(
+        "node",
+        (F.lit(base).cast("long") + F.coalesce("contrib", F.lit(0)))
+        .alias("rank_units"),
+    )

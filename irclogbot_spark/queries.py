@@ -2682,23 +2682,44 @@ def graph_pagerank_trade(spark, sf_dir):
         .groupBy("o_custkey", "l_suppkey")
         .agg(F.sum("_n").alias("w"))
     )
-    fwd = e0.select(
-        F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
-        F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
-        "w",
+    # Long-encoded node ids (round-13 optimization, guide §2.3
+    # "narrower types"): 2*custkey <-> 'c<custkey>', 2*suppkey+1 <->
+    # 's<suppkey>' is a bijection, so every group/join on the encoded
+    # key partitions identically to the string form — 8-byte shuffle
+    # keys through the whole iteration, strings rendered once on the
+    # 25-row result. The undirected graph is bipartite, so each
+    # node's total outgoing weight is a per-side aggregate of e0 —
+    # dimension-sized, broadcast onto the edges (wdeg_col), which
+    # spares pagerank its own full-edge-list degree shuffle.
+    cnode = (F.col("o_custkey").cast("long") * 2).alias("_c")
+    snode = (F.col("l_suppkey").cast("long") * 2 + 1).alias("_s")
+    ed = e0.select(cnode, snode, "w")
+    degc = ed.groupBy("_c").agg(F.sum("w").alias("_cdeg"))
+    degs = ed.groupBy("_s").agg(F.sum("w").alias("_sdeg"))
+    ed = ed.join(F.broadcast(degc), "_c").join(F.broadcast(degs), "_s")
+    fwd = ed.select(
+        F.col("_c").alias("src"), F.col("_s").alias("dst"), "w",
+        F.col("_cdeg").alias("wdeg"),
     )
-    rev = e0.select(
-        F.concat(F.lit("s"), F.col("l_suppkey")).alias("src"),
-        F.concat(F.lit("c"), F.col("o_custkey")).alias("dst"),
-        "w",
+    rev = ed.select(
+        F.col("_s").alias("src"), F.col("_c").alias("dst"), "w",
+        F.col("_sdeg").alias("wdeg"),
     )
     # broadcast_ranks: the node set here is customers+suppliers —
-    # dimension-sized by construction — so the rank frame broadcasts
-    # and the 4 rounds never re-shuffle the 1.1M-row edge list
+    # dimension-sized by construction — so the contribution frame
+    # broadcasts and the 4 rounds never re-shuffle the edge list
     ranks = pagerank(
-        fwd.unionByName(rev), n_iter=4, damping_milli=850, broadcast_ranks=True
+        fwd.unionByName(rev), n_iter=4, damping_milli=850,
+        broadcast_ranks=True, wdeg_col="wdeg",
     )
-    return ranks.orderBy(F.desc("rank_units"), F.asc("node")).limit(25)
+    named = ranks.select(
+        F.concat(
+            F.when(F.col("node") % 2 == 0, F.lit("c")).otherwise(F.lit("s")),
+            F.expr("node DIV 2").cast("string"),
+        ).alias("node"),
+        "rank_units",
+    )
+    return named.orderBy(F.desc("rank_units"), F.asc("node")).limit(25)
 
 
 @query("docs_bpe_tokenize")

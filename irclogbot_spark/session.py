@@ -70,6 +70,19 @@ def get_spark(app_name: str = "sparklog", master: str | None = None) -> SparkSes
         # local[32] over sf<=0.1 keep shuffle fan-out modest.
         .config("spark.sql.shuffle.partitions", str(int(cpus) if str(cpus).isdigit() else 32))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # Whole-stage-codegen compiled-class cache (static conf,
+        # default 100 entries). The engine's query library generates
+        # far more than 100 distinct codegen units per suite pass, so
+        # at the default every pass recompiles nearly every stage —
+        # pure Janino compile time, paid in every JVM that runs the
+        # plan (driver for planning, each executor lazily per stage).
+        # Sized to hold the whole library with headroom;
+        # scale-independent (the cache is keyed by generated source,
+        # not data). Overridable for memory-constrained JVMs.
+        .config(
+            "spark.sql.codegen.cache.maxEntries",
+            os.environ.get("SPARK_GRAFT_CODEGEN_CACHE", "4096"),
+        )
         # UI off by default (test noise); SPARK_GRAFT_UI=1/true/yes
         # turns it on for metric probes that read the REST stage API
         # (scale_probe). Spark only parses 'true'/'false', so
