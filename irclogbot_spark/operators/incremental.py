@@ -168,8 +168,15 @@ def dedup_against_index(
         .groupBy("fp")
         .agg(F.min(id_col).alias("hist_dup_of"))
     )
-    exact_hist = bfp.join(hfp, "fp").select(id_col, "hist_dup_of")
-    rem = bfp.join(hfp, "fp", "left_anti")
+    # ONE left join replaces the former inner + left_anti pair
+    # (round-13 optimization): the matched/unmatched split is a
+    # NULL-flag filter over the same joined frame, so the batch
+    # fingerprint projection meets hfp once instead of twice.
+    bj = bfp.join(hfp, "fp", "left")
+    exact_hist = bj.filter(F.col("hist_dup_of").isNotNull()).select(
+        id_col, "hist_dup_of"
+    )
+    rem = bj.filter(F.col("hist_dup_of").isNull()).select(id_col, "fp")
     w = Window.partitionBy("fp")
     rem = rem.withColumn("keep_id", F.min(id_col).over(w))
     exact_batch = rem.filter(F.col(id_col) != F.col("keep_id")).select(

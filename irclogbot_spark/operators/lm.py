@@ -98,9 +98,14 @@ def surprisal_tables(
     rule)."""
     # ONE corpus scan + ONE gram shuffle for both orders: unigrams
     # and bigrams explode together and the order is recoverable from
-    # the gram itself (bigrams contain the join space). The counts
-    # frame materializes once (localCheckpoint) and serves the two
-    # TakeOrdered top-Ks and the two totals without re-parsing.
+    # the gram itself (bigrams contain the join space). The two
+    # TakeOrdered top-Ks and the two totals union into a SINGLE
+    # collect job (round-13 optimization — was an eager checkpoint
+    # plus three collect jobs): all three subtrees read the counts
+    # aggregate's one exchange, which ReuseExchange dedupes within
+    # the job, so the checkpoint barrier bought nothing. Each subtree
+    # keeps its scale shape (TakeOrderedAndProject / partial-agg sum
+    # — only K rows + 2 scalars ever reach the driver).
     g = ensure_parallelism(df).select(
         F.explode(
             F.concat(ngrams(F.col(text_col), 1), ngrams(F.col(text_col), 2))
@@ -110,29 +115,29 @@ def surprisal_tables(
         g.groupBy("gram")
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
         .withColumn("is_bigram", F.col("gram").contains(" "))
-        .localCheckpoint(eager=True)
     )
-    big = [
-        (r.gram, r.cnt)
-        for r in counts.filter("is_bigram")
+    top_b = (
+        counts.filter("is_bigram")
         .orderBy(F.desc("cnt"), F.asc("gram"))
         .limit(bigram_k)
-        .collect()
-    ]
-    uni = [
-        (r.gram, r.cnt)
-        for r in counts.filter(~F.col("is_bigram"))
+        .select(F.lit("b").alias("kind"), "gram", "cnt")
+    )
+    top_u = (
+        counts.filter(~F.col("is_bigram"))
         .orderBy(F.desc("cnt"), F.asc("gram"))
         .limit(unigram_k)
-        .collect()
-    ]
-    totals = {
-        r.is_bigram: r.s
-        for r in counts.groupBy("is_bigram")
-        .agg(F.sum("cnt").alias("s"))
-        .collect()
-    }
-    return big, uni, int(totals.get(True, 0)), int(totals.get(False, 0))
+        .select(F.lit("u").alias("kind"), "gram", "cnt")
+    )
+    tot = counts.groupBy("is_bigram").agg(F.sum("cnt").alias("cnt")).select(
+        F.when(F.col("is_bigram"), F.lit("tb")).otherwise(F.lit("tu")).alias("kind"),
+        F.lit(None).cast("string").alias("gram"),
+        "cnt",
+    )
+    rows = top_b.unionByName(top_u).unionByName(tot).collect()
+    big = [(r.gram, r.cnt) for r in rows if r.kind == "b"]
+    uni = [(r.gram, r.cnt) for r in rows if r.kind == "u"]
+    totals = {r.kind: r.cnt for r in rows if r.kind in ("tb", "tu")}
+    return big, uni, int(totals.get("tb", 0)), int(totals.get("tu", 0))
 
 
 #: stupid backoff alpha = 0.4 -> -ln(0.4) in milli-nats

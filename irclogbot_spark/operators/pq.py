@@ -143,8 +143,17 @@ def train_pq_codebooks(
     c of subspace m is the m-th slice of the c-th vector by id.
     Empty cells keep their previous codeword.
     """
-    vecs = ensure_parallelism(corpus).select(
-        F.col(id_col).alias("_id"), as_double(vec_col).alias("v")
+    # ONE materialization of the slim (id, vector) projection for the
+    # whole training loop (round-13 optimization): every iteration
+    # re-reads it for assignment + update, and without the barrier
+    # each of the n_iter rounds (plus the seed collect) re-ran the
+    # scan + repartition. The checkpointed frame is
+    # O(corpus embeddings) on local disk — the trade every iterative
+    # trainer here budgets (prep.py convention).
+    vecs = (
+        ensure_parallelism(corpus)
+        .select(F.col(id_col).alias("_id"), as_double(vec_col).alias("v"))
+        .localCheckpoint(eager=True)
     )
     seed_rows = vecs.orderBy("_id").limit(n_codes).collect()
     if len(seed_rows) < n_codes:

@@ -228,8 +228,15 @@ def train_ivf_centroids(
     """
     import numpy as np
 
-    vecs = ensure_parallelism(corpus).select(
-        F.col(id_col), as_double(vec_col).alias("v")
+    # ONE materialization of the slim (id, vector) projection for the
+    # whole training loop (round-13 optimization): each of the n_iter
+    # assignment+update rounds (and the seed collect) otherwise re-ran
+    # the scan + repartition. O(corpus embeddings) on local disk — the
+    # iterative-trainer trade prep.py budgets.
+    vecs = (
+        ensure_parallelism(corpus)
+        .select(F.col(id_col), as_double(vec_col).alias("v"))
+        .localCheckpoint(eager=True)
     )
     seed_rows = vecs.orderBy(id_col).limit(n_cells).collect()
     centroids = [

@@ -90,18 +90,27 @@ def write_text_index(
     ).write.mode("overwrite").parquet(os.path.join(path, "vocab"))
     with open(os.path.join(path, META_NAME), "w") as f:
         json.dump({"n_buckets": n_buckets, "id_col": id_col}, f)
+    # a rewrite of this path must not serve stale memoized scans
+    from irclogbot_spark.sources.tables import invalidate_scan
+
+    invalidate_scan(path)
 
 
 def read_text_index(
     spark: SparkSession, path: str
 ) -> tuple[DataFrame, DataFrame, int]:
     """(positional postings, doclens, n_buckets) from an at-rest
-    index."""
+    index. Scans are memoized per (application, path) — every
+    at-rest probe re-read the artifact's footers/listing on every
+    call (~0.18 s/artifact; round-13 optimization). write_text_index
+    invalidates the memo when it rewrites a path."""
+    from irclogbot_spark.sources.tables import memo_scan
+
     with open(os.path.join(path, META_NAME)) as f:
         meta = json.load(f)
     return (
-        spark.read.parquet(os.path.join(path, "postings")),
-        spark.read.parquet(os.path.join(path, "doclens")),
+        memo_scan(spark, os.path.join(path, "postings")),
+        memo_scan(spark, os.path.join(path, "doclens")),
         int(meta["n_buckets"]),
     )
 
@@ -133,8 +142,11 @@ def postings_tf(pidx: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
 
 def read_vocab(spark: SparkSession, path: str) -> DataFrame:
-    """(term, df) term dictionary of an at-rest index."""
-    return spark.read.parquet(os.path.join(path, "vocab"))
+    """(term, df) term dictionary of an at-rest index (scan memoized
+    per application+path; see read_text_index)."""
+    from irclogbot_spark.sources.tables import memo_scan
+
+    return memo_scan(spark, os.path.join(path, "vocab"))
 
 
 def fuzzy_term_search_atrest(

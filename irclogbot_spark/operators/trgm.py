@@ -84,13 +84,22 @@ def write_trgm_index(
     idx.write.partitionBy("tri_bkt").mode("overwrite").parquet(path)
     with open(os.path.join(path, "_trgm_meta.json"), "w") as f:
         json.dump({"n_buckets": n_buckets, "id_col": id_col}, f)
+    # a rewrite of this path must not serve stale memoized scans
+    from irclogbot_spark.sources.tables import invalidate_scan
+
+    invalidate_scan(path)
 
 
 def read_trgm_index(spark: SparkSession, path: str) -> tuple[DataFrame, int]:
-    """Load a persisted index; returns (postings, n_buckets)."""
+    """Load a persisted index; returns (postings, n_buckets). The
+    scan is memoized per (application, path) — probes re-resolved
+    the artifact on every call (round-13 optimization);
+    write_trgm_index invalidates on rewrite."""
+    from irclogbot_spark.sources.tables import memo_scan
+
     with open(os.path.join(path, "_trgm_meta.json")) as f:
         meta = json.load(f)
-    return spark.read.parquet(path), int(meta["n_buckets"])
+    return memo_scan(spark, path), int(meta["n_buckets"])
 
 
 def trgm_search(

@@ -84,3 +84,33 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None) -> dict[str, DataFrame]:
     return {n: load_table(spark, sf_dir, n) for n in (names or TABLES)}
+
+
+#: Analyzed-scan memo for WRITE-ONCE on-disk artifacts (text/trgm
+#: index directories): same ~0.18 s/call relation-resolution cost as
+#: the corpus tables above, paid by every at-rest probe on every
+#: bench pass. Writers MUST call :func:`invalidate_scan` after
+#: rewriting a memoized path — the memo holds a resolved FileIndex,
+#: which would otherwise reference replaced files.
+_SCAN_MEMO: dict[tuple[str, str], DataFrame] = {}
+
+
+def memo_scan(spark: SparkSession, path: str) -> DataFrame:
+    """``spark.read.parquet(path)`` memoized per (application, path);
+    falls back to a plain read when no sparkContext is reachable
+    (Spark Connect)."""
+    try:
+        key = (spark.sparkContext.applicationId, path)
+    except Exception:
+        return spark.read.parquet(path)
+    df = _SCAN_MEMO.get(key)
+    if df is None:
+        df = spark.read.parquet(path)
+        _SCAN_MEMO[key] = df
+    return df
+
+
+def invalidate_scan(path: str) -> None:
+    """Drop every memoized scan at or under ``path`` (writer hook)."""
+    for k in [k for k in _SCAN_MEMO if k[1].startswith(path)]:
+        del _SCAN_MEMO[k]
