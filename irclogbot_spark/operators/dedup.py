@@ -452,13 +452,12 @@ def neardup_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
     Scale shape: both joins touch only (node, label) id pairs — never
     text. The convergence probe costs NO extra job: the round's
     checkpoint is lazy and the probe aggregate is the action that
-    materializes it (one job per round total). For INTEGRAL ids the
-    probe is sum(label) over decimal(38,0) — labels are monotonically
-    non-increasing (every update is a least()), so an unchanged sum
-    IS the exact fixpoint, overflow-proof at any corpus size; for
-    everything else (strings, and fractional numerics whose
-    decimal(38,0) cast would round away sub-unit label changes) it
-    falls back to an exact anti-join change count.
+    materializes it (one job per round total). The round's input
+    label rides along as _old, so the probe is an exact change count
+    over the round's own output — type-generic (no integral-sum
+    special case, no per-round anti-join for string ids) and it
+    stops at the true fixpoint without the extra confirming round a
+    stale-aggregate comparison needs.
     """
     # materialize the edge list once and truncate lineage every round:
     # without this, iteration i's plan embeds i copies of the whole
@@ -476,25 +475,23 @@ def neardup_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
         .withColumn("label", F.col("node"))
         .localCheckpoint(eager=True)
     )
-    from pyspark.sql.types import IntegralType
-
-    # Sum-probe convergence is exact only for integral ids: the
-    # decimal(38,0) cast HALF_UP-rounds fractional labels, so two
-    # distinct fixpoint states could sum equal after rounding and
-    # stop the loop early. Fractional/decimal numeric ids take the
-    # anti-join change-count probe like strings do.
-    numeric_ids = isinstance(labels.schema["label"].dataType, IntegralType)
-    prev_sum: object = object()  # sentinel: never equals a real sum
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges.b == labels.node)
             .groupBy("a")
             .agg(F.min("label").alias("nmin"))
         )
+        # the round's INPUT label rides along as _old so convergence
+        # is an exact same-job change count (round-13 optimization):
+        # the former sum probe needed one extra full round to observe
+        # an unchanged sum, and non-integral ids paid a separate
+        # anti-join job per round — this works for ANY id type and
+        # stops at the true fixpoint one round earlier.
         stepped = labels.join(
             neighbor_min, labels.node == neighbor_min.a, "left"
         ).select(
             "node",
+            F.col("label").alias("_old"),
             F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias(
                 "label"
             ),
@@ -509,30 +506,20 @@ def neardup_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
             stepped.join(jump, stepped.label == jump._jn, "left")
             .select(
                 "node",
+                "_old",
                 F.least(
                     F.col("label"), F.coalesce(F.col("_jl"), F.col("label"))
                 ).alias("label"),
             )
             .localCheckpoint(eager=False)
         )
-        if numeric_ids:
-            # this aggregate is the action that materializes the lazy
-            # checkpoint — the probe rides the round's only job
-            cur_sum = new_labels.agg(
-                F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
-            ).collect()[0]["s"]
-            converged = cur_sum == prev_sum
-            prev_sum = cur_sum
-        else:
-            converged = (
-                new_labels.join(labels.withColumnRenamed("label", "_old"), "node")
-                .filter(F.col("label") != F.col("_old"))
-                .limit(1)
-                .count()
-                == 0
-            )
-        labels = new_labels
-        if converged:
+        # this aggregate is the action that materializes the lazy
+        # checkpoint — the probe rides the round's only job
+        n_changed = new_labels.agg(
+            F.sum(F.when(F.col("label") != F.col("_old"), 1).otherwise(0)).alias("c")
+        ).collect()[0]["c"]
+        labels = new_labels.select("node", "label")
+        if not n_changed:
             break
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
 
