@@ -100,9 +100,14 @@ def pagerank(
     if wdeg_col is None:
         deg = e.groupBy("src").agg(F.sum("w").alias("wdeg"))
         e = e.join(deg, "src")
-    ew = (
-        e.repartition(e.sparkSession.sparkContext.defaultParallelism, F.col(part_col))
-        .localCheckpoint(eager=True)
+    # repartition AFTER the checkpoint: a LogicalRDD does not carry
+    # the pre-checkpoint hash partitioning under AQE, so partitioning
+    # before it would re-exchange every round anyway. This way the
+    # single RepartitionByExpression exchange is IDENTICAL in every
+    # round's subtree and ReuseExchange runs it once for the whole
+    # iteration, leaving each round's aggregation exchange-free.
+    ew = e.localCheckpoint(eager=True).repartition(
+        e.sparkSession.sparkContext.defaultParallelism, F.col(part_col)
     )
     # Rank recurrence in CONTRIBUTION space (identical integers):
     # r_k(u) = base + contrib_k(u) with contrib over in-edges, and

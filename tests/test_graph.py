@@ -50,3 +50,26 @@ def test_partitioning_invariance(spark):
 def test_damping_validation(spark):
     with pytest.raises(ValueError):
         pagerank(None, damping_milli=1000)
+
+
+def test_caller_supplied_wdeg_matches_self_computed(spark):
+    # wdeg_col (round-13 optimization knob): caller-attached total
+    # outgoing weights must reproduce the self-computed degree path
+    # bit-for-bit on every node
+    from pyspark.sql import functions as F
+
+    rows = [(f"n{i}", f"n{(i * 7 + 1) % 20}", 1 + i % 3) for i in range(60)]
+    e = spark.createDataFrame(rows, ["src", "dst", "w"])
+    deg = e.groupBy("src").agg(F.sum("w").alias("wdeg"))
+    ew = e.join(deg, "src")
+    a = _ranks(pagerank(e, n_iter=3))
+    b = _ranks(pagerank(ew, n_iter=3, wdeg_col="wdeg"))
+    assert a == b
+
+
+def test_broadcast_and_shuffle_paths_agree(spark):
+    rows = [(f"n{i}", f"n{(i * 11 + 3) % 17}", 1 + i % 4) for i in range(50)]
+    e = spark.createDataFrame(rows, ["src", "dst", "w"])
+    a = _ranks(pagerank(e, n_iter=3, broadcast_ranks=False))
+    b = _ranks(pagerank(e, n_iter=3, broadcast_ranks=True))
+    assert a == b

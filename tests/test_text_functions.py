@@ -1993,3 +1993,57 @@ def test_span_not_exclusion_semantics(spark, tmp_path):
         span_not_search(pidx, ["slow", "hash"], ["hash"])
     with pytest.raises(ValueError, match="pre/post"):
         span_not_search(pidx, ["slow"], ["scan"], pre=-1)
+
+
+def test_index_scan_memo_invalidated_on_rewrite(spark, tmp_path):
+    """The round-13 analyzed-scan memo must never serve a stale
+    FileIndex: rewriting an index path through its writer has to be
+    visible to the very next read in the same application."""
+    from irclogbot_spark.operators.textindex import (
+        read_text_index,
+        read_vocab,
+        write_text_index,
+    )
+    from irclogbot_spark.operators.trgm import (
+        read_trgm_index,
+        trgm_search,
+        write_trgm_index,
+    )
+
+    path = str(tmp_path / "memo_idx")
+    docs1 = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "beta beta delta")], ["doc_id", "text"]
+    )
+    write_text_index(docs1, path, n_buckets=4)
+    pidx, lens, nb = read_text_index(spark, path)
+    assert {r.term for r in read_vocab(spark, path).collect()} == {
+        "alpha", "beta", "gamma", "delta"
+    }
+    assert lens.count() == 2
+    # second read in the same app returns the memoized frames
+    pidx2, _, _ = read_text_index(spark, path)
+    assert pidx2 is pidx
+    # rewrite with different content — reads must reflect it
+    docs2 = spark.createDataFrame(
+        [(7, "omega omega"), (8, "omega psi"), (9, "psi chi")],
+        ["doc_id", "text"],
+    )
+    write_text_index(docs2, path, n_buckets=4)
+    pidx3, lens3, _ = read_text_index(spark, path)
+    assert pidx3 is not pidx
+    assert lens3.count() == 3
+    assert {r.term for r in read_vocab(spark, path).collect()} == {
+        "omega", "psi", "chi"
+    }
+
+    tpath = str(tmp_path / "memo_trgm")
+    write_trgm_index(docs1, tpath, n_buckets=4)
+    idx, tnb = read_trgm_index(spark, tpath)
+    hits = {r.doc_id for r in trgm_search(
+        docs1, ["beta"], index=idx, index_buckets=tnb).collect()}
+    assert hits == {1, 2}
+    write_trgm_index(docs2, tpath, n_buckets=4)
+    idx2, tnb2 = read_trgm_index(spark, tpath)
+    hits2 = {r.doc_id for r in trgm_search(
+        docs2, ["omega"], index=idx2, index_buckets=tnb2).collect()}
+    assert hits2 == {7, 8}
