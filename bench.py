@@ -473,6 +473,22 @@ def main() -> None:
                            "BENCH_DETAIL.json"), "w") as f:
         json.dump(detail, f, indent=1, sort_keys=True)
     print(json.dumps(detail), file=sys.stderr)
+    # round-14 (VERDICT r13 next #7): PERF r13 could not build its
+    # per-query table because the only line carrying "queries" was
+    # the ~15 KB stderr detail dump, whose HEAD truncates out of the
+    # driver's tail capture (a head-truncated JSON line parses as
+    # nothing). Emit the per-query seconds as their OWN compact
+    # stdout line (headline medians + the cheap single-pass times —
+    # every registered query) right before the final metric line.
+    # Additions-only: the final line below is unchanged, and this
+    # line is complete-or-absent (if the capture is still too small
+    # the head-cut line stays unparseable exactly as today — it can
+    # never present a PARTIAL query set as complete).
+    print(
+        json.dumps(
+            {"queries": {**times, **cheap}}, separators=(",", ":")
+        )
+    )
     # the FINAL stdout line must stay compact: the driver tail-captures
     # ~2000 chars and VERDICT r5 #1 proved a 70-query inline map
     # truncates the head away (parsed: null). Per-query timings live in

@@ -160,6 +160,14 @@ def train_bpe(
             ).alias("syms"),
             "freq",
         )
+        # ...but cap the recompute depth for large-n_merges callers
+        # (ADVICE r13): a LAZY checkpoint every 16 merges rides the
+        # NEXT argmax job (no extra blocking job — still 1 job/merge),
+        # so step k re-runs at most 16 prior replaces instead of k-1,
+        # bounding total work at O(n_merges) replace passes and plan
+        # depth at 16. The suite's n_merges=8 never reaches it.
+        if step % 16 == 0:
+            vocab = vocab.localCheckpoint(eager=False)
     return merges
 
 

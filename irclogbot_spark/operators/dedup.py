@@ -19,7 +19,7 @@ any hot path) and structured for 100 TB:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from irclogbot_spark.plans.partitioning import ensure_parallelism
@@ -418,18 +418,27 @@ def simhash_table(
         F.col(id_col),
         F.when(F.col("tok").isNotNull(), hash_fn(F.col("tok"))).alias("h"),
     )
+    # The 64 vote aggregates and the 64-term packer are built as SQL
+    # expr() strings (round-14 optimization): the former Column-API
+    # construction issued ~600 py4j round trips per call — 1.4 s of
+    # pure DRIVER time, paid on every query build at any scale (the
+    # dominant cost of the simhash queries; guide §1.2 step 2 applied
+    # to the driver's own per-call work). One parser call per lambda
+    # yields the identical expressions: `&`/shiftrightunsigned match
+    # the old bitwiseAND chain, and shiftleft(1L, j) IS the old mask
+    # literal for every j (j=63 wraps to the signed min — the same
+    # -(1<<63) the masks table held).
     votes = [
-        F.sum(F.shiftrightunsigned("h", j).bitwiseAND(F.lit(1))).alias(f"b{j}")
+        F.expr(f"sum(shiftrightunsigned(h, {j}) & 1)").alias(f"b{j}")
         for j in range(64)
     ]
     agg = exploded.groupBy(id_col).agg(F.count("h").alias("n"), *votes)
-    masks = [(1 << j) if j < 63 else -(1 << 63) for j in range(64)]
-    packed = None
-    for j, m in enumerate(masks):
-        term = F.when(
-            F.col(f"b{j}") * F.lit(2) > F.col("n"), F.lit(m).cast("long")
-        ).otherwise(F.lit(0).cast("long"))
-        packed = term if packed is None else packed + term  # disjoint bits: + == OR
+    packed = F.expr(
+        " + ".join(
+            f"(CASE WHEN b{j} * 2L > n THEN shiftleft(1L, {j}) ELSE 0L END)"
+            for j in range(64)
+        )
+    )  # disjoint bits: + == OR
     return agg.select(F.col(id_col), packed.alias("sim"))
 
 
@@ -469,33 +478,44 @@ def neardup_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
         .distinct()
         .localCheckpoint(eager=True)
     )
-    labels = (
-        edges.select(F.col("a").alias("node"))
-        .distinct()
-        .withColumn("label", F.col("node"))
-        .localCheckpoint(eager=True)
-    )
-    for _ in range(max_iter):
-        neighbor_min = (
-            edges.join(labels, edges.b == labels.node)
-            .groupBy("a")
-            .agg(F.min("label").alias("nmin"))
-        )
-        # the round's INPUT label rides along as _old so convergence
-        # is an exact same-job change count (round-13 optimization):
-        # the former sum probe needed one extra full round to observe
-        # an unchanged sum, and non-integral ids paid a separate
-        # anti-join job per round — this works for ANY id type and
-        # stops at the true fixpoint one round earlier.
-        stepped = labels.join(
-            neighbor_min, labels.node == neighbor_min.a, "left"
-        ).select(
-            "node",
-            F.col("label").alias("_old"),
-            F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias(
-                "label"
-            ),
-        )
+    labels = None  # rounds >= 2 carry the previous round's output
+    for it in range(max_iter):
+        if it == 0:
+            # ROUND-1 SHORTCUT (round-14 optimization): the initial
+            # label IS the node id, so min-label-over-neighbors is
+            # just min(b) per a — no identity-label frame to build
+            # (the former eager labels checkpoint was a whole
+            # blocking job) and no edges-join to run. Every node
+            # appears as `a` (both edge directions are present), so
+            # the groupBy's key set is exactly the node set and nmin
+            # is never NULL.
+            stepped = edges.groupBy("a").agg(F.min("b").alias("nmin")).select(
+                F.col("a").alias("node"),
+                F.col("a").alias("_old"),
+                F.least(F.col("a"), F.col("nmin")).alias("label"),
+            )
+        else:
+            neighbor_min = (
+                edges.join(labels, edges.b == labels.node)
+                .groupBy("a")
+                .agg(F.min("label").alias("nmin"))
+            )
+            # the round's INPUT label rides along as _old so
+            # convergence is an exact same-job change count (round-13
+            # optimization): the former sum probe needed one extra
+            # full round to observe an unchanged sum, and
+            # non-integral ids paid a separate anti-join job per
+            # round — this works for ANY id type and stops at the
+            # true fixpoint one round earlier.
+            stepped = labels.join(
+                neighbor_min, labels.node == neighbor_min.a, "left"
+            ).select(
+                "node",
+                F.col("label").alias("_old"),
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
+                ).alias("label"),
+            )
         # pointer doubling: jump to the label's own label (labels are
         # node ids inside the same component, so this is sound and
         # monotone — only ever decreases toward the component min)
@@ -521,6 +541,14 @@ def neardup_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
         labels = new_labels.select("node", "label")
         if not n_changed:
             break
+    if labels is None:
+        # max_iter=0: identity labels (every node its own cluster) —
+        # the pre-shortcut contract
+        labels = (
+            edges.select(F.col("a").alias("node"))
+            .distinct()
+            .withColumn("label", F.col("node"))
+        )
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
 
 
@@ -894,19 +922,29 @@ def _prefix_filter_candidates(
         .localCheckpoint(eager=True)
     )
     ex = base.select(F.col(id_col), F.explode("sh").alias("shingle"))
-    freq = ex.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    # rarest-first ranking in ONE gram-keyed exchange (round-14
+    # optimization, VERDICT r13 next #5; guide §2.4 "two operations
+    # keyed the same way can share one exchange"): df rides a COUNT
+    # window over the explode's own shuffle instead of a separate
+    # partial-agg subtree + shingle-keyed join — the gram rowset
+    # crosses the wire once and the explode runs once, not twice.
+    # A degenerate boilerplate gram is one (spillable) window group,
+    # never a collected array. m == size(ordered) because `sh` is
+    # distinct by construction (shingles() array_distincts; xxhash64
+    # preserves distinctness modulo the accepted ~n^2/2^65 collision),
+    # which also retires the (id, m) reassembly join.
     # re-widen after the doc-keyed reassembly: AQE coalesces the small
     # post-shuffle byte size to 1 partition at test SFs, which would
     # serialize the O(m log m) in-row sort + prefix expansion below
     ranked = ensure_parallelism(
-        ex.join(freq, "shingle")
+        ex.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("shingle")))
         .groupBy(id_col)
         .agg(
             F.array_sort(
                 F.collect_list(F.struct(F.col("df"), F.col("shingle")))
             ).alias("ordered")
         )
-        .join(base.select(id_col, "m"), id_col)
+        .withColumn("m", F.size("ordered").cast("long"))
     )
     # prefix length m - ceil(t*m) + 1, as integers
     p = (

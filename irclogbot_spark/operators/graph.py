@@ -74,6 +74,8 @@ def pagerank(
     """
     if not 0 < damping_milli < 1000:
         raise ValueError(f"damping_milli in (0, 1000), got {damping_milli}")
+    if n_iter < 0:
+        raise ValueError(f"n_iter must be >= 0, got {n_iter}")
     base = (1000 - damping_milli) * R0 // 1000
     e = edges.select(
         F.col(src_col).alias("src"),
@@ -106,9 +108,25 @@ def pagerank(
     # single RepartitionByExpression exchange is IDENTICAL in every
     # round's subtree and ReuseExchange runs it once for the whole
     # iteration, leaving each round's aggregation exchange-free.
-    ew = e.localCheckpoint(eager=True).repartition(
-        e.sparkSession.sparkContext.defaultParallelism, F.col(part_col)
-    )
+    ew = e.localCheckpoint(eager=True)
+    try:
+        # defaultParallelism raises under Spark Connect (no
+        # sparkContext); the keyed repartition without an explicit
+        # count still pins the per-round partitioning there.
+        n_part = ew.sparkSession.sparkContext.defaultParallelism
+        ew = ew.repartition(n_part, F.col(part_col))
+    except Exception:
+        ew = ew.repartition(F.col(part_col))
+    if n_iter == 0:
+        # zero rounds: every endpoint keeps the initial rank R0 (the
+        # pre-round-13 contract; the contribution loop below would
+        # otherwise dereference a None contribs frame)
+        nodes = (
+            ew.select(F.col("src").alias("node"))
+            .union(ew.select(F.col("dst").alias("node")))
+            .distinct()
+        )
+        return nodes.select("node", F.lit(R0).cast("long").alias("rank_units"))
     # Rank recurrence in CONTRIBUTION space (identical integers):
     # r_k(u) = base + contrib_k(u) with contrib over in-edges, and
     # every src is a node, so joining contribs directly to the edge

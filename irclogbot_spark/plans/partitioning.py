@@ -29,8 +29,15 @@ from pyspark.sql import DataFrame
 #: the memo instead of re-planning. Checkpointed inputs carry a fresh
 #: RDD identity in their analyzed plan, so they can never alias a
 #: stale entry. Keyed by applicationId: a restarted context (new scan
-#: splits possible) never reads old counts.
-_NPART_MEMO: dict[tuple[str, int], int] = {}
+#: splits possible) never reads old counts. The schema string rides
+#: along as a second discriminator so a 32-bit semanticHash collision
+#: between structurally different frames cannot alias their counts
+#: (ADVICE r13); a same-schema collision remains possible but the
+#: failure mode is only a skipped/extra repartition, never a wrong
+#: result. Caveat: a runtime spark.sql.shuffle.partitions change can
+#: alter a frame's physical split count without changing its analyzed
+#: plan — this engine sets it once per application (session.py).
+_NPART_MEMO: dict[tuple[str, int, str], int] = {}
 
 
 def ensure_parallelism(df: DataFrame, min_fraction: float = 0.5) -> DataFrame:
@@ -41,7 +48,11 @@ def ensure_parallelism(df: DataFrame, min_fraction: float = 0.5) -> DataFrame:
         # introspection isn't available — fall through unchanged
         sc = df.sparkSession.sparkContext
         target = sc.defaultParallelism
-        key = (sc.applicationId, df._jdf.queryExecution().analyzed().semanticHash())
+        key = (
+            sc.applicationId,
+            df._jdf.queryExecution().analyzed().semanticHash(),
+            df._jdf.schema().catalogString(),
+        )
         current = _NPART_MEMO.get(key)
         if current is None:
             current = df.rdd.getNumPartitions()

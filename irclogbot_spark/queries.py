@@ -2210,101 +2210,90 @@ def docs_importance_resample(spark, sf_dir):
 # registrations only; everything else gets the local parity suite's
 # (stricter) value check but no driver-recorded row. The window is
 # rotated per round so every oracle-paired query accumulates at
-# least one driver-recorded verification. Round 13 executes the plan
-# recorded at the end of round 12 (VERDICT r12 "Next round" #1):
-# (a) FIRST rows for the 10 round-12 tail registrations
-# (multi_match most_fields, simple_query_string, terms_set,
-# span_first, span_not — scan + at-rest each) and the 4 round-13
-# registrations (multi_match cross_fields + _atrest, VERDICT r12
-# next #2; bool_fuzzy_search + _atrest, next #4), plus re-pins for
-# the 4 queries whose operator code changed this round after their
-# r12 rows (multimatch.py NULL-field coalesce + at-rest restructure
-# touches the docs_multi_match pair; that plus the
-# write_text_index doclens fix touches the log_match_phrase_prefix
-# pair); (b) the 9 remaining round-8-vintage rows; (c) the oldest
-# round-9 rows alphabetically until 50. The round-13 textindex.py
-# doclens NULL fix also technically touches every one-shot at-rest
-# artifact build — values are provably unchanged for the registered
-# corpora (no NULL text) and all those rows are r12-fresh, so their
-# re-pins go to the r14 plan below rather than evicting the r9
-# staleness tail. Every name here MUST be oracle-paired (pinned by
+# least one driver-recorded verification. Round 14 executes VERDICT
+# r13 "Next round" #4 (which supersedes the r13-written plan's (b)/
+# (c) aging tail where they conflict): (a) driver rows for every
+# operator REWRITTEN in round 13 whose queries rotated out of the
+# r13 window — pagerank's contribution-space rewrite, the
+# connected-components convergence probe (all five component-family
+# queries), the BPE trainer (merges + tokenize), the backoff-LM
+# single-collect, the IVF/PQ trainer checkpoint; (b) re-pins for
+# every operator touched THIS round (incremental band-probe barrier
+# merge; prefix-filter single-window ranking; at-rest multi_match
+# grouped pivot — all four at-rest variants; the editdist/simhash
+# fixed-cost targets), keeping docs_incremental_dedup_wb and
+# docs_prefix_filter_join in-window per VERDICT r13 #1/#5;
+# (c) docs_hll_sketch_only (the r13 +25% normalized watch, VERDICT
+# r13 #6) and the r12-row at-rest compound family whose one-shot
+# artifact build was touched by the round-13 write_text_index
+# doclens fix; (d) the oldest round-9-vintage rows, alphabetical,
+# until 50. Every name here MUST be oracle-paired (pinned by
 # tests/test_driver_contract.py).
 _DRIVER_WINDOW = [
-    # (a) never driver-checked: the round-12 tail registrations
-    "docs_multi_match_most_fields",
-    "docs_multi_match_most_fields_atrest",
-    "docs_simple_query_string",
-    "docs_simple_query_string_atrest",
-    "docs_terms_set",
-    "docs_terms_set_atrest",
-    "docs_span_first",
-    "docs_span_first_atrest",
-    "docs_span_not",
-    "docs_span_not_atrest",
-    # (a) round-13 registrations
-    "docs_multi_match_cross_fields",
-    "docs_multi_match_cross_fields_atrest",
-    "docs_bool_fuzzy_search",
-    "docs_bool_fuzzy_search_atrest",
-    # (a) re-pins: operator code touched after the r12 rows
-    "docs_multi_match",
-    "docs_multi_match_atrest",
-    "log_match_phrase_prefix",
-    "log_match_phrase_prefix_atrest",
-    # (b) the last round-8-vintage rows
-    "log_nick_rank_per_channel",
-    "log_term_time_filter",
-    "log_top_nicks",
-    "media_jpeg_decode_stats",
-    "scalar_human_fmt",
-    "set_ops",
-    "tpch_q3_shipping_priority",
-    "tpch_q5_local_supplier",
-    "window_date_functions",
-    # (c) the oldest round-9 rows, alphabetical
-    "agg_pivot",
-    "agg_rollup_sets",
-    "agg_stats",
-    "docs_bm25_search",
-    "docs_crawl_admit",
-    "docs_crossdup",
-    "docs_crossdup_remove",
-    "docs_fuzzy_term_search",
-    "docs_highlight",
-    "docs_hybrid_search",
+    # (a) round-13 rewrites, never driver-checked since
+    "graph_pagerank_trade",
+    "docs_neardup_clusters",
+    "docs_dedup_pipeline",
+    "docs_dedup_keep_best",
+    "docs_multikey_linkage",
+    "docs_paragraph_dedup",
+    "docs_normalized_dedup",
+    "docs_editdist_dedup",
+    "docs_bpe_merges",
+    "docs_bpe_tokenize",
+    "docs_backoff_surprisal",
+    "emb_ivf_topk",
+    "emb_ivfpq_topk",
+    # (b) operators touched in round 14
+    "docs_incremental_dedup",
     "docs_incremental_dedup_wb",
-    "docs_minhash_lsh",
-    "docs_more_like_this",
-    "docs_percolate",
-    "docs_phrase_search",
-    "docs_phrase_search_atrest",
-    "docs_phrase_search_indexed",
+    "docs_crawl_admit",
     "docs_prefix_filter_join",
-    "docs_prefix_suggest",
-    "docs_span_near",
-    "docs_tokenize",
-    "docs_trgm_multi_search",
-    "docs_vocab_coverage",
+    "docs_editdist_neardup",
+    "docs_simhash_neardup_md5",
+    "docs_multi_match_atrest",
+    "docs_multi_match_most_fields_atrest",
+    "docs_multi_match_cross_fields_atrest",
+    "docs_multi_match_operator_and_atrest",
+    # (c) the r13 regression watch + the doclens-fix re-pins
+    "docs_hll_sketch_only",
+    "docs_bool_search_atrest",
+    "docs_dis_max_search_atrest",
+    "docs_boosting_search_atrest",
+    "docs_constant_score_atrest",
+    "docs_function_score_atrest",
+    "docs_collapse_by_source_atrest",
+    # (d) the oldest round-9-vintage rows, alphabetical
+    "events_asof_join",
+    "events_composite_agg",
+    "events_funnel",
+    "events_funnel_window",
+    "events_geo_distance",
+    "events_geotile_grid",
+    "events_pipeline_aggs",
+    "events_range_join",
+    "events_retention",
+    "events_search_after",
+    "events_session_window",
+    "ingest_parse",
+    "join_anti_customers_no_orders",
+    "join_semi_parts_ordered",
+    "log_channel_day_bucketed",
+    "log_nick_cooccurrence",
+    "log_point_lookup",
+    "log_search_terms",
+    "log_significant_terms",
+    "log_term_time_partitioned",
 ]
-# ROUND-14 ROTATION PLAN: (a) FIRST rows for any round-14
+# ROUND-15 ROTATION PLAN: (a) FIRST rows for any round-15
 # registrations, plus re-pins for any operator touched after its
-# newest row — leading with the r12-row at-rest compound family
-# (docs_bool_search_atrest, docs_dis_max_search_atrest,
-# docs_boosting_search_atrest, docs_constant_score_atrest,
-# docs_function_score_atrest, docs_collapse_by_source_atrest)
-# whose one-shot artifact build was touched by the round-13
-# write_text_index doclens fix; (b) the remaining 24 round-9-vintage
-# rows, alphabetical: emb_ivfpq_topk, events_asof_join,
-# events_composite_agg, events_funnel, events_funnel_window,
-# events_geo_distance, events_geotile_grid, events_pipeline_aggs,
-# events_range_join, events_retention, events_search_after,
-# events_session_window, ingest_parse,
-# join_anti_customers_no_orders, join_semi_parts_ordered,
-# log_channel_day_bucketed, log_nick_cooccurrence, log_point_lookup,
-# log_search_terms, log_significant_terms,
-# log_term_time_partitioned, math_array_functions,
-# tpch_q16_supplier_cnt, tpch_q1_pricing_summary; (c) the oldest
-# round-10 rows alphabetically until the window fills.
+# newest row; (b) the remaining round-9-vintage rows, alphabetical:
+# math_array_functions, tpch_q16_supplier_cnt,
+# tpch_q1_pricing_summary; (c) the oldest round-10 rows
+# alphabetically until the window fills (the r13 window's rows —
+# the round-12 tail registrations, the multi_match/phrase_prefix
+# re-pins and the round-8/9 names listed in CORRECTNESS_r13.json —
+# are all r13-fresh and rotate back last).
 
 
 @query("docs_dedup_keep_best_fast")

@@ -52,6 +52,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     it arrives as a long which we convert to a timestamp (values are
     whole microseconds, so integer division by 1000 is lossless and
     matches DuckDB's nanos->us coercion bit-for-bit).
+
+    CONTRACT: corpus directories are immutable for the lifetime of a
+    Spark application — the memo holds a resolved FileIndex, so a
+    process that regenerates a table under ``sf_dir`` in-application
+    MUST call :func:`invalidate_table` first (mirror of the artifact
+    memo's writer-side :func:`invalidate_scan` discipline).
     """
     try:
         key = (spark.sparkContext.applicationId, sf_dir.rstrip("/"), name)
@@ -84,6 +90,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None) -> dict[str, DataFrame]:
     return {n: load_table(spark, sf_dir, n) for n in (names or TABLES)}
+
+
+def invalidate_table(sf_dir: str, name: str | None = None) -> None:
+    """Drop memoized corpus-table frames for ``sf_dir`` (all tables,
+    or just ``name``) — the hook any in-application corpus writer
+    must call after regenerating files (ADVICE r13: _TABLE_CACHE had
+    no invalidation path, unlike the artifact memo)."""
+    sf = sf_dir.rstrip("/")
+    for k in [
+        k for k in _TABLE_CACHE if k[1] == sf and (name is None or k[2] == name)
+    ]:
+        del _TABLE_CACHE[k]
 
 
 #: Analyzed-scan memo for WRITE-ONCE on-disk artifacts (text/trgm

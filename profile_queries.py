@@ -109,8 +109,11 @@ def main():
             }
             if args.plans_dir:
                 os.makedirs(args.plans_dir, exist_ok=True)
+                mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                    "formatted"
+                )
                 with open(os.path.join(args.plans_dir, f"{name}_before.txt"), "w") as f:
-                    f.write(df2._jdf.queryExecution().explainString("formatted"))
+                    f.write(df2._jdf.queryExecution().explainString(mode))
             print(f"{name:45s} run={results[name]['run_s']:7.3f} plan={results[name]['plan_s']:6.3f} "
                   f"stages={met['n_stages']:3d} tasks={met['n_tasks']:5d} "
                   f"shW={met['shuffle_write_mb']:8.3f}MB exch={results[name]['n_exchange']}",

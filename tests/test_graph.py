@@ -52,6 +52,22 @@ def test_damping_validation(spark):
         pagerank(None, damping_milli=1000)
 
 
+def test_n_iter_zero_returns_initial_ranks(spark):
+    # ADVICE r13: the contribution-space rewrite crashed on n_iter=0;
+    # the contract is the pre-rewrite one — every endpoint at R0
+    e = spark.createDataFrame([("a", "b", 1), ("b", "c", 2)], ["src", "dst", "w"])
+    assert _ranks(pagerank(e, n_iter=0)) == {"a": R0, "b": R0, "c": R0}
+    # and the broadcast path agrees
+    assert _ranks(pagerank(e, n_iter=0, broadcast_ranks=True)) == {
+        "a": R0, "b": R0, "c": R0,
+    }
+
+
+def test_n_iter_validation(spark):
+    with pytest.raises(ValueError):
+        pagerank(None, n_iter=-1)
+
+
 def test_caller_supplied_wdeg_matches_self_computed(spark):
     # wdeg_col (round-13 optimization knob): caller-attached total
     # outgoing weights must reproduce the self-computed degree path

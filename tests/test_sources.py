@@ -183,3 +183,30 @@ def test_log_term_time_partitioned_prunes_and_value_equal(spark, sf_dir):
         for p in _PARTITIONED_IRCLOG.values():
             shutil.rmtree(p, ignore_errors=True)
         _PARTITIONED_IRCLOG.clear()
+
+
+def test_table_cache_invalidate_table(spark, tmp_path):
+    """ADVICE r13: the corpus-table memo needs a writer hook like the
+    artifact memo's invalidate_scan — invalidate_table must drop the
+    memoized frame so the next load resolves the regenerated files."""
+    from irclogbot_spark.sources.tables import invalidate_table, load_table
+
+    sf = str(tmp_path / "sfX")
+    spark.createDataFrame([(1, "a")], ["doc_id", "text"]).coalesce(1).write.parquet(
+        f"{sf}/documents.parquet"
+    )
+    d1 = load_table(spark, sf, "documents")
+    assert d1.count() == 1
+    # memo serves the same analyzed frame
+    assert load_table(spark, sf, "documents") is d1
+    # regenerate the table in-application: hook, then reload
+    spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], ["doc_id", "text"]
+    ).coalesce(1).write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+    invalidate_table(sf, "documents")
+    d2 = load_table(spark, sf, "documents")
+    assert d2 is not d1
+    assert d2.count() == 3
+    # name=None drops every table under the dir
+    invalidate_table(sf)
+    assert load_table(spark, sf, "documents") is not d2
