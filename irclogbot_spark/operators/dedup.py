@@ -132,6 +132,39 @@ def md5_hash31(c: Column) -> Column:
     return F.pmod(h, F.lit(_MH_PRIME).cast("long"))
 
 
+def _tokens_sql(text_sql: str) -> str:
+    """SQL text of :func:`tokens` (the expr() fast path — see
+    minhash_signature)."""
+    return f"regexp_extract_all({text_sql}, '\\\\S+', 0)"
+
+
+def _shingles_sql(text_sql: str, n: int) -> str:
+    """SQL text of :func:`shingles` — identical expression tree to
+    the Column form (CASE-guarded sequence, array_distinct)."""
+    toks = _tokens_sql(text_sql)
+    k = f"(size({toks}) - {n - 1})"
+    grams = (
+        f"transform(sequence(1, {k}), i -> concat_ws(' ', slice({toks}, i, {n})))"
+    )
+    return (
+        f"array_distinct(CASE WHEN {k} >= 1 THEN {grams} "
+        f"ELSE CAST(array() AS ARRAY<STRING>) END)"
+    )
+
+
+#: SQL renderers of the two built-in shingle hashes, keyed by the
+#: Column-building function. minhash_signature uses these to build
+#: its whole expression as ONE parser call instead of ~250 py4j
+#: round trips; a custom hash_fn falls back to the Column path.
+_HASH_SQL = {
+    xxhash31: lambda s: f"pmod(xxhash64({s}), CAST({_MH_PRIME} AS BIGINT))",
+    md5_hash31: lambda s: (
+        f"pmod(CAST(conv(substring(md5({s}), 1, 15), 16, 10) AS BIGINT), "
+        f"CAST({_MH_PRIME} AS BIGINT))"
+    ),
+}
+
+
 def hashed_shingles(text: Column | str, n: int = 5, hash_fn=None) -> Column:
     """One hash per distinct shingle, folded to 31 bits — the only
     per-shingle hashing MinHash pays; the num_perm signature lanes are
@@ -152,18 +185,36 @@ def minhash_signature(
     per row cost = |shingles| hashes + num_perm*|shingles| mul-adds.
     Docs with no shingles yield NULL lanes — filter upstream.
     """
-    hs = hashed_shingles(text, n, hash_fn)
     perms = _permutation_family(num_perm, seed)
     # Single fold over the shingle hashes: per shingle, compute all
     # num_perm lane values and take the running elementwise min. The
     # shingle array is referenced ONCE — a per-lane array_min would
     # let Catalyst inline (recompute) the shingle construction into
     # every lane, a ~num_perm x blowup observed in practice.
-    init = F.array_repeat(F.lit(_MH_PRIME + 1).cast("long"), num_perm)
     # NOTE: a doc with no shingles keeps the sentinel (_MH_PRIME+1)
     # in every lane — callers must filter shingle-less docs first
     # (wrapping in a validity CASE here would reference the fold
     # twice and re-trigger the inlining blowup).
+    sql_hash = _HASH_SQL.get(hash_fn or xxhash31)
+    if sql_hash is not None and isinstance(text, str):
+        # expr() fast path (round-14 optimization): the Column-API
+        # construction of the num_perm-lane fold issued ~250 py4j
+        # round trips per call — ~0.6 s of pure DRIVER time per
+        # query build (measured; the incremental/minhash queries pay
+        # it 2-3x per pass). One parser call builds the identical
+        # expression tree.
+        hs_sql = f"transform({_shingles_sql(f'`{text}`', n)}, s -> {sql_hash('s')})"
+        lanes = ", ".join(
+            f"pmod(h * CAST({a} AS BIGINT) + {b}, CAST({_MH_PRIME} AS BIGINT))"
+            for a, b in perms
+        )
+        return F.expr(
+            f"aggregate({hs_sql}, "
+            f"array_repeat(CAST({_MH_PRIME + 1} AS BIGINT), {num_perm}), "
+            f"(acc, h) -> zip_with(acc, array({lanes}), (x, y) -> least(x, y)))"
+        )
+    hs = hashed_shingles(text, n, hash_fn)
+    init = F.array_repeat(F.lit(_MH_PRIME + 1).cast("long"), num_perm)
     return F.aggregate(
         hs,
         init,
@@ -243,15 +294,17 @@ def minhash_lsh_candidates(
     sigd = with_shingles.select(
         F.col(id_col), minhash_signature(text_col, num_perm, n, seed, hash_fn).alias("sig")
     )
+    # band arrays as one expr() parse each (the py4j construction-
+    # cost rule — see minhash_signature): identical band keys, j and
+    # the slice bounds evaluate to the same ints the old literal
+    # array held
     if hash_fn is None:
         banded = sigd.select(
             F.col(id_col),
             F.explode(
-                F.array(
-                    *[
-                        F.xxhash64(F.lit(j), F.slice(F.col("sig"), j * rows + 1, rows))
-                        for j in range(bands)
-                    ]
+                F.expr(
+                    f"transform(sequence(0, {bands - 1}), j -> "
+                    f"xxhash64(j, slice(sig, j * {rows} + 1, {rows})))"
                 )
             ).alias("band_key"),
         )
@@ -259,14 +312,9 @@ def minhash_lsh_candidates(
     banded = sigd.select(
         F.col(id_col),
         F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(j).alias("band_idx"),
-                        F.slice(F.col("sig"), j * rows + 1, rows).alias("band_sig"),
-                    )
-                    for j in range(bands)
-                ]
+            F.expr(
+                f"transform(sequence(0, {bands - 1}), j -> "
+                f"struct(j AS band_idx, slice(sig, j * {rows} + 1, {rows}) AS band_sig))"
             )
         ).alias("bk"),
     ).select(F.col(id_col), F.col("bk.band_idx"), F.col("bk.band_sig"))
@@ -725,11 +773,9 @@ def simhash_neardup_pairs(
         ensure_parallelism(df), id_col, text_col, hash_fn=hash_fn
     ).localCheckpoint(eager=True)
 
-    def _block(j):
+    def _block_sql(j):
         off, width = _SIMHASH_BLOCKS[j]
-        return F.shiftrightunsigned(F.col("sim"), off).bitwiseAND(
-            F.lit((1 << width) - 1)
-        )
+        return f"(shiftrightunsigned(sim, {off}) & {(1 << width) - 1})"
 
     combos = [
         (a, b, c)
@@ -737,25 +783,17 @@ def simhash_neardup_pairs(
         for b in range(a + 1, 6)
         for c in range(b + 1, 6)
     ]
+    # the 20 combo structs as one expr() parse (the py4j
+    # construction-cost rule — see minhash_signature): pack the three
+    # 10/11-bit block values into one < 2^33 long ((va*2048)+vb)*2048+vc
+    combo_sql = ", ".join(
+        f"struct({i} AS chunk_idx, "
+        f"(({_block_sql(a)} * 2048 + {_block_sql(b)}) * 2048 + {_block_sql(c)}) AS chunk)"
+        for i, (a, b, c) in enumerate(combos)
+    )
     bands = sh.select(
         id_col,
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("chunk_idx"),
-                        # pack the three 10/11-bit block values into
-                        # one < 2^33 long: ((va*2048)+vb)*2048+vc
-                        (
-                            (_block(a) * F.lit(2048) + _block(b))
-                            * F.lit(2048)
-                            + _block(c)
-                        ).alias("chunk"),
-                    )
-                    for i, (a, b, c) in enumerate(combos)
-                ]
-            )
-        ).alias("c"),
+        F.explode(F.expr(f"array({combo_sql})")).alias("c"),
     ).select(id_col, "c.chunk_idx", "c.chunk")
     cand = _bucket_pairs(bands, id_col, ["chunk_idx", "chunk"])
     # exact hamming check only on candidates (joins fetch the two sims)

@@ -101,17 +101,15 @@ def band_index(
         F.col(id_col),
         minhash_signature(text_col, num_perm, n, seed, hash_fn).alias("sig"),
     )
+    # one expr() parse instead of `bands` struct Column builds (the
+    # py4j construction-cost rule — see minhash_signature); the
+    # transform produces the identical (band_idx, band_sig) structs
     return sigd.select(
         F.col(id_col),
         F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(j).alias("band_idx"),
-                        F.slice(F.col("sig"), j * rows + 1, rows).alias("band_sig"),
-                    )
-                    for j in range(bands)
-                ]
+            F.expr(
+                f"transform(sequence(0, {bands - 1}), j -> "
+                f"struct(j AS band_idx, slice(sig, j * {rows} + 1, {rows}) AS band_sig))"
             )
         ).alias("bk"),
     ).select(F.col(id_col), F.col("bk.band_idx"), F.col("bk.band_sig"))
