@@ -107,7 +107,14 @@ def channel_profiles(
     profile of every channel it touched, plus a final evicted=True
     row for any channel idle past ``idle_timeout_ms`` (whose state is
     then dropped — the bound that keeps total state finite on an
-    unbounded channel universe)."""
+    unbounded channel universe).
+
+    availableNow caveat (round-14 finding): with a processing-time
+    timeout Spark keeps scheduling no-data 'cleaning up state'
+    micro-batches for as long as ANY group holds state, so an
+    availableNow run of this operator never self-terminates — drive
+    it with a stop condition (or a continuous trigger, the production
+    shape), never a bare awaitTermination."""
     return log.groupBy("channel").applyInPandasWithState(
         _make_update(idle_timeout_ms),
         outputStructType=CHANNEL_PROFILE_SCHEMA,

@@ -54,6 +54,7 @@ def main():
     ap.add_argument("--queries", default="", help="comma list; default = bench HEADLINE")
     ap.add_argument("--out", default="/tmp/profile_r13.json")
     ap.add_argument("--plans-dir", default="", help="also dump explain('formatted') per query")
+    ap.add_argument("--plans-suffix", default="_before", help="plan filename suffix (_before/_after)")
     args = ap.parse_args()
 
     os.environ["SPARK_GRAFT_UI"] = "1"
@@ -112,7 +113,7 @@ def main():
                 mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
                     "formatted"
                 )
-                with open(os.path.join(args.plans_dir, f"{name}_before.txt"), "w") as f:
+                with open(os.path.join(args.plans_dir, f"{name}{args.plans_suffix}.txt"), "w") as f:
                     f.write(df2._jdf.queryExecution().explainString(mode))
             print(f"{name:45s} run={results[name]['run_s']:7.3f} plan={results[name]['plan_s']:6.3f} "
                   f"stages={met['n_stages']:3d} tasks={met['n_tasks']:5d} "

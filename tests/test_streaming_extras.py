@@ -94,6 +94,33 @@ def test_streaming_session_window_matches_batch(spark, tmp_path):
     assert len(got) >= len(want) - 15  # open sessions near max-ts withheld
 
 
+def _run_stateful_until(spark, profiles, ckpt: str, sink: list, done) -> None:
+    """Drive a ProcessingTimeTimeout stateful query under availableNow
+    until ``done(sink)`` holds, then stop it. Spark semantics make
+    this necessary, not a shortcut: with a processing-time timeout
+    the engine keeps scheduling no-data 'cleaning up state' batches
+    for as long as any group holds state, so the query never
+    self-terminates and a bare awaitTermination(120) both burns its
+    full timeout AND leaks a live query that keeps consuming the test
+    session's cores (measured: 88+ micro-batches for a 3-row file,
+    still running at 10 minutes)."""
+    q = (
+        profiles.writeStream.outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .foreachBatch(lambda b, i: sink.extend(b.collect()))
+        .start()
+    )
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline and q.isActive and not done(sink):
+            time.sleep(0.3)
+        assert done(sink), f"condition not reached; sink={sink}"
+    finally:
+        q.stop()
+        q.awaitTermination(60)
+
+
 def test_stateful_channel_profiles(spark, tmp_path):
     from irclogbot_spark.streaming.pipeline import read_raw_lines_stream, streaming_irclog
     from irclogbot_spark.streaming.stateful import channel_profiles
@@ -105,27 +132,22 @@ def test_stateful_channel_profiles(spark, tmp_path):
         ":bob!b@h PRIVMSG #nova :two\n"
         ":alice!a@h PRIVMSG #zuul :three\n"
     )
-    log = streaming_irclog(
-        read_raw_lines_stream(spark, path=str(src)), dedup_in_stream=False
-    )
-    def run(sink: list):
+
+    def run(sink: list, done):
         log_s = streaming_irclog(
             read_raw_lines_stream(spark, path=str(src)), dedup_in_stream=False
         )
         profiles = channel_profiles(
             log_s.select("channel", "nick", F.col("posted").cast("timestamp").alias("posted"))
         )
-        q = (
-            profiles.writeStream.outputMode("update")
-            .option("checkpointLocation", str(tmp_path / "ckpt"))
-            .trigger(availableNow=True)
-            .foreachBatch(lambda b, i: sink.extend(b.collect()))
-            .start()
-        )
-        q.awaitTermination(120)
+        _run_stateful_until(spark, profiles, str(tmp_path / "ckpt"), sink, done)
 
     first: list = []
-    run(first)
+    run(
+        first,
+        lambda s: {(r.channel, r.n_msgs, r.n_nicks_seen) for r in s}
+        >= {("#nova", 2, 2), ("#zuul", 1, 1)},
+    )
     got = {r.channel: (r.n_msgs, r.n_nicks_seen) for r in first}
     assert got["#nova"] == (2, 2)
     assert got["#zuul"] == (1, 1)
@@ -133,7 +155,12 @@ def test_stateful_channel_profiles(spark, tmp_path):
     # second run, same checkpoint: state carries across restarts
     (src / "b.log").write_text(":carol!c@h PRIVMSG #nova :four\n")
     second: list = []
-    run(second)
+    run(
+        second,
+        lambda s: any(
+            r.channel == "#nova" and r.n_msgs == 3 for r in s
+        ),
+    )
     nova = max((r for r in second if r.channel == "#nova"), key=lambda r: r.n_msgs)
     assert (nova.n_msgs, nova.n_nicks_seen) == (3, 3)
 
@@ -149,7 +176,7 @@ def test_stateful_idle_channel_evicts_on_timeout(spark, tmp_path):
     src = tmp_path / "src"
     src.mkdir()
 
-    def run(sink: list):
+    def run(sink: list, done):
         log_s = streaming_irclog(
             read_raw_lines_stream(spark, path=str(src)), dedup_in_stream=False
         )
@@ -159,30 +186,31 @@ def test_stateful_idle_channel_evicts_on_timeout(spark, tmp_path):
             ),
             idle_timeout_ms=500,
         )
-        q = (
-            profiles.writeStream.outputMode("update")
-            .option("checkpointLocation", str(tmp_path / "ckpt"))
-            .trigger(availableNow=True)
-            .foreachBatch(lambda b, i: sink.extend(b.collect()))
-            .start()
-        )
-        q.awaitTermination(120)
+        _run_stateful_until(spark, profiles, str(tmp_path / "ckpt"), sink, done)
 
     (src / "a.log").write_text(
         ":alice!a@h PRIVMSG #idle :one\n:bob!b@h PRIVMSG #idle :two\n"
     )
     first: list = []
-    run(first)
+    run(first, lambda s: ("#idle", 2, False) in {(r.channel, r.n_msgs, r.evicted) for r in s})
     assert ("#idle", 2, False) in {(r.channel, r.n_msgs, r.evicted) for r in first}
 
     # let #idle's processing-time timeout expire, then trigger a batch
     # touching only a DIFFERENT channel (the timeout may also fire on
-    # a trailing micro-batch of run 1 — availableNow drains in several
-    # batches — so assert the eviction across both runs)
+    # a trailing micro-batch of run 1 — availableNow keeps scheduling
+    # cleanup batches — so assert the eviction across both runs)
     time.sleep(1.5)
     (src / "b.log").write_text(":carol!c@h PRIVMSG #busy :three\n")
     second: list = []
-    run(second)
+
+    def _second_done(s):
+        return ("#busy", 1, False) in {
+            (r.channel, r.n_msgs, r.evicted) for r in s
+        } and ("#idle", 2) in [
+            (r.channel, r.n_msgs) for r in first + s if r.evicted
+        ]
+
+    run(second, _second_done)
     assert ("#busy", 1, False) in {(r.channel, r.n_msgs, r.evicted) for r in second}
     evictions = [
         (r.channel, r.n_msgs) for r in first + second if r.evicted
@@ -192,7 +220,7 @@ def test_stateful_idle_channel_evicts_on_timeout(spark, tmp_path):
     # #idle re-appears: state was dropped, profile restarts at 1
     (src / "c.log").write_text(":dave!d@h PRIVMSG #idle :back\n")
     third: list = []
-    run(third)
+    run(third, lambda s: any(r.channel == "#idle" and not r.evicted for r in s))
     idle = [r for r in third if r.channel == "#idle" and not r.evicted]
     assert [(r.n_msgs, r.n_nicks_seen) for r in idle] == [(1, 1)]
 
